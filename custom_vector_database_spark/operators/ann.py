@@ -1,0 +1,145 @@
+"""Approximate nearest neighbor via MLlib LSH — the reference's HNSW role.
+
+The reference builds an in-memory HNSW graph on every load
+(/root/reference/src/vectordb.cpp:82-118, lib/hnsw/hnsw.h) — a single-node
+pointer structure that cannot shard. The Spark-native replacement is
+BucketedRandomProjectionLSH (euclidean family — same L2 metric the reference
+wires at hnsw.h:41):
+
+- rebuild  = fit the LSH model + materialize the hashed table (Parquet) —
+  an embarrassingly parallel map, no shuffle;
+- search   = hash the query, prune to matching buckets, exact-distance the
+  survivors (MLlib's approxNearestNeighbors);
+- table-vs-table similarity = approxSimilarityJoin, a bucket-co-partitioned
+  join instead of the quadratic cross product — the 100 TB path.
+
+Like the reference's graph (test.cpp:116-118), the persisted index is STALE
+by design until the next explicit rebuild.
+
+Accuracy contract (SURVEY §4.3): approximate results are tested by recall
+against the exact k-NN operator, never by hash-equality with an oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["LshIndex", "approx_similarity_join"]
+
+
+class LshIndex:
+    """A fitted LSH model + materialized hashed table (the 'rebuilt index')."""
+
+    def __init__(self, model: BucketedRandomProjectionLSHModel, hashed: DataFrame,
+                 id_col: str, vec_col: str):
+        self.model = model
+        self._hashed = hashed
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- build (O6) --------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        num_hash_tables: int = 4,
+        bucket_length: float | None = None,
+    ) -> "LshIndex":
+        feats = df.select(
+            F.col(id_col), F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        if bucket_length is None:
+            # Heuristic: the typical vector norm is the natural distance
+            # scale; sampling keeps this O(1) regardless of table size.
+            sample = feats.select(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                ).alias("norm")
+            ).limit(1000)
+            mean_norm = sample.agg(F.avg("norm")).first()[0] or 1.0
+            bucket_length = max(float(mean_norm), 1e-6)
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            numHashTables=num_hash_tables,
+            bucketLength=bucket_length,
+            seed=42,
+        )
+        model = lsh.fit(feats)
+        hashed = model.transform(feats)
+        return cls(model, hashed, id_col, vec_col)
+
+    # -- persistence: the index is a real artifact, unlike the reference's
+    # never-persisted graph (vectordb.h:51 indexFilePath is dead code) -------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.model.write().overwrite().save(os.path.join(path, "model"))
+        self._hashed.drop("features", "hashes").write.mode("overwrite").parquet(
+            os.path.join(path, "rows")
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LshIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        model = BucketedRandomProjectionLSHModel.load(os.path.join(path, "model"))
+        rows = spark.read.parquet(os.path.join(path, "rows"))
+        feats = rows.withColumn(
+            "features", array_to_vector(F.col(meta["vec_col"]).cast("array<double>"))
+        )
+        hashed = model.transform(feats)
+        return cls(model, hashed, meta["id_col"], meta["vec_col"])
+
+    def hashed_df(self) -> DataFrame:
+        return self._hashed
+
+    # -- search (O7 approx) ---------------------------------------------------
+    def search(self, query: list[float], k: int, dist_col: str = "dist_sq") -> DataFrame:
+        """Bucket-pruned k-NN; returns (id, dist_sq) nearest-first —
+        squared L2 to match the reference's API-level metric
+        (vectordb.cpp:154; the CLI sqrt()s for display only)."""
+        res = self.model.approxNearestNeighbors(
+            self._hashed, Vectors.dense([float(x) for x in query]), k, distCol="_dist"
+        )
+        return (
+            res.select(
+                F.col(self.id_col),
+                F.round(F.col("_dist") * F.col("_dist"), 6).alias(dist_col),
+            )
+            .orderBy(F.col(dist_col).asc(), F.col(self.id_col).asc())
+        )
+
+
+def approx_similarity_join(
+    index_a: LshIndex,
+    index_b: LshIndex,
+    threshold: float,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Table-vs-table similarity join (ABSENT in the reference — it only has
+    1-query-vs-table search, SURVEY §2.2). LSH buckets co-partition the two
+    sides so the join never materializes the cross product."""
+    joined = index_a.model.approxSimilarityJoin(
+        index_a.hashed_df(), index_b.hashed_df(), threshold, distCol=dist_col
+    )
+    return joined.select(
+        F.col(f"datasetA.{index_a.id_col}").alias("id_a"),
+        F.col(f"datasetB.{index_b.id_col}").alias("id_b"),
+        F.round(F.col(dist_col), 6).alias(dist_col),
+    )

@@ -1,0 +1,118 @@
+"""Exact k-nearest-neighbor operators (the reference's `search`, O7).
+
+Reference semantics (/root/reference/src/vectordb.cpp:120-156): given one
+query vector and k, return the k nearest rows as (id, squared-L2) pairs,
+nearest first. The reference answers from an HNSW graph (approximate); here
+the *exact* scan is the primary operator because at Spark scale it is:
+
+  parquet scan (column-pruned to id+vec) → codegen'd distance expression
+  → TakeOrderedAndProject (heap-based top-k, no global sort shuffle)
+
+which is a single pass over the data with a tiny (k-row) result collected
+per partition and merged on the driver — the plan you want at 100 TB.
+The approximate path lives in operators/ann.py (MLlib LSH).
+
+`knn_join` generalizes to a query *table* (absent in the reference — it only
+supports 1 query per process, main.cpp:95-118): broadcast the small query
+side, cross-join, per-query top-k via a window. The query side is assumed
+small (it's broadcast); for table-vs-table similarity at scale use
+ann.approx_similarity_join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    l2_squared,
+)
+
+__all__ = ["knn", "knn_join"]
+
+_METRICS = {"l2_sq", "cosine"}
+
+
+def _distance(metric: str, vec_col: Column, query_col: Column) -> Column:
+    if metric == "l2_sq":
+        return l2_squared(vec_col, query_col)
+    if metric == "cosine":
+        # distance = 1 - cosine similarity (smaller = nearer)
+        return F.lit(1.0) - cosine_similarity(vec_col, query_col)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {_METRICS}")
+
+
+def knn(
+    df: DataFrame,
+    query: list[float] | DataFrame,
+    k: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "l2_sq",
+    predicate: Column | None = None,
+    dist_col: str = "dist_sq",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k nearest rows to a single query vector.
+
+    ``query`` is either a Python list (broadcast as a literal — never a
+    collected table) or a 1-row DataFrame with column ``q`` (stays fully
+    distributed via broadcast cross-join, useful when the query vector
+    itself comes from the table). ``predicate`` pre-filters rows (filtered
+    ANN, an extension the reference lacks — its search is unfilterable,
+    SURVEY §2.2); the filter sits before the distance expression so
+    Catalyst pushes it into the scan.
+
+    Returns (id_col, dist_col) nearest-first with id tie-break.
+    """
+    if predicate is not None:
+        df = df.filter(predicate)
+    if isinstance(query, DataFrame):
+        out = df.crossJoin(F.broadcast(query))
+        qcol = F.col("q")
+    else:
+        out = df
+        qcol = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    dist = _distance(metric, F.col(vec_col), qcol)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        out.select(F.col(id_col), dist.alias(dist_col))
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    data_id: str = "id",
+    data_vec: str = "vec",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    metric: str = "l2_sq",
+    dist_col: str = "dist_sq",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """For every row of ``queries``, the k nearest rows of ``data``.
+
+    Physical shape: broadcast(queries) ⨯ data → windowed row_number ≤ k.
+    Scales as O(|data| · |queries|) distance evaluations spread across all
+    executors with NO shuffle of ``data`` (the window partitions by qid,
+    shuffling only (qid, id, dist) triples, never vectors).
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    joined = data.select(F.col(data_id), F.col(data_vec)).crossJoin(F.broadcast(q))
+    dist = _distance(metric, F.col(data_vec), F.col(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = joined.select(F.col(query_id), F.col(data_id), dist.alias(dist_col))
+    w = Window.partitionBy(query_id).orderBy(F.col(dist_col).asc(), F.col(data_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1,0 +1,236 @@
+"""VectorTable — the reference's storage/engine class, Spark-first.
+
+Re-expresses /root/reference/src/vectordb.{h,cpp} (class VectorDB) as a
+Parquet-backed DataFrame API. Canonical schema (SURVEY §1.2):
+
+    id        BIGINT        -- assigned 1,2,3,... on insert, never reused
+    vec       ARRAY<FLOAT>  -- fixed dim per table
+    metadata  STRING        -- opaque JSON document
+
+Semantics preserved from the reference (SURVEY §2.3):
+- init refuses to overwrite an existing table   (vectordb.cpp:24-26)
+- ids monotone from 1, never reused after delete (vectordb.cpp:28,43,161)
+- dimension mismatch on add/update/search → error (vectordb.cpp:39-41,65-67,124-126)
+- get/update/delete of a missing id → found=False, not an error (vectordb.cpp:54-80)
+- mutations are whole-dataset rewrites — exactly the reference's
+  whole-file-overwrite consistency model (vectordb.cpp:158-178)
+- the ANN index is a separately materialized artifact refreshed only by an
+  explicit rebuild(), so searches between a mutation and a rebuild answer
+  from the stale index (contractual: reference test.cpp:116-118)
+
+Scale notes: `add` accepts a *batch* (DataFrame or list) — the scalable
+unit of mutation; the contiguous-id contract is kept with row_number()
+over a single-partition window on the NEW batch only (new batches are
+small; the big table is never single-partitioned). `monotonically_increasing_id`
+is deliberately not used — it is non-contiguous (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from custom_vector_database_spark.functions.vector import l2_squared
+from custom_vector_database_spark.operators import knn as knn_ops
+
+VECTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vec", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("metadata", T.StringType(), True),
+    ]
+)
+
+
+class DimensionMismatchError(ValueError):
+    """Reference behavior: hard error on wrong-dim add/update/search."""
+
+
+@dataclass
+class TableMeta:
+    dim: int
+    next_id: int
+
+    @classmethod
+    def read(cls, path: str) -> "TableMeta":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(dim=int(d["dim"]), next_id=int(d["nextId"]))
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"dim": self.dim, "nextId": self.next_id}, f)
+
+
+class VectorTable:
+    """A Parquet-backed vector table with explicit-rebuild ANN indexing."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path  # directory; data under data/, meta sidecar, index under index/
+        self._data_path = os.path.join(path, "data")
+        self._meta_path = os.path.join(path, "meta.json")
+        self._index_path = os.path.join(path, "index")
+
+    # -- O1 init (vectordb.cpp:23-36) ------------------------------------
+    def init(self, dim: int) -> "VectorTable":
+        if os.path.exists(self._meta_path):
+            raise FileExistsError(f"table already exists at {self.path}")
+        if dim <= 0:
+            raise ValueError("dim must be positive")
+        os.makedirs(self.path, exist_ok=True)
+        empty = self.spark.createDataFrame([], VECTOR_SCHEMA)
+        empty.write.mode("overwrite").parquet(self._data_path)
+        TableMeta(dim=dim, next_id=1).write(self._meta_path)
+        return self
+
+    # -- O9 load / O10 getDimensions --------------------------------------
+    @property
+    def meta(self) -> TableMeta:
+        return TableMeta.read(self._meta_path)
+
+    def dim(self) -> int:
+        return self.meta.dim
+
+    def df(self) -> DataFrame:
+        """The table as a DataFrame (O9 load; schema enforced by Parquet)."""
+        return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_path)
+
+    # -- O2 add (vectordb.cpp:38-52) --------------------------------------
+    def add(self, rows: DataFrame | list[tuple[list[float], str | None]]) -> list[int]:
+        """Batch insert; returns the assigned ids (contiguous from nextId).
+
+        ``rows``: DataFrame with (vec, metadata) columns, or a list of
+        (vec, metadata_json) tuples. The new batch is id-stamped with
+        row_number() over a single-partition window — safe because the
+        *batch* is the small side; the existing table is untouched by the
+        window and unioned as-is.
+        """
+        meta = self.meta
+        if isinstance(rows, list):
+            batch = self.spark.createDataFrame(
+                [([float(x) for x in v], m) for v, m in rows],
+                T.StructType(
+                    [
+                        T.StructField("vec", T.ArrayType(T.FloatType(), False), False),
+                        T.StructField("metadata", T.StringType(), True),
+                    ]
+                ),
+            )
+        else:
+            batch = rows.select("vec", "metadata")
+        bad = batch.filter(F.size("vec") != meta.dim).limit(1).count()
+        if bad:
+            raise DimensionMismatchError(f"expected dim {meta.dim}")
+        w = Window.orderBy(F.monotonically_increasing_id())
+        stamped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .withColumn("id", (F.lit(meta.next_id - 1) + F.col("_rn")).cast("long"))
+            .select("id", "vec", "metadata")
+        )
+        n = stamped.count()
+        self._rewrite(self.df().unionByName(stamped))
+        TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
+        return list(range(meta.next_id, meta.next_id + n))
+
+    # -- O3 get (vectordb.cpp:54-59) --------------------------------------
+    def get(self, id_: int):
+        """Point lookup; returns (Row, found) like the reference's pair."""
+        rows = self.df().filter(F.col("id") == F.lit(int(id_))).collect()
+        return (rows[0], True) if rows else (None, False)
+
+    # -- O4 update (vectordb.cpp:61-72) ------------------------------------
+    def update(self, id_: int, vec: list[float], metadata: str | None) -> bool:
+        meta = self.meta
+        if len(vec) != meta.dim:
+            raise DimensionMismatchError(f"expected dim {meta.dim}")
+        _, found = self.get(id_)
+        if not found:
+            return False
+        replacement = self.spark.createDataFrame(
+            [(int(id_), [float(x) for x in vec], metadata)], VECTOR_SCHEMA
+        )
+        kept = self.df().filter(F.col("id") != F.lit(int(id_)))
+        self._rewrite(kept.unionByName(replacement))
+        return True
+
+    # -- O5 delete (vectordb.cpp:74-80) -------------------------------------
+    def delete(self, id_: int) -> bool:
+        _, found = self.get(id_)
+        if not found:
+            return False
+        self._rewrite(self.df().filter(F.col("id") != F.lit(int(id_))))
+        return True
+
+    # -- O6 rebuild (vectordb.cpp:82-118) -----------------------------------
+    def rebuild(self, num_hash_tables: int = 4, bucket_length: float | None = None):
+        """Explicit index build: fit a BucketedRandomProjectionLSH model
+        (euclidean — matching the reference's L2 metric) and persist model +
+        hashed table. Search answers from this artifact until the next
+        rebuild — preserving the reference's stale-index contract.
+        """
+        from custom_vector_database_spark.operators.ann import LshIndex
+
+        index = LshIndex.fit(
+            self.df(),
+            id_col="id",
+            vec_col="vec",
+            num_hash_tables=num_hash_tables,
+            bucket_length=bucket_length,
+        )
+        index.save(self._index_path)
+        return index
+
+    def _load_index(self):
+        from custom_vector_database_spark.operators.ann import LshIndex
+
+        if not os.path.exists(self._index_path):
+            raise RuntimeError("no index built; run rebuild() first")
+        return LshIndex.load(self.spark, self._index_path)
+
+    # -- O7 search (vectordb.cpp:120-156) -------------------------------------
+    def search(self, query: list[float], k: int, exact: bool = True) -> DataFrame:
+        """k-NN as (id, dist_sq) nearest-first.
+
+        exact=True: single-pass scan + TakeOrderedAndProject over the LIVE
+        table (always fresh, oracle-checkable). exact=False: approximate
+        search over the last-rebuilt LSH index — which, like the reference's
+        HNSW, is stale until rebuild() (test.cpp:116-118 contract).
+        """
+        meta = self.meta
+        if len(query) != meta.dim:
+            raise DimensionMismatchError(f"expected dim {meta.dim}")
+        if exact:
+            return knn_ops.knn(self.df(), [float(x) for x in query], k)
+        return self._load_index().search([float(x) for x in query], k)
+
+    def search_stale(self, query: list[float], k: int) -> DataFrame:
+        """Exact-scan search against the ROWS CAPTURED AT LAST REBUILD —
+        the reference's literal semantic (search answers from the index
+        snapshot, not the live rows). Returns (id, dist_sq) nearest-first."""
+        idx = self._load_index()
+        snapshot = idx.hashed_df().select("id", "vec")
+        return knn_ops.knn(snapshot, [float(x) for x in query], k)
+
+    # -- O8 save: every mutation already persists (whole-rewrite), like the
+    # reference's save-per-command loop (main.cpp:66-70). ---------------------
+    def _rewrite(self, df: DataFrame) -> None:
+        tmp = self._data_path + "_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = self._data_path + "_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self._data_path, old)
+        os.rename(tmp, self._data_path)
+        shutil.rmtree(old)
+
+    # -- O12 distance (exposed for parity with L2Sqr, hnsw.h:45-52) ----------
+    @staticmethod
+    def l2_sq(a, b):
+        return l2_squared(a, b)

@@ -1,0 +1,78 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+For each (name, spark_query, oracle_sql): run both at a given sf dir,
+sort columns by name, sort rows, and compare values — exact for
+ints/strings, tight tolerance for floats. Catching a mismatch here means
+catching it before CORRECTNESS_r{N}.json does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    sp = _normalize(spark_df.toPandas())
+    du = _normalize(duck_df)
+    if list(sp.columns) != list(du.columns):
+        errs.append(f"{name}: columns differ spark={list(sp.columns)} duck={list(du.columns)}")
+        return errs
+    if len(sp) != len(du):
+        errs.append(f"{name}: row count spark={len(sp)} duck={len(du)}")
+        return errs
+    for col in sp.columns:
+        a, b = sp[col], du[col]
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                fx, fy = float(x), float(y)
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                if not math.isclose(fx, fy, rel_tol=float_tol, abs_tol=float_tol):
+                    errs.append(f"{name}.{col}[{i}]: {x!r} != {y!r}")
+                    break
+            elif str(x) != str(y):
+                errs.append(f"{name}.{col}[{i}]: {x!r} != {y!r}")
+                break
+    return errs
+
+
+def run_pair(spark, con, query_fn, sql: str, sf_dir: str, name: str) -> list[str]:
+    spark_df = query_fn(spark, sf_dir)
+    duck_df = con.sql(sql).df()
+    return compare(spark_df, duck_df, name)
