@@ -78,9 +78,12 @@ def knn(
     dist = _distance(metric, F.col(vec_col), qcol)
     if round_to is not None:
         dist = F.round(dist, round_to)
+    # asc_nulls_last: a NULL distance (length-mismatched vec — zip_with pads
+    # with null — or zero-norm vector under cosine) must never outrank real
+    # neighbors; also matches DuckDB's ORDER BY default (NULLS LAST).
     return (
         out.select(F.col(id_col), dist.alias(dist_col))
-        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -110,7 +113,9 @@ def knn_join(
     if round_to is not None:
         dist = F.round(dist, round_to)
     scored = joined.select(F.col(query_id), F.col(data_id), dist.alias(dist_col))
-    w = Window.partitionBy(query_id).orderBy(F.col(dist_col).asc(), F.col(data_id).asc())
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col(data_id).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -29,9 +29,20 @@ def get_spark(
         # local mode: match cores. On a cluster you'd size this to
         # total-cores * 2-3, or let AQE coalesce from a higher number.
         shuffle_partitions = max(int(cpus), 4)
+    builder = SparkSession.builder
+    # Respect an externally-configured master (spark-submit --master sets
+    # spark.master in the launched JVM's conf via PYSPARK_SUBMIT_ARGS /
+    # SPARK_MASTER env) so submitting to a real cluster doesn't silently
+    # run local on the driver; default to local[N] only when none is set.
+    externally_set = (
+        os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if not externally_set:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

