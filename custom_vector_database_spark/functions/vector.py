@@ -25,6 +25,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
+    "parse_vector",
 ]
 
 
@@ -57,6 +58,21 @@ def l2_norm(a: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     sq = F.transform(a, lambda x: _d(x) * _d(x))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def parse_vector(col: Column | str, dim: int | None = None) -> Column:
+    """O11 parseVector (reference main.cpp:8-23): CSV-of-floats string →
+    array<float>. With ``dim`` set, a wrong-length vector raises at execution
+    time — the reference's hard-error contract (main.cpp:19-21)."""
+    col = F.col(col) if isinstance(col, str) else col
+    vec = F.split(col, ",").cast("array<float>")
+    if dim is not None:
+        vec = F.when(F.size(vec) == dim, vec).otherwise(
+            F.raise_error(f"vector dimension mismatch: expected {dim}").cast(
+                "array<float>"
+            )
+        )
+    return vec
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

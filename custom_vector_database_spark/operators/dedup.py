@@ -1,0 +1,279 @@
+"""Deduplication operators for LLM training-data pipelines (builder brief):
+exact, MinHash+LSH, n-gram Jaccard, SimHash, and embedding-cosine near-dup.
+
+Scale shapes (the reason each implementation looks the way it does):
+- exact_dedup         — one hash-groupBy on a 32-byte digest; never compares
+                        full documents, never shuffles text bodies twice.
+- minhash_dedup_pairs — shingle → HashingTF → MinHashLSH; candidate pairs
+                        come from LSH band-bucket joins (MLlib
+                        approxSimilarityJoin), NEVER the n² cross product.
+- ngram_jaccard_pairs — inverted-index candidate generation: explode
+                        shingles, equi-join on the shingle, count common
+                        shingles per pair, compute exact Jaccard. Only pairs
+                        sharing ≥1 shingle are ever materialized.
+- simhash             — 64-bit signature via a single aggregate expression
+                        over token hashes (no UDF); near-dup candidates via
+                        16-bit band buckets, verified by Hamming distance.
+- embedding_neardup   — brute-force cosine within a bounded probe set (the
+                        correctness baseline); the scale path is the LSH
+                        similarity join in operators/ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.functions.vector import cosine_similarity
+from custom_vector_database_spark.operators.text import fingerprint_md5, shingles, tokenize
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "dedup_keep_min",
+    "ngram_jaccard_pairs",
+    "simhash_bits",
+    "simhash_hex",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized-text digest.
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adds (fingerprint, rep_id, is_dup): every duplicate group is
+    represented by its minimum id — deterministic and order-free."""
+    fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+    reps = fp.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    return (
+        fp.join(reps, "fingerprint")
+        .withColumn("is_dup", (F.col(id_col) != F.col("rep_id")).cast("int"))
+        .select(id_col, "fingerprint", "rep_id", "is_dup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs.
+# ---------------------------------------------------------------------------
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_dist_threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard_dist) via MinHashLSH.
+
+    shingle (word n-grams) → HashingTF set-vector → MinHash signatures →
+    band-bucket join. jaccard_dist is MLlib's (1 - estimated Jaccard).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_dist_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def dedup_keep_min(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-min-id representative selection: a row survives unless a
+    smaller-id near-duplicate exists. One anti-join — no iteration (documented
+    single-pass approximation of connected components; transitive chains
+    longer than one hop may keep an extra representative)."""
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index candidate generation.
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for every pair sharing at
+    least one shingle. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    inverted index (explode) → equi-join on shingle → count common →
+    jaccard = common / (|A| + |B| - common). The equi-join keys on the
+    shingle string, so only genuinely-overlapping pairs are generated.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature as a pure aggregate expression.
+# ---------------------------------------------------------------------------
+def simhash_bits(col: Column | str, bits: int = 64) -> Column:
+    """SimHash bit vector (array<int> of 0/1, length ``bits``) over word
+    tokens. Per token, xxhash64 supplies the bit pattern; each bit position
+    accumulates +1/-1; the sign of the total is the signature bit. One
+    aggregate expression — runs in codegen, no UDF, no explode."""
+    toks = tokenize(col)
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def tok_contrib(acc: Column, t: Column) -> Column:
+        h = F.xxhash64(t)
+        # static bit positions → plain Python ints (shiftright needs a
+        # literal shift amount)
+        bit_arr = F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
+        )
+        return F.zip_with(acc, bit_arr, lambda a, v: a + v)
+
+    totals = F.aggregate(toks, zeros, tok_contrib)
+    return F.transform(totals, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def simhash_hex(col: Column | str) -> Column:
+    """64-bit SimHash as a 16-char hex string (4 bits per nibble)."""
+    bits_arr = simhash_bits(col, 64)
+    nibble_idx = F.sequence(F.lit(0), F.lit(15))
+    nibbles = F.transform(
+        nibble_idx,
+        lambda i: F.lower(
+            F.conv(
+                (
+                    F.element_at(bits_arr, (i * 4 + 1).cast("int")) * 8
+                    + F.element_at(bits_arr, (i * 4 + 2).cast("int")) * 4
+                    + F.element_at(bits_arr, (i * 4 + 3).cast("int")) * 2
+                    + F.element_at(bits_arr, (i * 4 + 4).cast("int"))
+                ).cast("string"),
+                10,
+                16,
+            )
+        ),
+    )
+    return F.array_join(nibbles, "")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates from 16-bit band buckets
+    (pigeonhole: hamming ≤ max_hamming over 64 bits with 4 bands guarantees
+    at least one identical band when max_hamming ≤ 3·… — a recall-oriented
+    candidate filter), verified with the exact Hamming distance.
+    Returns (id_a, id_b, hamming)."""
+    sigs = df.select(F.col(id_col), simhash_bits(text_col).alias("bits"))
+    banded = sigs.select(
+        id_col,
+        "bits",
+        *[
+            F.array_join(F.slice("bits", b * 16 + 1, 16), "").alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        a = banded.select(
+            F.col(id_col).alias("id_a"),
+            F.col("bits").alias("bits_a"),
+            F.col(f"band{b}").alias("band"),
+        )
+        c = banded.select(
+            F.col(id_col).alias("id_b"),
+            F.col("bits").alias("bits_b"),
+            F.col(f"band{b}").alias("band"),
+        )
+        pb = a.join(c, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
+        cands = pb if cands is None else cands.unionByName(pb)
+    hamming = F.aggregate(
+        F.zip_with(
+            "bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (bounded brute force — the oracle-checkable
+# baseline; LSH in operators/ann.py is the 100 TB path).
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cos_dist: float = 0.6,
+    probe: Column | None = None,
+) -> DataFrame:
+    """Pairs (id_a, id_b, cos_dist) with cosine distance ≤ threshold.
+    ``probe`` (a predicate over ``df``'s columns) bounds the left side so the
+    join is |probe| × |df| with the probe side broadcast."""
+    left_src = df.filter(probe) if probe is not None else df
+    left = left_src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = F.broadcast(left).crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    cos_dist = F.round(
+        F.lit(1.0) - cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6
+    )
+    return (
+        pairs.select("id_a", "id_b", cos_dist.alias("cos_dist"))
+        .filter(F.col("cos_dist") <= max_cos_dist)
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for LLM training-data pipelines — tokenization,
+token statistics, quality scoring, language-ID heuristic, fingerprinting,
+and shingling. All pure Catalyst column expressions (no Python UDFs): at
+100 TB these run inside whole-stage codegen on the JVM, vectorized over the
+Parquet scan.
+
+Regex patterns stick to plain character classes so Java regex (Spark) and
+RE2 (DuckDB) agree — keeps every one of these oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "bpe_ish_token_count",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_scores",
+    "fingerprint_md5",
+    "shingles",
+]
+
+# Tiny per-language marker lists for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "von"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+# "BPE-ish" token pattern: runs of letters, runs of digits, or single
+# non-space punctuation — the classic pre-tokenizer split.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase word tokens: split on non-alphanumeric runs, drop empties."""
+    toks = F.split(F.lower(_c(col)), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Pre-tokenizer-style token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a quality signal."""
+    stopwords = stopwords or EN_STOPWORDS
+    toks = tokenize(col)
+    stops = F.filter(
+        toks, lambda t: F.array_contains(F.array(*[F.lit(s) for s in stopwords]), t)
+    )
+    return F.when(
+        F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    stripped = F.regexp_replace(F.lower(c), "[a-z0-9 ]", "")
+    return F.when(
+        F.length(c) > 0, F.length(stripped).cast("double") / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewarded for a natural stopword
+    rate and a sane mean token length, penalized for punctuation soup."""
+    c = _c(col)
+    n_toks = token_count(c)
+    mean_tok_len = F.when(n_toks > 0, F.length(c).cast("double") / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    len_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.5)
+    stop_component = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    return F.round(
+        (stop_component * 0.4 + len_ok * 0.4 + (1.0 - F.least(punct_ratio(c) * 5.0, F.lit(1.0))) * 0.2),
+        6,
+    )
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    """One hit-count column per language in LANG_MARKERS (aliased
+    ``{lang}_hits``) plus a ``predicted`` column (argmax, ties → 'und')."""
+    toks = tokenize(col)
+
+    def _contains(arr: Column):
+        # single-arg lambda: a second default arg would make PySpark pass
+        # the element INDEX into it (filter's (elem, idx) signature)
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols[lang] = F.size(F.filter(toks, _contains(arr)))
+    best = F.greatest(*hit_cols.values())
+    predicted = F.lit("und")
+    # deterministic: first language (sorted) reaching the max wins
+    for lang in sorted(LANG_MARKERS):
+        predicted = F.when(
+            (hit_cols[lang] == best) & (best > 0) & (predicted == "und"), F.lit(lang)
+        ).otherwise(predicted)
+    cols = [hit_cols[lang].alias(f"{lang}_hits") for lang in sorted(LANG_MARKERS)]
+    cols.append(predicted.alias("predicted"))
+    return cols
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). Same digest in Spark and DuckDB."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), "[ ]+", " "))
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) — the dedup unit for
+    MinHash/Jaccard. Sequence-indexed transform, no explode needed."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # guard: sequence(0, negative) would DESCEND, not be empty
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,216 @@
+"""Event-stream analytics over the `events` table — JSON metadata access,
+event-time windows (tumbling + session), as-of join, and a banded range
+join. SURVEY §2.2 rows: Map/JSON functions, Date/time, event-time windows,
+Range/as-of joins.
+
+Window starts are emitted as epoch microseconds (unix_micros / epoch_us) —
+integers, immune to timestamp-formatting drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators.asof import asof_join
+from custom_vector_database_spark.queries_registry import load, register
+
+_DEC = "decimal(18,2)"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads only
+    as a long of nanoseconds (legacy nanosAsLong flag — set defensively here
+    because the driver may supply its own session). Truncate to microsecond
+    timestamps (`div 1000` floors, exactly like DuckDB's nanos read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# JSON metadata access (reference touchpoint: metadata["name"], test.cpp:76;
+# json::parse, main.cpp:68). get_json_object is pure Catalyst.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (batch window(); the Structured Streaming twin
+# lives in streaming/ and is asserted equal in tests). Epoch-aligned 1-hour
+# buckets match DuckDB's time_bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "event_tumbling_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    ORDER BY window_start_us
+    """,
+)
+def q_event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window: per-user sessions closed by a 12-hour inactivity gap.
+# Spark's session_window starts a NEW session when the inter-event gap is
+# >= the gap duration (next_ts >= prev_ts + gap); the oracle's gap-and-island
+# SQL uses the same strict boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "event_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '12 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM y GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for every purchase, the latest click by the same user at or
+# before the purchase. Oracle: DuckDB's native ASOF LEFT JOIN. Missing
+# matches coalesce to -1 so the compared columns stay integral.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           COALESCE(epoch_us(c.ts), -1) AS click_ts_us,
+           COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY event_id
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.coalesce(F.unix_micros("ts_right"), F.lit(-1)).alias("click_ts_us"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("ts_right"), F.lit(-1)
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Banded range join: ordered event pairs of the same user within 24 hours —
+# an equi-join on the key plus a band predicate, aggregated to per-user
+# counts. The equi key keeps the join hash-partitioned (no cross product);
+# the band only filters within user partitions.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_event_pairs",
+    """
+    SELECT a.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS total_gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '24 hours'
+    GROUP BY a.user_id
+    ORDER BY user_id
+    """,
+)
+def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 24 HOURS")),
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+            ).alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,298 @@
+"""Text-analysis + dedup queries over `documents` and `embeddings` — the
+LLM-training-data-pipeline surface (builder brief): token statistics,
+quality scoring, language-ID heuristic, fingerprint/exact-dedup, shingle
+stats, n-gram Jaccard, embedding-cosine near-dup (all oracle-checked), and
+MinHash-LSH / SimHash near-dup (rows-only; semantics asserted in
+tests/test_dedup.py with planted duplicates).
+
+The DuckDB oracles replicate the exact same tokenization (regex split on
+non-alphanumeric runs) and fold order, so ratios match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import dedup as dd
+from custom_vector_database_spark.operators import text as tx
+from custom_vector_database_spark.queries_registry import load, register
+
+# DuckDB twin of operators.text.tokenize
+_DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+
+
+# ---------------------------------------------------------------------------
+# Token statistics: whitespace-ish word tokens + BPE-ish pre-tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_DUCK_TOKS.format(c="text")}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{tx.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           round(CASE WHEN len({_DUCK_TOKS.format(c="text")}) > 0
+                 THEN CAST(length(text) AS DOUBLE) / len({_DUCK_TOKS.format(c="text")})
+                 ELSE 0.0 END, 6) AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = tx.token_count("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(
+            F.when(
+                n_tokens > 0, F.length("text").cast("double") / n_tokens
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: stopword ratio, punctuation ratio, composite score.
+# ---------------------------------------------------------------------------
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS.format(c="text")} AS toks,
+             regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS stop_ratio_raw,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(punct) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio_raw,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok_len
+      FROM t
+    )
+    SELECT doc_id,
+           round(stop_ratio_raw, 6) AS stop_ratio,
+           round(punct_ratio_raw, 6) AS punct_ratio,
+           round(least(stop_ratio_raw * 4.0, 1.0) * 0.4
+                 + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0
+                         THEN 1.0 ELSE 0.5 END) * 0.4
+                 + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.2, 6) AS quality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        tx.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-stopword hit counts, argmax prediction.
+# ---------------------------------------------------------------------------
+def _lang_hits_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang]) + "]"
+    return (
+        f"len(list_filter({_DUCK_TOKS.format(c='text')}, "
+        f"t -> list_contains({markers}, t)))"
+    )
+
+
+_LANGS = sorted(tx.LANG_MARKERS)
+_BEST_SQL = "greatest(" + ", ".join(f"{lg}_hits" for lg in _LANGS) + ")"
+_PRED_SQL = "CASE WHEN " + " WHEN ".join(
+    f"{lg}_hits = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lg}'" for lg in _LANGS
+) + " ELSE 'und' END"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_hits_sql(lg)} AS {lg}_hits" for lg in _LANGS)}
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           {", ".join(f"{lg}_hits" for lg in _LANGS)},
+           {_PRED_SQL} AS predicted
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), *tx.lang_scores("text")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint + exact dedup: md5 of normalized text, keep-min-id groups.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_docs",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), reps AS (
+      SELECT fingerprint, MIN(doc_id) AS rep_id FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id AS doc_id, f.fingerprint AS fingerprint, r.rep_id AS rep_id,
+           CAST(f.doc_id != r.rep_id AS INT) AS is_dup
+    FROM fp f JOIN reps r ON f.fingerprint = r.fingerprint
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Shingle statistics: the dedup unit, oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "text_shingle_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+         s AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [] END AS sh
+           FROM t
+         )
+    SELECT doc_id, len(toks) AS n_tokens, len(sh) AS n_distinct_shingles
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def q_text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.size(tx.shingles("text", 3)).alias("n_distinct_shingles"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs via inverted-index candidates.
+# The synthetic corpus shares vocabulary, so a low threshold yields real
+# pairs; correctness is the point, the threshold just sizes the output.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [] END AS sh
+           FROM t
+         ),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+    SELECT c.id_a, c.id_b,
+           round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (bounded probe side, broadcast).
+# ---------------------------------------------------------------------------
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v))"
+)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(1.0 - CASE WHEN a.nrm * b.nrm != 0
+                   THEN {_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
+                   END, 6) AS cos_dist
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 60
+    )
+    SELECT id_a, id_b, cos_dist FROM pairs
+    WHERE cos_dist <= 0.56
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        max_cos_dist=0.56,
+        probe=F.col("vec_id") < 60,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup + SimHash signatures: rows-only for the driver
+# (approximate/hash-seeded — not SQL-reproducible); planted-duplicate
+# semantics asserted in tests/test_dedup.py.
+# ---------------------------------------------------------------------------
+@register("minhash_dedup_docs")
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        docs, id_col="doc_id", text_col="text", jaccard_dist_threshold=0.95
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register("simhash_docs")
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.simhash_hex("text").alias("simhash")
+    ).orderBy("doc_id")

@@ -1,0 +1,283 @@
+"""Vector-engine queries — the reference's own operator surface (SURVEY §2.1)
+plus the similarity-search extensions, registered against DuckDB oracles.
+
+Oracle-checked: exact k-NN (L2 and cosine), k-NN join (query table), filtered
+k-NN, point lookup (O3), parseVector ingest cast (O11), and a deterministic
+CRUD lifecycle driving VectorTable (O1/O2/O4/O5/O8/O9).
+Rows-only (accuracy contract SURVEY §4.3 — recall is asserted in tests/):
+LSH ANN search and the LSH similarity join.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import knn as knn_ops
+from custom_vector_database_spark.queries_registry import load, register
+
+# DuckDB fragments computing the same double fold as functions/vector.py
+# (left-to-right, 0.0 init on the Spark side — IEEE-identical to DuckDB's
+# first-element-init list_reduce because 0.0 + x == x).
+_DUCK_L2SQ = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+)
+
+
+# ---------------------------------------------------------------------------
+# O7 search — exact k-NN (reference vectordb.cpp:120-156). Query vector = the
+# embedding of vec_id 0 (taken from the table itself so the oracle can
+# reference it too). Plan: pruned scan → codegen distance →
+# TakeOrderedAndProject. No vector ever reaches the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_exact",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="e.embedding", b="q.q")}, 6) AS dist_sq
+    FROM embeddings e CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return knn_ops.knn(emb, qdf, k=10, id_col="vec_id", vec_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN under the cosine metric (extension — the reference is L2-only,
+# hnsw.h:41; cosine is table stakes for embedding search).
+# ---------------------------------------------------------------------------
+@register(
+    "knn_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(1.0 - CASE WHEN {_DUCK_NORM.format(a="e.embedding")} *
+                                 {_DUCK_NORM.format(a="q.q")} != 0
+                 THEN {_DUCK_DOT.format(a="e.embedding", b="q.q")} /
+                      ({_DUCK_NORM.format(a="e.embedding")} * {_DUCK_NORM.format(a="q.q")})
+                 END, 6) AS cos_dist
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cos_dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return knn_ops.knn(
+        emb, qdf, k=10, id_col="vec_id", vec_col="embedding",
+        metric="cosine", dist_col="cos_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN join: k nearest data rows for EVERY row of a query table (the
+# reference only supports one query per process, main.cpp:95-118).
+# Plan: broadcast(queries) ⨯ data → windowed top-k; only (qid,id,dist)
+# triples ever shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_join_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e CROSS JOIN q
+         )
+    SELECT qid, vec_id, dist_sq FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_ops.knn_join(
+        emb, queries, k=5, data_id="vec_id", data_vec="embedding"
+    ).orderBy("qid", "dist_sq", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Filtered k-NN: predicate ∘ k-NN (the reference's search is unfilterable,
+# SURVEY §2.2). The label filter is pushed into the Parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_filtered",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="e.embedding", b="q.q")}, 6) AS dist_sq
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label = 3
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return knn_ops.knn(
+        emb, qdf, k=10, id_col="vec_id", vec_col="embedding",
+        predicate=F.col("label") == 3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 get — point lookup by primary key; the equality predicate reaches the
+# Parquet scan (row-group pruning), exactly the map::find analogue.
+# ---------------------------------------------------------------------------
+@register(
+    "get_by_id",
+    f"""
+    SELECT vec_id, label,
+           round({_DUCK_NORM.format(a="embedding")}, 6) AS norm
+    FROM embeddings WHERE vec_id = 42
+    """,
+)
+def q_get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import l2_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 42).select(
+        "vec_id", "label", F.round(l2_norm("embedding"), 6).alias("norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O11 parseVector (reference main.cpp:8-23): CSV-of-floats string →
+# array<float>, dimension-checked. The CSV strings are produced from the
+# embeddings inside each engine (shortest-repr float formatting round-trips
+# exactly in both), and only parse-derived numbers are output.
+# ---------------------------------------------------------------------------
+@register(
+    "parse_vector_roundtrip",
+    f"""
+    WITH s AS (SELECT vec_id, array_to_string(embedding, ',') AS csv
+               FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT vec_id,
+                      list_transform(string_split(csv, ','), x -> CAST(x AS FLOAT)) AS vec
+               FROM s)
+    SELECT vec_id, len(vec) AS dim,
+           round({_DUCK_NORM.format(a="vec")}, 6) AS norm
+    FROM p
+    ORDER BY vec_id
+    """,
+)
+def q_parse_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import l2_norm, parse_vector
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    csv = emb.select("vec_id", F.array_join("embedding", ",").alias("csv"))
+    parsed = csv.select("vec_id", parse_vector("csv").alias("vec"))
+    return parsed.select(
+        "vec_id",
+        F.size("vec").alias("dim"),
+        F.round(l2_norm("vec"), 6).alias("norm"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# CRUD lifecycle (O1 init / O2 add / O4 update / O5 delete / O8 save /
+# O9 load) — drives a real VectorTable in a temp dir with rows derived
+# deterministically from the embeddings table, then returns the final state.
+# The oracle reconstructs that state with plain SQL, proving the mutation
+# semantics (contiguous ids from 1, delete removes, update replaces).
+# ---------------------------------------------------------------------------
+@register(
+    "crud_lifecycle",
+    f"""
+    WITH base AS (
+      SELECT vec_id + 1 AS id,
+             '{{"label": ' || CAST(label AS VARCHAR) || '}}' AS metadata,
+             embedding
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT id, metadata,
+           round(CASE WHEN id = 5 THEN 0.0 ELSE {_DUCK_NORM.format(a="embedding")} END, 6)
+             AS norm
+    FROM base
+    WHERE id != 3
+    ORDER BY id
+    """,
+)
+def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import l2_norm
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    dim = len(rows[0]["embedding"])
+    tmp = tempfile.mkdtemp(prefix="cvdb_crud_")
+    try:
+        table = VectorTable(spark, f"{tmp}/tbl").init(dim=dim)
+        table.add(
+            [
+                (list(r["embedding"]), json.dumps({"label": int(r["label"])}))
+                for r in rows
+            ]
+        )
+        assert table.delete(3) and not table.delete(999)
+        assert table.update(5, [0.0] * dim, json.dumps({"label": int(rows[4]["label"])}))
+        out = table.df().select(
+            "id", "metadata", F.round(l2_norm("vec"), 6).alias("norm")
+        )
+        # materialize before the temp dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result.orderBy("id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# O6/O7 approx — LSH ANN search and similarity join. Rows-only for the
+# driver (approximate results cannot hash-match an oracle, SURVEY §4.3);
+# recall ≥ 0.9 vs exact is asserted in tests/test_recall.py.
+# ---------------------------------------------------------------------------
+@register("ann_lsh_search")
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ann import LshIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
+    return index.search(query, k=10)
+
+
+@register("lsh_similarity_join")
+def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
+    pairs = approx_similarity_join(index, index, threshold=1.2)
+    return pairs.filter(F.col("id_a") < F.col("id_b")).orderBy("id_a", "id_b")

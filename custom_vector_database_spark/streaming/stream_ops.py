@@ -1,0 +1,90 @@
+"""Structured Streaming twins of the batch event-time windows.
+
+The reference is strictly batch (every CLI call is load→op→save,
+main.cpp:66-70) — streaming is a pure extension (SURVEY §2.2 'Streaming':
+ABSENT → Structured Streaming reserved for the events extension).
+
+Pattern: file-source readStream over the same events parquet → watermarked
+windowed aggregation → memory sink, driven with trigger(availableNow) so a
+test can await completion and compare against the batch window() result
+bit-for-bit (tests/test_streaming.py). ``outputMode("complete")`` emits
+every window, making the final memory-table state directly comparable.
+
+At scale the same plan runs against a Kafka source with a real watermark:
+the aggregation state is keyed by (window), partitioned by the grouping
+keys, and late events beyond the watermark are dropped instead of
+re-opening state — the standard Spark streaming story, nothing custom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["streaming_events", "stream_tumbling_agg", "stream_session_agg"]
+
+_DEC = "decimal(18,2)"
+
+# events.parquet schema under nanosAsLong (ts arrives as long nanoseconds).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same nanos→micros
+    truncation as the batch loader (events_queries.load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-hour tumbling window: (window_start_us, n_events,
+    total_value) — identical output shape to the batch
+    event_tumbling_window query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_agg(
+    events: DataFrame, gap: str = "12 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked per-user session window (inactivity gap) — streaming twin
+    of event_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )

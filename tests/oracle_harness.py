@@ -43,7 +43,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-9) -> list[str]:
+def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
     sp = _normalize(spark_df.toPandas())
