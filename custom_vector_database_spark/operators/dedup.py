@@ -77,7 +77,13 @@ def minhash_dedup_pairs(
         F.size("sh") > 0
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(sh)
+    # localCheckpoint = optimization barrier: approxSimilarityJoin's hash UDF
+    # is deterministic, so Catalyst may reorder it BELOW the empty-shingle
+    # filter (filter/project reordering), crashing MinHash on zero vectors.
+    # Materializing the filtered featurization truncates the lineage so no
+    # rewrite can resurrect unfiltered rows; the fit+join pair reuses the
+    # materialized data anyway (two passes).
+    feats = tf.transform(sh).localCheckpoint(eager=True)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

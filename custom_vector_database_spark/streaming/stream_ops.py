@@ -43,9 +43,12 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same nanos→micros
     truncation as the batch loader (events_queries.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source needs a DIRECTORY basePath; select the single
+    # events file out of the sf dir with a glob filter
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

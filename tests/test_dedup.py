@@ -1,0 +1,103 @@
+"""Dedup semantics with PLANTED duplicates: each family must collapse known
+near-copies (and exact copies) while leaving unrelated documents alone."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the optimizer prunes columns "
+    "from the parquet scan before the aggregation runs"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token edit
+UNRELATED = (
+    "completely different content about databases indexes vectors embeddings "
+    "similarity search approximate neighbors hashing buckets bands signatures "
+    "jaccard cosine euclidean manhattan distances metrics"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact duplicate of 0
+        (2, NEAR),          # near duplicate of 0
+        (3, UNRELATED),
+        (4, "tiny"),        # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").cache()
+
+
+def test_exact_dedup_collapses_identical(docs):
+    out = {r["doc_id"]: r for r in dd.exact_dedup(docs).collect()}
+    assert out[1]["rep_id"] == 0 and out[1]["is_dup"] == 1
+    assert out[0]["is_dup"] == 0
+    assert out[3]["is_dup"] == 0
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = dd.minhash_dedup_pairs(
+        docs, jaccard_dist_threshold=0.6, num_hash_tables=5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found          # exact dup: jaccard distance 0
+    assert (0, 2) in found or (1, 2) in found  # near dup survives threshold
+    assert all({a, b} != {0, 3} for a, b in found)  # unrelated never pairs
+
+
+def test_dedup_keep_min_representatives(docs):
+    pairs = dd.minhash_dedup_pairs(docs, jaccard_dist_threshold=0.6)
+    kept = dd.dedup_keep_min(docs, pairs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids            # min-id representative survives
+    assert 1 not in ids        # exact dup removed
+    assert 3 in ids and 4 in ids
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert 0.5 < pairs[(0, 2)] < 1.0  # near dup: high but not total overlap
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    sig = {
+        r["doc_id"]: r["bits"]
+        for r in docs.select(
+            "doc_id", dd.simhash_bits("text").alias("bits")
+        ).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sig[0], sig[1]) == 0          # identical text, identical sig
+    assert ham(sig[0], sig[2]) < ham(sig[0], sig[3])  # near < unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_neardup_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_dist"]
+        for r in dd.embedding_neardup_pairs(df, max_cos_dist=0.1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] < 0.01
+    assert (0, 2) not in pairs and (1, 2) not in pairs

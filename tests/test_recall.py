@@ -1,0 +1,69 @@
+"""ANN accuracy contract (SURVEY §4.3): approximate results are judged by
+recall against the exact k-NN operator, never by hash equality. The
+reference's own HNSW has recall < 1 (ef=k, hnsw.h:117); the bar here is
+recall ≥ 0.9 averaged over 20 queries, mirroring typical ANN acceptance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import knn as knn_ops
+from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join
+
+SF = "/root/testdata/sf0.001"
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=6)
+
+
+def test_lsh_recall_vs_exact(spark, emb, index):
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    assert len(queries) == N_QUERIES
+    total_recall = 0.0
+    for _, qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        approx_ids = {r["vec_id"] for r in index.search(qvec, k=K).limit(K).collect()}
+        total_recall += len(exact_ids & approx_ids) / K
+    avg_recall = total_recall / N_QUERIES
+    assert avg_recall >= 0.9, f"LSH recall {avg_recall:.3f} < 0.9"
+
+
+def test_lsh_search_distances_match_exact_squared_l2(emb, index):
+    """The ANN path must report the same metric as the exact path
+    (squared L2, reference vectordb.cpp:154)."""
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {
+        r["vec_id"]: r["dist_sq"]
+        for r in knn_ops.knn(emb, qvec, k=K, id_col="vec_id", vec_col="embedding").collect()
+    }
+    for r in index.search(qvec, k=K).collect():
+        if r["vec_id"] in exact:
+            assert r["dist_sq"] == pytest.approx(exact[r["vec_id"]], abs=1e-4)
+
+
+def test_similarity_join_pairs_are_truly_close(emb, index):
+    """Every pair the LSH join returns must satisfy the distance threshold
+    (LSH may miss pairs — recall — but must never fabricate them)."""
+    thr = 1.2
+    pairs = approx_similarity_join(index, index, threshold=thr)
+    bad = pairs.filter(F.col("dist") > thr).count()
+    assert bad == 0
+    assert pairs.filter(F.col("id_a") < F.col("id_b")).count() > 0

@@ -1,0 +1,57 @@
+"""Structured Streaming twins must produce the same windows as the batch
+queries: file-source readStream + trigger(availableNow) + complete-mode
+memory sink, compared row-for-row against batch window()/session_window."""
+
+from __future__ import annotations
+
+import pytest
+
+from custom_vector_database_spark import queries_registry as reg
+from custom_vector_database_spark.streaming import (
+    stream_session_agg,
+    stream_tumbling_agg,
+    streaming_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, agg_df, name):
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_query,keys,name",
+    [
+        (
+            stream_tumbling_agg,
+            "event_tumbling_window",
+            ["window_start_us", "n_events", "total_value"],
+            "t_stream_tumbling",
+        ),
+        (
+            stream_session_agg,
+            "event_session_window",
+            ["user_id", "session_start_us", "n_events", "total_value"],
+            "t_stream_session",
+        ),
+    ],
+)
+def test_stream_matches_batch(spark, stream_fn, batch_query, keys, name):
+    events = streaming_events(spark, SF)
+    streamed = _run_stream(spark, stream_fn(events), name)
+    batch = reg.QUERIES[batch_query](spark, SF)
+    assert _rows(streamed, keys) == _rows(batch, keys)
+    assert streamed.count() > 0
