@@ -80,7 +80,11 @@ class LshIndex:
             seed=42,
         )
         model = lsh.fit(feats)
-        hashed = model.transform(feats)
+        # The fitted-and-hashed table IS the rebuilt index (reference
+        # semantics: rebuild materializes, vectordb.cpp:82-118). Eagerly
+        # materializing here means search/similarity-join never recompute
+        # the hashing pass — approxSimilarityJoin reads it twice.
+        hashed = model.transform(feats).localCheckpoint(eager=True)
         return cls(model, hashed, id_col, vec_col)
 
     # -- persistence: the index is a real artifact, unlike the reference's

@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from custom_vector_database_spark.functions.vector import cosine_similarity
 from custom_vector_database_spark.operators.text import fingerprint_md5, shingles, tokenize
 
 __all__ = [
@@ -33,6 +32,8 @@ __all__ = [
     "dedup_keep_min",
     "ngram_jaccard_pairs",
     "simhash_bits",
+    "simhash_signatures",
+    "bits_to_hex",
     "simhash_hex",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
@@ -159,7 +160,13 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 64-bit signature as a pure aggregate expression.
+# SimHash: 64-bit signature. Two formulations with identical values:
+# - simhash_bits: a single column expression (handy inline, but it folds a
+#   64-wide array per token inside one expression tree — fine for short
+#   texts, quadratic-feeling for long ones);
+# - simhash_signatures: the SCALE path — explode tokens, hash each token
+#   once, aggregate 64 conditional sums in one map-side-combined hash
+#   aggregate, reassemble the bit vector. One shuffle keyed by doc id.
 # ---------------------------------------------------------------------------
 def simhash_bits(col: Column | str, bits: int = 64) -> Column:
     """SimHash bit vector (array<int> of 0/1, length ``bits``) over word
@@ -187,9 +194,39 @@ def simhash_bits(col: Column | str, bits: int = 64) -> Column:
     return F.transform(totals, lambda v: F.when(v > 0, 1).otherwise(0))
 
 
-def simhash_hex(col: Column | str) -> Column:
-    """64-bit SimHash as a 16-char hex string (4 bits per nibble)."""
-    bits_arr = simhash_bits(col, 64)
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, bits) SimHash signatures via explode + one hash aggregate —
+    same values as simhash_bits, scalable to arbitrarily long documents.
+    Docs with zero tokens get the all-zero signature (left join back)."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    bit_arr = F.array(
+        *[F.when(F.col(f"_b{i}") > 0, 1).otherwise(0) for i in range(bits)]
+    )
+    sigs = sums.select(F.col(id_col), bit_arr.alias("bits"))
+    zero = F.array_repeat(F.lit(0), bits)
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce("bits", zero).alias("bits"))
+    )
+
+
+def bits_to_hex(bits_col: Column | str) -> Column:
+    """Bit array (length divisible by 4) → lowercase hex string."""
+    bits_arr = F.col(bits_col) if isinstance(bits_col, str) else bits_col
     nibble_idx = F.sequence(F.lit(0), F.lit(15))
     nibbles = F.transform(
         nibble_idx,
@@ -209,6 +246,12 @@ def simhash_hex(col: Column | str) -> Column:
     return F.array_join(nibbles, "")
 
 
+def simhash_hex(col: Column | str) -> Column:
+    """64-bit SimHash as a 16-char hex string (inline-expression flavor;
+    prefer simhash_signatures + bits_to_hex at scale)."""
+    return bits_to_hex(simhash_bits(col, 64))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -216,11 +259,10 @@ def simhash_neardup_pairs(
     max_hamming: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates from 16-bit band buckets
-    (pigeonhole: hamming ≤ max_hamming over 64 bits with 4 bands guarantees
-    at least one identical band when max_hamming ≤ 3·… — a recall-oriented
-    candidate filter), verified with the exact Hamming distance.
-    Returns (id_a, id_b, hamming)."""
-    sigs = df.select(F.col(id_col), simhash_bits(text_col).alias("bits"))
+    (pigeonhole: two signatures within hamming ≤ 3 of each other must agree
+    on at least one of the 4 bands — a recall-oriented candidate filter),
+    verified with the exact Hamming distance. Returns (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         id_col,
         "bits",
@@ -271,13 +313,30 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs (id_a, id_b, cos_dist) with cosine distance ≤ threshold.
     ``probe`` (a predicate over ``df``'s columns) bounds the left side so the
-    join is |probe| × |df| with the probe side broadcast."""
+    join is |probe| × |df| with the probe side broadcast.
+
+    Norms are computed ONCE PER SIDE before the join — the per-pair work is
+    a single dot-product fold plus scalar arithmetic, not three array folds
+    (cosine_similarity inline would recompute both norms per pair)."""
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
     left_src = df.filter(probe) if probe is not None else df
-    left = left_src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    left = left_src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(vec_col).alias("norm_a"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(vec_col).alias("norm_b"),
+    )
     pairs = F.broadcast(left).crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    denom = F.col("norm_a") * F.col("norm_b")
     cos_dist = F.round(
-        F.lit(1.0) - cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6
+        F.lit(1.0)
+        - F.when(denom != 0.0, dot_product(F.col("vec_a"), F.col("vec_b")) / denom),
+        6,
     )
     return (
         pairs.select("id_a", "id_b", cos_dist.alias("cos_dist"))

@@ -131,16 +131,19 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>) — the dedup unit for
-    MinHash/Jaccard. Sequence-indexed transform, no explode needed."""
+    MinHash/Jaccard.
+
+    Built from n shifted slices of the token array zipped pairwise —
+    gram[i] = toks[i] ‖ ' ' ‖ … ‖ toks[i+n-1] — so the tokenizer runs O(n)
+    times per row. (The previous sequence+element_at formulation re-evaluated
+    the whole tokenize expression per accessed element: ~3·|shingles|
+    tokenizations per row, which dominated the profile.)"""
     toks = tokenize(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    # guard: sequence(0, negative) would DESCEND, not be empty
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # shingle count
+    parts = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )

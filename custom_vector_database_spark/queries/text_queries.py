@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import dedup as dd
 from custom_vector_database_spark.operators import text as tx
-from custom_vector_database_spark.queries_registry import load, register
+from custom_vector_database_spark.queries_registry import load_spread, register
 
 # DuckDB twin of operators.text.tokenize
 _DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x != '')"
@@ -40,7 +40,7 @@ _DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x !
     """,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     n_tokens = tx.token_count("text")
     return docs.select(
         "doc_id",
@@ -92,7 +92,7 @@ _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
@@ -135,7 +135,7 @@ _PRED_SQL = "CASE WHEN " + " WHEN ".join(
     """,
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.col("lang").alias("actual_lang"), *tx.lang_scores("text")
     ).orderBy("doc_id")
@@ -160,7 +160,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return dd.exact_dedup(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
@@ -185,7 +185,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -227,7 +227,7 @@ def q_text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
     ).orderBy("id_a", "id_b")
@@ -266,7 +266,7 @@ _DOT = (
     """,
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     return dd.embedding_neardup_pairs(
         emb,
         id_col="vec_id",
@@ -283,7 +283,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("minhash_dedup_docs")
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(
         docs, id_col="doc_id", text_col="text", jaccard_dist_threshold=0.95
     )
@@ -292,7 +292,8 @@ def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_docs")
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dd.simhash_hex("text").alias("simhash")
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = dd.simhash_signatures(docs, id_col="doc_id", text_col="text")
+    return sigs.select(
+        "doc_id", dd.bits_to_hex("bits").alias("simhash")
     ).orderBy("doc_id")

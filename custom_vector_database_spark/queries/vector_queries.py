@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
-from custom_vector_database_spark.queries_registry import load, register
+from custom_vector_database_spark.queries_registry import load, load_spread, register
 
 # DuckDB fragments computing the same double fold as functions/vector.py
 # (left-to-right, 0.0 init on the Spark side — IEEE-identical to DuckDB's
@@ -267,7 +267,7 @@ def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.ann import LshIndex
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
     return index.search(query, k=10)
@@ -277,7 +277,7 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
     pairs = approx_similarity_join(index, index, threshold=1.2)
     return pairs.filter(F.col("id_a") < F.col("id_b")).orderBy("id_a", "id_b")

@@ -37,5 +37,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load + round-robin repartition to the session's parallelism.
+
+    The small fixture tables arrive as ONE parquet file → one input split →
+    CPU-heavy per-row expressions (shingling, hashing, distance folds) run
+    single-task. A ~MB-scale shuffle buys full-core parallelism. On a real
+    100 TB table the scan has thousands of natural splits and this becomes
+    unnecessary (and should be dropped to avoid a pointless shuffle)."""
+    return load(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # Populate the registry (import side effect; must come after register/load).
 import custom_vector_database_spark.queries  # noqa: E402,F401
