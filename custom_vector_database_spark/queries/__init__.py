@@ -12,6 +12,7 @@ Every query ends in a total ORDER BY with a unique tie-break key.
 
 from custom_vector_database_spark.queries import (  # noqa: F401
     events_queries,
+    extra_queries,
     relational_queries,
     text_queries,
     vector_queries,
