@@ -99,6 +99,7 @@ def knn_join(
     metric: str = "l2_sq",
     dist_col: str = "dist_sq",
     round_to: int | None = 6,
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """For every row of ``queries``, the k nearest rows of ``data``.
 
@@ -106,10 +107,41 @@ def knn_join(
     Scales as O(|data| · |queries|) distance evaluations spread across all
     executors with NO shuffle of ``data`` (the window partitions by qid,
     shuffling only (qid, id, dist) triples, never vectors).
+
+    The query side is BROADCAST — it must fit in executor memory. Pass
+    ``max_query_rows`` to enforce that assumption with an explicit count
+    (one cheap job) instead of an executor OOM; for query sets too large to
+    broadcast, use ann.approx_similarity_join instead.
+
+    Under the cosine metric both sides' norms are computed once before the
+    join, so the per-pair work is a single dot-product fold.
     """
-    q = queries.select(F.col(query_id), F.col(query_vec))
-    joined = data.select(F.col(data_id), F.col(data_vec)).crossJoin(F.broadcast(q))
-    dist = _distance(metric, F.col(data_vec), F.col(query_vec))
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                "a broadcast this large risks executor OOM - use "
+                "ann.approx_similarity_join for table-vs-table search"
+            )
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    if metric == "cosine":
+        q = queries.select(
+            F.col(query_id), F.col(query_vec), l2_norm(query_vec).alias("_qn")
+        )
+        d = data.select(
+            F.col(data_id), F.col(data_vec), l2_norm(data_vec).alias("_dn")
+        )
+        joined = d.crossJoin(F.broadcast(q))
+        denom = F.col("_dn") * F.col("_qn")
+        dist = F.lit(1.0) - F.when(
+            denom != 0.0, dot_product(F.col(data_vec), F.col(query_vec)) / denom
+        )
+    else:
+        q = queries.select(F.col(query_id), F.col(query_vec))
+        joined = data.select(F.col(data_id), F.col(data_vec)).crossJoin(F.broadcast(q))
+        dist = _distance(metric, F.col(data_vec), F.col(query_vec))
     if round_to is not None:
         dist = F.round(dist, round_to)
     scored = joined.select(F.col(query_id), F.col(data_id), dist.alias(dist_col))

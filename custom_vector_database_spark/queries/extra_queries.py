@@ -1,5 +1,7 @@
-"""Round-2 closers: an oracle-checked Structured Streaming query, an
-oracle-checked multimodal (mapInPandas) query, and GROUPING SETS.
+"""Round-2 closers: oracle-checked Structured Streaming queries (tumbling +
+session), an oracle-checked multimodal (mapInPandas) query, GROUPING SETS,
+source-format roundtrips (CSV/JSON sinks+sources), exact percentiles,
+TF-IDF, and the IVF ANN path.
 """
 
 from __future__ import annotations
@@ -7,9 +9,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from custom_vector_database_spark.queries_registry import load_spread, register
+from custom_vector_database_spark.queries_registry import load, load_spread, register
 
 _DEC = "decimal(18,2)"
+
+
+def _run_memory_stream(spark: SparkSession, agg_df, prefix: str) -> DataFrame:
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -30,24 +47,53 @@ _DEC = "decimal(18,2)"
     """,
 )
 def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from custom_vector_database_spark.streaming import (
         stream_tumbling_agg,
         streaming_events,
     )
 
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_tumbling_agg(streaming_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = _run_memory_stream(
+        spark, stream_tumbling_agg(streaming_events(spark, sf_dir)), "stream_tumbling"
     )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("window_start_us")
+    return out.orderBy("window_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Streaming session window under the same gap-island oracle as the batch
+# session query: stateful streaming session assembly must equal batch SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '12 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM y GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.streaming import (
+        stream_session_agg,
+        streaming_events,
+    )
+
+    out = _run_memory_stream(
+        spark, stream_session_agg(streaming_events(spark, sf_dir)), "stream_session"
+    )
+    return out.orderBy("user_id", "session_start_us")
 
 
 # ---------------------------------------------------------------------------
@@ -109,3 +155,166 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY status, priority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Source/sink roundtrips (SURVEY §2.2 'Connectors'): the engine's values
+# must survive CSV and JSON sinks+sources bit-for-bit. Spark writes the
+# format to a temp dir and reads it back; the oracle computes the same
+# aggregate straight from the canonical parquet — equality proves the
+# roundtrip lossless (shortest-repr float formatting round-trips exactly).
+# ---------------------------------------------------------------------------
+_ROUNDTRIP_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    subset = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    tmp = tempfile.mkdtemp(prefix=f"cvdb_{fmt}_")
+    try:
+        path = f"{tmp}/data"
+        subset.write.format(fmt).option("header", "true").save(path)
+        back = (
+            spark.read.format(fmt)
+            .option("header", "true")
+            .schema(
+                "l_orderkey LONG, l_returnflag STRING, "
+                "l_quantity DOUBLE, l_extendedprice DOUBLE"
+            )
+            .load(path)
+        )
+        out = _roundtrip_agg(back)
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("csv_roundtrip_agg", _ROUNDTRIP_ORACLE)
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("json_roundtrip_agg", _ROUNDTRIP_ORACLE)
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (Spark `percentile` = linear interpolation, the same
+# definition as DuckDB quantile_cont); round(4) absorbs the one-ulp
+# interpolation-formula difference.
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_order_price",
+    """
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: explode → term/document frequencies → idf join →
+# global top-20 by score. The full inverted-index + join + window stack in
+# one query, oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, tf, df,
+           round(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf CROSS JOIN n
+    ORDER BY tfidf DESC, term ASC
+    LIMIT 20
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.text import tokenize
+
+    docs = load_spread(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        tf.select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN search (rows-only; recall vs exact asserted in tests/test_recall).
+# ---------------------------------------------------------------------------
+@register("ivf_search")
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=16)
+    return index.search(query, k=10, nprobe=4)
