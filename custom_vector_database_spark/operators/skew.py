@@ -1,0 +1,56 @@
+"""Skew-resistant two-phase (salted) aggregation.
+
+At 100 TB a groupBy on a key with heavy hitters funnels whole key groups
+through single reducers. Salting splits each key into ``salt`` sub-keys for
+the partial aggregation, then combines partials in a second, tiny
+aggregation — the classic two-phase shape, packaged as a reusable operator.
+(AQE's skew handling covers joins; aggregation skew still needs this.)
+
+Only decomposable aggregates are offered (sum/count/min/max) — they
+recombine exactly, so the salted result is bit-identical to the direct
+groupBy and stays DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg"]
+
+_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts recombine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name → (kind, column)
+    with kind ∈ {sum, count, min, max}.
+
+    Phase 1 groups by (keys + random salt) — heavy keys spread over
+    ``salt`` reducers; phase 2 groups by keys alone over ``salt`` rows per
+    key. The salt column is random but the result is exact because every
+    offered aggregate is associative/commutative."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            (F.count(col) if kind == "count" else _COMBINE[kind](col)).alias(
+                f"_p_{name}"
+            )
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _COMBINE[kind](F.col(f"_p_{name}")).alias(name)
+            for name, (kind, _) in aggs.items()
+        ]
+    )

@@ -318,3 +318,180 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     index = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=16)
     return index.search(query, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState) under a full
+# oracle: the final per-user state must equal a plain GROUP BY.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.streaming import streaming_events
+    from custom_vector_database_spark.streaming.stateful import user_running_stats
+
+    import uuid
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_stats(streaming_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink appends one snapshot per (user, micro-batch); the
+    # final state per user is the one with the highest running count
+    snap = spark.table(name)
+    final = snap.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value", "max_value")).alias("s")
+    )
+    return final.select(
+        "user_id", "s.n_events", "s.total_value", "s.max_value"
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Salted (skew-resistant) aggregation — bit-identical to the direct groupBy,
+# proven by sharing the oracle of a plain GROUP BY.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_agg_lineitem",
+    """
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+    """,
+)
+def q_salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_returnflag", "returnflag"
+    )
+    out = salted_agg(
+        li,
+        keys=["returnflag"],
+        aggs={
+            "n_items": ("count", F.lit(1)),
+            "sum_qty": ("sum", F.col("l_quantity").cast(_DEC)),
+            "max_price": ("max", F.col("l_extendedprice")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "returnflag",
+        "n_items",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_price",
+    ).orderBy("returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered k-NN (VERDICT r1 #7): the vector table's JSON metadata
+# drives the predicate, extracted with get_json_object and pushed below the
+# distance computation.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_metadata_filtered",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             '{"label": ' || CAST(label AS VARCHAR) || ', "src": "emb"}' AS metadata
+      FROM embeddings
+    ), q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT v.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(v.embedding, q.q),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                 (acc, val) -> acc + val), 6) AS dist_sq
+    FROM v CROSS JOIN q
+    WHERE CAST(json_extract_string(v.metadata, '$.label') AS BIGINT) >= 5
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_metadata_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators import knn as knn_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(
+            F.lit('{"label": '), F.col("label").cast("string"), F.lit(', "src": "emb"}')
+        ).alias("metadata"),
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    predicate = F.get_json_object("metadata", "$.label").cast("long") >= 5
+    return knn_ops.knn(
+        vectors, qdf, k=10, id_col="vec_id", vec_col="embedding",
+        predicate=predicate,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions beyond rank: lag / lead / ntile over per-user
+# event sequences.
+# ---------------------------------------------------------------------------
+@register(
+    "window_lag_lead_ntile",
+    """
+    SELECT event_id, user_id,
+           COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS since_prev_us,
+           COALESCE(epoch_us(lead(ts) OVER w) - epoch_us(ts), -1) AS until_next_us,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.queries.events_queries import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(us - F.lag(us).over(w), F.lit(-1)).alias("since_prev_us"),
+        F.coalesce(F.lead(us).over(w) - us, F.lit(-1)).alias("until_next_us"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Approx distinct (HLL) — rows-only (sketch estimates are engine-specific);
+# the exact twin distinct_customers_per_segment is the oracle-checked pair.
+# ---------------------------------------------------------------------------
+@register("approx_distinct_parts")
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

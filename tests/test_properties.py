@@ -1,0 +1,109 @@
+"""Property-based checks (hypothesis) for the scalar kernels: the Catalyst
+expressions must agree with straightforward Python/numpy reference
+implementations on arbitrary inputs, not just fixture data.
+
+Each property generates a BATCH of rows per example (one Spark job per
+example, not per row) to keep runtime sane."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    l2_squared,
+    parse_vector,
+)
+from custom_vector_database_spark.operators.text import shingles, token_count, tokenize
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vec8 = st.lists(finite_floats, min_size=8, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(vec8, vec8), min_size=1, max_size=8))
+def test_l2_squared_matches_numpy(spark, pairs):
+    df = spark.createDataFrame(
+        [(list(a), list(b)) for a, b in pairs], "a ARRAY<FLOAT>, b ARRAY<FLOAT>"
+    )
+    got = [r[0] for r in df.select(l2_squared("a", "b")).collect()]
+    for (a, b), g in zip(pairs, got):
+        a32 = np.array(a, dtype=np.float32).astype(np.float64)
+        b32 = np.array(b, dtype=np.float32).astype(np.float64)
+        expected = float(((a32 - b32) ** 2).sum())
+        assert math.isclose(g, expected, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(vec8, vec8), min_size=1, max_size=8))
+def test_cosine_similarity_bounded_and_matches(spark, pairs):
+    df = spark.createDataFrame(
+        [(list(a), list(b)) for a, b in pairs], "a ARRAY<FLOAT>, b ARRAY<FLOAT>"
+    )
+    got = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    for (a, b), g in zip(pairs, got):
+        a32 = np.array(a, dtype=np.float32).astype(np.float64)
+        b32 = np.array(b, dtype=np.float32).astype(np.float64)
+        na, nb = np.sqrt((a32**2).sum()), np.sqrt((b32**2).sum())
+        if na * nb == 0:
+            assert g is None  # zero-norm contract: NULL, never NaN
+        else:
+            expected = float(a32 @ b32) / (na * nb)
+            assert math.isclose(g, expected, rel_tol=1e-6, abs_tol=1e-6)
+            assert -1.0 - 1e-6 <= g <= 1.0 + 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(vec8, min_size=1, max_size=8))
+def test_parse_vector_roundtrip(spark, vecs):
+    df = spark.createDataFrame([(list(v),) for v in vecs], "v ARRAY<FLOAT>")
+    back = df.select(
+        F.col("v"), parse_vector(F.array_join("v", ",")).alias("p")
+    ).collect()
+    for r in back:
+        assert r["p"] == r["v"]  # float32 → shortest-repr string → float32 exact
+
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=0x7F),
+    max_size=200,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_tokenize_and_shingle_invariants(spark, docs):
+    df = spark.createDataFrame([(t,) for t in docs], "t STRING")
+    rows = df.select(
+        tokenize("t").alias("toks"),
+        token_count("t").alias("n"),
+        shingles("t", 3).alias("sh"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(r["toks"])
+        assert all(tok for tok in r["toks"])  # never empty tokens
+        # shingle count bounded by token count; empty when < 3 tokens
+        if r["n"] < 3:
+            assert r["sh"] == []
+        else:
+            assert 1 <= len(r["sh"]) <= r["n"] - 2
+            assert all(len(s.split(" ")) == 3 for s in r["sh"])
+
+
+def test_knn_join_broadcast_guard(spark):
+    from custom_vector_database_spark.operators.knn import knn_join
+
+    data = spark.createDataFrame([(1, [0.0, 0.0])], "id LONG, vec ARRAY<FLOAT>")
+    queries = spark.range(100).selectExpr(
+        "id as qid", "array(cast(id as float), 0.0F) as qvec"
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_join(data, queries, k=1, max_query_rows=10)
