@@ -495,3 +495,42 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts + decimal-exact revenue per status, one column per
+# priority value (Spark .pivot with explicit value list → deterministic
+# column set; oracle via CASE-WHEN aggregation).
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = {p: p.split("-")[0] for p in _PRIORITIES}  # '1-URGENT' → 'p1'
+
+
+@register(
+    "pivot_revenue_by_priority",
+    f"""
+    SELECT o_orderstatus AS status,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+               f"THEN CAST(o_totalprice AS DECIMAL(18,2)) "
+               f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p{c}"
+               for p, c in _PIV_COLS.items()
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q_pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)),
+                        F.lit(0).cast("decimal(28,2)")))
+    )
+    renamed = piv.select(
+        "status",
+        *[F.col(f"`{p}`").cast("double").alias(f"rev_p{c}") for p, c in _PIV_COLS.items()],
+    )
+    return renamed.orderBy("status")

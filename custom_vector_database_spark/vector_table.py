@@ -205,6 +205,42 @@ class VectorTable:
         self._rewrite(self.df().filter(F.col("id") != F.lit(int(id_))))
         return True
 
+    # -- batch mutations: the scalable path (one rewrite amortizes any
+    # number of point mutations — the reference pays a whole-file rewrite
+    # PER mutation, main.cpp:66-70) ----------------------------------------
+    def delete_many(self, ids: list[int]) -> int:
+        """Delete a batch of ids in ONE rewrite; returns how many existed."""
+        if not ids:
+            return 0
+        wanted = self.spark.createDataFrame(
+            [(int(i),) for i in set(ids)], "id LONG"
+        )
+        existed = self.df().join(F.broadcast(wanted), "id", "left_semi").count()
+        self._rewrite(self.df().join(F.broadcast(wanted), "id", "left_anti"))
+        return existed
+
+    def update_many(self, rows: DataFrame) -> int:
+        """Upsert-by-id for existing ids only (reference update semantics:
+        absent ids are skipped, vectordb.cpp:61-72). ``rows`` has columns
+        (id, vec, metadata). One anti-join + union + rewrite; returns the
+        number of rows replaced."""
+        meta = self.meta
+        batch = rows.select(
+            F.col("id").cast("long"),
+            F.col("vec").cast("array<float>"),
+            F.col("metadata").cast("string"),
+        ).localCheckpoint(eager=True)
+        if batch.filter(F.size("vec") != meta.dim).limit(1).count():
+            raise DimensionMismatchError(f"expected dim {meta.dim}")
+        # no broadcast hint on the table side — the batch is the small side;
+        # Catalyst picks SMJ/broadcast appropriately at scale
+        existing_ids = self.df().select("id")
+        applicable = batch.join(existing_ids, "id", "left_semi")
+        n = applicable.count()
+        kept = self.df().join(F.broadcast(applicable.select("id")), "id", "left_anti")
+        self._rewrite(kept.unionByName(applicable))
+        return n
+
     # -- O6 rebuild (vectordb.cpp:82-118) -----------------------------------
     def rebuild(self, num_hash_tables: int = 4, bucket_length: float | None = None):
         """Explicit index build: fit a BucketedRandomProjectionLSH model
