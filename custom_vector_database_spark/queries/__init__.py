@@ -15,5 +15,6 @@ from custom_vector_database_spark.queries import (  # noqa: F401
     extra_queries,
     relational_queries,
     text_queries,
+    udf_queries,
     vector_queries,
 )
