@@ -534,3 +534,89 @@ def q_pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"`{p}`").cast("double").alias(f"rev_p{c}") for p, c in _PIV_COLS.items()],
     )
     return renamed.orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# VariantType (Spark 4): semi-structured metadata as a first-class variant
+# (SURVEY §1.2 'VariantType on Spark 4.x'). Same values as the
+# string-path json_extract query, which is what the oracle computes.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_metadata_agg",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.queries.events_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery: orders priced above their customer's average.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY orderkey
+    """,
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey, o_custkey AS custkey
+        FROM _sq_orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM _sq_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# intersectAll / exceptAll (bag semantics — duplicates preserved, unlike the
+# set-semantics pair in set_ops_nations).
+# ---------------------------------------------------------------------------
+@register(
+    "bag_set_ops_priorities",
+    """
+    WITH f AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
+    SELECT p, COUNT(*) AS n FROM (
+      SELECT p FROM f INTERSECT ALL SELECT p FROM o
+    ) GROUP BY p
+    ORDER BY p
+    """,
+)
+def q_bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    return (
+        f.intersectAll(o)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p")
+    )

@@ -241,6 +241,14 @@ class VectorTable:
         self._rewrite(kept.unionByName(applicable))
         return n
 
+    def compact(self, n_partitions: int | None = None) -> None:
+        """Storage maintenance: rewrite the table into ``n_partitions``
+        balanced files (defaults to the session parallelism). Point
+        mutations accrete small files; compaction restores healthy scan
+        splits — the OPTIMIZE analogue for this whole-rewrite store."""
+        n = n_partitions or self.spark.sparkContext.defaultParallelism
+        self._rewrite(self.df().repartition(n))
+
     # -- O6 rebuild (vectordb.cpp:82-118) -----------------------------------
     def rebuild(self, num_hash_tables: int = 4, bucket_length: float | None = None):
         """Explicit index build: fit a BucketedRandomProjectionLSH model

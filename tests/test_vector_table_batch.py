@@ -47,6 +47,16 @@ def test_update_many_dim_check(spark, tbl):
         tbl.update_many(bad)
 
 
+def test_compact_rewrites_to_n_files(spark, tbl, tmp_path):
+    import os
+
+    tbl.compact(2)
+    data_dir = os.path.join(str(tmp_path / "tbl"), "data")
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    assert tbl.df().count() == 10  # contents untouched
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Co-located join via bucketBy: both sides bucketed on the join key →
     the sort-merge join reads pre-bucketed data with NO Exchange on either
