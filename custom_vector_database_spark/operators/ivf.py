@@ -53,15 +53,30 @@ class IvfIndex:
         vec_col: str = "vec",
         n_clusters: int = 16,
         seed: int = 42,
+        max_iter: int = 10,
+        fit_sample: int = 100_000,
     ) -> "IvfIndex":
+        """Build the index. The coarse quantizer trains on at most
+        ``fit_sample`` rows — a uniform sample is statistically plenty for
+        k ≪ sample centroids, and it bounds the Lloyd's-iteration cost by
+        the sample size instead of the table size (at 100 TB you never run
+        KMeans over the full table; only the single assign pass below is
+        full-table). init='random': k-means|| costs ~2 extra distributed
+        passes for centroid quality that nprobe recall doesn't need."""
         feats = df.select(
             F.col(id_col),
             F.col(vec_col),
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
+        n = feats.count()
+        train = (
+            feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+            if n > fit_sample
+            else feats
+        )
         km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                    predictionCol="cluster")
-        model = km.fit(feats)
+                    predictionCol="cluster", maxIter=max_iter, initMode="random")
+        model = km.fit(train)
         clustered = (
             model.transform(feats)
             .select(id_col, vec_col, "cluster")

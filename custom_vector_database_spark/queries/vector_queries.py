@@ -281,3 +281,60 @@ def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
     pairs = approx_similarity_join(index, index, threshold=1.2)
     return pairs.filter(F.col("id_a") < F.col("id_b")).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# O8/O9 interop — the reference's OWN snapshot file format
+# (vectordb.cpp:158-218). Spark path: embeddings → write_snapshot (a JSON
+# file the reference's load() would accept, metadata included) →
+# read_snapshot → aggregate. The oracle computes the same aggregate straight
+# from the parquet — equality proves ids, every vector element (via the
+# decimal-cast dot-product checksum), dims, and the JSON metadata all
+# survive a full round-trip through the reference's format.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_roundtrip_agg",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims,
+           CAST(SUM(CAST({_DUCK_DOT.format(a="embedding", b="embedding")}
+                AS DECIMAL(28,10))) AS DOUBLE) AS checksum,
+           CAST(SUM(label) AS BIGINT) AS sum_labels
+    FROM embeddings
+    """,
+)
+def q_snapshot_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.functions.vector import dot_product
+    from custom_vector_database_spark.sources.reference_snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    as_table = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        F.to_json(F.struct(F.col("label"))).alias("metadata"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_snap_")
+    try:
+        snap = os.path.join(tmp, "vectordb.json")
+        write_snapshot(as_table, snap, dim=64)
+        back = read_snapshot(spark, snap)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").alias("sum_ids"),
+            F.sum(F.size("vec")).cast("long").alias("sum_dims"),
+            F.sum(dot_product("vec", "vec").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("checksum"),
+            F.sum(F.get_json_object("metadata", "$.label").cast("long")).alias(
+                "sum_labels"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,142 @@
+"""Interop with the reference engine's on-disk snapshot format.
+
+The reference persists its entire database as ONE pretty-printed JSON file
+(vectordb.cpp:158-178 `save`, 180-218 `load`):
+
+    {
+      "dim": 64,
+      "nextId": 2001,
+      "vectors": [ {"id": 1, "metadata": {...}, "vec": [0.1, ...]}, ... ]
+    }
+
+These functions are the migration path: a user of the reference points
+`read_snapshot` at their existing database file and gets the canonical
+(id, vec, metadata) DataFrame this engine uses everywhere; `write_snapshot`
+produces a file the reference's `load()` accepts, so results can round-trip
+back.
+
+Scale note: the format itself is single-file by the reference's design, so
+it is an *interop* source/sink, not the at-scale storage layer (that is
+Parquet, VectorTable). Reading still goes through Spark's distributed JSON
+reader (`multiLine`), so parse + explode happen executor-side; only the
+sink streams through the driver (`toLocalIterator`, O(1) driver memory)
+because the output must be one well-formed JSON document.
+
+Error semantics preserved from the reference load() (vectordb.cpp:191-214):
+missing file → caller's problem (we raise FileNotFoundError rather than the
+reference's silent fresh-start, which only makes sense for a mutable
+engine); unparseable JSON → error; missing dim/nextId/id/vec fields →
+error ("corrupted (missing fields)").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("nextId", T.LongType()),
+        T.StructField(
+            "vectors",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("vec", T.ArrayType(T.DoubleType())),
+                        # metadata is an arbitrary JSON object; keep it as the
+                        # raw document (engine-canonical: opaque JSON string)
+                        T.StructField("metadata", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def snapshot_meta(path: str) -> Tuple[int, int]:
+    """(dim, nextId) from a snapshot file without loading the vectors.
+
+    Driver-side streaming parse of just the two scalar header fields —
+    no dependency on field order, no full materialization.
+    """
+    with open(path) as f:
+        doc = json.load(f)
+    if "dim" not in doc or "nextId" not in doc:
+        raise ValueError("Database file is corrupted (missing fields): dim/nextId")
+    return int(doc["dim"]), int(doc["nextId"])
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Reference JSON snapshot → canonical (id, vec, metadata) DataFrame.
+
+    vec arrives as array<float> (engine-canonical), metadata as the raw
+    JSON text of the reference's metadata object. Raises on a missing file
+    or a snapshot with absent required fields (vectordb.cpp:212-214).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    raw = (
+        spark.read.option("multiLine", "true")
+        .schema(_SNAPSHOT_SCHEMA)
+        .json(path)
+    )
+    df = (
+        raw.select(F.explode_outer("vectors").alias("v"))
+        .select(
+            F.col("v.id").alias("id"),
+            F.col("v.vec").cast(T.ArrayType(T.FloatType())).alias("vec"),
+            F.col("v.metadata").alias("metadata"),
+        )
+        .filter(F.col("id").isNotNull())
+    )
+    # Header validation mirrors the reference's at(): corrupt → hard error.
+    snapshot_meta(path)
+    return df
+
+
+def write_snapshot(
+    df: DataFrame, path: str, dim: int, next_id: int | None = None
+) -> None:
+    """Canonical DataFrame → a JSON file the reference's load() accepts.
+
+    Streams rows through the driver one Arrow batch at a time
+    (`toLocalIterator`) so driver memory stays O(batch), then writes
+    atomically (tmp + rename) matching the engine's whole-file overwrite
+    consistency model. next_id defaults to max(id)+1 computed in the same
+    pass (reference invariant: nextId > every live id, vectordb.cpp:43).
+    """
+    rows: Iterator = df.select("id", "vec", "metadata").toLocalIterator()
+    tmp = path + "_tmp"
+    max_id = 0
+    with open(tmp, "w") as f:
+        f.write('{\n  "dim": %d,\n  "vectors": [' % dim)
+        first = True
+        for r in rows:
+            if r.id is not None and r.id > max_id:
+                max_id = r.id
+            meta_obj = None
+            if r.metadata is not None:
+                try:
+                    meta_obj = json.loads(r.metadata)
+                except (TypeError, ValueError):
+                    meta_obj = r.metadata  # plain string metadata stays a string
+            entry = json.dumps(
+                {
+                    "id": r.id,
+                    "metadata": meta_obj,
+                    "vec": [float(x) for x in (r.vec or [])],
+                }
+            )
+            f.write(("" if first else ",") + "\n    " + entry)
+            first = False
+        nid = next_id if next_id is not None else max_id + 1
+        f.write('\n  ],\n  "nextId": %d\n}\n' % nid)
+    os.replace(tmp, path)

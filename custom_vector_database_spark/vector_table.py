@@ -128,17 +128,26 @@ class VectorTable:
         """
         meta = self.meta
         if isinstance(rows, list):
-            batch = self.spark.createDataFrame(
-                [([float(x) for x in v], m) for v, m in rows],
-                T.StructType(
-                    [
-                        T.StructField("vec", T.ArrayType(T.FloatType(), False), False),
-                        T.StructField("metadata", T.StringType(), True),
-                    ]
-                ),
+            # Driver-side fast path: the batch already lives on the driver,
+            # so dimension-check and id-stamp in plain Python — zero extra
+            # Spark jobs. (The reference's add is exactly this point/small
+            # batch case, vectordb.cpp:38-52; big ingests arrive as
+            # DataFrames and take the distributed path below.)
+            for v, _ in rows:
+                if len(v) != meta.dim:
+                    raise DimensionMismatchError(f"expected dim {meta.dim}")
+            n = len(rows)
+            stamped = self.spark.createDataFrame(
+                [
+                    (meta.next_id + i, [float(x) for x in v], m)
+                    for i, (v, m) in enumerate(rows)
+                ],
+                VECTOR_SCHEMA,
             )
-        else:
-            batch = rows.select("vec", "metadata")
+            self._rewrite(self.df().unionByName(stamped))
+            TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
+            return list(range(meta.next_id, meta.next_id + n))
+        batch = rows.select("vec", "metadata")
         batch = batch.localCheckpoint(eager=True)
         if batch.filter(F.size("vec") != meta.dim).limit(1).count():
             raise DimensionMismatchError(f"expected dim {meta.dim}")

@@ -1,0 +1,119 @@
+"""Interop with the reference engine's JSON snapshot format.
+
+The reference persists {dim, nextId, vectors:[{id, metadata, vec}]} as one
+pretty-printed JSON file (vectordb.cpp:158-218). A migrating user must be
+able to (a) load that exact file into this engine and (b) export a file the
+reference's load() accepts. Both directions are asserted here, including
+the load() error contract for corrupted files (vectordb.cpp:191-214).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.sources.reference_snapshot import (
+    read_snapshot,
+    snapshot_meta,
+    write_snapshot,
+)
+
+REF_STYLE_SNAPSHOT = {
+    "dim": 3,
+    "nextId": 5,
+    "vectors": [
+        {"id": 1, "metadata": {"name": "a", "tag": 7}, "vec": [1.0, 2.0, 3.0]},
+        {"id": 2, "metadata": {}, "vec": [0.5, 0.25, 0.125]},
+        {"id": 4, "metadata": {"name": "d"}, "vec": [-1.5, 0.0, 9.75]},
+    ],
+}
+
+
+@pytest.fixture()
+def snap_path(tmp_path):
+    p = str(tmp_path / "vectordb.json")
+    with open(p, "w") as f:
+        json.dump(REF_STYLE_SNAPSHOT, f, indent=2)  # reference uses dump(2)
+    return p
+
+
+def test_read_reference_snapshot(spark, snap_path):
+    df = read_snapshot(spark, snap_path)
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].vec == [1.0, 2.0, 3.0]
+    assert rows[2].vec == [0.5, 0.25, 0.125]
+    # metadata arrives as the raw JSON document of the reference's object
+    assert json.loads(rows[1].metadata) == {"name": "a", "tag": 7}
+    assert json.loads(rows[2].metadata) == {}
+    assert snapshot_meta(snap_path) == (3, 5)
+
+
+def test_write_snapshot_is_reference_loadable(spark, snap_path, tmp_path):
+    df = read_snapshot(spark, snap_path)
+    out = str(tmp_path / "exported.json")
+    write_snapshot(df, out, dim=3, next_id=5)
+    with open(out) as f:
+        doc = json.load(f)
+    # exactly the fields the reference's load() requires (vectordb.cpp:199-208)
+    assert doc["dim"] == 3 and doc["nextId"] == 5
+    by_id = {v["id"]: v for v in doc["vectors"]}
+    assert set(by_id) == {1, 2, 4}
+    assert by_id[4]["vec"] == [-1.5, 0.0, 9.75]
+    # metadata round-trips as an OBJECT, not a quoted string
+    assert by_id[1]["metadata"] == {"name": "a", "tag": 7}
+
+
+def test_write_snapshot_defaults_next_id_to_max_plus_one(spark, snap_path, tmp_path):
+    df = read_snapshot(spark, snap_path)
+    out = str(tmp_path / "exported.json")
+    write_snapshot(df, out, dim=3)  # no next_id
+    with open(out) as f:
+        assert json.load(f)["nextId"] == 5  # max id 4 + 1 (vectordb.cpp:43)
+
+
+def test_full_roundtrip_preserves_floats_exactly(spark, tmp_path):
+    # float32 values with no short decimal representation
+    src = spark.createDataFrame(
+        [(1, [0.1, 1.0 / 3.0, 2.0**-30], '{"k": 1}')],
+        "id LONG, vec ARRAY<FLOAT>, metadata STRING",
+    )
+    p = str(tmp_path / "rt.json")
+    write_snapshot(src, p, dim=3)
+    back = read_snapshot(spark, p)
+    assert back.collect()[0].vec == src.collect()[0].vec  # bit-exact float32
+
+
+def test_corrupted_snapshot_missing_fields_raises(spark, tmp_path):
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump({"vectors": []}, f)  # no dim/nextId → reference throws
+    with pytest.raises(ValueError, match="corrupted"):
+        read_snapshot(spark, p)
+
+
+def test_missing_file_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "absent.json"))
+
+
+def test_empty_vectors_snapshot_reads_as_empty_df(spark, tmp_path):
+    p = str(tmp_path / "empty.json")
+    with open(p, "w") as f:
+        json.dump({"dim": 4, "nextId": 1, "vectors": []}, f)
+    df = read_snapshot(spark, p)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "vec", "metadata"]
+
+
+def test_plain_string_metadata_survives(spark, tmp_path):
+    # VectorTable stores metadata as an opaque string; a non-JSON string
+    # must export as a JSON string, not crash
+    src = spark.createDataFrame(
+        [(1, [1.0, 2.0], "not json")], "id LONG, vec ARRAY<FLOAT>, metadata STRING"
+    )
+    p = str(tmp_path / "s.json")
+    write_snapshot(src, p, dim=2)
+    with open(p) as f:
+        assert json.load(f)["vectors"][0]["metadata"] == "not json"
