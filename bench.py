@@ -27,6 +27,18 @@ def main() -> None:
     spark = get_spark("cvdb-bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM + parquet footers once so per-query times are plan time
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm the Python worker fleet (daemon fork + pandas/pyarrow import per
+    # core) so the first Arrow-UDF query isn't charged ~0.5 s × CPUS of
+    # one-time startup that every later pandas stage reuses
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(CPUS * 4, numPartitions=CPUS).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(reg.QUERIES):

@@ -33,6 +33,7 @@ __all__ = [
     "make_media_df",
     "extract_media_meta",
     "image_features",
+    "resize_images",
     "sample_video_frames",
 ]
 
@@ -98,16 +99,12 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     )
 
 
-def _stub_features(payload: bytes) -> list[float]:
-    """Deterministic fake 'embedding': FEATURE_DIM floats derived from the
-    sha256 digest. STUB — replace with a real decode + model forward pass
-    where the codec/model libraries exist."""
-    digest = hashlib.sha256(payload).digest()
-    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
-
-
 def image_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over image payloads via mapInPandas.
+    The stub 'embedding' is FEATURE_DIM floats derived from the payload's
+    sha256 digest (computed once, shared with the hex fingerprint column) —
+    replace the kernel with a real decode + model forward pass where the
+    codec/model libraries exist.
 
     Real plumbing, stubbed kernel: with ``decode_stub=False`` this raises
     NotImplementedError (no image codec in this environment)."""
@@ -120,16 +117,87 @@ def image_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            digests = payloads.map(lambda b: hashlib.sha256(b).digest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "features": payloads.map(_stub_features),
+                    "sha256": digests.map(bytes.hex),
+                    "features": digests.map(
+                        lambda d: [d[i] / 255.0 for i in range(FEATURE_DIM)]
+                    ),
                 }
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(batches, _FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize pass over image payloads: same MEDIA_SCHEMA out, payload
+    replaced by the resized encoding and ``meta.width/height`` updated —
+    so resize stages compose with any other media operator (the output is
+    again a valid media table).
+
+    Real plumbing, stubbed kernel: the stub 'resize' deterministically
+    re-samples the payload bytes to a size proportional to the target
+    pixel count (so size-dependent downstream behavior is exercised);
+    ``decode_stub=False`` raises — no image codec in this container."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target width/height must be positive")
+    if not decode_stub:
+        raise NotImplementedError(
+            "real resize requires PIL/libjpeg — not available here; "
+            "use decode_stub=True for the deterministic fake kernel"
+        )
+
+    def _stub_resize(payload: bytes, w0, h0) -> bytes:
+        # target byte budget ∝ target pixels, bounded by the source length;
+        # sample evenly across the source so the bytes stay payload-derived
+        src_px = int(w0 or 0) * int(h0 or 0) or len(payload)
+        budget = max(1, min(len(payload), (len(payload) * width * height) // max(src_px, 1)))
+        step = len(payload) / budget
+        return bytes(payload[int(i * step)] for i in range(budget))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [
+                _stub_resize(p, w0, h0)
+                for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    flat = df.filter(F.col("kind") == "image").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    flat_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+        ]
+    )
+    resized = flat.mapInPandas(batches, flat_schema)
+    return resized.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct("mime", "width", "height", "duration_ms").alias("meta"),
+    )
 
 
 def sample_video_frames(

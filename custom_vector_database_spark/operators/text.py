@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "lang_scores",
     "fingerprint_md5",
+    "fingerprint_rolling",
     "shingles",
 ]
 
@@ -127,6 +128,32 @@ def fingerprint_md5(col: Column | str) -> Column:
     (lowercased, whitespace collapsed). Same digest in Spark and DuckDB."""
     norm = F.trim(F.regexp_replace(F.lower(_c(col)), "[ ]+", " "))
     return F.md5(norm)
+
+
+# Rolling-hash parameters: classic Rabin–Karp base/modulus. M < 2^31 keeps
+# every intermediate (acc*B + code ≤ (M-1)·B + 2^21) far inside int64, so
+# the fold is exact in any engine's 64-bit integer arithmetic.
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
+def fingerprint_rolling(col: Column | str) -> Column:
+    """Polynomial rolling hash (Rabin–Karp / Horner fold) of the normalized
+    text: fp = Σ code(c_i)·B^(n-1-i) mod M, folded left-to-right over the
+    character code points. This is the fingerprint family used for
+    content-defined chunking / winnowing in dedup pipelines; unlike
+    fingerprint_md5 it is incrementally maintainable over a sliding window.
+
+    Entirely JVM-side: split-to-chars → ascii() code points → exact integer
+    aggregate fold. Reproducible in ANSI SQL (see the
+    rolling_fingerprint_docs oracle) because every step is exact int64."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), "[ ]+", " "))
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

@@ -165,6 +165,37 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (Rabin–Karp / Horner fold): the winnowing /
+# content-defined-chunking fingerprint family. Exact int64 arithmetic on
+# both sides, so the oracle is a value-hash match, not an approximation.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_fingerprint_docs",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ ]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {tx.ROLLING_BASE} + c) % {tx.ROLLING_MOD}
+           ) AS rolling_fp
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def q_rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint_rolling("text").alias("rolling_fp")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Shingle statistics: the dedup unit, oracle-checked.
 # ---------------------------------------------------------------------------
 @register(

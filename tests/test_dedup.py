@@ -41,6 +41,41 @@ def test_exact_dedup_collapses_identical(docs):
     assert out[0]["fingerprint"] == out[1]["fingerprint"]
 
 
+def test_rolling_fingerprint_semantics(spark):
+    from custom_vector_database_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        fingerprint_rolling,
+    )
+
+    rows = [
+        (0, "ab"),
+        (1, "ba"),          # same bag of chars, different order → different fp
+        (2, "AB"),          # case-normalized → same as 0
+        (3, "a    b"),      # whitespace-collapsed → hash of "a b"
+        (4, ""),            # empty → 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", fingerprint_rolling("text").alias("fp")
+        ).collect()
+    }
+
+    def horner(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return acc
+
+    assert out[0] == horner("ab")
+    assert out[1] == horner("ba") and out[1] != out[0]  # order-sensitive
+    assert out[2] == out[0]
+    assert out[3] == horner("a b")
+    assert out[4] == 0
+
+
 def test_minhash_finds_planted_near_dup(docs):
     pairs = dd.minhash_dedup_pairs(
         docs, jaccard_dist_threshold=0.6, num_hash_tables=5

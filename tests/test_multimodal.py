@@ -52,8 +52,39 @@ def test_video_frame_sampling(media):
     assert total == b"\x00\x01" * 500
 
 
+def test_resize_images_preserves_media_schema_and_composes(media):
+    resized = mm.resize_images(media, width=16, height=16)
+    # same shape as MEDIA_SCHEMA (nullability flags differ after mapInPandas)
+    assert resized.schema.simpleString() == mm.MEDIA_SCHEMA.simpleString()
+    out = {r["media_id"]: r for r in resized.collect()}
+    assert set(out) == {1, 2}  # only images
+    assert out[1]["meta"]["width"] == 16 and out[1]["meta"]["height"] == 16
+    # stub resize shrinks toward the target pixel budget, stays payload-derived
+    assert 0 < len(out[1]["payload"]) <= len(b"\x89PNG-fake-payload-1")
+    assert set(out[1]["payload"]) <= set(b"\x89PNG-fake-payload-1")
+    # output is a valid media table: downstream operators accept it
+    feats = {r["media_id"]: r for r in mm.image_features(resized).collect()}
+    assert set(feats) == {1, 2}
+    assert len(feats[1]["features"]) == mm.FEATURE_DIM
+
+
+def test_resize_images_deterministic(media):
+    a = mm.resize_images(media, width=16, height=16).collect()
+    b = mm.resize_images(media, width=16, height=16).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in a} == {
+        r["media_id"]: bytes(r["payload"]) for r in b
+    }
+
+
+def test_resize_rejects_bad_target(media):
+    with pytest.raises(ValueError):
+        mm.resize_images(media, width=0, height=16)
+
+
 def test_real_decode_is_explicitly_stubbed(media):
     with pytest.raises(NotImplementedError):
         mm.image_features(media, decode_stub=False)
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(media, decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 8, 8, decode_stub=False)
