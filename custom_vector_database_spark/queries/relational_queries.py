@@ -146,6 +146,73 @@ def q_join_orders_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5 shape — the 6-table "local supplier volume" join: two fact-fact
+# shuffle joins (orders⋈lineitem⋈supplier) with every dimension
+# (customer/nation/region) broadcast, a pushed-down date-range + region
+# filter, and the local-supplier correlation (c_nationkey = s_nationkey)
+# applied as a join-side predicate. The canonical join-ordering/broadcast
+# stress test for an analytics engine.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q5_local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q_tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window / rank: top-3 orders per customer by totalprice.
 # Shuffles only (custkey, orderkey, price) triples, partitioned by custkey.
 # ---------------------------------------------------------------------------

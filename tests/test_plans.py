@@ -37,6 +37,15 @@ def test_broadcast_enrich_uses_broadcast_joins(spark):
     assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
 
 
+def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_revenue")
+    assert "BroadcastHashJoin" in plan  # nation/region stay broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the date range reaches the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan and "LessThan(o_orderdate" in plan
+
+
 def test_knn_join_never_shuffles_vectors(spark):
     plan = _plan(spark, "knn_join_topk")
     for line in plan.splitlines():
