@@ -93,6 +93,41 @@ def q_event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SLIDING event-time window (width 2h, slide 1h — every event lands in
+# exactly width/slide = 2 overlapping windows). Oracle: enumerate each
+# event's member windows (the slide-aligned bucket and the one before it)
+# and aggregate — the relational definition of a sliding window.
+# ---------------------------------------------------------------------------
+@register(
+    "event_sliding_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour')
+               AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, UNNEST([0, 1]) AS t(i)
+    GROUP BY 1
+    ORDER BY window_start_us
+    """,
+)
+def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Session window: per-user sessions closed by a 12-hour inactivity gap.
 # Spark's session_window starts a NEW session when the inter-event gap is
 # >= the gap duration (next_ts >= prev_ts + gap); the oracle's gap-and-island

@@ -59,6 +59,34 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming SLIDING window under the same enumerate-member-windows oracle as
+# the batch sliding query (width 2h, slide 1h → 2 overlapping windows/event).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour')
+               AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, UNNEST([0, 1]) AS t(i)
+    GROUP BY 1
+    ORDER BY window_start_us
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.streaming import (
+        stream_sliding_agg,
+        streaming_events,
+    )
+
+    out = _run_memory_stream(
+        spark, stream_sliding_agg(streaming_events(spark, sf_dir)), "stream_sliding"
+    )
+    return out.orderBy("window_start_us")
+
+
+# ---------------------------------------------------------------------------
 # Streaming session window under the same gap-island oracle as the batch
 # session query: stateful streaming session assembly must equal batch SQL.
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 from custom_vector_database_spark.streaming.stream_ops import (  # noqa: F401
     stream_session_agg,
+    stream_sliding_agg,
     stream_tumbling_agg,
     streaming_events,
 )

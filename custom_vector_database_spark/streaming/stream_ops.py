@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["streaming_events", "stream_tumbling_agg", "stream_session_agg"]
+__all__ = [
+    "streaming_events",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_agg",
+]
 
 _DEC = "decimal(18,2)"
 
@@ -60,6 +65,31 @@ def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_agg(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING window (width > slide ⇒ overlapping windows,
+    each event counted in width/slide of them). State cost scales with the
+    overlap factor — the watermark bounds how many open windows exist at
+    once regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),

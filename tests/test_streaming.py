@@ -9,6 +9,7 @@ import pytest
 from custom_vector_database_spark import queries_registry as reg
 from custom_vector_database_spark.streaming import (
     stream_session_agg,
+    stream_sliding_agg,
     stream_tumbling_agg,
     streaming_events,
 )
@@ -40,6 +41,12 @@ def _rows(df, keys):
             "event_tumbling_window",
             ["window_start_us", "n_events", "total_value"],
             "t_stream_tumbling",
+        ),
+        (
+            stream_sliding_agg,
+            "event_sliding_window",
+            ["window_start_us", "n_events", "total_value"],
+            "t_stream_sliding",
         ),
         (
             stream_session_agg,
