@@ -210,6 +210,73 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap join (the third of the range/as-of/interval triple):
+# per-user daily click-activity intervals ⋈ view-activity intervals that
+# OVERLAP (a.start <= b.end AND b.start <= a.end). The equi-key (user_id)
+# keeps the join hash-partitioned; the overlap predicate only filters within
+# user groups — never a cross product. Overlap length in exact integer
+# microseconds.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_activity_overlap",
+    """
+    WITH c AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+             MIN(ts) AS c_start, MAX(ts) AS c_end
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, time_bucket(INTERVAL '1 day', ts)
+    ), v AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+             MIN(ts) AS v_start, MAX(ts) AS v_end
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, time_bucket(INTERVAL '1 day', ts)
+    )
+    SELECT c.user_id AS user_id,
+           COUNT(*) AS n_overlaps,
+           SUM(epoch_us(least(c.c_end, v.v_end))
+               - epoch_us(greatest(c.c_start, v.v_start))) AS total_overlap_us
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.c_start <= v.v_end AND v.v_start <= c.c_end
+    GROUP BY c.user_id
+    ORDER BY user_id
+    """,
+)
+def q_interval_join_activity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+
+    def day_intervals(event_type: str, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", F.window("ts", "1 day").alias("d"))
+            .agg(
+                F.min("ts").alias(f"{prefix}_start"),
+                F.max("ts").alias(f"{prefix}_end"),
+            )
+            .drop("d")
+        )
+
+    clicks = day_intervals("click", "c")
+    views = day_intervals("view", "v").withColumnRenamed("user_id", "v_user_id")
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("c_start") <= F.col("v_end"))
+        & (F.col("v_start") <= F.col("c_end")),
+    )
+    overlap_us = F.unix_micros(F.least("c_end", "v_end")) - F.unix_micros(
+        F.greatest("c_start", "v_start")
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(overlap_us).alias("total_overlap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Banded range join: ordered event pairs of the same user within 24 hours —
 # an equi-join on the key plus a band predicate, aggregated to per-user
 # counts. The equi key keeps the join hash-partitioned (no cross product);
