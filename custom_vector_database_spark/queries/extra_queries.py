@@ -288,6 +288,28 @@ def q_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate percentiles (Greenwald–Khanna sketch): the scale path for
+# quantiles — mergeable per-partition sketches, one shuffle of O(sketch)
+# state instead of a global sort. Rows-only for the driver (DuckDB's
+# approx_quantile is t-digest — a different sketch); the rank-error bound
+# vs the exact percentiles is asserted in tests/test_properties.py.
+# ---------------------------------------------------------------------------
+@register("approx_percentiles_order_price")
+def q_approx_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    acc = F.lit(10_000)  # rank error <= 1/accuracy of the row count
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), acc).alias("ap50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), acc).alias("ap90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), acc).alias("ap99"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms: explode → term/document frequencies → idf join →
 # global top-20 by score. The full inverted-index + join + window stack in
 # one query, oracle-checked.

@@ -107,3 +107,24 @@ def test_knn_join_broadcast_guard(spark):
     )
     with pytest.raises(ValueError, match="max_query_rows"):
         knn_join(data, queries, k=1, max_query_rows=10)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """The GK-sketch percentiles must land within the documented rank-error
+    bound (1/accuracy) of the exact quantile — checked by computing the true
+    rank of each approximate value at sf0.01."""
+    from custom_vector_database_spark import queries_registry as reg
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["status"]: r
+        for r in reg.QUERIES["approx_percentiles_order_price"](spark, sf).collect()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    for status, row in approx.items():
+        grp = orders.filter(F.col("o_orderstatus") == status)
+        n = grp.count()
+        for col, q in [("ap50", 0.5), ("ap90", 0.9), ("ap99", 0.99)]:
+            rank = grp.filter(F.col("o_totalprice") <= row[col]).count()
+            # rank error tolerance: 1/accuracy of n, plus 1 for discreteness
+            assert abs(rank - q * n) <= n / 10_000 + 1, (status, col)
