@@ -8,6 +8,12 @@
     python -m custom_vector_database_spark.cli <db_path> rebuild
     python -m custom_vector_database_spark.cli <db_path> search <k> <query_vector>
 
+plus two migration extensions over the reference's own snapshot format
+(vectordb.cpp:158-218):
+
+    python -m custom_vector_database_spark.cli <db_path> import-snapshot <vectordb.json>
+    python -m custom_vector_database_spark.cli <db_path> export-snapshot <vectordb.json>
+
 Vectors are comma-separated floats (parseVector, main.cpp:8-23). Output
 mirrors the reference: search prints (id, true-L2 distance) nearest-first —
 sqrt of the API-level squared distance, exactly like main.cpp:115-116; get
@@ -70,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "rebuild":
         table.rebuild()
         print("Index rebuilt")
+    elif cmd == "import-snapshot":  # extension: migrate FROM the reference
+        table.import_snapshot(args[0])
+        print(f"Imported snapshot {args[0]} into {db_path}")
+    elif cmd == "export-snapshot":  # extension: export back TO the reference
+        table.export_snapshot(args[0])
+        print(f"Exported {db_path} to snapshot {args[0]}")
     elif cmd == "search":
         k = int(args[0])
         query = _parse_vector(args[1])

@@ -110,6 +110,43 @@ class VectorTable:
             os.rename(self._data_path + "_old", self._data_path)
         return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_path)
 
+    # -- reference snapshot interop (vectordb.cpp:158-218) -----------------
+    def import_snapshot(self, snapshot_path: str) -> "VectorTable":
+        """Create this table from a reference-format vectordb.json — the
+        migration entry point for a user of the reference engine. Preserves
+        ids, vectors, metadata, and the nextId counter (so subsequent add()
+        continues the reference's id sequence)."""
+        from custom_vector_database_spark.sources.reference_snapshot import (
+            read_snapshot,
+            snapshot_meta,
+        )
+
+        if os.path.exists(self._meta_path):
+            raise FileExistsError(f"table already exists at {self.path}")
+        dim, next_id = snapshot_meta(snapshot_path)
+        rows = read_snapshot(self.spark, snapshot_path)
+        if rows.filter(F.size("vec") != dim).limit(1).count():
+            raise DimensionMismatchError(f"snapshot vector dim != header dim {dim}")
+        os.makedirs(self.path, exist_ok=True)
+        rows.select("id", "vec", "metadata").write.mode("overwrite").parquet(
+            self._data_path
+        )
+        TableMeta(dim=dim, next_id=next_id).write(self._meta_path)
+        return self
+
+    def export_snapshot(self, snapshot_path: str) -> None:
+        """Write the table as a reference-format vectordb.json the
+        reference's load() accepts — the migration exit (and a portable
+        whole-table backup at small scale)."""
+        from custom_vector_database_spark.sources.reference_snapshot import (
+            write_snapshot,
+        )
+
+        meta = self.meta
+        write_snapshot(
+            self.df(), snapshot_path, dim=meta.dim, next_id=meta.next_id
+        )
+
     # -- O2 add (vectordb.cpp:38-52) --------------------------------------
     def add(self, rows: DataFrame | list[tuple[list[float], str | None]]) -> list[int]:
         """Batch insert; returns the assigned ids (contiguous from nextId).

@@ -107,6 +107,41 @@ def test_empty_vectors_snapshot_reads_as_empty_df(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["id", "vec", "metadata"]
 
 
+def test_vector_table_import_export_roundtrip(spark, snap_path, tmp_path):
+    """Migration path end-to-end: reference file → VectorTable (ids and
+    nextId preserved, engine ops work on it) → back out to a
+    reference-loadable file."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).import_snapshot(snap_path)
+    assert t.dim() == 3
+    assert t.meta.next_id == 5  # reference counter preserved
+    row, found = t.get(4)
+    assert found and row.vec == [-1.5, 0.0, 9.75]
+    # adds continue the reference id sequence
+    assert t.add([([1.0, 1.0, 1.0], None)]) == [5]
+    # search works over imported vectors
+    top = t.search([1.0, 2.0, 3.0], k=1).collect()
+    assert top[0].id == 1
+    out = str(tmp_path / "back.json")
+    t.export_snapshot(out)
+    with open(out) as f:
+        doc = json.load(f)
+    assert doc["dim"] == 3 and doc["nextId"] == 6
+    by_id = {v["id"]: v for v in doc["vectors"]}
+    assert set(by_id) == {1, 2, 4, 5}
+    # metadata object survives the full import→table→export cycle
+    assert by_id[1]["metadata"] == {"name": "a", "tag": 7}
+
+
+def test_import_snapshot_refuses_existing_table(spark, snap_path, tmp_path):
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    VectorTable(spark, str(tmp_path / "db")).init(dim=3)
+    with pytest.raises(FileExistsError):
+        VectorTable(spark, str(tmp_path / "db")).import_snapshot(snap_path)
+
+
 def test_plain_string_metadata_survives(spark, tmp_path):
     # VectorTable stores metadata as an opaque string; a non-JSON string
     # must export as a JSON string, not crash
