@@ -1,0 +1,198 @@
+"""Product quantization (PQ) — the memory-bounded ANN scale path next to
+LSH (bucketing) and IVF (partition pruning).
+
+Why it matters at 100 TB: a 64-d float32 vector is 256 bytes; its PQ code
+(m=8 subspaces × 1 byte) is 8 bytes — 32× compression. The ADC
+(asymmetric distance computation) scan therefore touches only (id, codes),
+so the candidate-generation pass over the whole table reads ~3% of the
+vector bytes; the full-precision vectors are fetched for a final rerank of
+only the top candidates via an id-pushdown point read.
+
+Design, Spark-first (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public method):
+- fit    = per-subspace MLlib KMeans codebooks (m tiny fits on a bounded
+           sample), then ONE chained-transform pass encodes every row to
+           its m-byte code. All JVM-side.
+- search = the query's distance to every centroid of every subspace is a
+           tiny driver-side table (m × k floats — the LUT). ADC distance
+           is then a pure Catalyst expression: m element_at lookups + adds
+           per row, whole-stage-codegen'd, topped with
+           orderBy().limit() → TakeOrderedAndProject (heap top-k).
+- rerank = exact L2 over just the ADC top ``k × rerank`` candidates,
+           fetched by an IN(id…) predicate that pushes into the base scan.
+
+Accuracy contract: recall vs exact k-NN in tests (SURVEY §4.3), never
+oracle hash-equality. Reference parity: this plays the reference's HNSW
+role (approximate O7 after an explicit O6 build, vectordb.cpp:82-156)
+with a scale story the single-node graph cannot offer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import knn as knn_ops
+
+__all__ = ["PqIndex"]
+
+
+class PqIndex:
+    """Per-subspace KMeans codebooks + the m-byte-code table."""
+
+    def __init__(
+        self,
+        codebooks: list[list[list[float]]],  # [m][k][dsub]
+        encoded: DataFrame,  # (id_col, codes array<int>)
+        id_col: str,
+        dim: int,
+    ):
+        self.codebooks = codebooks
+        self._encoded = encoded
+        self.id_col = id_col
+        self.dim = dim
+        self.m = len(codebooks)
+        self.k = len(codebooks[0])
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        m: int = 8,
+        k: int = 16,
+        seed: int = 42,
+        max_iter: int = 10,
+        fit_sample: int = 100_000,
+    ) -> "PqIndex":
+        """Train m subspace codebooks (k centroids each) on a bounded
+        sample, then encode the full table in one pass.
+
+        The m KMeans fits each scan only the checkpointed sample; the
+        full-table work is a single chained transform whose plan is m
+        KMeans-assign projections — no shuffle, no Python."""
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot fit PQ on an empty table")
+        dim = int(first["d"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+
+        feats = df.select(F.col(id_col), F.col(vec_col).alias("_vec"))
+        for j in range(m):
+            feats = feats.withColumn(
+                f"_sub{j}",
+                array_to_vector(
+                    F.slice("_vec", j * dsub + 1, dsub).cast("array<double>")
+                ),
+            )
+        n = feats.count()
+        train = (
+            feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+            if n > fit_sample
+            else feats
+        ).localCheckpoint(eager=True)
+
+        codebooks: list[list[list[float]]] = []
+        encoded = feats
+        for j in range(m):
+            km = KMeans(
+                k=k,
+                seed=seed + j,
+                featuresCol=f"_sub{j}",
+                predictionCol=f"_code{j}",
+                maxIter=max_iter,
+                initMode="random",
+            )
+            model = km.fit(train)
+            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+            encoded = model.transform(encoded)
+        encoded = encoded.select(
+            id_col, F.array(*[f"_code{j}" for j in range(m)]).alias("codes")
+        ).localCheckpoint(eager=True)
+        return cls(codebooks, encoded, id_col, dim)
+
+    def encoded_df(self) -> DataFrame:
+        return self._encoded
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "codebooks.json"), "w") as f:
+            json.dump(
+                {"id_col": self.id_col, "dim": self.dim, "codebooks": self.codebooks},
+                f,
+            )
+        self._encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PqIndex":
+        with open(os.path.join(path, "codebooks.json")) as f:
+            meta = json.load(f)
+        encoded = spark.read.parquet(os.path.join(path, "codes"))
+        return cls(meta["codebooks"], encoded, meta["id_col"], meta["dim"])
+
+    # -- search -------------------------------------------------------------
+    def _adc_expr(self, query: list[float]) -> Column:
+        """Asymmetric distance: Σ_j LUT_j[code_j], with the per-subspace
+        LUTs (query-to-centroid squared distances) inlined as literal
+        arrays — m element_at lookups + adds per row, fully codegen'd."""
+        dsub = self.dim // self.m
+        terms: list[Column] = []
+        for j in range(self.m):
+            q_sub = query[j * dsub : (j + 1) * dsub]
+            lut = [
+                sum((float(c) - float(q)) ** 2 for c, q in zip(center, q_sub))
+                for center in self.codebooks[j]
+            ]
+            lut_arr = F.array(*[F.lit(v) for v in lut])
+            # codes are 0-based KMeans cluster ids; element_at is 1-based
+            terms.append(
+                F.element_at(lut_arr, F.element_at(F.col("codes"), j + 1) + 1)
+            )
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        return adc
+
+    def search(
+        self,
+        query: list[float],
+        k: int,
+        base_df: DataFrame | None = None,
+        vec_col: str = "vec",
+        rerank: int = 0,
+        dist_col: str = "dist_sq",
+    ) -> DataFrame:
+        """ADC top-k over the code table. With ``rerank`` > 0 and the
+        full-precision ``base_df``, the ADC top ``k·rerank`` candidate ids
+        are re-scored exactly — the candidate fetch is an IN(ids) predicate
+        pushed into the base scan, so the full vectors of only k·rerank
+        rows are ever read."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
+        query = [float(x) for x in query]
+        adc = (
+            self._encoded.select(
+                self.id_col, self._adc_expr(query).alias(dist_col)
+            )
+            .orderBy(F.col(dist_col).asc_nulls_last())
+            .limit(k * rerank if rerank > 0 else k)
+        )
+        if rerank <= 0:
+            return adc
+        if base_df is None:
+            raise ValueError("rerank requires the full-precision base_df")
+        cand_ids = [r[self.id_col] for r in adc.select(self.id_col).collect()]
+        candidates = base_df.filter(F.col(self.id_col).isin(cand_ids))
+        return knn_ops.knn(
+            candidates, query, k,
+            id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
+        )

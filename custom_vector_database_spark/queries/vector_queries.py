@@ -273,6 +273,19 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(query, k=10)
 
 
+@register("pq_search")
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC candidate scan over m-byte codes +
+    exact rerank (operators/pq.py). Rows-only; recall asserted in
+    tests/test_recall.py."""
+    from custom_vector_database_spark.operators.pq import PqIndex
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pq = PqIndex.fit(emb, id_col="vec_id", vec_col="embedding", m=16, k=16)
+    return pq.search(query, k=10, base_df=emb, vec_col="embedding", rerank=10)
+
+
 @register("lsh_similarity_join")
 def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join
