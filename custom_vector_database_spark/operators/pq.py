@@ -94,15 +94,22 @@ class PqIndex:
                 ),
             )
         n = feats.count()
-        train = (
+        sample = (
             feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
             if n > fit_sample
             else feats
+        )
+        # compact the bounded sample into a few partitions: every Lloyd's
+        # iteration of every subspace fit launches a job over it, so task
+        # count — not data volume — dominates fit cost
+        train = sample.coalesce(
+            max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
         ).localCheckpoint(eager=True)
 
-        codebooks: list[list[list[float]]] = []
-        encoded = feats
-        for j in range(m):
+        # The m subspace fits are independent jobs over the same cached
+        # sample — submit them concurrently (Spark's scheduler interleaves
+        # them) so fit wall-time is ~the slowest single fit, not m× serial.
+        def _fit_subspace(j: int):
             km = KMeans(
                 k=k,
                 seed=seed + j,
@@ -111,7 +118,16 @@ class PqIndex:
                 maxIter=max_iter,
                 initMode="random",
             )
-            model = km.fit(train)
+            return km.fit(train)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            models = list(pool.map(_fit_subspace, range(m)))
+
+        codebooks: list[list[list[float]]] = []
+        encoded = feats
+        for model in models:
             codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
             encoded = model.transform(encoded)
         encoded = encoded.select(
