@@ -69,11 +69,17 @@ class IvfIndex:
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
         n = feats.count()
-        train = (
+        sample = (
             feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
             if n > fit_sample
             else feats
         )
+        # compact + materialize the bounded sample: every Lloyd's iteration
+        # launches a job over it, so task count — not data volume —
+        # dominates quantizer-fit cost
+        train = sample.coalesce(
+            max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
+        ).localCheckpoint(eager=True)
         km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
                     predictionCol="cluster", maxIter=max_iter, initMode="random")
         model = km.fit(train)
