@@ -286,6 +286,23 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.search(query, k=10, base_df=emb, vec_col="embedding", rerank=10)
 
 
+@register("ivfpq_search")
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN: partition-pruned coarse probes + residual-PQ
+    ADC + exact rerank (operators/pq.py:IvfPqIndex). Rows-only; recall and
+    partition pruning asserted in tests/test_recall.py."""
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=8, k=16
+    )
+    return idx.search(
+        query, k=10, nprobe=8, base_df=emb, vec_col="embedding", rerank=10
+    )
+
+
 @register("lsh_similarity_join")
 def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join

@@ -184,3 +184,64 @@ def test_pq_rejects_bad_inputs(spark, emb):
     )
     with pytest.raises(ValueError, match="query dim"):
         pq.search([1.0, 2.0], k=3)
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    return IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=16, k=16
+    )
+
+
+def test_ivfpq_recall_and_nprobe_monotonicity(spark, emb, ivfpq):
+    """Composed index: IVF pruning bounds recall by the share of true
+    neighbors inside probed clusters (random vectors are the worst case —
+    no cluster structure), so the bar here is lower than pure PQ's and
+    must IMPROVE as nprobe grows. Measured 0.64 @ nprobe=4 / 0.86 @
+    nprobe=8 with rerank; asserted with margin."""
+    queries = [
+        list(r["embedding"]) for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    recalls = {}
+    for nprobe in (4, 8):
+        total = 0.0
+        for qvec in queries:
+            exact_ids = {
+                r["vec_id"]
+                for r in knn_ops.knn(
+                    emb, qvec, k=K, id_col="vec_id", vec_col="embedding"
+                ).collect()
+            }
+            got = {
+                r["vec_id"]
+                for r in ivfpq.search(
+                    qvec, k=K, nprobe=nprobe, base_df=emb,
+                    vec_col="embedding", rerank=10,
+                ).collect()
+            }
+            total += len(got & exact_ids) / K
+        recalls[nprobe] = total / N_QUERIES
+    assert recalls[8] >= 0.75, f"IVF-PQ recall {recalls[8]:.3f} @ nprobe=8"
+    assert recalls[8] >= recalls[4], f"recall not monotone in nprobe: {recalls}"
+
+
+def test_ivfpq_save_load_partition_pruned(spark, emb, ivfpq, tmp_path):
+    """Saved layout is partitioned by cluster; a probe reads only the
+    probed partitions (PartitionFilters, not a full scan)."""
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    path = str(tmp_path / "ivfpq")
+    ivfpq.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    qvec = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    res = loaded.search(qvec, k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    probed = loaded._probe(qvec, 2)
+    assert f"cluster#" in plan or all(str(c) in plan for c in probed)
+    # same results pre/post persistence
+    a = [(r["vec_id"], round(r["dist_sq"], 6)) for r in ivfpq.search(qvec, k=5, nprobe=2).collect()]
+    b = [(r["vec_id"], round(r["dist_sq"], 6)) for r in res.collect()]
+    assert a == b
