@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
+from custom_vector_database_spark.operators.fitting import bounded_train_sample
 
 __all__ = ["IvfIndex"]
 
@@ -69,17 +70,7 @@ class IvfIndex:
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         )
         n = feats.count()
-        sample = (
-            feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-            if n > fit_sample
-            else feats
-        )
-        # compact + materialize the bounded sample: every Lloyd's iteration
-        # launches a job over it, so task count — not data volume —
-        # dominates quantizer-fit cost
-        train = sample.coalesce(
-            max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
-        ).localCheckpoint(eager=True)
+        train = bounded_train_sample(feats, n, fit_sample, seed)
         km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
                     predictionCol="cluster", maxIter=max_iter, initMode="random")
         model = km.fit(train)

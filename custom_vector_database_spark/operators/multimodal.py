@@ -154,8 +154,13 @@ def resize_images(
 
     def _stub_resize(payload: bytes, w0, h0) -> bytes:
         # target byte budget ∝ target pixels, bounded by the source length;
-        # sample evenly across the source so the bytes stay payload-derived
-        src_px = int(w0 or 0) * int(h0 or 0) or len(payload)
+        # sample evenly across the source so the bytes stay payload-derived.
+        # Nullable ints arrive from Arrow as NaN floats — treat as unknown.
+        if not payload:
+            return b""
+        w0 = 0 if w0 is None or w0 != w0 else int(w0)
+        h0 = 0 if h0 is None or h0 != h0 else int(h0)
+        src_px = w0 * h0 or len(payload)
         budget = max(1, min(len(payload), (len(payload) * width * height) // max(src_px, 1)))
         step = len(payload) / budget
         return bytes(payload[int(i * step)] for i in range(budget))

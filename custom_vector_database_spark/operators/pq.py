@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
+from custom_vector_database_spark.operators.fitting import bounded_train_sample
 
 __all__ = ["PqIndex", "IvfPqIndex"]
 
@@ -94,17 +95,7 @@ class PqIndex:
                 ),
             )
         n = feats.count()
-        sample = (
-            feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-            if n > fit_sample
-            else feats
-        )
-        # compact the bounded sample into a few partitions: every Lloyd's
-        # iteration of every subspace fit launches a job over it, so task
-        # count — not data volume — dominates fit cost
-        train = sample.coalesce(
-            max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
-        ).localCheckpoint(eager=True)
+        train = bounded_train_sample(feats, n, fit_sample, seed)
 
         # The m subspace fits are independent jobs over the same cached
         # sample — submit them concurrently (Spark's scheduler interleaves
@@ -276,14 +267,7 @@ class IvfPqIndex:
             F.col(vec_col).cast("array<double>").alias("_vec"),
         ).withColumn("_features", array_to_vector("_vec"))
         n = feats.count()
-        sample = (
-            feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-            if n > fit_sample
-            else feats
-        )
-        train = sample.coalesce(
-            max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
-        ).localCheckpoint(eager=True)
+        train = bounded_train_sample(feats, n, fit_sample, seed)
 
         coarse = KMeans(
             k=n_clusters, seed=seed, featuresCol="_features",

@@ -62,11 +62,10 @@ _SNAPSHOT_SCHEMA = T.StructType(
 
 
 def snapshot_meta(path: str) -> Tuple[int, int]:
-    """(dim, nextId) from a snapshot file without loading the vectors.
-
-    Driver-side streaming parse of just the two scalar header fields —
-    no dependency on field order, no full materialization.
-    """
+    """(dim, nextId) from a snapshot file. NOTE: driver-side ``json.load``
+    — materializes the whole document, fine for reference-sized files.
+    ``read_snapshot``/``read_snapshot_with_meta`` get the header from the
+    distributed parse instead and never pay this cost."""
     with open(path) as f:
         doc = json.load(f)
     if "dim" not in doc or "nextId" not in doc:
@@ -74,12 +73,18 @@ def snapshot_meta(path: str) -> Tuple[int, int]:
     return int(doc["dim"]), int(doc["nextId"])
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Reference JSON snapshot → canonical (id, vec, metadata) DataFrame.
+def read_snapshot_with_meta(
+    spark: SparkSession, path: str
+) -> Tuple[DataFrame, int, int]:
+    """(rows, dim, nextId) from a reference snapshot — ONE executor-side
+    ``multiLine`` parse supplies both the header scalars and the exploded
+    rows; nothing is materialized on the driver.
 
-    vec arrives as array<float> (engine-canonical), metadata as the raw
-    JSON text of the reference's metadata object. Raises on a missing file
-    or a snapshot with absent required fields (vectordb.cpp:212-214).
+    Error contract (reference load(), vectordb.cpp:191-214): missing file →
+    FileNotFoundError; absent dim/nextId → ValueError; any vector entry
+    missing its id or vec field → ValueError (the reference throws; silently
+    dropping a migrating user's rows is not acceptable). The row validation
+    is one aggregate over the parsed entries, executor-side.
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
@@ -88,17 +93,33 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
         .schema(_SNAPSHOT_SCHEMA)
         .json(path)
     )
-    df = (
-        raw.select(F.explode_outer("vectors").alias("v"))
-        .select(
-            F.col("v.id").alias("id"),
-            F.col("v.vec").cast(T.ArrayType(T.FloatType())).alias("vec"),
-            F.col("v.metadata").alias("metadata"),
-        )
-        .filter(F.col("id").isNotNull())
+    header = raw.select(
+        "dim", "nextId", F.col("vectors").isNull().alias("no_vectors")
+    ).first()
+    if header is None or header["dim"] is None or header["nextId"] is None:
+        raise ValueError("Database file is corrupted (missing fields): dim/nextId")
+    if header["no_vectors"]:
+        raise ValueError("Database file is corrupted (missing fields): vectors")
+    # inner explode: an empty vectors array yields zero rows (explode_outer
+    # would fabricate one all-null row and trip the corruption check below)
+    df = raw.select(F.explode("vectors").alias("v")).select(
+        F.col("v.id").alias("id"),
+        F.col("v.vec").cast(T.ArrayType(T.FloatType())).alias("vec"),
+        F.col("v.metadata").alias("metadata"),
     )
-    # Header validation mirrors the reference's at(): corrupt → hard error.
-    snapshot_meta(path)
+    bad = df.filter(F.col("id").isNull() | F.col("vec").isNull()).limit(1).count()
+    if bad:
+        raise ValueError("Database file is corrupted (missing fields): id/vec")
+    return df, int(header["dim"]), int(header["nextId"])
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Reference JSON snapshot → canonical (id, vec, metadata) DataFrame.
+
+    vec arrives as array<float> (engine-canonical), metadata as the raw
+    JSON text of the reference's metadata object. Same error contract as
+    ``read_snapshot_with_meta``."""
+    df, _, _ = read_snapshot_with_meta(spark, path)
     return df
 
 

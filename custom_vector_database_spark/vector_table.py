@@ -117,16 +117,27 @@ class VectorTable:
         ids, vectors, metadata, and the nextId counter (so subsequent add()
         continues the reference's id sequence)."""
         from custom_vector_database_spark.sources.reference_snapshot import (
-            read_snapshot,
-            snapshot_meta,
+            read_snapshot_with_meta,
         )
 
         if os.path.exists(self._meta_path):
             raise FileExistsError(f"table already exists at {self.path}")
-        dim, next_id = snapshot_meta(snapshot_path)
-        rows = read_snapshot(self.spark, snapshot_path)
-        if rows.filter(F.size("vec") != dim).limit(1).count():
+        rows, dim, next_id = read_snapshot_with_meta(self.spark, snapshot_path)
+        # one validation pass: per-row dim + the header's id-counter
+        # invariant (nextId > every live id, vectordb.cpp:43 — otherwise
+        # subsequent add() would reissue a live id)
+        stats = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("id").alias("max_id"),
+            F.sum((F.size("vec") != dim).cast("long")).alias("bad_dim"),
+        ).first()
+        if (stats["bad_dim"] or 0) > 0:
             raise DimensionMismatchError(f"snapshot vector dim != header dim {dim}")
+        if stats["n"] > 0 and next_id <= int(stats["max_id"]):
+            raise ValueError(
+                f"corrupted snapshot: nextId {next_id} <= max live id "
+                f"{stats['max_id']} (ids would be reused)"
+            )
         os.makedirs(self.path, exist_ok=True)
         rows.select("id", "vec", "metadata").write.mode("overwrite").parquet(
             self._data_path

@@ -81,6 +81,22 @@ def test_resize_rejects_bad_target(media):
         mm.resize_images(media, width=0, height=16)
 
 
+def test_resize_handles_null_dims_and_empty_payload(spark):
+    """Nullable meta ints arrive in pandas as NaN; empty payloads are
+    valid BinaryType — neither may kill the job."""
+    rows = [
+        (1, "image", b"some-bytes-here", ("image/png", None, None, None)),
+        (2, "image", b"", ("image/png", 8, 8, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in mm.resize_images(mm.make_media_df(spark, rows), 4, 4).collect()
+    }
+    assert len(out[1]["payload"]) > 0  # unknown dims → length-derived budget
+    assert bytes(out[2]["payload"]) == b""  # empty in, empty out
+    assert out[1]["meta"]["width"] == 4 and out[2]["meta"]["height"] == 4
+
+
 def test_real_decode_is_explicitly_stubbed(media):
     with pytest.raises(NotImplementedError):
         mm.image_features(media, decode_stub=False)

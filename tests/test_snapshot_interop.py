@@ -93,6 +93,64 @@ def test_corrupted_snapshot_missing_fields_raises(spark, tmp_path):
         read_snapshot(spark, p)
 
 
+def test_entry_missing_vec_or_id_raises(spark, tmp_path):
+    """Entries without id or vec must ERROR like the reference's load()
+    (vectordb.cpp:212-214) — silently importing/dropping a migrating
+    user's rows is data loss."""
+    for bad_entry in (
+        {"id": 2, "metadata": {}},          # no vec
+        {"metadata": {}, "vec": [1.0, 2.0]},  # no id
+    ):
+        p = str(tmp_path / "bad_entry.json")
+        with open(p, "w") as f:
+            json.dump(
+                {"dim": 2, "nextId": 3,
+                 "vectors": [{"id": 1, "metadata": {}, "vec": [0.0, 0.0]},
+                             bad_entry]},
+                f,
+            )
+        with pytest.raises(ValueError, match="corrupted"):
+            read_snapshot(spark, p)
+
+
+def test_snapshot_missing_vectors_field_raises(spark, tmp_path):
+    p = str(tmp_path / "no_vectors.json")
+    with open(p, "w") as f:
+        json.dump({"dim": 2, "nextId": 1}, f)
+    with pytest.raises(ValueError, match="vectors"):
+        read_snapshot(spark, p)
+
+
+def test_import_snapshot_rejects_stale_next_id(spark, tmp_path):
+    """nextId must exceed every live id (vectordb.cpp:43) — otherwise a
+    subsequent add() would reissue a live id."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    p = str(tmp_path / "stale.json")
+    with open(p, "w") as f:
+        json.dump(
+            {"dim": 2, "nextId": 1,
+             "vectors": [{"id": 1, "metadata": {}, "vec": [1.0, 2.0]}]},
+            f,
+        )
+    with pytest.raises(ValueError, match="nextId"):
+        VectorTable(spark, str(tmp_path / "db")).import_snapshot(p)
+
+
+def test_import_snapshot_rejects_wrong_dim_rows(spark, tmp_path):
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    p = str(tmp_path / "wrongdim.json")
+    with open(p, "w") as f:
+        json.dump(
+            {"dim": 3, "nextId": 2,
+             "vectors": [{"id": 1, "metadata": {}, "vec": [1.0, 2.0]}]},
+            f,
+        )
+    with pytest.raises(Exception, match="dim"):
+        VectorTable(spark, str(tmp_path / "db")).import_snapshot(p)
+
+
 def test_missing_file_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "absent.json"))
