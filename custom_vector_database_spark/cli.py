@@ -35,12 +35,32 @@ def _parse_vector(s: str) -> list[float]:
         raise SystemExit(1) from None
 
 
+# command → minimum operand count (reference validates argc and prints
+# usage on a short command line, main.cpp:26-37)
+_MIN_ARGS = {
+    "init": 1,
+    "add": 1,
+    "get": 1,
+    "update": 2,
+    "delete": 1,
+    "rebuild": 0,
+    "search": 2,
+    "import-snapshot": 1,
+    "export-snapshot": 1,
+}
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
         return 1
     db_path, cmd, *args = argv
+    if cmd in _MIN_ARGS and len(args) < _MIN_ARGS[cmd]:
+        print(f"Error: '{cmd}' needs at least {_MIN_ARGS[cmd]} argument(s)",
+              file=sys.stderr)
+        print(__doc__, file=sys.stderr)
+        return 1
 
     from custom_vector_database_spark.session import get_spark
     from custom_vector_database_spark.vector_table import VectorTable

@@ -66,6 +66,15 @@ def parse_vector(col: Column | str, dim: int | None = None) -> Column:
     time — the reference's hard-error contract (main.cpp:19-21)."""
     col = F.col(col) if isinstance(col, str) else col
     vec = F.split(col, ",").cast("array<float>")
+    # cast maps unparseable tokens to NULL elements; the reference's stof
+    # throws (main.cpp:14-16) — surface the same hard error here instead of
+    # letting a NULL-holed vector silently poison every downstream distance
+    vec = F.when(
+        F.exists(vec, lambda x: x.isNull()),
+        F.raise_error("invalid vector: unparseable float element").cast(
+            "array<float>"
+        ),
+    ).otherwise(vec)
     if dim is not None:
         vec = F.when(F.size(vec) == dim, vec).otherwise(
             F.raise_error(f"vector dimension mismatch: expected {dim}").cast(

@@ -256,23 +256,36 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates from 16-bit band buckets
-    (pigeonhole: two signatures within hamming ≤ 3 of each other must agree
-    on at least one of the 4 bands — a recall-oriented candidate filter),
-    verified with the exact Hamming distance. Returns (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash: band-bucket candidates verified with the
+    exact Hamming distance. Returns (id_a, id_b, hamming).
+
+    Banding is COMPLETE for the requested threshold: with ``n_bands``
+    bands, two signatures within hamming ≤ n_bands − 1 must agree on at
+    least one band (pigeonhole), so ``n_bands`` is chosen as the smallest
+    divisor of 64 exceeding ``max_hamming`` — no qualifying pair can be
+    silently dropped. The cost side: more/narrower bands collide more, so
+    candidate volume grows with the threshold; keep ``max_hamming`` small
+    at scale (3 ≈ the usual SimHash near-dup bar for 64-bit signatures,
+    Manku et al., WWW 2007)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    band_bits = 64 // n_bands
     sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         id_col,
         "bits",
         *[
-            F.array_join(F.slice("bits", b * 16 + 1, 16), "").alias(f"band{b}")
-            for b in range(4)
+            F.array_join(
+                F.slice("bits", b * band_bits + 1, band_bits), ""
+            ).alias(f"band{b}")
+            for b in range(n_bands)
         ],
     )
     cands = None
-    for b in range(4):
+    for b in range(n_bands):
         a = banded.select(
             F.col(id_col).alias("id_a"),
             F.col("bits").alias("bits_a"),

@@ -226,7 +226,9 @@ def sample_video_frames(
                 "frame_payload": [],
             }
             for _, row in pdf.iterrows():
-                duration = row["duration_ms"] or 0
+                duration = row["duration_ms"]
+                # nullable ints arrive from Arrow as NaN floats
+                duration = 0 if duration is None or duration != duration else int(duration)
                 payload = row["payload"]
                 n_frames = max(duration // every_ms, 1)
                 for i in range(int(n_frames)):

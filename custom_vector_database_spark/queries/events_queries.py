@@ -21,11 +21,14 @@ _DEC = "decimal(18,2)"
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads only
     as a long of nanoseconds (legacy nanosAsLong flag — set defensively here
-    because the driver may supply its own session). Truncate to microsecond
-    timestamps (`div 1000` floors, exactly like DuckDB's nanos read)."""
+    because the driver may supply its own session). FLOOR to microsecond
+    timestamps exactly like DuckDB's nanos read: `div` truncates toward
+    zero, so pre-epoch (negative) nanos need the extra -1 when a remainder
+    exists — exact int64 arithmetic, no double rounding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
+    return ev.withColumn("ts", F.timestamp_micros(floor_us))
 
 
 # ---------------------------------------------------------------------------

@@ -15,18 +15,9 @@ _DEC = "decimal(18,2)"
 
 
 def _run_memory_stream(spark: SparkSession, agg_df, prefix: str) -> DataFrame:
-    import uuid
+    from custom_vector_database_spark.streaming import run_stream_to_memory
 
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return run_stream_to_memory(spark, agg_df, prefix)
 
 
 # ---------------------------------------------------------------------------
@@ -390,21 +381,14 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.streaming import streaming_events
     from custom_vector_database_spark.streaming.stateful import user_running_stats
 
-    import uuid
+    from custom_vector_database_spark.streaming import run_stream_to_memory
 
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        user_running_stats(streaming_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     # update-mode sink appends one snapshot per (user, micro-batch); the
     # final state per user is the one with the highest running count
-    snap = spark.table(name)
+    snap = run_stream_to_memory(
+        spark, user_running_stats(streaming_events(spark, sf_dir)),
+        "stateful", output_mode="update",
+    )
     final = snap.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value", "max_value")).alias("s")
     )

@@ -147,8 +147,6 @@ def q_udtf_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from custom_vector_database_spark.streaming import streaming_events
 
     ev = streaming_events(spark, sf_dir)
@@ -158,13 +156,6 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("event_type")
+    from custom_vector_database_spark.streaming import run_stream_to_memory
+
+    return run_stream_to_memory(spark, agg, "stream_dedup").orderBy("event_type")

@@ -30,12 +30,16 @@ def get_spark(
         # total-cores * 2-3, or let AQE coalesce from a higher number.
         shuffle_partitions = max(int(cpus), 4)
     builder = SparkSession.builder
-    # Respect an externally-configured master (spark-submit --master sets
-    # spark.master in the launched JVM's conf via PYSPARK_SUBMIT_ARGS /
-    # SPARK_MASTER env) so submitting to a real cluster doesn't silently
-    # run local on the driver; default to local[N] only when none is set.
+    # Respect an externally-configured master so submitting to a real
+    # cluster doesn't silently run local on the driver; default to local[N]
+    # only when none is set. Under `spark-submit app.py` the JVM gateway is
+    # already running with spark.master set from the submit args — the
+    # Python process sees PYSPARK_GATEWAY_PORT (PythonRunner exports it),
+    # which is the reliable signal (spark-submit does NOT set
+    # SPARK_MASTER/MASTER/PYSPARK_SUBMIT_ARGS for script apps).
     externally_set = (
-        os.environ.get("SPARK_MASTER")
+        os.environ.get("PYSPARK_GATEWAY_PORT")
+        or os.environ.get("SPARK_MASTER")
         or os.environ.get("MASTER")
         or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     )

@@ -1,4 +1,5 @@
 from custom_vector_database_spark.streaming.stream_ops import (  # noqa: F401
+    run_stream_to_memory,
     stream_session_agg,
     stream_sliding_agg,
     stream_tumbling_agg,

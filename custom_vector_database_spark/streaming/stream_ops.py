@@ -27,7 +27,35 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_agg",
+    "run_stream_to_memory",
 ]
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    agg_df: DataFrame,
+    prefix: str,
+    output_mode: str = "complete",
+    timeout: int = 300,
+) -> DataFrame:
+    """Drive a streaming aggregation to completion (availableNow) into a
+    uniquely-named memory sink and return its table. Raises TimeoutError
+    if the stream does not finish — reading the sink mid-stream would
+    silently return PARTIAL aggregates."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish within {timeout}s")
+    return spark.table(name)
 
 _DEC = "decimal(18,2)"
 
@@ -55,7 +83,10 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # floor division (not `div`'s truncation) so pre-epoch nanos match the
+    # batch loader and DuckDB exactly — see events_queries.load_events
+    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
+    return raw.withColumn("ts", F.timestamp_micros(floor_us))
 
 
 def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

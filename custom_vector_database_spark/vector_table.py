@@ -128,11 +128,16 @@ class VectorTable:
         # subsequent add() would reissue a live id)
         stats = rows.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count_distinct("id").alias("n_ids"),
             F.max("id").alias("max_id"),
             F.sum((F.size("vec") != dim).cast("long")).alias("bad_dim"),
         ).first()
         if (stats["bad_dim"] or 0) > 0:
             raise DimensionMismatchError(f"snapshot vector dim != header dim {dim}")
+        if stats["n"] != stats["n_ids"]:
+            # the reference's std::map keys by id (last-wins); a DataFrame
+            # has no document order to pick a winner from, so reject
+            raise ValueError("corrupted snapshot: duplicate vector ids")
         if stats["n"] > 0 and next_id <= int(stats["max_id"]):
             raise ValueError(
                 f"corrupted snapshot: nextId {next_id} <= max live id "
@@ -192,8 +197,11 @@ class VectorTable:
                 ],
                 VECTOR_SCHEMA,
             )
-            self._rewrite(self.df().unionByName(stamped))
+            # id counter is bumped BEFORE the data rewrite: a crash in
+            # between leaves an id gap (harmless) instead of reissuing ids
+            # already durably written (duplicate-id corruption)
             TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
+            self._rewrite(self.df().unionByName(stamped))
             return list(range(meta.next_id, meta.next_id + n))
         batch = rows.select("vec", "metadata")
         batch = batch.localCheckpoint(eager=True)
@@ -222,8 +230,9 @@ class VectorTable:
             )
             .select("id", "vec", "metadata")
         )
-        self._rewrite(self.df().unionByName(stamped))
+        # counter before data, as in the list path: crash ⇒ gap, never reuse
         TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
+        self._rewrite(self.df().unionByName(stamped))
         return list(range(meta.next_id, meta.next_id + n))
 
     # -- O3 get (vectordb.cpp:54-59) --------------------------------------
@@ -287,8 +296,18 @@ class VectorTable:
             F.col("vec").cast("array<float>"),
             F.col("metadata").cast("string"),
         ).localCheckpoint(eager=True)
-        if batch.filter(F.size("vec") != meta.dim).limit(1).count():
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("id").alias("n_ids"),
+            F.sum((F.size("vec") != meta.dim).cast("long")).alias("bad_dim"),
+        ).first()
+        if (stats["bad_dim"] or 0) > 0:
             raise DimensionMismatchError(f"expected dim {meta.dim}")
+        if stats["n"] != stats["n_ids"]:
+            # a duplicated id would survive the anti-join twice and break
+            # the unique-id invariant; batches are unordered so there is no
+            # deterministic "last write" to prefer — reject instead
+            raise ValueError("update_many batch contains duplicate ids")
         # no broadcast hint on the table side — the batch is the small side;
         # Catalyst picks SMJ/broadcast appropriately at scale
         existing_ids = self.df().select("id")

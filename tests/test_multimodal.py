@@ -104,3 +104,10 @@ def test_real_decode_is_explicitly_stubbed(media):
         mm.sample_video_frames(media, decode_stub=False)
     with pytest.raises(NotImplementedError):
         mm.resize_images(media, 8, 8, decode_stub=False)
+
+
+def test_video_frames_null_duration(spark):
+    rows = [(9, "video", b"\x07" * 40, ("video/mp4", None, None, None))]
+    frames = mm.sample_video_frames(mm.make_media_df(spark, rows), every_ms=1000).collect()
+    # unknown duration → a single frame covering the whole payload
+    assert len(frames) == 1 and bytes(frames[0]["frame_payload"]) == b"\x07" * 40

@@ -128,3 +128,36 @@ def test_approx_percentile_rank_error_bound(spark):
             rank = grp.filter(F.col("o_totalprice") <= row[col]).count()
             # rank error tolerance: 1/accuracy of n, plus 1 for discreteness
             assert abs(rank - q * n) <= n / 10_000 + 1, (status, col)
+
+
+def test_parse_vector_rejects_unparseable_floats(spark):
+    """Reference parseVector throws on bad tokens (main.cpp:14-16); the
+    cast's silent NULL elements must not flow through."""
+    from custom_vector_database_spark.functions.vector import parse_vector
+
+    df = spark.createDataFrame([("1.0,bogus,3.0",)], "s STRING")
+    # ANSI mode (Spark 4 default) errors in the cast itself
+    # (CAST_INVALID_INPUT); with ANSI off the explicit null-element guard
+    # fires ("unparseable") — either way it's a hard error, never a
+    # NULL-holed vector
+    with pytest.raises(Exception, match="unparseable|CAST_INVALID_INPUT"):
+        df.select(parse_vector("s", dim=3).alias("v")).collect()
+    ok = spark.createDataFrame([("1.0,2.0,3.0",)], "s STRING")
+    assert ok.select(parse_vector("s", dim=3).alias("v")).first()["v"] == [1.0, 2.0, 3.0]
+
+
+def test_nanos_to_micros_floor_division(spark):
+    """`div` truncates toward zero; the loader must FLOOR (DuckDB nanos
+    semantics) so pre-epoch timestamps land in the right window."""
+    df = spark.createDataFrame([(-1500,), (-1000,), (-1,), (0,), (1500,)], "ts LONG")
+    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
+    got = [r["us"] for r in df.select(floor_us.alias("us")).collect()]
+    assert got == [-2, -1, -1, 0, 1]  # -1500//1000 == -2 etc. (Python floor)
+
+
+def test_cli_arity_errors_before_spark():
+    from custom_vector_database_spark.cli import main
+
+    assert main(["/tmp/nope", "init"]) == 1          # missing dim
+    assert main(["/tmp/nope", "search", "5"]) == 1   # missing query vector
+    assert main(["/tmp/nope", "update", "1"]) == 1   # missing vector

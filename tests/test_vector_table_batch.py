@@ -91,3 +91,43 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_update_many_rejects_duplicate_batch_ids(spark, tmp_path):
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=2)
+    t.add([([1.0, 1.0], None), ([2.0, 2.0], None)])
+    batch = spark.createDataFrame(
+        [(1, [9.0, 9.0], "a"), (1, [8.0, 8.0], "b")],
+        "id LONG, vec ARRAY<FLOAT>, metadata STRING",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        t.update_many(batch)
+    # table untouched: still exactly one id=1 row
+    assert t.df().filter("id = 1").count() == 1
+
+
+def test_add_bumps_counter_before_rewrite(spark, tmp_path, monkeypatch):
+    """Crash between the two persists must leave an id GAP, never reuse:
+    the counter write precedes the data rewrite."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=2)
+    t.add([([1.0, 1.0], None)])
+
+    def boom(df):
+        raise RuntimeError("simulated crash during rewrite")
+
+    monkeypatch.setattr(t, "_rewrite", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        t.add([([2.0, 2.0], None)])
+    monkeypatch.undo()
+    # data unchanged, but the counter advanced past the failed batch
+    assert t.df().count() == 1
+    assert t.meta.next_id == 3
+    assert t.add([([3.0, 3.0], None)]) == [3]  # gap at id 2, no reuse
