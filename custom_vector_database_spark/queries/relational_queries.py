@@ -287,6 +287,48 @@ def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE window frame (value-based, vs ROWS' position-based frames above):
+# per customer, spend within the trailing 30 DAYS of each order — peers at
+# the same orderdate all see the same frame, and the frame width is a data
+# value, not a row count. Ordering key = integer epoch days on both sides
+# so the RANGE arithmetic is identical.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame_spend",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_30d
+    FROM orders
+    WHERE o_custkey < 30
+    ORDER BY custkey, orderkey
+    """,
+)
+def q_window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        day.alias("order_day"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    ).orderBy("custkey", "orderkey")
+
+
+# ---------------------------------------------------------------------------
 # Rollup: hierarchical subtotals (returnflag → linestatus → grand total).
 # NULL grouping slots coalesced to '(all)' on both sides so the compare
 # never depends on engine NULL-sort placement.
