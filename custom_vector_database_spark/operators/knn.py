@@ -32,7 +32,7 @@ from custom_vector_database_spark.functions.vector import (
 
 __all__ = ["knn", "knn_join"]
 
-_METRICS = {"l2_sq", "cosine"}
+_METRICS = {"l2_sq", "cosine", "dot"}
 
 
 def _distance(metric: str, vec_col: Column, query_col: Column) -> Column:
@@ -41,6 +41,12 @@ def _distance(metric: str, vec_col: Column, query_col: Column) -> Column:
     if metric == "cosine":
         # distance = 1 - cosine similarity (smaller = nearer)
         return F.lit(1.0) - cosine_similarity(vec_col, query_col)
+    if metric == "dot":
+        # maximum-inner-product search as a distance: negate so that
+        # ascending order = highest dot product (MIPS ranking)
+        from custom_vector_database_spark.functions.vector import dot_product
+
+        return -dot_product(vec_col, query_col)
     raise ValueError(f"unknown metric {metric!r}; expected one of {_METRICS}")
 
 

@@ -1,0 +1,232 @@
+"""Session-5 breadth queries: grouped argmax (max_by/max-of-struct),
+unpivot (wide→long reshaping), map functions, percent_rank/cume_dist
+analytic windows, inner-product (dot) similarity search, and per-label
+embedding centroids in exact fixed-point arithmetic.
+
+Each closes a still-uncovered corner of the SURVEY §2.2 function surface
+(grouped argmax and reshaping are everyday analytics verbs; dot-product is
+the metric most embedding models are trained for; centroids are the
+building block the IVF/PQ quantizers consume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.queries_registry import load, register
+
+_DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Grouped argmax: the single most expensive order per priority class.
+# Spark computes it as MAX over a (price, orderkey) struct — one map-side-
+# combined HashAggregate, no window, no shuffle of non-winning rows; the
+# struct's field order doubles as a deterministic tie-break. The oracle
+# states the same thing as a ROW_NUMBER()=1 window.
+# ---------------------------------------------------------------------------
+@register(
+    "argmax_order_per_priority",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+             o_totalprice AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT priority, orderkey, price FROM r WHERE rn = 1 ORDER BY priority
+    """,
+)
+def q_argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    top = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("s")
+    )
+    return top.select(
+        "priority",
+        F.col("s.o_orderkey").alias("orderkey"),
+        F.col("s.o_totalprice").alias("price"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): per-returnflag decimal-exact totals reshaped into
+# (returnflag, metric, value) rows via DataFrame.unpivot — the melt half of
+# the pivot/unpivot pair (pivot_revenue_by_priority is the other half).
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_pricing_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+    UNION ALL
+    SELECT returnflag, 'sum_disc' AS metric, sum_disc AS value FROM agg
+    ORDER BY returnflag, metric
+    """,
+)
+def q_unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast(_DEC)).cast("double").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("returnflag", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Map functions: part attributes packed into a MapType column
+# (create_map), filtered (map_filter drops empty values), then exploded
+# back to (key, value) rows and counted. The oracle enumerates the same
+# key/value pairs with UNION ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "map_funcs_part_attrs",
+    """
+    SELECT attr, val, COUNT(*) AS n FROM (
+      SELECT 'brand' AS attr, p_brand AS val FROM part WHERE p_brand != ''
+      UNION ALL
+      SELECT 'type' AS attr, p_type AS val FROM part WHERE p_type != ''
+    )
+    GROUP BY attr, val
+    ORDER BY attr, val
+    """,
+)
+def q_map_funcs_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    attrs = part.select(
+        F.map_filter(
+            F.create_map(
+                F.lit("brand"), F.col("p_brand"),
+                F.lit("type"), F.col("p_type"),
+            ),
+            lambda _, v: v != "",
+        ).alias("attrs")
+    )
+    kv = attrs.select(F.explode("attrs").alias("attr", "val"))
+    return kv.groupBy("attr", "val").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "attr", "val"
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist: the distribution-analytic windows (rank and
+# lag/lead/ntile are covered elsewhere). Both are exact rationals computed
+# by the same formula in both engines — no rounding needed. The unique
+# (price, orderkey) sort key makes peer groups singletons, so cume_dist is
+# deterministic too.
+# ---------------------------------------------------------------------------
+@register(
+    "window_percent_rank_cume",
+    """
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY status, orderkey
+    """,
+)
+def q_window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).orderBy("status", "orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Inner-product similarity search: top-10 by dot(a, q) — the native metric
+# for most trained embedding models (MIPS). Same single-pass shape as
+# knn_exact: codegen'd zip_with/aggregate fold → TakeOrderedAndProject on
+# score DESC; the query vector stays broadcast. Fold order matches DuckDB's
+# list_reduce left-to-right, so scores are bit-identical pre-round.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_dot",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (acc, val) -> acc + val), 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import dot_product
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.round(dot_product("embedding", "qv"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc_nulls_last(), F.col("vec_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids — the aggregation the IVF/PQ quantizers are
+# built from, as a first-class query. posexplode spreads each vector into
+# (pos, component) rows; the per-(label, pos) sum is computed in exact
+# fixed-point (floor(x·1e6) as BIGINT) so the cross-row sum is associative
+# and bit-identical to DuckDB regardless of either engine's partial-agg
+# order. At scale this is one map-side-combined HashAggregate keyed by
+# (label, pos) — dim×n_labels cells, never a vector collect.
+# ---------------------------------------------------------------------------
+@register(
+    "centroid_per_label",
+    """
+    SELECT label, i AS pos, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS centroid_micro_sum
+    FROM (SELECT label, UNNEST(embedding) AS val,
+                 UNNEST(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1e6).alias("micro"),
+    )
+    return (
+        parts.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("micro").alias("centroid_micro_sum"),
+        )
+        .orderBy("label", "pos")
+    )
