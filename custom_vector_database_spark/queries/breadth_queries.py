@@ -230,3 +230,128 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-STREAM join (purchase←click attribution): two watermarked legs of
+# the events stream joined on user + an event-time range. The range
+# condition bounds the join state (clicks age out at watermark+lookback),
+# which is what makes the operator runnable on an unbounded stream. The
+# oracle is the identical batch join — streaming must add matches, never
+# change them.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_purchase_click_join",
+    """
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    WHERE p.user_id < 50
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def q_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.streaming import (
+        run_stream_to_memory,
+        stream_purchase_click_join,
+        streaming_events,
+    )
+
+    joined = stream_purchase_click_join(
+        streaming_events(spark, sf_dir), user_filter=50
+    )
+    out = run_stream_to_memory(spark, joined, "stream_join", output_mode="append")
+    return out.orderBy("user_id", "purchase_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape (shipping-priority): 3-table join → grouped revenue →
+# global top-10. Decimal-exact revenue (price and discount are 2-decimal
+# valued, so extendedprice·(1−discount) is exact at 4 decimals and the sum
+# is associative); orderkey tie-break keeps the LIMIT deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape (forecast-revenue change): pure scan-filter-aggregate —
+# the query whose whole cost is how much the scan prunes. The three
+# predicates (date range, discount band, quantity cap) all reach the
+# Parquet scan as pushed filters.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -328,3 +328,62 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(
         "doc_id", dd.bits_to_hex("bits").alias("simhash")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Transitive dedup CLUSTERS: the n-gram Jaccard pairs are edges; the real
+# dedup unit is their connected component (A~B, B~C collapses all three
+# even though A and C never matched directly). Spark runs hash-min label
+# propagation (operators/graph.py — one shuffle per round, label-sum
+# convergence witness); the oracle computes the same transitive closure
+# with a recursive CTE. Docs with no near-dup edge are their own cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_docs",
+    f"""
+    WITH RECURSIVE
+      t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    ELSE [] END AS sh
+        FROM t),
+      sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM common c
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node),
+      cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+    SELECT d.doc_id, CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.graph import connected_components
+
+    docs = load_spread(spark, sf_dir, "documents")
+    edges = dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
+    ).select("id_a", "id_b")
+    cc = connected_components(edges)
+    out = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return out.orderBy("doc_id")

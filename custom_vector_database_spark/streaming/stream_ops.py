@@ -27,6 +27,7 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_agg",
+    "stream_purchase_click_join",
     "run_stream_to_memory",
 ]
 
@@ -130,6 +131,59 @@ def stream_sliding_agg(
             "n_events",
             "total_value",
         )
+    )
+
+
+def stream_purchase_click_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    user_filter: int | None = None,
+) -> DataFrame:
+    """Stream-STREAM inner join: each purchase matched to the same user's
+    clicks in the preceding ``lookback`` (attribution). Both legs derive
+    from one source stream (a self-join — two independent state stores);
+    the event-time range condition plus the watermarks let Spark EVICT
+    state: a click older than watermark+lookback can never match a future
+    purchase and is dropped, so state is bounded by the time window, not
+    the stream length. Without the range condition this join would buffer
+    both streams forever — the condition is the scale contract, not an
+    optimization.
+
+    Returns append-mode rows (user_id, purchase_id, click_id, lag_us).
+    """
+    base = events if user_filter is None else events.filter(
+        F.col("user_id") < user_filter
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
 
 

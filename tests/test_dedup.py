@@ -136,3 +136,17 @@ def test_embedding_neardup_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] < 0.01
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C must collapse to one cluster even though A-C never
+    matched directly; disjoint pairs stay separate; min id wins."""
+    from custom_vector_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
