@@ -233,6 +233,98 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical aggregates (corr / covariance / stddev) computed from
+# decimal-EXACT moment sums: quantity and price are 2-decimal valued, so
+# n, Σx, Σy, Σxy, Σx², Σy² are all exact decimals (associative — immune
+# to partial-agg order), and the final Pearson/covariance/stddev formulas
+# run on identical doubles in both engines. Using F.corr directly would
+# hash-mismatch: its one-pass update order differs per engine.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_corr_price_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT returnflag, n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+           round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS covar_pop,
+           round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)), 6) AS stddev_pop_qty
+    FROM m ORDER BY returnflag
+    """,
+)
+def q_stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+        F.round((n * sxy - sx * sy) / (n.cast("double") * n), 6).alias("covar_pop"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)), 6).alias(
+            "stddev_pop_qty"
+        ),
+    ).orderBy("returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width price bins by integer floor division — the
+# scale-friendly binning (one map-side-combined agg, no sort, bin bounds
+# derivable from the bin id).
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_order_price",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           round(MIN(o_totalprice), 2) AS bin_min,
+           round(MAX(o_totalprice), 2) AS bin_max
+    FROM orders
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-STREAM join (purchase←click attribution): two watermarked legs of
 # the events stream joined on user + an event-time range. The range
 # condition bounds the join state (clicks age out at watermark+lookback),

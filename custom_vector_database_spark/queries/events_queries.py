@@ -49,7 +49,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    # per-row JSON parsing is the cost here; spread the single-file scan
+    # across cores before it (see queries_registry.load_spread rationale)
+    ev = load_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.groupBy("event_type")
