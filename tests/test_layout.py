@@ -89,3 +89,57 @@ def test_range_scan_is_pushed_down_and_correct(spark, sf_smoke, clustered):
     assert "PushedFilters" in plan and "l_shipdate" in plan
     # same rows as the unclustered table: layout changes I/O, never results
     assert clustered_df.count() == li.filter(pred).count()
+
+
+def _spans(spark, path, col):
+    """Per-file (max-min) span of `col`, plus the global span, from footers."""
+    import pyarrow.parquet as pq_
+
+    files = spark.read.parquet(path).inputFiles()
+    spans, gmin, gmax = [], None, None
+    for f in files:
+        md = pq_.ParquetFile(f.replace("file:", "")).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins = [md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups)]
+        maxs = [md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups)]
+        lo, hi = min(mins), max(maxs)
+        spans.append(hi - lo)
+        gmin = lo if gmin is None else min(gmin, lo)
+        gmax = hi if gmax is None else max(gmax, hi)
+    return spans, (gmax - gmin)
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_smoke):
+    """Z-order narrows per-file zone maps on BOTH interleaved columns;
+    a plain single-column sort narrows only its own column and leaves the
+    other spanning ~the full range (no pruning possible on it)."""
+    from custom_vector_database_spark.operators.layout import zorder_write
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_zorder_")
+    try:
+        zpath, spath = f"{tmp}/z", f"{tmp}/single"
+        zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+        range_sorted_write(li, spath, "l_partkey", n_files=8)
+
+        # correctness: layout never changes content
+        assert spark.read.parquet(zpath).count() == li.count()
+
+        for col in ("l_partkey", "l_suppkey"):
+            spans, g = _spans(spark, zpath, col)
+            avg = sum(spans) / len(spans)
+            assert avg < 0.85 * g, f"z-order did not narrow {col}: {avg} vs {g}"
+
+        # the single-sort baseline: sorted col is tightly clustered...
+        spans_p, g_p = _spans(spark, spath, "l_partkey")
+        assert sum(spans_p) / len(spans_p) < 0.5 * g_p
+        # ...but the OTHER column spans ~everything in every file
+        spans_s, g_s = _spans(spark, spath, "l_suppkey")
+        assert sum(spans_s) / len(spans_s) > 0.9 * g_s
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
