@@ -233,6 +233,25 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified sampling (rows-only: Bernoulli draws are engine-specific —
+# determinism-for-a-seed and per-stratum rates are asserted in
+# tests/test_properties.py). At scale this is a single pass, no shuffle:
+# each task coin-flips its own rows with the stratum's fraction.
+# ---------------------------------------------------------------------------
+@register("stratified_sample_orders")
+def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    sample = orders.sampleBy(
+        "o_orderstatus", fractions={"F": 0.2, "O": 0.1, "P": 0.5}, seed=42
+    )
+    return (
+        sample.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical aggregates (corr / covariance / stddev) computed from
 # decimal-EXACT moment sums: quantity and price are 2-decimal valued, so
 # n, Σx, Σy, Σxy, Σx², Σy² are all exact decimals (associative — immune

@@ -74,3 +74,46 @@ def test_aggregation_is_partial_plus_final(spark):
 def test_no_python_udfs_in_core_paths(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's full join-strategy surface: hints must
+    override the optimizer's default pick (broadcast vs sort-merge vs
+    shuffled-hash for the same join)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+
+    def plan_of(hint):
+        j = orders.join(cust.hint(hint), orders["o_custkey"] == cust["c_custkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+
+
+def test_observe_metrics_in_single_pass(spark):
+    """df.observe collects data-quality counters during the main job —
+    no second scan — and they must equal a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+    ).first()
+    got = obs.get
+    assert got["n_rows"] == direct["n"]
+    assert got["sum_qty"] == direct["s"]
+    assert got["null_qty"] == 0

@@ -161,3 +161,63 @@ def test_cli_arity_errors_before_spark():
     assert main(["/tmp/nope", "init"]) == 1          # missing dim
     assert main(["/tmp/nope", "search", "5"]) == 1   # missing query vector
     assert main(["/tmp/nope", "update", "1"]) == 1   # missing vector
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Hash-min label propagation must equal a plain union-find on
+    arbitrary small graphs (cycles, chains, self-merging clumps)."""
+    from custom_vector_database_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == expected
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    """sampleBy with a seed: reproducible exactly; per-stratum rates near
+    the requested fractions; no rows from unlisted strata."""
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    fr = {"F": 0.2, "O": 0.1}
+
+    def draw():
+        return orders.sampleBy("o_orderstatus", fractions=fr, seed=7)
+
+    a = draw().groupBy("o_orderstatus").count().collect()
+    b = draw().groupBy("o_orderstatus").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    totals = {r["o_orderstatus"]: r["count"] for r in
+              orders.groupBy("o_orderstatus").count().collect()}
+    got = {r["o_orderstatus"]: r["count"] for r in a}
+    assert set(got) <= set(fr)
+    for status, frac in fr.items():
+        rate = got.get(status, 0) / totals[status]
+        assert abs(rate - frac) < 0.05, (status, rate)
