@@ -11,6 +11,7 @@ Every query ends in a total ORDER BY with a unique tie-break key.
 """
 
 from custom_vector_database_spark.queries import (  # noqa: F401
+    analytics_queries,
     breadth_queries,
     events_queries,
     extra_queries,
