@@ -38,24 +38,42 @@ def run_stream_to_memory(
     prefix: str,
     output_mode: str = "complete",
     timeout: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming aggregation to completion (availableNow) into a
     uniquely-named memory sink and return its table. Raises TimeoutError
     if the stream does not finish — reading the sink mid-stream would
-    silently return PARTIAL aggregates."""
+    silently return PARTIAL aggregates.
+
+    ``state_partitions``: a stream pins its state-store instance count
+    from spark.sql.shuffle.partitions at START (per-checkpoint, for the
+    stream's whole life). These bounded test/bench streams carry tiny
+    state, where 32 stores × micro-batches is pure per-task overhead
+    (~3-5× the runtime) — so the conf is temporarily lowered around
+    .start() and restored after. On a production cluster with real
+    key cardinality pass None to inherit the session setting."""
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(f"stream {name} did not finish within {timeout}s")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(old), state_partitions)),
+            )
+        q = (
+            agg_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(f"stream {name} did not finish within {timeout}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 _DEC = "decimal(18,2)"
