@@ -179,6 +179,45 @@ def q_date_spine_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The pure-SQL kNN surface: the same top-10 as knn_exact, written entirely
+# in SQL against the session's registered scalar functions
+# (functions/sql_functions.py). A SQL function is inlined at analysis
+# time, so this compiles to the identical codegen'd plan as the DataFrame
+# path — asserted in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_knn_exact",
+    """
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, q.q),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                 (acc, val) -> acc + val), 6) AS dist_sq
+    FROM embeddings e CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sql_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.sql_functions import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("_sql_emb")
+    return spark.sql(
+        """
+        WITH q AS (SELECT embedding AS qv FROM _sql_emb WHERE vec_id = 0)
+        SELECT e.vec_id AS vec_id, round(l2_sq(e.embedding, q.qv), 6) AS dist_sq
+        FROM _sql_emb e CROSS JOIN q
+        ORDER BY dist_sq ASC, vec_id ASC
+        LIMIT 10
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ordered list aggregation: each customer's order keys as one sorted
 # comma-joined string — collect_list is unordered by contract, so
 # sort_array fixes a canonical order BEFORE joining (and makes the result

@@ -117,3 +117,13 @@ def test_observe_metrics_in_single_pass(spark):
     assert got["n_rows"] == direct["n"]
     assert got["sum_qty"] == direct["s"]
     assert got["null_qty"] == 0
+
+
+def test_sql_knn_compiles_to_same_plan_as_dataframe_knn(spark):
+    """SQL scalar functions are inlined at analysis time: the pure-SQL kNN
+    must plan as heap top-k over a codegen'd expression — no Python
+    evaluation node, no global sort."""
+    plan = _plan(spark, "sql_knn_exact")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
