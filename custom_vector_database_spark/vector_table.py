@@ -352,19 +352,31 @@ class VectorTable:
         return LshIndex.load(self.spark, self._index_path)
 
     # -- O7 search (vectordb.cpp:120-156) -------------------------------------
-    def search(self, query: list[float], k: int, exact: bool = True) -> DataFrame:
+    def search(
+        self,
+        query: list[float],
+        k: int,
+        exact: bool = True,
+        metric: str = "l2_sq",
+    ) -> DataFrame:
         """k-NN as (id, dist_sq) nearest-first.
 
         exact=True: single-pass scan + TakeOrderedAndProject over the LIVE
-        table (always fresh, oracle-checkable). exact=False: approximate
-        search over the last-rebuilt LSH index — which, like the reference's
-        HNSW, is stale until rebuild() (test.cpp:116-118 contract).
+        table (always fresh, oracle-checkable), under any operators.knn
+        metric ("l2_sq", "cosine", "dot"). exact=False: approximate search
+        over the last-rebuilt LSH index — euclidean only (MLlib LSH family)
+        and, like the reference's HNSW, stale until rebuild()
+        (test.cpp:116-118 contract).
         """
         meta = self.meta
         if len(query) != meta.dim:
             raise DimensionMismatchError(f"expected dim {meta.dim}")
         if exact:
-            return knn_ops.knn(self.df(), [float(x) for x in query], k)
+            return knn_ops.knn(
+                self.df(), [float(x) for x in query], k, metric=metric
+            )
+        if metric != "l2_sq":
+            raise ValueError("approximate search supports only the l2_sq metric")
         return self._load_index().search([float(x) for x in query], k)
 
     def search_stale(self, query: list[float], k: int) -> DataFrame:

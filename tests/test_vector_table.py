@@ -115,3 +115,18 @@ def test_add_batch_parallel_stamping(spark, tbl):
         "min(id) lo", "max(id) hi", "count(*) n", "count(distinct id) d"
     ).collect()[0]
     assert (stats["lo"], stats["hi"], stats["n"], stats["d"]) == (1, 20000, 20000, 20000)
+
+
+def test_search_metric_plumbing(spark, tmp_path):
+    """exact search accepts every operators.knn metric; approximate search
+    rejects non-L2 (the MLlib LSH family is euclidean-only)."""
+    import pytest as _pytest
+
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    vt = VectorTable(spark, str(tmp_path / "db_metric")).init(dim=2)
+    vt.add([([1.0, 0.0], None), ([0.0, 1.0], None)])
+    assert vt.search([1.0, 0.1], k=1, metric="dot").collect()[0]["id"] == 1
+    assert vt.search([1.0, 0.1], k=1, metric="cosine").collect()[0]["id"] == 1
+    with _pytest.raises(ValueError):
+        vt.search([1.0, 0.1], k=1, exact=False, metric="dot")
