@@ -1,0 +1,80 @@
+"""BM25 full-text ranking over a document table — the retrieval-side verb of
+an LLM-data pipeline (quality-weighted corpus search, hard-negative mining).
+
+Shape (all shuffles are keyed aggregations with map-side combine; every
+join is a broadcast of something O(|terms|) or O(1)):
+
+1. tokenize → explode → ``groupBy(doc_id, token)`` count   (term frequency)
+2. from (1): ``groupBy(token)`` count                      (document freq)
+3. doc lengths + one-row corpus stats (N, avgdl)           (broadcast)
+4. score per (doc, term) via the BM25 formula; per-doc total is a
+   *fixed-order* sum of per-term conditional aggregates so the float fold
+   order is identical in Spark and the DuckDB oracle.
+
+At 100 TB: (1) shuffles (doc_id, token) pairs for the query terms only —
+the explode is filtered to the term set before the shuffle — and (2)-(3)
+are tiny; nothing materializes an inverted index unless you persist (1).
+
+Reference parity: ABSENT in the reference (SURVEY.md §2.2 — text retrieval
+is part of the promised pipeline surface, not vectordb.cpp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import text as tx
+
+
+def bm25(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against `terms`; returns (id, score) for docs
+    matching ≥1 term. idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Lucene form,
+    always positive)."""
+    toks = docs.select(
+        F.col(id_col), tx.token_count(text_col).alias("dl"),
+        F.explode(tx.tokenize(text_col)).alias("token"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(text_col)).alias("sum_dl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    # Fixed-order per-term sum: one conditional aggregate per term, added
+    # left-to-right — bit-identical to the oracle's identical expression.
+    per_term = [
+        F.sum(F.when(F.col("token") == t, F.col("s")).otherwise(0.0)).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.col(f"s{i}")
+    return agg.select(F.col(id_col), total.alias("score"))

@@ -15,6 +15,7 @@ from custom_vector_database_spark.queries import (  # noqa: F401
     breadth_queries,
     events_queries,
     extra_queries,
+    pipeline_queries,
     relational_queries,
     text_queries,
     udf_queries,

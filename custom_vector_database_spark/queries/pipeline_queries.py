@@ -1,0 +1,273 @@
+"""Large-scale-pipeline operators round 2, batch 2: BM25 retrieval,
+bloom-pruned joins, blocked fuzzy-match entity resolution, order-independent
+table fingerprints, and time-decayed aggregates.
+
+Float determinism notes per query are inline; the shared contract is
+queries/__init__.py. All five are oracle-checked — the bloom query's oracle
+is the *plain* semi-join (the bloom pass is a semantics-preserving
+prefilter, so the answers must be identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import bloom as bl
+from custom_vector_database_spark.operators import ranking as rk
+from custom_vector_database_spark.queries_registry import load, load_spread, register
+
+# ---------------------------------------------------------------------------
+# BM25 document ranking. Tokenization + formula mirrored in the oracle; the
+# per-doc score is a fixed-order sum of per-term conditional sums (each has
+# ≤1 nonzero element, so partial-agg order cannot change it); round(6)
+# absorbs any last-ulp ln() divergence between libm and the JVM.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "join", "filter"]
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+@register(
+    "bm25_top_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS dl, unnest({_DUCK_TOKS}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'join', 'filter')
+      GROUP BY doc_id, dl, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_TOKS})) AS sum_dl FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ), agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN token = 'spark'  THEN s ELSE 0.0 END) AS s0,
+             SUM(CASE WHEN token = 'join'   THEN s ELSE 0.0 END) AS s1,
+             SUM(CASE WHEN token = 'filter' THEN s ELSE 0.0 END) AS s2
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(0.0 + s0 + s1 + s2, 6) AS score
+    FROM agg ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return (
+        rk.bm25(docs, _BM25_TERMS)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi join: revenue by month for AUTOMOBILE-segment customers.
+# The bloom filter prunes the orders scan before the exact semi join; the
+# oracle is the plain semi join — identical answers or the operator is wrong.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_pruned_revenue",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    GROUP BY month ORDER BY month
+    """,
+)
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    orders = load(spark, sf_dir, "orders")
+    words = bl.bloom_build(cust, "c_custkey")
+    pruned = bl.bloom_prune(orders, "o_custkey", words)
+    exact = pruned.join(  # false-positive cleanup: exact semi join
+        F.broadcast(cust.select("c_custkey")),
+        pruned["o_custkey"] == F.col("c_custkey"),
+        "left_semi",
+    )
+    return (
+        exact.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy-match entity resolution over part names: dedupe the DISTINCT
+# name strings (low-cardinality canonicalization — the candidate-pair space
+# is |block|², never |table|²), block on the trailing token, keep pairs
+# within edit distance 4. Integer distances → exact oracle parity.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH names AS (
+      SELECT p_name AS name, (string_split(p_name, ' '))[-1] AS block,
+             COUNT(*) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(lev <= 4)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprint (anti-entropy / replica-diff check):
+# per-row md5 of a canonical serialization → 60-bit int → bit_xor + count.
+# XOR is commutative/associative, so the fingerprint is partition- and
+# order-independent — one map-side-combined aggregation at any scale.
+# Doubles are serialized via DECIMAL(18,2), timestamps via unix micros, so
+# the byte strings are engine-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "table_fingerprint",
+    """
+    WITH o AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_custkey,
+               o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               epoch_us(o_orderdate), o_orderpriority)), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ), c AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|', c_custkey, c_name,
+               c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+               c_mktsegment)), 1, 15)) AS BIGINT) AS h
+      FROM customer
+    )
+    SELECT 'orders' AS tbl, bit_xor(h) AS fingerprint, COUNT(*) AS n_rows FROM o
+    UNION ALL
+    SELECT 'customer' AS tbl, bit_xor(h) AS fingerprint, COUNT(*) AS n_rows FROM c
+    ORDER BY tbl
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(df: DataFrame, tbl: str, serial: F.Column) -> DataFrame:
+        h = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+        return df.select(h.alias("h")).agg(
+            F.lit(tbl).alias("tbl"),
+            F.bit_xor("h").alias("fingerprint"),
+            F.count("*").alias("n_rows"),
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    o_serial = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        # value-preserving and matches DuckDB's epoch_us on the naive value.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        "o_orderpriority",
+    )
+    c_serial = F.concat_ws(
+        "|",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        "c_mktsegment",
+    )
+    return (
+        fp(orders, "orders", o_serial)
+        .unionAll(fp(cust, "customer", c_serial))
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed revenue (feature-store recency weighting): weight each order
+# by 0.5^k where k = min(age_in_30d_buckets, 10). Exact cross-engine floats
+# by construction: cents (bigint) × 2^-k with k ≤ 10 is an exact binary
+# value, and the per-customer sum stays far below 2^53 in units of 2^-10 —
+# so the double sum is exact and order-independent. No rounding needed.
+# ---------------------------------------------------------------------------
+_REF_DATE = "1998-12-01"
+
+
+@register(
+    "time_decayed_revenue",
+    f"""
+    SELECT o_custkey,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * pow(0.5, least(greatest(CAST(date_diff('day',
+                                 CAST(o_orderdate AS DATE),
+                                 DATE '{_REF_DATE}') AS BIGINT), 0) // 30, 10))
+              ) / 100.0 AS decayed_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY decayed_revenue DESC, o_custkey
+    LIMIT 100
+    """,
+)
+def q_time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    k = F.least(
+        F.floor(
+            F.greatest(
+                F.datediff(F.lit(_REF_DATE).cast("date"), F.col("o_orderdate")),
+                F.lit(0),
+            )
+            / 30
+        ),
+        F.lit(10),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(cents * F.pow(F.lit(0.5), k)) / 100.0).alias("decayed_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("decayed_revenue"), "o_custkey")
+        .limit(100)
+    )

@@ -1,0 +1,101 @@
+"""Semantic tests for the batch-2 pipeline operators (bloom join pruning,
+BM25 ranking, fuzzy ER, fingerprints, time decay). Oracle parity for their
+registered queries is covered by test_oracle_parity; these assert the
+operator-level contracts the oracle can't see (no false negatives, pruning
+actually prunes, fingerprints react to single-row changes, ...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import bloom as bl
+from custom_vector_database_spark.operators import ranking as rk
+from custom_vector_database_spark.queries_registry import QUERIES
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    build = spark.range(0, 100).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 100_000).select(F.col("id").alias("k"))
+    words = bl.bloom_build(build, "k", num_bits=1 << 14)
+    kept = bl.bloom_prune(probe, "k", words, num_bits=1 << 14)
+    kept_set = {r["k"] for r in kept.collect()}
+    # every true member survives
+    assert {i * 7 for i in range(100)} <= kept_set
+    # and the filter actually prunes the ~99.9% non-members (fp rate small)
+    assert len(kept_set) < 5_000
+
+
+def test_bloom_words_table_is_bounded(spark):
+    build = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    words = bl.bloom_build(build, "k", num_bits=1 << 10)
+    assert words.count() <= (1 << 10) // 64
+
+
+def test_bm25_ranks_term_density(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark is here and spark again with padding padding padding"),
+            (3, "nothing relevant at all"),
+            (4, "one spark mention"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in rk.bm25(docs, ["spark"]).collect()}
+    assert 3 not in got  # no matching term -> absent
+    assert got[1] > got[2] > 0  # denser + shorter doc wins
+    assert got[4] > 0
+
+
+def test_bm25_multi_term_sums_per_term_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    both = {r["doc_id"]: r["score"] for r in rk.bm25(docs, ["alpha", "beta"]).collect()}
+    assert both[1] > both[2] and both[1] > both[3]
+
+
+def test_fuzzy_pairs_blocked_and_symmetric_free(spark, sf_smoke):
+    rows = QUERIES["fuzzy_part_name_pairs"](spark, sf_smoke).collect()
+    assert rows, "expected at least one near-match pair"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]  # each unordered pair exactly once
+        assert r["lev"] <= 4
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    serial = F.concat_ws("|", "id", "v")
+    h = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+
+    def fp(d):
+        return d.select(h.alias("h")).agg(F.bit_xor("h")).collect()[0][0]
+
+    base = fp(df)
+    # partition/order independence
+    assert fp(df.repartition(13)) == base
+    assert fp(df.orderBy(F.desc("id"))) == base
+    # single-value change flips the fingerprint
+    changed = df.withColumn(
+        "v", F.when(F.col("id") == 500, F.lit(99)).otherwise(F.col("v"))
+    )
+    assert fp(changed) != base
+
+
+def test_time_decay_weights_recent_orders_higher(spark, sf_smoke):
+    out = QUERIES["time_decayed_revenue"](spark, sf_smoke)
+    rows = out.collect()
+    assert rows and len(rows) <= 100
+    # decayed revenue can never exceed the undecayed total
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    totals = {
+        r["o_custkey"]: float(r["t"])
+        for r in orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"))
+        .collect()
+    }
+    for r in rows:
+        assert r["decayed_revenue"] <= totals[r["o_custkey"]] + 1e-9
+        assert r["decayed_revenue"] > 0
