@@ -38,19 +38,26 @@ def bm25(
     """Score every document against `terms`; returns (id, score) for docs
     matching ≥1 term. idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Lucene form,
     always positive)."""
-    toks = docs.select(
-        F.col(id_col), tx.token_count(text_col).alias("dl"),
-        F.explode(tx.tokenize(text_col)).alias("token"),
-    )
+    # ONE tokenize pass over the corpus: doc length + the matched-term
+    # sublist come out of the same projection, materialized once
+    # (localCheckpoint) so the tf / dfreq / corpus-stats branches below
+    # don't re-tokenize. What persists is only (id, dl, matched terms) —
+    # the "posting list" — not the token stream.
+    arr = tx.tokenize(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(arr).alias("dl"),
+        F.filter(arr, lambda t: t.isin(terms)).alias("matched"),
+    ).localCheckpoint(eager=True)
     tf = (
-        toks.filter(F.col("token").isin(terms))
+        base.select(id_col, "dl", F.explode("matched").alias("token"))
         .groupBy(id_col, "dl", "token")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    stats = docs.agg(
+    stats = base.agg(
         F.count("*").alias("n_docs"),
-        F.sum(tx.token_count(text_col)).alias("sum_dl"),
+        F.sum("dl").alias("sum_dl"),
     )
     scored = (
         tf.join(F.broadcast(dfreq), "token")
