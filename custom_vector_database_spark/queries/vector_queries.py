@@ -314,6 +314,54 @@ def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQ8 scalar-quantized search (operators/sq.py). Unlike PQ/LSH, the whole
+# search is oracle-checkable: the global max(|x|) scale, the HALF_UP
+# rounding to int8 codes, and the integer code distances are all
+# deterministic and engine-independent, so the candidate set — and hence
+# the reranked answer — must match DuckDB bit-for-bit.
+# ---------------------------------------------------------------------------
+_DUCK_SQ8 = (
+    "list_transform({v}, x -> CAST(greatest(least("
+    "round(CAST(x AS DOUBLE) / scale * 127), 127), -127) AS INT))"
+)
+_DUCK_INT_L2 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT))), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sq8_search",
+    f"""
+    WITH s AS (
+      SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS scale
+      FROM embeddings
+    ), q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    coded AS (
+      SELECT e.vec_id, e.embedding,
+             {_DUCK_INT_L2.format(a=_DUCK_SQ8.format(v="e.embedding"),
+                                  b=_DUCK_SQ8.format(v="q.q"))} AS code_dist
+      FROM embeddings e CROSS JOIN s CROSS JOIN q
+    ), cand AS (
+      SELECT vec_id, embedding FROM coded ORDER BY code_dist, vec_id LIMIT 30
+    )
+    SELECT c.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="c.embedding", b="q.q")}, 6) AS dist_sq
+    FROM cand c CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.sq import sq8_search
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sq8_search(emb, query, k=10, rerank=3)
+
+
+# ---------------------------------------------------------------------------
 # O8/O9 interop — the reference's OWN snapshot file format
 # (vectordb.cpp:158-218). Spark path: embeddings → write_snapshot (a JSON
 # file the reference's load() would accept, metadata included) →

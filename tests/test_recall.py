@@ -245,3 +245,26 @@ def test_ivfpq_save_load_partition_pruned(spark, emb, ivfpq, tmp_path):
     a = [(r["vec_id"], round(r["dist_sq"], 6)) for r in ivfpq.search(qvec, k=5, nprobe=2).collect()]
     b = [(r["vec_id"], round(r["dist_sq"], 6)) for r in res.collect()]
     assert a == b
+
+
+def test_sq8_recall_vs_exact(spark, emb):
+    """SQ8 int-code preselection + exact rerank: near-lossless — the int8
+    grid is fine relative to random-vector distances, so recall@10 with a
+    3× rerank should be essentially perfect; bar set at 0.9 with margin."""
+    from custom_vector_database_spark.operators.sq import sq8_search
+
+    queries = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        got = {r["vec_id"] for r in sq8_search(emb, qvec, k=K, rerank=3).collect()}
+        total += len(exact_ids & got) / K
+    assert total / N_QUERIES >= 0.9
