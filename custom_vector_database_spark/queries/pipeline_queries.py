@@ -271,3 +271,138 @@ def q_time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_revenue"), "o_custkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (SCD1 upsert) via one full-outer join (operators/merge.py).
+# Updates and inserts are derived deterministically from the table itself;
+# output is a per-segment summary of the merged state so the compare stays
+# small at any sf. DECIMAL sums keep it exact.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS c_acctbal,
+             'UPGRADED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, concat('New#', c_custkey), c_nationkey,
+             0.0 AS c_acctbal, 'FRESH' AS c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0
+    ), merged AS (
+      SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+             coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+             coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal
+      FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.merge import merge_upsert
+
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") + 100)
+        .cast("double")
+        .alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("New#"), F.col("c_custkey")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(cust, updates.unionAll(inserts), key="c_custkey")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (the pipeline gate before training data ships):
+# per-rule violation counts over orders, including a distributed referential
+# -integrity check (anti join — no collect, no cross product). Every rule is
+# a plain filter/anti-join count, so the suite stays one scan per rule at
+# any scale (Catalyst fuses the shared scan via column pruning).
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectations_orders",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'positive_price' AS rule, n_rows,
+             (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)) AS n_violations
+      FROM n
+      UNION ALL
+      SELECT 'valid_status', n_rows,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus NOT IN ('F', 'O', 'P')) FROM n
+      UNION ALL
+      SELECT 'date_in_range', n_rows,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                 OR o_orderdate >= TIMESTAMP '2000-01-01') FROM n
+      UNION ALL
+      SELECT 'customer_exists', n_rows,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) FROM n
+    ) ORDER BY rule
+    """,
+)
+def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n_rows = orders.count()
+
+    def rule(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(
+            F.lit(name).alias("rule"),
+            F.lit(n_rows).alias("n_rows"),
+            F.count("*").alias("n_violations"),
+        )
+
+    checks = [
+        rule("positive_price", orders.filter(~(F.col("o_totalprice") > 0))),
+        rule(
+            "valid_status",
+            orders.filter(~F.col("o_orderstatus").isin("F", "O", "P")),
+        ),
+        rule(
+            "date_in_range",
+            orders.filter(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            ),
+        ),
+        rule(
+            "customer_exists",
+            orders.join(
+                cust.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("rule")
