@@ -406,3 +406,73 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Recursive SQL (Spark 4 WITH RECURSIVE — the same surface DuckDB exposes):
+# walk the implicit decimal-digit hierarchy of customer keys (parent =
+# key div 10) to the root and roll counts/sums up per level. Acyclic and
+# ≤ ~8 levels deep by construction, so UNION ALL recursion terminates.
+# Spark executes each recursion step as a distributed job — no driver loop.
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS k, c_custkey AS node, 0 AS lvl FROM customer
+      UNION ALL
+      SELECT k, node {div} 10, lvl + 1 FROM anc WHERE node > 0
+    )
+    SELECT lvl, COUNT(*) AS n, CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM anc GROUP BY lvl ORDER BY lvl
+"""
+
+
+@register("recursive_ancestor_rollup", _RECURSIVE_SQL.format(div="//"))
+def q_recursive_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_SQL.format(div="div"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink: foreachBatch keeps the newest event per user in a
+# parquet target, merged batch-by-batch (streaming/stream_ops.py:
+# stream_upsert_latest). The oracle is ONE argmax over the whole stream —
+# equality proves merge-per-batch ≡ merge-once (max_by associativity).
+# `value` is emitted untouched (no arithmetic → raw parquet doubles hash
+# equal); ts as unix micros per the events idiom (events_queries.py:6).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_upsert_latest_event",
+    """
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_stream_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_upsert_latest,
+        streaming_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cvdb_upsert_")
+    try:
+        target = stream_upsert_latest(spark, streaming_events(spark, sf_dir), tmp)
+        out = target.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        ).orderBy("user_id")
+        # materialize before the temp dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -224,3 +224,79 @@ def stream_session_agg(
             "total_value",
         )
     )
+
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    events: DataFrame,
+    target_dir: str,
+    timeout: int = 300,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """foreachBatch upsert sink: keep the newest event per user in a parquet
+    target, merged batch-by-batch.
+
+    Each micro-batch reduces to its per-user latest row (``max_by`` over
+    (ts, event_id) — one map-side-combined aggregation), then merges with
+    the target by the same argmax over the union. The rewrite is atomic
+    (tmp → rename swap, VectorTable._rewrite's model). Because max_by over
+    (ts, event_id) is associative, merging per batch is equivalent to one
+    argmax over the whole stream — the registered oracle checks exactly
+    that equivalence.
+
+    At scale the target would be partitioned by a user_id bucket and each
+    batch would overwrite only the partitions it touches (dynamic
+    partition overwrite); the full-target union here matches the fixture's
+    whole-file model.
+    """
+    import os
+
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct("event_id", "event_type", "value", "ts")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by(payload, ordering).alias("s")
+        ).select("user_id", "s.*")
+
+    data = f"{target_dir}/data"
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        latest = latest_per_user(batch)
+        if os.path.exists(data):
+            merged = latest_per_user(
+                spark.read.parquet(data).unionByName(latest)
+            )
+        else:
+            merged = latest
+        tmp = f"{target_dir}/data_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(data):
+            old = f"{target_dir}/data_old"
+            os.rename(data, old)
+            os.rename(tmp, data)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, data)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(old_parts), state_partitions)),
+            )
+        q = (
+            events.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{target_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError("stream_upsert_latest did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(data)

@@ -99,3 +99,39 @@ def test_time_decay_weights_recent_orders_higher(spark, sf_smoke):
     for r in rows:
         assert r["decayed_revenue"] <= totals[r["o_custkey"]] + 1e-9
         assert r["decayed_revenue"] > 0
+
+
+def test_stream_upsert_latest_multi_batch(spark, sf_smoke, tmp_path):
+    """Force ≥2 micro-batches (two source files, maxFilesPerTrigger=1) so
+    the merge-with-existing-target branch actually executes; per-batch
+    merging must equal one argmax over the whole stream."""
+    from custom_vector_database_spark.queries.events_queries import load_events
+    from custom_vector_database_spark.streaming.stream_ops import stream_upsert_latest
+
+    ev = load_events(spark, sf_smoke).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target_dir = str(tmp_path / "tgt")
+    got = stream_upsert_latest(spark, stream, target_dir)
+
+    offsets = list((tmp_path / "tgt" / "ckpt" / "offsets").iterdir())
+    assert len(offsets) >= 2, "expected at least two micro-batches"
+
+    expected = {
+        (r["user_id"], r["event_id"])
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .collect()
+    }
+    assert {(r["user_id"], r["event_id"]) for r in got.collect()} == expected
+    # exactly one row per user
+    assert got.count() == got.select("user_id").distinct().count()
