@@ -476,3 +476,118 @@ def q_stream_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/cdc.py): old = customer, new = customer with
+# deterministic mutations (updates, deletes, inserts derived from the key).
+# The diff joins (key, row-hash) pairs only; the oracle expresses the same
+# diff by direct column comparison over a FULL OUTER JOIN — equal results
+# prove the hash-compare classification. Output stays O(3) rows: per
+# change_type count + key checksum.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH new_snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 3 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50 AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 != 5
+      UNION ALL
+      SELECT c_custkey + 20000000, 'FRESH', 0.0
+      FROM customer WHERE c_custkey % 101 = 7
+    ), old_snap AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ), diff AS (
+      SELECT coalesce(n.c_custkey, o.c_custkey) AS k,
+             CASE WHEN o.c_custkey IS NULL THEN 'INSERT'
+                  WHEN n.c_custkey IS NULL THEN 'DELETE'
+                  WHEN n.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+                    OR n.c_acctbal    IS DISTINCT FROM o.c_acctbal THEN 'UPDATE'
+             END AS change_type
+      FROM old_snap o FULL OUTER JOIN new_snap n USING (c_custkey)
+    )
+    SELECT change_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_key
+    FROM diff WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.cdc import snapshot_diff
+
+    old = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updated = old.filter(F.col("c_custkey") % 13 != 5).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 3, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            (F.col("c_acctbal").cast("decimal(18,2)") + 50).cast("double"),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    inserted = old.filter(F.col("c_custkey") % 101 == 7).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    new = updated.unionAll(inserted)
+    return (
+        snapshot_diff(old, new, key="c_custkey")
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").alias("sum_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/cdc.py:merge_agg_delta): the
+# stored monthly-revenue view covers orders before 1997; the 1997+ delta is
+# aggregated alone and combined — the base is never rescanned. The oracle
+# is the FULL aggregate over all orders: equality proves incremental
+# maintenance ≡ recompute (decimal sums are associative, so the two-level
+# combine is exact).
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.cdc import merge_agg_delta
+
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+
+    stored = monthly(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = monthly(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_agg_delta(
+        stored, delta, keys=["month"], measures={"revenue": "sum", "n_orders": "count"}
+    )
+    return merged.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+    ).orderBy("month")

@@ -135,3 +135,54 @@ def test_stream_upsert_latest_multi_batch(spark, sf_smoke, tmp_path):
     assert {(r["user_id"], r["event_id"]) for r in got.collect()} == expected
     # exactly one row per user
     assert got.count() == got.select("user_id").distinct().count()
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from custom_vector_database_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "UPDATE", 3: "DELETE", 4: "INSERT"}
+    # UPDATE/INSERT carry the new payload; DELETE carries nulls
+    rows = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert rows[2]["s"] == "B" and rows[4]["v"] == 40.0
+    assert rows[3]["s"] is None and rows[3]["v"] is None
+
+
+def test_snapshot_diff_distinguishes_null_from_empty(spark):
+    from custom_vector_database_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = snapshot_diff(old, new, "k").collect()
+    assert len(got) == 1 and got[0]["change_type"] == "UPDATE"
+
+
+def test_merge_agg_delta_equals_full_recompute(spark):
+    from custom_vector_database_spark.operators.cdc import merge_agg_delta
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count("*").alias("n"), F.max("v").alias("mx")
+        )
+
+    stored = agg(df.filter(F.col("v") < 600))
+    delta = agg(df.filter(F.col("v") >= 600))
+    merged = merge_agg_delta(
+        stored, delta, ["g"], {"total": "sum", "n": "count", "mx": "max"}
+    )
+    full = {r["g"]: (r["total"], r["n"], r["mx"]) for r in agg(df).collect()}
+    got = {r["g"]: (r["total"], r["n"], r["mx"]) for r in merged.collect()}
+    assert got == full
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_agg_delta(stored, delta, ["g"], {"total": "avg"})
