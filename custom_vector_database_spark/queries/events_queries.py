@@ -323,3 +323,112 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: ONE pass building hour+day+month
+# rollups via GROUPING SETS (the multi-granularity materialization a
+# time-series store maintains). Identical SQL on both engines; Spark
+# executes it as a single Expand + hash aggregate — no per-granularity
+# rescan.
+# ---------------------------------------------------------------------------
+_MGR_SQL = """
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'month' END AS gran,
+           {epoch}(coalesce(h, d, m)) AS bucket_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 date_trunc('month', ts) AS m, value
+          FROM {src})
+    GROUP BY GROUPING SETS ((h), (d), (m))
+    ORDER BY gran, bucket_us
+"""
+
+
+@register(
+    "multi_granularity_rollup",
+    _MGR_SQL.format(epoch="epoch_us", src="events"),
+)
+def q_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_events(spark, sf_dir).createOrReplaceTempView("events_mgr")
+    return spark.sql(_MGR_SQL.format(epoch="unix_micros", src="events_mgr"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users, the scalable formulation: dedupe to daily
+# (day, user) pairs FIRST, fan each pair out to its ≤7 member windows
+# (explode(sequence)), then COUNT(DISTINCT) per window day — equi-joins and
+# keyed aggregations only, no range join over the raw stream. The
+# sketch-merge variant below (daily HLL → hll_union_agg over member
+# windows) is what you run when exact distinct is too expensive; the test
+# asserts it lands within HLL error of this exact result.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', MAX(ts)) AS d1 FROM events
+    ), daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), fan AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday,
+             user_id
+      FROM daily
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM fan, bounds WHERE wday <= d1
+    GROUP BY wday ORDER BY day
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    fan = daily.select(
+        F.explode(
+            F.sequence("day", F.expr("day + INTERVAL 6 DAY"), F.expr("INTERVAL 1 DAY"))
+        ).alias("wday"),
+        "user_id",
+    )
+    d1 = ev.agg(F.date_trunc("day", F.max("ts")).alias("d1"))
+    return (
+        fan.join(F.broadcast(d1), fan["wday"] <= F.col("d1"))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "active_users")
+        .orderBy("day")
+    )
+
+
+def rolling_active_users_hll(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """Sketch-merge rolling uniques: ONE HLL sketch per day (map-side
+    combinable), then union the ≤`window_days` member sketches per window.
+    At 100 TB this is the only tractable shape — state per day is a ~KB
+    sketch instead of the user set, and re-aggregation never touches raw
+    events. Approximate (~2% HLL error); exactness contract is the
+    registered exact query above."""
+    day = F.date_trunc("day", "ts")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    fan = daily.select(
+        F.explode(
+            F.sequence(
+                "day",
+                F.expr(f"day + INTERVAL {window_days - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday"),
+        "sk",
+    )
+    d1 = ev.agg(F.date_trunc("day", F.max("ts")).alias("d1"))
+    return (
+        fan.join(F.broadcast(d1), fan["wday"] <= F.col("d1"))
+        .groupBy("wday")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("active_users"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "active_users")
+        .orderBy("day")
+    )

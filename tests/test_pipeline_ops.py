@@ -186,3 +186,21 @@ def test_merge_agg_delta_equals_full_recompute(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         merge_agg_delta(stored, delta, ["g"], {"total": "avg"})
+
+
+def test_rolling_hll_within_error_of_exact(spark, sf_smoke):
+    from custom_vector_database_spark.queries.events_queries import (
+        load_events,
+        rolling_active_users_hll,
+    )
+
+    ev = load_events(spark, sf_smoke)
+    exact = {
+        r["day"]: r["active_users"]
+        for r in QUERIES["rolling_7d_active_users"](spark, sf_smoke).collect()
+    }
+    approx = {r["day"]: r["active_users"] for r in rolling_active_users_hll(ev).collect()}
+    assert set(approx) == set(exact)
+    for day, est in approx.items():
+        # HLL default lgConfigK=12 → ~1.6% standard error; allow 5% + slack 2
+        assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), (day, est, exact[day])
