@@ -591,3 +591,30 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("revenue").cast("double").alias("revenue"),
         "n_orders",
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL join (Spark 4 + DuckDB share the syntax): top-2 orders
+# per customer as a correlated subquery with ORDER BY ... LIMIT — the SQL
+# surface for "per-group top-N" (Spark plans it as a ranked window, not a
+# per-row re-execution). Raw doubles pass through untouched → exact hashes.
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey < 50
+    ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@register("lateral_top_orders_per_customer", _LATERAL_SQL)
+def q_lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
