@@ -26,8 +26,25 @@ the large-scale-pipeline surface promised in SURVEY.md §2.2.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built filter: the words table PLUS the geometry it was built with.
+
+    num_bits/num_hashes travel with the words so build and probe can never
+    disagree — a mismatch would compute different bit positions per side
+    and silently drop true members (false negatives), breaking the one
+    guarantee this module makes.
+    """
+
+    words: DataFrame
+    num_bits: int
+    num_hashes: int
 
 
 def _bit_pos(key: Column, seed: int, num_bits: int) -> Column:
@@ -38,17 +55,16 @@ def _bit_pos(key: Column, seed: int, num_bits: int) -> Column:
 
 def bloom_build(
     build: DataFrame, key: str, num_bits: int = 1 << 16, num_hashes: int = 2
-) -> DataFrame:
-    """Fold the build side's keys into a words table (word_idx, word).
-
-    Output has ≤ num_bits/64 rows — always broadcastable. One shuffle of
+) -> BloomFilter:
+    """Fold the build side's keys into a BloomFilter whose words table has
+    ≤ num_bits/64 rows — always broadcastable. One shuffle of
     (word_idx, mask) pairs with map-side bit_or combine.
     """
     k = F.col(key)
     bits = F.array(
         *[_bit_pos(k, i, num_bits) for i in range(num_hashes)]
     )
-    return (
+    words = (
         build.select(F.explode(bits).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
@@ -59,26 +75,22 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    return BloomFilter(words=words, num_bits=num_bits, num_hashes=num_hashes)
 
 
-def bloom_prune(
-    probe: DataFrame,
-    key: str,
-    words: DataFrame,
-    num_bits: int = 1 << 16,
-    num_hashes: int = 2,
-) -> DataFrame:
+def bloom_prune(probe: DataFrame, key: str, bf: BloomFilter) -> DataFrame:
     """Keep probe rows whose key *may* be in the filter (no false negatives).
 
     One broadcast join per hash function; a missing word row means the word
     is all-zeros, so the row is dropped (inner join suffices).
     """
+    num_bits, num_hashes = bf.num_bits, bf.num_hashes
     out = probe
     k = F.col(key)
     for i in range(num_hashes):
         pos = _bit_pos(k, i, num_bits)
         w = F.broadcast(
-            words.select(
+            bf.words.select(
                 F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__w{i}")
             )
         )

@@ -44,6 +44,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     UPDATE rows carry the new values; DELETE rows carry nulls (the row no
     longer exists). Unchanged keys are dropped before anything wide
     shuffles.
+
+    PRECONDITION: `key` is unique within each snapshot (primary-key
+    tables). Duplicate keys would cross-product in the full-outer join and
+    emit contradictory change rows — if the upstream can't guarantee this,
+    run a groupBy(key).count() gate (dq_expectations-style) first.
     """
     if set(old.columns) != set(new.columns):
         raise ValueError("snapshot schemas differ")

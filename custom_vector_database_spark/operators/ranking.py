@@ -37,7 +37,14 @@ def bm25(
 ) -> DataFrame:
     """Score every document against `terms`; returns (id, score) for docs
     matching ≥1 term. idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Lucene form,
-    always positive)."""
+    always positive).
+
+    The posting-list localCheckpoint lives until the returned DataFrame is
+    garbage-collected — callers scoring many queries in one session should
+    consume the result promptly rather than accumulating references.
+    """
+    if not terms:
+        raise ValueError("bm25 requires at least one query term")
     # ONE tokenize pass over the corpus: doc length + the matched-term
     # sublist come out of the same projection, materialized once
     # (localCheckpoint) so the tf / dfreq / corpus-stats branches below

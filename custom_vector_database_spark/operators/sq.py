@@ -76,13 +76,20 @@ def sq8_search(
     id, so the set is deterministic); output = exact (id, dist_sq) over
     that set, nearest-first.
     """
-    scale = F.broadcast(sq8_scale(df, vec_col))
     qlit = F.array(*[F.lit(float(x)) for x in query])
-    coded = df.crossJoin(scale).select(
+    # encode the query ONCE against the one-row scale table — putting
+    # _encode(qlit, scale) in the per-row projection would redo dim×
+    # (divide, round, clamp) on the identical literal for every data row
+    side = F.broadcast(
+        sq8_scale(df, vec_col).select(
+            "scale", _encode(qlit, F.col("scale")).alias("__qcode")
+        )
+    )
+    coded = df.crossJoin(side).select(
         F.col(id_col),
         F.col(vec_col),
         _int_l2_sq(
-            _encode(F.col(vec_col), F.col("scale")), _encode(qlit, F.col("scale"))
+            _encode(F.col(vec_col), F.col("scale")), F.col("__qcode")
         ).alias("code_dist"),
     )
     cands = coded.orderBy("code_dist", id_col).limit(k * rerank)

@@ -87,8 +87,8 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
     orders = load(spark, sf_dir, "orders")
-    words = bl.bloom_build(cust, "c_custkey")
-    pruned = bl.bloom_prune(orders, "o_custkey", words)
+    bf = bl.bloom_build(cust, "c_custkey")
+    pruned = bl.bloom_prune(orders, "o_custkey", bf)
     exact = pruned.join(  # false-positive cleanup: exact semi join
         F.broadcast(cust.select("c_custkey")),
         pruned["o_custkey"] == F.col("c_custkey"),

@@ -55,6 +55,32 @@ def run_stream_to_memory(
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    _drive_bounded_stream(
+        spark,
+        lambda: (
+            agg_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        ),
+        name=name,
+        timeout=timeout,
+        state_partitions=state_partitions,
+    )
+    return spark.table(name)
+
+
+def _drive_bounded_stream(
+    spark: SparkSession,
+    start,
+    name: str,
+    timeout: int,
+    state_partitions: int | None,
+) -> None:
+    """Shared drive loop for bounded (availableNow) streams: pin the
+    state-store count down around .start() (see run_stream_to_memory's
+    rationale), await completion, raise on timeout."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         if state_partitions is not None:
@@ -62,19 +88,12 @@ def run_stream_to_memory(
                 "spark.sql.shuffle.partitions",
                 str(min(int(old), state_partitions)),
             )
-        q = (
-            agg_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = start()
         if not q.awaitTermination(timeout):
             q.stop()
             raise TimeoutError(f"stream {name} did not finish within {timeout}s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
 
 _DEC = "decimal(18,2)"
 
@@ -226,6 +245,29 @@ def stream_session_agg(
     )
 
 
+def recover_swap(target_dir: str) -> None:
+    """Repair an interrupted tmp→data swap (see stream_upsert_latest).
+
+    A leftover ``data_old`` with no ``data`` is rolled forward when a
+    complete tmp write exists (``_SUCCESS`` marker — it IS the new state)
+    or rolled back otherwise; stale tmp/old dirs from killed runs are
+    cleared so the next swap's renames cannot collide.
+    """
+    import os
+    import shutil
+
+    data = f"{target_dir}/data"
+    tmp = f"{target_dir}/data_tmp"
+    old = f"{target_dir}/data_old"
+    if not os.path.exists(data) and os.path.exists(old):
+        if os.path.exists(tmp) and os.path.exists(f"{tmp}/_SUCCESS"):
+            os.rename(tmp, data)  # roll forward: tmp write completed
+        else:
+            os.rename(old, data)  # roll back: swap never started
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def stream_upsert_latest(
     spark: SparkSession,
     events: DataFrame,
@@ -238,11 +280,17 @@ def stream_upsert_latest(
 
     Each micro-batch reduces to its per-user latest row (``max_by`` over
     (ts, event_id) — one map-side-combined aggregation), then merges with
-    the target by the same argmax over the union. The rewrite is atomic
-    (tmp → rename swap, VectorTable._rewrite's model). Because max_by over
+    the target by the same argmax over the union. Because max_by over
     (ts, event_id) is associative, merging per batch is equivalent to one
     argmax over the whole stream — the registered oracle checks exactly
     that equivalence.
+
+    Crash safety: the swap is tmp → (data → old, tmp → data) — two renames,
+    so a crash can land between them. Every batch therefore starts with a
+    recovery step: a leftover ``data_old`` with no ``data`` is rolled
+    forward (complete tmp exists → it IS the new state) or back; stale
+    tmp/old from killed runs are cleared before reuse. Re-running a batch
+    after recovery is idempotent because the merge is an argmax.
 
     At scale the target would be partitioned by a user_id bucket and each
     batch would overwrite only the partitions it touches (dynamic
@@ -250,6 +298,7 @@ def stream_upsert_latest(
     whole-file model.
     """
     import os
+    import shutil
 
     ordering = F.struct(F.col("ts"), F.col("event_id"))
     payload = F.struct("event_id", "event_type", "value", "ts")
@@ -260,43 +309,39 @@ def stream_upsert_latest(
         ).select("user_id", "s.*")
 
     data = f"{target_dir}/data"
+    tmp = f"{target_dir}/data_tmp"
+    old = f"{target_dir}/data_old"
+
+    def recover() -> None:
+        recover_swap(target_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        latest = latest_per_user(batch)
+        recover()
         if os.path.exists(data):
             merged = latest_per_user(
-                spark.read.parquet(data).unionByName(latest)
+                spark.read.parquet(data).unionByName(latest_per_user(batch))
             )
         else:
-            merged = latest
-        tmp = f"{target_dir}/data_tmp"
+            merged = latest_per_user(batch)
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(data):
-            old = f"{target_dir}/data_old"
             os.rename(data, old)
             os.rename(tmp, data)
-            import shutil
-
             shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(tmp, data)
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        if state_partitions is not None:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(min(int(old_parts), state_partitions)),
-            )
-        q = (
+    _drive_bounded_stream(
+        spark,
+        lambda: (
             events.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", f"{target_dir}/ckpt")
             .trigger(availableNow=True)
             .start()
-        )
-        if not q.awaitTermination(timeout):
-            q.stop()
-            raise TimeoutError("stream_upsert_latest did not finish")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        ),
+        name="stream_upsert_latest",
+        timeout=timeout,
+        state_partitions=state_partitions,
+    )
+    recover()
     return spark.read.parquet(data)

@@ -16,8 +16,8 @@ from custom_vector_database_spark.queries_registry import QUERIES
 def test_bloom_no_false_negatives_and_prunes(spark):
     build = spark.range(0, 100).select((F.col("id") * 7).alias("k"))
     probe = spark.range(0, 100_000).select(F.col("id").alias("k"))
-    words = bl.bloom_build(build, "k", num_bits=1 << 14)
-    kept = bl.bloom_prune(probe, "k", words, num_bits=1 << 14)
+    bf = bl.bloom_build(build, "k", num_bits=1 << 14)
+    kept = bl.bloom_prune(probe, "k", bf)
     kept_set = {r["k"] for r in kept.collect()}
     # every true member survives
     assert {i * 7 for i in range(100)} <= kept_set
@@ -27,8 +27,9 @@ def test_bloom_no_false_negatives_and_prunes(spark):
 
 def test_bloom_words_table_is_bounded(spark):
     build = spark.range(0, 10_000).select(F.col("id").alias("k"))
-    words = bl.bloom_build(build, "k", num_bits=1 << 10)
-    assert words.count() <= (1 << 10) // 64
+    bf = bl.bloom_build(build, "k", num_bits=1 << 10)
+    assert bf.words.count() <= (1 << 10) // 64
+    assert (bf.num_bits, bf.num_hashes) == (1 << 10, 2)
 
 
 def test_bm25_ranks_term_density(spark):
@@ -204,3 +205,82 @@ def test_rolling_hll_within_error_of_exact(spark, sf_smoke):
     for day, est in approx.items():
         # HLL default lgConfigK=12 → ~1.6% standard error; allow 5% + slack 2
         assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), (day, est, exact[day])
+
+
+def test_merge_upsert_broadcast_path_equivalent_and_mapside(spark):
+    from custom_vector_database_spark.operators.merge import merge_upsert
+
+    target = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v"), F.lit("old").alias("s")
+    )
+    source = spark.createDataFrame(
+        [(5, 99, "upd"), (10_500, 1, "new"), (7, None, "half")],
+        "k long, v long, s string",
+    )
+    base = {(r["k"], r["v"], r["s"]) for r in merge_upsert(target, source, "k").collect()}
+    fast = merge_upsert(target, source, "k", broadcast_source=True)
+    assert {(r["k"], r["v"], r["s"]) for r in fast.collect()} == base
+    # null source column keeps the target value (coalesce semantics)
+    row7 = {r["k"]: (r["v"], r["s"]) for r in fast.collect()}[7]
+    assert row7 == (2, "half")
+    # the wide target rows go through a broadcast join, not a full-outer SMJ
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "FullOuter" not in plan
+
+
+def test_bloom_geometry_travels_with_filter(spark):
+    from custom_vector_database_spark.operators import bloom as bl
+
+    build = spark.range(0, 50).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    # non-default geometry: probe must still be false-negative-free without
+    # the caller restating num_bits/num_hashes
+    bf = bl.bloom_build(build, "k", num_bits=1 << 12, num_hashes=3)
+    kept = {r["k"] for r in bl.bloom_prune(probe, "k", bf).collect()}
+    assert {i * 3 for i in range(50)} <= kept
+
+
+def test_recover_swap_rolls_forward_and_back(spark, tmp_path):
+    import os
+
+    from custom_vector_database_spark.streaming.stream_ops import recover_swap
+
+    def mk(dirname, marker=True):
+        d = tmp_path / dirname
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+        if marker:
+            (d / "_SUCCESS").write_bytes(b"")
+        return d
+
+    # crash between rename(data, old) and rename(tmp, data), tmp complete
+    mk("data_old")
+    mk("data_tmp")
+    recover_swap(str(tmp_path))
+    assert (tmp_path / "data" / "_SUCCESS").exists()  # rolled forward
+    assert not (tmp_path / "data_old").exists()
+    assert not (tmp_path / "data_tmp").exists()
+
+    # crash with an INCOMPLETE tmp (no _SUCCESS): roll back to old state
+    import shutil
+
+    shutil.rmtree(tmp_path / "data")
+    mk("data_old")
+    mk("data_tmp", marker=False)
+    recover_swap(str(tmp_path))
+    assert (tmp_path / "data").exists()  # rolled back
+    assert not (tmp_path / "data_tmp").exists()
+
+    # healthy state is left alone (stale tmp cleared)
+    mk("data_tmp", marker=False)
+    recover_swap(str(tmp_path))
+    assert (tmp_path / "data").exists() and not (tmp_path / "data_tmp").exists()
+
+
+def test_bm25_rejects_empty_terms(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        rk.bm25(docs, [])
