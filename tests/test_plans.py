@@ -127,3 +127,39 @@ def test_sql_knn_compiles_to_same_plan_as_dataframe_knn(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_sq8_search_is_heap_topk_no_second_scan(spark):
+    plan = _plan(spark, "sq8_search")
+    assert "TakeOrderedAndProject" in plan  # int-code candidate heap
+    # one scan of the embeddings table feeds candidates AND rerank payload
+    assert plan.count("embeddings.parquet]") == 2  # data scan + scale agg scan
+    assert "BatchEvalPython" not in plan  # whole path stays JVM-side
+
+
+def test_bloom_prune_joins_are_broadcast_only(spark):
+    plan = _plan(spark, "bloom_pruned_revenue")
+    # orders must not shuffle before the final aggregate: every join on the
+    # probe path is a broadcast hash join
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 bloom probes + semi join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_topn_plans_as_window_not_loop(spark):
+    plan = _plan(spark, "lateral_top_orders_per_customer")
+    # Spark de-correlates LATERAL ... ORDER BY ... LIMIT into a ranked
+    # window (one pass), not per-row re-execution / nested loops
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_granularity_rollup_is_one_expand_pass(spark):
+    plan = _plan(spark, "multi_granularity_rollup")
+    assert plan.count("Expand") == 1  # grouping sets = one Expand, one scan
+    assert plan.count("events.parquet]") == 1
+
+
+def test_recursive_cte_executes_distributed_union_loop(spark):
+    plan = _plan(spark, "recursive_ancestor_rollup")
+    assert "UnionLoop" in plan or "Recursion" in plan or "recursive" in plan.lower()
