@@ -618,3 +618,118 @@ def q_lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataF
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: build a versioned dimension from each user's
+# 'view' events (valid_from = ts, valid_to = next view's ts via lead()),
+# then join each 'purchase' fact to the version in effect at purchase time.
+# The join is equi-keyed on user_id with a validity band filter — the same
+# hash-partitioned shape as the range join, never a cross product. This is
+# the warehouse "AS OF <fact time>" join against a versioned dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH versions AS (
+      SELECT user_id, event_id AS version_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'view'
+    ), facts AS (
+      SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS val
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT v.version_id) AS n_versions_hit,
+           CAST(SUM(f.val) AS DOUBLE) AS total_value
+    FROM facts f JOIN versions v
+      ON f.user_id = v.user_id
+     AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.queries.events_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w.orderBy("valid_from", "version_id")))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").cast("decimal(18,2)").alias("val")
+    )
+    joined = facts.alias("f").join(
+        versions.alias("v"),
+        (F.col("f.user_id") == F.col("v.user_id"))
+        & (F.col("f.ts") >= F.col("v.valid_from"))
+        & (F.col("v.valid_to").isNull() | (F.col("f.ts") < F.col("v.valid_to"))),
+    )
+    return (
+        joined.groupBy(F.col("v.user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("v.version_id").alias("n_versions_hit"),
+            F.sum("f.val").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pairs): for each
+# query doc, rank every other doc by an md5-derived pseudo-random value
+# (seeded by the PAIR, so both engines and every rerun agree) and keep the
+# top 5 "random" negatives. At 100 TB the candidate pool would be a
+# hash-bucketed slice instead of the full corpus; the ranking shuffle
+# carries (query, candidate, hash) triples only.
+# ---------------------------------------------------------------------------
+@register(
+    "negative_sampling_pairs",
+    """
+    WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id < 10),
+    scored AS (
+      SELECT qid, d.doc_id AS neg_id,
+             CAST(concat('0x', substr(md5(concat(qid, '|', d.doc_id)), 1, 15)) AS BIGINT) AS r,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(concat('0x', substr(md5(concat(qid, '|', d.doc_id)), 1, 15)) AS BIGINT),
+                        d.doc_id
+             ) AS rk
+      FROM q CROSS JOIN documents d
+      WHERE d.doc_id != qid
+    )
+    SELECT qid, neg_id, rk FROM scored WHERE rk <= 5 ORDER BY qid, rk
+    """,
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    q = docs.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("qid"))
+    pairs = F.broadcast(q).crossJoin(
+        docs.select(F.col("doc_id").alias("neg_id"))
+    ).filter(F.col("neg_id") != F.col("qid"))
+    r = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "qid", "neg_id")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy(r, "neg_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "neg_id", "rk")
+        .orderBy("qid", "rk")
+    )
