@@ -122,3 +122,51 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_by: str | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE maintenance verb): rewrite a
+    parquet directory into ~``ceil(total_bytes / target_bytes)`` files,
+    atomically (tmp write → rename swap).
+
+    Streaming sinks and incremental batch appends accrete files far below
+    the ~128 MB a scan wants (each file costs a task + a footer read +
+    object-store request); at 100 TB unchecked accretion makes scans
+    metadata-bound. With ``sort_by`` the rewrite re-clusters via a range
+    shuffle (preserving zone-map pruning, see range_sorted_write);
+    otherwise a plain round-robin repartition — no sort, cheapest bin-pack.
+
+    Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_by is not None:
+        out = df.repartitionByRange(n, F.col(sort_by)).sortWithinPartitions(sort_by)
+    else:
+        out = df.repartition(n)
+    tmp = f"{path.rstrip('/')}_compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}_compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

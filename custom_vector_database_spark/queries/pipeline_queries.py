@@ -733,3 +733,64 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neg_id", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-STATIC join: enrich the purchase stream with a static per-user
+# dimension (signup time, derived once from the batch table). The static
+# side broadcasts into every micro-batch — no state store at all, the
+# cheapest streaming join there is (and the right one whenever the dim
+# fits in memory / is slowly-changing). Oracle = the same enrichment in
+# batch SQL over the whole stream.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_static_enrich",
+    """
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(date_diff('day', CAST(s.signup_ts AS DATE), CAST(e.ts AS DATE))
+                // 7 AS BIGINT) AS weeks_since_signup,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN signup s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+    GROUP BY weeks_since_signup
+    ORDER BY weeks_since_signup
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.queries.events_queries import load_events
+    from custom_vector_database_spark.streaming.stream_ops import (
+        run_stream_to_memory,
+        streaming_events,
+    )
+
+    signup = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    stream = streaming_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = (
+        stream.join(F.broadcast(signup), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .withColumn(
+            "weeks_since_signup",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date"))
+                / 7
+            ),
+        )
+    )
+    agg = enriched.groupBy("weeks_since_signup").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return run_stream_to_memory(spark, agg, "stream_static").orderBy(
+        "weeks_since_signup"
+    )

@@ -143,3 +143,53 @@ def test_zorder_clusters_both_dimensions(spark, sf_smoke):
         assert sum(spans_s) / len(spans_s) > 0.9 * g_s
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_files_reduces_count_and_preserves_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "accreted")
+    df = spark.range(0, 50_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    # simulate streaming-sink accretion: 20 tiny appends
+    for i in range(20):
+        df.filter(F.col("id") % 20 == i).coalesce(1).write.mode("append").parquet(path)
+    import os
+
+    before = sum(f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs)
+    assert before >= 20
+
+    def fingerprint():
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*"),
+                F.bit_xor(F.xxhash64("id", "v")),
+            )
+            .collect()[0]
+        )
+
+    base = tuple(fingerprint())
+    after = compact_files(spark, path, target_bytes=1 << 30, sort_by="id")
+    assert after < before
+    assert tuple(fingerprint()) == base
+    # re-clustered: per-file id ranges disjoint (zone maps preserved)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(root, f))
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # pairwise disjoint after sort_by compaction
