@@ -560,3 +560,51 @@ def q_date_funcs_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (promo revenue ratio): fact⋈dim join + conditional
+# aggregation + a final scalar ratio. Both numerator and denominator are
+# exact decimal sums; the single ratio division is the only float op, so
+# it's bit-identical across engines. The part dim broadcasts; lineitem is
+# filtered on the pushed-down shipdate range before the join.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(_DEC) - _dec("l_discount")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    ).agg(
+        # ×100 stays in the decimal domain (DuckDB's 100.0 literal is a
+        # DECIMAL, so its multiply is exact pre-cast — match that)
+        (
+            (F.sum(promo) * 100).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
