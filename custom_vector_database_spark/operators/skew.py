@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 _COMBINE = {
     "sum": F.sum,
@@ -54,3 +54,41 @@ def salted_agg(
             for name, (kind, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_src: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: spread each fact key's rows over `salt`
+    sub-partitions and replicate the dim side `salt`× so every sub-partition
+    still finds its match.
+
+    ``salt_src`` must be a (near-)unique fact column — the salt is
+    ``xxhash64(salt_src) % salt``, which spreads rows WITHIN a heavy key
+    (salting by the key itself would put the whole hot key back in one
+    reducer). Deterministic, so reruns partition identically. The join
+    result is exactly the plain join's (dim rows replicate, fact rows
+    don't), so it stays oracle-checkable.
+
+    Use when one side has heavy-hitter keys and AQE's skew split isn't
+    available (e.g. the join feeds a co-partitioned downstream op). Cost:
+    the dim shuffle grows salt×; the fact side — the big one — still
+    shuffles once.
+    """
+    sid = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt)).cast("int")
+    f = fact.withColumn("__fsalt", sid)
+    d = dim.withColumn(
+        "__dsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (F.col("__fsalt") == F.col("__dsalt")),
+        how,
+    )
+    return joined.drop("__fsalt", "__dsalt")

@@ -794,3 +794,40 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, agg, "stream_static").orderBy(
         "weeks_since_signup"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant salted join (operators/skew.py:salted_join): orders⋈customer
+# with the customer side replicated salt× and order rows spread by
+# xxhash64(o_orderkey) % salt — heavy-hitter custkeys land on `salt`
+# reducers instead of one. Result ≡ the plain join, so the oracle is the
+# unsalted SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_salted_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders, cust, "o_custkey", "c_custkey", salt_src="o_orderkey", salt=8
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -284,3 +284,30 @@ def test_bm25_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         rk.bm25(docs, [])
+
+
+def test_salted_join_equals_plain_join_and_spreads_keys(spark):
+    from custom_vector_database_spark.operators.skew import salted_join
+
+    # one pathological heavy hitter: 90% of facts share key 7
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("dk"), (F.col("id") * 2).alias("attr"))
+    plain = fact.join(dim, fact["k"] == dim["dk"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("attr").alias("s")
+    )
+    salted = salted_join(fact, dim, "k", "dk", salt_src="rid", salt=8).groupBy(
+        "k"
+    ).agg(F.count("*").alias("n"), F.sum("attr").alias("s"))
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+    # the salt actually splits the hot key across sub-partitions
+    from custom_vector_database_spark.operators.skew import F as _F  # noqa: F401
+    spread = (
+        fact.filter(F.col("k") == 7)
+        .select(F.pmod(F.xxhash64("rid"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread == 8
