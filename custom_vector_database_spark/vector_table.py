@@ -379,6 +379,37 @@ class VectorTable:
             raise ValueError("approximate search supports only the l2_sq metric")
         return self._load_index().search([float(x) for x in query], k)
 
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        metric: str = "l2_sq",
+        max_query_rows: int | None = 100_000,
+    ) -> DataFrame:
+        """Batch search: the k nearest LIVE rows for every query row —
+        the set-oriented generalization of the reference's one-vector
+        search loop (main.cpp:95-118 calls search per CLI command; here
+        one job answers the whole query table).
+
+        Plan: broadcast(queries) ⨯ table scan → per-qid top-k window; only
+        (qid, id, dist) triples shuffle (operators/knn.knn_join). The query
+        side must broadcast — ``max_query_rows`` guards that assumption.
+        Returns (qid, id, dist) nearest-first within each qid.
+        """
+        return knn_ops.knn_join(
+            self.df(),
+            queries,
+            k,
+            data_id="id",
+            data_vec="vec",
+            query_id=query_id,
+            query_vec=query_vec,
+            metric=metric,
+            max_query_rows=max_query_rows,
+        )
+
     def search_stale(self, query: list[float], k: int) -> DataFrame:
         """Exact-scan search against the ROWS CAPTURED AT LAST REBUILD —
         the reference's literal semantic (search answers from the index

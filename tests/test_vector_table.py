@@ -130,3 +130,31 @@ def test_search_metric_plumbing(spark, tmp_path):
     assert vt.search([1.0, 0.1], k=1, metric="cosine").collect()[0]["id"] == 1
     with _pytest.raises(ValueError):
         vt.search([1.0, 0.1], k=1, exact=False, metric="dot")
+
+
+def test_search_many_matches_single_searches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    vt = VectorTable(spark, str(tmp_path / "db_many")).init(dim=3)
+    vt.add([([float(i), float(i % 3), 0.0], None) for i in range(30)])
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [25.0, 1.0, 0.0])],
+        "qid long, qvec array<double>",
+    )
+    got = vt.search_many(queries, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    for qid, qvec in [(0, [1.0, 0.0, 0.0]), (1, [25.0, 1.0, 0.0])]:
+        single = [r["id"] for r in vt.search(qvec, k=3).collect()]
+        assert by_q[qid] == single
+    # broadcast guard trips on an oversized query side
+    import pytest as _pytest
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("qid"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("qvec")
+    )
+    with _pytest.raises(ValueError):
+        vt.search_many(big, k=1, max_query_rows=10)
