@@ -13,10 +13,16 @@ Each round is one shuffle (join edges→labels + groupBy min), and the label
 sum is a monotonically decreasing convergence witness — one cheap scalar
 agg per round, no row-by-row diff. Rounds needed = graph diameter; dedup
 similarity graphs are dense clumps with tiny diameters (2-4 rounds), which
-is why plain hash-min is the right variant here. (For adversarial
-long-chain graphs use the large-star/small-star contraction from
-Kiveris et al., "Connected Components in MapReduce" — same primitives,
-O(log n) rounds.)
+is why plain hash-min is the default here.
+
+``accelerate=True`` adds pointer jumping (shortcutting) each round:
+label(v) ← label(label(v)) — the label graph's paths halve every round, so
+convergence drops to O(log diameter) at the cost of one extra self-join
+shuffle per round. That is the variant for adversarial chain-shaped
+graphs (the same O(log n) bound as the large-star/small-star contraction
+of Kiveris et al., "Connected Components in MapReduce", with simpler
+primitives); tests/test_pipeline_ops.py proves a 120-node path converges
+in ≤10 accelerated rounds where plain hash-min needs 119.
 
 ``localCheckpoint`` truncates the lineage each round: without it the plan
 doubles per iteration and Catalyst re-analysis dominates after ~10 rounds.
@@ -35,6 +41,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    accelerate: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``, where
     cluster_id = the minimum node id reachable through the edge set.
@@ -62,16 +69,28 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["a"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
         )
+        if accelerate:
+            # pointer jumping: follow the label chain one hop —
+            # label(label(v)) ≤ label(v) always, so least() is just safety
+            x, y = labels.alias("x"), labels.alias("y")
+            labels = x.join(
+                y, F.col("x.label") == F.col("y.node"), "left"
+            ).select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")),
+                ).alias("label"),
+            )
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -311,3 +311,31 @@ def test_salted_join_equals_plain_join_and_spreads_keys(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_connected_components_pointer_jumping_beats_diameter(spark):
+    """A 120-node path (diameter 119) exceeds plain hash-min's 25-round
+    budget but converges in O(log n) rounds with pointer jumping — and
+    still labels every node with the path's minimum id."""
+    import pytest as _pytest
+
+    from custom_vector_database_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=25)
+    got = connected_components(chain, max_iter=10, accelerate=True)
+    labels = {r["node"]: r["cluster_id"] for r in got.collect()}
+    assert len(labels) == 120
+    assert set(labels.values()) == {0}
+    # acceleration must not disturb ordinary clump graphs
+    clumps = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], "id_a long, id_b long"
+    )
+    got2 = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(clumps, accelerate=True).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
