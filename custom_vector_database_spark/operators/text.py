@@ -174,3 +174,32 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def token_chunks(
+    col: Column | str, size: int = 32, overlap: int = 8
+) -> Column:
+    """Fixed-size overlapping token chunks — the LLM training-data prep
+    step that turns documents into model-sized pieces. Returns
+    array<struct<chunk string, n_tokens int>> where chunk i covers tokens
+    [i·stride, i·stride + size) with stride = size − overlap; the last
+    chunk may be short. Pure Catalyst (tokenize → transform/slice), so
+    chunking stays in whole-stage codegen and is reproducible in ANSI SQL
+    (the doc_chunking oracle).
+    """
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = tokenize(col)
+    n = F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk"),
+            F.size(F.slice(toks, i * stride + 1, size)).alias("n_tokens"),
+        ),
+    )
+    return F.when(F.size(toks) == 0, F.expr(
+        "array()"
+    ).cast("array<struct<chunk:string,n_tokens:int>>")).otherwise(chunks)

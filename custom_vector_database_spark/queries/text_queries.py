@@ -387,3 +387,51 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/text.token_chunks): size-32 token windows
+# with 8-token overlap (stride 24). Output stays compact — chunk token
+# counts plus the exact Rabin–Karp fingerprint of each chunk string, so
+# the oracle proves every chunk's CONTENT, not just its shape. Chunking is
+# a per-row Catalyst expression: embarrassingly parallel, no shuffle
+# before the final order-by.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk,
+             len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS n_tokens
+      FROM t, unnest(generate_series(0,
+             greatest(CAST(ceil(len(toks) / 24.0) AS INT) - 1, 0))) AS g(i)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(chunk, ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, ch) -> (acc * {tx.ROLLING_BASE} + ch) % {tx.ROLLING_MOD}
+           ) AS chunk_fp
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(tx.token_chunks("text", size=32, overlap=8)).alias(
+            "chunk_id", "c"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.n_tokens").alias("n_tokens"),
+        tx.fingerprint_rolling(F.col("c.chunk")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

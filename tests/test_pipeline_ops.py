@@ -339,3 +339,32 @@ def test_connected_components_pointer_jumping_beats_diameter(spark):
         for r in connected_components(clumps, accelerate=True).collect()
     }
     assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_token_chunks_overlap_and_coverage(spark):
+    from custom_vector_database_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(60))), (2, "only three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(tx.token_chunks("text", size=32, overlap=8)).alias("i", "c")
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["c"]["chunk"].split(" "))
+    # 60 tokens, stride 24 -> 3 chunks; consecutive chunks share 8 tokens
+    chunks = by_doc[1]
+    assert len(chunks) == 3
+    assert chunks[0][-8:] == chunks[1][:8]
+    assert [len(c) for c in chunks] == [32, 32, 12]
+    # full coverage, in order, no token lost
+    reassembled = chunks[0] + chunks[1][8:] + chunks[2][8:]
+    assert reassembled == [f"t{i}" for i in range(60)]
+    # short doc -> single short chunk; empty doc -> no chunks
+    assert [len(c) for c in by_doc[2]] == [3]
+    assert 3 not in by_doc
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tx.token_chunks("text", size=8, overlap=8)
