@@ -98,6 +98,7 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "pathological diameter - use star-contraction variant"
+            "pathological diameter - retry with accelerate=True "
+            "(pointer jumping, O(log diameter) rounds)"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -141,11 +141,26 @@ def compact_files(
     shuffle (preserving zone-map pruning, see range_sorted_write);
     otherwise a plain round-robin repartition — no sort, cheapest bin-pack.
 
+    The swap is two renames, so a crash can land between them; entry
+    therefore starts with the same roll-forward/roll-back recovery as
+    streaming.stream_ops.recover_swap (complete tmp = the new state) and
+    clears stale tmp/old dirs so the renames cannot collide.
+
     Returns the new file count.
     """
     import math
     import os
     import shutil
+
+    tmp = f"{path.rstrip('/')}_compact_tmp"
+    old = f"{path.rstrip('/')}_compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        if os.path.exists(tmp) and os.path.exists(f"{tmp}/_SUCCESS"):
+            os.rename(tmp, path)  # roll forward: compacted write completed
+        else:
+            os.rename(old, path)  # roll back: swap never started
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -158,9 +173,7 @@ def compact_files(
         out = df.repartitionByRange(n, F.col(sort_by)).sortWithinPartitions(sort_by)
     else:
         out = df.repartition(n)
-    tmp = f"{path.rstrip('/')}_compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}_compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -80,7 +80,17 @@ def salted_join(
     available (e.g. the join feeds a co-partitioned downstream op). Cost:
     the dim shuffle grows salt×; the fact side — the big one — still
     shuffles once.
+
+    Only fact-preserving joins are legal: an outer side on the REPLICATED
+    dim would emit each unmatched dim row `salt` times, silently inflating
+    the result — so 'right'/'full' are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports inner/left joins only: outer-preserving "
+            "the replicated dim side would duplicate unmatched dim rows "
+            f"salt× (got how={how!r})"
+        )
     sid = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt)).cast("int")
     f = fact.withColumn("__fsalt", sid)
     d = dim.withColumn(

@@ -190,9 +190,17 @@ def token_chunks(
     if not (0 <= overlap < size):
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    toks = tokenize(col)
-    n = F.ceil(F.size(toks) / F.lit(stride)).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    # coalesce first: tokenize(NULL) is NULL and would slip past the
+    # empty-guard below as a single bogus '' chunk
+    toks = tokenize(F.coalesce(_c(col), F.lit("")))
+    # chunks beyond the first exist only for tokens PAST the first window:
+    # n = 1 + ceil((ntok - size)/stride). The naive ceil(ntok/stride)
+    # overcounts whenever ntok mod stride ∈ [1, overlap], emitting a final
+    # chunk that is a pure suffix of the previous one (duplicate content).
+    n = 1 + F.greatest(
+        F.ceil((F.size(toks) - size) / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    idx = F.sequence(F.lit(0), n - 1)
     chunks = F.transform(
         idx,
         lambda i: F.struct(

@@ -659,7 +659,7 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.queries.events_queries import load_events
 
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
     versions = (
         ev.filter(F.col("event_type") == "view")
         .select(
@@ -667,7 +667,7 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("version_id"),
             F.col("ts").alias("valid_from"),
         )
-        .withColumn("valid_to", F.lead("valid_from").over(w.orderBy("valid_from", "version_id")))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
     )
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", F.col("value").cast("decimal(18,2)").alias("val")

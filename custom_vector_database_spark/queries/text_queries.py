@@ -407,7 +407,7 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk,
              len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS n_tokens
       FROM t, unnest(generate_series(0,
-             greatest(CAST(ceil(len(toks) / 24.0) AS INT) - 1, 0))) AS g(i)
+             greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT), 0))) AS g(i)
       WHERE len(toks) > 0
     )
     SELECT doc_id, chunk_id, n_tokens,

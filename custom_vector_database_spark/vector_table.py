@@ -397,7 +397,15 @@ class VectorTable:
         (qid, id, dist) triples shuffle (operators/knn.knn_join). The query
         side must broadcast — ``max_query_rows`` guards that assumption.
         Returns (qid, id, dist) nearest-first within each qid.
+
+        Every query vector is dimension-checked (one cheap count over the
+        small query side) — the same contract as single-vector search().
         """
+        n_bad = queries.filter(F.size(F.col(query_vec)) != self.meta.dim).count()
+        if n_bad:
+            raise DimensionMismatchError(
+                f"{n_bad} query vector(s) do not have dim {self.meta.dim}"
+            )
         return knn_ops.knn_join(
             self.df(),
             queries,

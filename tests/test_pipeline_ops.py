@@ -303,7 +303,6 @@ def test_salted_join_equals_plain_join_and_spreads_keys(spark):
     ).agg(F.count("*").alias("n"), F.sum("attr").alias("s"))
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
     # the salt actually splits the hot key across sub-partitions
-    from custom_vector_database_spark.operators.skew import F as _F  # noqa: F401
     spread = (
         fact.filter(F.col("k") == 7)
         .select(F.pmod(F.xxhash64("rid"), F.lit(8)).alias("s"))
@@ -368,3 +367,37 @@ def test_token_chunks_overlap_and_coverage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tx.token_chunks("text", size=8, overlap=8)
+
+    # the overcount region: ntok mod stride in [1, overlap] must NOT emit
+    # a final chunk that's a pure suffix of the previous one, and NULL
+    # text must emit nothing (oracle parity)
+    edge = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(32))),   # exactly one window
+         (2, " ".join(f"t{i}" for i in range(50))),   # 50 mod 24 = 2 <= 8
+         (3, None)],
+        "doc_id long, text string",
+    )
+    got = edge.select(
+        "doc_id", F.posexplode(tx.token_chunks("text", size=32, overlap=8)).alias("i", "c")
+    ).collect()
+    counts = {}
+    for r in got:
+        counts.setdefault(r["doc_id"], []).append(r["c"]["n_tokens"])
+    assert counts[1] == [32]          # not [32, 8]
+    assert counts[2] == [32, 26]      # chunk 2 = tokens 25..50, 18 new
+    assert 3 not in counts
+
+
+def test_salted_join_rejects_dim_preserving_outer(spark):
+    import pytest as _pytest
+
+    from custom_vector_database_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("rid"), (F.col("id") % 3).alias("k"))
+    dim = spark.range(5).select(F.col("id").alias("dk"))
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(fact, dim, "k", "dk", salt_src="rid", how=how)
+    # left join is fact-preserving and stays exact
+    got = salted_join(fact, dim, "k", "dk", salt_src="rid", salt=4, how="left")
+    assert got.count() == 10

@@ -158,3 +158,18 @@ def test_search_many_matches_single_searches(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         vt.search_many(big, k=1, max_query_rows=10)
+
+
+def test_search_many_rejects_wrong_dim(spark, tmp_path):
+    import pytest as _pytest
+
+    from custom_vector_database_spark.vector_table import (
+        DimensionMismatchError,
+        VectorTable,
+    )
+
+    vt = VectorTable(spark, str(tmp_path / "db_dim")).init(dim=3)
+    vt.add([([1.0, 0.0, 0.0], None)])
+    bad = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    with _pytest.raises(DimensionMismatchError):
+        vt.search_many(bad, k=1)
