@@ -416,3 +416,57 @@ def q_snapshot_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# The same snapshot interop through the Spark 4 Python DataSource API:
+# spark.read.format("vectordbjson").load(path) — the connector surface
+# (sources/vectordb_datasource.py). Same aggregate and oracle as
+# snapshot_roundtrip_agg: equal hashes prove the DataSource yields exactly
+# the rows the native reader does.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_datasource_agg",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims,
+           CAST(SUM(CAST({_DUCK_DOT.format(a="embedding", b="embedding")}
+                AS DECIMAL(28,10))) AS DOUBLE) AS checksum,
+           CAST(SUM(label) AS BIGINT) AS sum_labels
+    FROM embeddings
+    """,
+)
+def q_snapshot_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.functions.vector import dot_product
+    from custom_vector_database_spark.sources import vectordb_datasource as vds
+    from custom_vector_database_spark.sources.reference_snapshot import write_snapshot
+
+    emb = load(spark, sf_dir, "embeddings")
+    as_table = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        F.to_json(F.struct(F.col("label"))).alias("metadata"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_ds_")
+    try:
+        snap = os.path.join(tmp, "vectordb.json")
+        write_snapshot(as_table, snap, dim=64)
+        vds.register(spark)
+        back = spark.read.format("vectordbjson").load(snap)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").alias("sum_ids"),
+            F.sum(F.size("vec")).cast("long").alias("sum_dims"),
+            F.sum(dot_product("vec", "vec").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("checksum"),
+            F.sum(F.get_json_object("metadata", "$.label").cast("long")).alias(
+                "sum_labels"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -210,3 +210,41 @@ def test_plain_string_metadata_survives(spark, tmp_path):
     write_snapshot(src, p, dim=2)
     with open(p) as f:
         assert json.load(f)["vectors"][0]["metadata"] == "not json"
+
+
+def test_vectordb_datasource_error_contract(spark, tmp_path):
+    """The DataSource raises on corrupted snapshots like read_snapshot does
+    (reference load() contract, vectordb.cpp:191-214)."""
+    import json
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from custom_vector_database_spark.sources import vectordb_datasource as vds
+
+    vds.register(spark)
+
+    ok = tmp_path / "ok.json"
+    ok.write_text(json.dumps({
+        "dim": 2, "nextId": 3,
+        "vectors": [{"id": 1, "vec": [1.0, 2.0], "metadata": {"a": 1}},
+                    {"id": 2, "vec": [0.5, 0.5], "metadata": None}],
+    }))
+    rows = {r["id"]: r for r in
+            spark.read.format("vectordbjson").load(str(ok)).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["metadata"] == '{"a":1}' and rows[2]["metadata"] is None
+    assert [round(x, 3) for x in rows[1]["vec"]] == [1.0, 2.0]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"nextId": 3, "vectors": []}))  # missing dim
+    with _pytest.raises(Exception) as exc:
+        spark.read.format("vectordbjson").load(str(bad)).collect()
+    assert "corrupted" in str(exc.value)
+
+    bad2 = tmp_path / "bad2.json"
+    bad2.write_text(json.dumps({"dim": 2, "nextId": 3,
+                                "vectors": [{"vec": [1.0, 2.0]}]}))  # no id
+    with _pytest.raises(Exception) as exc2:
+        spark.read.format("vectordbjson").load(str(bad2)).collect()
+    assert "corrupted" in str(exc2.value)
