@@ -19,16 +19,13 @@ _DEC = "decimal(18,2)"
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads only
-    as a long of nanoseconds (legacy nanosAsLong flag — set defensively here
-    because the driver may supply its own session). FLOOR to microsecond
-    timestamps exactly like DuckDB's nanos read: `div` truncates toward
-    zero, so pre-epoch (negative) nanos need the extra -1 when a remainder
-    exists — exact int64 arithmetic, no double rounding."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet stores ts as a naive TIMESTAMP(MICROS); Spark infers
+    TIMESTAMP_NTZ for it. Cast to session-tz TIMESTAMP (session tz is UTC,
+    so the wall clock is preserved and unix_micros matches DuckDB's
+    epoch_us of the same naive value) — downstream window/as-of/interval
+    code all operates on plain TIMESTAMP."""
     ev = load(spark, sf_dir, "events")
-    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
-    return ev.withColumn("ts", F.timestamp_micros(floor_us))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
@@ -40,7 +37,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / COUNT(*), 6) AS avg_k
     FROM events
@@ -240,8 +237,8 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.user_id AS user_id,
            COUNT(*) AS n_overlaps,
-           SUM(epoch_us(least(c.c_end, v.v_end))
-               - epoch_us(greatest(c.c_start, v.v_start))) AS total_overlap_us
+           CAST(SUM(epoch_us(least(c.c_end, v.v_end))
+               - epoch_us(greatest(c.c_start, v.v_start))) AS BIGINT) AS total_overlap_us
     FROM c JOIN v ON c.user_id = v.user_id
                  AND c.c_start <= v.v_end AND v.v_start <= c.c_end
     GROUP BY c.user_id
@@ -294,7 +291,7 @@ def q_interval_join_activity_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     """
     SELECT a.user_id AS user_id,
            COUNT(*) AS n_pairs,
-           SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS total_gap_us
+           CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS total_gap_us
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts

@@ -579,7 +579,7 @@ def q_pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_metadata_agg",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

@@ -97,11 +97,13 @@ def _drive_bounded_stream(
 
 _DEC = "decimal(18,2)"
 
-# events.parquet schema under nanosAsLong (ts arrives as long nanoseconds).
+# events.parquet schema: ts is a naive TIMESTAMP(MICROS); declaring plain
+# TimestampType here makes the file-stream source read it as session-tz
+# (UTC) timestamps, identical to the batch loader's NTZ→TIMESTAMP cast.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -111,20 +113,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same nanos→micros
-    truncation as the batch loader (events_queries.load_events)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet, same ts semantics as the batch
+    loader (events_queries.load_events)."""
     # the file-stream source needs a DIRECTORY basePath; select the single
     # events file out of the sf dir with a glob filter
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # floor division (not `div`'s truncation) so pre-epoch nanos match the
-    # batch loader and DuckDB exactly — see events_queries.load_events
-    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
-    return raw.withColumn("ts", F.timestamp_micros(floor_us))
 
 
 def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -54,6 +54,21 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 0.0) 
     if len(sp) != len(du):
         errs.append(f"{name}: row count spark={len(sp)} duck={len(du)}")
         return errs
+    # Dtype-aware check, mirroring the driver's value-hash: an int64 column on
+    # the Spark side vs a float64 on the DuckDB side (e.g. an un-cast SUM that
+    # DuckDB widens to HUGEINT) hash-mismatches even when every value compares
+    # equal numerically. Compare numpy dtype *kinds* (i/u vs f vs O vs b vs M)
+    # so that exactly this class of bug fails locally before the driver sees it.
+    _KIND = {"u": "i"}  # unsigned ints hash like ints
+    for col in sp.columns:
+        ks = _KIND.get(sp[col].dtype.kind, sp[col].dtype.kind)
+        kd = _KIND.get(du[col].dtype.kind, du[col].dtype.kind)
+        if ks != kd:
+            errs.append(
+                f"{name}.{col}: dtype kind differs spark={sp[col].dtype} duck={du[col].dtype}"
+            )
+    if errs:
+        return errs
     for col in sp.columns:
         a, b = sp[col], du[col]
         for i, (x, y) in enumerate(zip(a, b)):

@@ -146,13 +146,20 @@ def test_parse_vector_rejects_unparseable_floats(spark):
     assert ok.select(parse_vector("s", dim=3).alias("v")).first()["v"] == [1.0, 2.0, 3.0]
 
 
-def test_nanos_to_micros_floor_division(spark):
-    """`div` truncates toward zero; the loader must FLOOR (DuckDB nanos
-    semantics) so pre-epoch timestamps land in the right window."""
-    df = spark.createDataFrame([(-1500,), (-1000,), (-1,), (0,), (1500,)], "ts LONG")
-    floor_us = F.expr("(ts div 1000) + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
-    got = [r["us"] for r in df.select(floor_us.alias("us")).collect()]
-    assert got == [-2, -1, -1, 0, 1]  # -1500//1000 == -2 etc. (Python floor)
+def test_events_ts_loads_as_utc_timestamp(spark, sf_smoke):
+    """events.parquet stores naive TIMESTAMP(MICROS); the loader must yield
+    session-tz (UTC) TIMESTAMP so unix_micros matches DuckDB's epoch_us."""
+    from custom_vector_database_spark.queries.events_queries import load_events
+
+    ev = load_events(spark, sf_smoke)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    import duckdb
+
+    first = ev.select(F.unix_micros("ts").alias("us")).orderBy("us").first()["us"]
+    duck = duckdb.sql(
+        f"SELECT MIN(epoch_us(ts)) FROM read_parquet('{sf_smoke}/events.parquet')"
+    ).fetchone()[0]
+    assert first == duck
 
 
 def test_cli_arity_errors_before_spark():
