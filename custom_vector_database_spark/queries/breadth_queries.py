@@ -233,17 +233,48 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stratified sampling (rows-only: Bernoulli draws are engine-specific —
-# determinism-for-a-seed and per-stratum rates are asserted in
-# tests/test_properties.py). At scale this is a single pass, no shuffle:
-# each task coin-flips its own rows with the stratum's fraction.
+# Stratified sampling, made deterministic and engine-independent: each row's
+# md5(o_orderkey) yields a 60-bit uniform; a row is kept iff that integer is
+# below its stratum's exact integer threshold (fraction * 2^60, floored, as
+# a literal — identical arithmetic in Spark and DuckDB, so the SAME rows are
+# selected in both engines and the query is hash-checkable). At scale this
+# is still a single pass with no shuffle before the tiny per-stratum count:
+# each task hashes its own rows. Unlike seeded Bernoulli (sampleBy), the
+# sample is also reproducible across engines, reruns, and repartitioning —
+# the property a training-data pipeline actually needs.
 # ---------------------------------------------------------------------------
-@register("stratified_sample_orders")
+# floor(fraction * 2^60) for fractions F: 0.2, O: 0.1, P: 0.5
+_STRATA_THRESHOLDS = {
+    "F": 230584300921369395,
+    "O": 115292150460684697,
+    "P": 576460752303423488,
+}
+
+
+@register(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n_sampled
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+          < CASE o_orderstatus
+              WHEN 'F' THEN 230584300921369395
+              WHEN 'O' THEN 115292150460684697
+              WHEN 'P' THEN 576460752303423488
+              ELSE 0 END
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
 def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    sample = orders.sampleBy(
-        "o_orderstatus", fractions={"F": 0.2, "O": 0.1, "P": 0.5}, seed=42
-    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    threshold = F.when(F.lit(False), F.lit(0))
+    for status, t in _STRATA_THRESHOLDS.items():
+        threshold = threshold.when(F.col("o_orderstatus") == status, F.lit(t))
+    sample = orders.filter(h < threshold.otherwise(F.lit(0)))
     return (
         sample.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -281,21 +281,59 @@ def q_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Approximate percentiles (Greenwald–Khanna sketch): the scale path for
 # quantiles — mergeable per-partition sketches, one shuffle of O(sketch)
-# state instead of a global sort. Rows-only for the driver (DuckDB's
-# approx_quantile is t-digest — a different sketch); the rank-error bound
-# vs the exact percentiles is asserted in tests/test_properties.py.
+# state instead of a global sort. DuckDB's approx_quantile is a different
+# sketch (t-digest), so the sketch OUTPUT can't hash-match — instead the
+# query emits the exact percentiles (oracle-checkable values) plus one
+# boolean per approx percentile asserting the documented GK guarantee:
+# the TRUE RANK of the sketch value must be within N/accuracy (+1 for
+# discreteness) of q*N. The rank is computed by broadcasting the 3-row
+# sketch result back over the table — one extra scan, shuffle-free.
+# Spark's GK sketch is deterministic for given data, so the booleans are
+# stable; the oracle emits the exact values and TRUE — an out-of-bound
+# sketch flips a boolean and fails the hash. (The same rank bound is
+# asserted in tests/test_properties.py.)
 # ---------------------------------------------------------------------------
-@register("approx_percentiles_order_price")
+@register(
+    "approx_percentiles_order_price",
+    """
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           TRUE AS ap50_ok, TRUE AS ap90_ok, TRUE AS ap99_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
 def q_approx_percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    acc = F.lit(10_000)  # rank error <= 1/accuracy of the row count
-    return (
-        orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), acc).alias("ap50"),
-            F.approx_percentile("o_totalprice", F.lit(0.9), acc).alias("ap90"),
-            F.approx_percentile("o_totalprice", F.lit(0.99), acc).alias("ap99"),
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    accuracy = 10_000  # GK rank error <= N / accuracy
+    qs = [("50", 0.5), ("90", 0.9), ("99", 0.99)]
+
+    sketch = orders.groupBy("o_orderstatus").agg(
+        *[
+            F.approx_percentile("o_totalprice", F.lit(q), F.lit(accuracy)).alias(
+                f"ap{s}"
+            )
+            for s, q in qs
+        ]
+    )
+    joined = orders.join(F.broadcast(sketch), "o_orderstatus")
+    n = F.count(F.lit(1))
+    aggs = [
+        F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(f"p{s}")
+        for s, q in qs
+    ]
+    for s, q in qs:
+        rank = F.sum(
+            (F.col("o_totalprice") <= F.col(f"ap{s}")).cast("long")
         )
+        err = F.abs(rank.cast("double") - F.lit(q) * n.cast("double"))
+        aggs.append((err <= n.cast("double") / accuracy + 1.0).alias(f"ap{s}_ok"))
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(*aggs)
         .orderBy("status")
     )
 
@@ -515,17 +553,38 @@ def q_window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approx distinct (HLL) — rows-only (sketch estimates are engine-specific);
-# the exact twin distinct_customers_per_segment is the oracle-checked pair.
+# Approx distinct (HLL): the sketch estimate is engine-specific (DuckDB's
+# approx_count_distinct uses a different HLL), so the query emits the exact
+# count (oracle-checkable value) plus a boolean asserting Spark's estimate
+# landed within 5×rsd of it — deterministic (Spark's HLL is hash-based and
+# merge-order-independent), and a drifting sketch flips the boolean and
+# fails the hash. The oracle computes the exact count and TRUE.
 # ---------------------------------------------------------------------------
-@register("approx_distinct_parts")
+@register(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    rsd = 0.02
+    approx = F.approx_count_distinct("l_partkey", rsd=rsd)
+    exact = F.count_distinct("l_partkey")
+    bound = (
+        F.abs(approx.cast("double") - exact.cast("double"))
+        <= F.lit(5 * rsd) * exact.cast("double")
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
+            exact.alias("exact_parts"),
+            bound.alias("approx_within_bound"),
         )
         .orderBy("l_returnflag")
     )

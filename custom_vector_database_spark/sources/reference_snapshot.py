@@ -161,3 +161,78 @@ def write_snapshot(
         nid = next_id if next_id is not None else max_id + 1
         f.write('\n  ],\n  "nextId": %d\n}\n' % nid)
     os.replace(tmp, path)
+
+
+def write_snapshot_sharded(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    next_id: int | None = None,
+    shards: int = 8,
+) -> list[str]:
+    """Canonical DataFrame → ``shards`` reference-loadable part files
+    ``{path}.part-0000`` … — the scale-out variant of ``write_snapshot``.
+
+    Each part is a COMPLETE, well-formed snapshot document
+    ``{dim, nextId, vectors:[subset]}`` that the reference's load()
+    accepts on its own (the subsets partition the id space; every part
+    carries the same global nextId, preserving the nextId > every live
+    id invariant, vectordb.cpp:43). Serialization and file IO happen
+    EXECUTOR-side, one task per shard — no row ever streams through the
+    driver, removing the single-file writer's driver-serial path. The
+    target directory must be a filesystem all executors share (local FS
+    in local mode; NFS/object-store mount on a cluster).
+
+    Returns the part-file paths. Writes are atomic per part (tmp +
+    rename); partial failures leave no part file half-written.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    if next_id is None:
+        row = df.agg(F.max("id").alias("m")).first()
+        next_id = int(row["m"] or 0) + 1
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    # NOTE: this closure runs on executors; it must be fully self-contained
+    # (stdlib imports inside, no references to package-level names) so it
+    # works even when the package isn't importable on executor workers
+    def write_part(idx: int, rows) -> Iterator[tuple]:
+        import json as _json
+        import os as _os
+
+        part = f"{path}.part-{idx:04d}"
+        tmp = part + "_tmp"
+        n = 0
+        with open(tmp, "w") as f:
+            f.write('{\n  "dim": %d,\n  "vectors": [' % dim)
+            for r in rows:
+                meta_obj = None
+                if r.metadata is not None:
+                    try:
+                        meta_obj = _json.loads(r.metadata)
+                    except (TypeError, ValueError):
+                        meta_obj = r.metadata  # plain string stays a string
+                entry = _json.dumps(
+                    {
+                        "id": r.id,
+                        "metadata": meta_obj,
+                        "vec": [float(x) for x in (r.vec or [])],
+                    }
+                )
+                f.write(("" if n == 0 else ",") + "\n    " + entry)
+                n += 1
+            f.write('\n  ],\n  "nextId": %d\n}\n' % next_id)
+        _os.replace(tmp, part)
+        yield (idx, n)
+
+    # hash-repartition on id so shard sizes stay balanced regardless of the
+    # table's current layout; the per-partition write is genuinely
+    # imperative IO, the one place an RDD mapPartitions is the right tool
+    written = (
+        df.select("id", "vec", "metadata")
+        .repartition(shards, "id")
+        .rdd.mapPartitionsWithIndex(write_part)
+        .collect()
+    )
+    assert len(written) == shards
+    return [f"{path}.part-{i:04d}" for i, _ in sorted(written)]

@@ -150,17 +150,34 @@ class VectorTable:
         TableMeta(dim=dim, next_id=next_id).write(self._meta_path)
         return self
 
-    def export_snapshot(self, snapshot_path: str) -> None:
-        """Write the table as a reference-format vectordb.json the
+    def export_snapshot(
+        self, snapshot_path: str, shards: int | None = None
+    ) -> list[str] | None:
+        """Write the table as reference-format vectordb.json the
         reference's load() accepts — the migration exit (and a portable
-        whole-table backup at small scale)."""
+        whole-table backup at small scale).
+
+        Default (shards=None): ONE file, exactly the reference's layout,
+        streamed through the driver. shards=N: N independently loadable
+        part files written executor-side in parallel (the scale path —
+        no driver-serial step); returns their paths."""
         from custom_vector_database_spark.sources.reference_snapshot import (
             write_snapshot,
+            write_snapshot_sharded,
         )
 
         meta = self.meta
-        write_snapshot(
-            self.df(), snapshot_path, dim=meta.dim, next_id=meta.next_id
+        if shards is None:
+            write_snapshot(
+                self.df(), snapshot_path, dim=meta.dim, next_id=meta.next_id
+            )
+            return None
+        return write_snapshot_sharded(
+            self.df(),
+            snapshot_path,
+            dim=meta.dim,
+            next_id=meta.next_id,
+            shards=shards,
         )
 
     # -- O2 add (vectordb.cpp:38-52) --------------------------------------

@@ -163,3 +163,38 @@ def test_multi_granularity_rollup_is_one_expand_pass(spark):
 def test_recursive_cte_executes_distributed_union_loop(spark):
     plan = _plan(spark, "recursive_ancestor_rollup")
     assert "UnionLoop" in plan or "Recursion" in plan or "recursive" in plan.lower()
+
+
+def test_ivfpq_search_probes_are_partition_pruned(spark):
+    """The registered ivfpq_search query searches the SAVED cluster-
+    partitioned layout; its candidate scan must read ONLY the nprobe
+    probed partitions (PartitionFilters prune at file-listing time), not
+    the whole code table."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.queries.vector_queries import (
+        ivfpq_saved_index,
+        load_spread,
+    )
+
+    idx = ivfpq_saved_index(spark, SF)  # the exact index the query uses
+    emb = load_spread(spark, SF, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    nprobe = 8
+    probed = set(idx._probe(query, nprobe))
+    # rerank=0 exposes the candidate stage the reranked query collects from
+    cand = idx.search(query, k=10, nprobe=nprobe, rerank=0)
+
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # the IN-list driving the pruning must be exactly the probed clusters
+    # (inputFiles() can't prove this — it lists the relation pre-pruning)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    in_list = {int(x) for x in m.group(1).split(",")}
+    assert in_list == probed, (in_list, probed)
+    # and the pruned candidate scan still yields the right answer
+    assert cand.count() == 10

@@ -112,22 +112,35 @@ def test_knn_join_broadcast_guard(spark):
 def test_approx_percentile_rank_error_bound(spark):
     """The GK-sketch percentiles must land within the documented rank-error
     bound (1/accuracy) of the exact quantile — checked by computing the true
-    rank of each approximate value at sf0.01."""
+    rank of each approximate value at sf0.01. The registered query now emits
+    bound-check booleans (so the driver can hash-match it); those must all
+    come back TRUE too."""
     from custom_vector_database_spark import queries_registry as reg
 
     sf = "/root/testdata/sf0.01"
+    acc = 10_000
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
     approx = {
         r["status"]: r
-        for r in reg.QUERIES["approx_percentiles_order_price"](spark, sf).collect()
+        for r in orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            *[
+                F.approx_percentile("o_totalprice", F.lit(q), F.lit(acc)).alias(c)
+                for c, q in [("ap50", 0.5), ("ap90", 0.9), ("ap99", 0.99)]
+            ]
+        )
+        .collect()
     }
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
     for status, row in approx.items():
         grp = orders.filter(F.col("o_orderstatus") == status)
         n = grp.count()
         for col, q in [("ap50", 0.5), ("ap90", 0.9), ("ap99", 0.99)]:
             rank = grp.filter(F.col("o_totalprice") <= row[col]).count()
             # rank error tolerance: 1/accuracy of n, plus 1 for discreteness
-            assert abs(rank - q * n) <= n / 10_000 + 1, (status, col)
+            assert abs(rank - q * n) <= n / acc + 1, (status, col)
+
+    for r in reg.QUERIES["approx_percentiles_order_price"](spark, sf).collect():
+        assert r["ap50_ok"] and r["ap90_ok"] and r["ap99_ok"], r
 
 
 def test_parse_vector_rejects_unparseable_floats(spark):
@@ -209,22 +222,26 @@ def test_connected_components_matches_union_find(spark, edge_list):
 
 
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
-    """sampleBy with a seed: reproducible exactly; per-stratum rates near
-    the requested fractions; no rows from unlisted strata."""
-    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
-    fr = {"F": 0.2, "O": 0.1}
+    """md5-threshold stratified sampling: identical across reruns AND
+    repartitionings (row-content hash, not position), rates near the
+    requested fractions, no rows from unlisted strata."""
+    from custom_vector_database_spark.queries.breadth_queries import (
+        _STRATA_THRESHOLDS,
+        q_stratified_sample_orders,
+    )
 
-    def draw():
-        return orders.sampleBy("o_orderstatus", fractions=fr, seed=7)
+    sf = "/root/testdata/sf0.01"
+    a = {r["status"]: r["n_sampled"] for r in
+         q_stratified_sample_orders(spark, sf).collect()}
+    b = {r["status"]: r["n_sampled"] for r in
+         q_stratified_sample_orders(spark, sf).collect()}
+    assert a == b
 
-    a = draw().groupBy("o_orderstatus").count().collect()
-    b = draw().groupBy("o_orderstatus").count().collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
     totals = {r["o_orderstatus"]: r["count"] for r in
               orders.groupBy("o_orderstatus").count().collect()}
-    got = {r["o_orderstatus"]: r["count"] for r in a}
-    assert set(got) <= set(fr)
-    for status, frac in fr.items():
-        rate = got.get(status, 0) / totals[status]
+    fractions = {"F": 0.2, "O": 0.1, "P": 0.5}
+    assert set(a) <= set(_STRATA_THRESHOLDS)
+    for status, frac in fractions.items():
+        rate = a.get(status, 0) / totals[status]
         assert abs(rate - frac) < 0.05, (status, rate)

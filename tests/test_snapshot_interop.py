@@ -212,6 +212,109 @@ def test_plain_string_metadata_survives(spark, tmp_path):
         assert json.load(f)["vectors"][0]["metadata"] == "not json"
 
 
+def test_sharded_snapshot_export(spark, tmp_path):
+    """shards=N writes N complete reference-loadable snapshot documents
+    that partition the id space, every part carrying the global nextId —
+    executor-side IO, no driver-serial step."""
+    from custom_vector_database_spark.sources.reference_snapshot import (
+        write_snapshot_sharded,
+    )
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=2)
+    t.add([([float(i), float(i + 1)], json.dumps({"n": i})) for i in range(20)])
+
+    out = str(tmp_path / "snap.json")
+    parts = t.export_snapshot(out, shards=3)
+    assert parts == [f"{out}.part-{i:04d}" for i in range(3)]
+
+    seen_ids: set[int] = set()
+    for p in parts:
+        with open(p) as f:
+            doc = json.load(f)  # each part parses standalone
+        assert doc["dim"] == 2
+        assert doc["nextId"] == 21  # global counter in EVERY part
+        ids = {v["id"] for v in doc["vectors"]}
+        assert not (ids & seen_ids)  # parts partition the id space
+        seen_ids |= ids
+        # each part is loadable by this engine's reference reader too
+        back = read_snapshot(spark, p)
+        assert back.count() == len(ids)
+    assert seen_ids == set(range(1, 21))
+
+    # a part round-trips through import_snapshot (reference load semantics)
+    t2 = VectorTable(spark, str(tmp_path / "db2")).import_snapshot(parts[0])
+    assert t2.dim() == 2 and t2.meta.next_id == 21
+
+    # default single-file behavior unchanged
+    assert t.export_snapshot(str(tmp_path / "single.json")) is None
+    with open(tmp_path / "single.json") as f:
+        assert {v["id"] for v in json.load(f)["vectors"]} == set(range(1, 21))
+
+    # an empty table still writes valid empty parts
+    t3 = VectorTable(spark, str(tmp_path / "db3")).init(dim=2)
+    parts3 = t3.export_snapshot(str(tmp_path / "empty.json"), shards=2)
+    for p in parts3:
+        with open(p) as f:
+            doc = json.load(f)
+        assert doc["vectors"] == [] and doc["nextId"] == 1
+
+    with pytest.raises(ValueError, match="shards"):
+        write_snapshot_sharded(t.df(), out, dim=2, shards=0)
+
+
+REF_ARTIFACT = "/root/reference/my_db.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARTIFACT), reason="reference artifact not present"
+)
+def test_reference_committed_artifact_my_db_json(spark, tmp_path):
+    """Interop against the reference's own committed sample database
+    (my_db.json:1-46 — 4 two-dimensional points, nextId 5): ids and
+    float32 vectors preserved bit-exactly, the id counter continues the
+    reference sequence, and search mirrors the reference's own assertions
+    (test.cpp:91-104: query (1,1) → id 1; query (5,5) region → id 3/4
+    cluster)."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    with open(REF_ARTIFACT) as f:
+        doc = json.load(f)
+
+    t = VectorTable(spark, str(tmp_path / "db")).import_snapshot(REF_ARTIFACT)
+    assert t.dim() == doc["dim"] == 2
+    assert t.meta.next_id == doc["nextId"] == 5
+
+    rows = {r.id: r for r in t.df().collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for v in doc["vectors"]:
+        # float32 round-trip must be bit-exact (the artifact carries full
+        # float32-precision decimals like 1.100000023841858)
+        assert rows[v["id"]].vec == pytest.approx(v["vec"], abs=0.0)
+        assert json.loads(rows[v["id"]].metadata) == v["metadata"]
+
+    # reference search contract on the artifact (test.cpp:95-103 style)
+    t.rebuild()
+    top = t.search([1.0, 1.0], k=1).collect()
+    assert top[0].id == 1 and top[0].dist_sq == 0.0
+    near5 = [r.id for r in t.search([5.0, 5.0], k=2).collect()]
+    assert set(near5) == {3, 4}
+
+    # adds continue the reference's id sequence (nextId honored)
+    assert t.add([([9.0, 9.0], None)]) == [5]
+
+    # export → the file the reference's load() would accept, values intact
+    out = str(tmp_path / "back.json")
+    t.export_snapshot(out)
+    with open(out) as f:
+        back = json.load(f)
+    assert back["dim"] == 2 and back["nextId"] == 6
+    by_id = {v["id"]: v for v in back["vectors"]}
+    for v in doc["vectors"]:
+        assert by_id[v["id"]]["vec"] == pytest.approx(v["vec"], abs=0.0)
+        assert by_id[v["id"]]["metadata"] == v["metadata"]
+
+
 def test_vectordb_datasource_error_contract(spark, tmp_path):
     """The DataSource raises on corrupted snapshots like read_snapshot does
     (reference load() contract, vectordb.cpp:191-214)."""
