@@ -1,29 +1,134 @@
-"""Shared MLlib-fit helpers for the ANN index builders (ann/ivf/pq)."""
+"""Shared fit helpers for the ANN index builders (ann/ivf/pq).
+
+Design decision (measured, not guessed): KMeans training for these
+indexes is ALWAYS sample-bounded — at 100 TB you never run Lloyd's
+iterations over the full table; a uniform sample of ``fit_sample`` rows
+is statistically plenty for k ≪ sample centroids. Given that bound, the
+fit itself is small math (≤ fit_sample × dim floats — 100k × 64-d is
+~50 MB), so it runs DRIVER-side in numpy: one distributed sampling pass
+collects the matrix, then Lloyd's runs in vectorized numpy with zero
+Spark jobs. The MLlib alternative launches a job per Lloyd's iteration
+per fit (a PQ build is m fits → 100+ tiny jobs), which is pure
+scheduler latency at this sample size and measurably dominated index
+build time in bench.py.
+
+Only the fit is driver-side. The full-table ENCODE/ASSIGN pass stays
+distributed — and as pure Catalyst expressions (``nearest_centroid_expr``
+below compiles to zip_with/aggregate/array_position inside whole-stage
+codegen), not MLlib model UDFs, so the one full-table pass is a single
+codegen'd projection.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
-def bounded_train_sample(
-    feats: DataFrame, n: int, fit_sample: int, seed: int
-) -> DataFrame:
-    """A materialized, size-bounded, partition-compacted training sample.
-
-    Two scale facts drive this:
-    - at 100 TB you never run Lloyd's iterations over the full table — a
-      uniform sample of ``fit_sample`` rows is statistically plenty for
-      k ≪ sample centroids, and it bounds per-iteration cost by the sample
-      size (only the single assign pass is full-table);
-    - on a tiny sample, task count — not data volume — dominates fit cost
-      (every Lloyd's iteration of every fit launches a job over it), so
-      the sample is coalesced to ~8 KiB-rows-per-partition and
-      localCheckpoint'd once for all fits that share it.
-    """
+def collect_sample_matrix(
+    df: DataFrame, vec_col: str, n: int, fit_sample: int, seed: int
+) -> np.ndarray:
+    """One distributed sampling pass → the bounded (≤ fit_sample, dim)
+    float64 training matrix on the driver. The collect is bounded by
+    ``fit_sample`` rows by construction — the 100 TB table never reaches
+    the driver, only the sample does."""
     sample = (
-        feats.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        df.sample(fraction=min(1.0, fit_sample / n), seed=seed)
         if n > fit_sample
-        else feats
+        else df
     )
-    n_parts = max(1, min(8, int(min(n, fit_sample)) // 8192 + 1))
-    return sample.coalesce(n_parts).localCheckpoint(eager=True)
+    rows = sample.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
+    if not rows:
+        raise ValueError("cannot fit on an empty table")
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
+def kmeans_fit_np(
+    x: np.ndarray, k: int, seed: int, max_iter: int = 10
+) -> list[list[float]]:
+    """Vectorized Lloyd's over the bounded sample; deterministic for a
+    seed (random-point init, empty clusters re-seeded from the data).
+    Returns centroids as plain float lists (engine-independent — they are
+    embedded into Catalyst expressions and saved as JSON)."""
+    n = len(x)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(n, size=min(k, n), replace=False)].copy()
+    if len(cent) < k:  # fewer sample rows than centroids: duplicate rows
+        cent = np.vstack([cent, x[rng.choice(n, size=k - len(cent))]])
+    for _ in range(max_iter):
+        # (n, k) squared distances via ||x||² - 2x·c + ||c||²
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cent.T
+            + (cent * cent).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cent)
+        for j in range(k):
+            members = x[assign == j]
+            new[j] = members.mean(axis=0) if len(members) else x[rng.randint(n)]
+        if np.allclose(new, cent):
+            cent = new
+            break
+        cent = new
+    return [[float(v) for v in c] for c in cent]
+
+
+# The expression builders below emit SQL TEXT, not composed Column objects:
+# a PQ encode is m × k nested higher-order functions, and building that
+# through the Python Column API costs hundreds of py4j round-trips
+# (measured ~2 s of pure driver-side construction for m=16, k=16). One
+# F.expr over generated SQL is a single round-trip; the JVM parses it in
+# milliseconds and the resulting plan is identical.
+
+
+def _sql_double(v: float) -> str:
+    return format(float(v), ".17g") + "D"  # 17 sig digits: exact float64
+
+
+def array_literal_sql(c: list[float]) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in c) + ")"
+
+
+def centroids_literal_sql(centroids: list[list[float]]) -> str:
+    """The centroid table as a SQL array<array<double>> literal."""
+    return "array(" + ",".join(array_literal_sql(c) for c in centroids) + ")"
+
+
+def squared_distances_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL for array<double> of squared L2 distances from ``vec_sql`` to
+    every centroid — transform over the literal centroid table, zip_with +
+    aggregate per centroid; all whole-stage codegen."""
+    return (
+        f"transform({centroids_literal_sql(centroids)}, c -> "
+        f"aggregate(zip_with({vec_sql}, c, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (s, d) -> s + d))"
+    )
+
+
+def nearest_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL for the 0-based id of the nearest centroid (the distributed
+    assign/encode pass of every quantizer here). Ties break to the first
+    (lowest-id) centroid — deterministic.
+
+    The distance array is bound once with a single-element transform (a
+    SQL let-binding) so the centroid literal table appears ONCE in the
+    expression, not twice — half the parse/codegen size of the naive
+    array_position(d, array_min(d)) form."""
+    d = squared_distances_sql(vec_sql, centroids)
+    return (
+        f"element_at(transform(array({d}), ds -> "
+        f"CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)"
+    )
+
+
+def centroids_literal(centroids: list[list[float]]) -> Column:
+    """The centroid table as a literal array<array<double>> column."""
+    return F.expr(centroids_literal_sql(centroids))
+
+
+def nearest_centroid_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """Column wrapper over ``nearest_centroid_sql``; ``vec_sql`` is a SQL
+    fragment (a column name or expression) yielding array<double>."""
+    return F.expr(nearest_centroid_sql(vec_sql, centroids))

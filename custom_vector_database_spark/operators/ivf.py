@@ -2,9 +2,12 @@
 path next to LSH (builder brief: "an IVF or LSH-bucketed variant").
 
 Design, Spark-first:
-- fit      = distributed MLlib KMeans coarse quantizer over the vector
-             column; every row is assigned its nearest centroid id; the
-             clustered table is the materialized index.
+- fit      = coarse KMeans quantizer trained driver-side in numpy over a
+             bounded sample (operators/fitting.py rationale: the sample
+             bound makes the fit small math; MLlib's job-per-iteration
+             was pure scheduler latency); every row is then assigned its
+             nearest centroid by ONE distributed codegen'd projection;
+             the clustered table is the materialized index.
 - save     = Parquet **partitioned by cluster id** — so a search that
              probes `nprobe` of `n_clusters` clusters is a partition-pruned
              scan reading only nprobe/n_clusters of the data (the `explain`
@@ -25,13 +28,15 @@ import json
 import math
 import os
 
-from pyspark.ml.clustering import KMeans, KMeansModel
-from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
-from custom_vector_database_spark.operators.fitting import bounded_train_sample
+from custom_vector_database_spark.operators.fitting import (
+    collect_sample_matrix,
+    kmeans_fit_np,
+    nearest_centroid_expr,
+)
 
 __all__ = ["IvfIndex"]
 
@@ -39,9 +44,9 @@ __all__ = ["IvfIndex"]
 class IvfIndex:
     """KMeans-clustered vector table + centroid shortlist search."""
 
-    def __init__(self, model: KMeansModel, clustered: DataFrame,
+    def __init__(self, centroids: list[list[float]], clustered: DataFrame,
                  id_col: str, vec_col: str):
-        self.model = model
+        self.centroids = centroids
         self._clustered = clustered
         self.id_col = id_col
         self.vec_col = vec_col
@@ -58,46 +63,48 @@ class IvfIndex:
         fit_sample: int = 100_000,
     ) -> "IvfIndex":
         """Build the index. The coarse quantizer trains on at most
-        ``fit_sample`` rows — a uniform sample is statistically plenty for
-        k ≪ sample centroids, and it bounds the Lloyd's-iteration cost by
-        the sample size instead of the table size (at 100 TB you never run
-        KMeans over the full table; only the single assign pass below is
-        full-table). init='random': k-means|| costs ~2 extra distributed
-        passes for centroid quality that nprobe recall doesn't need."""
-        feats = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-        )
+        ``fit_sample`` rows (uniform sample — statistically plenty for
+        k ≪ sample centroids) driver-side in numpy; only the single
+        assign pass below is full-table, and it is one whole-stage-
+        codegen'd projection (nearest_centroid_expr), not an MLlib model
+        UDF."""
+        feats = df.select(F.col(id_col), F.col(vec_col))
         n = feats.count()
-        train = bounded_train_sample(feats, n, fit_sample, seed)
-        km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                    predictionCol="cluster", maxIter=max_iter, initMode="random")
-        model = km.fit(train)
+        x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
+        centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
         clustered = (
-            model.transform(feats)
-            .select(id_col, vec_col, "cluster")
+            feats.withColumn(
+                "cluster",
+                nearest_centroid_expr(
+                    f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
+                ),
+            )
             .localCheckpoint(eager=True)  # the materialized index
         )
-        return cls(model, clustered, id_col, vec_col)
+        return cls(centroids, clustered, id_col, vec_col)
 
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        self.model.write().overwrite().save(os.path.join(path, "model"))
         self._clustered.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(path, "rows")
         )
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+            json.dump(
+                {
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "centroids": self.centroids,
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        model = KMeansModel.load(os.path.join(path, "model"))
         rows = spark.read.parquet(os.path.join(path, "rows"))
-        return cls(model, rows, meta["id_col"], meta["vec_col"])
+        return cls(meta["centroids"], rows, meta["id_col"], meta["vec_col"])
 
     def clustered_df(self) -> DataFrame:
         return self._clustered
@@ -106,7 +113,7 @@ class IvfIndex:
         """Centroid shortlist — pure driver-side math over the tiny
         centroid set (n_clusters × dim)."""
         dists = []
-        for cid, center in enumerate(self.model.clusterCenters()):
+        for cid, center in enumerate(self.centroids):
             d = math.fsum((float(c) - float(q)) ** 2 for c, q in zip(center, query))
             dists.append((d, cid))
         dists.sort()

@@ -10,9 +10,11 @@ only the top candidates via an id-pushdown point read.
 
 Design, Spark-first (Jégou et al., "Product Quantization for Nearest
 Neighbor Search", TPAMI 2011 — public method):
-- fit    = per-subspace MLlib KMeans codebooks (m tiny fits on a bounded
-           sample), then ONE chained-transform pass encodes every row to
-           its m-byte code. All JVM-side.
+- fit    = per-subspace KMeans codebooks trained driver-side in numpy
+           over a bounded sample (operators/fitting.py rationale), then
+           ONE codegen'd projection encodes every row to its m-byte code
+           (nearest_centroid_expr per subspace — no MLlib model UDFs in
+           the full-table pass).
 - search = the query's distance to every centroid of every subspace is a
            tiny driver-side table (m × k floats — the LUT). ADC distance
            is then a pure Catalyst expression: m element_at lookups + adds
@@ -32,13 +34,19 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.functions import array_to_vector
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
-from custom_vector_database_spark.operators.fitting import bounded_train_sample
+from custom_vector_database_spark.operators.fitting import (
+    array_literal_sql,
+    centroids_literal_sql,
+    collect_sample_matrix,
+    kmeans_fit_np,
+    nearest_centroid_expr,
+    nearest_centroid_sql,
+)
 
 __all__ = ["PqIndex", "IvfPqIndex"]
 
@@ -72,12 +80,11 @@ class PqIndex:
         max_iter: int = 10,
         fit_sample: int = 100_000,
     ) -> "PqIndex":
-        """Train m subspace codebooks (k centroids each) on a bounded
-        sample, then encode the full table in one pass.
-
-        The m KMeans fits each scan only the checkpointed sample; the
-        full-table work is a single chained transform whose plan is m
-        KMeans-assign projections — no shuffle, no Python."""
+        """Train m subspace codebooks (k centroids each) driver-side on a
+        bounded sample (ONE sampling pass collects the matrix), then
+        encode the full table in a single codegen'd projection — m
+        nearest-centroid expressions over array slices, no shuffle, no
+        Python, no per-iteration jobs."""
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
             raise ValueError("cannot fit PQ on an empty table")
@@ -86,44 +93,26 @@ class PqIndex:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
 
-        feats = df.select(F.col(id_col), F.col(vec_col).alias("_vec"))
-        for j in range(m):
-            feats = feats.withColumn(
-                f"_sub{j}",
-                array_to_vector(
-                    F.slice("_vec", j * dsub + 1, dsub).cast("array<double>")
-                ),
-            )
+        feats = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vec")
+        )
         n = feats.count()
-        train = bounded_train_sample(feats, n, fit_sample, seed)
-
-        # The m subspace fits are independent jobs over the same cached
-        # sample — submit them concurrently (Spark's scheduler interleaves
-        # them) so fit wall-time is ~the slowest single fit, not m× serial.
-        def _fit_subspace(j: int):
-            km = KMeans(
-                k=k,
-                seed=seed + j,
-                featuresCol=f"_sub{j}",
-                predictionCol=f"_code{j}",
-                maxIter=max_iter,
-                initMode="random",
+        x = collect_sample_matrix(feats, "_vec", n, fit_sample, seed)
+        codebooks = [
+            kmeans_fit_np(x[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter)
+            for j in range(m)
+        ]
+        codes = F.expr(
+            "array("
+            + ",".join(
+                nearest_centroid_sql(f"slice(_vec, {j * dsub + 1}, {dsub})", codebooks[j])
+                for j in range(m)
             )
-            return km.fit(train)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-            models = list(pool.map(_fit_subspace, range(m)))
-
-        codebooks: list[list[list[float]]] = []
-        encoded = feats
-        for model in models:
-            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-            encoded = model.transform(encoded)
-        encoded = encoded.select(
-            id_col, F.array(*[f"_code{j}" for j in range(m)]).alias("codes")
-        ).localCheckpoint(eager=True)
+            + ")"
+        )
+        encoded = feats.select(id_col, codes.alias("codes")).localCheckpoint(
+            eager=True
+        )
         return cls(codebooks, encoded, id_col, dim)
 
     def encoded_df(self) -> DataFrame:
@@ -150,24 +139,23 @@ class PqIndex:
     def _adc_expr(self, query: list[float]) -> Column:
         """Asymmetric distance: Σ_j LUT_j[code_j], with the per-subspace
         LUTs (query-to-centroid squared distances) inlined as literal
-        arrays — m element_at lookups + adds per row, fully codegen'd."""
+        arrays — m element_at lookups + adds per row, fully codegen'd
+        (emitted as one SQL string: the m-term tower through the Python
+        Column API would cost m×k py4j round-trips)."""
         dsub = self.dim // self.m
-        terms: list[Column] = []
+        terms: list[str] = []
         for j in range(self.m):
             q_sub = query[j * dsub : (j + 1) * dsub]
             lut = [
                 sum((float(c) - float(q)) ** 2 for c, q in zip(center, q_sub))
                 for center in self.codebooks[j]
             ]
-            lut_arr = F.array(*[F.lit(v) for v in lut])
             # codes are 0-based KMeans cluster ids; element_at is 1-based
             terms.append(
-                F.element_at(lut_arr, F.element_at(F.col("codes"), j + 1) + 1)
+                f"element_at({array_literal_sql(lut)}, "
+                f"element_at(codes, {j + 1}) + 1)"
             )
-        adc = terms[0]
-        for t in terms[1:]:
-            adc = adc + t
-        return adc
+        return F.expr(" + ".join(terms))
 
     def search(
         self,
@@ -265,57 +253,47 @@ class IvfPqIndex:
         feats = df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_vec"),
-        ).withColumn("_features", array_to_vector("_vec"))
+        )
         n = feats.count()
-        train = bounded_train_sample(feats, n, fit_sample, seed)
-
-        coarse = KMeans(
-            k=n_clusters, seed=seed, featuresCol="_features",
-            predictionCol="cluster", maxIter=max_iter, initMode="random",
-        ).fit(train)
-        centroids = [[float(x) for x in c] for c in coarse.clusterCenters()]
-
-        # residual = vec − centroid[cluster], via a literal centroid table
-        cent_lit = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+        # ONE sampling pass feeds both the coarse quantizer and (via
+        # numpy-side assignment + residuals) all m subspace codebooks
+        x = collect_sample_matrix(feats, "_vec", n, fit_sample, seed)
+        centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
+        cents = np.asarray(centroids, dtype=np.float64)
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cents.T
+            + (cents * cents).sum(axis=1)
         )
-        def with_residual(d: DataFrame) -> DataFrame:
-            cent = F.element_at(cent_lit, F.col("cluster") + 1)
-            d = d.withColumn(
-                "_res", F.zip_with("_vec", cent, lambda a, b: a - b)
-            )
-            for j in range(m):
-                d = d.withColumn(
-                    f"_sub{j}",
-                    array_to_vector(F.slice("_res", j * dsub + 1, dsub)),
-                )
-            return d
-
-        train_res = with_residual(coarse.transform(train)).localCheckpoint(
-            eager=True
-        )
-
-        def _fit_subspace(j: int):
-            return KMeans(
-                k=k, seed=seed + 1 + j, featuresCol=f"_sub{j}",
-                predictionCol=f"_code{j}", maxIter=max_iter, initMode="random",
-            ).fit(train_res)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-            models = list(pool.map(_fit_subspace, range(m)))
+        res_x = x - cents[d2.argmin(axis=1)]
         codebooks = [
-            [[float(x) for x in c] for c in mdl.clusterCenters()] for mdl in models
+            kmeans_fit_np(
+                res_x[:, j * dsub : (j + 1) * dsub], k, seed + 1 + j, max_iter
+            )
+            for j in range(m)
         ]
 
-        encoded = with_residual(coarse.transform(feats))
-        for mdl in models:
-            encoded = mdl.transform(encoded)
+        # full-table pass: cluster assign + residual + m subspace codes,
+        # all in one codegen'd projection over literal centroid tables
+        encoded = feats.withColumn(
+            "cluster", nearest_centroid_expr("_vec", centroids)
+        ).withColumn(
+            "_res",
+            F.expr(
+                f"zip_with(_vec, element_at({centroids_literal_sql(centroids)}, "
+                f"cluster + 1), (a, b) -> a - b)"
+            ),
+        )
+        codes = F.expr(
+            "array("
+            + ",".join(
+                nearest_centroid_sql(f"slice(_res, {j * dsub + 1}, {dsub})", codebooks[j])
+                for j in range(m)
+            )
+            + ")"
+        )
         encoded = encoded.select(
-            id_col,
-            "cluster",
-            F.array(*[f"_code{j}" for j in range(m)]).alias("codes"),
+            id_col, "cluster", codes.alias("codes")
         ).localCheckpoint(eager=True)
         return cls(centroids, codebooks, encoded, id_col, dim)
 
@@ -375,8 +353,9 @@ class IvfPqIndex:
         dsub = self.dim // self.m
 
         # per-cluster ADC: LUT built from the query residual vs that
-        # cluster's centroid; dispatch on the row's cluster id
-        adc = F.lit(None).cast("double")
+        # cluster's centroid; dispatch on the row's cluster id with one
+        # SQL CASE (nprobe × m element_at terms, single expr round-trip)
+        branches = []
         for cid in probe:
             res = [q - c for q, c in zip(query, self.centroids[cid])]
             terms = []
@@ -387,15 +366,15 @@ class IvfPqIndex:
                     for center in self.codebooks[j]
                 ]
                 terms.append(
-                    F.element_at(
-                        F.array(*[F.lit(v) for v in lut]),
-                        F.element_at(F.col("codes"), j + 1) + 1,
-                    )
+                    f"element_at({array_literal_sql(lut)}, "
+                    f"element_at(codes, {j + 1}) + 1)"
                 )
-            cluster_adc = terms[0]
-            for t in terms[1:]:
-                cluster_adc = cluster_adc + t
-            adc = F.when(F.col("cluster") == cid, cluster_adc).otherwise(adc)
+            branches.append(f"WHEN {cid} THEN {' + '.join(terms)}")
+        adc = F.expr(
+            "CASE cluster "
+            + " ".join(branches)
+            + " ELSE CAST(NULL AS DOUBLE) END"
+        )
 
         cand = (
             self._encoded.filter(F.col("cluster").isin(probe))

@@ -470,7 +470,9 @@ def q_snapshot_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from custom_vector_database_spark.functions.vector import dot_product
     from custom_vector_database_spark.sources import vectordb_datasource as vds
-    from custom_vector_database_spark.sources.reference_snapshot import write_snapshot
+    from custom_vector_database_spark.sources.reference_snapshot import (
+        write_snapshot_sharded,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     as_table = emb.select(
@@ -480,10 +482,14 @@ def q_snapshot_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="cvdb_ds_")
     try:
+        # sharded export (executor-side write) + glob load (one parse task
+        # per part) — both sides of the interop path run parallel; the
+        # single-file variant remains covered by snapshot_roundtrip_agg
         snap = os.path.join(tmp, "vectordb.json")
-        write_snapshot(as_table, snap, dim=64)
+        n_shards = max(2, min(8, spark.sparkContext.defaultParallelism))
+        write_snapshot_sharded(as_table, snap, dim=64, shards=n_shards)
         vds.register(spark)
-        back = spark.read.format("vectordbjson").load(snap)
+        back = spark.read.format("vectordbjson").load(snap + ".part-*")
         out = back.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("id").alias("sum_ids"),

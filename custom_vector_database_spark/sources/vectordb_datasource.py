@@ -11,10 +11,14 @@ surface, so the format composes with everything that takes a reader
 The format is a single whole-file JSON document by the reference's design
 (vectordb.cpp:158-218), so the reader exposes ONE partition per file —
 parallelism comes from loading many snapshot files (each its own
-partition), not from splitting one. Parsing runs executor-side; the
-driver never touches vector payloads. Writing stays with
-reference_snapshot.write_snapshot (the format's single-file atomic
-overwrite doesn't fit partition-parallel DataSourceWriter semantics).
+partition), not from splitting one. The path may be a single file, a
+glob pattern, or a directory (every regular file inside): pointing it at
+a ``write_snapshot_sharded`` output (``snap.json.part-*``) gives an
+N-way parallel parse. Parsing runs executor-side; the driver never
+touches vector payloads. Writing stays with
+reference_snapshot.write_snapshot / write_snapshot_sharded (the
+format's whole-file atomic overwrite doesn't fit partition-parallel
+DataSourceWriter semantics).
 
 Error contract matches read_snapshot (reference load(),
 vectordb.cpp:191-214): missing dim/nextId/vectors or a vector entry
@@ -50,8 +54,25 @@ class VectorDbJsonReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
-        # one partition per snapshot FILE — the unit the format allows
-        return [InputPartition(self.path)]
+        # one partition per snapshot FILE — the unit the format allows.
+        # Globs and directories expand (driver-side listing, cheap) so a
+        # sharded export parses with one task per part file.
+        import glob as _glob
+        import os as _os
+
+        if _os.path.isdir(self.path):
+            files = sorted(
+                _os.path.join(self.path, f)
+                for f in _os.listdir(self.path)
+                if _os.path.isfile(_os.path.join(self.path, f))
+            )
+        elif any(c in self.path for c in "*?["):
+            files = sorted(_glob.glob(self.path))
+        else:
+            files = [self.path]
+        if not files:
+            raise FileNotFoundError(self.path)
+        return [InputPartition(f) for f in files]
 
     def read(self, partition):
         with open(partition.value) as f:

@@ -180,6 +180,17 @@ class VectorTable:
             shards=shards,
         )
 
+    def _local_batch(self, rows: list[tuple]) -> DataFrame:
+        """Driver-side rows → DataFrame via pandas/Arrow: the batch lands
+        as a JVM LocalRelation, so downstream writes never spin up Python
+        workers (createDataFrame over plain tuples pickles through
+        parallelize(), costing a ~3 s Python-worker round on the first
+        mutation of a session — measured, not guessed)."""
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["id", "vec", "metadata"])
+        return self.spark.createDataFrame(pdf, VECTOR_SCHEMA)
+
     # -- O2 add (vectordb.cpp:38-52) --------------------------------------
     def add(self, rows: DataFrame | list[tuple[list[float], str | None]]) -> list[int]:
         """Batch insert; returns the assigned ids (contiguous from nextId).
@@ -207,12 +218,11 @@ class VectorTable:
                 if len(v) != meta.dim:
                     raise DimensionMismatchError(f"expected dim {meta.dim}")
             n = len(rows)
-            stamped = self.spark.createDataFrame(
+            stamped = self._local_batch(
                 [
                     (meta.next_id + i, [float(x) for x in v], m)
                     for i, (v, m) in enumerate(rows)
-                ],
-                VECTOR_SCHEMA,
+                ]
             )
             # id counter is bumped BEFORE the data rewrite: a crash in
             # between leaves an id gap (harmless) instead of reissuing ids
@@ -274,8 +284,8 @@ class VectorTable:
             raise DimensionMismatchError(f"expected dim {meta.dim}")
         if not self._exists(id_):
             return False
-        replacement = self.spark.createDataFrame(
-            [(int(id_), [float(x) for x in vec], metadata)], VECTOR_SCHEMA
+        replacement = self._local_batch(
+            [(int(id_), [float(x) for x in vec], metadata)]
         )
         kept = self.df().filter(F.col("id") != F.lit(int(id_)))
         self._rewrite(kept.unionByName(replacement))
@@ -295,8 +305,10 @@ class VectorTable:
         """Delete a batch of ids in ONE rewrite; returns how many existed."""
         if not ids:
             return 0
+        import pandas as pd
+
         wanted = self.spark.createDataFrame(
-            [(int(i),) for i in set(ids)], "id LONG"
+            pd.DataFrame({"id": sorted({int(i) for i in ids})}), "id LONG"
         )
         existed = self.df().join(F.broadcast(wanted), "id", "left_semi").count()
         self._rewrite(self.df().join(F.broadcast(wanted), "id", "left_anti"))
@@ -340,7 +352,7 @@ class VectorTable:
         mutations accrete small files; compaction restores healthy scan
         splits — the OPTIMIZE analogue for this whole-rewrite store."""
         n = n_partitions or self.spark.sparkContext.defaultParallelism
-        self._rewrite(self.df().repartition(n))
+        self._rewrite(self.df().repartition(n), n_files=n)
 
     # -- O6 rebuild (vectordb.cpp:82-118) -----------------------------------
     def rebuild(self, num_hash_tables: int = 4, bucket_length: float | None = None):
@@ -445,7 +457,29 @@ class VectorTable:
 
     # -- O8 save: every mutation already persists (whole-rewrite), like the
     # reference's save-per-command loop (main.cpp:66-70). ---------------------
-    def _rewrite(self, df: DataFrame) -> None:
+    def _disk_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self._data_path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    _TARGET_FILE_BYTES = 64 * 1024 * 1024  # ~64 MiB output files
+
+    def _rewrite(self, df: DataFrame, n_files: int | None = None) -> None:
+        # Size the output file count from the CURRENT table size (cheap
+        # driver-side listing): a 20-row table must not scatter into 32
+        # near-empty part files per mutation (pure task/IO overhead), and
+        # a large table keeps enough partitions for ~64 MiB files. Bounded
+        # above by the input partitioning — coalesce never shuffles. An
+        # explicit ``n_files`` (compact()) overrides the heuristic.
+        if n_files is None:
+            n_files = max(1, self._disk_bytes() // self._TARGET_FILE_BYTES + 1)
+            if n_files < df.rdd.getNumPartitions():
+                df = df.coalesce(int(n_files))
         tmp = self._data_path + "_tmp"
         if os.path.exists(tmp):  # leftover from a previous failed write
             shutil.rmtree(tmp)

@@ -351,3 +351,32 @@ def test_vectordb_datasource_error_contract(spark, tmp_path):
     with _pytest.raises(Exception) as exc2:
         spark.read.format("vectordbjson").load(str(bad2)).collect()
     assert "corrupted" in str(exc2.value)
+
+
+def test_vectordb_datasource_reads_sharded_export_in_parallel(spark, tmp_path):
+    """Glob/dir paths expand to one partition per part file — a sharded
+    export parses with N parallel tasks and yields the full id space."""
+    from custom_vector_database_spark.sources import vectordb_datasource as vds
+    from custom_vector_database_spark.sources.reference_snapshot import (
+        write_snapshot_sharded,
+    )
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    vds.register(spark)
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=2)
+    t.add([([float(i), 0.0], None) for i in range(12)])
+    out = str(tmp_path / "snap.json")
+    write_snapshot_sharded(t.df(), out, dim=2, shards=3)
+
+    df = spark.read.format("vectordbjson").load(out + ".part-*")
+    assert df.rdd.getNumPartitions() == 3  # one parse task per shard
+    assert {r["id"] for r in df.collect()} == set(range(1, 13))
+
+    # a directory path reads every file inside
+    df_dir = spark.read.format("vectordbjson").load(str(tmp_path))
+    assert {r["id"] for r in df_dir.collect()} == set(range(1, 13))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="nomatch"):
+        spark.read.format("vectordbjson").load(str(tmp_path / "nomatch*")).collect()
