@@ -831,3 +831,182 @@ def q_salted_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: three more training-data-pipeline verbs, all built on the
+# md5-deterministic / guarantee-check oracle patterns so every one is
+# hash-checkable against DuckDB.
+# ---------------------------------------------------------------------------
+
+# Deterministic train/val/test split (80/10/10): the split of a document is
+# a pure function of md5(doc_id) against exact integer thresholds
+# (floor(f * 2^60) literals — identical arithmetic in any engine), so the
+# assignment is reproducible across engines, reruns, and repartitioning,
+# and adding new docs never reassigns existing ones — the properties a
+# training pipeline needs from a split. Single pass, no shuffle before the
+# 3-group aggregate.
+_SPLIT_TRAIN_MAX = 922337203685477580  # floor(0.8 * 2^60)
+_SPLIT_VAL_MAX = 1037629354146162278  # floor(0.9 * 2^60)
+
+
+@register(
+    "dataset_split_docs",
+    f"""
+    SELECT CASE
+             WHEN h < {_SPLIT_TRAIN_MAX} THEN 'train'
+             WHEN h < {_SPLIT_VAL_MAX} THEN 'val'
+             ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM (SELECT doc_id, n_chars,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM documents)
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def q_dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h < F.lit(_SPLIT_TRAIN_MAX), "train")
+        .when(h < F.lit(_SPLIT_VAL_MAX), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("split")
+    )
+
+
+# Weighted sampling via priority sampling (Duffield/Lund/Thorup, public
+# method): priority = uniform / weight, keep the k smallest per stratum.
+# The uniform is the first 13 hex chars of md5(key) — 52 bits, EXACTLY
+# representable as an IEEE double — and the weight is an exact integer
+# (price cents < 2^53), so priority = h / w is one correctly-rounded IEEE
+# division that every engine computes bit-identically: the selected sample
+# is deterministic and cross-engine hash-checkable, unlike seeded RNG
+# sampling. Scale shape: one pass to hash + a per-group top-k window —
+# only (status, key, priority) triples shuffle.
+@register(
+    "weighted_sample_orders",
+    """
+    WITH w AS (
+      SELECT o_orderstatus AS status, o_orderkey AS orderkey,
+             CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                       AS BIGINT) AS DOUBLE)
+             / CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+               AS priority
+      FROM orders
+    ), r AS (
+      SELECT status, orderkey,
+             row_number() OVER (PARTITION BY status
+                                ORDER BY priority, orderkey) AS rk
+      FROM w
+    )
+    SELECT status, orderkey, rk FROM r WHERE rk <= 20
+    ORDER BY status, rk
+    """,
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    h52 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    w_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    priority = h52.cast("double") / w_cents.cast("double")
+    ranked = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("orderkey"),
+        priority.alias("priority"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("status").orderBy("priority", "orderkey")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 20)
+        .select("status", "orderkey", "rk")
+        .orderBy("status", "rk")
+    )
+
+
+# Count-min-sketch heavy hitters, built from first principles as plain
+# DataFrame ops: the sketch is a (depth, bucket) -> count aggregation
+# (bucket = xxhash64(key, depth) mod width) — map-side combinable, one
+# shuffle of at most depth x width rows regardless of input size, the
+# 100 TB shape for frequency estimation. The estimate probe is a
+# broadcast join of the 10 candidate keys' buckets against the finished
+# sketch, min over depths. Deterministic end to end (xxhash64 is a fixed
+# function), but the estimate is Spark-specific (DuckDB has no xxhash64
+# with this mixing), so — like the HLL/GK queries — the output is the
+# EXACT top-10 plus a boolean asserting the CMS guarantee
+# (exact <= estimate <= exact + (e/width) * N); the oracle computes the
+# exact top-10 and TRUE.
+_CMS_DEPTH, _CMS_WIDTH = 5, 8192
+
+
+@register(
+    "cms_heavy_hitters_parts",
+    """
+    SELECT l_partkey, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY exact_cnt DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def q_cms_heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def buckets(col: str) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_CMS_WIDTH))
+                for i in range(_CMS_DEPTH)
+            ]
+        )
+
+    sketch = (
+        li.select(F.posexplode(buckets("l_partkey")).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(10)
+    )
+    n_total = li.count()
+    bound = 2.718281828459045 / _CMS_WIDTH * n_total
+    probes = top.select(
+        "l_partkey", "exact_cnt", F.posexplode(buckets("l_partkey")).alias("d", "bucket")
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "l_partkey",
+        "exact_cnt",
+        (
+            (F.col("est") >= F.col("exact_cnt"))
+            & (F.col("est") <= F.col("exact_cnt") + F.lit(bound))
+        ).alias("cms_ok"),
+    ).orderBy(F.desc("exact_cnt"), "l_partkey")

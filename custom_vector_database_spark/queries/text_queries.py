@@ -382,7 +382,7 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
     ).select("id_a", "id_b")
-    cc = connected_components(edges)
+    cc = connected_components(edges, accelerate=True)
     out = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
