@@ -85,13 +85,20 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
+    # AQE re-plans every shuffle stage; inside the loop the partition
+    # count is already sized from the data above, so the re-planning is
+    # pure per-round latency (measured ~13% of loop wall time) — off for
+    # the iteration, restored after.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         labels = _cc_iterate(
             und, labels, prev_sum, max_iter, accelerate
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -25,6 +25,18 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Executor Python workers resolve pickled-by-reference functions by
+    # importing this package; they inherit PYTHONPATH from the JVM, not
+    # the driver's runtime sys.path. Export the package root BEFORE the
+    # JVM starts so a driver launched from any cwd (sys.path.insert
+    # style) still works. On a real cluster, ship the package with
+    # --py-files / a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
     if shuffle_partitions is None:
         # local mode: match cores. On a cluster you'd size this to
         # total-cores * 2-3, or let AQE coalesce from a higher number.

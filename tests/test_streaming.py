@@ -62,3 +62,28 @@ def test_stream_matches_batch(spark, stream_fn, batch_query, keys, name):
     batch = reg.QUERIES[batch_query](spark, SF)
     assert _rows(streamed, keys) == _rows(batch, keys)
     assert streamed.count() > 0
+
+
+def test_tws_gate_and_compat_selection(spark):
+    """transformWithStateInPandas needs protobuf; the gate must report the
+    actual environment and user_type_spend must fail FAST with a clear
+    message where it's absent (not crash mid-stream). The compat twin's
+    correctness is covered by the stream_user_type_spend oracle row."""
+    import pytest
+
+    from custom_vector_database_spark.streaming import streaming_events
+    from custom_vector_database_spark.streaming.stateful import (
+        tws_available,
+        user_type_spend,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    assert tws_available() == has_proto
+    if not has_proto:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_type_spend(streaming_events(spark, SF))
