@@ -400,6 +400,52 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered twin of the sketch-merge path, hash-checkable like the other
+# sketch queries: emits the EXACT per-window distinct count plus a boolean
+# asserting the merged-HLL estimate landed within 5× the sketch's relative
+# standard deviation (default lgConfigK=12 → rsd ≈ 1.6%, bound 8%). The
+# oracle computes the exact counts and TRUE; a drifting sketch or a broken
+# union flips a boolean and fails the hash.
+@register(
+    "rolling_7d_active_users_hll",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', MAX(ts)) AS d1 FROM events
+    ), daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), fan AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday,
+             user_id
+      FROM daily
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS active_users,
+           TRUE AS hll_ok
+    FROM fan, bounds WHERE wday <= d1
+    GROUP BY wday ORDER BY day
+    """,
+)
+def q_rolling_7d_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    exact = q_rolling_7d_active_users(spark, sf_dir)
+    approx = rolling_active_users_hll(ev).withColumnRenamed(
+        "active_users", "hll_users"
+    )
+    bound = 5 * 1.04 / (2**12) ** 0.5  # 5 × rsd(lgConfigK=12) ≈ 8%
+    return (
+        exact.join(approx, "day")
+        .select(
+            "day",
+            "active_users",
+            (
+                F.abs(F.col("hll_users") - F.col("active_users"))
+                <= F.lit(bound) * F.col("active_users")
+            ).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
+
+
 def rolling_active_users_hll(ev: DataFrame, window_days: int = 7) -> DataFrame:
     """Sketch-merge rolling uniques: ONE HLL sketch per day (map-side
     combinable), then union the ≤`window_days` member sketches per window.
