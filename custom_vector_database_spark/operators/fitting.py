@@ -32,16 +32,26 @@ def collect_sample_matrix(
     """One distributed sampling pass → the bounded (≤ fit_sample, dim)
     float64 training matrix on the driver. The collect is bounded by
     ``fit_sample`` rows by construction — the 100 TB table never reaches
-    the driver, only the sample does."""
+    the driver, only the sample does. Arrow transfer (toPandas), not the
+    row-pickle path: 100k × 64-d through pickle is millions of boxed
+    Python floats; through Arrow it is a handful of buffers.
+
+    Non-finite vector components are rejected up front: one NaN would
+    silently poison centroid means (and downstream SQL literals) — the
+    hard-error mirrors the reference's parseVector contract
+    (main.cpp:14-21)."""
     sample = (
         df.sample(fraction=min(1.0, fit_sample / n), seed=seed)
         if n > fit_sample
         else df
     )
-    rows = sample.select(F.col(vec_col).cast("array<double>").alias("v")).collect()
-    if not rows:
+    pdf = sample.select(F.col(vec_col).cast("array<double>").alias("v")).toPandas()
+    if pdf.empty:
         raise ValueError("cannot fit on an empty table")
-    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = np.asarray(list(pdf["v"]), dtype=np.float64)
+    if not np.isfinite(x).all():
+        raise ValueError("non-finite values in the training sample")
+    return x
 
 
 def kmeans_fit_np(
@@ -84,7 +94,13 @@ def kmeans_fit_np(
 
 
 def _sql_double(v: float) -> str:
-    return format(float(v), ".17g") + "D"  # 17 sig digits: exact float64
+    v = float(v)
+    if v != v or v in (float("inf"), float("-inf")):
+        # 'nanD'/'infD' would parse as column references and die with an
+        # unrelated resolution error; emit a proper non-finite literal
+        # (fit rejects non-finite samples, so this is belt-and-braces)
+        return f"CAST('{v}' AS DOUBLE)"
+    return format(v, ".17g") + "D"  # 17 sig digits: exact float64
 
 
 def array_literal_sql(c: list[float]) -> str:

@@ -984,6 +984,7 @@ def q_cms_heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.posexplode(buckets("l_partkey")).alias("d", "bucket"))
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # one build; feeds probe AND N below
     )
     top = (
         li.groupBy("l_partkey")
@@ -991,7 +992,11 @@ def q_cms_heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "l_partkey")
         .limit(10)
     )
-    n_total = li.count()
+    # N = the total the sketch already counted (any single depth sums to
+    # it) — no third full-table scan
+    n_total = int(
+        sketch.filter(F.col("d") == 0).agg(F.sum("cnt")).first()[0] or 0
+    )
     bound = 2.718281828459045 / _CMS_WIDTH * n_total
     probes = top.select(
         "l_partkey", "exact_cnt", F.posexplode(buckets("l_partkey")).alias("d", "bucket")

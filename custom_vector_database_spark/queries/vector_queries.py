@@ -297,7 +297,11 @@ _IVFPQ_CACHE: dict = {}
 def ivfpq_saved_index(spark: SparkSession, sf_dir: str):
     from custom_vector_database_spark.operators.pq import IvfPqIndex
 
-    idx = _IVFPQ_CACHE.get(sf_dir)
+    # key includes the application id: a cached index holds DataFrames
+    # bound to a session — after a stop()/restart a bare sf_dir hit would
+    # hand back handles into a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVFPQ_CACHE.get(key)
     if idx is not None:
         return idx
     import atexit
@@ -312,7 +316,7 @@ def ivfpq_saved_index(spark: SparkSession, sf_dir: str):
     atexit.register(_shutil.rmtree, path, ignore_errors=True)
     fitted.save(path)
     idx = IvfPqIndex.load(spark, path)
-    _IVFPQ_CACHE[sf_dir] = idx
+    _IVFPQ_CACHE[key] = idx
     return idx
 
 

@@ -191,7 +191,11 @@ def write_snapshot_sharded(
     if next_id is None:
         row = df.agg(F.max("id").alias("m")).first()
         next_id = int(row["m"] or 0) + 1
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # resolve relative paths DRIVER-side before the closure captures them —
+    # executors run with their own cwd, so a raw relative path would land
+    # parts in executor scratch dirs on a real cluster
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
 
     # NOTE: this closure runs on executors; it must be fully self-contained
     # (stdlib imports inside, no references to package-level names) so it
@@ -201,7 +205,11 @@ def write_snapshot_sharded(
         import os as _os
 
         part = f"{path}.part-{idx:04d}"
-        tmp = part + "_tmp"
+        # tmp name must match NEITHER the documented '.part-*' read glob
+        # nor a directory listing (dot-prefixed; the datasource skips
+        # hidden files) — a crashed export must not poison later reads
+        _d, _base = _os.path.split(part)
+        tmp = _os.path.join(_d, f".{_base}.tmp")
         n = 0
         with open(tmp, "w") as f:
             f.write('{\n  "dim": %d,\n  "vectors": [' % dim)

@@ -61,10 +61,13 @@ class VectorDbJsonReader(DataSourceReader):
         import os as _os
 
         if _os.path.isdir(self.path):
+            # skip hidden/marker files ('.': in-progress shard tmps;
+            # '_': Spark-convention markers like _SUCCESS)
             files = sorted(
                 _os.path.join(self.path, f)
                 for f in _os.listdir(self.path)
                 if _os.path.isfile(_os.path.join(self.path, f))
+                and not f.startswith((".", "_"))
             )
         elif any(c in self.path for c in "*?["):
             files = sorted(_glob.glob(self.path))

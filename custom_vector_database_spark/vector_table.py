@@ -228,7 +228,12 @@ class VectorTable:
             # between leaves an id gap (harmless) instead of reissuing ids
             # already durably written (duplicate-id corruption)
             TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
-            self._rewrite(self.df().unionByName(stamped))
+            self._rewrite(
+                self.df().unionByName(stamped),
+                incoming_bytes=sum(
+                    len(v) * 4 + (len(m) if m else 0) + 32 for v, m in rows
+                ),
+            )
             return list(range(meta.next_id, meta.next_id + n))
         batch = rows.select("vec", "metadata")
         batch = batch.localCheckpoint(eager=True)
@@ -259,7 +264,10 @@ class VectorTable:
         )
         # counter before data, as in the list path: crash ⇒ gap, never reuse
         TableMeta(dim=meta.dim, next_id=meta.next_id + n).write(self._meta_path)
-        self._rewrite(self.df().unionByName(stamped))
+        self._rewrite(
+            self.df().unionByName(stamped),
+            incoming_bytes=n * (meta.dim * 4 + 96),  # est. row width
+        )
         return list(range(meta.next_id, meta.next_id + n))
 
     # -- O3 get (vectordb.cpp:54-59) --------------------------------------
@@ -469,15 +477,21 @@ class VectorTable:
 
     _TARGET_FILE_BYTES = 64 * 1024 * 1024  # ~64 MiB output files
 
-    def _rewrite(self, df: DataFrame, n_files: int | None = None) -> None:
-        # Size the output file count from the CURRENT table size (cheap
-        # driver-side listing): a 20-row table must not scatter into 32
-        # near-empty part files per mutation (pure task/IO overhead), and
-        # a large table keeps enough partitions for ~64 MiB files. Bounded
+    def _rewrite(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        incoming_bytes: int = 0,
+    ) -> None:
+        # Size the output file count from current table size + the
+        # incoming batch estimate (a bulk add into an empty table must NOT
+        # coalesce the whole ingest to one task; a 20-row table must not
+        # scatter into 32 near-empty part files per mutation). Bounded
         # above by the input partitioning — coalesce never shuffles. An
         # explicit ``n_files`` (compact()) overrides the heuristic.
         if n_files is None:
-            n_files = max(1, self._disk_bytes() // self._TARGET_FILE_BYTES + 1)
+            total = self._disk_bytes() + incoming_bytes
+            n_files = max(1, total // self._TARGET_FILE_BYTES + 1)
             if n_files < df.rdd.getNumPartitions():
                 df = df.coalesce(int(n_files))
         tmp = self._data_path + "_tmp"

@@ -118,7 +118,7 @@ def test_add_bumps_counter_before_rewrite(spark, tmp_path, monkeypatch):
     t = VectorTable(spark, str(tmp_path / "db")).init(dim=2)
     t.add([([1.0, 1.0], None)])
 
-    def boom(df):
+    def boom(df, **kwargs):
         raise RuntimeError("simulated crash during rewrite")
 
     monkeypatch.setattr(t, "_rewrite", boom)
