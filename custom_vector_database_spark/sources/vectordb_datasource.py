@@ -28,12 +28,27 @@ without id/vec raises instead of silently dropping rows.
 from __future__ import annotations
 
 import json
+import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class VectorDbJsonDataSource(DataSource):
-    """format name: ``vectordbjson``; option/path: the snapshot file."""
+    """format name: ``vectordbjson``; option/path: the snapshot file.
+
+    Writing (``df.write.format("vectordbjson").mode("overwrite")
+    .option("dim", d).save(path)``) produces the SHARDED layout — one
+    reference-loadable ``{path}.part-NNNN`` document per input partition
+    (two-phase commit: parts land under hidden tmp names, the commit
+    stamps the global nextId footer and renames; an aborted job leaves
+    nothing visible). Read it back with ``.load(f"{path}.part-*")``.
+    ``option("nextId", n)`` overrides the computed max(id)+1."""
 
     @classmethod
     def name(cls) -> str:
@@ -47,6 +62,31 @@ class VectorDbJsonDataSource(DataSource):
         if not path:
             raise ValueError("vectordbjson requires a path (.load(path))")
         return VectorDbJsonReader(path)
+
+    def writer(self, schema, overwrite: bool) -> "VectorDbJsonWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("vectordbjson requires a path (.save(path))")
+        if not overwrite:
+            raise ValueError(
+                "vectordbjson supports only mode('overwrite') — the "
+                "reference format is a whole-snapshot write "
+                "(vectordb.cpp:158-178)"
+            )
+        names = [f.name for f in schema.fields]
+        if not {"id", "vec"} <= set(names):
+            raise ValueError(
+                f"vectordbjson write needs id and vec columns, got {names}"
+            )
+        dim = self.options.get("dim")
+        if dim is None:
+            raise ValueError("vectordbjson write requires option('dim', <int>)")
+        next_id = self.options.get("nextid", self.options.get("nextId"))
+        return VectorDbJsonWriter(
+            os.path.abspath(path),
+            int(dim),
+            None if next_id is None else int(next_id),
+        )
 
 
 class VectorDbJsonReader(DataSourceReader):
@@ -100,6 +140,85 @@ class VectorDbJsonReader(DataSourceReader):
                 [float(x) for x in v["vec"]],
                 None if meta is None else json.dumps(meta, separators=(",", ":")),
             )
+
+
+class _PartMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, idx: int, n: int, max_id: int):
+        self.tmp_path = tmp_path
+        self.idx = idx
+        self.n = n
+        self.max_id = max_id
+
+
+class VectorDbJsonWriter(DataSourceWriter):
+    """One reference-format part document per partition, two-phase:
+    ``write`` leaves ``.{base}.part-NNNN.tmp`` files WITHOUT the nextId
+    footer and reports each partition's local max id; ``commit`` (driver)
+    appends the global footer, renames parts into place, and clears any
+    stale parts from a previous write. ``abort`` removes the tmps."""
+
+    def __init__(self, path: str, dim: int, next_id: int | None):
+        self.path = path
+        self.dim = dim
+        self.next_id = next_id
+
+    def _tmp_name(self, idx: int) -> str:
+        d, base = os.path.split(self.path)
+        return os.path.join(d, f".{base}.part-{idx:04d}.tmp")
+
+    def write(self, iterator) -> _PartMessage:
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        tmp = self._tmp_name(idx)
+        n, max_id = 0, 0
+        with open(tmp, "w") as f:
+            f.write('{\n  "dim": %d,\n  "vectors": [' % self.dim)
+            for r in iterator:
+                if r["id"] is None or r["vec"] is None:
+                    raise ValueError("vectordbjson write: null id/vec")
+                if r["id"] > max_id:
+                    max_id = r["id"]
+                meta = r["metadata"] if "metadata" in r.__fields__ else None
+                meta_obj = None
+                if meta is not None:
+                    try:
+                        meta_obj = json.loads(meta)
+                    except (TypeError, ValueError):
+                        meta_obj = meta
+                entry = json.dumps(
+                    {
+                        "id": r["id"],
+                        "metadata": meta_obj,
+                        "vec": [float(x) for x in r["vec"]],
+                    }
+                )
+                f.write(("" if n == 0 else ",") + "\n    " + entry)
+                n += 1
+            f.write("\n  ]")  # footer (nextId) deferred to commit
+        return _PartMessage(tmp, idx, n, max_id)
+
+    def commit(self, messages) -> None:
+        import glob as _glob
+
+        global_next = (
+            self.next_id
+            if self.next_id is not None
+            else max((m.max_id for m in messages), default=0) + 1
+        )
+        for stale in _glob.glob(f"{self.path}.part-*"):
+            os.remove(stale)  # overwrite semantics: drop the old snapshot
+        for m in sorted(messages, key=lambda m: m.idx):
+            with open(m.tmp_path, "a") as f:
+                f.write(',\n  "nextId": %d\n}\n' % global_next)
+            os.replace(m.tmp_path, f"{self.path}.part-{m.idx:04d}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
 
 
 def register(spark) -> None:

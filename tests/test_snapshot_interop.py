@@ -353,6 +353,57 @@ def test_vectordb_datasource_error_contract(spark, tmp_path):
     assert "corrupted" in str(exc2.value)
 
 
+def test_vectordb_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('vectordbjson') produces one reference-loadable
+    part per partition via two-phase commit: global nextId stamped at
+    commit, stale parts from a previous write removed, nothing visible
+    from an uncommitted write."""
+    from custom_vector_database_spark.sources import vectordb_datasource as vds
+
+    vds.register(spark)
+    out = str(tmp_path / "w.json")
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], json.dumps({"n": i})) for i in range(1, 9)],
+        "id LONG, vec ARRAY<FLOAT>, metadata STRING",
+    ).repartition(3)
+    df.write.format("vectordbjson").mode("overwrite").option("dim", 2).save(out)
+
+    parts = sorted(p.name for p in tmp_path.iterdir() if ".part-" in p.name)
+    assert len(parts) == 3 and not [p for p in parts if p.endswith(".tmp")]
+    seen = set()
+    for p in parts:
+        with open(tmp_path / p) as f:
+            doc = json.load(f)  # every part parses standalone
+        assert doc["dim"] == 2
+        assert doc["nextId"] == 9  # global max(id)+1 in EVERY part
+        seen |= {v["id"] for v in doc["vectors"]}
+    assert seen == set(range(1, 9))
+
+    # read side: the same format round-trips through the connector
+    back = spark.read.format("vectordbjson").load(out + ".part-*")
+    assert {r["id"] for r in back.collect()} == set(range(1, 9))
+    assert json.loads(back.filter("id = 3").first()["metadata"]) == {"n": 3}
+
+    # overwrite clears stale parts (3 parts -> 2)
+    df2 = spark.createDataFrame(
+        [(1, [0.0, 0.0], None)], "id LONG, vec ARRAY<FLOAT>, metadata STRING"
+    ).repartition(2)
+    df2.write.format("vectordbjson").mode("overwrite").option("dim", 2).option(
+        "nextId", 100
+    ).save(out)
+    parts2 = sorted(p.name for p in tmp_path.iterdir() if ".part-" in p.name)
+    assert len(parts2) == 2
+    with open(tmp_path / parts2[0]) as f:
+        assert json.load(f)["nextId"] == 100  # explicit option wins
+
+    # contract errors: append mode and missing dim
+    with pytest.raises(Exception, match="overwrite"):
+        df2.write.format("vectordbjson").mode("append").option("dim", 2).save(out)
+    with pytest.raises(Exception, match="dim"):
+        df2.write.format("vectordbjson").mode("overwrite").save(out)
+
+
 def test_vectordb_datasource_reads_sharded_export_in_parallel(spark, tmp_path):
     """Glob/dir paths expand to one partition per part file — a sharded
     export parses with N parallel tasks and yields the full id space."""
