@@ -41,7 +41,8 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in sorted(reg.QUERIES):
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    for i, name in enumerate(sorted(reg.QUERIES)):
         fn = reg.QUERIES[name]
         t0 = time.perf_counter()
         try:
@@ -51,6 +52,11 @@ def main() -> None:
         except Exception as exc:  # a failing query must not sink the bench
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+        if i % 8 == 7:
+            # steady-state hygiene: 100+ queries accrue checkpoint/broadcast
+            # garbage; collect it BETWEEN measured regions so stop-the-world
+            # pauses don't land on whichever query happens to be running
+            jvm_gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
