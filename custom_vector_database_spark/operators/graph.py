@@ -29,6 +29,21 @@ of Kiveris et al., "Connected Components in MapReduce", with simpler
 primitives); tests/test_pipeline_ops.py proves a 120-node path converges
 in ≤10 accelerated rounds where plain hash-min needs 119.
 
+Because clumpy dedup graphs converge in 2-4 plain rounds while paying for
+pointer jumping doubles every round's shuffle bill, the default is
+ESCALATION rather than a static choice: run plain hash-min, and flip
+pointer jumping on automatically once ``escalate_after`` rounds have not
+converged — the signature of a long-chain graph. The worst case then
+stays O(escalate_after + log diameter) rounds while the common case never
+pays the extra self-join.
+
+Thread-safety note: the iteration temporarily overrides the session-global
+``spark.sql.shuffle.partitions`` and ``spark.sql.adaptive.enabled`` (both
+restored in a finally). Queries running CONCURRENTLY on the same
+SparkSession during the loop would plan their shuffles under those
+overrides — run this operator serially within a session, or on its own
+session, when that matters.
+
 ``localCheckpoint`` truncates the lineage each round: without it the plan
 doubles per iteration and Catalyst re-analysis dominates after ~10 rounds.
 """
@@ -47,9 +62,15 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     accelerate: bool = False,
+    escalate_after: int = 8,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``, where
     cluster_id = the minimum node id reachable through the edge set.
+
+    ``accelerate=True`` forces pointer jumping from round one; the default
+    runs plain hash-min and escalates to pointer jumping only after
+    ``escalate_after`` non-converged rounds (set ``escalate_after`` >=
+    ``max_iter`` to never escalate).
 
     Isolated nodes (no edges) are the caller's concern — a full dedup
     assigns them their own id via a left join of the corpus onto this
@@ -94,7 +115,7 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         labels = _cc_iterate(
-            und, labels, prev_sum, max_iter, accelerate
+            und, labels, prev_sum, max_iter, accelerate, escalate_after
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -102,8 +123,13 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
-def _cc_iterate(und, labels, prev_sum, max_iter, accelerate):
-    for _ in range(max_iter):
+def _cc_iterate(und, labels, prev_sum, max_iter, accelerate, escalate_after):
+    jumping = accelerate
+    for rnd in range(max_iter):
+        # a graph still unconverged after escalate_after rounds has a long
+        # chain — switch pointer jumping on for the remaining rounds
+        if not jumping and rnd >= escalate_after:
+            jumping = True
         # identity edges are in `und`, so min(label over joined edges)
         # already includes the node's own label — one join + one agg
         labels = (
@@ -111,7 +137,7 @@ def _cc_iterate(und, labels, prev_sum, max_iter, accelerate):
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
         )
-        if accelerate:
+        if jumping:
             # pointer jumping: follow the label chain one hop —
             # label(label(v)) ≤ label(v) always, so least() is just safety
             x, y = labels.alias("x"), labels.alias("y")
@@ -131,8 +157,8 @@ def _cc_iterate(und, labels, prev_sum, max_iter, accelerate):
         prev_sum = cur_sum
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "pathological diameter - retry with accelerate=True "
-            "(pointer jumping, O(log diameter) rounds)"
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pointer jumping escalation included) - raise max_iter; "
+            "diameter exceeds 2^(max_iter - escalate_after)"
         )
     return labels

@@ -134,7 +134,12 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.multimodal import image_features
 
-    docs = load_spread(spark, sf_dir, "documents")
+    # cap the fan-out: each mapInPandas task pays a fixed Python-worker +
+    # Arrow-channel cost that dwarfs per-row sha256 work at fixture scale
+    # (measured at sf0.1: 32 tasks ~1.0-2.1 s, 8 tasks ~0.65 s); at real
+    # scale the source has >= parallelism files and load_spread skips the
+    # repartition entirely
+    docs = load_spread(spark, sf_dir, "documents", max_partitions=8)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -387,16 +392,47 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN search (rows-only; recall vs exact asserted in tests/test_recall).
+# IVF ANN search under the guarantee-oracle pattern (same reformulation as
+# the HLL/GK/CMS queries): the output is the EXACT top-10 (deterministic,
+# oracle-expressible) plus one boolean asserting the IVF result's quality —
+# the partition-pruned nprobe=8/16 probe (over the SAVED cluster layout,
+# built/priced by ivf_build) must recover at least half of the true top-10.
+# The oracle computes the exact top-10 and TRUE, so the approximate
+# operator is hash-checkable without pretending approximate = exact.
+# Recall >= 0.9 at nprobe=12 is separately asserted in tests/test_recall.py;
+# the >= 5/10 bound here is deliberately loose so regenerated data can
+# never flip it. Replaces the reference's approximate O7
+# (vectordb.cpp:120-156) with checkable semantics.
 # ---------------------------------------------------------------------------
-@register("ivf_search")
+@register(
+    "ivf_search",
+    """
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, q.q),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                      (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                 (acc, v) -> acc + v), 6) AS dist_sq,
+           TRUE AS ivf_ok
+    FROM embeddings e CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.queries.vector_queries import saved_index
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    index = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=16)
-    return index.search(query, k=10, nprobe=4)
+    index = saved_index(spark, sf_dir, "ivf")
+    approx_ids = {
+        r["vec_id"] for r in index.search(query, k=10, nprobe=8).collect()
+    }
+    exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    recall_ok = len(approx_ids & exact_ids) >= 5
+    return exact.withColumn("ivf_ok", F.lit(bool(recall_ok)))
 
 
 # ---------------------------------------------------------------------------

@@ -265,59 +265,175 @@ def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("ann_lsh_search")
 def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from custom_vector_database_spark.operators.ann import LshIndex
-
-    emb = load_spread(spark, sf_dir, "embeddings")
+    """Bucket-pruned LSH k-NN over the SAVED index (built/priced by
+    ann_lsh_build). Rows-only; recall asserted in tests/test_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
+    index = saved_index(spark, sf_dir, "lsh")
     return index.search(query, k=10)
 
 
 @register("pq_search")
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: ADC candidate scan over m-byte codes +
-    exact rerank (operators/pq.py). Rows-only; recall asserted in
+    exact rerank (operators/pq.py), against the SAVED code table
+    (built/priced by pq_build). Rows-only; recall asserted in
     tests/test_recall.py."""
-    from custom_vector_database_spark.operators.pq import PqIndex
-
     emb = load_spread(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    pq = PqIndex.fit(emb, id_col="vec_id", vec_col="embedding", m=16, k=16)
+    pq = saved_index(spark, sf_dir, "pq")
     return pq.search(query, k=10, base_df=emb, vec_col="embedding", rerank=10)
 
 
-# IVF-PQ indexes are built once per (process, sf_dir) and SAVED — search
-# then runs against the cluster-partitioned Parquet layout, so the probed
-# candidate scan is a partition-pruned file read (the production shape:
-# fit happens at rebuild time, not per query). Cached saved layouts live
-# in a temp dir cleaned up at process exit.
-_IVFPQ_CACHE: dict = {}
+# ANN indexes are built once per (process, sf_dir) and SAVED — search then
+# runs against the persisted layout (cluster-partitioned Parquet for
+# IVF/IVF-PQ, code/hash tables for PQ/LSH), so searches price the
+# production shape: the explicit-rebuild contract (SURVEY §3.3, reference
+# vectordb.cpp:82-118) pays the fit ONCE at build time, searches many.
+# The registered `*_build` queries below carry the fit cost transparently
+# in the bench (alphabetical order runs builds before searches) and prove
+# the built structure under a DuckDB oracle; the `*_search` queries hit
+# this cache. Cached saved layouts live in temp dirs cleaned at exit.
+_INDEX_CACHE: dict = {}
 
 
-def ivfpq_saved_index(spark: SparkSession, sf_dir: str):
-    from custom_vector_database_spark.operators.pq import IvfPqIndex
-
-    # key includes the application id: a cached index holds DataFrames
-    # bound to a session — after a stop()/restart a bare sf_dir hit would
-    # hand back handles into a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _IVFPQ_CACHE.get(key)
-    if idx is not None:
-        return idx
+def _index_tmpdir(prefix: str) -> str:
     import atexit
     import shutil as _shutil
     import tempfile
 
-    emb = load_spread(spark, sf_dir, "embeddings")
-    fitted = IvfPqIndex.fit(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=8, k=16
-    )
-    path = tempfile.mkdtemp(prefix="cvdb_ivfpq_")
+    path = tempfile.mkdtemp(prefix=prefix)
     atexit.register(_shutil.rmtree, path, ignore_errors=True)
-    fitted.save(path)
-    idx = IvfPqIndex.load(spark, path)
-    _IVFPQ_CACHE[key] = idx
+    return path
+
+
+def saved_index(spark: SparkSession, sf_dir: str, kind: str):
+    """Fit+save+load an ANN index over ``{sf_dir}/embeddings.parquet``,
+    memoized per (applicationId, sf_dir, kind).
+
+    The key includes the application id: a cached index holds DataFrames
+    bound to a session — after a stop()/restart a bare sf_dir hit would
+    hand back handles into a dead SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    idx = _INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    path = _index_tmpdir(f"cvdb_{kind}_")
+    if kind == "ivfpq":
+        from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+        IvfPqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=8, k=16
+        ).save(path)
+        idx = IvfPqIndex.load(spark, path)
+    elif kind == "ivf":
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        IvfIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16
+        ).save(path)
+        idx = IvfIndex.load(spark, path)
+    elif kind == "pq":
+        from custom_vector_database_spark.operators.pq import PqIndex
+
+        PqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", m=16, k=16
+        ).save(path)
+        idx = PqIndex.load(spark, path)
+    elif kind == "lsh":
+        from custom_vector_database_spark.operators.ann import LshIndex
+
+        LshIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4
+        ).save(path)
+        idx = LshIndex.load(spark, path)
+        # materialize the rehashed table once — every search/join over the
+        # loaded index reuses it instead of re-running the hash projection
+        idx._hashed = idx._hashed.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"unknown index kind: {kind}")
+    _INDEX_CACHE[key] = idx
     return idx
+
+
+def ivfpq_saved_index(spark: SparkSession, sf_dir: str):
+    return saved_index(spark, sf_dir, "ivfpq")
+
+
+# ---------------------------------------------------------------------------
+# Explicit index BUILD queries (O6 rebuild, reference vectordb.cpp:82-118):
+# each fits+saves+loads its index, then aggregates the persisted structure
+# into one oracle-checkable row — count and id-sum prove every base row is
+# indexed exactly once; the structural boolean proves the layout invariants
+# (cluster ids in range, code arrays of the configured shape). The oracle
+# computes the same count/sum straight from the parquet and emits TRUE.
+# ---------------------------------------------------------------------------
+def _build_oracle(ok_col: str) -> str:
+    return f"""
+    SELECT COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           TRUE AS {ok_col}
+    FROM embeddings
+    """
+
+
+@register("ann_lsh_build", _build_oracle("hashes_ok"))
+def q_ann_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "lsh")
+    return idx.hashed_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min(F.size("hashes")) == 4) & (F.max(F.size("hashes")) == 4)
+        ).alias("hashes_ok"),
+    )
+
+
+@register("ivf_build", _build_oracle("clusters_ok"))
+def q_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "ivf")
+    return idx.clustered_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.count_distinct("cluster") <= 16)
+            & (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+        ).alias("clusters_ok"),
+    )
+
+
+@register("pq_build", _build_oracle("codes_ok"))
+def q_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "pq")
+    return idx.encoded_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min(F.size("codes")) == 16)
+            & (F.max(F.size("codes")) == 16)
+            & (F.min(F.array_min("codes")) >= 0)
+            & (F.max(F.array_max("codes")) < 16)
+        ).alias("codes_ok"),
+    )
+
+
+@register("ivfpq_build", _build_oracle("layout_ok"))
+def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "ivfpq")
+    return idx.encoded_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.min(F.size("codes")) == 8)
+            & (F.max(F.size("codes")) == 8)
+            & (F.min(F.array_min("codes")) >= 0)
+            & (F.max(F.array_max("codes")) < 16)
+        ).alias("layout_ok"),
+    )
 
 
 @register("ivfpq_search")
@@ -337,10 +453,9 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_similarity_join")
 def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from custom_vector_database_spark.operators.ann import LshIndex, approx_similarity_join
+    from custom_vector_database_spark.operators.ann import approx_similarity_join
 
-    emb = load_spread(spark, sf_dir, "embeddings")
-    index = LshIndex.fit(emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4)
+    index = saved_index(spark, sf_dir, "lsh")
     pairs = approx_similarity_join(index, index, threshold=1.2)
     return pairs.filter(F.col("id_a") < F.col("id_b")).orderBy("id_a", "id_b")
 

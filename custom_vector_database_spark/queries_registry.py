@@ -37,17 +37,36 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load + round-robin repartition to the session's parallelism.
+def load_spread(
+    spark: SparkSession, sf_dir: str, table: str, max_partitions: int | None = None
+) -> DataFrame:
+    """Load + round-robin repartition to the session's parallelism —
+    but ONLY when the source lacks natural parallelism.
 
     The small fixture tables arrive as ONE parquet file → one input split →
     CPU-heavy per-row expressions (shingling, hashing, distance folds) run
     single-task. A ~MB-scale shuffle buys full-core parallelism. On a real
-    100 TB table the scan has thousands of natural splits and this becomes
-    unnecessary (and should be dropped to avoid a pointless shuffle)."""
-    return load(spark, sf_dir, table).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    100 TB table the scan already has thousands of natural splits, so the
+    repartition is SKIPPED: ``inputFiles()`` is a cheap driver-side file
+    listing (works on any Hadoop-visible filesystem), and a source with at
+    least target-many files never pays the extra shuffle
+    (plan-asserted in tests/test_plans.py).
+
+    ``max_partitions`` caps the fan-out below the session parallelism for
+    operators whose per-task fixed cost (Python worker + Arrow channel
+    startup in mapInPandas) outweighs per-row work on fixture-sized
+    inputs."""
+    df = load(spark, sf_dir, table)
+    target = spark.sparkContext.defaultParallelism
+    if max_partitions is not None:
+        target = min(target, max_partitions)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # exotic sources without a listing: keep the spread
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # Populate the registry (import side effect; must come after register/load).

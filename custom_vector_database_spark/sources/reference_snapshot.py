@@ -204,12 +204,19 @@ def write_snapshot_sharded(
         import json as _json
         import os as _os
 
+        from pyspark import TaskContext as _TaskContext
+
         part = f"{path}.part-{idx:04d}"
         # tmp name must match NEITHER the documented '.part-*' read glob
         # nor a directory listing (dot-prefixed; the datasource skips
-        # hidden files) — a crashed export must not poison later reads
+        # hidden files) — a crashed export must not poison later reads.
+        # The attempt id keeps concurrent attempts of the same task
+        # (speculation / zombie retry on a shared FS) off each other's
+        # file; the final os.replace is atomic, last completed attempt
+        # wins with identical content.
         _d, _base = _os.path.split(part)
-        tmp = _os.path.join(_d, f".{_base}.tmp")
+        _attempt = _TaskContext.get().taskAttemptId()
+        tmp = _os.path.join(_d, f".{_base}.attempt-{_attempt}.tmp")
         n = 0
         with open(tmp, "w") as f:
             f.write('{\n  "dim": %d,\n  "vectors": [' % dim)

@@ -152,25 +152,43 @@ class _PartMessage(WriterCommitMessage):
 
 class VectorDbJsonWriter(DataSourceWriter):
     """One reference-format part document per partition, two-phase:
-    ``write`` leaves ``.{base}.part-NNNN.tmp`` files WITHOUT the nextId
-    footer and reports each partition's local max id; ``commit`` (driver)
-    appends the global footer, renames parts into place, and clears any
-    stale parts from a previous write. ``abort`` removes the tmps."""
+    ``write`` leaves ``.{base}.part-NNNN.attempt-K.tmp`` files WITHOUT the
+    nextId footer and reports each partition's local max id plus its own
+    tmp path; ``commit`` (driver) appends the global footer to exactly the
+    WINNING attempts' files (the tmp path rides the commit message, so a
+    speculative or zombie retry can never corrupt the committed part),
+    renames them into place FIRST — ``os.replace`` overwrites same-index
+    parts atomically — and only then removes stale parts a previous wider
+    write left behind, so a crash mid-commit never destroys the previous
+    snapshot without a complete replacement in place. ``abort`` removes
+    the tmps.
+
+    Filesystem contract: the two-phase commit renames executor-written
+    temp files DRIVER-side with ``os.replace``, which requires the target
+    directory to be one filesystem shared by driver and executors (local
+    FS in local mode, NFS/fuse mount on a cluster) — appropriate for an
+    inherently single-node interop format. On HDFS/S3 the promotion would
+    need to route through the Hadoop FileSystem API instead; writes there
+    fail loudly in ``commit`` (the driver cannot see the tmp files), never
+    silently."""
 
     def __init__(self, path: str, dim: int, next_id: int | None):
         self.path = path
         self.dim = dim
         self.next_id = next_id
 
-    def _tmp_name(self, idx: int) -> str:
-        d, base = os.path.split(self.path)
-        return os.path.join(d, f".{base}.part-{idx:04d}.tmp")
-
     def write(self, iterator) -> _PartMessage:
         from pyspark import TaskContext
 
-        idx = TaskContext.get().partitionId()
-        tmp = self._tmp_name(idx)
+        ctx = TaskContext.get()
+        idx = ctx.partitionId()
+        d, base = os.path.split(self.path)
+        # attempt id in the tmp name: two concurrent attempts of the same
+        # task (speculation / zombie retry on a shared FS) must never
+        # append to one file
+        tmp = os.path.join(
+            d, f".{base}.part-{idx:04d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
         n, max_id = 0, 0
         with open(tmp, "w") as f:
             f.write('{\n  "dim": %d,\n  "vectors": [' % self.dim)
@@ -206,12 +224,25 @@ class VectorDbJsonWriter(DataSourceWriter):
             if self.next_id is not None
             else max((m.max_id for m in messages), default=0) + 1
         )
-        for stale in _glob.glob(f"{self.path}.part-*"):
-            os.remove(stale)  # overwrite semantics: drop the old snapshot
+        # promote new parts FIRST (atomic same-index overwrite), then drop
+        # only the stale leftovers — at every instant the directory holds a
+        # complete snapshot (old, new, or old-higher-parts + new)
+        committed = set()
         for m in sorted(messages, key=lambda m: m.idx):
             with open(m.tmp_path, "a") as f:
                 f.write(',\n  "nextId": %d\n}\n' % global_next)
-            os.replace(m.tmp_path, f"{self.path}.part-{m.idx:04d}")
+            final = f"{self.path}.part-{m.idx:04d}"
+            os.replace(m.tmp_path, final)
+            committed.add(final)
+        for stale in _glob.glob(f"{self.path}.part-*"):
+            if stale not in committed:
+                os.remove(stale)  # parts of a previous, wider snapshot
+        d, base = os.path.split(self.path)
+        for loser in _glob.glob(os.path.join(d, f".{base}.part-*.tmp")):
+            try:
+                os.remove(loser)  # tmps of losing/zombie attempts
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -314,8 +314,9 @@ def test_salted_join_equals_plain_join_and_spreads_keys(spark):
 
 def test_connected_components_pointer_jumping_beats_diameter(spark):
     """A 120-node path (diameter 119) exceeds plain hash-min's 25-round
-    budget but converges in O(log n) rounds with pointer jumping — and
-    still labels every node with the path's minimum id."""
+    budget; the default escalation policy flips pointer jumping on after
+    8 unconverged rounds and still finishes inside the budget — and labels
+    every node with the path's minimum id."""
     import pytest as _pytest
 
     from custom_vector_database_spark.operators.graph import connected_components
@@ -323,8 +324,13 @@ def test_connected_components_pointer_jumping_beats_diameter(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(119)], "id_a long, id_b long"
     )
+    # escalation disabled -> plain hash-min needs 119 rounds and must raise
     with _pytest.raises(RuntimeError):
-        connected_components(chain, max_iter=25)
+        connected_components(chain, max_iter=25, escalate_after=25)
+    # default policy: 8 plain rounds then pointer jumping, well under 25
+    esc = connected_components(chain, max_iter=25)
+    esc_labels = {r["node"]: r["cluster_id"] for r in esc.collect()}
+    assert len(esc_labels) == 120 and set(esc_labels.values()) == {0}
     got = connected_components(chain, max_iter=10, accelerate=True)
     labels = {r["node"]: r["cluster_id"] for r in got.collect()}
     assert len(labels) == 120

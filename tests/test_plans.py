@@ -198,3 +198,25 @@ def test_ivfpq_search_probes_are_partition_pruned(spark):
     assert in_list == probed, (in_list, probed)
     # and the pruned candidate scan still yields the right answer
     assert cand.count() == 10
+
+
+def test_load_spread_is_size_aware(spark, tmp_path):
+    """load_spread must not insert a repartition shuffle when the source
+    already has >= target natural splits (the 100 TB case: thousands of
+    parquet files), must still spread a single-file fixture to session
+    parallelism, and must honor the max_partitions fan-out cap."""
+    from custom_vector_database_spark.queries_registry import load_spread
+
+    spark.range(1000).repartition(8).write.parquet(str(tmp_path / "many.parquet"))
+    many = load_spread(spark, str(tmp_path), "many")
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan and "Exchange" not in plan
+
+    spark.range(100).coalesce(1).write.parquet(str(tmp_path / "one.parquet"))
+    one = load_spread(spark, str(tmp_path), "one")
+    plan_one = one._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan_one
+    assert one.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    capped = load_spread(spark, str(tmp_path), "one", max_partitions=2)
+    assert capped.rdd.getNumPartitions() == 2

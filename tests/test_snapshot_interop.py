@@ -431,3 +431,42 @@ def test_vectordb_datasource_reads_sharded_export_in_parallel(spark, tmp_path):
 
     with _pytest.raises(Exception, match="nomatch"):
         spark.read.format("vectordbjson").load(str(tmp_path / "nomatch*")).collect()
+
+
+def test_vectordb_datasource_commit_promotes_before_deleting(tmp_path):
+    """Crash-safety ordering of the driver-side commit: new parts are
+    renamed into place FIRST (same-index overwrite is atomic), only then
+    are stale higher-index parts and losing-attempt tmps removed — so the
+    directory always holds a complete snapshot, and a speculative
+    attempt's tmp never survives a commit."""
+    from custom_vector_database_spark.sources.vectordb_datasource import (
+        VectorDbJsonWriter,
+        _PartMessage,
+    )
+
+    out = str(tmp_path / "db.json")
+    # previous snapshot: 3 parts
+    for i in range(3):
+        with open(f"{out}.part-{i:04d}", "w") as f:
+            f.write('{"dim": 2, "vectors": [], "nextId": 1}\n')
+    # new write produced 2 winning attempt tmps + 1 losing-attempt tmp
+    msgs = []
+    for i, attempt in [(0, 7), (1, 9)]:
+        tmp = str(tmp_path / f".db.json.part-{i:04d}.attempt-{attempt}.tmp")
+        with open(tmp, "w") as f:
+            f.write('{\n  "dim": 2,\n  "vectors": [\n    '
+                    '{"id": %d, "metadata": null, "vec": [1.0, 0.0]}\n  ]' % (i + 1))
+        msgs.append(_PartMessage(tmp, i, 1, i + 1))
+    loser = str(tmp_path / ".db.json.part-0000.attempt-3.tmp")
+    with open(loser, "w") as f:
+        f.write("{partial")
+
+    VectorDbJsonWriter(out, 2, None).commit(msgs)
+
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["db.json.part-0000", "db.json.part-0001"]  # stale 0002 gone
+    for i in range(2):
+        with open(f"{out}.part-{i:04d}") as f:
+            doc = json.load(f)
+        assert doc["nextId"] == 3  # global max(id)+1 stamped at commit
+        assert [v["id"] for v in doc["vectors"]] == [i + 1]

@@ -87,3 +87,35 @@ def test_tws_gate_and_compat_selection(spark):
     if not has_proto:
         with pytest.raises(NotImplementedError, match="protobuf"):
             user_type_spend(streaming_events(spark, SF))
+
+
+def test_tws_user_type_spend_integration(spark):
+    """The REAL transformWithStateInPandas path, exercised end-to-end
+    wherever protobuf is installed (pyspark[sql]'s declared deps) —
+    explicitly SKIPPED in environments without it, so the Spark 4 state
+    API code gets verified on protobuf-equipped CI before anyone relies
+    on it, rather than shipping gate-only. Final per-(user, type) state
+    must equal a plain batch GROUP BY (the stream_user_type_spend
+    oracle's contract)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from custom_vector_database_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("protobuf absent: transformWithStateInPandas cannot run here")
+
+    got = reg.QUERIES["stream_user_type_spend"](spark, SF)  # tws path here
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    keys = ["user_id", "event_type", "n_events", "total_value"]
+    assert _rows(got, keys) == _rows(batch, keys)
