@@ -35,7 +35,10 @@ ESCALATION rather than a static choice: run plain hash-min, and flip
 pointer jumping on automatically once ``escalate_after`` rounds have not
 converged — the signature of a long-chain graph. The worst case then
 stays O(escalate_after + log diameter) rounds while the common case never
-pays the extra self-join.
+pays the extra self-join. Default 4: measured on the sf0.1 similarity
+graph (9-round plain diameter), escalating at 4 beat both plain (3.5 s)
+and always-jumping (2.7 s) at 2.4 s — clumpy graphs still converge
+before ever escalating.
 
 Thread-safety note: the iteration temporarily overrides the session-global
 ``spark.sql.shuffle.partitions`` and ``spark.sql.adaptive.enabled`` (both
@@ -62,7 +65,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     accelerate: bool = False,
-    escalate_after: int = 8,
+    escalate_after: int = 4,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``, where
     cluster_id = the minimum node id reachable through the edge set.

@@ -382,10 +382,11 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
     ).select("id_a", "id_b")
-    # default escalation policy: plain hash-min (dedup graphs are clumpy,
-    # 2-4 round diameters), pointer jumping auto-enables only if 8 rounds
-    # don't converge — the r3 accelerate=True registration paid the extra
-    # per-round self-join shuffle on every round for nothing
+    # default escalation policy: plain hash-min first (clumpy dedup
+    # graphs converge in a few rounds), pointer jumping auto-enables only
+    # when escalate_after rounds don't converge — replaces the r3
+    # accelerate=True registration that paid the extra per-round
+    # self-join shuffle unconditionally
     cc = connected_components(edges)
     out = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
