@@ -37,6 +37,7 @@ __all__ = [
     "simhash_hex",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "cross_corpus_contamination",
 ]
 
 
@@ -354,4 +355,62 @@ def embedding_neardup_pairs(
     return (
         pairs.select("id_a", "id_b", cos_dist.alias("cos_dist"))
         .filter(F.col("cos_dist") <= max_cos_dist)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: n-gram overlap against a held-out corpus.
+# ---------------------------------------------------------------------------
+def cross_corpus_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-train-document contamination against a held-out (eval) corpus:
+    (id, n_sh, n_overlap, contamination) where contamination =
+    |shingles(doc) ∩ shingles(holdout)| / |shingles(doc)|. The standard
+    benchmark-decontamination primitive for LLM training sets (filter or
+    audit docs whose contamination exceeds a threshold); the reference
+    has no cross-corpus operator at all (SURVEY §2.2).
+
+    Scale shape: the holdout's DISTINCT shingle set is tiny next to the
+    training corpus (eval benchmarks are thousands of documents), so it
+    broadcasts and the overlap count is a broadcast semi-style inner join
+    on the shingle string — the training side shuffles nothing, and no
+    pair of documents is ever materialized (unlike ngram_jaccard_pairs,
+    membership in the holdout SET is enough). Docs with zero shingles
+    (shorter than n tokens) are excluded, mirroring the n_sh > 0
+    contract of the pair operators. For a holdout too large to
+    broadcast, drop the hint and the same plan degrades gracefully to a
+    shuffle join keyed by shingle.
+    """
+    tr_sh = train.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sizes = tr_sh.select(F.col(id_col), F.size("sh").alias("n_sh")).filter(
+        F.col("n_sh") > 0
+    )
+    inv = tr_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    holdout_sh = (
+        holdout.select(F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    # shingles are distinct per doc, so one match per (doc, shingle):
+    # the count IS |doc-shingles ∩ holdout-shingles|
+    overlap = (
+        inv.join(F.broadcast(holdout_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_sh",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_sh"),
+                6,
+            ).alias("contamination"),
+        )
     )

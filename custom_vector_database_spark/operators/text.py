@@ -24,6 +24,11 @@ __all__ = [
     "fingerprint_md5",
     "fingerprint_rolling",
     "shingles",
+    "PII_PATTERNS",
+    "pii_count",
+    "redact_pii",
+    "ngram_total_count",
+    "repetition_ratio",
 ]
 
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
@@ -211,3 +216,55 @@ def token_chunks(
     return F.when(F.size(toks) == 0, F.expr(
         "array()"
     ).cast("array<struct<chunk:string,n_tokens:int>>")).otherwise(chunks)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrubbing — the pre-training privacy pass.
+# Patterns stick to character classes + bounded quantifiers so Java regex
+# (Spark) and RE2 (DuckDB) match identically, keeping redaction
+# oracle-checkable end to end. Each entry: (kind, pattern, replacement).
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+", "[EMAIL]"),
+    ("phone", "[+][0-9][0-9-]{5,}[0-9]", "[PHONE]"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+]
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (before redaction)."""
+    pattern = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with every PII_PATTERNS match replaced by its placeholder.
+    Patterns apply in list order over the already-redacted text (so an
+    email is never double-counted as a phone); each regexp_replace is a
+    single codegen'd pass — no Python in the pipeline."""
+    out = _c(col)
+    for _, pattern, replacement in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition — the "repeated n-gram fraction" quality rule
+# (public Gopher/C4-style filter): highly repetitive documents (boilerplate,
+# keyword stuffing, generation loops) get a high ratio and are dropped.
+# ---------------------------------------------------------------------------
+def ngram_total_count(col: Column | str, n: int = 3) -> Column:
+    """TOTAL (non-distinct) word n-gram occurrences: max(|tokens|-n+1, 0)."""
+    return F.greatest(F.size(tokenize(col)) - (n - 1), F.lit(0))
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """1 - distinct/total n-grams in [0, 1); 0 for docs shorter than n
+    tokens. Pure per-row expression — embarrassingly parallel, the scan
+    is the only pass."""
+    total = ngram_total_count(col, n)
+    distinct = F.size(shingles(col, n))
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))

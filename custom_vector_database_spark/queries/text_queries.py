@@ -440,3 +440,143 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").alias("n_tokens"),
         tx.fingerprint_rolling(F.col("c.chunk")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# DuckDB twin of operators.text.shingles (distinct word trigrams)
+_DUCK_SH3 = (
+    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]"
+    ")) ELSE [] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/dedup.cross_corpus_contamination):
+# per-train-doc n-gram overlap against a held-out corpus (here: every
+# doc_id % 97 == 0 doc plays the eval set). The holdout's distinct shingle
+# set broadcasts; overlap is a broadcast join on the shingle — no doc pair
+# is ever materialized. Output: the 20 most-contaminated train docs.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+         s AS (SELECT doc_id, {_DUCK_SH3.format(t="toks")} AS sh FROM t),
+         ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 97 = 0),
+         tr AS (SELECT doc_id, sh FROM s WHERE doc_id % 97 != 0),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM tr WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+         ov AS (SELECT i.doc_id, COUNT(*) AS n_overlap
+                FROM inv i JOIN ev USING (shingle) GROUP BY i.doc_id)
+    SELECT z.doc_id,
+           z.n_sh,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / z.n_sh, 6)
+             AS contamination
+    FROM sizes z LEFT JOIN ov o ON z.doc_id = o.doc_id
+    ORDER BY contamination DESC, z.doc_id
+    LIMIT 20
+    """,
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = dd.cross_corpus_contamination(
+        train, holdout, id_col="doc_id", text_col="text", n=3
+    )
+    return (
+        out.withColumn("n_overlap", F.col("n_overlap").cast("long"))
+        .orderBy(F.col("contamination").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/text.redact_pii): regex scrubbing of emails /
+# phone numbers / IPv4 addresses — the pre-training privacy pass. The
+# fixture docs carry no PII, so each row is augmented with synthetic PII
+# derived from its doc_id INSIDE the query (both engines build the same
+# string); the oracle then proves the per-kind counts AND the md5 of the
+# fully redacted text — i.e. the exact output bytes of the scrubber.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PII_PHONE = "[+][0-9][0-9-]{5,}[0-9]"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@register(
+    "pii_redaction_docs",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 now.' AS aug
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(aug, '{_PII_IPV4}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g')) AS redacted_md5
+    FROM a
+    ORDER BY doc_id
+    """,
+)
+def q_pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 now."),
+    )
+    with_aug = docs.select("doc_id", aug.alias("aug"))
+    return with_aug.select(
+        "doc_id",
+        tx.pii_count("aug", "email").alias("n_emails"),
+        tx.pii_count("aug", "phone").alias("n_phones"),
+        tx.pii_count("aug", "ipv4").alias("n_ips"),
+        F.md5(tx.redact_pii("aug")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (operators/text.repetition_ratio): repeated
+# trigram fraction per doc — the boilerplate/generation-loop quality rule.
+# Pure per-row expression: the scan is the only pass, no shuffle before
+# the final order.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+         s AS (SELECT doc_id,
+                      greatest(len(toks) - 2, 0) AS n_grams,
+                      len({_DUCK_SH3.format(t="toks")}) AS n_distinct
+               FROM t)
+    SELECT doc_id, n_grams, n_distinct,
+           CASE WHEN n_grams > 0
+                THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+                ELSE 0.0 END AS repetition
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.ngram_total_count("text", 3).alias("n_grams"),
+        F.size(tx.shingles("text", 3)).alias("n_distinct"),
+        tx.repetition_ratio("text", 3).alias("repetition"),
+    ).orderBy("doc_id")

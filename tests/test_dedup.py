@@ -150,3 +150,81 @@ def test_connected_components_transitive_chain(spark):
         r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_cross_corpus_contamination_semantics(spark):
+    """Planted overlap: a train doc sharing exactly half its trigrams with
+    the holdout scores 0.5; a fully-contained doc scores 1.0; a disjoint
+    doc scores 0.0. Docs shorter than n tokens are excluded."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # 4 trigrams, 2 shared
+            (2, "the quick brown fox"),                  # fully in holdout
+            (3, "completely different words here now"),  # disjoint
+            (4, "too short"),                            # < 3 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, "alpha beta gamma delta plus the quick brown fox tail")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_overlap"], r["contamination"])
+        for r in dd.cross_corpus_contamination(train, holdout).collect()
+    }
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (3, 0, 0.0)
+    assert 4 not in got
+
+
+def test_redact_pii_and_counts(spark):
+    from custom_vector_database_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org or call +1-555-0042 from 10.0.8.1 ok"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.pii_count("text", "email").alias("e"),
+            tx.pii_count("text", "phone").alias("p"),
+            tx.pii_count("text", "ipv4").alias("i"),
+            tx.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (1, 1, 1)
+    assert rows[1]["red"] == "mail [EMAIL] or call [PHONE] from [IP] ok"
+    assert (rows[2]["e"], rows[2]["p"], rows[2]["i"]) == (0, 0, 0)
+    assert rows[2]["red"] == "no pii here at all"
+
+
+def test_repetition_ratio_semantics(spark):
+    from custom_vector_database_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 total trigrams, 3 distinct
+            (2, "one two three four"),  # 2 total, 2 distinct -> 0.0
+            (3, "xy"),                  # < n tokens -> 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["t"], r["d"], r["rep"])
+        for r in df.select(
+            "id",
+            tx.ngram_total_count("text", 3).alias("t"),
+            F.size(tx.shingles("text", 3)).alias("d"),
+            tx.repetition_ratio("text", 3).alias("rep"),
+        ).collect()
+    }
+    assert got[1] == (7, 3, round(1 - 3 / 7, 6))
+    assert got[2] == (2, 2, 0.0)
+    assert got[3] == (0, 0, 0.0)
