@@ -1,9 +1,10 @@
 """Text-analysis + dedup queries over `documents` and `embeddings` — the
 LLM-training-data-pipeline surface (builder brief): token statistics,
 quality scoring, language-ID heuristic, fingerprint/exact-dedup, shingle
-stats, n-gram Jaccard, embedding-cosine near-dup (all oracle-checked), and
-MinHash-LSH / SimHash near-dup (rows-only; semantics asserted in
-tests/test_dedup.py with planted duplicates).
+stats, n-gram Jaccard, embedding-cosine near-dup, decontamination, PII
+redaction, repetition stats (all oracle-checked), and MinHash-LSH /
+SimHash near-dup (guarantee-oracle pattern: exact output + a quality
+boolean; planted-duplicate semantics asserted in tests/test_dedup.py).
 
 The DuckDB oracles replicate the exact same tokenization (regex split on
 non-alphanumeric runs) and fold order, so ratios match bit-for-bit.
@@ -20,6 +21,13 @@ from custom_vector_database_spark.queries_registry import load_spread, register
 
 # DuckDB twin of operators.text.tokenize
 _DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+
+# DuckDB twin of operators.text.shingles (distinct word trigrams)
+_DUCK_SH3 = (
+    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]"
+    ")) ELSE [] END"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -308,26 +316,110 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-dup + SimHash signatures: rows-only for the driver
-# (approximate/hash-seeded — not SQL-reproducible); planted-duplicate
-# semantics asserted in tests/test_dedup.py.
+# MinHash-LSH near-dup + SimHash signatures, reformulated under the
+# guarantee-oracle pattern (round 4 — previously rows-only): the output is
+# exact and oracle-expressible, with one boolean certifying the
+# hash-seeded operator against it. Planted-duplicate semantics stay
+# asserted in tests/test_dedup.py.
 # ---------------------------------------------------------------------------
-@register("minhash_dedup_docs")
+@register(
+    "minhash_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+         s AS (SELECT doc_id, {_DUCK_SH3.format(t="toks")} AS sh FROM t),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+    SELECT c.id_a, c.id_b,
+           round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6)
+             AS jaccard,
+           TRUE AS minhash_ok
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, hash-checked: the output is the
+    EXACT trigram-Jaccard pair set at >= 0.05 (the oracle baseline, via
+    the inverted-index operator), plus one boolean certifying the
+    MinHash band-join candidates against it — precision >= 0.9 (MLlib
+    reports exact Jaccard over hashed-TF features; measured 0.985-1.0)
+    and recall >= 0.3 (OR-amplified bucket collisions; measured
+    0.57-0.94 across sf0.001-0.1, so the bound survives regenerated
+    data). Quality counts are three distributed scalar aggregates; no
+    pair set reaches the driver."""
     docs = load_spread(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(
-        docs, id_col="doc_id", text_col="text", jaccard_dist_threshold=0.95
+    exact = (
+        dd.ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
+        )
+        .localCheckpoint(eager=True)
     )
-    return pairs.orderBy("id_a", "id_b")
+    mh = (
+        dd.minhash_dedup_pairs(
+            docs, id_col="doc_id", text_col="text", jaccard_dist_threshold=0.95
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    n_mh = mh.count()
+    n_both = mh.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).count()
+    ok = (n_mh == 0 or n_both / n_mh >= 0.9) and (
+        n_exact == 0 or n_both / n_exact >= 0.3
+    )
+    return exact.withColumn("minhash_ok", F.lit(bool(ok))).orderBy("id_a", "id_b")
 
 
-@register("simhash_docs")
+@register(
+    "simhash_docs",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS rep_id,
+           COUNT(*) AS n_docs,
+           TRUE AS sigs_consistent
+    FROM fp GROUP BY fingerprint
+    ORDER BY rep_id
+    """,
+)
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures, hash-checked via their defining invariant:
+    documents with identical normalized text (same md5 fingerprint group)
+    MUST carry identical 64-bit signatures — the property every
+    signature-based dedup pipeline relies on. Output: one row per exact
+    fingerprint group with the group's signature consistency; the oracle
+    computes the groups and TRUE. The xxhash64-seeded signature values
+    themselves are engine-specific (not SQL-reproducible); near-dup
+    ordering semantics are asserted in tests/test_dedup.py."""
     docs = load_spread(spark, sf_dir, "documents")
-    sigs = dd.simhash_signatures(docs, id_col="doc_id", text_col="text")
-    return sigs.select(
+    sigs = dd.simhash_signatures(docs, id_col="doc_id", text_col="text").select(
         "doc_id", dd.bits_to_hex("bits").alias("simhash")
-    ).orderBy("doc_id")
+    )
+    fps = docs.select(
+        "doc_id", tx.fingerprint_md5("text").alias("fingerprint")
+    )
+    return (
+        fps.join(sigs, "doc_id", "left")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count_distinct("simhash") <= 1).alias("sigs_consistent"),
+        )
+        .select("rep_id", "n_docs", "sigs_consistent")
+        .orderBy("rep_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -440,14 +532,6 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").alias("n_tokens"),
         tx.fingerprint_rolling(F.col("c.chunk")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
-
-
-# DuckDB twin of operators.text.shingles (distinct word trigrams)
-_DUCK_SH3 = (
-    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
-    "range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]"
-    ")) ELSE [] END"
-)
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,14 @@
 """The query/oracle matrix consumed by __spark_entry__.py.
 
 Every operator the engine claims (SURVEY.md §2) registers here as a
-``(spark, sf_dir) -> DataFrame`` callable, plus — when SQL-expressible — a
-DuckDB oracle string with IDENTICAL output column names and float rounding.
-Non-SQL-expressible ops (LSH ANN, MinHash dedup, SimHash) register the
-query only; the driver then records a rows-only check and tests/ carry the
-stronger recall/semantic assertions.
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle string with
+IDENTICAL output column names and float rounding — as of round 4, EVERY
+registered query carries an oracle. Approximate/hash-seeded operators
+(LSH/PQ/IVF ANN, MinHash dedup, SimHash, the sketches) use the
+guarantee-oracle pattern: the output is exact and SQL-reproducible, with
+one boolean column certifying the approximate operator against it
+(recall/precision/consistency bounds loose enough that regenerated data
+cannot flip them); tests/ carry the tighter recall assertions.
 
 The actual queries live in custom_vector_database_spark/queries/* grouped by
 domain (vector, relational, events, text); importing that package at the
