@@ -492,7 +492,8 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_DUCK_L2SQ.format(a="a.embedding", b="b.embedding")} AS d2
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 60
     )
     SELECT id_a, id_b, round(sqrt(d2), 6) AS dist, TRUE AS join_ok
     FROM p WHERE d2 <= 1.44
@@ -501,22 +502,25 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-vs-table similarity join under the guarantee-oracle pattern:
-    the output is the EXACT pair set within L2 distance 1.2 (the oracle
-    baseline — a broadcast nested-loop self-join, fixture-bounded by
-    design, same justification as embedding_neardup_pairs), plus one
-    boolean certifying the LSH bucket join against it: precision >= 0.99
-    (approxSimilarityJoin post-filters by true distance, so found pairs
-    are essentially always real — measured 0.985-1.0) and recall >= 0.7
-    (bucket-collision candidate generation; measured 0.97 across
-    sf0.001-0.1). The LSH join over the saved index stays the 100 TB
-    path: candidates ∝ bucket collisions, never the n² product; the
-    quality counts are computed distributedly (three scalar aggregates,
-    no pair set ever reaches the driver)."""
+    the output is the EXACT pair set within L2 distance 1.2 for the
+    id_a < 60 probe slice (the oracle baseline — a broadcast
+    nested-loop join BOUNDED on the probe side, same justification and
+    bound as embedding_neardup_pairs: an unbounded n² baseline is
+    exactly the plan the LSH join exists to avoid), plus one boolean
+    certifying the FULL-TABLE LSH bucket join against that slice:
+    precision >= 0.99 (approxSimilarityJoin post-filters by true
+    distance — measured 0.985-1.0) and recall >= 0.7 (bucket-collision
+    candidate generation; measured ~0.97 across sf0.001-0.1). The LSH
+    join over the saved index stays the 100 TB path: candidates ∝
+    bucket collisions, never the n² product; the quality counts are
+    distributed scalar aggregates — no pair set reaches the driver."""
     from custom_vector_database_spark.functions.vector import l2_squared
     from custom_vector_database_spark.operators.ann import approx_similarity_join
 
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    a = emb.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     exact = (
         F.broadcast(a)
@@ -527,15 +531,15 @@ def q_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     index = saved_index(spark, sf_dir, "lsh")
-    lsh_pairs = (
+    lsh_slice = (
         approx_similarity_join(index, index, threshold=1.2)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("id_a") < 60))
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
     n_exact = exact.count()
-    n_lsh = lsh_pairs.count()
-    n_both = lsh_pairs.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).count()
+    n_lsh = lsh_slice.count()
+    n_both = lsh_slice.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).count()
     ok = (n_lsh == 0 or n_both / n_lsh >= 0.99) and (
         n_exact == 0 or n_both / n_exact >= 0.7
     )
