@@ -130,10 +130,20 @@ def ngram_jaccard_pairs(
     inverted index (explode) → equi-join on shingle → count common →
     jaccard = common / (|A| + |B| - common). The equi-join keys on the
     shingle string, so only genuinely-overlapping pairs are generated.
+
+    The exploded index is localCheckpoint'ed before the self-join: the
+    tokenize+shingle expression is the hot per-row cost, and without the
+    barrier Catalyst re-evaluates it for BOTH join branches and the size
+    aggregate (3 full passes; measured ~2x the query wall time at sf0.1).
+    The checkpoint holds (id, shingle) pairs — O(corpus tokens) on
+    executor-local disk, the same barrier the MinHash path uses. Sizes
+    come from the index itself (shingles are distinct per doc, so the
+    per-doc row count IS the set size) — no third shingle pass.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    inv = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    ).localCheckpoint(eager=True)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
