@@ -1,0 +1,287 @@
+"""Corpus-curation operators for LLM training-data pipelines (builder
+brief): domain-mixture resampling, token-budget sequence packing,
+cross-document boilerplate detection, and embedding outlier scoring.
+
+These are the verbs a pretraining data pipeline runs AFTER dedup/quality
+filtering (operators/dedup.py, operators/text.py): decide how much of each
+domain to keep (mixture), turn documents into model-sized training
+sequences (packing), strip template/boilerplate n-grams the quality score
+misses (boilerplate), and flag embedding-space anomalies for audit
+(outliers).
+
+Scale shapes:
+- mixture_resample  — quota-exact stratified selection: one tiny per-stratum
+                      count aggregate, one md5-ordered rank window per
+                      stratum. The window is a per-stratum sort (the same
+                      cost class as any global ORDER BY — range-partitioned
+                      at scale); when ±√n quota tolerance is acceptable the
+                      zero-shuffle md5-THRESHOLD variant (see
+                      queries/pipeline_queries.dataset_split_docs) is the
+                      cheaper path. Selection is a pure function of
+                      md5(key), so it is reproducible across engines,
+                      reruns, and repartitioning, and stable under appends
+                      of new strata.
+- pack_sequences    — concat-and-chunk packing: one running-sum window per
+                      shard column. Packing is embarrassingly parallel
+                      across shards (each shard's window is independent);
+                      a 100 TB corpus packs per shard/partition exactly
+                      like production tokenizer pipelines do.
+- boilerplate_ngrams — inverted-index doc-frequency: explode shingles once,
+                      count docs per shingle, semi-join each doc's
+                      shingles against the boilerplate set. No document
+                      pairs are ever materialized (same bound as
+                      decontamination, dedup.cross_corpus_contamination).
+- centroid_outliers — per-label centroids from exact integer micro-sums
+                      (order-independent), broadcast back (n_labels×dim
+                      doubles — tiny at any corpus scale), per-row distance
+                      as ONE codegen'd zip_with/aggregate fold, then a
+                      per-label top-k window. No explode of the vector
+                      column ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators.text import shingles, tokenize
+
+__all__ = [
+    "mixture_resample",
+    "pack_sequences",
+    "boilerplate_ngrams",
+    "label_centroids",
+    "centroid_outliers",
+]
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling.
+# ---------------------------------------------------------------------------
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministically select the LARGEST possible subset whose stratum
+    proportions match integer ``weights`` exactly (up to per-stratum
+    floor) — the data-mixture step of a pretraining pipeline ("2 parts
+    web, 1 part code, 1 part books…").
+
+    With W = Σ weights: the achievable total is
+    N = min_s floor(count_s · W / w_s) (the stratum that runs out first
+    binds the budget), and each stratum contributes
+    take_s = floor(w_s · N / W) rows. Rows are chosen by md5(key) rank
+    within the stratum — a pure function of the data, so the sample is
+    identical in any engine and stable under reruns/repartitioning.
+    All budget arithmetic is integer (div), never float.
+
+    Strata not present in ``weights`` are dropped (weight 0). Returns the
+    selected rows with their stratum rank ``rk`` (1-based).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty positive integers")
+    w_total = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()], f"{stratum_col} string, w long"
+    )
+    counts = (
+        df.join(F.broadcast(wdf), stratum_col)
+        .groupBy(stratum_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # N = min_s floor(cnt_s * W / w_s): one-row aggregate, cross-joined back
+    n_row = counts.select(
+        F.min(F.expr(f"cnt * {w_total} div w")).alias("n_total")
+    )
+    takes = (
+        counts.crossJoin(F.broadcast(n_row))
+        .select(
+            stratum_col,
+            F.expr(f"w * n_total div {w_total}").alias("take"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(
+            F.md5(F.col(key_col).cast("string")), key_col
+        )
+    )
+    return (
+        df.join(F.broadcast(wdf.select(stratum_col)), stratum_col)
+        .withColumn("rk", rk)
+        .join(F.broadcast(takes), stratum_col)
+        .filter(F.col("rk") <= F.col("take"))
+        .drop("take")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing.
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training sequence under concat-and-chunk
+    packing: within a shard, documents are laid out in ``order_col`` order
+    and the token stream is cut every ``budget`` tokens; a document belongs
+    to the sequence where it STARTS (the standard attribution when
+    documents may straddle chunk boundaries).
+
+    Adds (n_tokens, seq_id). seq_id = (cumulative tokens before this doc)
+    div budget — one running-sum window per shard, exact integer
+    arithmetic, reproducible in any engine.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tokens = F.size(tokenize(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col("n_tokens")).over(w) - F.col("n_tokens")
+    return df.withColumn("n_tokens", n_tokens).withColumn(
+        "seq_id", F.floor(before / budget).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-grams.
+# ---------------------------------------------------------------------------
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate statistics: a word ``n``-gram is
+    boilerplate when it appears in at least ``min_docs`` DISTINCT
+    documents (template headers/footers, license blurbs, generation
+    loops shared across pages — the cross-document complement of the
+    intra-document repetition_ratio rule).
+
+    Returns one row per input document: (id, n_shingles, n_boiler,
+    boiler_frac) where boiler_frac = n_boiler / n_shingles over the
+    document's DISTINCT shingles (0.0 for docs shorter than n tokens).
+
+    Shape: the exploded shingle index is materialized once
+    (localCheckpoint — same barrier rationale as ngram_jaccard_pairs);
+    doc-frequency is one map-side-combined count per shingle; the
+    boilerplate probe is a semi-join of the index against the filtered
+    shingle set. No document pairs exist anywhere.
+    """
+    inv = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    ).localCheckpoint(eager=True)
+    # shingles() emits distinct grams per doc, so COUNT(*) per shingle IS
+    # the document frequency
+    boiler = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("shingle")
+    )
+    totals = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler_counts = (
+        inv.join(boiler, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(boiler_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) > 0,
+                    F.coalesce("n_boiler", F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: distance to the label centroid.
+# ---------------------------------------------------------------------------
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, n, centroid array<double>) per label. Component sums are
+    exact integer micro-sums (floor(x·1e6) as BIGINT — the
+    centroid_per_label pattern), so the cross-row aggregation is
+    associative and engine/order-independent; each component then pays
+    exactly ONE IEEE division s/(n·1e6), which every engine computes
+    identically. The result is n_labels × dim doubles — broadcastable at
+    any corpus scale."""
+    parts = df.select(
+        F.col(label_col), F.posexplode(vec_col).alias("pos", "val")
+    ).select(
+        label_col,
+        "pos",
+        F.floor(F.col("val").cast("double") * 1e6).cast("long").alias("micro"),
+    )
+    sums = parts.groupBy(label_col, "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("micro").alias("s")
+    )
+    comp = sums.select(
+        label_col,
+        "pos",
+        "n",
+        (F.col("s").cast("double") / (F.col("n").cast("double") * 1e6)).alias("c"),
+    )
+    return comp.groupBy(label_col).agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` embedding outliers per label: squared L2 distance to the
+    label centroid, ranked descending — the audit query that surfaces
+    mislabeled / out-of-distribution vectors before they poison an index
+    or a training mix.
+
+    The distance is a per-row zip_with/aggregate fold over the broadcast
+    centroid (whole-stage codegen, fixed element order — so the float sum
+    is deterministic and, with round(6), oracle-matchable); ranking is a
+    per-label top-k window over (dist2, id) scalars. The vector column
+    never shuffles."""
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = df.join(F.broadcast(cents), label_col).select(
+        F.col(label_col), F.col(id_col), F.round(d2, 6).alias("dist2")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(F.desc("dist2"), id_col)
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= k)

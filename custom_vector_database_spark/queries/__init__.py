@@ -13,6 +13,7 @@ Every query ends in a total ORDER BY with a unique tie-break key.
 from custom_vector_database_spark.queries import (  # noqa: F401
     analytics_queries,
     breadth_queries,
+    curation_queries,
     events_queries,
     extra_queries,
     pipeline_queries,

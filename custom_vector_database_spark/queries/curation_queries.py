@@ -1,0 +1,193 @@
+"""Corpus-curation queries (operators/curation.py): domain-mixture
+resampling, token-budget sequence packing, cross-document boilerplate
+detection, and embedding outlier audit — the post-filtering verbs of an
+LLM training-data pipeline, all exactly oracle-checked (no guarantee
+booleans needed: every operator here is deterministic integer/md5/fixed-
+fold arithmetic by construction).
+
+Tokenization and fold order mirror the text_queries oracles; budget
+arithmetic is integer (div/floor) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import curation as cu
+from custom_vector_database_spark.queries_registry import load, load_spread, register
+
+_DUCK_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+_DUCK_SH5 = (
+    "CASE WHEN len({t}) >= 5 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 3), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]"
+    " || ' ' || {t}[i+3] || ' ' || {t}[i+4])) ELSE [] END"
+)
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling: "4 parts en, 2 fr, 2 de, 1 es, 1 zh" — the
+# data-mixture step. Quota arithmetic is pure integer division; row
+# selection is md5-rank within stratum — both engines select the SAME rows.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"en": 4, "fr": 2, "de": 2, "es": 1, "zh": 1}
+_MIX_W = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+
+
+@register(
+    "mixture_resample_docs",
+    f"""
+    WITH wts(lang, w) AS (VALUES {_MIX_VALUES}),
+    counts AS (
+      SELECT d.lang, w.w, COUNT(*) AS cnt
+      FROM documents d JOIN wts w ON d.lang = w.lang
+      GROUP BY d.lang, w.w),
+    n AS (SELECT MIN(cnt * {_MIX_W} // w) AS n_total FROM counts),
+    takes AS (SELECT lang, (w * n_total) // {_MIX_W} AS take
+              FROM counts CROSS JOIN n),
+    ranked AS (
+      SELECT d.lang, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY d.lang
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d JOIN wts USING (lang)),
+    sel AS (SELECT r.* FROM ranked r
+            JOIN takes t ON r.lang = t.lang AND r.rk <= t.take)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+)
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    sel = cu.mixture_resample(
+        docs, stratum_col="lang", key_col="doc_id", weights=_MIX_WEIGHTS
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (concat-and-chunk, budget 256): per-lang
+# shards, documents in doc_id order; a doc belongs to the sequence where it
+# starts. One running-sum window per shard — embarrassingly parallel across
+# shards, the way production tokenizer pipelines pack.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 256
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_TOKS.format(c="text")}) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS tokens_before
+      FROM t)
+    SELECT lang, CAST(floor(tokens_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """,
+)
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    packed = cu.pack_sequences(
+        docs, shard_col="lang", order_col="doc_id", budget=_PACK_BUDGET
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate: a 5-gram in >= 3 distinct docs is template
+# text. Complements repetition_ratio (intra-doc) and the dedup family
+# (whole-doc): this is the shared-snippet rule.
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_ngram_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_SH5.format(t="toks")} AS sh FROM t),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    boiler AS (SELECT shingle FROM (
+        SELECT shingle, COUNT(*) AS dfreq FROM inv GROUP BY shingle)
+      WHERE dfreq >= 3),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM inv GROUP BY doc_id),
+    bc AS (SELECT i.doc_id, COUNT(*) AS n_boiler
+           FROM inv i JOIN boiler b ON i.shingle = b.shingle GROUP BY i.doc_id)
+    SELECT d.doc_id,
+           COALESCE(t.n_shingles, 0) AS n_shingles,
+           COALESCE(bc.n_boiler, 0) AS n_boiler,
+           round(CASE WHEN COALESCE(t.n_shingles, 0) > 0
+                 THEN CAST(COALESCE(bc.n_boiler, 0) AS DOUBLE) / t.n_shingles
+                 ELSE 0.0 END, 6) AS boiler_frac
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id) LEFT JOIN bc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return cu.boilerplate_ngrams(
+        docs, id_col="doc_id", text_col="text", n=5, min_docs=3
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit: top-5 farthest-from-centroid vectors per label.
+# Centroids from exact integer micro-sums (order-independent); per-row
+# distance is a fixed-order codegen fold — round(6) makes it hash-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_outliers",
+    """
+    WITH e AS (
+      SELECT label, UNNEST(embedding) AS val,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings),
+    m AS (
+      SELECT label, i, COUNT(*) AS n,
+             SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      FROM e GROUP BY label, i),
+    c AS (
+      SELECT label, MAX(n) AS n,
+             list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                  ORDER BY i) AS centroid
+      FROM m GROUP BY label),
+    d AS (
+      SELECT v.label, v.vec_id,
+             round(list_reduce(list_transform(list_zip(v.embedding, c.centroid),
+                     p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+                   (acc, x) -> acc + x), 6) AS dist2
+      FROM embeddings v JOIN c USING (label)),
+    r AS (
+      SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk
+      FROM d)
+    SELECT label, vec_id, dist2, rk FROM r WHERE rk <= 5
+    ORDER BY label, rk
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cu.centroid_outliers(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label", k=5
+    ).orderBy("label", "rk")

@@ -251,6 +251,14 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
 
 
+@register("orc_roundtrip_agg", _ROUNDTRIP_ORACLE)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC: the third columnar interchange format Spark ships natively
+    # (typed, so the write→read cycle is lossless without the CSV/JSON
+    # shortest-repr float argument); same oracle as the other roundtrips.
+    return _roundtrip(spark, sf_dir, "orc")
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles (Spark `percentile` = linear interpolation, the same
 # definition as DuckDB quantile_cont); round(4) absorbs the one-ulp

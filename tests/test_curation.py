@@ -1,0 +1,162 @@
+"""Semantic tests for operators/curation.py: mixture resampling quotas,
+sequence-packing boundaries, boilerplate n-gram flagging, and centroid
+outlier ranking. (Oracle parity for the registered queries is covered by
+the parametrized sweep in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import curation as cu
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample
+# ---------------------------------------------------------------------------
+def _mix_df(spark):
+    rows = (
+        [(i, "web") for i in range(40)]
+        + [(100 + i, "code") for i in range(10)]
+        + [(200 + i, "books") for i in range(30)]
+        + [(300 + i, "junk") for i in range(7)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_quota_exact(spark):
+    df = _mix_df(spark)
+    # weights 2:1:1 over (web, code, books); junk has no weight -> dropped.
+    # Binding stratum: code (10 rows / weight 1) -> N = min(40*4/2, 10*4/1,
+    # 30*4/1) = 40; takes = (2*40/4, 1*40/4, 1*40/4) = (20, 10, 10).
+    sel = cu.mixture_resample(
+        df, "source", "doc_id", {"web": 2, "code": 1, "books": 1}
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in sel.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"web": 20, "code": 10, "books": 10}
+
+
+def test_mixture_deterministic_and_append_stable(spark):
+    df = _mix_df(spark)
+    w = {"web": 2, "code": 1, "books": 1}
+    a = sorted(r["doc_id"] for r in cu.mixture_resample(df, "source", "doc_id", w).collect())
+    b = sorted(r["doc_id"] for r in cu.mixture_resample(df, "source", "doc_id", w).collect())
+    assert a == b
+    # repartitioning must not change the selection (md5-rank, not RNG)
+    c = sorted(
+        r["doc_id"]
+        for r in cu.mixture_resample(df.repartition(7), "source", "doc_id", w).collect()
+    )
+    assert a == c
+
+
+def test_mixture_rejects_bad_weights(spark):
+    df = _mix_df(spark)
+    with pytest.raises(ValueError):
+        cu.mixture_resample(df, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        cu.mixture_resample(df, "source", "doc_id", {"web": 0})
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+def test_pack_sequences_boundaries(spark):
+    # 5-token docs, budget 8: before = 0,5,10,15 -> seq = 0,0,1,1
+    rows = [(i, "s", "a b c d e") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+    packed = cu.pack_sequences(df, "shard", "doc_id", budget=8).orderBy("doc_id")
+    got = [(r["n_tokens"], r["seq_id"]) for r in packed.collect()]
+    assert got == [(5, 0), (5, 0), (5, 1), (5, 1)]
+
+
+def test_pack_sequences_per_shard_independent(spark):
+    rows = [(1, "x", "a b c"), (2, "y", "a b c"), (3, "x", "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+    packed = cu.pack_sequences(df, "shard", "doc_id", budget=4)
+    got = {r["doc_id"]: r["seq_id"] for r in packed.collect()}
+    # each shard's cumsum starts at 0: doc 2 (shard y) is seq 0 despite id order
+    assert got == {1: 0, 2: 0, 3: 0}
+    rows2 = [(1, "x", "a b c d"), (2, "x", "a b c d"), (3, "y", "a b")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, shard string, text string")
+    got2 = {
+        r["doc_id"]: r["seq_id"]
+        for r in cu.pack_sequences(df2, "shard", "doc_id", budget=4).collect()
+    }
+    assert got2 == {1: 0, 2: 1, 3: 0}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "s", "a")], "doc_id long, shard string, text string")
+    with pytest.raises(ValueError):
+        cu.pack_sequences(df, "shard", "doc_id", budget=0)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngrams
+# ---------------------------------------------------------------------------
+def test_boilerplate_flagging(spark):
+    boiler = "all rights reserved by corp"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"one two three four five six {boiler}"),
+        (3, f"{boiler} unrelated tail words here now"),
+        (4, "totally distinct text with no shared grams at all"),
+        (5, "tiny doc"),  # < 5 tokens -> zero shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cu.boilerplate_ngrams(df, n=5, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the shared 5-gram appears in 3 docs -> boilerplate in each of them
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler"] >= 1, d
+        assert out[d]["boiler_frac"] > 0
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
+    assert out[5]["n_shingles"] == 0 and out[5]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_min_docs_threshold(spark):
+    shared = "shared phrase of five words"
+    rows = [(1, f"{shared} aaa bbb"), (2, f"{shared} ccc ddd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # only 2 docs share it; min_docs=3 -> nothing flagged
+    out = cu.boilerplate_ngrams(df, n=5, min_docs=3).collect()
+    assert all(r["n_boiler"] == 0 for r in out)
+    out2 = cu.boilerplate_ngrams(df, n=5, min_docs=2).collect()
+    assert all(r["n_boiler"] >= 1 for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# centroid_outliers
+# ---------------------------------------------------------------------------
+def test_centroid_outlier_planted(spark):
+    # label 0: tight cluster at (1,1) plus one planted point at (9,9)
+    rows = [(i, [1.0 + 0.01 * i, 1.0], 0) for i in range(9)] + [(99, [9.0, 9.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cu.centroid_outliers(df, k=3).orderBy("rk").collect()
+    assert len(out) == 3
+    assert out[0]["vec_id"] == 99 and out[0]["rk"] == 1
+    assert out[0]["dist2"] > out[1]["dist2"]
+
+
+def test_centroid_outliers_per_label_k(spark):
+    rows = [(i, [float(i % 3), 0.0], i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cu.centroid_outliers(df, k=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["label"], []).append(r["rk"])
+    assert set(per) == {0, 1}
+    for label, rks in per.items():
+        assert sorted(rks) == [1, 2, 3, 4], (label, rks)
+
+
+def test_label_centroids_shape(spark):
+    rows = [(1, [2.0, 4.0], 7), (2, [4.0, 8.0], 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    c = cu.label_centroids(df).collect()
+    assert len(c) == 1 and c[0]["n"] == 2
+    assert c[0]["centroid"] == pytest.approx([3.0, 6.0], abs=1e-5)
