@@ -52,6 +52,8 @@ __all__ = [
     "boilerplate_ngrams",
     "label_centroids",
     "centroid_outliers",
+    "length_buckets",
+    "unigram_logprob",
 ]
 
 
@@ -285,3 +287,93 @@ def centroid_outliers(
         Window.partitionBy(label_col).orderBy(F.desc("dist2"), id_col)
     )
     return scored.withColumn("rk", rk).filter(F.col("rk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching.
+# ---------------------------------------------------------------------------
+def length_buckets(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Assign each document to a length bucket within its shard: ntile
+    over (token count, id) — the batching trick that groups similar-length
+    sequences so per-batch padding waste (pad-to-longest) stays small.
+
+    Adds (n_tokens, bucket). Exact ntile needs a per-shard sort (the same
+    cost class as any ORDER BY — range-partitioned at scale); when exact
+    equal-size buckets aren't required, approx-quantile cut points give a
+    zero-sort variant (percentile_approx thresholds + a filter)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    n_tokens = F.size(tokenize(text_col))
+    w = Window.partitionBy(shard_col).orderBy("n_tokens", id_col)
+    return df.withColumn("n_tokens", n_tokens).withColumn(
+        "bucket", F.ntile(n_buckets).over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality score.
+# ---------------------------------------------------------------------------
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability — the classic cheap
+    perplexity proxy (a KenLM-style LM score without the LM): documents
+    full of corpus-rare tokens score low; templated/common text scores
+    high. Two passes over the token index: vocabulary counts, then a
+    per-doc sum of token log-probs.
+
+    Determinism: per-token logprob is floor(1e6 · ln(count/total)) — the
+    ln runs once per DISTINCT token on an exact integer ratio and is
+    floored to an integer, so the per-doc aggregation is an exact BIGINT
+    sum (associative, engine-independent); the final average is one IEEE
+    division. Shape: token index materialized once (localCheckpoint);
+    vocab counts are a map-side-combined aggregate; the probe join keys
+    on the token (broadcastable vocab at fixture scale, hash join at
+    100 TB).
+
+    Returns (id, n_tokens, lp_micro_sum, avg_logprob)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    ).localCheckpoint(eager=True)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total_row = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total_row)).select(
+        "token",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        toks.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("lp_micro_sum", F.lit(0)).alias("lp_micro_sum"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.col("lp_micro_sum").cast("double")
+                    / (F.col("n_tokens").cast("double") * 1e6),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -30,7 +30,7 @@ from custom_vector_database_spark.functions.vector import (
     l2_squared,
 )
 
-__all__ = ["knn", "knn_join"]
+__all__ = ["knn", "knn_join", "matryoshka_search"]
 
 _METRICS = {"l2_sq", "cosine", "dot"}
 
@@ -158,4 +158,65 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("rank")
+    )
+
+
+def matryoshka_search(
+    df: DataFrame,
+    query: list[float] | DataFrame,
+    k: int,
+    prefix_dims: int = 16,
+    candidates: int = 50,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-stage exact search over nested (matryoshka) embeddings: rank by
+    the squared-L2 of the FIRST ``prefix_dims`` components, keep the top
+    ``candidates`` rows, rerank those exactly over the full vector.
+
+    MRL-trained embeddings (Kusupati et al. 2022, public) concentrate
+    information in the prefix, so the stage-1 scan reads/folds
+    prefix_dims/dim of the arithmetic (with a column-chunked storage
+    layout, proportionally less I/O too) and the full-precision fold runs
+    on only ``candidates`` rows. Unlike LSH/IVF/PQ this needs NO index or
+    fit — the progressive-precision path for freshly-written data.
+
+    Physical shape: scan → prefix fold → TakeOrderedAndProject(candidates)
+    carrying the vector (the sq8_search rerank shape — no second scan) →
+    full fold on candidates → top-k. Both stages are deterministic
+    (fixed-order folds, id tie-breaks), so the whole search — candidate
+    cut included — is exactly oracle-checkable, unlike any hash-seeded
+    ANN. Returns (id, dist_prefix, dist_sq) nearest-first by full
+    distance.
+    """
+    if not (0 < prefix_dims):
+        raise ValueError("prefix_dims must be positive")
+    if candidates < k:
+        raise ValueError("candidates must be >= k")
+    if isinstance(query, DataFrame):
+        staged = df.crossJoin(F.broadcast(query))
+        qcol = F.col("q")
+    else:
+        staged = df
+        qcol = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    d_pre = l2_squared(
+        F.slice(F.col(vec_col), 1, prefix_dims), F.slice(qcol, 1, prefix_dims)
+    )
+    if round_to is not None:
+        d_pre = F.round(d_pre, round_to)
+    cand = (
+        staged.select(
+            F.col(id_col), F.col(vec_col), qcol.alias("_q"), d_pre.alias("dist_prefix")
+        )
+        .orderBy(F.col("dist_prefix").asc_nulls_last(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    d_full = l2_squared(F.col(vec_col), F.col("_q"))
+    if round_to is not None:
+        d_full = F.round(d_full, round_to)
+    return (
+        cand.select(F.col(id_col), "dist_prefix", d_full.alias("dist_sq"))
+        .orderBy(F.col("dist_sq").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -191,3 +191,122 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.centroid_outliers(
         emb, id_col="vec_id", vec_col="embedding", label_col="label", k=5
     ).orderBy("label", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: ntile(4) over token count within each lang
+# shard; per-bucket padding waste under pad-to-longest. Exact window
+# arithmetic -> exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_TOKS.format(c="text")}) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT lang, doc_id, n_tokens,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+               AS bucket
+      FROM t)
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    b = cu.length_buckets(docs, shard_col="lang", n_buckets=4)
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality (perplexity proxy). Per-token logprob is
+# floor(1e6*ln(count/total)) — ln of an exact integer ratio, floored to
+# BIGINT, so per-doc sums are exact integer aggregation in both engines;
+# the final average is one IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS token
+      FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT token,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM vocab CROSS JOIN tot),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp_micro) AS lp_micro_sum
+      FROM toks t JOIN lp ON t.token = lp.token GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(p.lp_micro_sum, 0) AS BIGINT) AS lp_micro_sum,
+           round(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                 THEN CAST(p.lp_micro_sum AS DOUBLE)
+                      / (CAST(p.n_tokens AS DOUBLE) * 1000000)
+                 ELSE 0.0 END, 6) AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return cu.unigram_logprob(docs, id_col="doc_id", text_col="text").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA dimensionality reduction (operators/pca.py), guarantee-oracle
+# pattern: the projection itself is numpy-SVD-seeded (not SQL
+# reproducible), so the registered output is a deterministic slice of the
+# projected table's identity columns plus one boolean certifying the fit:
+# component orthonormality (driver-side, ~1e-15 for a healthy SVD) and the
+# FULL-TABLE residual energy fraction under a loose bound (0.92: pure
+# isotropic noise would give 1 - k/dim = 0.875 at k=8/dim=64; measured
+# 0.795 across sf0.001-0.1, so regenerated data cannot flip it). The
+# projection values match numpy exactly (tests/test_curation.py).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_pca_project",
+    """
+    SELECT vec_id, label, TRUE AS pca_ok
+    FROM embeddings WHERE vec_id < 20
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators import pca as P
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = P.pca_fit(emb, vec_col="embedding", k=8, fit_sample=10_000)
+    ok = (
+        model.orthonormality_error() < 1e-6
+        and P.residual_fraction(emb, model, "embedding") <= 0.92
+    )
+    proj = emb.select(
+        "vec_id", "label", P.project_expr(model, "embedding").alias("proj")
+    )
+    return (
+        proj.filter(F.col("vec_id") < 20)
+        .select("vec_id", "label", (F.lit(bool(ok)) & (F.size("proj") == 8)).alias("pca_ok"))
+        .orderBy("vec_id")
+    )

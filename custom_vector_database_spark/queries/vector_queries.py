@@ -709,3 +709,36 @@ def q_snapshot_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (progressive-precision) search: prefix-dim candidate scan +
+# full-dim rerank, both stages deterministic fixed-order folds with id
+# tie-breaks — the ONLY two-stage ANN here whose entire pipeline
+# (candidate cut included) is exactly oracle-checkable. No index, no fit:
+# the fresh-data search path between exact scan and the built indexes.
+# ---------------------------------------------------------------------------
+@register(
+    "matryoshka_search",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    pre AS (
+      SELECT e.vec_id,
+             round({_DUCK_L2SQ.format(a="list_slice(e.embedding, 1, 16)",
+                                      b="list_slice(q.q, 1, 16)")}, 6)
+               AS dist_prefix,
+             e.embedding, q.q
+      FROM embeddings e CROSS JOIN q),
+    cand AS (SELECT * FROM pre ORDER BY dist_prefix ASC, vec_id ASC LIMIT 50)
+    SELECT vec_id, dist_prefix,
+           round({_DUCK_L2SQ.format(a="embedding", b="q")}, 6) AS dist_sq
+    FROM cand ORDER BY dist_sq ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return knn_ops.matryoshka_search(
+        emb, qdf, k=10, prefix_dims=16, candidates=50,
+        id_col="vec_id", vec_col="embedding",
+    )

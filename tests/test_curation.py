@@ -160,3 +160,126 @@ def test_label_centroids_shape(spark):
     c = cu.label_centroids(df).collect()
     assert len(c) == 1 and c[0]["n"] == 2
     assert c[0]["centroid"] == pytest.approx([3.0, 6.0], abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# length_buckets
+# ---------------------------------------------------------------------------
+def test_length_buckets_orders_by_length(spark):
+    rows = [
+        (1, "s", "a"),                    # 1 token
+        (2, "s", "a b c d e f g h"),      # 8 tokens
+        (3, "s", "a b"),                  # 2
+        (4, "s", "a b c d"),              # 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in cu.length_buckets(df, "shard", n_buckets=2).collect()
+    }
+    # shortest half -> bucket 1, longest half -> bucket 2
+    assert out[1] == 1 and out[3] == 1 and out[4] == 2 and out[2] == 2
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    import math
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rare"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cu.unigram_logprob(df).collect()}
+    # doc 2 contains the rare token -> lower (more negative) average
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+    # doc 1 is all 'common' (7 of 8 tokens): lp = floor(1e6*ln(7/8)) per token
+    lp = math.floor(1e6 * math.log(7 / 8))
+    assert out[1]["lp_micro_sum"] == 4 * lp
+    assert out[1]["n_tokens"] == 4
+
+
+def test_unigram_logprob_empty_doc(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cu.unigram_logprob(df).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["avg_logprob"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_search (operator-level; oracle parity covered by the sweep)
+# ---------------------------------------------------------------------------
+def test_matryoshka_matches_exact_on_separable_data(spark):
+    from custom_vector_database_spark.operators.knn import knn, matryoshka_search
+
+    # prefix dims already separate the clusters -> stage 1 keeps the true
+    # neighbors and the rerank must equal the exact search
+    rows = [(i, [float(i), float(i), 100.0 * (i % 2), 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = [3.2, 3.2, 0.0, 0.0]
+    exact = [r["id"] for r in knn(df, q, 5).collect()]
+    mat = matryoshka_search(df, q, 5, prefix_dims=2, candidates=15).collect()
+    assert [r["id"] for r in mat] == exact
+    # full distance must never be smaller than its prefix distance
+    assert all(r["dist_sq"] >= r["dist_prefix"] for r in mat)
+
+
+def test_matryoshka_validates_args(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<float>")
+    with pytest.raises(ValueError):
+        from custom_vector_database_spark.operators.knn import matryoshka_search
+        matryoshka_search(df, [1.0, 2.0], k=10, candidates=5)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+def test_pca_projection_matches_numpy(spark):
+    import numpy as np
+    from custom_vector_database_spark.operators import pca as P
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(200, 6) @ np.diag([5.0, 3.0, 1.0, 0.3, 0.2, 0.1])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = P.pca_fit(df, k=2, fit_sample=1000)
+    assert m.orthonormality_error() < 1e-9
+    assert m.evr > 0.7  # two dominant axes carry most variance
+    got = (
+        df.select("vec_id", P.project_expr(m, "embedding", round_to=None).alias("p"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    xf32 = np.asarray([[np.float32(v) for v in row] for row in x], dtype=np.float64)
+    ref = (xf32 - np.asarray(m.mean)) @ np.asarray(m.components).T
+    diff = np.abs(np.asarray([r["p"] for r in got]) - ref).max()
+    assert diff < 1e-9, diff
+
+
+def test_pca_residual_fraction_bounds(spark):
+    import numpy as np
+    from custom_vector_database_spark.operators import pca as P
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(100, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    m_all = P.pca_fit(df, k=4, fit_sample=1000)
+    # full-rank projection keeps all energy
+    assert P.residual_fraction(df, m_all, "embedding") < 1e-9
+    m1 = P.pca_fit(df, k=1, fit_sample=1000)
+    rf = P.residual_fraction(df, m1, "embedding")
+    assert 0.0 < rf < 1.0
+    assert rf == pytest.approx(1.0 - m1.evr, abs=1e-9)  # fit on full table
+
+
+def test_pca_rejects_k_above_dim(spark):
+    from custom_vector_database_spark.operators import pca as P
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        P.pca_fit(df, k=3, fit_sample=10)
