@@ -89,10 +89,17 @@ def mixture_resample(
     wdf = spark.createDataFrame(
         [(k, int(v)) for k, v in weights.items()], f"{stratum_col} string, w long"
     )
-    counts = (
+    present = (
         df.join(F.broadcast(wdf), stratum_col)
-        .groupBy(stratum_col, "w")
+        .groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # LEFT join from the weight table so a weighted stratum with ZERO rows
+    # counts as 0 — exact proportions are then unsatisfiable and N = 0
+    # (empty selection), rather than silently dropping the stratum from
+    # the mixture
+    counts = wdf.join(present, stratum_col, "left").select(
+        stratum_col, "w", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     # N = min_s floor(cnt_s * W / w_s): one-row aggregate, cross-joined back
     n_row = counts.select(

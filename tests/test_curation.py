@@ -283,3 +283,10 @@ def test_pca_rejects_k_above_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         P.pca_fit(df, k=3, fit_sample=10)
+
+
+def test_mixture_empty_weighted_stratum_selects_nothing(spark):
+    df = _mix_df(spark)
+    # 'video' has weight but zero rows: exact proportions unsatisfiable -> N=0
+    sel = cu.mixture_resample(df, "source", "doc_id", {"web": 1, "video": 1})
+    assert sel.count() == 0
