@@ -220,3 +220,35 @@ def test_load_spread_is_size_aware(spark, tmp_path):
 
     capped = load_spread(spark, str(tmp_path), "one", max_partitions=2)
     assert capped.rdd.getNumPartitions() == 2
+
+
+def test_matryoshka_is_two_stage_heap_topk(spark):
+    plan = _plan(spark, "matryoshka_search")
+    # stage-1 candidate cut AND final rerank are both heap top-ks -- no
+    # global sort shuffle anywhere in the two-stage pipeline
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "Sort " not in plan or "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    plan = _plan(spark, "embedding_outliers")
+    # the tiny centroid table must broadcast; the vector table never
+    # shuffles through a SortMergeJoin
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # only scalar columns move through the top-k window's exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
+
+
+def test_mixture_resample_broadcasts_quotas(spark):
+    plan = _plan(spark, "mixture_resample_docs")
+    # weights / budget-scalar / quota joins all broadcast -- the only
+    # exchanges are the per-stratum rank window and the final aggregate
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_window_no_join(spark):
+    plan = _plan(spark, "pack_sequences_docs")
+    assert "Join" not in plan  # pure window + aggregate pipeline
