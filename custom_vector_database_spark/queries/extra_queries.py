@@ -428,19 +428,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from custom_vector_database_spark.operators import knn as knn_ops
-    from custom_vector_database_spark.queries.vector_queries import saved_index
+    from custom_vector_database_spark.queries.vector_queries import (
+        _exact_with_recall_flag,
+        saved_index,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     index = saved_index(spark, sf_dir, "ivf")
-    approx_ids = {
-        r["vec_id"] for r in index.search(query, k=10, nprobe=8).collect()
-    }
-    exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
-    exact_ids = {r["vec_id"] for r in exact.collect()}
-    recall_ok = len(approx_ids & exact_ids) >= 5
-    return exact.withColumn("ivf_ok", F.lit(bool(recall_ok)))
+    return _exact_with_recall_flag(
+        spark, sf_dir, index.search(query, k=10, nprobe=8), "ivf_ok", query=query
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -953,9 +953,12 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch, min over depths. Deterministic end to end (xxhash64 is a fixed
 # function), but the estimate is Spark-specific (DuckDB has no xxhash64
 # with this mixing), so — like the HLL/GK queries — the output is the
-# EXACT top-10 plus a boolean asserting the CMS guarantee
-# (exact <= estimate <= exact + (e/width) * N); the oracle computes the
-# exact top-10 and TRUE.
+# EXACT top-10 plus a boolean asserting a deliberately 3x-RELAXED CMS
+# bound (exact <= estimate <= exact + 3*(e/width) * N — at the textbook
+# e/width the one-sided guarantee fails with ~e^-depth probability per
+# key, a few-percent flip risk per round over regenerated data; at 3x
+# the per-key failure odds are ~(3e)^-5); the oracle computes the exact
+# top-10 and TRUE.
 _CMS_DEPTH, _CMS_WIDTH = 5, 8192
 
 

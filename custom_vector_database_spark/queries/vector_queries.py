@@ -281,13 +281,23 @@ _KNN10_ORACLE = f"""
 
 
 def _exact_with_recall_flag(
-    spark: SparkSession, sf_dir: str, approx_df: DataFrame, ok_col: str
+    spark: SparkSession,
+    sf_dir: str,
+    approx_df: DataFrame,
+    ok_col: str,
+    query: list[float] | None = None,
 ) -> DataFrame:
-    """Exact top-10 with a literal boolean: approx recall@10 >= 0.5."""
+    """Exact top-10 with a literal boolean: approx recall@10 >= 0.5.
+    Callers that already fetched the query vector pass it in — otherwise
+    this helper would pay a second scan-and-collect job for a value the
+    query body just computed."""
     from custom_vector_database_spark.operators import knn as knn_ops
 
     emb = load(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    if query is None:
+        query = [
+            float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
     exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
     exact_ids = {r["vec_id"] for r in exact.collect()}
     approx_ids = {r["vec_id"] for r in approx_df.collect()}
@@ -303,7 +313,7 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     index = saved_index(spark, sf_dir, "lsh")
     return _exact_with_recall_flag(
-        spark, sf_dir, index.search(query, k=10), "lsh_ok"
+        spark, sf_dir, index.search(query, k=10), "lsh_ok", query=query
     )
 
 
@@ -317,7 +327,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     pq = saved_index(spark, sf_dir, "pq")
     approx = pq.search(query, k=10, base_df=emb, vec_col="embedding", rerank=10)
-    return _exact_with_recall_flag(spark, sf_dir, approx, "pq_ok")
+    return _exact_with_recall_flag(spark, sf_dir, approx, "pq_ok", query=query)
 
 
 # ANN indexes are built once per (process, sf_dir) and SAVED — search then
@@ -483,7 +493,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = idx.search(
         query, k=10, nprobe=8, base_df=emb, vec_col="embedding", rerank=10
     )
-    return _exact_with_recall_flag(spark, sf_dir, approx, "ivfpq_ok")
+    return _exact_with_recall_flag(spark, sf_dir, approx, "ivfpq_ok", query=query)
 
 
 @register(

@@ -315,7 +315,8 @@ def test_salted_join_equals_plain_join_and_spreads_keys(spark):
 def test_connected_components_pointer_jumping_beats_diameter(spark):
     """A 120-node path (diameter 119) exceeds plain hash-min's 25-round
     budget; the default escalation policy flips pointer jumping on after
-    8 unconverged rounds and still finishes inside the budget — and labels
+    4 unconverged rounds (graph.escalate_after default) and still
+    finishes inside the budget — and labels
     every node with the path's minimum id."""
     import pytest as _pytest
 
@@ -327,7 +328,7 @@ def test_connected_components_pointer_jumping_beats_diameter(spark):
     # escalation disabled -> plain hash-min needs 119 rounds and must raise
     with _pytest.raises(RuntimeError):
         connected_components(chain, max_iter=25, escalate_after=25)
-    # default policy: 8 plain rounds then pointer jumping, well under 25
+    # default policy: 4 plain rounds then pointer jumping, well under 25
     esc = connected_components(chain, max_iter=25)
     esc_labels = {r["node"]: r["cluster_id"] for r in esc.collect()}
     assert len(esc_labels) == 120 and set(esc_labels.values()) == {0}

@@ -227,7 +227,8 @@ def test_matryoshka_is_two_stage_heap_topk(spark):
     # stage-1 candidate cut AND final rerank are both heap top-ks -- no
     # global sort shuffle anywhere in the two-stage pipeline
     assert plan.count("TakeOrderedAndProject") == 2
-    assert "Sort " not in plan or "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan  # = no global sort
 
 
 def test_embedding_outliers_broadcasts_centroids(spark):
