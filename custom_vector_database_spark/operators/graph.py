@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -165,3 +165,57 @@ def _cc_iterate(und, labels, prev_sum, max_iter, accelerate, escalate_after):
             "diameter exceeds 2^(max_iter - escalate_after)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph of ``edges`` in exact integer
+    arithmetic — document centrality over a similarity graph (which docs
+    sit at the center of a near-duplicate cluster / topical hub).
+
+    All mass is integer in ``scale`` units and every step is integer
+    division, so a fixed ``iters`` run is bit-reproducible in any engine
+    (the registered query's DuckDB oracle unrolls the same iterations):
+
+        r_0(v)    = scale div n
+        r_{t+1}(v)= (100-d)·scale div (100·n)
+                    + Σ_{u→v} d·r_t(u) div (100·deg(u))
+
+    Truncation loses ≤1 unit per term per round — irrelevant at
+    scale=1e12 and identical on both engines. Shape: degree table built
+    once; each iteration is ONE equi-join (edges ⋈ ranks) + ONE
+    aggregation, exactly the connected-components round cost; iters is
+    FIXED (no convergence action per round). Returns (node, rank) with
+    rank in scale units.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    und = und.join(deg, "a").localCheckpoint(eager=True)
+    n = und.select("a").distinct().count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node long, rank long")
+    base = (100 - damping_pct) * scale // (100 * n)
+    ranks = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "rank", F.lit(scale // n).cast("long")
+    )
+    for _ in range(iters):
+        contrib = und.join(ranks, und["a"] == ranks["node"]).select(
+            F.col("b"),
+            F.expr(f"{damping_pct} * rank div (100 * deg)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy(F.col("b").alias("node"))
+            .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -497,3 +497,110 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape (returned-item reporting): who returned the most revenue
+# in a quarter. 4-table join (fact-fact on orderkey; customer enriched by
+# broadcast nation) -> grouped revenue -> top 20. Same decimal-exact
+# revenue fold as Q3.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(round(c.c_acctbal, 2) AS DOUBLE) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape (large-volume customers): orders whose total lineitem
+# quantity exceeds a threshold — the aggregate-then-semi-join (HAVING
+# pushed into a derived table) pattern. Quantities are integral-valued
+# doubles, summed as DECIMAL for associativity.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(100)
+    )

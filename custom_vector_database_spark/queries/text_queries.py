@@ -676,3 +676,68 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.shingles("text", 3)).alias("n_distinct"),
         tx.repetition_ratio("text", 3).alias("repetition"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup similarity graph (integer-exact,
+# operators/graph.pagerank): which documents sit at the center of
+# duplicate clusters / topical hubs — the centrality signal dedup
+# pipelines use to pick representatives. Every step is integer division
+# at 1e12 scale, so the DuckDB oracle reproduces the SAME 5 iterations
+# bit-for-bit (unrolled CTEs — recursive aggregation is not needed).
+# ---------------------------------------------------------------------------
+_PR_ITER = """
+    it{i} AS (
+      SELECT u.b AS node,
+             CAST((SELECT 15 * 1000000000000 // (100 * n) FROM nn)
+                  + SUM(85 * r.rank // (100 * d.deg)) AS BIGINT) AS rank
+      FROM und u JOIN it{prev} r ON u.a = r.node JOIN deg d ON u.a = d.a
+      GROUP BY u.b)"""
+
+
+@register(
+    "pagerank_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    ELSE [] END AS sh
+        FROM t),
+      sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM common c
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+      nn AS (SELECT COUNT(DISTINCT a) AS n FROM und),
+      it0 AS (SELECT DISTINCT a AS node,
+                     CAST((SELECT 1000000000000 // n FROM nn) AS BIGINT) AS rank
+              FROM und),
+      {",".join(_PR_ITER.format(i=i, prev=i - 1) for i in range(1, 6))}
+    SELECT node AS doc_id, rank FROM it5
+    ORDER BY rank DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.graph import pagerank
+
+    edges = _exact_trigram_pairs(spark, sf_dir).select("id_a", "id_b")
+    pr = pagerank(edges, iters=5)
+    return (
+        pr.select(F.col("node").alias("doc_id"), "rank")
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(20)
+    )

@@ -408,3 +408,41 @@ def test_salted_join_rejects_dim_preserving_outer(spark):
     # left join is fact-preserving and stays exact
     got = salted_join(fact, dim, "k", "dk", salt_src="rid", salt=4, how="left")
     assert got.count() == 10
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    from custom_vector_database_spark.operators.graph import pagerank
+
+    # star: node 0 connected to 1..8 -> center collects mass
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(pr) == set(range(9))
+    leaves = [pr[i] for i in range(1, 9)]
+    assert pr[0] > max(leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly (integer math)
+    # total mass stays within truncation loss of the scale
+    assert 0.9 * 10**12 < sum(pr.values()) <= 10**12
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from custom_vector_database_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(17)], "id_a long, id_b long"
+    )
+    a = sorted((r["node"], r["rank"]) for r in pagerank(edges, iters=4).collect())
+    b = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank(edges.repartition(5), iters=4).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    from custom_vector_database_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=0).collect()}
+    assert set(pr.values()) == {10**12 // 3}
