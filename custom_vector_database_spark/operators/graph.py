@@ -196,26 +196,44 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    spark = edges.sparkSession
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     und = und.join(deg, "a").localCheckpoint(eager=True)
-    n = und.select("a").distinct().count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame([], "node long, rank long")
-    base = (100 - damping_pct) * scale // (100 * n)
-    ranks = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "rank", F.lit(scale // n).cast("long")
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
     )
-    for _ in range(iters):
-        contrib = und.join(ranks, und["a"] == ranks["node"]).select(
-            F.col("b"),
-            F.expr(f"{damping_pct} * rank div (100 * deg)").alias("c"),
-        )
-        ranks = (
-            contrib.groupBy(F.col("b").alias("node"))
-            .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
-            .localCheckpoint(eager=True)
-        )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank long")
+    base = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    # same iteration-loop treatment as connected_components: size the
+    # per-round shuffles from the edge count and turn AQE's per-stage
+    # re-planning off for the loop (restored after) — small graphs
+    # otherwise pay near-empty-partition task overhead and re-plan
+    # latency on every one of the fixed rounds. See the thread-safety
+    # note in connected_components: conf overrides are session-global.
+    n_edges = und.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    iter_parts = min(int(old_parts), max(1, n_edges // 50_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(iters):
+            contrib = und.join(ranks, und["a"] == ranks["node"]).select(
+                F.col("b"),
+                F.expr(f"{damping_pct} * rank div (100 * deg)").alias("c"),
+            )
+            ranks = (
+                contrib.groupBy(F.col("b").alias("node"))
+                .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     return ranks

@@ -29,6 +29,31 @@ _DUCK_SH3 = (
     ")) ELSE [] END"
 )
 
+# DuckDB twin of operators.dedup.ngram_jaccard_pairs(n=3, min_jaccard=0.05)
+# — the ONE definition of the dedup family's shared pair set; the
+# ngram/minhash/cluster/pagerank oracles all compose it, so a threshold or
+# tokenizer change cannot desynchronize one of them from the Spark side.
+# The filter applies to the ROUNDED jaccard, exactly as the operator does
+# (it filters on its round(6) output column).
+_DUCK_PAIRS_CTES = f"""
+      t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+      s AS (SELECT doc_id, {_DUCK_SH3.format(t="toks")} AS sh FROM t),
+      sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT c.id_a, c.id_b,
+                 round(CAST(c.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+          FROM common c
+          JOIN sizes sa ON c.id_a = sa.doc_id
+          JOIN sizes sb ON c.id_b = sb.doc_id)
+        WHERE jaccard >= 0.05)"""
+
 
 # ---------------------------------------------------------------------------
 # Token statistics: whitespace-ish word tokens + BPE-ish pre-tokens.
@@ -240,28 +265,8 @@ def q_text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
-         s AS (
-           SELECT doc_id,
-                  CASE WHEN len(toks) >= 3
-                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                       ELSE [] END AS sh
-           FROM t
-         ),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id
-         )
-    SELECT c.id_a, c.id_b,
-           round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
-    FROM common c
-    JOIN sizes sa ON c.id_a = sa.doc_id
-    JOIN sizes sb ON c.id_b = sb.doc_id
-    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -279,11 +284,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result. The first caller (alphabetically, dedup_cluster_docs in the
 # bench) pays the build; production would persist the pair table.
 _PAIRS_CACHE: dict = {}
+# each entry pins a localCheckpoint'ed RDD in executor storage until the
+# DataFrame is garbage-collected; bound the cache so a long-lived process
+# sweeping many sf_dirs (correctness gate, bench, repeated test sessions)
+# cannot accumulate one resident pair set per directory forever
+_PAIRS_CACHE_MAX = 4
 
 
 def _exact_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))  # FIFO evict
         docs = load_spread(spark, sf_dir, "documents")
         _PAIRS_CACHE[key] = dd.ngram_jaccard_pairs(
             docs, id_col="doc_id", text_col="text", n=3, min_jaccard=0.05
@@ -344,23 +356,8 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_dedup_docs",
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
-         s AS (SELECT doc_id, {_DUCK_SH3.format(t="toks")} AS sh FROM t),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-         inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-           FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id
-         )
-    SELECT c.id_a, c.id_b,
-           round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6)
-             AS jaccard,
-           TRUE AS minhash_ok
-    FROM common c
-    JOIN sizes sa ON c.id_a = sa.doc_id
-    JOIN sizes sb ON c.id_b = sb.doc_id
-    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard, TRUE AS minhash_ok FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -448,26 +445,7 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_docs",
     f"""
     WITH RECURSIVE
-      t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
-      s AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) >= 3
-                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                    ELSE [] END AS sh
-        FROM t),
-      sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-      pairs AS (
-        SELECT c.id_a, c.id_b
-        FROM common c
-        JOIN sizes sa ON c.id_a = sa.doc_id
-        JOIN sizes sb ON c.id_b = sb.doc_id
-        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05),
+      {_DUCK_PAIRS_CTES},
       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
       nodes AS (SELECT DISTINCT a AS node FROM edges),
@@ -698,26 +676,7 @@ _PR_ITER = """
 @register(
     "pagerank_docs",
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
-      s AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) >= 3
-                    THEN list_distinct(list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                    ELSE [] END AS sh
-        FROM t),
-      sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-      pairs AS (
-        SELECT c.id_a, c.id_b
-        FROM common c
-        JOIN sizes sa ON c.id_a = sa.doc_id
-        JOIN sizes sb ON c.id_b = sb.doc_id
-        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.05),
+    WITH {_DUCK_PAIRS_CTES},
       und AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
       deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
