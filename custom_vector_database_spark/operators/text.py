@@ -29,6 +29,8 @@ __all__ = [
     "redact_pii",
     "ngram_total_count",
     "repetition_ratio",
+    "feature_hash_bucket",
+    "hashed_tf",
 ]
 
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
@@ -268,3 +270,37 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
         total > 0,
         F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6),
     ).otherwise(F.lit(0.0))
+
+
+def feature_hash_bucket(col: Column | str, num_buckets: int = 32) -> Column:
+    """Feature-hashing bucket for a token column: the first 32 bits of
+    md5(token) mod ``num_buckets``. md5 rather than xxhash64 keeps the
+    bucket assignment reproducible in ANSI SQL (the feature_hash_docs
+    oracle); the hashing-trick collision properties are the same."""
+    h32 = F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+    return (h32 % num_buckets).cast("int")
+
+
+def hashed_tf(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Hashed term-frequency features (the hashing trick, Weinberger et
+    al. 2009): (id, bucket, tf) sparse rows with bucket =
+    md5(token) mod num_buckets — the fixed-width, vocabulary-free
+    featurization step of a training pipeline (MLlib's HashingTF, but as
+    pure Catalyst expressions with an engine-independent hash, so the
+    features themselves are oracle-checkable).
+
+    Shape: one tokenize pass, explode, map-side-combined groupBy on
+    (id, bucket) — tf shuffle rows bounded by docs × num_buckets."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+    return (
+        toks.select(
+            id_col, feature_hash_bucket("token", num_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

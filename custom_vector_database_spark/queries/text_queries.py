@@ -700,3 +700,32 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): vocabulary-free fixed-width term
+# features, (doc, bucket, tf) sparse rows. md5-derived buckets make the
+# features themselves (not just their shape) oracle-checkable — unlike
+# MLlib's HashingTF, whose murmur seed is engine-private.
+# ---------------------------------------------------------------------------
+@register(
+    "feature_hash_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS.format(c="text")}) AS token
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 32
+                  AS INT) AS bucket
+      FROM toks)
+    SELECT doc_id, bucket, COUNT(*) AS tf
+    FROM b GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return tx.hashed_tf(
+        docs, id_col="doc_id", text_col="text", num_buckets=32
+    ).orderBy("doc_id", "bucket")

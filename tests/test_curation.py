@@ -290,3 +290,34 @@ def test_mixture_empty_weighted_stratum_selects_nothing(spark):
     # 'video' has weight but zero rows: exact proportions unsatisfiable -> N=0
     sel = cu.mixture_resample(df, "source", "doc_id", {"web": 1, "video": 1})
     assert sel.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hashed_tf (feature hashing) + empty-input hardening for curation ops
+# ---------------------------------------------------------------------------
+def test_hashed_tf_counts_and_range(spark):
+    from custom_vector_database_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "")], "doc_id long, text string"
+    )
+    rows = tx.hashed_tf(df, num_buckets=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    # doc 1 has 3 tokens over <= 2 buckets; repeated token lands in ONE bucket
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert sum(r["tf"] for r in d1) == 3 and len(d1) <= 2
+    # empty doc contributes no rows (sparse representation)
+    assert not [r for r in rows if r["doc_id"] == 2]
+
+
+def test_curation_ops_on_empty_input(spark):
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert cu.boilerplate_ngrams(empty_docs).count() == 0
+    assert cu.unigram_logprob(empty_docs).count() == 0
+    empty_sharded = spark.createDataFrame([], "doc_id long, shard string, text string")
+    assert cu.pack_sequences(empty_sharded, "shard", "doc_id", budget=8).count() == 0
+    assert cu.length_buckets(empty_sharded, "shard").count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert cu.centroid_outliers(empty_emb).count() == 0
+    empty_mix = spark.createDataFrame([], "doc_id long, source string")
+    assert cu.mixture_resample(empty_mix, "source", "doc_id", {"web": 1}).count() == 0
