@@ -277,6 +277,9 @@ def feature_hash_bucket(col: Column | str, num_buckets: int = 32) -> Column:
     md5(token) mod ``num_buckets``. md5 rather than xxhash64 keeps the
     bucket assignment reproducible in ANSI SQL (the feature_hash_docs
     oracle); the hashing-trick collision properties are the same."""
+    if num_buckets <= 0:
+        # modulo-by-zero would yield NULL buckets silently
+        raise ValueError("num_buckets must be positive")
     h32 = F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
     return (h32 % num_buckets).cast("int")
 

@@ -301,9 +301,10 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators import pca as P
+    from custom_vector_database_spark.queries.vector_queries import fitted_pca
 
     emb = load(spark, sf_dir, "embeddings")
-    model = P.pca_fit(emb, vec_col="embedding", k=8, fit_sample=10_000)
+    model = fitted_pca(spark, sf_dir, k=8)
     ok = (
         model.orthonormality_error() < 1e-6
         and P.residual_fraction(emb, model, "embedding") <= 0.92

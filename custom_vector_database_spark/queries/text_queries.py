@@ -708,6 +708,9 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # features themselves (not just their shape) oracle-checkable — unlike
 # MLlib's HashingTF, whose murmur seed is engine-private.
 # ---------------------------------------------------------------------------
+_FEATURE_BUCKETS = 32  # shared by the Spark call and the oracle below
+
+
 @register(
     "feature_hash_docs",
     f"""
@@ -716,8 +719,8 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     b AS (
       SELECT doc_id,
-             CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 32
-                  AS INT) AS bucket
+             CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+                  % {_FEATURE_BUCKETS} AS INT) AS bucket
       FROM toks)
     SELECT doc_id, bucket, COUNT(*) AS tf
     FROM b GROUP BY doc_id, bucket
@@ -727,5 +730,5 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     return tx.hashed_tf(
-        docs, id_col="doc_id", text_col="text", num_buckets=32
+        docs, id_col="doc_id", text_col="text", num_buckets=_FEATURE_BUCKETS
     ).orderBy("doc_id", "bucket")

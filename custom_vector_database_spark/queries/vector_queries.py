@@ -775,6 +775,23 @@ def q_matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every candidate, which no regenerated dataset can flip; recall on
 # structured (clustered) data is asserted in tests/test_curation.py.
 # ---------------------------------------------------------------------------
+# fitted models shared across pca_search and embedding_pca_project —
+# the same build-once/search-many split as the saved ANN indexes
+_PCA_MODEL_CACHE: dict = {}
+
+
+def fitted_pca(spark: SparkSession, sf_dir: str, k: int = 8):
+    from custom_vector_database_spark.operators import pca as P
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _PCA_MODEL_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        _PCA_MODEL_CACHE[key] = P.pca_fit(
+            emb, vec_col="embedding", k=k, fit_sample=10_000
+        )
+    return _PCA_MODEL_CACHE[key]
+
+
 @register("pca_search", _KNN10_ORACLE.format(ok="pca_ok"))
 def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -783,7 +800,7 @@ def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators import pca as P
 
     emb = load(spark, sf_dir, "embeddings")
-    model = P.pca_fit(emb, vec_col="embedding", k=8, fit_sample=10_000)
+    model = fitted_pca(spark, sf_dir, k=8)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     q_proj = (
         np.asarray(model.components) @ (np.asarray(query) - np.asarray(model.mean))
@@ -793,27 +810,22 @@ def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         P.project_expr(model, "embedding", round_to=None).alias("p"),
     )
-    d_low = F.aggregate(
-        F.zip_with(
-            F.col("p"),
-            F.array(*[F.lit(float(v)) for v in q_proj]),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    d_low = l2_squared(
+        F.col("p"), F.array(*[F.lit(float(v)) for v in q_proj])
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    # candidate cut on the PROJECTED distance only, carrying the vector
+    # through the top-k (the matryoshka/sq8 rerank shape) — the full-dim
+    # fold runs on just the 50 candidates, never the whole scan
     cand = (
-        proj.select(
-            "vec_id",
-            d_low.alias("d_low"),
-            l2_squared(F.col("embedding"), qarr).alias("d_true"),
-        )
+        proj.select("vec_id", "embedding", d_low.alias("d_low"))
         .orderBy(F.col("d_low").asc_nulls_last(), F.col("vec_id").asc())
         .limit(50)
     )
+    qarr = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     # the contraction certificate: projected distance never exceeds the
     # true distance (1e-9 slack for float fold noise) on any candidate
-    viol = cand.filter(F.col("d_low") > F.col("d_true") + 1e-9).count()
+    viol = cand.filter(
+        F.col("d_low") > l2_squared(F.col("embedding"), qarr) + 1e-9
+    ).count()
     exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
     return exact.withColumn("pca_ok", F.lit(bool(viol == 0)))

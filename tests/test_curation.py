@@ -329,7 +329,6 @@ def test_pca_candidate_recall_on_clustered_data(spark):
     counterpart to the isotropic worst case measured in the registered
     pca_search query."""
     import numpy as np
-    from custom_vector_database_spark.functions.vector import l2_squared
     from custom_vector_database_spark.operators import pca as P
     from custom_vector_database_spark.operators.knn import knn
 
@@ -346,11 +345,9 @@ def test_pca_candidate_recall_on_clustered_data(spark):
     proj = df.select(
         "vec_id", "embedding", P.project_expr(m, "embedding", round_to=None).alias("p")
     )
-    d_low = F.aggregate(
-        F.zip_with(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
+    from custom_vector_database_spark.functions.vector import l2_squared
+
+    d_low = l2_squared(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]))
     cand = (
         proj.select("vec_id", d_low.alias("d_low"))
         .orderBy(F.col("d_low"), "vec_id").limit(50).collect()
@@ -364,7 +361,6 @@ def test_pca_projection_contracts_distances(spark):
     """Orthonormal-projection contraction: projected distance can never
     exceed the true distance — the invariant pca_search certifies."""
     import numpy as np
-    from custom_vector_database_spark.functions.vector import l2_squared
     from custom_vector_database_spark.operators import pca as P
 
     rng = np.random.RandomState(5)
@@ -379,13 +375,19 @@ def test_pca_projection_contracts_distances(spark):
     proj = df.select(
         "vec_id", "embedding", P.project_expr(m, "embedding", round_to=None).alias("p")
     )
-    d_low = F.aggregate(
-        F.zip_with(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
+    from custom_vector_database_spark.functions.vector import l2_squared
+
+    d_low = l2_squared(F.col("p"), F.array(*[F.lit(float(v)) for v in qp]))
     qarr = F.array(*[F.lit(float(v)) for v in q]).cast("array<double>")
     viol = proj.select(
         d_low.alias("lo"), l2_squared(F.col("embedding"), qarr).alias("hi")
     ).filter(F.col("lo") > F.col("hi") + 1e-9).count()
     assert viol == 0
+
+
+def test_feature_hash_rejects_bad_buckets(spark):
+    from custom_vector_database_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.hashed_tf(df, num_buckets=0)
