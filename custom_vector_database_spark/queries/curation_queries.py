@@ -317,3 +317,120 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", (F.lit(bool(ok)) & (F.size("proj") == 8)).alias("pca_ok"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END curation pipeline as ONE declarative plan: exact dedup ->
+# quality gate -> train split -> sequence packing, with per-stage
+# accounting (docs + tokens surviving each stage — the yield report every
+# corpus pipeline publishes). Each stage reuses the exact operator the
+# standalone queries verify (exact_dedup, quality_score, md5-threshold
+# split, pack_sequences), so the composed oracle is just their CTEs
+# chained. One logical plan end to end: Catalyst pipelines the stages —
+# no intermediate materialization.
+# ---------------------------------------------------------------------------
+_PIPE_QUALITY_MIN = 0.7
+_PIPE_TRAIN_MAX = 922337203685477580  # floor(0.8 * 2^60), as dataset_split
+
+
+def _pipe_oracle() -> str:
+    from custom_vector_database_spark.operators import text as tx
+
+    stops = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
+    toks = _DUCK_TOKS.format(c="text")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, lang, text, {toks} AS toks,
+             regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS punct
+      FROM documents),
+    m AS (
+      SELECT *,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains({stops}, t))) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS stop_raw,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(punct) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_raw,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl
+      FROM raw),
+    scored AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             round(least(stop_raw * 4.0, 1.0) * 0.4
+                   + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.4
+                   + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2, 6) AS quality
+      FROM m),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    reps AS (SELECT fingerprint, MIN(doc_id) AS rep_id FROM fp GROUP BY fingerprint),
+    dedup AS (
+      SELECT s.* FROM scored s
+      JOIN fp ON s.doc_id = fp.doc_id
+      JOIN reps ON fp.fingerprint = reps.fingerprint AND s.doc_id = reps.rep_id),
+    qual AS (SELECT * FROM dedup WHERE quality >= {_PIPE_QUALITY_MIN}),
+    train AS (
+      SELECT * FROM qual
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_PIPE_TRAIN_MAX}),
+    packed AS (
+      SELECT lang,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+             n_tokens
+      FROM train),
+    stages AS (
+      SELECT '0_raw' AS stage, COUNT(*) AS n, CAST(SUM(n_tokens) AS BIGINT) AS tokens FROM scored
+      UNION ALL
+      SELECT '1_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+      UNION ALL
+      SELECT '2_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM qual
+      UNION ALL
+      SELECT '3_train', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM train
+      UNION ALL
+      SELECT '4_packed', COUNT(*), CAST(SUM(tokens) AS BIGINT) FROM (
+        SELECT lang, seq_id, SUM(n_tokens) AS tokens FROM packed GROUP BY lang, seq_id))
+    SELECT stage, n AS n_docs, tokens AS n_tokens FROM stages ORDER BY stage
+    """
+
+
+@register("corpus_curation_pipeline", _pipe_oracle())
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators import dedup as dd
+    from custom_vector_database_spark.operators import text as tx
+    from custom_vector_database_spark.operators.text import tokenize
+
+    docs = load_spread(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.size(tokenize("text")).alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    )
+    deduped = scored.join(
+        dd.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id"),
+        "doc_id",
+    )
+    qual = deduped.filter(F.col("quality") >= _PIPE_QUALITY_MIN)
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    train = qual.filter(h60 < F.lit(_PIPE_TRAIN_MAX))
+    packed = cu.pack_sequences(train, shard_col="lang", order_col="doc_id", budget=256)
+    seqs = packed.groupBy("lang", "seq_id").agg(F.sum("n_tokens").alias("tokens"))
+
+    def stage(df, name, tok_col="n_tokens"):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).alias("n_tokens"),
+        )
+
+    out = (
+        stage(scored, "0_raw")
+        .unionAll(stage(deduped, "1_dedup"))
+        .unionAll(stage(qual, "2_quality"))
+        .unionAll(stage(train, "3_train"))
+        .unionAll(stage(seqs, "4_packed", tok_col="tokens"))
+    )
+    return out.orderBy("stage")
