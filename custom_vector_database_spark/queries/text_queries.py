@@ -732,3 +732,31 @@ def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.hashed_tf(
         docs, id_col="doc_id", text_col="text", num_buckets=_FEATURE_BUCKETS
     ).orderBy("doc_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Explicit build row for the dedup family's shared pair set (alphabetical
+# order runs it before dedup_cluster_docs / minhash_dedup_docs /
+# ngram_jaccard_pairs, exactly like the ann/ivf/pq build rows): the bench
+# prices the inverted-index build once, and the dependent rows then show
+# pure operator cost against the materialized pair table — the
+# build-once/query-many shape production pays. Oracle: pair count +
+# endpoint checksums of the same pair set.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_build_pairs",
+    f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT COUNT(*) AS n_pairs,
+           CAST(COALESCE(SUM(id_a), 0) AS BIGINT) AS sum_a,
+           CAST(COALESCE(SUM(id_b), 0) AS BIGINT) AS sum_b
+    FROM pairs
+    """,
+)
+def q_dedup_build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _exact_trigram_pairs(spark, sf_dir)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("id_a"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.sum("id_b"), F.lit(0)).alias("sum_b"),
+    )
