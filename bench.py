@@ -60,13 +60,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # this box has noisy neighbors (identical queries vary 2-15x between
+    # runs); a single sample that lands in a noise spike misreads as a
+    # regression. Retry only rows whose first sample exceeds the retry
+    # threshold and report the min — bounded extra cost (only the tail
+    # re-runs), and a genuinely slow query stays slow on both samples.
+    RETRY_ABOVE_SEC = 3.0
+    # rows whose FIRST run populates a process-level cache (saved ANN
+    # indexes, the dedup pair set, the PCA fit) must not retry: the second
+    # sample would answer from the cache and report the cheap path as the
+    # build cost. Searches hitting those caches retry consistently.
+    def _no_retry(name: str) -> bool:
+        return "build" in name or name == "embedding_pca_project"
+
     for i, name in enumerate(sorted(reg.QUERIES)):
         fn = reg.QUERIES[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t = run_once(fn)
+            if t > RETRY_ABOVE_SEC and not _no_retry(name):
+                t = min(t, run_once(fn))
+            timings[name] = round(t, 3)
         except Exception as exc:  # a failing query must not sink the bench
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
