@@ -434,3 +434,109 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(seqs, "4_packed", tok_col="tokens"))
     )
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor: per-label centroid shift between two snapshots
+# (here: the even/odd vec_id halves as deterministic proxy snapshots —
+# production would pass yesterday's and today's tables). Centroids from
+# exact integer micro-sums; the shift is a fixed-order fold over the two
+# centroid arrays -> round(6) hash-exact. The ML-ops alarm for embedding-
+# model or upstream-data changes silently rotating the vector space.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_drift",
+    """
+    WITH e AS (
+      SELECT label, vec_id % 2 AS snap, UNNEST(embedding) AS val,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings),
+    m AS (
+      SELECT label, snap, i, COUNT(*) AS n,
+             SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      FROM e GROUP BY label, snap, i),
+    c AS (
+      SELECT label, snap,
+             list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                  ORDER BY i) AS centroid,
+             MAX(n) AS n
+      FROM m GROUP BY label, snap),
+    j AS (
+      SELECT a.label, a.n AS n_a, b.n AS n_b,
+             round(sqrt(list_reduce(list_transform(list_zip(a.centroid, b.centroid),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)), 6)
+               AS centroid_shift
+      FROM c a JOIN c b ON a.label = b.label AND a.snap = 0 AND b.snap = 1)
+    SELECT label, n_a, n_b, centroid_shift FROM j ORDER BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.curation import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = label_centroids(emb.filter(F.col("vec_id") % 2 == 0))
+    b = label_centroids(emb.filter(F.col("vec_id") % 2 == 1))
+    shift = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    a["centroid"], b["centroid"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(b, a["label"] == b["label"])
+        .select(
+            a["label"].alias("label"),
+            a["n"].alias("n_a"),
+            b["n"].alias("n_b"),
+            shift.alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report: the diagnostic that decides when a key needs
+# salting (operators/skew.salted_join) — per-key frequency for the top
+# keys plus the table-wide max/avg skew ratio. One map-side-combined
+# count per key; the ratio divides two exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "key_skew_report",
+    """
+    WITH f AS (SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    stats AS (SELECT MAX(cnt) AS max_cnt, COUNT(*) AS n_keys,
+                     CAST(SUM(cnt) AS BIGINT) AS n_rows FROM f)
+    SELECT f.key, f.cnt,
+           round(CAST(f.cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio,
+           n_rows, n_keys
+    FROM f CROSS JOIN stats
+    ORDER BY f.cnt DESC, f.key ASC
+    LIMIT 20
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    f = li.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = f.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    return (
+        f.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+            "n_rows",
+            "n_keys",
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )
