@@ -233,32 +233,37 @@ def boilerplate_ngrams(
 # Embedding outliers: distance to the label centroid.
 # ---------------------------------------------------------------------------
 def label_centroids(
-    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+    df: DataFrame,
+    label_col: str | list[str] = "label",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(label, n, centroid array<double>) per label. Component sums are
-    exact integer micro-sums (floor(x·1e6) as BIGINT — the
-    centroid_per_label pattern), so the cross-row aggregation is
+    """(*labels, n, centroid array<double>) per label group — ``label_col``
+    may be a list for composite groupings (e.g. (label, snapshot) for the
+    drift monitor: ONE explode pass computes every group's centroid).
+    Component sums are exact integer micro-sums (floor(x·1e6) as BIGINT —
+    the centroid_per_label pattern), so the cross-row aggregation is
     associative and engine/order-independent; each component then pays
     exactly ONE IEEE division s/(n·1e6), which every engine computes
-    identically. The result is n_labels × dim doubles — broadcastable at
+    identically. The result is n_groups × dim doubles — broadcastable at
     any corpus scale."""
+    labels = [label_col] if isinstance(label_col, str) else list(label_col)
     parts = df.select(
-        F.col(label_col), F.posexplode(vec_col).alias("pos", "val")
+        *labels, F.posexplode(vec_col).alias("pos", "val")
     ).select(
-        label_col,
+        *labels,
         "pos",
         F.floor(F.col("val").cast("double") * 1e6).cast("long").alias("micro"),
     )
-    sums = parts.groupBy(label_col, "pos").agg(
+    sums = parts.groupBy(*labels, "pos").agg(
         F.count(F.lit(1)).alias("n"), F.sum("micro").alias("s")
     )
     comp = sums.select(
-        label_col,
+        *labels,
         "pos",
         "n",
         (F.col("s").cast("double") / (F.col("n").cast("double") * 1e6)).alias("c"),
     )
-    return comp.groupBy(label_col).agg(
+    return comp.groupBy(*labels).agg(
         F.max("n").alias("n"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]

@@ -325,39 +325,33 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accounting (docs + tokens surviving each stage — the yield report every
 # corpus pipeline publishes). Each stage reuses the exact operator the
 # standalone queries verify (exact_dedup, quality_score, md5-threshold
-# split, pack_sequences), so the composed oracle is just their CTEs
-# chained. One logical plan end to end: Catalyst pipelines the stages —
-# no intermediate materialization.
+# split, pack_sequences) AND the oracle composes the SAME shared SQL
+# fragments those stages' oracles use (text_queries.DUCK_QUALITY_*,
+# pipeline_queries' split threshold) — one definition each, so the
+# composed pipeline cannot desynchronize from its standalone stages.
+# The Spark side checkpoints the scored and deduped frontiers: a union
+# of five stage aggregates otherwise re-derives the shared prefix per
+# branch (measured: 13 scans / 29 tokenize evaluations in one plan —
+# filter pushdown makes the branch subtrees non-identical, so exchange
+# reuse cannot dedupe them).
 # ---------------------------------------------------------------------------
 _PIPE_QUALITY_MIN = 0.7
-_PIPE_TRAIN_MAX = 922337203685477580  # floor(0.8 * 2^60), as dataset_split
 
 
 def _pipe_oracle() -> str:
-    from custom_vector_database_spark.operators import text as tx
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _SPLIT_TRAIN_MAX,
+    )
+    from custom_vector_database_spark.queries.text_queries import (
+        DUCK_QUALITY_EXPR,
+        DUCK_QUALITY_M_CTES,
+    )
 
-    stops = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
-    toks = _DUCK_TOKS.format(c="text")
     return f"""
-    WITH raw AS (
-      SELECT doc_id, lang, text, {toks} AS toks,
-             regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS punct
-      FROM documents),
-    m AS (
-      SELECT *,
-             CASE WHEN len(toks) > 0
-                  THEN CAST(len(list_filter(toks, t -> list_contains({stops}, t))) AS DOUBLE)
-                       / len(toks) ELSE 0.0 END AS stop_raw,
-             CASE WHEN length(text) > 0
-                  THEN CAST(length(punct) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_raw,
-             CASE WHEN len(toks) > 0
-                  THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl
-      FROM raw),
+    WITH {DUCK_QUALITY_M_CTES},
     scored AS (
       SELECT doc_id, lang, text, len(toks) AS n_tokens,
-             round(least(stop_raw * 4.0, 1.0) * 0.4
-                   + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.4
-                   + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2, 6) AS quality
+             {DUCK_QUALITY_EXPR} AS quality
       FROM m),
     fp AS (
       SELECT doc_id,
@@ -372,7 +366,7 @@ def _pipe_oracle() -> str:
     train AS (
       SELECT * FROM qual
       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) < {_PIPE_TRAIN_MAX}),
+                 AS BIGINT) < {_SPLIT_TRAIN_MAX}),
     packed AS (
       SELECT lang,
              CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -400,22 +394,28 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators import dedup as dd
     from custom_vector_database_spark.operators import text as tx
     from custom_vector_database_spark.operators.text import tokenize
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _SPLIT_TRAIN_MAX,
+    )
 
     docs = load_spread(spark, sf_dir, "documents")
+    # checkpoint the scored frontier: FIVE stage aggregates consume it
+    # below, and without the barrier each union branch re-runs tokenize +
+    # quality over the full scan (13 scans / 29 tokenize evals measured)
     scored = docs.select(
         "doc_id", "lang", "text",
         F.size(tokenize("text")).alias("n_tokens"),
         tx.quality_score("text").alias("quality"),
-    )
+    ).localCheckpoint(eager=True)
     deduped = scored.join(
         dd.exact_dedup(docs).filter(F.col("is_dup") == 0).select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)  # four consumers below
     qual = deduped.filter(F.col("quality") >= _PIPE_QUALITY_MIN)
     h60 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    train = qual.filter(h60 < F.lit(_PIPE_TRAIN_MAX))
+    train = qual.filter(h60 < F.lit(_SPLIT_TRAIN_MAX))
     packed = cu.pack_sequences(train, shard_col="lang", order_col="doc_id", budget=256)
     seqs = packed.groupBy("lang", "seq_id").agg(F.sum("n_tokens").alias("tokens"))
 
@@ -474,13 +474,21 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.curation import label_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    a = label_centroids(emb.filter(F.col("vec_id") % 2 == 0))
-    b = label_centroids(emb.filter(F.col("vec_id") % 2 == 1))
+    # ONE explode pass computes both snapshots' centroids (composite
+    # grouping); the self-join below is over the tiny centroid aggregate
+    # (n_labels x 2 rows), never the vector table
+    cents = label_centroids(
+        emb.withColumn("snap", F.col("vec_id") % 2), label_col=["label", "snap"]
+    )
+    a = cents.filter(F.col("snap") == 0).drop("snap").alias("a")
+    b = cents.filter(F.col("snap") == 1).drop("snap").alias("b")
     shift = F.round(
         F.sqrt(
             F.aggregate(
                 F.zip_with(
-                    a["centroid"], b["centroid"], lambda x, y: (x - y) * (x - y)
+                    F.col("a.centroid"),
+                    F.col("b.centroid"),
+                    lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
@@ -489,11 +497,11 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        a.join(b, a["label"] == b["label"])
+        a.join(b, F.col("a.label") == F.col("b.label"))
         .select(
-            a["label"].alias("label"),
-            a["n"].alias("n_a"),
-            b["n"].alias("n_b"),
+            F.col("a.label").alias("label"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
             shift.alias("centroid_shift"),
         )
         .orderBy("label")

@@ -94,16 +94,17 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
 
-
-@register(
-    "text_quality",
-    f"""
-    WITH t AS (
-      SELECT doc_id, text, {_DUCK_TOKS.format(c="text")} AS toks,
+# Shared quality-formula fragments — ONE definition used by both the
+# text_quality oracle and the corpus_curation_pipeline oracle
+# (curation_queries imports these), so a formula/stopword change cannot
+# desynchronize the composed pipeline from the standalone stage.
+DUCK_QUALITY_M_CTES = f"""
+    t AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKS.format(c="text")} AS toks,
              regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS punct
       FROM documents
     ), m AS (
-      SELECT doc_id,
+      SELECT doc_id, lang, text, toks,
              CASE WHEN len(toks) > 0
                   THEN CAST(len(list_filter(toks, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
                        / len(toks) ELSE 0.0 END AS stop_ratio_raw,
@@ -112,14 +113,23 @@ _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
              CASE WHEN len(toks) > 0
                   THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok_len
       FROM t
-    )
+    )"""
+DUCK_QUALITY_EXPR = (
+    "round(least(stop_ratio_raw * 4.0, 1.0) * 0.4"
+    " + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0"
+    " THEN 1.0 ELSE 0.5 END) * 0.4"
+    " + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.2, 6)"
+)
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH {DUCK_QUALITY_M_CTES}
     SELECT doc_id,
            round(stop_ratio_raw, 6) AS stop_ratio,
            round(punct_ratio_raw, 6) AS punct_ratio,
-           round(least(stop_ratio_raw * 4.0, 1.0) * 0.4
-                 + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0
-                         THEN 1.0 ELSE 0.5 END) * 0.4
-                 + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.2, 6) AS quality
+           {DUCK_QUALITY_EXPR} AS quality
     FROM m
     ORDER BY doc_id
     """,
@@ -281,8 +291,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in one process is pure waste, so — exactly like the saved ANN indexes
 # (vector_queries.saved_index) — it is materialized once per
 # (SparkSession, sf_dir) and the dependents answer from the checkpointed
-# result. The first caller (alphabetically, dedup_cluster_docs in the
-# bench) pays the build; production would persist the pair table.
+# result. The dedup_build_pairs row (below) runs first alphabetically and
+# pays the build in the bench; production would persist the pair table.
 _PAIRS_CACHE: dict = {}
 # each entry pins a localCheckpoint'ed RDD in executor storage until the
 # DataFrame is garbage-collected; bound the cache so a long-lived process
