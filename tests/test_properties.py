@@ -245,3 +245,90 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     for status, frac in fractions.items():
         rate = a.get(status, 0) / totals[status]
         assert abs(rate - frac) < 0.05, (status, rate)
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator properties: the budget/packing/rank arithmetic must
+# agree with a straightforward Python reference on arbitrary inputs.
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=60), min_size=2, max_size=4),
+    weights=st.lists(st.integers(min_value=1, max_value=5), min_size=2, max_size=4),
+)
+def test_mixture_quota_matches_reference(spark, counts, weights):
+    from custom_vector_database_spark.operators.curation import mixture_resample
+
+    k = min(len(counts), len(weights))
+    counts, weights = counts[:k], weights[:k]
+    strata = [f"s{i}" for i in range(k)]
+    rows, nid = [], 0
+    for s, c in zip(strata, counts):
+        for _ in range(c):
+            rows.append((nid, s))
+            nid += 1
+    wmap = dict(zip(strata, weights))
+    df = spark.createDataFrame(rows or [(0, "s0")], "doc_id long, source string")
+    if not rows:
+        df = df.limit(0)
+    sel = mixture_resample(df, "source", "doc_id", wmap)
+    got = {s: 0 for s in strata}
+    for r in sel.collect():
+        got[r["source"]] += 1
+    # reference: N = min_s floor(cnt_s*W/w_s); take_s = floor(w_s*N/W)
+    W = sum(weights)
+    N = min(c * W // w for c, w in zip(counts, weights))
+    for s, w in zip(strata, weights):
+        assert got[s] == w * N // W, (counts, weights, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_matches_reference(spark, toks, budget):
+    from custom_vector_database_spark.operators.curation import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"])
+        for r in pack_sequences(df, "shard", "doc_id", budget=budget).collect()
+    }
+    cum = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (n, cum // budget), (toks, budget, got)
+        cum += n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_pagerank_matches_reference(spark, edges):
+    from custom_vector_database_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    # Python reference of the exact integer recurrence
+    und = set()
+    for a, b in edges:
+        und.add((a, b)); und.add((b, a))
+    nodes = {a for a, _ in und}
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    scale, n = 10**12, len(nodes)
+    base = 15 * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for a, b in und:
+            nxt[b] += 85 * r[a] // (100 * deg[a])
+        r = nxt
+    assert got == r, (edges, got, r)
