@@ -45,11 +45,38 @@ def bm25(
     """
     if not terms:
         raise ValueError("bm25 requires at least one query term")
-    # ONE tokenize pass over the corpus: doc length + the matched-term
-    # sublist come out of the same projection, materialized once
-    # (localCheckpoint) so the tf / dfreq / corpus-stats branches below
-    # don't re-tokenize. What persists is only (id, dl, matched terms) —
-    # the "posting list" — not the token stream.
+    scored = term_scores(docs, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    # Fixed-order per-term sum: one conditional aggregate per term, added
+    # left-to-right — bit-identical to the oracle's identical expression.
+    per_term = [
+        F.sum(F.when(F.col("token") == t, F.col("s")).otherwise(0.0)).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.col(f"s{i}")
+    return agg.select(F.col(id_col), total.alias("score"))
+
+
+def term_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions ``(id, token, s)`` for every doc
+    matching ≥1 of ``terms`` — the shared scoring core of single-query
+    bm25() and multi-query bm25_batch().
+
+    ONE tokenize pass over the corpus: doc length + the matched-term
+    sublist come out of the same projection, materialized once
+    (localCheckpoint) so the tf / dfreq / corpus-stats branches don't
+    re-tokenize. What persists is only (id, dl, matched terms) — the
+    "posting list" — not the token stream.
+    """
     arr = tx.tokenize(text_col)
     base = docs.select(
         F.col(id_col),
@@ -66,7 +93,7 @@ def bm25(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "token")
         .join(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
@@ -81,14 +108,63 @@ def bm25(
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
-    # Fixed-order per-term sum: one conditional aggregate per term, added
-    # left-to-right — bit-identical to the oracle's identical expression.
-    per_term = [
-        F.sum(F.when(F.col("token") == t, F.col("s")).otherwise(0.0)).alias(f"s{i}")
-        for i, t in enumerate(terms)
+
+
+def bm25_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "qid",
+    terms_col: str = "terms",
+    k1: float = 1.5,
+    b: float = 0.75,
+    max_terms: int = 8,
+) -> DataFrame:
+    """Top-``k`` BM25 results for EVERY row of a query table — the
+    set-oriented retrieval generalization (what knn_join is to knn): one
+    posting-list pass answers the whole query batch, the shape of
+    RAG-corpus retrieval and hard-negative mining.
+
+    ``queries``: (qid, terms array<string>), ≤ ``max_terms`` terms each
+    (validated — the per-position fixed-order sum below needs a static
+    width). Plan: term scores computed ONCE over the union of all query
+    terms → broadcast join against the exploded (qid, position, token)
+    query side → per-(qid, doc) score as max_terms POSITION-conditional
+    sums added left-to-right (the single-query determinism trick,
+    generalized) → per-qid top-k window. Only (qid, doc, score) scalars
+    shuffle. IDF is corpus-global, shared across queries.
+
+    Returns (qid, id, score, rk) with score rounded to 6 — the ranking
+    key on both engines — nearest-rank-first per qid.
+    """
+    q_rows = queries.select(query_id, terms_col).collect()  # bounded query side
+    all_terms = sorted({t for r in q_rows for t in (r[1] or [])})
+    if not all_terms:
+        raise ValueError("bm25_batch requires at least one query term")
+    if any(len(r[1] or []) > max_terms for r in q_rows):
+        raise ValueError(f"a query exceeds max_terms={max_terms}")
+    scored = term_scores(docs, all_terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    qx = queries.select(
+        F.col(query_id), F.posexplode(terms_col).alias("ti", "token")
+    )
+    j = scored.join(F.broadcast(qx), "token")
+    per_pos = [
+        F.sum(F.when(F.col("ti") == i, F.col("s")).otherwise(0.0)).alias(f"s{i}")
+        for i in range(max_terms)
     ]
-    agg = scored.groupBy(id_col).agg(*per_term)
+    agg = j.groupBy(query_id, id_col).agg(*per_pos)
     total = F.lit(0.0)
-    for i in range(len(terms)):
+    for i in range(max_terms):
         total = total + F.col(f"s{i}")
-    return agg.select(F.col(id_col), total.alias("score"))
+    ranked = agg.select(
+        F.col(query_id), F.col(id_col), F.round(total, 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col).asc())
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

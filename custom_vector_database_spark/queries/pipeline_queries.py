@@ -1024,3 +1024,71 @@ def q_cms_heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est") <= F.col("exact_cnt") + F.lit(bound))
         ).alias("cms_ok"),
     ).orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 retrieval: top-5 docs for EVERY query in a query table — the
+# set-oriented retrieval verb (what knn_join is to knn), the shape of
+# RAG-corpus retrieval and hard-negative mining. One posting-list pass
+# over the union of all query terms; per-(qid, doc) scores as
+# position-conditional fixed-order sums (the single-query determinism
+# trick generalized), so the whole batch is hash-exact vs DuckDB.
+# ---------------------------------------------------------------------------
+_BATCH_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "join"]),
+    (1, ["filter", "scan"]),
+    (2, ["table", "row", "column"]),
+    (3, ["stream", "window"]),
+]
+_BQ_VALUES = ", ".join(
+    f"({qid}, {ti}, '{t}')"
+    for qid, terms in _BATCH_QUERIES
+    for ti, t in enumerate(terms)
+)
+
+
+@register(
+    "bm25_multi_query",
+    f"""
+    WITH q(qid, ti, token) AS (VALUES {_BQ_VALUES}),
+    toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS dl, unnest({_DUCK_TOKS}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf FROM toks
+      WHERE token IN (SELECT DISTINCT token FROM q)
+      GROUP BY doc_id, dl, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_TOKS})) AS sum_dl FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ), j AS (
+      SELECT q.qid, sc.doc_id, q.ti, sc.s
+      FROM scored sc JOIN q ON sc.token = q.token
+    ), agg AS (
+      SELECT qid, doc_id,
+             SUM(CASE WHEN ti = 0 THEN s ELSE 0.0 END) AS s0,
+             SUM(CASE WHEN ti = 1 THEN s ELSE 0.0 END) AS s1,
+             SUM(CASE WHEN ti = 2 THEN s ELSE 0.0 END) AS s2
+      FROM j GROUP BY qid, doc_id
+    ), r AS (
+      SELECT qid, doc_id, round(0.0 + s0 + s1 + s2, 6) AS score,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY round(0.0 + s0 + s1 + s2, 6) DESC, doc_id) AS rk
+      FROM agg)
+    SELECT qid, doc_id, score, rk FROM r WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BATCH_QUERIES, "qid int, terms array<string>"
+    )
+    return rk.bm25_batch(docs, queries, k=5, max_terms=3).orderBy("qid", "rk")

@@ -446,3 +446,43 @@ def test_pagerank_zero_iters_is_uniform(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=0).collect()}
     assert set(pr.values()) == {10**12 // 3}
+
+
+def test_bm25_batch_matches_single_query(spark, sf_oracle):
+    from custom_vector_database_spark.operators import ranking as rk
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    qdefs = [(0, ["spark", "join"]), (1, ["filter", "scan", "table"])]
+    queries = spark.createDataFrame(qdefs, "qid int, terms array<string>")
+    batch = rk.bm25_batch(docs, queries, k=5, max_terms=3)
+    got = {
+        (r["qid"], r["rk"]): (r["doc_id"], r["score"])
+        for r in batch.collect()
+    }
+    for qid, terms in qdefs:
+        single = (
+            rk.bm25(docs, terms)
+            .select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(5)
+            .collect()
+        )
+        for rank, row in enumerate(single, start=1):
+            assert got[(qid, rank)] == (row["doc_id"], row["score"]), (qid, rank)
+
+
+def test_bm25_batch_validates(spark, sf_oracle):
+    import pytest as _pytest
+
+    from custom_vector_database_spark.operators import ranking as rk
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    empty_q = spark.createDataFrame([(0, [])], "qid int, terms array<string>")
+    with _pytest.raises(ValueError):
+        rk.bm25_batch(docs, empty_q)
+    wide_q = spark.createDataFrame(
+        [(0, ["a", "b", "c", "d"])], "qid int, terms array<string>"
+    )
+    with _pytest.raises(ValueError):
+        rk.bm25_batch(docs, wide_q, max_terms=3)
