@@ -21,7 +21,7 @@ is part of the promised pipeline surface, not vectordb.cpp).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import text as tx
@@ -46,17 +46,26 @@ def bm25(
     if not terms:
         raise ValueError("bm25 requires at least one query term")
     scored = term_scores(docs, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
-    # Fixed-order per-term sum: one conditional aggregate per term, added
-    # left-to-right — bit-identical to the oracle's identical expression.
-    per_term = [
-        F.sum(F.when(F.col("token") == t, F.col("s")).otherwise(0.0)).alias(f"s{i}")
-        for i, t in enumerate(terms)
+    return _fixed_order_sum(scored, [id_col], "token", terms)
+
+
+def _fixed_order_sum(df, group_cols, cond_col, keys, value_col="s"):
+    """Deterministic per-group total of ``value_col``: one conditional
+    aggregate per key, added left-to-right — bit-identical to the
+    oracles' identical expression regardless of partial-agg order. The
+    ONE definition of the determinism-critical fold, shared by bm25
+    (keys = query terms) and bm25_batch (keys = term positions)."""
+    sums = [
+        F.sum(F.when(F.col(cond_col) == k, F.col(value_col)).otherwise(0.0)).alias(
+            f"s{i}"
+        )
+        for i, k in enumerate(keys)
     ]
-    agg = scored.groupBy(id_col).agg(*per_term)
+    agg = df.groupBy(*group_cols).agg(*sums)
     total = F.lit(0.0)
-    for i in range(len(terms)):
+    for i in range(len(keys)):
         total = total + F.col(f"s{i}")
-    return agg.select(F.col(id_col), total.alias("score"))
+    return agg.select(*[F.col(c) for c in group_cols], total.alias("score"))
 
 
 def term_scores(
@@ -121,6 +130,7 @@ def bm25_batch(
     k1: float = 1.5,
     b: float = 0.75,
     max_terms: int = 8,
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Top-``k`` BM25 results for EVERY row of a query table — the
     set-oriented retrieval generalization (what knn_join is to knn): one
@@ -138,31 +148,38 @@ def bm25_batch(
 
     Returns (qid, id, score, rk) with score rounded to 6 — the ranking
     key on both engines — nearest-rank-first per qid.
+
+    The query table is collected once (``max_queries`` enforces the
+    broadcast-small assumption with an explicit error, the knn_join
+    max_query_rows convention) and that collected set is the SINGLE
+    source for both the term union and the exploded query side — a
+    non-deterministic query plan cannot diverge between the two.
     """
-    q_rows = queries.select(query_id, terms_col).collect()  # bounded query side
-    all_terms = sorted({t for r in q_rows for t in (r[1] or [])})
-    if not all_terms:
-        raise ValueError("bm25_batch requires at least one query term")
-    if any(len(r[1] or []) > max_terms for r in q_rows):
-        raise ValueError(f"a query exceeds max_terms={max_terms}")
+    q_rows = queries.select(query_id, terms_col).collect()
+    if max_queries is not None and len(q_rows) > max_queries:
+        raise ValueError(
+            f"queries has {len(q_rows)} rows > max_queries={max_queries}; "
+            "a driver collect/broadcast this large risks OOM"
+        )
+    for r in q_rows:
+        if not r[1]:
+            raise ValueError(
+                f"query {r[0]!r} has no terms (single-query bm25 raises too)"
+            )
+        if len(r[1]) > max_terms:
+            raise ValueError(f"query {r[0]!r} exceeds max_terms={max_terms}")
+    all_terms = sorted({t for r in q_rows for t in r[1]})
     scored = term_scores(docs, all_terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
-    qx = queries.select(
-        F.col(query_id), F.posexplode(terms_col).alias("ti", "token")
+    spark = docs.sparkSession
+    qx = spark.createDataFrame(
+        [(r[0], ti, t) for r in q_rows for ti, t in enumerate(r[1])],
+        f"{query_id} int, ti int, token string",
     )
     j = scored.join(F.broadcast(qx), "token")
-    per_pos = [
-        F.sum(F.when(F.col("ti") == i, F.col("s")).otherwise(0.0)).alias(f"s{i}")
-        for i in range(max_terms)
-    ]
-    agg = j.groupBy(query_id, id_col).agg(*per_pos)
-    total = F.lit(0.0)
-    for i in range(max_terms):
-        total = total + F.col(f"s{i}")
+    agg = _fixed_order_sum(j, [query_id, id_col], "ti", list(range(max_terms)))
     ranked = agg.select(
-        F.col(query_id), F.col(id_col), F.round(total, 6).alias("score")
+        F.col(query_id), F.col(id_col), F.round("score", 6).alias("score")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col).asc())
     return (
         ranked.withColumn("rk", F.row_number().over(w))

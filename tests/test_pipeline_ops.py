@@ -481,6 +481,19 @@ def test_bm25_batch_validates(spark, sf_oracle):
     empty_q = spark.createDataFrame([(0, [])], "qid int, terms array<string>")
     with _pytest.raises(ValueError):
         rk.bm25_batch(docs, empty_q)
+    # ONE empty query among valid ones must also raise, not silently
+    # vanish from the output
+    mixed_q = spark.createDataFrame(
+        [(0, []), (1, ["spark"])], "qid int, terms array<string>"
+    )
+    with _pytest.raises(ValueError):
+        rk.bm25_batch(docs, mixed_q)
+    with _pytest.raises(ValueError):
+        rk.bm25_batch(
+            docs,
+            spark.createDataFrame([(0, ["spark"])], "qid int, terms array<string>"),
+            max_queries=0,
+        )
     wide_q = spark.createDataFrame(
         [(0, ["a", "b", "c", "d"])], "qid int, terms array<string>"
     )
