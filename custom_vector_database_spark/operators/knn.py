@@ -30,7 +30,7 @@ from custom_vector_database_spark.functions.vector import (
     l2_squared,
 )
 
-__all__ = ["knn", "knn_join", "matryoshka_search"]
+__all__ = ["knn", "knn_join", "matryoshka_search", "mmr_select"]
 
 _METRICS = {"l2_sq", "cosine", "dot"}
 
@@ -220,3 +220,81 @@ def matryoshka_search(
         .orderBy(F.col("dist_sq").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query: list[float] | DataFrame,
+    k: int = 5,
+    candidates: int = 20,
+    lam: float = 0.5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+    select ``k`` results balancing relevance to the query against
+    diversity among the selected set —
+    score(d) = λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s), greedy.
+
+    Two-stage shape (the PQ-codebook argument): stage 1 is DISTRIBUTED —
+    top-``candidates`` by relevance via TakeOrderedAndProject carrying
+    the vector, then a bounded candidates² similarity join, all folds
+    the proven fixed-order Catalyst expressions rounded to 6. Stage 2 —
+    the greedy loop — runs driver-side over the collected
+    O(candidates²) ROUNDED similarity matrix: k sequential argmaxes
+    over ≤ candidates scalars are driver math by nature, and operating
+    on the engine-rounded values with id tie-breaks makes the selection
+    bit-reproducible in any engine (the mmr_diverse_search oracle
+    unrolls the same k steps in SQL).
+
+    sim = −squared-L2 (monotone in similarity). Returns
+    [(rank, id, relevance)] — a bounded Python list, not a DataFrame
+    (callers wrap via createDataFrame; nothing unbounded reaches the
+    driver).
+    """
+    if not (0 < k <= candidates):
+        raise ValueError("need 0 < k <= candidates")
+    if isinstance(query, DataFrame):
+        staged = df.crossJoin(F.broadcast(query))
+        qcol = F.col("q")
+    else:
+        staged = df
+        qcol = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    # 0.0 - x rather than unary negation: -round(0.0) is IEEE -0.0, whose
+    # string form would differ between engines in the output column
+    rel = F.round(F.lit(0.0) - l2_squared(F.col(vec_col), qcol), 6)
+    cand = (
+        staged.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
+        .orderBy(F.col("rel").desc_nulls_last(), F.col(id_col).asc())
+        .limit(candidates)
+        .localCheckpoint(eager=True)  # one scan; feeds the pair join twice
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_sim = F.round(
+        F.lit(0.0) - l2_squared(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    sims_rows = (
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            pair_sim.alias("sim"),
+        )
+        .collect()
+    )
+    rels = {r[0]: r[1] for r in cand.select(id_col, "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sims_rows}
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    while len(selected) < k and len(chosen) < len(rels):
+        best = None
+        for d in sorted(rels):  # id order = deterministic tie-break
+            if d in chosen:
+                continue
+            penalty = max((sim[(d, s)] for s in chosen), default=0.0)
+            score = lam * rels[d] - (1 - lam) * penalty if chosen else rels[d]
+            if best is None or score > best[0]:
+                best = (score, d)
+        chosen.append(best[1])
+        selected.append((len(selected) + 1, best[1], rels[best[1]]))
+    return selected

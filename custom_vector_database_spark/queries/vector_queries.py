@@ -829,3 +829,54 @@ def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
     return exact.withColumn("pca_ok", F.lit(bool(viol == 0)))
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse retrieval (operators/knn.mmr_select): relevance top-20
+# distributed, bounded 20x20 similarity join, greedy selection over the
+# ROUNDED matrix — every arithmetic step identical in both engines, so
+# even the k-step greedy loop is hash-exact (the oracle unrolls the same
+# steps). The "diverse top-k" verb: near-duplicate candidates suppress
+# each other instead of filling the result list.
+# ---------------------------------------------------------------------------
+def _mmr_oracle(k: int = 5) -> str:
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""
+    sc{i} AS (
+      SELECT c.vec_id, c.rel,
+             0.5 * c.rel - 0.5 * (SELECT MAX(sim) FROM sims
+                 WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM sel{i - 1}))
+               AS score
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+    s{i} AS (SELECT vec_id, rel FROM sc{i} ORDER BY score DESC, vec_id ASC LIMIT 1),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rk, vec_id, rel FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id,
+             round(0.0 - ({_DUCK_L2SQ.format(a="e.embedding", b="q.q")}), 6) AS rel,
+             e.embedding
+      FROM embeddings e CROSS JOIN q
+      ORDER BY rel DESC, vec_id ASC LIMIT 20),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(0.0 - ({_DUCK_L2SQ.format(a="a.embedding", b="b.embedding")}), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+    s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1),{",".join(steps)}
+    SELECT rk, vec_id, rel FROM ({finals}) ORDER BY rk
+    """
+
+
+@register("mmr_diverse_search", _mmr_oracle(5))
+def q_mmr_diverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sel = knn_ops.mmr_select(
+        emb, qdf, k=5, candidates=20, lam=0.5, id_col="vec_id", vec_col="embedding"
+    )
+    return spark.createDataFrame(sel, "rk int, vec_id long, rel double").orderBy("rk")

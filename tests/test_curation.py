@@ -391,3 +391,41 @@ def test_feature_hash_rejects_bad_buckets(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         tx.hashed_tf(df, num_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection
+# ---------------------------------------------------------------------------
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from custom_vector_database_spark.operators.knn import mmr_select
+
+    # query at the origin; ids 1-3 a tight clump to the right, id 10
+    # slightly farther but orthogonal. Pure relevance top-3 = the clump;
+    # under MMR the clump's mutual similarity is its own penalty
+    # (score(d) = λ·rel − (1−λ)·max-sim-to-selected, sim = −L2²:
+    # score(clump sibling) ≈ λ·(−1.1) − (1−λ)·(−0.0025) ≈ −0.55 while
+    # score(diverse) ≈ λ·(−1.21) − (1−λ)·(−2.21) ≈ +0.5), so the
+    # orthogonal point must be selected second.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.05, 0.0]),
+        (3, [0.95, 0.0]),
+        (10, [0.0, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = mmr_select(
+        df, [0.0, 0.0], k=3, candidates=4, lam=0.5,
+        id_col="vec_id", vec_col="embedding",
+    )
+    order = [vid for _, vid, _ in sel]
+    assert order[0] == 3          # nearest to the origin query
+    assert order[1] == 10, order  # diversity beats the redundant clump
+    assert len(sel) == 3 and [r for r, _, _ in sel] == [1, 2, 3]
+
+
+def test_mmr_validates_args(spark):
+    from custom_vector_database_spark.operators.knn import mmr_select
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        mmr_select(df, [1.0, 0.0], k=5, candidates=3)
