@@ -86,8 +86,19 @@ def mixture_resample(
         raise ValueError("weights must be non-empty positive integers")
     w_total = sum(weights.values())
     spark = df.sparkSession
+    # stratum field type follows the input column (string domains, integer
+    # domain ids, ... — nothing here requires string strata)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    stratum_type = df.schema[stratum_col].dataType
     wdf = spark.createDataFrame(
-        [(k, int(v)) for k, v in weights.items()], f"{stratum_col} string, w long"
+        [(k, int(v)) for k, v in weights.items()],
+        StructType(
+            [
+                StructField(stratum_col, stratum_type, False),
+                StructField("w", LongType(), False),
+            ]
+        ),
     )
     present = (
         df.join(F.broadcast(wdf), stratum_col)
@@ -148,8 +159,10 @@ def pack_sequences(
     Pass the unique document id, or end the list with one.
 
     Adds (n_tokens, seq_id). seq_id = (cumulative tokens before this doc)
-    div budget — one running-sum window per shard, exact integer
-    arithmetic, reproducible in any engine.
+    div budget — one running-sum window per shard, exact LONG integer
+    arithmetic end to end (a float division here would start misassigning
+    seq_ids past ~2^53 cumulative tokens per shard), reproducible in any
+    engine.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -161,8 +174,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     before = F.sum(F.col("n_tokens")).over(w) - F.col("n_tokens")
-    return df.withColumn("n_tokens", n_tokens).withColumn(
-        "seq_id", F.floor(before / budget).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("_tokens_before", before.cast("long"))
+        .withColumn(
+            "seq_id", F.expr(f"_tokens_before div CAST({int(budget)} AS BIGINT)")
+        )
+        .drop("_tokens_before")
     )
 
 

@@ -263,8 +263,14 @@ def mmr_select(
     # 0.0 - x rather than unary negation: -round(0.0) is IEEE -0.0, whose
     # string form would differ between engines in the output column
     rel = F.round(F.lit(0.0) - l2_squared(F.col(vec_col), qcol), 6)
+    # a NULL relevance (null vector / null element / dim mismatch — the
+    # zip_with fold yields NULL for all of these) would reach the driver
+    # as rel=None and crash the greedy arithmetic with a bare TypeError;
+    # drop such rows from candidacy, matching the asc_nulls_last
+    # never-outrank-real-neighbors convention in knn()
     cand = (
         staged.select(F.col(id_col), F.col(vec_col), rel.alias("rel"))
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.col("rel").desc_nulls_last(), F.col(id_col).asc())
         .limit(candidates)
         .localCheckpoint(eager=True)  # one scan; feeds the pair join twice

@@ -168,6 +168,11 @@ def bm25_batch(
             )
         if len(r[1]) > max_terms:
             raise ValueError(f"query {r[0]!r} exceeds max_terms={max_terms}")
+    if len({r[0] for r in q_rows}) != len(q_rows):
+        # two rows sharing a qid would have their terms merged per position
+        # by the fixed-order sum — silently blending two queries into one
+        # ranking group
+        raise ValueError("duplicate qid rows in the query table")
     all_terms = sorted({t for r in q_rows for t in r[1]})
     scored = term_scores(docs, all_terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
     spark = docs.sparkSession

@@ -101,7 +101,7 @@ _PACK_BUDGET = 256
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - n_tokens AS tokens_before
       FROM t)
-    SELECT lang, CAST(floor(tokens_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+    SELECT lang, CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id
     """,
@@ -369,9 +369,9 @@ def _pipe_oracle() -> str:
                  AS BIGINT) < {_SPLIT_TRAIN_MAX}),
     packed AS (
       SELECT lang,
-             CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+                   - n_tokens) // 256 AS BIGINT) AS seq_id,
              n_tokens
       FROM train),
     stages AS (

@@ -61,6 +61,21 @@ def test_mixture_rejects_bad_weights(spark):
         cu.mixture_resample(df, "source", "doc_id", {"web": 0})
 
 
+def test_mixture_non_string_stratum(spark):
+    # integer domain ids as strata: the weight table's stratum field type
+    # must follow the input column, not hardcode string
+    rows = [(i, 1) for i in range(40)] + [(100 + i, 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, domain int")
+    sel = cu.mixture_resample(df, "domain", "doc_id", {1: 2, 2: 1})
+    got = {
+        r["domain"]: r["n"]
+        for r in sel.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # binding stratum: domain 2 (10 rows / weight 1) -> N = min(40*3/2,
+    # 10*3/1) = 30; takes = (2*30/3, 1*30/3) = (20, 10)
+    assert got == {1: 20, 2: 10}
+
+
 # ---------------------------------------------------------------------------
 # pack_sequences
 # ---------------------------------------------------------------------------
@@ -429,3 +444,23 @@ def test_mmr_validates_args(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         mmr_select(df, [1.0, 0.0], k=5, candidates=3)
+
+
+def test_mmr_skips_null_and_mismatched_vectors(spark):
+    # NULL embeddings and dim-mismatched rows yield a NULL relevance —
+    # they must be dropped from candidacy, not crash the driver-side
+    # greedy loop with a TypeError on None arithmetic
+    from custom_vector_database_spark.operators.knn import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, None),
+        (3, [0.5]),          # wrong dim -> NULL fold
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = mmr_select(df, [0.0, 0.0], k=2, candidates=4,
+                     id_col="vec_id", vec_col="embedding")
+    assert [vid for _, vid, _ in sel] == [1, 4] or \
+           [vid for _, vid, _ in sel] == [4, 1]
+    assert all(rel is not None for _, _, rel in sel)

@@ -499,3 +499,10 @@ def test_bm25_batch_validates(spark, sf_oracle):
     )
     with _pytest.raises(ValueError):
         rk.bm25_batch(docs, wide_q, max_terms=3)
+    # duplicate qids would silently merge two queries' terms into one
+    # ranking group via the per-position fixed-order sum
+    dup_q = spark.createDataFrame(
+        [(0, ["spark"]), (0, ["join"])], "qid int, terms array<string>"
+    )
+    with _pytest.raises(ValueError, match="duplicate qid"):
+        rk.bm25_batch(docs, dup_q)
