@@ -139,6 +139,29 @@ def nearest_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> str:
     )
 
 
+def nprobe_clusters_sql(
+    vec_sql: str, centroids: list[list[float]], nprobe: int
+) -> str:
+    """SQL for the array<int> of the ``nprobe`` nearest centroid ids to
+    ``vec_sql`` — the per-ROW probe shortlist that makes batch ANN search
+    (one query TABLE against a cluster-partitioned layout) a single
+    codegen'd projection instead of a per-query driver loop.
+
+    Same one-element-transform binding trick as nearest_centroid_sql: the
+    centroid literal table appears once. The sort key is a
+    struct<d:double, c:int>, so equal distances tie-break to the lower
+    cluster id — deterministic."""
+    d = squared_distances_sql(vec_sql, centroids)
+    n = len(centroids)
+    nprobe = min(nprobe, n)
+    return (
+        f"element_at(transform(array({d}), ds -> "
+        f"transform(slice(array_sort(transform(sequence(0, {n - 1}), i -> "
+        f"struct(element_at(ds, i + 1) AS d, i AS c))), 1, {nprobe}), "
+        f"s -> s.c)), 1)"
+    )
+
+
 def centroids_literal(centroids: list[list[float]]) -> Column:
     """The centroid table as a literal array<array<double>> column."""
     return F.expr(centroids_literal_sql(centroids))

@@ -15,6 +15,30 @@ Design, Spark-first:
 - search   = centroid shortlist computed driver-side (centroids are tiny:
              n_clusters × dim floats), then exact k-NN over the probed
              clusters only.
+- search_many = the batch generalization: a query TABLE is answered in ONE
+             job — each query row computes its own nprobe shortlist with a
+             codegen'd projection over the literal centroid table, the
+             (qid, cluster) pairs broadcast-join the clustered layout
+             (statically partition-pruned to the union of probed clusters),
+             and a per-qid window takes the top k. Production retrieval is
+             millions of queries, not one; the reference answers one query
+             per process (main.cpp:95-118).
+- upsert   = delta ingestion without a rebuild: ONLY the new rows are
+             assigned clusters with the SAVED centroids (one projection
+             over the delta) and appended to the cluster-partitioned
+             layout. The coarse quantizer is deliberately NOT refit — that
+             stays the explicit rebuild contract (reference
+             vectordb.cpp:82-118: adds are invisible to search until
+             rebuild; here adds become searchable immediately, and
+             rebuild()/fit() remains the codebook-refresh verb when the
+             data distribution drifts).
+
+Metrics: squared L2 (the reference's only metric, hnsw.h:41) and cosine.
+Cosine is normalize-at-build: unit-normalize every vector in the ONE
+encode projection (cosine distance ≡ L2²/2 on unit vectors), normalize the
+query at search time, and report ``cos_dist`` = 1 − cosine similarity.
+Zero-norm vectors are stored unnormalized (their cosine to anything is
+undefined; they can never enter a top-k under the exact path either).
 
 Recall knob: ``nprobe`` (more probed clusters → higher recall, more I/O) —
 the IVF analogue of HNSW's ef (reference hnsw.h:117) and LSH's
@@ -36,20 +60,49 @@ from custom_vector_database_spark.operators.fitting import (
     collect_sample_matrix,
     kmeans_fit_np,
     nearest_centroid_expr,
+    nprobe_clusters_sql,
 )
 
 __all__ = ["IvfIndex"]
+
+_METRICS = {"l2_sq", "cosine"}
+
+
+def _unit_normalize_expr(vec_sql: str) -> F.Column:
+    """array<float> unit normalization as one codegen expression; 0-norm
+    vectors pass through unchanged (see module docstring)."""
+    return F.expr(
+        f"CAST(CASE WHEN (aggregate(transform({vec_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (s, v) -> s + v)) = 0.0D "
+        f"THEN {vec_sql} "
+        f"ELSE transform({vec_sql}, x -> CAST(CAST(x AS DOUBLE) / "
+        f"sqrt(aggregate(transform({vec_sql}, "
+        f"y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (s, v) -> s + v)) "
+        f"AS FLOAT)) END AS ARRAY<FLOAT>)"
+    )
+
+
+def _normalize_query(query: list[float]) -> list[float]:
+    norm = math.sqrt(math.fsum(float(x) * float(x) for x in query))
+    if norm == 0.0:
+        return [float(x) for x in query]
+    return [float(x) / norm for x in query]
 
 
 class IvfIndex:
     """KMeans-clustered vector table + centroid shortlist search."""
 
     def __init__(self, centroids: list[list[float]], clustered: DataFrame,
-                 id_col: str, vec_col: str):
+                 id_col: str, vec_col: str, metric: str = "l2_sq",
+                 path: str | None = None):
+        if metric not in _METRICS:
+            raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         self.centroids = centroids
         self._clustered = clustered
         self.id_col = id_col
         self.vec_col = vec_col
+        self.metric = metric
+        self._path = path  # set when saved/loaded; required by upsert()
 
     @classmethod
     def fit(
@@ -61,14 +114,24 @@ class IvfIndex:
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
+        metric: str = "l2_sq",
     ) -> "IvfIndex":
         """Build the index. The coarse quantizer trains on at most
         ``fit_sample`` rows (uniform sample — statistically plenty for
         k ≪ sample centroids) driver-side in numpy; only the single
         assign pass below is full-table, and it is one whole-stage-
         codegen'd projection (nearest_centroid_expr), not an MLlib model
-        UDF."""
+        UDF. ``metric="cosine"`` normalizes vectors INSIDE that same
+        projection (normalize-at-build), so cosine costs zero extra
+        passes."""
+        if metric not in _METRICS:
+            raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         feats = df.select(F.col(id_col), F.col(vec_col))
+        if metric == "cosine":
+            feats = feats.select(
+                F.col(id_col),
+                _unit_normalize_expr(f"`{vec_col}`").alias(vec_col),
+            )
         n = feats.count()
         x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
         centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
@@ -81,7 +144,7 @@ class IvfIndex:
             )
             .localCheckpoint(eager=True)  # the materialized index
         )
-        return cls(centroids, clustered, id_col, vec_col)
+        return cls(centroids, clustered, id_col, vec_col, metric)
 
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
@@ -94,24 +157,68 @@ class IvfIndex:
                 {
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
+                    "metric": self.metric,
                     "centroids": self.centroids,
                 },
                 f,
             )
+        self._path = path
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         rows = spark.read.parquet(os.path.join(path, "rows"))
-        return cls(meta["centroids"], rows, meta["id_col"], meta["vec_col"])
+        return cls(
+            meta["centroids"], rows, meta["id_col"], meta["vec_col"],
+            meta.get("metric", "l2_sq"), path=path,
+        )
 
     def clustered_df(self) -> DataFrame:
         return self._clustered
 
+    # -- incremental ingestion ---------------------------------------------
+    def upsert(self, delta: DataFrame) -> int:
+        """Append a delta batch to the SAVED layout, encoding ONLY the new
+        rows: one projection assigns each delta row its cluster with the
+        saved centroids (plus the cosine normalization when the index is
+        cosine), and the result appends into the cluster-partitioned
+        Parquet. At 100 TB this is what makes daily ingestion affordable —
+        the add→full-rebuild path re-encodes everything for a 0.01% delta.
+
+        The quantizer is NOT refit (module docstring: codebook refresh
+        stays the explicit rebuild verb). Existing part files are never
+        touched — Parquet append only adds files under the delta's cluster
+        directories (asserted in tests/test_recall.py). Returns the number
+        of rows appended; the in-memory clustered view is refreshed to
+        include them."""
+        if self._path is None:
+            raise ValueError(
+                "upsert requires a saved index (call save() or load() first)"
+            )
+        feats = delta.select(F.col(self.id_col), F.col(self.vec_col))
+        if self.metric == "cosine":
+            feats = feats.select(
+                F.col(self.id_col),
+                _unit_normalize_expr(f"`{self.vec_col}`").alias(self.vec_col),
+            )
+        encoded = feats.withColumn(
+            "cluster",
+            nearest_centroid_expr(
+                f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
+            ),
+        )
+        n = encoded.count()
+        rows_path = os.path.join(self._path, "rows")
+        encoded.write.mode("append").partitionBy("cluster").parquet(rows_path)
+        self._clustered = delta.sparkSession.read.parquet(rows_path)
+        return int(n)
+
     def _probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
         """Centroid shortlist — pure driver-side math over the tiny
-        centroid set (n_clusters × dim)."""
+        centroid set (n_clusters × dim). The query must already be in
+        index space (normalized for cosine — callers go through
+        search/search_many which handle that)."""
         dists = []
         for cid, center in enumerate(self.centroids):
             d = math.fsum((float(c) - float(q)) ** 2 for c, q in zip(center, query))
@@ -121,14 +228,125 @@ class IvfIndex:
 
     def search(
         self, query: list[float], k: int, nprobe: int = 4,
-        dist_col: str = "dist_sq",
+        dist_col: str | None = None,
     ) -> DataFrame:
         """Exact k-NN restricted to the ``nprobe`` nearest clusters.
-        Returns (id, dist_sq) nearest-first — squared L2, the reference's
-        API-level metric (vectordb.cpp:154)."""
-        probe = self._probe_clusters(query, nprobe)
+        L2 index: returns (id, dist_sq) nearest-first — squared L2, the
+        reference's API-level metric (vectordb.cpp:154). Cosine index:
+        the query is unit-normalized and the result column is
+        ``cos_dist`` = 1 − cosine similarity (≡ L2²/2 on unit vectors),
+        nearest-first."""
+        if self.metric == "cosine":
+            query = _normalize_query(query)
+            dist_col = dist_col or "cos_dist"
+            probe = self._probe_clusters(query, nprobe)
+            candidates = self._clustered.filter(F.col("cluster").isin(probe))
+            hits = knn_ops.knn(
+                candidates, query, k,
+                id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
+                round_to=None,
+            )
+            return hits.select(
+                self.id_col, F.round(F.col("_d2") / 2.0, 6).alias(dist_col)
+            )
+        dist_col = dist_col or "dist_sq"
+        probe = self._probe_clusters([float(x) for x in query], nprobe)
         candidates = self._clustered.filter(F.col("cluster").isin(probe))
         return knn_ops.knn(
             candidates, [float(x) for x in query], k,
             id_col=self.id_col, vec_col=self.vec_col, dist_col=dist_col,
+        )
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        dist_col: str | None = None,
+        max_query_rows: int | None = 100_000,
+    ) -> DataFrame:
+        """Batch ANN: the k approximate nearest rows for EVERY row of a
+        query table, answered from the saved cluster-partitioned layout in
+        ONE job — the vector analogue of ranking.bm25_batch, and the
+        production retrieval shape (embed a corpus once, retrieve for
+        millions of queries).
+
+        Physical plan, in order:
+        1. each query row computes its OWN nprobe-nearest-centroid
+           shortlist as a codegen'd projection over the literal centroid
+           table (fitting.nprobe_clusters_sql) and explodes to
+           (qid, qvec, cluster) — nprobe rows per query;
+        2. the union of probed clusters (≤ n_clusters ints — one tiny job
+           over the small query side only) becomes a LITERAL isin filter
+           on the clustered table, so the scan is statically
+           partition-pruned at file-listing time (plan-asserted in
+           tests/test_plans.py) — rows in never-probed clusters are not
+           even listed;
+        3. the exploded query side (|queries| × nprobe rows) is BROADCAST
+           into an equi-join on cluster — each query meets exactly the
+           rows of its own probed clusters, so distance evaluations are
+           ∝ |queries| × (nprobe/n_clusters) × |data|, never the full
+           cross product;
+        4. per-qid top-k window — only (qid, id, dist) scalars shuffle,
+           never vectors.
+
+        The query side must broadcast; ``max_query_rows`` enforces that
+        with an explicit error (the knn_join convention). Returns
+        (qid, id, dist_sq) — or (qid, id, cos_dist) on a cosine index,
+        with query vectors unit-normalized inside the same projection as
+        the shortlist — nearest-first within each qid, id tie-break.
+        """
+        if max_query_rows is not None:
+            n_q = queries.count()
+            if n_q > max_query_rows:
+                raise ValueError(
+                    f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                    "a broadcast this large risks executor OOM — split the "
+                    "query table and search_many per split"
+                )
+        qv = f"`{query_vec}`"
+        qside = queries.select(F.col(query_id), F.col(query_vec))
+        if self.metric == "cosine":
+            qside = qside.select(
+                F.col(query_id),
+                _unit_normalize_expr(qv).alias(query_vec),
+            )
+        probes = F.expr(
+            nprobe_clusters_sql(
+                f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
+            )
+        )
+        exploded = qside.select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.explode(probes).alias("cluster"),
+        ).localCheckpoint(eager=True)  # computed once: feeds the probed-
+        # cluster listing AND the join below
+        probed = sorted(
+            r["cluster"] for r in exploded.select("cluster").distinct().collect()
+        )
+        out_dist = dist_col or ("cos_dist" if self.metric == "cosine" else "dist_sq")
+        dist = knn_ops.l2_squared(F.col(self.vec_col), F.col(query_vec))
+        if self.metric == "cosine":
+            dist = dist / 2.0
+        scored = (
+            self._clustered.filter(F.col("cluster").isin(probed))
+            .join(F.broadcast(exploded), "cluster")
+            .select(
+                F.col(query_id),
+                F.col(self.id_col),
+                F.round(dist, 6).alias(out_dist),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(query_id).orderBy(
+            F.col(out_dist).asc_nulls_last(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
         )

@@ -280,26 +280,65 @@ _KNN10_ORACLE = f"""
     """
 
 
+# the exact-top-10 certificate baseline, cached per (applicationId,
+# sf_dir, metric, query) — the _PCA_MODEL_CACHE pattern applied to the
+# guarantee-oracle helper, so the ANN guarantee searches (lsh/pq/ivfpq/
+# pca + the cosine/batch rows below) stop each re-scanning the table for
+# the same exact baseline (VERDICT r4 item 7). The cache holds 10 plain
+# (id, dist) tuples, never DataFrames, so it is session-restart safe by
+# the applicationId key alone.
+_EXACT_CACHE: dict = {}
+
+
+def _exact_top10(
+    spark: SparkSession,
+    sf_dir: str,
+    query: list[float],
+    metric: str = "l2_sq",
+    dist_col: str = "dist_sq",
+) -> tuple[DataFrame, set]:
+    """(exact top-10 DataFrame, its id set) for one query vector, cached."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        metric,
+        tuple(float(x) for x in query),
+    )
+    rows = _EXACT_CACHE.get(key)
+    if rows is None:
+        emb = load(spark, sf_dir, "embeddings")
+        exact = knn_ops.knn(
+            emb, query, k=10, id_col="vec_id", vec_col="embedding",
+            metric=metric, dist_col=dist_col,
+        )
+        rows = [(int(r["vec_id"]), float(r[dist_col])) for r in exact.collect()]
+        _EXACT_CACHE[key] = rows
+    df = spark.createDataFrame(rows, f"vec_id bigint, {dist_col} double")
+    return (
+        df.orderBy(F.col(dist_col).asc_nulls_last(), F.col("vec_id").asc()),
+        {r[0] for r in rows},
+    )
+
+
 def _exact_with_recall_flag(
     spark: SparkSession,
     sf_dir: str,
     approx_df: DataFrame,
     ok_col: str,
     query: list[float] | None = None,
+    metric: str = "l2_sq",
+    dist_col: str = "dist_sq",
 ) -> DataFrame:
     """Exact top-10 with a literal boolean: approx recall@10 >= 0.5.
     Callers that already fetched the query vector pass it in — otherwise
     this helper would pay a second scan-and-collect job for a value the
     query body just computed."""
-    from custom_vector_database_spark.operators import knn as knn_ops
-
-    emb = load(spark, sf_dir, "embeddings")
     if query is None:
+        emb = load(spark, sf_dir, "embeddings")
         query = [
             float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
         ]
-    exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
-    exact_ids = {r["vec_id"] for r in exact.collect()}
+    exact, exact_ids = _exact_top10(spark, sf_dir, query, metric, dist_col)
     approx_ids = {r["vec_id"] for r in approx_df.collect()}
     ok = len(exact_ids & approx_ids) >= 5
     return exact.withColumn(ok_col, F.lit(bool(ok)))
@@ -378,6 +417,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
 
         IvfIndex.fit(
             emb, id_col="vec_id", vec_col="embedding", n_clusters=16
+        ).save(path)
+        idx = IvfIndex.load(spark, path)
+    elif kind == "ivf_cos":
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        IvfIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16,
+            metric="cosine",
         ).save(path)
         idx = IvfIndex.load(spark, path)
     elif kind == "pq":
@@ -494,6 +541,189 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         query, k=10, nprobe=8, base_df=emb, vec_col="embedding", rerank=10
     )
     return _exact_with_recall_flag(spark, sf_dir, approx, "ivfpq_ok", query=query)
+
+
+# ---------------------------------------------------------------------------
+# Cosine ANN over a saved index (VERDICT r4 item 2): real embedding corpora
+# are cosine-first, and the reference's metric slot was declared but never
+# used (hnsw.h:41, 149). Normalize-at-build (operators/ivf.py): the ONE
+# encode projection unit-normalizes, so cosine distance ≡ L2²/2 on the
+# stored vectors and search costs exactly what the L2 index costs. The
+# build is priced in its own row (the *_build convention); the structural
+# boolean proves the layout invariant normalization added: every stored
+# vector is unit-norm.
+# ---------------------------------------------------------------------------
+@register("ivf_cosine_build", _build_oracle("cos_layout_ok"))
+def q_ivf_cosine_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import l2_norm
+
+    idx = saved_index(spark, sf_dir, "ivf_cos")
+    return idx.clustered_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.max(F.abs(l2_norm("embedding") - F.lit(1.0))) < 1e-3)
+        ).alias("cos_layout_ok"),
+    )
+
+
+_KNN10_COS_ORACLE = f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(1.0 - CASE WHEN {_DUCK_NORM.format(a="e.embedding")} *
+                                 {_DUCK_NORM.format(a="q.q")} != 0
+                 THEN {_DUCK_DOT.format(a="e.embedding", b="q.q")} /
+                      ({_DUCK_NORM.format(a="e.embedding")} * {_DUCK_NORM.format(a="q.q")})
+                 END, 6) AS cos_dist,
+           TRUE AS {{ok}}
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cos_dist ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ivf_search_cosine", _KNN10_COS_ORACLE.format(ok="ivfc_ok"))
+def q_ivf_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned cosine ANN over the SAVED normalized layout
+    (built/priced by ivf_cosine_build), under the guarantee-oracle
+    pattern: exact cosine top-10 + a recall flag for the pruned search.
+    Tight recall (>= 0.9 at tuned params) lives in tests/test_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = saved_index(spark, sf_dir, "ivf_cos")
+    approx = idx.search(query, k=10, nprobe=8)
+    return _exact_with_recall_flag(
+        spark, sf_dir, approx, "ivfc_ok", query=query,
+        metric="cosine", dist_col="cos_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN retrieval (VERDICT r4 item 1, its top_next): a query TABLE
+# answered from the saved cluster-partitioned IVF layout in ONE job — the
+# vector analogue of bm25_batch and the production retrieval verb
+# (millions of queries against an embedded corpus; the reference answers
+# one query per process, main.cpp:95-118). Physical shape documented at
+# operators/ivf.py:search_many; the probe scans stay ∝ queries × nprobe
+# partitions (plan-asserted in tests/test_plans.py). Guarantee oracle:
+# the exact per-query top-k (the knn_join shape) + one batch-recall flag.
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_search_many",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e CROSS JOIN q
+         )
+    SELECT qid, vec_id, dist_sq, TRUE AS many_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = saved_index(spark, sf_dir, "ivf")
+    approx = idx.search_many(queries, k=5, nprobe=8).localCheckpoint(eager=True)
+    exact = knn_ops.knn_join(
+        emb, queries, k=5, data_id="vec_id", data_vec="embedding"
+    ).localCheckpoint(eager=True)
+    # batch recall as two distributed scalar counts — no pair set reaches
+    # the driver (the flag bound 0.5 is loose; nprobe=8/16 measures ~0.8)
+    n_exact = exact.count()
+    n_both = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    ).count()
+    ok = n_exact > 0 and n_both / n_exact >= 0.5
+    return exact.withColumn("many_ok", F.lit(bool(ok))).orderBy(
+        "qid", "dist_sq", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index upsert (VERDICT r4 item 3): encode ONLY a delta batch
+# with the saved centroids and append it to the cluster-partitioned layout
+# — no full rebuild for a 0.01% delta (the reference's only path is
+# add → full rebuild, vectordb.cpp:82-118). The delta is 20 shifted clones
+# of the first 20 embeddings (+0.001 per element — float arithmetic
+# identical in both engines), so the exact post-upsert top-10 is
+# oracle-expressible; the boolean certifies the upsert semantics: exactly
+# 20 rows appended, the query's near-clone found by the upserted index
+# WITHOUT a rebuild, recall@10 >= 0.5 against the exact union answer.
+# The upsert runs on a COPY of the saved layout — the shared session
+# index stays pristine for the other ivf rows.
+# ---------------------------------------------------------------------------
+_UPSERT_DELTA_DUCK = (
+    "SELECT vec_id + 1000000000 AS vec_id, "
+    "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)) "
+    "AS embedding FROM embeddings WHERE vec_id < 20"
+)
+
+
+@register(
+    "ivf_upsert",
+    f"""
+    WITH d AS ({_UPSERT_DELTA_DUCK}),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM d),
+         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT u.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="u.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS upsert_ok
+    FROM u CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    delta = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    base_idx = saved_index(spark, sf_dir, "ivf")
+    tmp = tempfile.mkdtemp(prefix="cvdb_upsert_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = IvfIndex.load(spark, tmp)
+        n_before = idx.clustered_df().count()
+        n_added = idx.upsert(delta)
+        n_after = idx.clustered_df().count()
+        hit_ids = {
+            r["vec_id"] for r in idx.search(query, k=10, nprobe=8).collect()
+        }
+        union = emb.select("vec_id", "embedding").unionByName(delta)
+        exact = knn_ops.knn(
+            union, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            n_added == 20
+            and n_after == n_before + 20
+            and 1_000_000_000 in hit_ids  # the query's clone, no rebuild
+            and len(exact_ids & hit_ids) >= 5
+        )
+        return exact.withColumn("upsert_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
@@ -827,7 +1057,7 @@ def q_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     viol = cand.filter(
         F.col("d_low") > l2_squared(F.col("embedding"), qarr) + 1e-9
     ).count()
-    exact = knn_ops.knn(emb, query, k=10, id_col="vec_id", vec_col="embedding")
+    exact, _ = _exact_top10(spark, sf_dir, query)
     return exact.withColumn("pca_ok", F.lit(bool(viol == 0)))
 
 

@@ -200,6 +200,43 @@ def test_ivfpq_search_probes_are_partition_pruned(spark):
     assert cand.count() == 10
 
 
+def test_ivf_search_many_probes_are_partition_pruned(spark, tmp_path):
+    """Batch ANN (ivf.search_many) must scan only the UNION of the
+    queries' probed partitions — the isin filter from the exploded query
+    side's distinct clusters reaches the file listing as a
+    PartitionFilter, and the query side joins in as a broadcast (probe
+    work ∝ queries × nprobe, never the full layout)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ivf = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    path = str(tmp_path / "ivf_many_plan")
+    ivf.save(path)
+    loaded = IvfIndex.load(spark, path)
+    qrows = emb.filter(F.col("vec_id") < 2).collect()
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    nprobe = 2
+    expected = set()
+    for r in qrows:
+        expected |= set(loaded._probe_clusters(list(r["embedding"]), nprobe))
+    out = loaded.search_many(queries, k=3, nprobe=nprobe)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*?cluster#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    in_list = {int(x) for x in m.group(1).split(",")}
+    assert in_list == expected, (in_list, expected)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # and the pruned batch still answers every query
+    assert out.count() == 2 * 3
+
+
 def test_load_spread_is_size_aware(spark, tmp_path):
     """load_spread must not insert a repartition shuffle when the source
     already has >= target natural splits (the 100 TB case: thousands of

@@ -268,3 +268,160 @@ def test_sq8_recall_vs_exact(spark, emb):
         got = {r["vec_id"] for r in sq8_search(emb, qvec, k=K, rerank=3).collect()}
         total += len(exact_ids & got) / K
     assert total / N_QUERIES >= 0.9
+
+
+def test_ivf_cosine_recall_vs_exact(spark, emb):
+    """Cosine IVF (normalize-at-build): recall vs the exact cosine scan.
+    Same nprobe rationale as the L2 twin — near-uniform synthetic
+    vectors need wide probing."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16,
+        metric="cosine",
+    )
+    queries = [
+        list(r["embedding"]) for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding",
+                metric="cosine", dist_col="cos_dist",
+            ).collect()
+        }
+        approx_ids = {r["vec_id"] for r in ivf.search(qvec, k=K, nprobe=12).collect()}
+        total += len(exact_ids & approx_ids) / K
+    assert total / len(queries) >= 0.9, f"cosine IVF recall {total/len(queries):.3f} < 0.9"
+
+
+def test_ivf_cosine_distance_matches_exact(spark, emb):
+    """The cosine index must report the same metric as the exact cosine
+    path (cos_dist = 1 - cosine similarity), not raw unit-space L2²."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, metric="cosine"
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {
+        r["vec_id"]: r["cos_dist"]
+        for r in knn_ops.knn(
+            emb, qvec, k=K, id_col="vec_id", vec_col="embedding",
+            metric="cosine", dist_col="cos_dist",
+        ).collect()
+    }
+    for r in ivf.search(qvec, k=K, nprobe=4).collect():
+        if r["vec_id"] in exact:
+            # float32 storage of the normalized vectors costs ~1e-6
+            assert r["cos_dist"] == pytest.approx(exact[r["vec_id"]], abs=1e-4)
+
+
+def test_ivf_search_many_matches_per_query_search(spark, emb, tmp_path):
+    """Batch search must return, for every query, exactly what the
+    single-query search over the same index and nprobe returns — the
+    batch path is a plan generalization, not a different algorithm."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    path = str(tmp_path / "ivf_many")
+    ivf.save(path)
+    loaded = IvfIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_many(queries, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["dist_sq"]))
+    assert set(got) == set(range(5))
+    for r in emb.filter(F.col("vec_id") < 5).collect():
+        single = [
+            (s["vec_id"], s["dist_sq"])
+            for s in loaded.search(list(r["embedding"]), k=5, nprobe=3).collect()
+        ]
+        assert got[r["vec_id"]] == single, r["vec_id"]
+
+
+def test_ivf_search_many_validates_query_bound(spark, emb):
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4)
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf.search_many(queries, k=3, max_query_rows=5)
+
+
+def test_ivf_upsert_appends_only_the_delta(spark, emb, tmp_path):
+    """Upsert must (1) leave every pre-existing part file untouched,
+    (2) add exactly the delta rows, (3) make them searchable without a
+    rebuild, (4) refuse to run on an unsaved index."""
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    unsaved = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4)
+    delta = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="saved index"):
+        unsaved.upsert(delta)
+
+    path = str(tmp_path / "ivf_up")
+    unsaved.save(path)
+    idx = IvfIndex.load(spark, path)
+    rows_dir = os.path.join(path, "rows")
+    before = {}
+    for root, _dirs, files in os.walk(rows_dir):
+        for f in files:
+            # data files only: the _SUCCESS marker (and its .crc) is
+            # legitimately rewritten by the append job's commit
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            before[p] = os.path.getmtime(p)
+    n_before = idx.clustered_df().count()
+    assert idx.upsert(delta) == 3
+    assert idx.clustered_df().count() == n_before + 3
+    # pre-existing files untouched (append-only ingestion)
+    for p, mt in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mt, p
+    # the clones are immediately searchable, no rebuild
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    hits = {r["vec_id"] for r in idx.search(qvec, k=2, nprobe=4).collect()}
+    assert hits == {0, 10_000}
+    # and a RELOAD of the saved layout sees them too (the append is
+    # durable, not just the in-memory view)
+    hits2 = {
+        r["vec_id"]
+        for r in IvfIndex.load(spark, path).search(qvec, k=2, nprobe=4).collect()
+    }
+    assert hits2 == {0, 10_000}
+
+
+def test_ivf_cosine_upsert_normalizes_delta(spark, emb, tmp_path):
+    """A cosine index must normalize upserted rows in the same way the
+    build normalized the base — a raw-magnitude clone at 10x scale lands
+    at cos_dist ~ 0 from its original."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, metric="cosine"
+    )
+    path = str(tmp_path / "ivf_cos_up")
+    ivf.save(path)
+    idx = IvfIndex.load(spark, path)
+    delta = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000).cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x * 10.0 AS FLOAT))").alias("embedding"),
+    )
+    assert idx.upsert(delta) == 1
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    hits = idx.search(qvec, k=2, nprobe=4).collect()
+    assert {r["vec_id"] for r in hits} == {0, 10_000}
+    for r in hits:
+        assert abs(r["cos_dist"]) < 1e-4  # same direction => cos_dist ~ 0
