@@ -404,6 +404,53 @@ def test_vectordb_datasource_writer_roundtrip(spark, tmp_path):
         df2.write.format("vectordbjson").mode("overwrite").save(out)
 
 
+def test_vectordb_datasource_writer_hadoop_fs_path(spark, tmp_path):
+    """A file:-URI target routes the ENTIRE two-phase commit through
+    pyarrow.fs (the HDFS/S3-portable branch): tmps via the URI writer,
+    footer append, move-with-overwrite promotion, glob cleanup of stale
+    parts and loser tmps — the exact code path a cluster deployment
+    would hit, exercised here on the local filesystem."""
+    from custom_vector_database_spark.sources import vectordb_datasource as vds
+
+    assert vds._has_scheme("file:/x") and vds._has_scheme("hdfs://nn/x")
+    assert vds._has_scheme("s3a://b/k") and not vds._has_scheme("/plain/path")
+
+    vds.register(spark)
+    out_local = str(tmp_path / "h.json")
+    out_uri = "file:" + out_local
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0], json.dumps({"n": i})) for i in range(1, 7)],
+        "id LONG, vec ARRAY<FLOAT>, metadata STRING",
+    ).repartition(3)
+    df.write.format("vectordbjson").mode("overwrite").option("dim", 2).save(out_uri)
+
+    parts = sorted(p.name for p in tmp_path.iterdir() if ".part-" in p.name)
+    assert len(parts) == 3 and not [p for p in parts if p.endswith(".tmp")]
+    seen = set()
+    for p in parts:
+        with open(tmp_path / p) as f:
+            doc = json.load(f)  # every part parses standalone
+        assert doc["dim"] == 2 and doc["nextId"] == 7
+        seen |= {v["id"] for v in doc["vectors"]}
+    assert seen == set(range(1, 7))
+    # no Hadoop .crc droppings left beside the committed parts
+    assert not [p.name for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+
+    # the reader accepts the file:-URI spelling too
+    back = spark.read.format("vectordbjson").load(out_uri + ".part-*")
+    assert {r["id"] for r in back.collect()} == set(range(1, 7))
+
+    # overwrite through the Hadoop branch clears stale parts (3 -> 1)
+    spark.createDataFrame(
+        [(1, [0.0, 0.0], None)], "id LONG, vec ARRAY<FLOAT>, metadata STRING"
+    ).coalesce(1).write.format("vectordbjson").mode("overwrite").option(
+        "dim", 2
+    ).save(out_uri)
+    parts2 = [p.name for p in tmp_path.iterdir() if ".part-" in p.name]
+    assert len(parts2) == 1
+
+
 def test_vectordb_datasource_reads_sharded_export_in_parallel(spark, tmp_path):
     """Glob/dir paths expand to one partition per part file — a sharded
     export parses with N parallel tasks and yields the full id space."""
