@@ -33,12 +33,22 @@ Design, Spark-first:
              rebuild()/fit() remains the codebook-refresh verb when the
              data distribution drifts).
 
-Metrics: squared L2 (the reference's only metric, hnsw.h:41) and cosine.
+Metrics: squared L2 (the reference's only metric, hnsw.h:41), cosine, and
+dot (maximum inner product).
 Cosine is normalize-at-build: unit-normalize every vector in the ONE
 encode projection (cosine distance ≡ L2²/2 on unit vectors), normalize the
 query at search time, and report ``cos_dist`` = 1 − cosine similarity.
 Zero-norm vectors are stored unnormalized (their cosine to anything is
 undefined; they can never enter a top-k under the exact path either).
+Dot is augment-at-build — the standard MIPS→NN reduction (Bachrach et al.
+2014, Neyshabur & Srebro 2015, both public): with M = max ‖x‖ over the
+build data, store x' = [x, √(M²−‖x‖²)] (all x' have norm M) and search
+with q' = [q, 0]; then ‖x'−q'‖² = M² + ‖q‖² − 2⟨x,q⟩, so ascending
+augmented L2 IS descending inner product. The augmentation is fused into
+the same single encode projection; search reports ``score`` = ⟨x,q⟩
+(recovered arithmetically from the augmented distance), largest first.
+Upserted rows with ‖x‖ > the build-time M are clamped onto the M-sphere
+(their MIPS rank degrades gracefully); a rebuild refreshes M.
 
 Recall knob: ``nprobe`` (more probed clusters → higher recall, more I/O) —
 the IVF analogue of HNSW's ef (reference hnsw.h:117) and LSH's
@@ -65,7 +75,26 @@ from custom_vector_database_spark.operators.fitting import (
 
 __all__ = ["IvfIndex"]
 
-_METRICS = {"l2_sq", "cosine"}
+_METRICS = {"l2_sq", "cosine", "dot"}
+
+
+def _norm2_sql(vec_sql: str) -> str:
+    return (
+        f"aggregate(transform({vec_sql}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (s, v) -> s + v)"
+    )
+
+
+def _augment_expr(vec_sql: str, m2: float) -> F.Column:
+    """MIPS augmentation [x, √(M²−‖x‖²)] as one codegen expression;
+    greatest(…, 0) clamps rows whose norm exceeds the build-time M
+    (possible only via upsert) onto the M-sphere instead of emitting
+    NaN."""
+    return F.expr(
+        f"CAST(concat({vec_sql}, array(CAST(sqrt(greatest("
+        f"{float(m2)!r}D - ({_norm2_sql(vec_sql)}), 0.0D)) AS FLOAT))) "
+        f"AS ARRAY<FLOAT>)"
+    )
 
 
 def _unit_normalize_expr(vec_sql: str) -> F.Column:
@@ -94,7 +123,7 @@ class IvfIndex:
 
     def __init__(self, centroids: list[list[float]], clustered: DataFrame,
                  id_col: str, vec_col: str, metric: str = "l2_sq",
-                 path: str | None = None):
+                 path: str | None = None, max_norm: float | None = None):
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         self.centroids = centroids
@@ -102,6 +131,7 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.metric = metric
+        self.max_norm = max_norm  # the MIPS M-sphere radius (dot only)
         self._path = path  # set when saved/loaded; required by upsert()
 
     @classmethod
@@ -127,10 +157,24 @@ class IvfIndex:
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         feats = df.select(F.col(id_col), F.col(vec_col))
+        max_norm = None
         if metric == "cosine":
             feats = feats.select(
                 F.col(id_col),
                 _unit_normalize_expr(f"`{vec_col}`").alias(vec_col),
+            )
+        elif metric == "dot":
+            # M = max ‖x‖ — one tiny scalar aggregate, then the
+            # augmentation rides the same single encode projection
+            row = feats.agg(
+                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("m")
+            ).first()
+            if row is None or row["m"] is None:
+                raise ValueError("cannot fit on an empty table")
+            max_norm = float(row["m"])
+            feats = feats.select(
+                F.col(id_col),
+                _augment_expr(f"`{vec_col}`", max_norm * max_norm).alias(vec_col),
             )
         n = feats.count()
         x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
@@ -144,7 +188,8 @@ class IvfIndex:
             )
             .localCheckpoint(eager=True)  # the materialized index
         )
-        return cls(centroids, clustered, id_col, vec_col, metric)
+        return cls(centroids, clustered, id_col, vec_col, metric,
+                   max_norm=max_norm)
 
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
@@ -158,6 +203,7 @@ class IvfIndex:
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
                     "metric": self.metric,
+                    "max_norm": self.max_norm,
                     "centroids": self.centroids,
                 },
                 f,
@@ -172,6 +218,7 @@ class IvfIndex:
         return cls(
             meta["centroids"], rows, meta["id_col"], meta["vec_col"],
             meta.get("metric", "l2_sq"), path=path,
+            max_norm=meta.get("max_norm"),
         )
 
     def clustered_df(self) -> DataFrame:
@@ -201,6 +248,13 @@ class IvfIndex:
             feats = feats.select(
                 F.col(self.id_col),
                 _unit_normalize_expr(f"`{self.vec_col}`").alias(self.vec_col),
+            )
+        elif self.metric == "dot":
+            # saved M; over-M delta rows clamp to the sphere (module doc)
+            m2 = float(self.max_norm) * float(self.max_norm)
+            feats = feats.select(
+                F.col(self.id_col),
+                _augment_expr(f"`{self.vec_col}`", m2).alias(self.vec_col),
             )
         encoded = feats.withColumn(
             "cluster",
@@ -235,7 +289,27 @@ class IvfIndex:
         reference's API-level metric (vectordb.cpp:154). Cosine index:
         the query is unit-normalized and the result column is
         ``cos_dist`` = 1 − cosine similarity (≡ L2²/2 on unit vectors),
-        nearest-first."""
+        nearest-first. Dot index: the query is zero-augmented and the
+        result column is ``score`` = ⟨x,q⟩, LARGEST first (MIPS)."""
+        if self.metric == "dot":
+            query = [float(x) for x in query]
+            qn2 = math.fsum(x * x for x in query)
+            q_aug = query + [0.0]
+            m2 = float(self.max_norm) * float(self.max_norm)
+            dist_col = dist_col or "score"
+            probe = self._probe_clusters(q_aug, nprobe)
+            candidates = self._clustered.filter(F.col("cluster").isin(probe))
+            hits = knn_ops.knn(
+                candidates, q_aug, k,
+                id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
+                round_to=None,
+            )
+            # ‖x'−q'‖² = M² + ‖q‖² − 2⟨x,q⟩ ⇒ score recovered exactly;
+            # ascending _d2 order IS descending score order
+            return hits.select(
+                self.id_col,
+                F.round((F.lit(m2 + qn2) - F.col("_d2")) / 2.0, 6).alias(dist_col),
+            )
         if self.metric == "cosine":
             query = _normalize_query(query)
             dist_col = dist_col or "cos_dist"
@@ -294,9 +368,11 @@ class IvfIndex:
 
         The query side must broadcast; ``max_query_rows`` enforces that
         with an explicit error (the knn_join convention). Returns
-        (qid, id, dist_sq) — or (qid, id, cos_dist) on a cosine index,
-        with query vectors unit-normalized inside the same projection as
-        the shortlist — nearest-first within each qid, id tie-break.
+        (qid, id, dist_sq) — or (qid, id, cos_dist) on a cosine index
+        (query vectors unit-normalized inside the same projection as the
+        shortlist), or (qid, id, score) LARGEST-first on a dot index
+        (queries zero-augmented, ‖q‖² riding the broadcast side) —
+        best-first within each qid, id tie-break.
         """
         if max_query_rows is not None:
             n_q = queries.count()
@@ -308,11 +384,24 @@ class IvfIndex:
                 )
         qv = f"`{query_vec}`"
         qside = queries.select(F.col(query_id), F.col(query_vec))
+        extra_q_cols: list = []
         if self.metric == "cosine":
             qside = qside.select(
                 F.col(query_id),
                 _unit_normalize_expr(qv).alias(query_vec),
             )
+        elif self.metric == "dot":
+            # per-query ‖q‖² travels with the (tiny) broadcast side; the
+            # probe shortlist is computed on the zero-augmented query
+            qside = qside.select(
+                F.col(query_id),
+                F.expr(
+                    f"CAST(concat({qv}, array(CAST(0.0 AS FLOAT))) "
+                    f"AS ARRAY<FLOAT>)"
+                ).alias(query_vec),
+                F.expr(_norm2_sql(qv)).alias("_qn2"),
+            )
+            extra_q_cols = [F.col("_qn2")]
         probes = F.expr(
             nprobe_clusters_sql(
                 f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
@@ -321,16 +410,24 @@ class IvfIndex:
         exploded = qside.select(
             F.col(query_id),
             F.col(query_vec),
+            *extra_q_cols,
             F.explode(probes).alias("cluster"),
         ).localCheckpoint(eager=True)  # computed once: feeds the probed-
         # cluster listing AND the join below
         probed = sorted(
             r["cluster"] for r in exploded.select("cluster").distinct().collect()
         )
-        out_dist = dist_col or ("cos_dist" if self.metric == "cosine" else "dist_sq")
+        out_dist = dist_col or {
+            "cosine": "cos_dist", "dot": "score"
+        }.get(self.metric, "dist_sq")
         dist = knn_ops.l2_squared(F.col(self.vec_col), F.col(query_vec))
+        nearest_first = True
         if self.metric == "cosine":
             dist = dist / 2.0
+        elif self.metric == "dot":
+            m2 = float(self.max_norm) * float(self.max_norm)
+            dist = (F.lit(m2) + F.col("_qn2") - dist) / 2.0  # = ⟨x,q⟩
+            nearest_first = False
         scored = (
             self._clustered.filter(F.col("cluster").isin(probed))
             .join(F.broadcast(exploded), "cluster")
@@ -342,9 +439,12 @@ class IvfIndex:
         )
         from pyspark.sql import Window
 
-        w = Window.partitionBy(query_id).orderBy(
-            F.col(out_dist).asc_nulls_last(), F.col(self.id_col).asc()
+        order = (
+            F.col(out_dist).asc_nulls_last()
+            if nearest_first
+            else F.col(out_dist).desc_nulls_last()
         )
+        w = Window.partitionBy(query_id).orderBy(order, F.col(self.id_col).asc())
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

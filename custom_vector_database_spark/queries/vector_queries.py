@@ -427,6 +427,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             metric="cosine",
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivf_dot":
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        IvfIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16,
+            metric="dot",
+        ).save(path)
+        idx = IvfIndex.load(spark, path)
     elif kind == "pq":
         from custom_vector_database_spark.operators.pq import PqIndex
 
@@ -597,6 +605,80 @@ def q_ivf_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_with_recall_flag(
         spark, sf_dir, approx, "ivfc_ok", query=query,
         metric="cosine", dist_col="cos_dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIPS (inner-product) ANN over a saved index — the third metric, via the
+# augmented-dimension reduction (operators/ivf.py module docstring:
+# store [x, √(M²−‖x‖²)], query [q, 0]; augmented-L2 order IS inner-product
+# order — Bachrach et al. 2014 / Neyshabur & Srebro 2015, public). The
+# structural boolean proves the reduction's invariant: every stored
+# vector sits ON the M-sphere in the augmented space. Search excludes the
+# query row itself, mirroring the exact knn_dot registration.
+# ---------------------------------------------------------------------------
+@register("ivf_dot_build", _build_oracle("dot_layout_ok"))
+def q_ivf_dot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import l2_norm
+
+    idx = saved_index(spark, sf_dir, "ivf_dot")
+    m = float(idx.max_norm)
+    return idx.clustered_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.min(F.size("embedding")) == 65)
+            & (F.max(F.size("embedding")) == 65)
+            & (F.max(F.abs(l2_norm("embedding") - F.lit(m))) < 1e-3)
+        ).alias("dot_layout_ok"),
+    )
+
+
+@register(
+    "ivf_search_dot",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (acc, val) -> acc + val), 6) AS score,
+           TRUE AS dot_ok
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_search_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MIPS over the SAVED augmented layout (built/priced
+    by ivf_dot_build), guarantee-oracle pattern: exact inner-product
+    top-10 (query row excluded, the knn_dot convention) + a recall flag.
+    Tight recall (>= 0.9 at nprobe=12) lives in tests/test_recall.py."""
+    from custom_vector_database_spark.functions.vector import dot_product
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    query = [float(x) for x in qdf.first()["qv"]]
+    idx = saved_index(spark, sf_dir, "ivf_dot")
+    approx_ids = {
+        r["vec_id"]
+        for r in idx.search(query, k=11, nprobe=8).collect()
+        if r["vec_id"] != 0
+    }
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qdf))
+        .select("vec_id", F.round(dot_product("embedding", "qv"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(10)
+        .localCheckpoint(eager=True)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    ok = len(exact_ids & approx_ids) >= 5
+    return exact.withColumn("dot_ok", F.lit(bool(ok))).orderBy(
+        F.desc("score"), F.col("vec_id").asc()
     )
 
 

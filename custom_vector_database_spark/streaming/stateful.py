@@ -10,6 +10,16 @@ trigger(availableNow) + GroupStateTimeout.NoTimeout the final emitted state
 equals a plain GROUP BY over the same data — which is exactly what the
 DuckDB oracle checks (queries/extra_queries.q_stream_stateful_user_stats).
 
+STATUS of the transformWithStateInPandas branch (`user_type_spend`):
+EXPERIMENTAL — it has never executed in this environment because pyspark's
+protobuf dependency is absent here (tws_available() gates it with a hard
+NotImplementedError; tests/test_streaming.py records the skip with that
+reason). The oracle-checked, environment-independent implementation of
+the same semantics is `user_type_spend_compat` (applyInPandasWithState),
+which is what the registered query runs. Treat the TWS branch as a
+documented forward-port target, not a verified code path, until it has
+run on a protobuf-equipped deployment.
+
 Scale shape: state is partitioned by the grouping key (user_id) across
 executors; each micro-batch routes a user's events to its state partition;
 Arrow batches in/out. State size is O(distinct users), not O(events).

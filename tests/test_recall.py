@@ -425,3 +425,60 @@ def test_ivf_cosine_upsert_normalizes_delta(spark, emb, tmp_path):
     assert {r["vec_id"] for r in hits} == {0, 10_000}
     for r in hits:
         assert abs(r["cos_dist"]) < 1e-4  # same direction => cos_dist ~ 0
+
+
+def test_ivf_dot_recall_vs_exact(spark, emb):
+    """MIPS via the augmented-dimension reduction: recall of the pruned
+    search against the exact inner-product top-k."""
+    from custom_vector_database_spark.functions.vector import dot_product
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, metric="dot"
+    )
+    total = 0.0
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    for r in qrows:
+        qdf = emb.filter(F.col("vec_id") == r["vec_id"]).select(
+            F.col("embedding").alias("qv")
+        )
+        exact_ids = {
+            x["vec_id"]
+            for x in emb.join(F.broadcast(qdf))
+            .select("vec_id", F.round(dot_product("embedding", "qv"), 6).alias("s"))
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(K)
+            .collect()
+        }
+        got = {
+            x["vec_id"]
+            for x in ivf.search(list(r["embedding"]), k=K, nprobe=12).collect()
+        }
+        total += len(exact_ids & got) / K
+    assert total / len(qrows) >= 0.9, f"MIPS recall {total/len(qrows):.3f} < 0.9"
+
+
+def test_ivf_dot_scores_match_exact_inner_products(spark, emb):
+    """The score the dot index reports must equal the true inner product
+    (recovered from the augmented distance), not an augmented-space
+    artifact — and ordering must be largest-first."""
+    from custom_vector_database_spark.functions.vector import dot_product
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, metric="dot"
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {
+        r["vec_id"]: r["s"]
+        for r in emb.join(F.broadcast(qdf))
+        .select("vec_id", F.round(dot_product("embedding", "qv"), 6).alias("s"))
+        .collect()
+    }
+    hits = ivf.search(qvec, k=K, nprobe=4).collect()
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+    for r in hits:
+        # float32 augmentation storage costs ~1e-5 on the recovered score
+        assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-3)
