@@ -428,7 +428,21 @@ _RECURSIVE_SQL = """
 
 @register("recursive_ancestor_rollup", _RECURSIVE_SQL.format(div="//"))
 def q_recursive_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    # Spark's cteRecursionRowLimit (default 1e6) is a runaway-query safety
+    # valve, not a capacity bound — this walk emits exactly
+    # rows × (digits+1) rows, so SIZE the limit from the input instead of
+    # failing at scale (found by the sf1 probe: 10× customers tripped the
+    # default). Session-scoped: the returned DataFrame executes after this
+    # function returns, so the conf must outlive it.
+    row = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.max("c_custkey").alias("mx")
+    ).first()
+    bound = int(row["n"]) * (len(str(int(row["mx"] or 0))) + 2)
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    if bound > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
     return spark.sql(_RECURSIVE_SQL.format(div="div"))
 
 

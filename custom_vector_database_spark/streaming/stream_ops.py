@@ -114,9 +114,17 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, same ts semantics as the batch
-    loader (events_queries.load_events)."""
-    # the file-stream source needs a DIRECTORY basePath; select the single
-    # events file out of the sf dir with a glob filter
+    loader (events_queries.load_events). Handles BOTH table layouts: a
+    directory of part files (every real table — stream it directly, one
+    source file per part) and the single-file fixture (the file-stream
+    source needs a DIRECTORY basePath, so point at sf_dir with a filename
+    glob). The sf1 probe caught the directory case: the old glob-only
+    path matched zero part files and streamed an empty source."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
     return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
