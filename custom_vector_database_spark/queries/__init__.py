@@ -19,6 +19,7 @@ from custom_vector_database_spark.queries import (  # noqa: F401
     pipeline_queries,
     relational_queries,
     text_queries,
+    tpch_queries,
     udf_queries,
     vector_queries,
 )

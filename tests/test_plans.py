@@ -290,3 +290,30 @@ def test_mixture_resample_broadcasts_quotas(spark):
 def test_pack_sequences_single_window_no_join(spark):
     plan = _plan(spark, "pack_sequences_docs")
     assert "Join" not in plan  # pure window + aggregate pipeline
+
+
+def test_tpch_q4_semi_join_no_multiplicity(spark):
+    # the EXISTS must plan as a semi join (orders never multiplied by
+    # matching lineitems) and the date range must reach the orders scan
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q17_decorrelates_to_broadcast_aggregate(spark):
+    # the per-part avg-quantity "correlated subquery" must be a keyed
+    # aggregate joined back broadcast — never a re-scan per outer row
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_no_correlated_rescan(spark):
+    # the EXISTS/NOT-EXISTS pair compiles to per-order aggregates: exactly
+    # two shuffles of (orderkey, suppkey) scalars, no nested-loop join
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "l_extendedprice" not in line, line
