@@ -190,3 +190,43 @@ def bm25_batch(
         ranked.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: float = 60.0,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack & Clarke, SIGIR'09):
+    score(d) = Σ_i 1/(k + rank_i(d)), a doc absent from a list contributes 0.
+
+    Each input must be a (id_col, rank_col) DataFrame that is ALREADY a
+    bounded top-N slice — fusion joins are over those slices only, so cost
+    is O(N·lists), independent of corpus size; the expensive ranking passes
+    stay in the upstream operators (BM25 postings / pruned ANN scans).
+    Contributions add left-to-right over the input list order — a fixed-order
+    sum, bit-identical to an oracle spelling the same chain, regardless of
+    join parallelism.
+
+    Returns (id_col, rank_0..rank_{n-1}, rrf_score) sorted best-first with
+    id tie-break; rank_i is NULL where list i did not contain the doc.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    if k <= 0:
+        raise ValueError("rrf k must be positive")
+    fused = None
+    for i, r in enumerate(rankings):
+        slim = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        fused = slim if fused is None else fused.join(slim, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+    out = fused.withColumn("rrf_score", F.round(score, 6)).orderBy(
+        F.desc("rrf_score"), F.col(id_col).asc()
+    )
+    return out.limit(topk) if topk is not None else out

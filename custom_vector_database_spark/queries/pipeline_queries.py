@@ -69,6 +69,107 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical ranking + exact dense ranking fused with
+# reciprocal-rank fusion — the production RAG retrieval verb (lexical recall
+# + semantic recall, rank-level fusion so the two score scales never mix).
+# Both legs are bounded top-50 slices before fusion; the fusion itself is
+# O(50) regardless of corpus size. Ranks are deterministic (round-6 scores,
+# id tie-breaks), so the RRF sum is engine-exact.
+# ---------------------------------------------------------------------------
+_DUCK_L2SQ_H = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS dl, unnest({_DUCK_TOKS}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'join', 'filter')
+      GROUP BY doc_id, dl, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_TOKS})) AS sum_dl FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ), agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN token = 'spark'  THEN s ELSE 0.0 END) AS s0,
+             SUM(CASE WHEN token = 'join'   THEN s ELSE 0.0 END) AS s1,
+             SUM(CASE WHEN token = 'filter' THEN s ELSE 0.0 END) AS s2
+      FROM scored GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, round(0.0 + s0 + s1 + s2, 6) AS score
+      FROM agg ORDER BY score DESC, doc_id LIMIT 50
+    ), lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+             round({_DUCK_L2SQ_H.format(a="e.embedding", b="q.qv")}, 6) AS dist_sq
+      FROM embeddings e CROSS JOIN q
+      ORDER BY dist_sq ASC, doc_id ASC LIMIT 50
+    ), denser AS (
+      SELECT doc_id, row_number() OVER (ORDER BY dist_sq ASC, doc_id) AS dense_rank
+      FROM dense
+    )
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank, d.dense_rank AS dense_rank,
+           round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0) +
+                 COALESCE(1.0 / (60.0 + d.dense_rank), 0.0), 6) AS rrf_score
+    FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
+    """,
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.operators import knn as knn_ops
+
+    docs = load_spread(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = (
+        rk.bm25(docs, _BM25_TERMS)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    dense = knn_ops.knn(emb, qdf, k=50, id_col="vec_id", vec_col="embedding")
+    denser = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("dist_sq").asc(), F.col("vec_id").asc()))
+        .alias("rank"),
+    )
+    fused = rk.rrf_fuse([lexr, denser], id_col="doc_id", k=60.0, topk=15)
+    return fused.select(
+        "doc_id",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("dense_rank"),
+        "rrf_score",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-pruned semi join: revenue by month for AUTOMOBILE-segment customers.
 # The bloom filter prunes the orders scan before the exact semi join; the
 # oracle is the plain semi join — identical answers or the operator is wrong.

@@ -506,3 +506,24 @@ def test_bm25_batch_validates(spark, sf_oracle):
     )
     with _pytest.raises(ValueError, match="duplicate qid"):
         rk.bm25_batch(docs, dup_q)
+
+
+def test_rrf_fuse_combines_and_handles_absent_docs(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rk.rrf_fuse([a, b], k=60.0).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 2 appears in both lists -> two contributions; best fused score
+    assert got[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # absent side contributes 0 and surfaces a NULL rank
+    assert got[1]["rrf_score"] == round(1 / 61, 6) and got[1]["rank_1"] is None
+    assert got[3]["rrf_score"] == round(1 / 62, 6) and got[3]["rank_0"] is None
+    # ordering: doc 2 first (two lists beat one)
+    top = rk.rrf_fuse([a, b], topk=1).collect()
+    assert top[0]["doc_id"] == 2
+    with pytest.raises(ValueError):
+        rk.rrf_fuse([])
+    with pytest.raises(ValueError):
+        rk.rrf_fuse([a], k=0)
