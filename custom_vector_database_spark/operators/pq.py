@@ -46,6 +46,7 @@ from custom_vector_database_spark.operators.fitting import (
     kmeans_fit_np,
     nearest_centroid_expr,
     nearest_centroid_sql,
+    nprobe_clusters_sql,
 )
 
 __all__ = ["PqIndex", "IvfPqIndex"]
@@ -390,4 +391,123 @@ class IvfPqIndex:
         return knn_ops.knn(
             base_df.filter(F.col(self.id_col).isin(ids)), query, k,
             id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
+        )
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        base_df: DataFrame | None = None,
+        base_vec: str = "vec",
+        rerank: int = 0,
+        dist_col: str = "dist_sq",
+        max_query_rows: int | None = 100_000,
+    ) -> DataFrame:
+        """Batch ADC search: the k approximate nearest rows for EVERY row
+        of a query table, answered from the compressed cluster-partitioned
+        code layout in ONE job — ivf.search_many's shape on 32× fewer
+        bytes, the retrieval plan for corpora whose vectors don't fit the
+        I/O budget.
+
+        The single-query path builds its LUTs driver-side as literals;
+        that cannot scale to a query TABLE. Here each (query, probed
+        cluster) pair computes its own m LUT arrays as ONE codegen
+        projection on the (tiny, exploded) query side — residual vs that
+        cluster's centroid, then per-subspace distances to every codebook
+        center: nprobe × m × k doubles per query riding the broadcast.
+        The probed code partitions then pay exactly m element_at lookups
+        + adds per (row, query) — true ADC, amortized identically to the
+        driver-side LUT, but per-query and fully distributed.
+
+        With ``rerank`` > 0 the ADC top ``k*rerank`` per query are joined
+        back to ``base_df`` for exact re-scoring — fully distributed (an
+        id-equi-join of the bounded candidate set, never a driver-side id
+        collect, unlike the single-query convenience path). Returns
+        (query_id, id_col, dist_col) best-first per query, id tie-break.
+        """
+        if max_query_rows is not None:
+            n_q = queries.count()
+            if n_q > max_query_rows:
+                raise ValueError(
+                    f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                    "a broadcast this large risks executor OOM — split the "
+                    "query table and search_many per split"
+                )
+        from pyspark.sql import Window
+
+        dsub = self.dim // self.m
+        qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
+        probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))
+        res_sql = (
+            f"zip_with({qv_d}, element_at("
+            f"{centroids_literal_sql(self.centroids)}, cluster + 1), "
+            f"(a, b) -> a - b)"
+        )
+        luts = ",".join(
+            f"transform({centroids_literal_sql(self.codebooks[j])}, c -> "
+            f"aggregate(zip_with(c, slice(_res, {j * dsub + 1}, {dsub}), "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (s, d) -> s + d))"
+            for j in range(self.m)
+        )
+        exploded = (
+            queries.select(
+                F.col(query_id),
+                F.col(query_vec),
+                F.explode(probes).alias("cluster"),
+            )
+            .withColumn("_res", F.expr(res_sql))
+            .select(
+                F.col(query_id),
+                F.col(query_vec),
+                F.col("cluster"),
+                F.expr(f"array({luts})").alias("_luts"),
+            )
+            .localCheckpoint(eager=True)  # computed once: feeds the probed-
+            # cluster listing AND the join below
+        )
+        probed = sorted(
+            r["cluster"] for r in exploded.select("cluster").distinct().collect()
+        )
+        adc = " + ".join(
+            f"element_at(element_at(_luts, {j + 1}), "
+            f"element_at(codes, {j + 1}) + 1)"
+            for j in range(self.m)
+        )
+        scored = (
+            self._encoded.filter(F.col("cluster").isin(probed))
+            .join(F.broadcast(exploded.drop(query_vec)), "cluster")
+            .select(F.col(query_id), F.col(self.id_col), F.expr(adc).alias(dist_col))
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(self.id_col).asc()
+        )
+        n_cand = k * rerank if rerank > 0 else k
+        cand = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_cand)
+            .drop("_rn")
+        )
+        if rerank <= 0:
+            return cand
+        if base_df is None:
+            raise ValueError("rerank requires the full-precision base_df")
+        exact = (
+            cand.select(query_id, self.id_col)
+            .join(base_df.select(self.id_col, base_vec), self.id_col)
+            .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+            .select(
+                F.col(query_id),
+                F.col(self.id_col),
+                F.round(
+                    knn_ops.l2_squared(F.col(base_vec), F.col(query_vec)), 6
+                ).alias(dist_col),
+            )
+        )
+        return (
+            exact.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
         )

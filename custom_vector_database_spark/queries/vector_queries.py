@@ -732,6 +732,54 @@ def q_ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch ADC retrieval over the COMPRESSED index: ivf_search_many's verb on
+# the IVF-PQ code layout (operators/pq.py:search_many) — per-(query,
+# cluster) LUTs ride the broadcast side, probed partitions pay m lookups
+# per (row, query), the ADC top-10 per query reranks exact and
+# distributed. Same guarantee oracle as ivf_search_many: the exact
+# per-query top-5 + one batch-recall flag (loose 0.4 bound — PQ at
+# m=8/k=16 measures ~0.7 on this data; tight recall in tests/test_recall).
+# ---------------------------------------------------------------------------
+@register(
+    "ivfpq_search_many",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e CROSS JOIN q
+         )
+    SELECT qid, vec_id, dist_sq, TRUE AS pq_many_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivfpq_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = saved_index(spark, sf_dir, "ivfpq")
+    approx = idx.search_many(
+        queries, k=5, nprobe=8, base_df=emb, base_vec="embedding", rerank=4
+    ).localCheckpoint(eager=True)
+    exact = knn_ops.knn_join(
+        emb, queries, k=5, data_id="vec_id", data_vec="embedding"
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    n_both = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    ).count()
+    ok = n_exact > 0 and n_both / n_exact >= 0.4
+    return exact.withColumn("pq_many_ok", F.lit(bool(ok))).orderBy(
+        "qid", "dist_sq", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental index upsert (VERDICT r4 item 3): encode ONLY a delta batch
 # with the saved centroids and append it to the cluster-partitioned layout
 # — no full rebuild for a 0.01% delta (the reference's only path is

@@ -317,3 +317,38 @@ def test_tpch_q21_no_correlated_rescan(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "l_extendedprice" not in line, line
+
+
+def test_ivfpq_search_many_scans_codes_not_vectors(spark, tmp_path):
+    """Batch ADC must (1) prune the code scan to the union of probed
+    partitions and (2) never read a vector column in the candidate stage
+    — the compressed path's whole point is scanning codes, not vectors."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, m=8, k=16
+    )
+    path = str(tmp_path / "ivfpq_many_plan")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    nprobe = 2
+    expected = set()
+    for r in emb.filter(F.col("vec_id") < 2).collect():
+        expected |= set(loaded._probe(list(r["embedding"]), nprobe))
+    out = loaded.search_many(queries, k=3, nprobe=nprobe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*?cluster#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == expected
+    # the codes relation read schema carries codes only — no vectors
+    for mm in re.finditer(r"ReadSchema: (\S+)", plan):
+        assert "embedding" not in mm.group(1), mm.group(1)
+    assert out.count() == 2 * 3

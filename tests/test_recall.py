@@ -482,3 +482,68 @@ def test_ivf_dot_scores_match_exact_inner_products(spark, emb):
     for r in hits:
         # float32 augmentation storage costs ~1e-5 on the recovered score
         assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-3)
+
+
+def test_ivfpq_search_many_matches_per_query_adc(spark, emb, ivfpq, tmp_path):
+    """Batch ADC must return, for every query, exactly what the
+    single-query ADC search over the same saved index and nprobe returns
+    — the broadcast-side LUTs are the same math as the driver-side
+    literal LUTs, per query."""
+    path = str(tmp_path / "ivfpq_many")
+    ivfpq.save(path)
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    loaded = IvfPqIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_many(queries, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], round(r["dist_sq"], 6)))
+    assert set(got) == set(range(5))
+    for r in emb.filter(F.col("vec_id") < 5).collect():
+        single = [
+            (s["vec_id"], round(s["dist_sq"], 6))
+            for s in loaded.search(list(r["embedding"]), k=5, nprobe=3).collect()
+        ]
+        assert got[r["vec_id"]] == single, r["vec_id"]
+
+
+def test_ivfpq_search_many_rerank_recall(spark, emb, ivfpq):
+    """Reranked batch retrieval recall@10 vs exact — the end-to-end
+    quality bar for the compressed batch path."""
+    from custom_vector_database_spark.operators import knn as knn_ops
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = ivfpq.search_many(
+        queries, k=10, nprobe=8, base_df=emb, base_vec="embedding", rerank=4
+    )
+    exact = knn_ops.knn_join(emb, queries, k=10, data_id="vec_id", data_vec="embedding")
+    got = {(r["qid"], r["vec_id"]) for r in batch.collect()}
+    want = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
+    # reranked distances are exact: spot-check one query against knn
+    q0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact0 = {
+        r["vec_id"]: r["dist_sq"]
+        for r in knn_ops.knn(
+            emb, q0, k=10, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    for r in batch.collect():
+        if r["qid"] == 0 and r["vec_id"] in exact0:
+            assert abs(r["dist_sq"] - exact0[r["vec_id"]]) < 1e-9
+
+
+def test_ivfpq_search_many_validates_query_bound(spark, emb, ivfpq):
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivfpq.search_many(queries, k=3, max_query_rows=5)
+    with pytest.raises(ValueError, match="base_df"):
+        ivfpq.search_many(queries, k=3, rerank=2)
