@@ -856,6 +856,83 @@ def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance: the ivf_upsert verb driven through
+# Structured Streaming — a directory of vector delta files streams into a
+# COPY of the saved IVF layout via foreachBatch (streaming/stream_ops.py:
+# stream_vector_ingest), maxFilesPerTrigger forcing >= 2 micro-batches so
+# batch-by-batch upsert (disjoint partitioned appends — order-independent)
+# is exercised for real. Oracle: exact post-ingest top-10 over base ∪ delta
+# (fully SQL-expressible — the delta is a deterministic arithmetic clone),
+# plus a flag certifying: multiple batches ran, exactly 20 rows appended,
+# the query's near-clone is found WITHOUT a rebuild, recall@10 >= 0.5.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_index_ingest",
+    f"""
+    WITH d AS ({_UPSERT_DELTA_DUCK}),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM d),
+         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT u.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="u.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS ingest_ok
+    FROM u CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    delta = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    base_idx = saved_index(spark, sf_dir, "ivf")
+    tmp = tempfile.mkdtemp(prefix="cvdb_stream_ingest_")
+    try:
+        idx_path = os.path.join(tmp, "index")
+        shutil.copytree(base_idx._path, idx_path)
+        delta_dir = os.path.join(tmp, "delta")
+        # 4 delta part files + maxFilesPerTrigger=2 -> exactly 2 batches
+        delta.repartition(4).write.parquet(delta_dir)
+        idx = IvfIndex.load(spark, idx_path)
+        n_before = idx.clustered_df().count()
+        n_batches = stream_vector_ingest(
+            spark, delta_dir, idx, delta.schema, max_files_per_trigger=2
+        )
+        n_after = idx.clustered_df().count()
+        hit_ids = {
+            r["vec_id"] for r in idx.search(query, k=10, nprobe=8).collect()
+        }
+        union = emb.select("vec_id", "embedding").unionByName(delta)
+        exact = knn_ops.knn(
+            union, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            n_batches >= 2
+            and n_after == n_before + 20
+            and 1_000_000_000 in hit_ids  # the streamed near-clone of q
+            and len(exact_ids & hit_ids) / len(exact_ids) >= 0.5
+        )
+        return exact.withColumn("ingest_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "lsh_similarity_join",
     f"""

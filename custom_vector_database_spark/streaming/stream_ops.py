@@ -350,3 +350,57 @@ def stream_upsert_latest(
     )
     recover()
     return spark.read.parquet(data)
+
+
+def stream_vector_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    index,
+    vec_schema: T.StructType,
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+) -> int:
+    """Continuous ANN index maintenance: stream a directory of vector
+    delta files into a saved IVF layout via foreachBatch — each
+    micro-batch pays only its own delta-encode (IvfIndex.upsert), so the
+    index stays searchable while ingesting; no rebuild, no full re-encode.
+
+    This is the streaming form of the ivf_upsert verb: batch-by-batch
+    upsert must equal merge-once (the appends are disjoint row sets into
+    a partitioned layout — order-independent), which the registered
+    query's oracle certifies. maxFilesPerTrigger forces MULTIPLE
+    micro-batches under trigger(availableNow) so the test exercises the
+    repeated-merge path, not a degenerate single batch.
+
+    Returns the number of micro-batches processed. Checkpointing: callers
+    own the checkpoint dir lifecycle via the delta_dir parent (bounded
+    drive, fresh checkpoint per call — the production deployment would
+    pin a durable checkpoint for exactly-once file tracking)."""
+    import os
+
+    n_batches = 0
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch.isEmpty():
+            return
+        index.upsert(batch)
+        n_batches += 1
+
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(delta_dir)
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_bounded_stream(spark, start, "vector_ingest", timeout, None)
+    return n_batches

@@ -119,3 +119,49 @@ def test_tws_user_type_spend_integration(spark):
     )
     keys = ["user_id", "event_type", "n_events", "total_value"]
     assert _rows(got, keys) == _rows(batch, keys)
+
+
+def test_stream_vector_ingest_batches_equal_merge_once(spark, tmp_path):
+    """Streaming upsert in >=2 micro-batches must leave the index exactly
+    where one bulk upsert would: same row count, streamed rows searchable,
+    pre-existing part files untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivf")
+    IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8).save(
+        idx_path
+    )
+    idx = IvfIndex.load(spark, idx_path)
+    pre_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(idx_path, "rows"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    delta = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(4).write.parquet(delta_dir)
+    n_before = idx.clustered_df().count()
+    n_batches = stream_vector_ingest(
+        spark, delta_dir, idx, delta.schema, max_files_per_trigger=2
+    )
+    assert n_batches >= 2
+    assert idx.clustered_df().count() == n_before + 12
+    # identical clones of existing vectors: each streamed id must land at
+    # distance 0 of its source, so a k=2 search on a source vector finds it
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    hits = {r["vec_id"] for r in idx.search(q, k=2, nprobe=8).collect()}
+    assert hits == {3, 500_003}
+    # append-only: no pre-existing part file rewritten
+    for p, mtime in pre_files.items():
+        assert os.path.getmtime(p) == mtime, p
