@@ -194,6 +194,39 @@ class PqIndex:
         )
 
 
+def _ivfpq_encode(
+    feats: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """Cluster assign + residual + m subspace codes as ONE codegen'd
+    projection over literal centroid tables — the encode pass shared by
+    fit (full table) and upsert (delta only). Expects a ``_vec``
+    array<double> column next to ``id_col``."""
+    m = len(codebooks)
+    dsub = dim // m
+    out = feats.withColumn(
+        "cluster", nearest_centroid_expr("_vec", centroids)
+    ).withColumn(
+        "_res",
+        F.expr(
+            f"zip_with(_vec, element_at({centroids_literal_sql(centroids)}, "
+            f"cluster + 1), (a, b) -> a - b)"
+        ),
+    )
+    codes = F.expr(
+        "array("
+        + ",".join(
+            nearest_centroid_sql(f"slice(_res, {j * dsub + 1}, {dsub})", codebooks[j])
+            for j in range(m)
+        )
+        + ")"
+    )
+    return out.select(id_col, "cluster", codes.alias("codes"))
+
+
 class IvfPqIndex:
     """IVF-PQ: coarse KMeans clusters + PQ-coded RESIDUALS — the composed
     billion-scale ANN layout (FAISS's IVFPQ, from the same public Jégou
@@ -229,6 +262,7 @@ class IvfPqIndex:
         self.dim = dim
         self.m = len(codebooks)
         self.k = len(codebooks[0])
+        self._path: str | None = None  # set by save()/load(); upsert needs it
 
     @classmethod
     def fit(
@@ -274,27 +308,9 @@ class IvfPqIndex:
             for j in range(m)
         ]
 
-        # full-table pass: cluster assign + residual + m subspace codes,
-        # all in one codegen'd projection over literal centroid tables
-        encoded = feats.withColumn(
-            "cluster", nearest_centroid_expr("_vec", centroids)
-        ).withColumn(
-            "_res",
-            F.expr(
-                f"zip_with(_vec, element_at({centroids_literal_sql(centroids)}, "
-                f"cluster + 1), (a, b) -> a - b)"
-            ),
-        )
-        codes = F.expr(
-            "array("
-            + ",".join(
-                nearest_centroid_sql(f"slice(_res, {j * dsub + 1}, {dsub})", codebooks[j])
-                for j in range(m)
-            )
-            + ")"
-        )
-        encoded = encoded.select(
-            id_col, "cluster", codes.alias("codes")
+        # full-table pass: _ivfpq_encode — one codegen'd projection
+        encoded = _ivfpq_encode(
+            feats, centroids, codebooks, id_col, dim
         ).localCheckpoint(eager=True)
         return cls(centroids, codebooks, encoded, id_col, dim)
 
@@ -319,16 +335,44 @@ class IvfPqIndex:
         self._encoded.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(path, "codes")
         )
+        self._path = path
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         encoded = spark.read.parquet(os.path.join(path, "codes"))
-        return cls(
+        idx = cls(
             meta["centroids"], meta["codebooks"], encoded, meta["id_col"],
             meta["dim"],
         )
+        idx._path = path
+        return idx
+
+    def upsert(self, delta: DataFrame, vec_col: str = "vec") -> int:
+        """Append a delta batch to the SAVED code layout, encoding ONLY the
+        new rows with the saved centroids AND codebooks (_ivfpq_encode —
+        the same single projection as fit's full-table pass, over the
+        delta alone). The quantizers are NOT refit; codebook refresh stays
+        the explicit rebuild verb, mirroring IvfIndex.upsert. Existing
+        part files are never touched — Parquet append only adds files
+        under the delta's cluster directories. Returns rows appended; the
+        in-memory code view is refreshed to include them."""
+        if self._path is None:
+            raise ValueError(
+                "upsert requires a saved index (call save() or load() first)"
+            )
+        feats = delta.select(
+            F.col(self.id_col), F.col(vec_col).cast("array<double>").alias("_vec")
+        )
+        encoded = _ivfpq_encode(
+            feats, self.centroids, self.codebooks, self.id_col, self.dim
+        )
+        n = encoded.count()
+        codes_path = os.path.join(self._path, "codes")
+        encoded.write.mode("append").partitionBy("cluster").parquet(codes_path)
+        self._encoded = delta.sparkSession.read.parquet(codes_path)
+        return int(n)
 
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
         dists = sorted(

@@ -857,6 +857,77 @@ def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental upsert on the COMPRESSED index: the ivf_upsert verb for
+# IVF-PQ (operators/pq.py:upsert) — the delta alone is encoded with the
+# SAVED centroids and codebooks (one projection) and appended to the
+# cluster-partitioned code layout; quantizers are not refit. The post-
+# upsert search runs ADC over codes + exact rerank against base ∪ delta.
+# Same oracle shape as ivf_upsert: exact top-10 over the union + a flag
+# (20 rows appended, the near-clone retrieved WITHOUT a rebuild,
+# recall@10 >= 0.5).
+# ---------------------------------------------------------------------------
+@register(
+    "ivfpq_upsert",
+    f"""
+    WITH d AS ({_UPSERT_DELTA_DUCK}),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM d),
+         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT u.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="u.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS pq_upsert_ok
+    FROM u CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    delta = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    base_idx = saved_index(spark, sf_dir, "ivfpq")
+    tmp = tempfile.mkdtemp(prefix="cvdb_pq_upsert_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = IvfPqIndex.load(spark, tmp)
+        n_before = idx.encoded_df().count()
+        n_added = idx.upsert(delta, vec_col="embedding")
+        n_after = idx.encoded_df().count()
+        union = emb.select("vec_id", "embedding").unionByName(delta)
+        hit_ids = {
+            r["vec_id"]
+            for r in idx.search(
+                query, k=10, nprobe=8, base_df=union, vec_col="embedding",
+                rerank=4,
+            ).collect()
+        }
+        exact = knn_ops.knn(
+            union, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            n_added == 20
+            and n_after == n_before + 20
+            and 1_000_000_000 in hit_ids  # the upserted near-clone of q
+            and len(exact_ids & hit_ids) / len(exact_ids) >= 0.5
+        )
+        return exact.withColumn("pq_upsert_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Streaming ANN index maintenance: the ivf_upsert verb driven through
 # Structured Streaming — a directory of vector delta files streams into a
 # COPY of the saved IVF layout via foreachBatch (streaming/stream_ops.py:

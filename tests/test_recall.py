@@ -547,3 +547,45 @@ def test_ivfpq_search_many_validates_query_bound(spark, emb, ivfpq):
         ivfpq.search_many(queries, k=3, max_query_rows=5)
     with pytest.raises(ValueError, match="base_df"):
         ivfpq.search_many(queries, k=3, rerank=2)
+
+
+def test_ivfpq_upsert_appends_only_the_delta(spark, emb, ivfpq, tmp_path):
+    """IVF-PQ upsert must (1) leave pre-existing code part files
+    byte-untouched, (2) append exactly the delta, (3) make the new rows
+    retrievable without a rebuild, surviving a reload."""
+    import os
+
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    path = str(tmp_path / "ivfpq_upsert")
+    ivfpq.save(path)
+    idx = IvfPqIndex.load(spark, path)
+    codes_dir = os.path.join(path, "codes")
+    pre = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(codes_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    delta = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "embedding"
+    )
+    n_before = idx.encoded_df().count()
+    assert idx.upsert(delta, vec_col="embedding") == 10
+    assert idx.encoded_df().count() == n_before + 10
+    for p, mtime in pre.items():
+        assert os.path.getmtime(p) == mtime, p
+    # the exact clone of vec 3 must land in the same cluster with the same
+    # codes, so an ADC search on vec 3's vector retrieves both at rank 1-2
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    hits = [r["vec_id"] for r in idx.search(q, k=2, nprobe=8).collect()]
+    assert set(hits) == {3, 700_003}
+    # durability: a fresh load sees the upserted rows
+    reloaded = IvfPqIndex.load(spark, path)
+    assert reloaded.encoded_df().count() == n_before + 10
+    # un-saved index refuses upsert
+    fresh = IvfPqIndex.fit(
+        emb.limit(64), id_col="vec_id", vec_col="embedding", n_clusters=2, m=8, k=4
+    )
+    with pytest.raises(ValueError, match="saved"):
+        fresh.upsert(delta, vec_col="embedding")
