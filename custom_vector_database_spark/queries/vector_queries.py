@@ -928,6 +928,86 @@ def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Layout compaction — the maintenance verb that pairs with incremental
+# ingest (operators/ivf.py:compact): repeated delta appends fragment the
+# cluster partitions into small files, and at 100 TB that turns the
+# probe's pruned scan into a file-listing + open-per-file tax. The query
+# fragments a copy of the saved layout with 3 sub-batch upserts, compacts
+# to 1 file per cluster, and certifies: row count preserved, file count
+# strictly reduced, and the post-compact search IDENTICAL to the
+# pre-compact search — compaction is pure layout, zero semantics. Oracle:
+# the exact top-10 over base ∪ delta (the upsert-family oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_compact",
+    f"""
+    WITH d AS ({_UPSERT_DELTA_DUCK}),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM d),
+         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT u.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="u.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS compact_ok
+    FROM u CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    delta = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    base_idx = saved_index(spark, sf_dir, "ivf")
+    tmp = tempfile.mkdtemp(prefix="cvdb_compact_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = IvfIndex.load(spark, tmp)
+        # fragment: 3 sub-batch upserts, each spread over 4 writer tasks
+        for lo, hi in ((0, 7), (7, 14), (14, 20)):
+            idx.upsert(
+                delta.filter(
+                    (F.col("vec_id") >= 1_000_000_000 + lo)
+                    & (F.col("vec_id") < 1_000_000_000 + hi)
+                ).repartition(4)
+            )
+        pre_hits = tuple(
+            (r["vec_id"], r["dist_sq"])
+            for r in idx.search(query, k=10, nprobe=8).collect()
+        )
+        stats = idx.compact(files_per_cluster=1)
+        post_hits = tuple(
+            (r["vec_id"], r["dist_sq"])
+            for r in idx.search(query, k=10, nprobe=8).collect()
+        )
+        exact = knn_ops.knn(
+            emb.select("vec_id", "embedding").unionByName(delta),
+            query, k=10, id_col="vec_id", vec_col="embedding",
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            stats["files_after"] < stats["files_before"]
+            and stats["files_after"] <= len(idx.centroids)
+            and idx.clustered_df().count() == stats["n_rows"]
+            and post_hits == pre_hits  # compaction changes NOTHING semantic
+            and len(exact_ids & {h[0] for h in post_hits}) / len(exact_ids) >= 0.5
+        )
+        return exact.withColumn("compact_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Streaming ANN index maintenance: the ivf_upsert verb driven through
 # Structured Streaming — a directory of vector delta files streams into a
 # COPY of the saved IVF layout via foreachBatch (streaming/stream_ops.py:

@@ -589,3 +589,41 @@ def test_ivfpq_upsert_appends_only_the_delta(spark, emb, ivfpq, tmp_path):
     )
     with pytest.raises(ValueError, match="saved"):
         fresh.upsert(delta, vec_col="embedding")
+
+
+def test_ivf_compact_reduces_files_preserves_answers(spark, emb, tmp_path):
+    """Compaction is pure layout: file count drops to <= n_clusters ×
+    files_per_cluster, row count and search answers are unchanged, and an
+    unsaved index refuses to compact."""
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    path = str(tmp_path / "ivf_compact")
+    IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8).save(path)
+    idx = IvfIndex.load(spark, path)
+    for i in range(3):  # fragment with three spread-out upserts
+        idx.upsert(
+            emb.filter(F.col("vec_id") % 3 == i)
+            .filter(F.col("vec_id") < 30)
+            .select((F.col("vec_id") + 900_000).alias("vec_id"), "embedding")
+            .repartition(4)
+        )
+    n_rows = idx.clustered_df().count()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    pre = [(r["vec_id"], r["dist_sq"]) for r in idx.search(q, k=8, nprobe=4).collect()]
+    stats = idx.compact(files_per_cluster=1)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 8
+    assert stats["n_rows"] == n_rows
+    assert idx.clustered_df().count() == n_rows
+    post = [(r["vec_id"], r["dist_sq"]) for r in idx.search(q, k=8, nprobe=4).collect()]
+    assert post == pre
+    # reload sees the compacted layout with identical content
+    reloaded = IvfIndex.load(spark, path)
+    assert reloaded.clustered_df().count() == n_rows
+    with pytest.raises(ValueError, match="files_per_cluster"):
+        idx.compact(files_per_cluster=0)
+    fresh = IvfIndex.fit(emb.limit(64), id_col="vec_id", vec_col="embedding", n_clusters=2)
+    with pytest.raises(ValueError, match="saved"):
+        fresh.compact()
