@@ -123,7 +123,8 @@ class IvfIndex:
 
     def __init__(self, centroids: list[list[float]], clustered: DataFrame,
                  id_col: str, vec_col: str, metric: str = "l2_sq",
-                 path: str | None = None, max_norm: float | None = None):
+                 path: str | None = None, max_norm: float | None = None,
+                 carry_cols: list[str] | None = None):
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         self.centroids = centroids
@@ -133,6 +134,8 @@ class IvfIndex:
         self.metric = metric
         self.max_norm = max_norm  # the MIPS M-sphere radius (dot only)
         self._path = path  # set when saved/loaded; required by upsert()
+        self.carry_cols = list(carry_cols or [])  # filter attributes stored
+        # IN the layout so filtered searches push down into the pruned scan
 
     @classmethod
     def fit(
@@ -145,6 +148,7 @@ class IvfIndex:
         max_iter: int = 10,
         fit_sample: int = 100_000,
         metric: str = "l2_sq",
+        carry_cols: list[str] | None = None,
     ) -> "IvfIndex":
         """Build the index. The coarse quantizer trains on at most
         ``fit_sample`` rows (uniform sample — statistically plenty for
@@ -156,12 +160,18 @@ class IvfIndex:
         passes."""
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
-        feats = df.select(F.col(id_col), F.col(vec_col))
+        carry_cols = list(carry_cols or [])
+        bad = {id_col, vec_col, "cluster"} & set(carry_cols)
+        if bad:
+            raise ValueError(f"carry_cols collide with index columns: {bad}")
+        carry = [F.col(c) for c in carry_cols]
+        feats = df.select(F.col(id_col), F.col(vec_col), *carry)
         max_norm = None
         if metric == "cosine":
             feats = feats.select(
                 F.col(id_col),
                 _unit_normalize_expr(f"`{vec_col}`").alias(vec_col),
+                *carry,
             )
         elif metric == "dot":
             # M = max ‖x‖ — one tiny scalar aggregate, then the
@@ -175,6 +185,7 @@ class IvfIndex:
             feats = feats.select(
                 F.col(id_col),
                 _augment_expr(f"`{vec_col}`", max_norm * max_norm).alias(vec_col),
+                *carry,
             )
         n = feats.count()
         x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
@@ -189,7 +200,7 @@ class IvfIndex:
             .localCheckpoint(eager=True)  # the materialized index
         )
         return cls(centroids, clustered, id_col, vec_col, metric,
-                   max_norm=max_norm)
+                   max_norm=max_norm, carry_cols=carry_cols)
 
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
@@ -204,6 +215,7 @@ class IvfIndex:
                     "vec_col": self.vec_col,
                     "metric": self.metric,
                     "max_norm": self.max_norm,
+                    "carry_cols": self.carry_cols,
                     "centroids": self.centroids,
                 },
                 f,
@@ -219,6 +231,7 @@ class IvfIndex:
             meta["centroids"], rows, meta["id_col"], meta["vec_col"],
             meta.get("metric", "l2_sq"), path=path,
             max_norm=meta.get("max_norm"),
+            carry_cols=meta.get("carry_cols"),
         )
 
     def clustered_df(self) -> DataFrame:
@@ -243,11 +256,13 @@ class IvfIndex:
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
-        feats = delta.select(F.col(self.id_col), F.col(self.vec_col))
+        carry = [F.col(c) for c in self.carry_cols]
+        feats = delta.select(F.col(self.id_col), F.col(self.vec_col), *carry)
         if self.metric == "cosine":
             feats = feats.select(
                 F.col(self.id_col),
                 _unit_normalize_expr(f"`{self.vec_col}`").alias(self.vec_col),
+                *carry,
             )
         elif self.metric == "dot":
             # saved M; over-M delta rows clamp to the sphere (module doc)
@@ -255,6 +270,7 @@ class IvfIndex:
             feats = feats.select(
                 F.col(self.id_col),
                 _augment_expr(f"`{self.vec_col}`", m2).alias(self.vec_col),
+                *carry,
             )
         encoded = feats.withColumn(
             "cluster",
@@ -343,7 +359,7 @@ class IvfIndex:
 
     def search(
         self, query: list[float], k: int, nprobe: int = 4,
-        dist_col: str | None = None,
+        dist_col: str | None = None, predicate=None,
     ) -> DataFrame:
         """Exact k-NN restricted to the ``nprobe`` nearest clusters.
         L2 index: returns (id, dist_sq) nearest-first — squared L2, the
@@ -360,6 +376,8 @@ class IvfIndex:
             dist_col = dist_col or "score"
             probe = self._probe_clusters(q_aug, nprobe)
             candidates = self._clustered.filter(F.col("cluster").isin(probe))
+            if predicate is not None:
+                candidates = candidates.filter(predicate)
             hits = knn_ops.knn(
                 candidates, q_aug, k,
                 id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
@@ -376,6 +394,8 @@ class IvfIndex:
             dist_col = dist_col or "cos_dist"
             probe = self._probe_clusters(query, nprobe)
             candidates = self._clustered.filter(F.col("cluster").isin(probe))
+            if predicate is not None:
+                candidates = candidates.filter(predicate)
             hits = knn_ops.knn(
                 candidates, query, k,
                 id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
@@ -387,6 +407,8 @@ class IvfIndex:
         dist_col = dist_col or "dist_sq"
         probe = self._probe_clusters([float(x) for x in query], nprobe)
         candidates = self._clustered.filter(F.col("cluster").isin(probe))
+        if predicate is not None:
+            candidates = candidates.filter(predicate)
         return knn_ops.knn(
             candidates, [float(x) for x in query], k,
             id_col=self.id_col, vec_col=self.vec_col, dist_col=dist_col,
@@ -401,6 +423,7 @@ class IvfIndex:
         query_vec: str = "qvec",
         dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
+        filter_map: dict[str, str] | None = None,
     ) -> DataFrame:
         """Batch ANN: the k approximate nearest rows for EVERY row of a
         query table, answered from the saved cluster-partitioned layout in
@@ -427,6 +450,14 @@ class IvfIndex:
         4. per-qid top-k window — only (qid, id, dist) scalars shuffle,
            never vectors.
 
+        ``filter_map`` = {layout_col: query_col} adds per-query equality
+        constraints (the multi-tenant "namespace" pattern: each query only
+        retrieves rows whose carried attribute — fit(carry_cols=[...]) —
+        equals ITS OWN value). The constraints evaluate inside the same
+        probed-partition join, before any distance work, and cost nothing
+        extra: the layout column is read from the pruned scan and compared
+        against the broadcast side.
+
         The query side must broadcast; ``max_query_rows`` enforces that
         with an explicit error (the knn_join convention). Returns
         (qid, id, dist_sq) — or (qid, id, cos_dist) on a cosine index
@@ -443,13 +474,27 @@ class IvfIndex:
                     "a broadcast this large risks executor OOM — split the "
                     "query table and search_many per split"
                 )
+        filter_map = dict(filter_map or {})
+        for dcol, qcol in filter_map.items():
+            if dcol not in self._clustered.columns:
+                raise ValueError(
+                    f"filter column {dcol!r} is not in the saved layout — "
+                    f"build the index with fit(carry_cols=[{dcol!r}])"
+                )
+            if qcol in self._clustered.columns:
+                raise ValueError(
+                    f"query filter column {qcol!r} collides with a layout "
+                    "column — alias it on the query side first"
+                )
+        qfilter_cols = [F.col(c) for c in filter_map.values()]
         qv = f"`{query_vec}`"
-        qside = queries.select(F.col(query_id), F.col(query_vec))
+        qside = queries.select(F.col(query_id), F.col(query_vec), *qfilter_cols)
         extra_q_cols: list = []
         if self.metric == "cosine":
             qside = qside.select(
                 F.col(query_id),
                 _unit_normalize_expr(qv).alias(query_vec),
+                *qfilter_cols,
             )
         elif self.metric == "dot":
             # per-query ‖q‖² travels with the (tiny) broadcast side; the
@@ -461,6 +506,7 @@ class IvfIndex:
                     f"AS ARRAY<FLOAT>)"
                 ).alias(query_vec),
                 F.expr(_norm2_sql(qv)).alias("_qn2"),
+                *qfilter_cols,
             )
             extra_q_cols = [F.col("_qn2")]
         probes = F.expr(
@@ -472,6 +518,7 @@ class IvfIndex:
             F.col(query_id),
             F.col(query_vec),
             *extra_q_cols,
+            *qfilter_cols,
             F.explode(probes).alias("cluster"),
         ).localCheckpoint(eager=True)  # computed once: feeds the probed-
         # cluster listing AND the join below
@@ -489,14 +536,15 @@ class IvfIndex:
             m2 = float(self.max_norm) * float(self.max_norm)
             dist = (F.lit(m2) + F.col("_qn2") - dist) / 2.0  # = ⟨x,q⟩
             nearest_first = False
-        scored = (
-            self._clustered.filter(F.col("cluster").isin(probed))
-            .join(F.broadcast(exploded), "cluster")
-            .select(
-                F.col(query_id),
-                F.col(self.id_col),
-                F.round(dist, 6).alias(out_dist),
-            )
+        joined = self._clustered.filter(F.col("cluster").isin(probed)).join(
+            F.broadcast(exploded), "cluster"
+        )
+        for dcol, qcol in filter_map.items():
+            joined = joined.filter(F.col(dcol) == F.col(qcol))
+        scored = joined.select(
+            F.col(query_id),
+            F.col(self.id_col),
+            F.round(dist, 6).alias(out_dist),
         )
         from pyspark.sql import Window
 

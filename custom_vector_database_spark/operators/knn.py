@@ -106,8 +106,15 @@ def knn_join(
     dist_col: str = "dist_sq",
     round_to: int | None = 6,
     max_query_rows: int | None = None,
+    predicate: Column | None = None,
 ) -> DataFrame:
     """For every row of ``queries``, the k nearest rows of ``data``.
+
+    ``predicate`` is a per-PAIR condition evaluated on the joined row
+    (e.g. ``col("_lbl") == col("qlabel")`` for per-query attribute
+    filtering); it sits before the window, so filtered-out pairs never
+    rank. With a predicate, both sides keep all their columns for the
+    condition to reference — Catalyst still prunes unused ones.
 
     Physical shape: broadcast(queries) ⨯ data → windowed row_number ≤ k.
     Scales as O(|data| · |queries|) distance evaluations spread across all
@@ -132,22 +139,25 @@ def knn_join(
             )
     from custom_vector_database_spark.functions.vector import dot_product, l2_norm
 
+    qside = queries if predicate is not None else queries.select(
+        F.col(query_id), F.col(query_vec)
+    )
+    dside = data if predicate is not None else data.select(
+        F.col(data_id), F.col(data_vec)
+    )
     if metric == "cosine":
-        q = queries.select(
-            F.col(query_id), F.col(query_vec), l2_norm(query_vec).alias("_qn")
-        )
-        d = data.select(
-            F.col(data_id), F.col(data_vec), l2_norm(data_vec).alias("_dn")
-        )
+        q = qside.withColumn("_qn", l2_norm(query_vec))
+        d = dside.withColumn("_dn", l2_norm(data_vec))
         joined = d.crossJoin(F.broadcast(q))
         denom = F.col("_dn") * F.col("_qn")
         dist = F.lit(1.0) - F.when(
             denom != 0.0, dot_product(F.col(data_vec), F.col(query_vec)) / denom
         )
     else:
-        q = queries.select(F.col(query_id), F.col(query_vec))
-        joined = data.select(F.col(data_id), F.col(data_vec)).crossJoin(F.broadcast(q))
+        joined = dside.crossJoin(F.broadcast(qside))
         dist = _distance(metric, F.col(data_vec), F.col(query_vec))
+    if predicate is not None:
+        joined = joined.filter(predicate)
     if round_to is not None:
         dist = F.round(dist, round_to)
     scored = joined.select(F.col(query_id), F.col(data_id), dist.alias(dist_col))

@@ -419,6 +419,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             emb, id_col="vec_id", vec_col="embedding", n_clusters=16
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivf_lbl":
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        IvfIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16,
+            carry_cols=["label"],
+        ).save(path)
+        idx = IvfIndex.load(spark, path)
     elif kind == "ivf_cos":
         from custom_vector_database_spark.operators.ivf import IvfIndex
 
@@ -854,6 +862,84 @@ def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("ivf_filtered_build", _build_oracle("carry_ok"))
+def q_ivf_filtered_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices the carried-attribute index fit (fit(carry_cols=['label']))
+    separately, the family pattern — the filtered search row answers from
+    this session-cached layout. carry_ok certifies the label column is
+    physically IN the layout with full coverage."""
+    idx = saved_index(spark, sf_dir, "ivf_lbl")
+    return idx.clustered_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.count(F.lit(1)) == F.count("label"))  # carried, no NULL holes
+            & (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+        ).alias("carry_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered batch retrieval — the multi-tenant "namespace" pattern: the
+# label attribute is CARRIED IN the saved layout (fit(carry_cols) — so the
+# per-query equality filter evaluates inside the probed-partition join,
+# before any distance work, read straight off the pruned scan). Each of 8
+# queries retrieves only rows sharing ITS OWN label. Guarantee oracle: the
+# exact per-query top-3 under the same per-query predicate + a recall
+# flag. The filtered exact baseline is SQL-trivial (label equality in the
+# cross join), so the whole contract is checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_search_many_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e JOIN q ON e.label = q.qlabel
+         )
+    SELECT qid, vec_id, dist_sq, TRUE AS filtered_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivf_search_many_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    idx = saved_index(spark, sf_dir, "ivf_lbl")
+    approx = idx.search_many(
+        queries, k=3, nprobe=8, filter_map={"label": "qlabel"}
+    ).localCheckpoint(eager=True)
+    exact = (
+        knn_ops.knn_join(
+            emb.withColumnRenamed("label", "_lbl"),
+            queries,
+            k=3,
+            data_id="vec_id",
+            data_vec="embedding",
+            predicate=(F.col("_lbl") == F.col("qlabel")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    n_both = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    ).count()
+    ok = n_exact > 0 and n_both / n_exact >= 0.5
+    return exact.withColumn("filtered_ok", F.lit(bool(ok))).orderBy(
+        "qid", "dist_sq", "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------

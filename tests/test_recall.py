@@ -627,3 +627,77 @@ def test_ivf_compact_reduces_files_preserves_answers(spark, emb, tmp_path):
     fresh = IvfIndex.fit(emb.limit(64), id_col="vec_id", vec_col="embedding", n_clusters=2)
     with pytest.raises(ValueError, match="saved"):
         fresh.compact()
+
+
+def test_ivf_filtered_search_many_matches_filtered_exact(spark, emb, tmp_path):
+    """Per-query attribute filtering: every returned row must share the
+    query's label, and the result must equal the exact filtered top-k."""
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    idx = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        carry_cols=["label"],
+    )
+    path = str(tmp_path / "ivf_lbl")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.carry_cols == ["label"]
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    got = loaded.search_many(
+        queries, k=4, nprobe=8, filter_map={"label": "qlabel"}
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = got.collect()
+    assert {r["qid"] for r in rows} == set(range(6))
+    for r in rows:  # constraint honored
+        assert labels[r["vec_id"]] == labels[r["qid"]]
+    # nprobe = all clusters -> the filtered batch result IS the exact one
+    exact = knn_ops.knn_join(
+        emb.withColumnRenamed("label", "_lbl"),
+        queries,
+        k=4,
+        data_id="vec_id",
+        data_vec="embedding",
+        predicate=(F.col("_lbl") == F.col("qlabel")),
+    )
+    assert {(r["qid"], r["vec_id"]) for r in rows} == {
+        (r["qid"], r["vec_id"]) for r in exact.collect()
+    }
+
+
+def test_ivf_carry_cols_validation_and_upsert(spark, emb, tmp_path):
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    with pytest.raises(ValueError, match="collide"):
+        IvfIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=4,
+            carry_cols=["vec_id"],
+        )
+    idx = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4,
+        carry_cols=["label"],
+    )
+    path = str(tmp_path / "ivf_carry")
+    idx.save(path)
+    idx = IvfIndex.load(spark, path)
+    # upsert keeps carrying the attribute
+    delta = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"), "embedding", "label"
+    )
+    idx.upsert(delta)
+    carried = idx.clustered_df().filter(F.col("vec_id") >= 800_000)
+    assert carried.count() == 5 and carried.filter(F.col("label").isNull()).count() == 0
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    with pytest.raises(ValueError, match="not in the saved layout"):
+        idx.search_many(queries, k=2, filter_map={"missing": "qlabel"})
+    with pytest.raises(ValueError, match="collides with a layout"):
+        idx.search_many(queries, k=2, filter_map={"label": "label"})
