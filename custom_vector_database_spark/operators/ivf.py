@@ -290,60 +290,27 @@ class IvfIndex:
         with upsert/stream ingest: every delta append adds small files,
         and at 100 TB a cluster fragmented into thousands of them turns
         the probe's partition-pruned scan into a file-listing and
-        open-per-file tax. One hash repartition on (cluster[, salt]) sends
-        each cluster's rows to exactly files_per_cluster tasks, so the
-        rewrite is a single shuffle of the layout — no driver-side data.
-
-        The new layout is written BESIDE the live one and swapped in with
-        two directory renames (same-filesystem contract, as save/load —
-        the brief window between the renames is safe for this in-process
-        handle, which re-reads only afterwards; concurrent readers of the
-        path should compact offline). Search results are identical before
-        and after (registered query ivf_compact certifies this against
-        the exact oracle). Returns {files_before, files_after, n_rows}."""
+        open-per-file tax. Delegates to layout.compact_partitioned (one
+        hash shuffle + tmp-write + two-rename swap with crash recovery);
+        search results are identical before and after (the registered
+        ivf_compact query certifies this against the exact oracle).
+        Returns {files_before, files_after, n_rows}."""
         if self._path is None:
             raise ValueError(
                 "compact requires a saved index (call save() or load() first)"
             )
-        if files_per_cluster < 1:
-            raise ValueError("files_per_cluster must be >= 1")
+        from custom_vector_database_spark.operators.layout import (
+            compact_partitioned,
+        )
+
         spark = self._clustered.sparkSession
         rows_path = os.path.join(self._path, "rows")
-
-        def _count_files() -> int:
-            return sum(
-                1
-                for dp, _, fs in os.walk(rows_path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-
-        files_before = _count_files()
-        df = spark.read.parquet(rows_path)
-        n_rows = df.count()
-        n_clusters = len(self.centroids)
-        if files_per_cluster == 1:
-            packed = df.repartition(n_clusters, F.col("cluster"))
-        else:
-            packed = df.repartition(
-                n_clusters * files_per_cluster,
-                F.col("cluster"),
-                F.pmod(F.hash(F.col(self.id_col)), F.lit(files_per_cluster)),
-            )
-        tmp_new = rows_path + ".compact-new"
-        old_dir = rows_path + ".compact-old"
-        packed.write.mode("overwrite").partitionBy("cluster").parquet(tmp_new)
-        os.rename(rows_path, old_dir)
-        os.rename(tmp_new, rows_path)
-        import shutil
-
-        shutil.rmtree(old_dir, ignore_errors=True)
+        stats = compact_partitioned(
+            spark, rows_path, "cluster", len(self.centroids),
+            files_per_cluster, salt_col=self.id_col,
+        )
         self._clustered = spark.read.parquet(rows_path)
-        return {
-            "files_before": files_before,
-            "files_after": _count_files(),
-            "n_rows": int(n_rows),
-        }
+        return stats
 
     def _probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
         """Centroid shortlist — pure driver-side math over the tiny

@@ -183,3 +183,73 @@ def compact_files(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def compact_partitioned(
+    spark,
+    rows_path: str,
+    partition_col: str,
+    n_partitions: int,
+    files_per_partition: int = 1,
+    salt_col: str | None = None,
+) -> dict:
+    """Compact a ``partitionBy(partition_col)`` parquet layout so each
+    partition directory holds ``files_per_partition`` part files — the
+    index-layout form of compact_files, shared by IvfIndex.compact and
+    IvfPqIndex.compact. One hash repartition on (partition_col[, salt])
+    sends each partition's rows to exactly files_per_partition tasks, so
+    the rewrite is a single shuffle of the layout; the swap is the same
+    tmp-write → two-rename dance with roll-forward/roll-back recovery on
+    entry (complete tmp = the new state).
+
+    Returns {files_before, files_after, n_rows}; the caller re-reads
+    rows_path afterwards for a fresh handle.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    tmp = f"{rows_path.rstrip('/')}_compact_tmp"
+    old = f"{rows_path.rstrip('/')}_compact_old"
+    if not os.path.exists(rows_path) and os.path.exists(old):
+        if os.path.exists(tmp) and os.path.exists(f"{tmp}/_SUCCESS"):
+            os.rename(tmp, rows_path)  # roll forward
+        else:
+            os.rename(old, rows_path)  # roll back
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    def _count_files() -> int:
+        return sum(
+            1
+            for dp, _, fs in os.walk(rows_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files()
+    df = spark.read.parquet(rows_path)
+    n_rows = df.count()
+    if files_per_partition == 1:
+        packed = df.repartition(n_partitions, F.col(partition_col))
+    else:
+        salt = (
+            F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_partition))
+            if salt_col is not None
+            else F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+        )
+        packed = df.repartition(
+            n_partitions * files_per_partition, F.col(partition_col), salt
+        )
+    packed.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    os.rename(rows_path, old)
+    os.rename(tmp, rows_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(),
+        "n_rows": int(n_rows),
+    }

@@ -179,7 +179,7 @@ class PqIndex:
             self._encoded.select(
                 self.id_col, self._adc_expr(query).alias(dist_col)
             )
-            .orderBy(F.col(dist_col).asc_nulls_last())
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(self.id_col).asc())
             .limit(k * rerank if rerank > 0 else k)
         )
         if rerank <= 0:
@@ -374,6 +374,29 @@ class IvfPqIndex:
         self._encoded = delta.sparkSession.read.parquet(codes_path)
         return int(n)
 
+    def compact(self, files_per_cluster: int = 1) -> dict:
+        """Compact the saved code layout (layout.compact_partitioned) —
+        upsert appends fragment the cluster partitions exactly as on the
+        full-precision index, and the codes being 32× smaller makes the
+        per-file fixed costs proportionally WORSE. Same contract as
+        IvfIndex.compact. Returns {files_before, files_after, n_rows}."""
+        if self._path is None:
+            raise ValueError(
+                "compact requires a saved index (call save() or load() first)"
+            )
+        from custom_vector_database_spark.operators.layout import (
+            compact_partitioned,
+        )
+
+        spark = self._encoded.sparkSession
+        codes_path = os.path.join(self._path, "codes")
+        stats = compact_partitioned(
+            spark, codes_path, "cluster", len(self.centroids),
+            files_per_cluster, salt_col=self.id_col,
+        )
+        self._encoded = spark.read.parquet(codes_path)
+        return stats
+
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
         dists = sorted(
             (sum((c - q) ** 2 for c, q in zip(cent, query)), cid)
@@ -424,7 +447,7 @@ class IvfPqIndex:
         cand = (
             self._encoded.filter(F.col("cluster").isin(probe))
             .select(self.id_col, adc.alias(dist_col))
-            .orderBy(F.col(dist_col).asc_nulls_last())
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(self.id_col).asc())
             .limit(k * rerank if rerank > 0 else k)
         )
         if rerank <= 0:

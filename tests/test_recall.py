@@ -622,7 +622,7 @@ def test_ivf_compact_reduces_files_preserves_answers(spark, emb, tmp_path):
     # reload sees the compacted layout with identical content
     reloaded = IvfIndex.load(spark, path)
     assert reloaded.clustered_df().count() == n_rows
-    with pytest.raises(ValueError, match="files_per_cluster"):
+    with pytest.raises(ValueError, match="files_per_"):
         idx.compact(files_per_cluster=0)
     fresh = IvfIndex.fit(emb.limit(64), id_col="vec_id", vec_col="embedding", n_clusters=2)
     with pytest.raises(ValueError, match="saved"):
@@ -701,3 +701,29 @@ def test_ivf_carry_cols_validation_and_upsert(spark, emb, tmp_path):
         idx.search_many(queries, k=2, filter_map={"missing": "qlabel"})
     with pytest.raises(ValueError, match="collides with a layout"):
         idx.search_many(queries, k=2, filter_map={"label": "label"})
+
+
+def test_ivfpq_compact_reduces_files_preserves_answers(spark, emb, ivfpq, tmp_path):
+    """Code-layout compaction on the compressed index: file count drops,
+    rows preserved, ADC answers identical pre/post."""
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    path = str(tmp_path / "ivfpq_c")
+    ivfpq.save(path)
+    idx = IvfPqIndex.load(spark, path)
+    for i in range(3):
+        idx.upsert(
+            emb.filter((F.col("vec_id") % 3 == i) & (F.col("vec_id") < 30))
+            .select((F.col("vec_id") + 910_000).alias("vec_id"), "embedding")
+            .repartition(4),
+            vec_col="embedding",
+        )
+    n_rows = idx.encoded_df().count()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    pre = [(r["vec_id"], round(r["dist_sq"], 6)) for r in idx.search(q, k=8, nprobe=4).collect()]
+    stats = idx.compact(files_per_cluster=1)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["n_rows"] == n_rows
+    assert idx.encoded_df().count() == n_rows
+    post = [(r["vec_id"], round(r["dist_sq"], 6)) for r in idx.search(q, k=8, nprobe=4).collect()]
+    assert post == pre
