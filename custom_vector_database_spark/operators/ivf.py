@@ -224,8 +224,14 @@ class IvfIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
+        from custom_vector_database_spark.operators.layout import (
+            recover_partitioned_swap,
+        )
+
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        # heal a crash mid-compact swap before touching the layout
+        recover_partitioned_swap(os.path.join(path, "rows"))
         rows = spark.read.parquet(os.path.join(path, "rows"))
         return cls(
             meta["centroids"], rows, meta["id_col"], meta["vec_col"],
@@ -256,6 +262,7 @@ class IvfIndex:
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_input_dims(delta, self.vec_col, "delta")
         carry = [F.col(c) for c in self.carry_cols]
         feats = delta.select(F.col(self.id_col), F.col(self.vec_col), *carry)
         if self.metric == "cosine":
@@ -277,12 +284,32 @@ class IvfIndex:
             nearest_centroid_expr(
                 f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
             ),
-        )
+        ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
         n = encoded.count()
         rows_path = os.path.join(self._path, "rows")
         encoded.write.mode("append").partitionBy("cluster").parquet(rows_path)
         self._clustered = delta.sparkSession.read.parquet(rows_path)
         return int(n)
+
+    def _expected_input_dim(self) -> int:
+        """The dim callers must supply: the raw vector dim — one less than
+        the stored dim on a dot index (the augmented coordinate is added
+        inside upsert/search, never by the caller)."""
+        d = len(self.centroids[0])
+        return d - 1 if self.metric == "dot" else d
+
+    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> None:
+        """Hard-error on wrong-length vectors BEFORE encoding: zip_with
+        against the centroids pads mismatches with NULL, which would file
+        the rows under a NULL cluster partition that no probe ever scans —
+        silent data loss. One cheap count over the (small) input side."""
+        want = self._expected_input_dim()
+        n_bad = df.filter(F.size(F.col(vec_col)) != want).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} {what} vector(s) do not have dim {want} "
+                f"(index metric {self.metric!r})"
+            )
 
     def compact(self, files_per_cluster: int = 1) -> dict:
         """Rewrite the saved layout so each cluster partition holds
@@ -454,6 +481,7 @@ class IvfIndex:
                     "column — alias it on the query side first"
                 )
         qfilter_cols = [F.col(c) for c in filter_map.values()]
+        self._check_input_dims(queries, query_vec, "query")
         qv = f"`{query_vec}`"
         qside = queries.select(F.col(query_id), F.col(query_vec), *qfilter_cols)
         extra_q_cols: list = []

@@ -185,6 +185,25 @@ def compact_files(
     )
 
 
+def recover_partitioned_swap(rows_path: str) -> None:
+    """Heal a crash between compact_partitioned's two renames: a complete
+    tmp (_SUCCESS present) rolls FORWARD, anything else rolls BACK to the
+    old dir. Called at compact entry AND by the index load() paths, so a
+    half-swapped layout is reachable again through the normal API without
+    hand-renaming directories."""
+    import os
+
+    if os.path.exists(rows_path):
+        return
+    tmp = f"{rows_path.rstrip('/')}_compact_tmp"
+    old = f"{rows_path.rstrip('/')}_compact_old"
+    if os.path.exists(old):
+        if os.path.exists(tmp) and os.path.exists(f"{tmp}/_SUCCESS"):
+            os.rename(tmp, rows_path)  # roll forward: rewrite completed
+        else:
+            os.rename(old, rows_path)  # roll back: swap never started
+
+
 def compact_partitioned(
     spark,
     rows_path: str,
@@ -212,13 +231,9 @@ def compact_partitioned(
 
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
+    recover_partitioned_swap(rows_path)
     tmp = f"{rows_path.rstrip('/')}_compact_tmp"
     old = f"{rows_path.rstrip('/')}_compact_old"
-    if not os.path.exists(rows_path) and os.path.exists(old):
-        if os.path.exists(tmp) and os.path.exists(f"{tmp}/_SUCCESS"):
-            os.rename(tmp, rows_path)  # roll forward
-        else:
-            os.rename(old, rows_path)  # roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 
@@ -236,11 +251,16 @@ def compact_partitioned(
     if files_per_partition == 1:
         packed = df.repartition(n_partitions, F.col(partition_col))
     else:
-        salt = (
-            F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_partition))
+        # the salt MUST be deterministic per row: a nondeterministic key
+        # (e.g. monotonically_increasing_id) re-evaluates differently on a
+        # shuffle-map retry and can drop/duplicate rows mid-rewrite — the
+        # fallback hashes every data column instead
+        salt_src = (
+            [F.col(salt_col)]
             if salt_col is not None
-            else F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+            else [F.col(c) for c in df.columns if c != partition_col]
         )
+        salt = F.pmod(F.hash(*salt_src), F.lit(files_per_partition))
         packed = df.repartition(
             n_partitions * files_per_partition, F.col(partition_col), salt
         )

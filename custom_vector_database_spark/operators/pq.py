@@ -339,8 +339,14 @@ class IvfPqIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
+        from custom_vector_database_spark.operators.layout import (
+            recover_partitioned_swap,
+        )
+
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        # heal a crash mid-compact swap before touching the layout
+        recover_partitioned_swap(os.path.join(path, "codes"))
         encoded = spark.read.parquet(os.path.join(path, "codes"))
         idx = cls(
             meta["centroids"], meta["codebooks"], encoded, meta["id_col"],
@@ -362,12 +368,13 @@ class IvfPqIndex:
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_input_dims(delta, vec_col, "delta")
         feats = delta.select(
             F.col(self.id_col), F.col(vec_col).cast("array<double>").alias("_vec")
         )
         encoded = _ivfpq_encode(
             feats, self.centroids, self.codebooks, self.id_col, self.dim
-        )
+        ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
         n = encoded.count()
         codes_path = os.path.join(self._path, "codes")
         encoded.write.mode("append").partitionBy("cluster").parquet(codes_path)
@@ -396,6 +403,18 @@ class IvfPqIndex:
         )
         self._encoded = spark.read.parquet(codes_path)
         return stats
+
+    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> None:
+        """Hard-error on wrong-length vectors BEFORE encoding/probing —
+        zip_with against the centroids pads mismatches with NULL, filing
+        rows under a NULL cluster partition no probe ever scans (silent
+        loss), or ranking a bad query by NULL distances. One cheap count
+        over the (small) input side."""
+        n_bad = df.filter(F.size(F.col(vec_col)) != self.dim).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} {what} vector(s) do not have dim {self.dim}"
+            )
 
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
         dists = sorted(
@@ -505,6 +524,7 @@ class IvfPqIndex:
                 )
         from pyspark.sql import Window
 
+        self._check_input_dims(queries, query_vec, "query")
         dsub = self.dim // self.m
         qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
         probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))

@@ -76,10 +76,9 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(50) regardless of corpus size. Ranks are deterministic (round-6 scores,
 # id tie-breaks), so the RRF sum is engine-exact.
 # ---------------------------------------------------------------------------
-_DUCK_L2SQ_H = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
-    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+# the ONE definition of the oracle L2 fold lives in vector_queries
+from custom_vector_database_spark.queries.vector_queries import (  # noqa: E402
+    _DUCK_L2SQ as _DUCK_L2SQ_H,
 )
 
 

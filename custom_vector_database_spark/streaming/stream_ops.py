@@ -372,22 +372,47 @@ def stream_vector_ingest(
     micro-batches under trigger(availableNow) so the test exercises the
     repeated-merge path, not a degenerate single batch.
 
-    Returns the number of micro-batches processed. Checkpointing: callers
-    own the checkpoint dir lifecycle via the delta_dir parent (bounded
-    drive, fresh checkpoint per call — the production deployment would
-    pin a durable checkpoint for exactly-once file tracking)."""
+    Idempotence: foreachBatch is AT-LEAST-once — after a crash between an
+    upsert's parquet append and the streaming commit, the restarted query
+    REPLAYS that batch id. The sink therefore records each applied batch
+    id in a sidecar next to the checkpoint (the documented foreachBatch
+    dedup pattern) and skips ids it has already applied, making the
+    append effectively exactly-once. The sidecar lives with the
+    checkpoint: reuse both to resume, delete both to start over.
+
+    Returns the number of micro-batches processed this call. Checkpoint
+    lifecycle: callers own the delta_dir parent (bounded drive, fresh
+    checkpoint per call; a production deployment pins both dirs)."""
+    import json as _json
     import os
 
     n_batches = 0
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    applied_path = os.path.join(delta_dir, "_applied_batches.json")
+
+    def _applied() -> set[int]:
+        try:
+            with open(applied_path) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         if batch.isEmpty():
             return
+        done = _applied()
+        if batch_id in done:  # replayed after a crash: already appended
+            return
         index.upsert(batch)
+        # record-AFTER-apply: a crash between the two replays the batch,
+        # never skips it; the sidecar write is a same-dir atomic rename
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, applied_path)
         n_batches += 1
 
-    ckpt = os.path.join(delta_dir, "_ckpt")
     stream = (
         spark.readStream.schema(vec_schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

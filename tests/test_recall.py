@@ -727,3 +727,31 @@ def test_ivfpq_compact_reduces_files_preserves_answers(spark, emb, ivfpq, tmp_pa
     assert idx.encoded_df().count() == n_rows
     post = [(r["vec_id"], round(r["dist_sq"], 6)) for r in idx.search(q, k=8, nprobe=4).collect()]
     assert post == pre
+
+
+def test_ivf_load_heals_interrupted_compact_swap(spark, emb, tmp_path):
+    """A crash between compact's two renames must be healed by plain
+    load() — roll back when the rewrite never completed, roll forward
+    when it did — with no hand-renaming of directories."""
+    import os
+    import shutil
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    path = str(tmp_path / "ivf_heal")
+    IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4).save(path)
+    rows = os.path.join(path, "rows")
+    n = IvfIndex.load(spark, path).clustered_df().count()
+
+    # crash AFTER rename(rows -> old), BEFORE the new layout landed
+    os.rename(rows, rows + "_compact_old")
+    healed = IvfIndex.load(spark, path)  # rolls back
+    assert healed.clustered_df().count() == n
+
+    # crash after a COMPLETE rewrite (tmp has _SUCCESS) but before swap-in
+    healed.compact(files_per_cluster=1)
+    os.rename(rows, rows + "_compact_tmp")  # complete dir w/ _SUCCESS
+    shutil.rmtree(rows + "_compact_old", ignore_errors=True)
+    os.makedirs(rows + "_compact_old")  # the half-swap leftover
+    healed2 = IvfIndex.load(spark, path)  # rolls forward
+    assert healed2.clustered_df().count() == n

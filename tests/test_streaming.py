@@ -165,3 +165,40 @@ def test_stream_vector_ingest_batches_equal_merge_once(spark, tmp_path):
     # append-only: no pre-existing part file rewritten
     for p, mtime in pre_files.items():
         assert os.path.getmtime(p) == mtime, p
+
+
+def test_stream_vector_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a post-crash restart that
+    REPLAYS every micro-batch (fresh checkpoint, same applied-batches
+    sidecar) — the sink must skip them all and append nothing twice."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivf")
+    IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4).save(
+        idx_path
+    )
+    idx = IvfIndex.load(spark, idx_path)
+    delta = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 600_000).alias("vec_id"), "embedding"
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(4).write.parquet(delta_dir)
+    n0 = idx.clustered_df().count()
+    first = stream_vector_ingest(spark, delta_dir, idx, delta.schema)
+    assert first >= 2
+    assert idx.clustered_df().count() == n0 + 8
+    # "crash" recovery scenario: the streaming commit log is gone but the
+    # sink's applied-batches sidecar survived -> every batch replays
+    shutil.rmtree(os.path.join(delta_dir, "_ckpt"))
+    replayed = stream_vector_ingest(spark, delta_dir, idx, delta.schema)
+    assert replayed == 0  # all replays skipped by the sidecar
+    assert idx.clustered_df().count() == n0 + 8  # nothing appended twice
