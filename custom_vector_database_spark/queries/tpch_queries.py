@@ -1,7 +1,8 @@
 """The remaining TPC-H query shapes, adapted to the driver schema — SURVEY §2.2.
 
 Rounds 1-4 covered Q1/Q3/Q5/Q6/Q10/Q14/Q18; this module completes the suite
-with Q2/Q4/Q7/Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22, each adapted to the
+with Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22 — all 22 TPC-H
+query shapes are now represented — each adapted to the
 columns the synthetic tables actually carry (no partsupp table; no
 l_shipmode / l_commitdate / l_receiptdate / c_phone / p_container):
 
@@ -352,6 +353,57 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): important stock. No partsupp, so a part's "stock value"
+# is the revenue EUROPE-region suppliers shipped for it; keep parts above
+# 1.5× the AVERAGE part value (scale-invariant selectivity — the absolute
+# 0.1%-of-total fraction keeps ~everything on a 200-part dimension) — the
+# reference's HAVING > (scalar subquery × fraction) shape, decorrelated
+# to one keyed aggregate + one broadcast scalar.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH pv AS (
+      SELECT l.l_partkey, {_REV_SQL} AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS partkey, value
+    FROM pv
+    WHERE value > (SELECT AVG(value) * 1.5 FROM pv)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(euro_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_revenue().alias("value"))
+    )
+    thresh = pv.agg((F.avg("value") * 1.5).alias("thresh"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("thresh"))
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), "partkey")
     )
 
 
