@@ -254,12 +254,18 @@ class IvfPqIndex:
         encoded: DataFrame,  # (id_col, cluster, codes)
         id_col: str,
         dim: int,
+        metric: str = "l2_sq",
     ):
+        if metric not in ("l2_sq", "cosine"):
+            raise ValueError(
+                f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+            )
         self.centroids = centroids
         self.codebooks = codebooks
         self._encoded = encoded
         self.id_col = id_col
         self.dim = dim
+        self.metric = metric
         self.m = len(codebooks)
         self.k = len(codebooks[0])
         self._path: str | None = None  # set by save()/load(); upsert needs it
@@ -276,7 +282,17 @@ class IvfPqIndex:
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
+        metric: str = "l2_sq",
     ) -> "IvfPqIndex":
+        """``metric="cosine"`` is normalize-at-build (the IvfIndex
+        pattern): vectors unit-normalize INSIDE the same cast projection,
+        queries normalize at search time, and reported ``cos_dist`` =
+        ADC-L2²/2 (≡ 1 − cosine on unit vectors); reranks re-score with
+        TRUE cosine distance against the raw base table."""
+        if metric not in ("l2_sq", "cosine"):
+            raise ValueError(
+                f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+            )
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
             raise ValueError("cannot fit IVF-PQ on an empty table")
@@ -285,9 +301,18 @@ class IvfPqIndex:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
 
+        from custom_vector_database_spark.operators.ivf import (
+            _unit_normalize_expr,
+        )
+
+        src = (
+            _unit_normalize_expr(f"`{vec_col}`")
+            if metric == "cosine"
+            else F.col(vec_col)
+        )
         feats = df.select(
             F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("_vec"),
+            src.cast("array<double>").alias("_vec"),
         )
         n = feats.count()
         # ONE sampling pass feeds both the coarse quantizer and (via
@@ -312,7 +337,7 @@ class IvfPqIndex:
         encoded = _ivfpq_encode(
             feats, centroids, codebooks, id_col, dim
         ).localCheckpoint(eager=True)
-        return cls(centroids, codebooks, encoded, id_col, dim)
+        return cls(centroids, codebooks, encoded, id_col, dim, metric=metric)
 
     def encoded_df(self) -> DataFrame:
         return self._encoded
@@ -327,6 +352,7 @@ class IvfPqIndex:
                 {
                     "id_col": self.id_col,
                     "dim": self.dim,
+                    "metric": self.metric,
                     "centroids": self.centroids,
                     "codebooks": self.codebooks,
                 },
@@ -350,7 +376,7 @@ class IvfPqIndex:
         encoded = spark.read.parquet(os.path.join(path, "codes"))
         idx = cls(
             meta["centroids"], meta["codebooks"], encoded, meta["id_col"],
-            meta["dim"],
+            meta["dim"], metric=meta.get("metric", "l2_sq"),
         )
         idx._path = path
         return idx
@@ -369,8 +395,16 @@ class IvfPqIndex:
                 "upsert requires a saved index (call save() or load() first)"
             )
         self._check_input_dims(delta, vec_col, "delta")
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            src = _unit_normalize_expr(f"`{vec_col}`")
+        else:
+            src = F.col(vec_col)
         feats = delta.select(
-            F.col(self.id_col), F.col(vec_col).cast("array<double>").alias("_vec")
+            F.col(self.id_col), src.cast("array<double>").alias("_vec")
         )
         encoded = _ivfpq_encode(
             feats, self.centroids, self.codebooks, self.id_col, self.dim
@@ -431,10 +465,19 @@ class IvfPqIndex:
         base_df: DataFrame | None = None,
         vec_col: str = "vec",
         rerank: int = 0,
-        dist_col: str = "dist_sq",
+        dist_col: str | None = None,
     ) -> DataFrame:
         if len(query) != self.dim:
             raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _normalize_query,
+            )
+
+            query = _normalize_query(query)
+            dist_col = dist_col or "cos_dist"
+        else:
+            dist_col = dist_col or "dist_sq"
         query = [float(x) for x in query]
         probe = self._probe(query, nprobe)
         dsub = self.dim // self.m
@@ -463,6 +506,8 @@ class IvfPqIndex:
             + " ELSE CAST(NULL AS DOUBLE) END"
         )
 
+        if self.metric == "cosine":
+            adc = adc / 2.0  # ADC-L2²/2 ≡ 1 − cosine on unit vectors
         cand = (
             self._encoded.filter(F.col("cluster").isin(probe))
             .select(self.id_col, adc.alias(dist_col))
@@ -474,9 +519,12 @@ class IvfPqIndex:
         if base_df is None:
             raise ValueError("rerank requires the full-precision base_df")
         ids = [r[self.id_col] for r in cand.select(self.id_col).collect()]
+        # cosine reranks re-score with TRUE cosine distance over the RAW
+        # base vectors (the normalized query keeps the metric exact)
         return knn_ops.knn(
             base_df.filter(F.col(self.id_col).isin(ids)), query, k,
             id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
+            metric=self.metric,
         )
 
     def search_many(
@@ -489,7 +537,7 @@ class IvfPqIndex:
         base_df: DataFrame | None = None,
         base_vec: str = "vec",
         rerank: int = 0,
-        dist_col: str = "dist_sq",
+        dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
     ) -> DataFrame:
         """Batch ADC search: the k approximate nearest rows for EVERY row
@@ -525,6 +573,15 @@ class IvfPqIndex:
         from pyspark.sql import Window
 
         self._check_input_dims(queries, query_vec, "query")
+        dist_col = dist_col or ("cos_dist" if self.metric == "cosine" else "dist_sq")
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            queries = queries.withColumn(
+                query_vec, _unit_normalize_expr(f"`{query_vec}`")
+            )
         dsub = self.dim // self.m
         qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
         probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))
@@ -563,6 +620,8 @@ class IvfPqIndex:
             f"element_at(codes, {j + 1}) + 1)"
             for j in range(self.m)
         )
+        if self.metric == "cosine":
+            adc = f"({adc}) / 2.0"  # ADC-L2²/2 ≡ 1 − cosine on unit vectors
         scored = (
             self._encoded.filter(F.col("cluster").isin(probed))
             .join(F.broadcast(exploded.drop(query_vec)), "cluster")
@@ -581,6 +640,18 @@ class IvfPqIndex:
             return cand
         if base_df is None:
             raise ValueError("rerank requires the full-precision base_df")
+        if self.metric == "cosine":
+            # TRUE cosine distance vs the raw base vectors (query side is
+            # already unit-normalized, so 1 − dot/‖x‖ is exact)
+            from custom_vector_database_spark.functions.vector import (
+                cosine_similarity,
+            )
+
+            exact_dist = F.lit(1.0) - cosine_similarity(
+                F.col(base_vec), F.col(query_vec)
+            )
+        else:
+            exact_dist = knn_ops.l2_squared(F.col(base_vec), F.col(query_vec))
         exact = (
             cand.select(query_id, self.id_col)
             .join(base_df.select(self.id_col, base_vec), self.id_col)
@@ -588,9 +659,7 @@ class IvfPqIndex:
             .select(
                 F.col(query_id),
                 F.col(self.id_col),
-                F.round(
-                    knn_ops.l2_squared(F.col(base_vec), F.col(query_vec)), 6
-                ).alias(dist_col),
+                F.round(exact_dist, 6).alias(dist_col),
             )
         )
         return (

