@@ -99,15 +99,18 @@ def _augment_expr(vec_sql: str, m2: float) -> F.Column:
 
 def _unit_normalize_expr(vec_sql: str) -> F.Column:
     """array<float> unit normalization as one codegen expression; 0-norm
-    vectors pass through unchanged (see module docstring)."""
+    vectors pass through unchanged (see module docstring).
+
+    The squared norm is bound ONCE via the one-element-transform
+    let-binding (the nearest_centroid_sql trick) — Spark does not hoist
+    loop-invariant subexpressions out of higher-order-function lambdas,
+    so inlining the norm fold in the per-element lambda would re-evaluate
+    it for every element: O(d²) per row instead of O(d)."""
     return F.expr(
-        f"CAST(CASE WHEN (aggregate(transform({vec_sql}, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (s, v) -> s + v)) = 0.0D "
-        f"THEN {vec_sql} "
-        f"ELSE transform({vec_sql}, x -> CAST(CAST(x AS DOUBLE) / "
-        f"sqrt(aggregate(transform({vec_sql}, "
-        f"y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (s, v) -> s + v)) "
-        f"AS FLOAT)) END AS ARRAY<FLOAT>)"
+        f"element_at(transform(array({_norm2_sql(vec_sql)}), n2 -> "
+        f"CASE WHEN n2 = 0.0D THEN {vec_sql} "
+        f"ELSE transform({vec_sql}, x -> "
+        f"CAST(CAST(x AS DOUBLE) / sqrt(n2) AS FLOAT)) END), 1)"
     )
 
 
@@ -264,7 +267,14 @@ class IvfIndex:
             )
         self._check_input_dims(delta, self.vec_col, "delta")
         carry = [F.col(c) for c in self.carry_cols]
-        feats = delta.select(F.col(self.id_col), F.col(self.vec_col), *carry)
+        # cast to the layout's array<float> on EVERY branch — an
+        # array<double> delta would otherwise append DOUBLE-typed parquet
+        # files next to FLOAT ones and break every later scan of the index
+        feats = delta.select(
+            F.col(self.id_col),
+            F.col(self.vec_col).cast("array<float>").alias(self.vec_col),
+            *carry,
+        )
         if self.metric == "cosine":
             feats = feats.select(
                 F.col(self.id_col),
@@ -304,10 +314,15 @@ class IvfIndex:
         the rows under a NULL cluster partition that no probe ever scans —
         silent data loss. One cheap count over the (small) input side."""
         want = self._expected_input_dim()
-        n_bad = df.filter(F.size(F.col(vec_col)) != want).count()
+        # NULL-safe: under ANSI mode size(NULL) is NULL, so `size != want`
+        # is NULL (not true) for a NULL vector and a plain filter would
+        # wave exactly the rows this guard exists to catch straight through
+        n_bad = df.filter(
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != want)
+        ).count()
         if n_bad:
             raise ValueError(
-                f"{n_bad} {what} vector(s) do not have dim {want} "
+                f"{n_bad} {what} vector(s) are NULL or do not have dim {want} "
                 f"(index metric {self.metric!r})"
             )
 
@@ -362,51 +377,51 @@ class IvfIndex:
         ``cos_dist`` = 1 − cosine similarity (≡ L2²/2 on unit vectors),
         nearest-first. Dot index: the query is zero-augmented and the
         result column is ``score`` = ⟨x,q⟩, LARGEST first (MIPS)."""
-        if self.metric == "dot":
-            query = [float(x) for x in query]
-            qn2 = math.fsum(x * x for x in query)
-            q_aug = query + [0.0]
-            m2 = float(self.max_norm) * float(self.max_norm)
-            dist_col = dist_col or "score"
-            probe = self._probe_clusters(q_aug, nprobe)
-            candidates = self._clustered.filter(F.col("cluster").isin(probe))
-            if predicate is not None:
-                candidates = candidates.filter(predicate)
-            hits = knn_ops.knn(
-                candidates, q_aug, k,
-                id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
-                round_to=None,
+        want = self._expected_input_dim()
+        if len(query) != want:
+            # _probe_clusters' zip() would silently truncate and the
+            # distance fold would NULL-pad — garbage results, not an error
+            raise ValueError(
+                f"query dim {len(query)} != index dim {want} "
+                f"(metric {self.metric!r})"
             )
+        query = [float(x) for x in query]
+        # per-metric query preparation + output projection; the candidate
+        # pipeline below (probe -> pruned scan -> predicate -> heap top-k)
+        # is ONE shared tail
+        if self.metric == "dot":
+            qn2 = math.fsum(x * x for x in query)
+            m2 = float(self.max_norm) * float(self.max_norm)
+            prepared = query + [0.0]
+            dist_col = dist_col or "score"
             # ‖x'−q'‖² = M² + ‖q‖² − 2⟨x,q⟩ ⇒ score recovered exactly;
             # ascending _d2 order IS descending score order
-            return hits.select(
-                self.id_col,
-                F.round((F.lit(m2 + qn2) - F.col("_d2")) / 2.0, 6).alias(dist_col),
-            )
-        if self.metric == "cosine":
-            query = _normalize_query(query)
+            project = F.round((F.lit(m2 + qn2) - F.col("_d2")) / 2.0, 6)
+        elif self.metric == "cosine":
+            prepared = _normalize_query(query)
             dist_col = dist_col or "cos_dist"
-            probe = self._probe_clusters(query, nprobe)
-            candidates = self._clustered.filter(F.col("cluster").isin(probe))
-            if predicate is not None:
-                candidates = candidates.filter(predicate)
-            hits = knn_ops.knn(
-                candidates, query, k,
-                id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
-                round_to=None,
-            )
-            return hits.select(
-                self.id_col, F.round(F.col("_d2") / 2.0, 6).alias(dist_col)
-            )
-        dist_col = dist_col or "dist_sq"
-        probe = self._probe_clusters([float(x) for x in query], nprobe)
+            project = F.round(F.col("_d2") / 2.0, 6)
+        else:
+            prepared = query
+            dist_col = dist_col or "dist_sq"
+            project = None
+        probe = self._probe_clusters(prepared, nprobe)
         candidates = self._clustered.filter(F.col("cluster").isin(probe))
         if predicate is not None:
             candidates = candidates.filter(predicate)
-        return knn_ops.knn(
-            candidates, [float(x) for x in query], k,
-            id_col=self.id_col, vec_col=self.vec_col, dist_col=dist_col,
+        if project is None:
+            # L2 ranks on ROUND-6 distances with the id tie-break (knn's
+            # default), matching the batch path's rounded window order
+            return knn_ops.knn(
+                candidates, prepared, k,
+                id_col=self.id_col, vec_col=self.vec_col, dist_col=dist_col,
+            )
+        hits = knn_ops.knn(
+            candidates, prepared, k,
+            id_col=self.id_col, vec_col=self.vec_col, dist_col="_d2",
+            round_to=None,
         )
+        return hits.select(self.id_col, project.alias(dist_col))
 
     def search_many(
         self,
@@ -467,6 +482,12 @@ class IvfIndex:
                     f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
                     "a broadcast this large risks executor OOM — split the "
                     "query table and search_many per split"
+                )
+        for qc in (query_id, query_vec):
+            if qc in self._clustered.columns:
+                raise ValueError(
+                    f"query column {qc!r} collides with a layout column — "
+                    "alias it on the query side first"
                 )
         filter_map = dict(filter_map or {})
         for dcol, qcol in filter_map.items():

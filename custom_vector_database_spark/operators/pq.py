@@ -444,10 +444,14 @@ class IvfPqIndex:
         rows under a NULL cluster partition no probe ever scans (silent
         loss), or ranking a bad query by NULL distances. One cheap count
         over the (small) input side."""
-        n_bad = df.filter(F.size(F.col(vec_col)) != self.dim).count()
+        # NULL-safe: size(NULL) is NULL under ANSI mode, so `size != dim`
+        # would wave NULL vectors straight through this guard
+        n_bad = df.filter(
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != self.dim)
+        ).count()
         if n_bad:
             raise ValueError(
-                f"{n_bad} {what} vector(s) do not have dim {self.dim}"
+                f"{n_bad} {what} vector(s) are NULL or do not have dim {self.dim}"
             )
 
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
@@ -572,6 +576,12 @@ class IvfPqIndex:
                 )
         from pyspark.sql import Window
 
+        for qc in (query_id, query_vec):
+            if qc in self._encoded.columns:
+                raise ValueError(
+                    f"query column {qc!r} collides with a layout column — "
+                    "alias it on the query side first"
+                )
         self._check_input_dims(queries, query_vec, "query")
         dist_col = dist_col or ("cos_dist" if self.metric == "cosine" else "dist_sq")
         if self.metric == "cosine":

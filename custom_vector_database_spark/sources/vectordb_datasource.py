@@ -106,12 +106,19 @@ class _UriFs:
             out.write(data)
 
     def promote(self, tmp: str, final: str) -> None:
-        """move tmp → final, overwriting: a rename on real filesystems
-        (atomic on HDFS/local), copy+delete on object stores — in either
-        case a complete replacement exists under the tmp name until the
-        final is in place; the local-no-scheme fast path keeps the
-        stricter os.replace."""
-        self._fs.move(self._p(tmp), self._p(final))
+        """move tmp → final, overwriting. HDFS rename semantics REFUSE an
+        existing destination (unlike POSIX rename and the object-store
+        copy+delete path), so an existing final is deleted first — the
+        complete replacement keeps existing under the tmp name through
+        that window, preserving the two-phase-commit recovery contract
+        (a reader that races the gap finds the tmp and rolls forward);
+        the local-no-scheme fast path keeps the stricter os.replace."""
+        try:
+            self._fs.move(self._p(tmp), self._p(final))
+        except OSError:
+            # destination likely exists on rename-refusing filesystems
+            self.delete_quiet(final)
+            self._fs.move(self._p(tmp), self._p(final))
 
     def glob(self, pattern: str) -> list[str]:
         """URI-glob over the pattern's parent directory (pyarrow has no

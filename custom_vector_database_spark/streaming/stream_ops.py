@@ -372,13 +372,18 @@ def stream_vector_ingest(
     micro-batches under trigger(availableNow) so the test exercises the
     repeated-merge path, not a degenerate single batch.
 
-    Idempotence: foreachBatch is AT-LEAST-once — after a crash between an
-    upsert's parquet append and the streaming commit, the restarted query
-    REPLAYS that batch id. The sink therefore records each applied batch
-    id in a sidecar next to the checkpoint (the documented foreachBatch
-    dedup pattern) and skips ids it has already applied, making the
-    append effectively exactly-once. The sidecar lives with the
-    checkpoint: reuse both to resume, delete both to start over.
+    Idempotence: foreachBatch is AT-LEAST-once — after a crash the
+    restarted query replays uncommitted batch ids. The sink records each
+    applied batch id in a sidecar next to the checkpoint (the documented
+    foreachBatch dedup pattern) and skips already-applied ids, which
+    narrows the duplicate window to a crash landing exactly BETWEEN the
+    parquet append and the sidecar record (record-after-apply — the
+    reverse order could silently LOSE a batch, which is worse than
+    duplicating one). Within that narrow window the guarantee is
+    at-least-once, not exactly-once; a deployment that cannot tolerate
+    even that should dedup by id downstream or rebuild on recovery.
+    The sidecar lives with the checkpoint: reuse both to resume, delete
+    both to start over.
 
     Returns the number of micro-batches processed this call. Checkpoint
     lifecycle: callers own the delta_dir parent (bounded drive, fresh

@@ -813,3 +813,31 @@ def test_ivfpq_cosine_recall_and_distances(spark, emb, tmp_path):
             for s in loaded.search(list(r["embedding"]), k=5, nprobe=3).collect()
         ]
         assert got[r["vec_id"]] == single, r["vec_id"]
+
+
+def test_ivf_guards_null_vectors_and_bad_dims(spark, emb, tmp_path):
+    """ANSI-mode size(NULL) is NULL, so the dim guard must catch NULL
+    vectors explicitly; wrong-dim single-query search must error, not
+    return NULL-distance garbage; query column names colliding with the
+    layout must raise clearly."""
+    from pyspark.sql import Row
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    idx = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4)
+    path = str(tmp_path / "ivf_guard")
+    idx.save(path)
+    idx = IvfIndex.load(spark, path)
+    null_delta = spark.createDataFrame(
+        [Row(vec_id=999_001, embedding=None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NULL or do not have dim"):
+        idx.upsert(null_delta)
+    with pytest.raises(ValueError, match="query dim"):
+        idx.search([1.0, 2.0], k=3)
+    qcollide = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    with pytest.raises(ValueError, match="collides with a layout"):
+        idx.search_many(qcollide, k=2, query_vec="embedding")
