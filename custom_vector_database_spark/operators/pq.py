@@ -255,17 +255,19 @@ class IvfPqIndex:
         id_col: str,
         dim: int,
         metric: str = "l2_sq",
+        max_norm: float | None = None,
     ):
-        if metric not in ("l2_sq", "cosine"):
+        if metric not in ("l2_sq", "cosine", "dot"):
             raise ValueError(
-                f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+                f"unknown metric {metric!r}; expected 'l2_sq', 'cosine' or 'dot'"
             )
         self.centroids = centroids
         self.codebooks = codebooks
         self._encoded = encoded
         self.id_col = id_col
-        self.dim = dim
+        self.dim = dim  # the ENCODED dim (raw + 1 on a dot index)
         self.metric = metric
+        self.max_norm = max_norm  # the MIPS M-sphere radius (dot only)
         self.m = len(codebooks)
         self.k = len(codebooks[0])
         self._path: str | None = None  # set by save()/load(); upsert needs it
@@ -288,28 +290,47 @@ class IvfPqIndex:
         pattern): vectors unit-normalize INSIDE the same cast projection,
         queries normalize at search time, and reported ``cos_dist`` =
         ADC-L2²/2 (≡ 1 − cosine on unit vectors); reranks re-score with
-        TRUE cosine distance against the raw base table."""
-        if metric not in ("l2_sq", "cosine"):
+        TRUE cosine distance against the raw base table.
+
+        ``metric="dot"`` is the augmented-dimension MIPS→NN reduction
+        (the IvfIndex pattern, operators/ivf.py module docstring): store
+        [x, √(M²−‖x‖²)], search with [q, 0]; ascending augmented ADC-L2
+        is descending inner product, and reported ``score`` = ⟨x,q⟩ is
+        recovered arithmetically. The caller's m must divide dim+1 (the
+        encoded dim); reranks re-score with TRUE inner products."""
+        if metric not in ("l2_sq", "cosine", "dot"):
             raise ValueError(
-                f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+                f"unknown metric {metric!r}; expected 'l2_sq', 'cosine' or 'dot'"
             )
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
             raise ValueError("cannot fit IVF-PQ on an empty table")
         dim = int(first["d"])
+
+        from custom_vector_database_spark.operators.ivf import (
+            _augment_expr,
+            _norm2_sql,
+            _unit_normalize_expr,
+        )
+
+        max_norm = None
+        if metric == "cosine":
+            src = _unit_normalize_expr(f"`{vec_col}`")
+        elif metric == "dot":
+            row = df.agg(
+                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("mx")
+            ).first()
+            if row is None or row["mx"] is None:
+                raise ValueError("cannot fit IVF-PQ on an empty table")
+            max_norm = float(row["mx"])
+            src = _augment_expr(f"`{vec_col}`", max_norm * max_norm)
+            dim += 1  # the encoded space carries the augmented coordinate
+        else:
+            src = F.col(vec_col)
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
 
-        from custom_vector_database_spark.operators.ivf import (
-            _unit_normalize_expr,
-        )
-
-        src = (
-            _unit_normalize_expr(f"`{vec_col}`")
-            if metric == "cosine"
-            else F.col(vec_col)
-        )
         feats = df.select(
             F.col(id_col),
             src.cast("array<double>").alias("_vec"),
@@ -337,7 +358,10 @@ class IvfPqIndex:
         encoded = _ivfpq_encode(
             feats, centroids, codebooks, id_col, dim
         ).localCheckpoint(eager=True)
-        return cls(centroids, codebooks, encoded, id_col, dim, metric=metric)
+        return cls(
+            centroids, codebooks, encoded, id_col, dim, metric=metric,
+            max_norm=max_norm,
+        )
 
     def encoded_df(self) -> DataFrame:
         return self._encoded
@@ -353,6 +377,7 @@ class IvfPqIndex:
                     "id_col": self.id_col,
                     "dim": self.dim,
                     "metric": self.metric,
+                    "max_norm": self.max_norm,
                     "centroids": self.centroids,
                     "codebooks": self.codebooks,
                 },
@@ -377,6 +402,7 @@ class IvfPqIndex:
         idx = cls(
             meta["centroids"], meta["codebooks"], encoded, meta["id_col"],
             meta["dim"], metric=meta.get("metric", "l2_sq"),
+            max_norm=meta.get("max_norm"),
         )
         idx._path = path
         return idx
@@ -401,6 +427,13 @@ class IvfPqIndex:
             )
 
             src = _unit_normalize_expr(f"`{vec_col}`")
+        elif self.metric == "dot":
+            # saved M; over-M delta rows clamp to the sphere (ivf.upsert
+            # contract — a rebuild refreshes M)
+            from custom_vector_database_spark.operators.ivf import _augment_expr
+
+            m2 = float(self.max_norm) * float(self.max_norm)
+            src = _augment_expr(f"`{vec_col}`", m2)
         else:
             src = F.col(vec_col)
         feats = delta.select(
@@ -445,13 +478,16 @@ class IvfPqIndex:
         loss), or ranking a bad query by NULL distances. One cheap count
         over the (small) input side."""
         # NULL-safe: size(NULL) is NULL under ANSI mode, so `size != dim`
-        # would wave NULL vectors straight through this guard
+        # would wave NULL vectors straight through this guard. Callers
+        # supply RAW vectors — one less than the encoded dim on a dot
+        # index (the augmented coordinate is added internally).
+        want = self.dim - 1 if self.metric == "dot" else self.dim
         n_bad = df.filter(
-            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != self.dim)
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != want)
         ).count()
         if n_bad:
             raise ValueError(
-                f"{n_bad} {what} vector(s) are NULL or do not have dim {self.dim}"
+                f"{n_bad} {what} vector(s) are NULL or do not have dim {want}"
             )
 
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
@@ -471,8 +507,10 @@ class IvfPqIndex:
         rerank: int = 0,
         dist_col: str | None = None,
     ) -> DataFrame:
-        if len(query) != self.dim:
-            raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
+        want = self.dim - 1 if self.metric == "dot" else self.dim
+        if len(query) != want:
+            raise ValueError(f"query dim {len(query)} != index dim {want}")
+        qn2 = 0.0
         if self.metric == "cosine":
             from custom_vector_database_spark.operators.ivf import (
                 _normalize_query,
@@ -480,6 +518,13 @@ class IvfPqIndex:
 
             query = _normalize_query(query)
             dist_col = dist_col or "cos_dist"
+        elif self.metric == "dot":
+            import math as _math
+
+            query = [float(x) for x in query]
+            qn2 = _math.fsum(x * x for x in query)
+            query = query + [0.0]  # zero-augmented (MIPS -> NN reduction)
+            dist_col = dist_col or "score"
         else:
             dist_col = dist_col or "dist_sq"
         query = [float(x) for x in query]
@@ -510,12 +555,24 @@ class IvfPqIndex:
             + " ELSE CAST(NULL AS DOUBLE) END"
         )
 
+        nearest_first = True
         if self.metric == "cosine":
             adc = adc / 2.0  # ADC-L2²/2 ≡ 1 − cosine on unit vectors
+        elif self.metric == "dot":
+            # ‖x'−q'‖² ≈ M² + ‖q‖² − 2⟨x,q⟩ ⇒ score recovered from the
+            # ADC distance; ascending ADC IS descending score
+            m2 = float(self.max_norm) * float(self.max_norm)
+            adc = (F.lit(m2 + qn2) - adc) / 2.0
+            nearest_first = False
+        order = (
+            F.col(dist_col).asc_nulls_last()
+            if nearest_first
+            else F.col(dist_col).desc_nulls_last()
+        )
         cand = (
             self._encoded.filter(F.col("cluster").isin(probe))
             .select(self.id_col, adc.alias(dist_col))
-            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(self.id_col).asc())
+            .orderBy(order, F.col(self.id_col).asc())
             .limit(k * rerank if rerank > 0 else k)
         )
         if rerank <= 0:
@@ -523,8 +580,19 @@ class IvfPqIndex:
         if base_df is None:
             raise ValueError("rerank requires the full-precision base_df")
         ids = [r[self.id_col] for r in cand.select(self.id_col).collect()]
-        # cosine reranks re-score with TRUE cosine distance over the RAW
-        # base vectors (the normalized query keeps the metric exact)
+        if self.metric == "dot":
+            # TRUE inner products over the RAW base vectors (drop the
+            # augmented zero; knn's dot metric ranks by −⟨x,q⟩ ascending)
+            hits = knn_ops.knn(
+                base_df.filter(F.col(self.id_col).isin(ids)), query[:-1], k,
+                id_col=self.id_col, vec_col=vec_col, dist_col="_nd",
+                metric="dot", round_to=None,
+            )
+            return hits.select(
+                self.id_col, F.round(-F.col("_nd"), 6).alias(dist_col)
+            )
+        # cosine/L2 reranks re-score with the TRUE metric over the RAW
+        # base vectors (the normalized query keeps cosine exact)
         return knn_ops.knn(
             base_df.filter(F.col(self.id_col).isin(ids)), query, k,
             id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
@@ -583,7 +651,9 @@ class IvfPqIndex:
                     "alias it on the query side first"
                 )
         self._check_input_dims(queries, query_vec, "query")
-        dist_col = dist_col or ("cos_dist" if self.metric == "cosine" else "dist_sq")
+        dist_col = dist_col or {
+            "cosine": "cos_dist", "dot": "score"
+        }.get(self.metric, "dist_sq")
         if self.metric == "cosine":
             from custom_vector_database_spark.operators.ivf import (
                 _unit_normalize_expr,
@@ -591,6 +661,20 @@ class IvfPqIndex:
 
             queries = queries.withColumn(
                 query_vec, _unit_normalize_expr(f"`{query_vec}`")
+            )
+        elif self.metric == "dot":
+            # zero-augment + per-query ‖q‖² (rides the tiny query side);
+            # raw queries are preserved for the exact-inner-product rerank
+            from custom_vector_database_spark.operators.ivf import _norm2_sql
+
+            raw_queries = queries
+            queries = queries.select(
+                F.col(query_id),
+                F.expr(
+                    f"CAST(concat(`{query_vec}`, array(CAST(0.0 AS FLOAT))) "
+                    f"AS ARRAY<FLOAT>)"
+                ).alias(query_vec),
+                F.expr(_norm2_sql(f"`{query_vec}`")).alias("_qn2"),
             )
         dsub = self.dim // self.m
         qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
@@ -606,16 +690,19 @@ class IvfPqIndex:
             f"(a, b) -> (a - b) * (a - b)), 0.0D, (s, d) -> s + d))"
             for j in range(self.m)
         )
+        extra_q = [F.col("_qn2")] if self.metric == "dot" else []
         exploded = (
             queries.select(
                 F.col(query_id),
                 F.col(query_vec),
+                *extra_q,
                 F.explode(probes).alias("cluster"),
             )
             .withColumn("_res", F.expr(res_sql))
             .select(
                 F.col(query_id),
                 F.col(query_vec),
+                *extra_q,
                 F.col("cluster"),
                 F.expr(f"array({luts})").alias("_luts"),
             )
@@ -630,16 +717,27 @@ class IvfPqIndex:
             f"element_at(codes, {j + 1}) + 1)"
             for j in range(self.m)
         )
+        nearest_first = True
+        dist_expr = F.expr(adc)
         if self.metric == "cosine":
-            adc = f"({adc}) / 2.0"  # ADC-L2²/2 ≡ 1 − cosine on unit vectors
+            dist_expr = dist_expr / 2.0  # ADC-L2²/2 ≡ 1 − cosine on unit
+        elif self.metric == "dot":
+            # score ⟨x,q⟩ recovered from the ADC distance; per-query ‖q‖²
+            # rides the broadcast side
+            m2 = float(self.max_norm) * float(self.max_norm)
+            dist_expr = (F.lit(m2) + F.col("_qn2") - dist_expr) / 2.0
+            nearest_first = False
         scored = (
             self._encoded.filter(F.col("cluster").isin(probed))
             .join(F.broadcast(exploded.drop(query_vec)), "cluster")
-            .select(F.col(query_id), F.col(self.id_col), F.expr(adc).alias(dist_col))
+            .select(F.col(query_id), F.col(self.id_col), dist_expr.alias(dist_col))
         )
-        w = Window.partitionBy(query_id).orderBy(
-            F.col(dist_col).asc_nulls_last(), F.col(self.id_col).asc()
+        order = (
+            F.col(dist_col).asc_nulls_last()
+            if nearest_first
+            else F.col(dist_col).desc_nulls_last()
         )
+        w = Window.partitionBy(query_id).orderBy(order, F.col(self.id_col).asc())
         n_cand = k * rerank if rerank > 0 else k
         cand = (
             scored.withColumn("_rn", F.row_number().over(w))
@@ -660,6 +758,14 @@ class IvfPqIndex:
             exact_dist = F.lit(1.0) - cosine_similarity(
                 F.col(base_vec), F.col(query_vec)
             )
+        elif self.metric == "dot":
+            # TRUE inner products vs the raw base vectors and RAW queries
+            from custom_vector_database_spark.functions.vector import (
+                dot_product,
+            )
+
+            queries = raw_queries
+            exact_dist = dot_product(F.col(base_vec), F.col(query_vec))
         else:
             exact_dist = knn_ops.l2_squared(F.col(base_vec), F.col(query_vec))
         exact = (

@@ -427,6 +427,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             carry_cols=["label"],
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivfpq_dot":
+        from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+        IvfPqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=13,
+            k=16, metric="dot",
+        ).save(path)
+        idx = IvfPqIndex.load(spark, path)
     elif kind == "ivfpq_cos":
         from custom_vector_database_spark.operators.pq import IvfPqIndex
 
@@ -671,6 +679,73 @@ def q_ivfpq_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector sits ON the M-sphere in the augmented space. Search excludes the
 # query row itself, mirroring the exact knn_dot registration.
 # ---------------------------------------------------------------------------
+@register("ivfpq_dot_build", _build_oracle("pqdot_layout_ok"))
+def q_ivfpq_dot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices the MIPS IVF-PQ fit: the augmented 65-d space quantizes
+    into m=13 subspaces (65 = 13 × 5); the structural boolean checks the
+    code layout shape — score fidelity is certified by the search row's
+    recall flag and tests/test_recall.py."""
+    idx = saved_index(spark, sf_dir, "ivfpq_dot")
+    return idx.encoded_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.min(F.size("codes")) == 13)
+            & (F.max(F.size("codes")) == 13)
+        ).alias("pqdot_layout_ok"),
+    )
+
+
+@register(
+    "ivfpq_search_dot",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (acc, val) -> acc + val), 6) AS score,
+           TRUE AS pqdot_ok
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivfpq_search_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS ADC over the COMPRESSED augmented layout (built/priced by
+    ivfpq_dot_build) with a true-inner-product rerank — guarantee-oracle
+    pattern mirroring ivf_search_dot: exact inner-product top-10 (query
+    row excluded, the knn_dot convention) + a recall flag."""
+    from custom_vector_database_spark.functions.vector import dot_product
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    query = [float(x) for x in qdf.first()["qv"]]
+    idx = saved_index(spark, sf_dir, "ivfpq_dot")
+    approx_ids = {
+        r["vec_id"]
+        for r in idx.search(
+            query, k=11, nprobe=8, base_df=emb, vec_col="embedding", rerank=4
+        ).collect()
+        if r["vec_id"] != 0
+    }
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qdf))
+        .select("vec_id", F.round(dot_product("embedding", "qv"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(10)
+        .localCheckpoint(eager=True)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    ok = len(exact_ids & approx_ids) >= 5
+    return exact.withColumn("pqdot_ok", F.lit(bool(ok))).orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+
+
 @register("ivf_dot_build", _build_oracle("dot_layout_ok"))
 def q_ivf_dot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.functions.vector import l2_norm

@@ -841,3 +841,77 @@ def test_ivf_guards_null_vectors_and_bad_dims(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="collides with a layout"):
         idx.search_many(qcollide, k=2, query_vec="embedding")
+
+
+def test_ivfpq_dot_recall_and_scores(spark, emb, tmp_path):
+    """MIPS IVF-PQ: reranked recall vs exact inner-product top-k clears
+    the bar; reranked scores are TRUE inner products; batch path agrees
+    with single-query on the saved layout."""
+    from custom_vector_database_spark.functions.vector import dot_product
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    # 64-d + augmented coordinate = 65 -> m must divide 65: m=13
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=13, k=16,
+        metric="dot",
+    )
+    assert idx.dim == 65 and idx.max_norm is not None
+    queries = [
+        list(r["embedding"]) for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding",
+                metric="dot", dist_col="_nd", round_to=None,
+            ).collect()
+        }
+        got = idx.search(
+            qvec, k=K, nprobe=12, base_df=emb, vec_col="embedding", rerank=10
+        )
+        assert got.columns == ["vec_id", "score"]
+        total += len({r["vec_id"] for r in got.collect()} & exact_ids) / K
+    assert total / len(queries) >= 0.9, f"dot IVF-PQ recall {total/len(queries):.3f}"
+    # reranked scores are true inner products, largest first
+    q0 = queries[0]
+    qdf0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    true0 = {
+        r["vec_id"]: r["dp"]
+        for r in emb.join(F.broadcast(qdf0))
+        .select("vec_id", F.round(dot_product("embedding", "q"), 6).alias("dp"))
+        .collect()
+    }
+    rows = idx.search(q0, k=K, nprobe=12, base_df=emb, vec_col="embedding", rerank=5).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["score"] == pytest.approx(true0[r["vec_id"]], abs=1e-4)
+    # batch == single-query on the saved layout (+ upsert keeps the metric)
+    path = str(tmp_path / "ivfpq_dot")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.metric == "dot" and loaded.max_norm == idx.max_norm
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_many(qdf, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], round(r["score"], 5)))
+    for r in emb.filter(F.col("vec_id") < 4).collect():
+        single = [
+            (s["vec_id"], round(s["score"], 5))
+            for s in loaded.search(list(r["embedding"]), k=5, nprobe=3).collect()
+        ]
+        assert got[r["vec_id"]] == single, r["vec_id"]
+    delta = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 920_000).alias("vec_id"), "embedding"
+    )
+    assert loaded.upsert(delta, vec_col="embedding") == 3
+    hits = {r["vec_id"] for r in loaded.search(
+        list(emb.filter(F.col("vec_id") == 1).first()["embedding"]),
+        k=60, nprobe=16,
+    ).collect()}
+    assert 920_001 in hits  # the upserted clone is retrievable
