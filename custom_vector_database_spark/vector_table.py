@@ -363,29 +363,67 @@ class VectorTable:
         self._rewrite(self.df().repartition(n), n_files=n)
 
     # -- O6 rebuild (vectordb.cpp:82-118) -----------------------------------
-    def rebuild(self, num_hash_tables: int = 4, bucket_length: float | None = None):
-        """Explicit index build: fit a BucketedRandomProjectionLSH model
-        (euclidean — matching the reference's L2 metric) and persist model +
-        hashed table. Search answers from this artifact until the next
+    def rebuild(
+        self,
+        num_hash_tables: int = 4,
+        bucket_length: float | None = None,
+        kind: str = "lsh",
+        n_clusters: int = 16,
+    ):
+        """Explicit index build. ``kind="lsh"`` (default): fit a
+        BucketedRandomProjectionLSH model (euclidean — matching the
+        reference's L2 metric) and persist model + hashed table.
+        ``kind="ivf"``: fit the cluster-partitioned IVF index instead —
+        the partition-pruned probe layout (operators/ivf.py), same L2
+        metric and same API surface, the scale path for big tables
+        (cosine/dot/compressed variants live on the operators API).
+        Either way search answers from this artifact until the next
         rebuild — preserving the reference's stale-index contract.
         """
-        from custom_vector_database_spark.operators.ann import LshIndex
+        import json as _json
+        import shutil as _shutil
 
-        index = LshIndex.fit(
-            self.df(),
-            id_col="id",
-            vec_col="vec",
-            num_hash_tables=num_hash_tables,
-            bucket_length=bucket_length,
-        )
+        if kind not in ("lsh", "ivf"):
+            raise ValueError(f"unknown index kind {kind!r}; 'lsh' or 'ivf'")
+        if kind == "ivf":
+            from custom_vector_database_spark.operators.ivf import IvfIndex
+
+            index = IvfIndex.fit(
+                self.df(), id_col="id", vec_col="vec", n_clusters=n_clusters
+            )
+        else:
+            from custom_vector_database_spark.operators.ann import LshIndex
+
+            index = LshIndex.fit(
+                self.df(),
+                id_col="id",
+                vec_col="vec",
+                num_hash_tables=num_hash_tables,
+                bucket_length=bucket_length,
+            )
+        # clean swap: the two kinds use different on-disk layouts
+        _shutil.rmtree(self._index_path, ignore_errors=True)
         index.save(self._index_path)
+        with open(os.path.join(self._index_path, "kind.json"), "w") as f:
+            _json.dump({"kind": kind}, f)
         return index
 
     def _load_index(self):
-        from custom_vector_database_spark.operators.ann import LshIndex
+        import json as _json
 
         if not os.path.exists(self._index_path):
             raise RuntimeError("no index built; run rebuild() first")
+        kind = "lsh"  # pre-kind-marker tables are LSH
+        marker = os.path.join(self._index_path, "kind.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                kind = _json.load(f)["kind"]
+        if kind == "ivf":
+            from custom_vector_database_spark.operators.ivf import IvfIndex
+
+            return IvfIndex.load(self.spark, self._index_path)
+        from custom_vector_database_spark.operators.ann import LshIndex
+
         return LshIndex.load(self.spark, self._index_path)
 
     # -- O7 search (vectordb.cpp:120-156) -------------------------------------
@@ -414,7 +452,12 @@ class VectorTable:
             )
         if metric != "l2_sq":
             raise ValueError("approximate search supports only the l2_sq metric")
-        return self._load_index().search([float(x) for x in query], k)
+        idx = self._load_index()
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        if isinstance(idx, IvfIndex):
+            return idx.search([float(x) for x in query], k, nprobe=8)
+        return idx.search([float(x) for x in query], k)
 
     def search_many(
         self,
@@ -460,7 +503,12 @@ class VectorTable:
         the reference's literal semantic (search answers from the index
         snapshot, not the live rows). Returns (id, dist_sq) nearest-first."""
         idx = self._load_index()
-        snapshot = idx.hashed_df().select("id", "vec")
+        from custom_vector_database_spark.operators.ivf import IvfIndex
+
+        if isinstance(idx, IvfIndex):
+            snapshot = idx.clustered_df().select("id", "vec")
+        else:
+            snapshot = idx.hashed_df().select("id", "vec")
         return knn_ops.knn(snapshot, [float(x) for x in query], k)
 
     # -- O8 save: every mutation already persists (whole-rewrite), like the

@@ -173,3 +173,37 @@ def test_search_many_rejects_wrong_dim(spark, tmp_path):
     bad = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
     with _pytest.raises(DimensionMismatchError):
         vt.search_many(bad, k=1)
+
+
+def test_rebuild_ivf_kind_preserves_reference_contracts(spark, tmp_path):
+    """kind='ivf' swaps the LSH model for the cluster-partitioned IVF
+    layout behind the SAME VectorTable surface: approximate search
+    answers from the rebuild-time snapshot (stale until the next
+    rebuild, the reference's contract), search_stale scans that
+    snapshot, and the kinds can be swapped back and forth."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    vt = VectorTable(spark, str(tmp_path / "t")).init(dim=4)
+    ids = vt.add(
+        [([float(i), 0.0, 0.0, 0.0], None) for i in range(20)]
+    )
+    vt.rebuild(kind="ivf", n_clusters=4)
+    got = vt.search([0.0, 0.0, 0.0, 0.0], k=3, exact=False).collect()
+    assert [r["id"] for r in got] == ids[:3]  # nearest by first coord
+    # stale contract: a new row is invisible to the index until rebuild
+    (new_id,) = vt.add([([0.1, 0.0, 0.0, 0.0], None)])
+    stale = {r["id"] for r in vt.search([0.0] * 4, k=3, exact=False).collect()}
+    assert new_id not in stale
+    stale2 = {r["id"] for r in vt.search_stale([0.0] * 4, k=3).collect()}
+    assert new_id not in stale2
+    vt.rebuild(kind="ivf", n_clusters=4)
+    fresh = {r["id"] for r in vt.search([0.0] * 4, k=3, exact=False).collect()}
+    assert new_id in fresh
+    # swap back to LSH cleanly over the same path
+    vt.rebuild(kind="lsh")
+    lsh = {r["id"] for r in vt.search([0.0] * 4, k=3, exact=False).collect()}
+    assert new_id in lsh
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown index kind"):
+        vt.rebuild(kind="hnsw")
