@@ -200,11 +200,13 @@ def _ivfpq_encode(
     codebooks: list[list[list[float]]],
     id_col: str,
     dim: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Cluster assign + residual + m subspace codes as ONE codegen'd
     projection over literal centroid tables — the encode pass shared by
     fit (full table) and upsert (delta only). Expects a ``_vec``
-    array<double> column next to ``id_col``."""
+    array<double> column next to ``id_col``; ``carry_cols`` pass through
+    into the code layout (filter attributes for filtered search)."""
     m = len(codebooks)
     dsub = dim // m
     out = feats.withColumn(
@@ -224,7 +226,8 @@ def _ivfpq_encode(
         )
         + ")"
     )
-    return out.select(id_col, "cluster", codes.alias("codes"))
+    carry = [F.col(c) for c in (carry_cols or [])]
+    return out.select(id_col, "cluster", codes.alias("codes"), *carry)
 
 
 class IvfPqIndex:
@@ -256,6 +259,7 @@ class IvfPqIndex:
         dim: int,
         metric: str = "l2_sq",
         max_norm: float | None = None,
+        carry_cols: list[str] | None = None,
     ):
         if metric not in ("l2_sq", "cosine", "dot"):
             raise ValueError(
@@ -268,6 +272,8 @@ class IvfPqIndex:
         self.dim = dim  # the ENCODED dim (raw + 1 on a dot index)
         self.metric = metric
         self.max_norm = max_norm  # the MIPS M-sphere radius (dot only)
+        self.carry_cols = list(carry_cols or [])  # filter attributes stored
+        # IN the code layout so filtered searches read them off the scan
         self.m = len(codebooks)
         self.k = len(codebooks[0])
         self._path: str | None = None  # set by save()/load(); upsert needs it
@@ -285,6 +291,7 @@ class IvfPqIndex:
         max_iter: int = 10,
         fit_sample: int = 100_000,
         metric: str = "l2_sq",
+        carry_cols: list[str] | None = None,
     ) -> "IvfPqIndex":
         """``metric="cosine"`` is normalize-at-build (the IvfIndex
         pattern): vectors unit-normalize INSIDE the same cast projection,
@@ -331,9 +338,14 @@ class IvfPqIndex:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
 
+        carry_cols = list(carry_cols or [])
+        bad = {id_col, vec_col, "cluster", "codes"} & set(carry_cols)
+        if bad:
+            raise ValueError(f"carry_cols collide with index columns: {bad}")
         feats = df.select(
             F.col(id_col),
             src.cast("array<double>").alias("_vec"),
+            *[F.col(c) for c in carry_cols],
         )
         n = feats.count()
         # ONE sampling pass feeds both the coarse quantizer and (via
@@ -356,11 +368,11 @@ class IvfPqIndex:
 
         # full-table pass: _ivfpq_encode — one codegen'd projection
         encoded = _ivfpq_encode(
-            feats, centroids, codebooks, id_col, dim
+            feats, centroids, codebooks, id_col, dim, carry_cols=carry_cols
         ).localCheckpoint(eager=True)
         return cls(
             centroids, codebooks, encoded, id_col, dim, metric=metric,
-            max_norm=max_norm,
+            max_norm=max_norm, carry_cols=carry_cols,
         )
 
     def encoded_df(self) -> DataFrame:
@@ -378,6 +390,7 @@ class IvfPqIndex:
                     "dim": self.dim,
                     "metric": self.metric,
                     "max_norm": self.max_norm,
+                    "carry_cols": self.carry_cols,
                     "centroids": self.centroids,
                     "codebooks": self.codebooks,
                 },
@@ -403,6 +416,7 @@ class IvfPqIndex:
             meta["centroids"], meta["codebooks"], encoded, meta["id_col"],
             meta["dim"], metric=meta.get("metric", "l2_sq"),
             max_norm=meta.get("max_norm"),
+            carry_cols=meta.get("carry_cols"),
         )
         idx._path = path
         return idx
@@ -437,10 +451,13 @@ class IvfPqIndex:
         else:
             src = F.col(vec_col)
         feats = delta.select(
-            F.col(self.id_col), src.cast("array<double>").alias("_vec")
+            F.col(self.id_col),
+            src.cast("array<double>").alias("_vec"),
+            *[F.col(c) for c in self.carry_cols],
         )
         encoded = _ivfpq_encode(
-            feats, self.centroids, self.codebooks, self.id_col, self.dim
+            feats, self.centroids, self.codebooks, self.id_col, self.dim,
+            carry_cols=self.carry_cols,
         ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
         n = encoded.count()
         codes_path = os.path.join(self._path, "codes")
@@ -611,6 +628,7 @@ class IvfPqIndex:
         rerank: int = 0,
         dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
+        filter_map: dict[str, str] | None = None,
     ) -> DataFrame:
         """Batch ADC search: the k approximate nearest rows for EVERY row
         of a query table, answered from the compressed cluster-partitioned
@@ -650,6 +668,19 @@ class IvfPqIndex:
                     f"query column {qc!r} collides with a layout column — "
                     "alias it on the query side first"
                 )
+        filter_map = dict(filter_map or {})
+        for dcol, qcol in filter_map.items():
+            if dcol not in self._encoded.columns:
+                raise ValueError(
+                    f"filter column {dcol!r} is not in the saved layout — "
+                    f"build the index with fit(carry_cols=[{dcol!r}])"
+                )
+            if qcol in self._encoded.columns:
+                raise ValueError(
+                    f"query filter column {qcol!r} collides with a layout "
+                    "column — alias it on the query side first"
+                )
+        qfilter_cols = [F.col(c) for c in filter_map.values()]
         self._check_input_dims(queries, query_vec, "query")
         dist_col = dist_col or {
             "cosine": "cos_dist", "dot": "score"
@@ -675,6 +706,7 @@ class IvfPqIndex:
                     f"AS ARRAY<FLOAT>)"
                 ).alias(query_vec),
                 F.expr(_norm2_sql(f"`{query_vec}`")).alias("_qn2"),
+                *qfilter_cols,
             )
         dsub = self.dim // self.m
         qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
@@ -691,6 +723,7 @@ class IvfPqIndex:
             for j in range(self.m)
         )
         extra_q = [F.col("_qn2")] if self.metric == "dot" else []
+        extra_q += qfilter_cols
         exploded = (
             queries.select(
                 F.col(query_id),
@@ -727,10 +760,13 @@ class IvfPqIndex:
             m2 = float(self.max_norm) * float(self.max_norm)
             dist_expr = (F.lit(m2) + F.col("_qn2") - dist_expr) / 2.0
             nearest_first = False
-        scored = (
-            self._encoded.filter(F.col("cluster").isin(probed))
-            .join(F.broadcast(exploded.drop(query_vec)), "cluster")
-            .select(F.col(query_id), F.col(self.id_col), dist_expr.alias(dist_col))
+        joined = self._encoded.filter(F.col("cluster").isin(probed)).join(
+            F.broadcast(exploded.drop(query_vec)), "cluster"
+        )
+        for dcol, qcol in filter_map.items():
+            joined = joined.filter(F.col(dcol) == F.col(qcol))
+        scored = joined.select(
+            F.col(query_id), F.col(self.id_col), dist_expr.alias(dist_col)
         )
         order = (
             F.col(dist_col).asc_nulls_last()

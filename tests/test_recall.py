@@ -915,3 +915,62 @@ def test_ivfpq_dot_recall_and_scores(spark, emb, tmp_path):
         k=60, nprobe=16,
     ).collect()}
     assert 920_001 in hits  # the upserted clone is retrievable
+
+
+def test_ivfpq_filtered_search_many(spark, emb, tmp_path):
+    """Carried attributes + per-query filtering on the COMPRESSED index:
+    the constraint is honored, survives save/load/upsert, and at full
+    nprobe with rerank the result equals the exact filtered top-k."""
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, m=8, k=16,
+        carry_cols=["label"],
+    )
+    path = str(tmp_path / "ivfpq_lbl")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.carry_cols == ["label"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    got = loaded.search_many(
+        queries, k=4, nprobe=8, filter_map={"label": "qlabel"},
+        base_df=emb.withColumnRenamed("label", "_lbl"), base_vec="embedding",
+        rerank=4,
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = got.collect()
+    assert {r["qid"] for r in rows} == set(range(5))
+    for r in rows:
+        assert labels[r["vec_id"]] == labels[r["qid"]]
+    exact = knn_ops.knn_join(
+        emb.withColumnRenamed("label", "_lbl"),
+        queries,
+        k=4,
+        data_id="vec_id",
+        data_vec="embedding",
+        predicate=(F.col("_lbl") == F.col("qlabel")),
+    )
+    # full-probe + rerank: high recall vs the exact filtered answer (ADC
+    # quantization can still drop a true neighbor from the candidate set,
+    # so set equality would be data-dependent)
+    want = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    got_pairs = {(r["qid"], r["vec_id"]) for r in rows}
+    assert len(got_pairs & want) / len(want) >= 0.8, (got_pairs, want)
+    # upsert keeps carrying; validation errors are clear
+    delta = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 930_000).alias("vec_id"), "embedding", "label"
+    )
+    assert loaded.upsert(delta, vec_col="embedding") == 3
+    carried = loaded.encoded_df().filter(F.col("vec_id") >= 930_000)
+    assert carried.count() == 3 and carried.filter(F.col("label").isNull()).count() == 0
+    with pytest.raises(ValueError, match="not in the saved layout"):
+        loaded.search_many(queries, k=2, filter_map={"missing": "qlabel"})
+    with pytest.raises(ValueError, match="carry_cols collide"):
+        IvfPqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=4, m=8,
+            carry_cols=["codes"],
+        )
