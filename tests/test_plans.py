@@ -352,3 +352,20 @@ def test_ivfpq_search_many_scans_codes_not_vectors(spark, tmp_path):
     for mm in re.finditer(r"ReadSchema: (\S+)", plan):
         assert "embedding" not in mm.group(1), mm.group(1)
     assert out.count() == 2 * 3
+
+
+def test_tpch_q7_no_cartesian_dims_broadcast(spark):
+    # the 8-table join graph must never degrade to a cartesian/NLJ even
+    # with two nation legs; all dims broadcast
+    plan = _plan(spark, "tpch_q7_volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q13_left_join_preserved(spark):
+    # zero-order customers must survive: the two-level agg keeps an outer
+    # join (Catalyst may flip build sides; any Outer form qualifies)
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    assert "Outer" in plan
+    assert "CartesianProduct" not in plan

@@ -332,3 +332,32 @@ def test_pagerank_matches_reference(spark, edges):
             nxt[b] += 85 * r[a] // (100 * deg[a])
         r = nxt
     assert got == r, (edges, got, r)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=8,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_rrf_fuse_matches_python_reference(spark, rankings):
+    """rrf_fuse == the textbook formula for arbitrary rank lists: for
+    every doc, score = Σ_i 1/(60 + rank_i) over the lists containing it,
+    regardless of list sizes or overlaps."""
+    from custom_vector_database_spark.operators.ranking import rrf_fuse
+    dfs = []
+    expect: dict[int, float] = {}
+    for ids in rankings:
+        rows = [(int(d), r + 1) for r, d in enumerate(ids)]
+        dfs.append(spark.createDataFrame(rows, "doc_id long, rank int"))
+        for d, r in rows:
+            expect[d] = expect.get(d, 0.0) + 1.0 / (60.0 + r)
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse(dfs).collect()}
+    assert set(got) == set(expect)
+    for d, s in expect.items():
+        assert got[d] == round(s, 6), d

@@ -202,3 +202,41 @@ def test_stream_vector_ingest_replay_is_idempotent(spark, tmp_path):
     replayed = stream_vector_ingest(spark, delta_dir, idx, delta.schema)
     assert replayed == 0  # all replays skipped by the sidecar
     assert idx.clustered_df().count() == n0 + 8  # nothing appended twice
+
+
+def test_stream_vector_ingest_works_on_compressed_index(spark, tmp_path):
+    """stream_vector_ingest is index-agnostic (anything with upsert):
+    the compressed IVF-PQ layout ingests the same delta stream, batch by
+    batch, and the streamed clone is retrievable."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivfpq")
+    IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, m=8, k=8
+    ).save(idx_path)
+    idx = IvfPqIndex.load(spark, idx_path)
+    delta = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 640_000).alias("vec_id"), "embedding"
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(3).write.parquet(delta_dir)
+    n0 = idx.encoded_df().count()
+    # IvfPqIndex.upsert takes vec_col explicitly; adapt via a tiny shim
+    class _Sink:
+        def upsert(self, batch):
+            return idx.upsert(batch, vec_col="embedding")
+
+    n_batches = stream_vector_ingest(
+        spark, delta_dir, _Sink(), delta.schema, max_files_per_trigger=2
+    )
+    assert n_batches >= 2
+    assert idx.encoded_df().count() == n0 + 6
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    hits = {r["vec_id"] for r in idx.search(q, k=2, nprobe=4).collect()}
+    assert hits == {2, 640_002}  # identical codes -> clone found at rank 1-2
