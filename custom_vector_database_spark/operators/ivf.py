@@ -354,6 +354,45 @@ class IvfIndex:
         self._clustered = spark.read.parquet(rows_path)
         return stats
 
+    def describe(self) -> dict:
+        """Operational snapshot of the index: config + layout health.
+        One keyed aggregate over the clustered table (cluster counts are
+        n_clusters scalars); file stats only when saved. skew = max
+        cluster size / mean — the number that predicts probe-time
+        stragglers (a hot cluster makes one probe scan huge; mitigate by
+        refitting with more clusters)."""
+        counts = {
+            r["cluster"]: r["n"]
+            for r in self._clustered.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_rows = sum(counts.values())
+        mean = n_rows / max(len(counts), 1)
+        out = {
+            "kind": "ivf",
+            "metric": self.metric,
+            "n_rows": int(n_rows),
+            "n_clusters": len(self.centroids),
+            "dim": len(self.centroids[0]),
+            "carry_cols": list(self.carry_cols),
+            "nonempty_clusters": len(counts),
+            "max_cluster_rows": max(counts.values(), default=0),
+            "cluster_skew": round(max(counts.values(), default=0) / mean, 3)
+            if n_rows
+            else 0.0,
+            "saved": self._path is not None,
+        }
+        if self._path is not None:
+            rows_path = os.path.join(self._path, "rows")
+            out["n_files"] = sum(
+                1
+                for dp, _, fs in os.walk(rows_path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return out
+
     def _probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
         """Centroid shortlist — pure driver-side math over the tiny
         centroid set (n_clusters × dim). The query must already be in

@@ -488,6 +488,46 @@ class IvfPqIndex:
         self._encoded = spark.read.parquet(codes_path)
         return stats
 
+    def describe(self) -> dict:
+        """Operational snapshot: config + code-layout health (the
+        IvfIndex.describe contract on the compressed layout; bytes per
+        row ≈ m, vs 4·dim full-precision — the compression the layout
+        exists to buy)."""
+        counts = {
+            r["cluster"]: r["n"]
+            for r in self._encoded.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_rows = sum(counts.values())
+        mean = n_rows / max(len(counts), 1)
+        out = {
+            "kind": "ivfpq",
+            "metric": self.metric,
+            "n_rows": int(n_rows),
+            "n_clusters": len(self.centroids),
+            "dim": self.dim,
+            "m": self.m,
+            "k": self.k,
+            "carry_cols": list(self.carry_cols),
+            "nonempty_clusters": len(counts),
+            "max_cluster_rows": max(counts.values(), default=0),
+            "cluster_skew": round(max(counts.values(), default=0) / mean, 3)
+            if n_rows
+            else 0.0,
+            "compression_x": round(4.0 * self.dim / self.m, 1),
+            "saved": self._path is not None,
+        }
+        if self._path is not None:
+            codes_path = os.path.join(self._path, "codes")
+            out["n_files"] = sum(
+                1
+                for dp, _, fs in os.walk(codes_path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return out
+
     def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> None:
         """Hard-error on wrong-length vectors BEFORE encoding/probing —
         zip_with against the centroids pads mismatches with NULL, filing

@@ -974,3 +974,26 @@ def test_ivfpq_filtered_search_many(spark, emb, tmp_path):
             emb, id_col="vec_id", vec_col="embedding", n_clusters=4, m=8,
             carry_cols=["codes"],
         )
+
+
+def test_index_describe_reports_layout_health(spark, emb, ivfpq, tmp_path):
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    idx = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        carry_cols=["label"],
+    )
+    d = idx.describe()
+    assert d["kind"] == "ivf" and d["metric"] == "l2_sq"
+    assert d["n_rows"] == emb.count() and d["n_clusters"] == 8
+    assert d["carry_cols"] == ["label"] and not d["saved"]
+    assert d["cluster_skew"] >= 1.0
+    path = str(tmp_path / "d")
+    idx.save(path)
+    d2 = IvfIndex.load(spark, path).describe()
+    assert d2["saved"] and d2["n_files"] >= d2["nonempty_clusters"]
+
+    dp = ivfpq.describe()
+    assert dp["kind"] == "ivfpq" and dp["m"] == 16
+    assert dp["compression_x"] == pytest.approx(4.0 * 64 / 16)
+    assert dp["n_rows"] == emb.count()
