@@ -427,6 +427,14 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             carry_cols=["label"],
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivfpq_lbl":
+        from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+        IvfPqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16, m=8,
+            k=16, carry_cols=["label"],
+        ).save(path)
+        idx = IvfPqIndex.load(spark, path)
     elif kind == "ivfpq_dot":
         from custom_vector_database_spark.operators.pq import IvfPqIndex
 
@@ -679,6 +687,60 @@ def q_ivfpq_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector sits ON the M-sphere in the augmented space. Search excludes the
 # query row itself, mirroring the exact knn_dot registration.
 # ---------------------------------------------------------------------------
+@register(
+    "ivfpq_search_many_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e JOIN q ON e.label = q.qlabel
+         )
+    SELECT qid, vec_id, dist_sq, TRUE AS pq_filtered_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivfpq_search_many_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The namespace pattern on the COMPRESSED index: label carried IN
+    the code layout (fit(carry_cols)), per-query equality applied inside
+    the probed-partition join before any ADC work, exact-metric rerank.
+    Guarantee oracle: the exact filtered per-query top-3 + recall flag
+    (the ivf_search_many_filtered shape on 32× fewer bytes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    idx = saved_index(spark, sf_dir, "ivfpq_lbl")
+    approx = idx.search_many(
+        queries, k=3, nprobe=8, filter_map={"label": "qlabel"},
+        base_df=emb.withColumnRenamed("label", "_lbl"), base_vec="embedding",
+        rerank=4,
+    ).localCheckpoint(eager=True)
+    exact = knn_ops.knn_join(
+        emb.withColumnRenamed("label", "_lbl"),
+        queries,
+        k=3,
+        data_id="vec_id",
+        data_vec="embedding",
+        predicate=(F.col("_lbl") == F.col("qlabel")),
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    n_both = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"]
+    ).count()
+    ok = n_exact > 0 and n_both / n_exact >= 0.4
+    return exact.withColumn("pq_filtered_ok", F.lit(bool(ok))).orderBy(
+        "qid", "dist_sq", "vec_id"
+    )
+
+
 @register("ivfpq_dot_build", _build_oracle("pqdot_layout_ok"))
 def q_ivfpq_dot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prices the MIPS IVF-PQ fit: the augmented 65-d space quantizes
