@@ -336,7 +336,7 @@ _DOT = (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(1.0 - CASE WHEN a.nrm * b.nrm != 0
                    THEN {_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
-                   END, 6) AS cos_dist
+                   END, 6) + 0.0 AS cos_dist
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE a.vec_id < 60
     )

@@ -75,7 +75,7 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  {_DUCK_NORM.format(a="q.q")} != 0
                  THEN {_DUCK_DOT.format(a="e.embedding", b="q.q")} /
                       ({_DUCK_NORM.format(a="e.embedding")} * {_DUCK_NORM.format(a="q.q")})
-                 END, 6) AS cos_dist
+                 END, 6) + 0.0 AS cos_dist
     FROM embeddings e CROSS JOIN q
     ORDER BY cos_dist ASC, vec_id ASC
     LIMIT 10
@@ -616,7 +616,7 @@ _KNN10_COS_ORACLE = f"""
                                  {_DUCK_NORM.format(a="q.q")} != 0
                  THEN {_DUCK_DOT.format(a="e.embedding", b="q.q")} /
                       ({_DUCK_NORM.format(a="e.embedding")} * {_DUCK_NORM.format(a="q.q")})
-                 END, 6) AS cos_dist,
+                 END, 6) + 0.0 AS cos_dist,
            TRUE AS {{ok}}
     FROM embeddings e CROSS JOIN q
     ORDER BY cos_dist ASC, vec_id ASC

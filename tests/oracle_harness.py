@@ -81,6 +81,21 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 0.0) 
                 if not math.isclose(fx, fy, rel_tol=float_tol, abs_tol=float_tol):
                     errs.append(f"{name}.{col}[{i}]: {x!r} != {y!r}")
                     break
+                # The driver's value-hash works on the float's repr/bits, so
+                # -0.0 vs +0.0 hash-mismatches even though IEEE (and isclose)
+                # call them equal. This shipped knn_cosine red in r5: DuckDB's
+                # round() preserved the sign of a -2.2e-16 self-match distance
+                # while Spark's BigDecimal round returned +0.0. Compare the
+                # sign explicitly for zeros so this class fails locally.
+                if (
+                    fx == 0.0
+                    and fy == 0.0
+                    and math.copysign(1.0, fx) != math.copysign(1.0, fy)
+                ):
+                    errs.append(
+                        f"{name}.{col}[{i}]: signed-zero mismatch {x!r} != {y!r}"
+                    )
+                    break
             elif str(x) != str(y):
                 errs.append(f"{name}.{col}[{i}]: {x!r} != {y!r}")
                 break
