@@ -23,6 +23,11 @@ Design, Spark-first:
              and a per-qid window takes the top k. Production retrieval is
              millions of queries, not one; the reference answers one query
              per process (main.cpp:95-118).
+- delete   = tombstone sidecar (operators/tombstones.py): removals become
+             searchable-invisible immediately without touching a part
+             file; compact() physically drops them. Completes CRUD on the
+             layout — the reference's delete verb (vectordb.cpp:74-80)
+             otherwise forces the full rebuild between ingestion batches.
 - upsert   = delta ingestion without a rebuild: ONLY the new rows are
              assigned clusters with the SAVED centroids (one projection
              over the delta) and appended to the cluster-partitioned
@@ -121,8 +126,17 @@ def _normalize_query(query: list[float]) -> list[float]:
     return [float(x) / norm for x in query]
 
 
-class IvfIndex:
-    """KMeans-clustered vector table + centroid shortlist search."""
+from custom_vector_database_spark.operators.tombstones import (
+    TombstoneDeleteMixin,
+)
+
+
+class IvfIndex(TombstoneDeleteMixin):
+    """KMeans-clustered vector table + centroid shortlist search.
+
+    Incremental CRUD on the saved layout: ``upsert`` (delta append),
+    ``delete`` (tombstone sidecar, operators/tombstones.py), ``compact``
+    (heals fragmentation AND physically clears tombstones)."""
 
     def __init__(self, centroids: list[list[float]], clustered: DataFrame,
                  id_col: str, vec_col: str, metric: str = "l2_sq",
@@ -139,6 +153,7 @@ class IvfIndex:
         self._path = path  # set when saved/loaded; required by upsert()
         self.carry_cols = list(carry_cols or [])  # filter attributes stored
         # IN the layout so filtered searches push down into the pruned scan
+        self._tombstones: DataFrame | None = None  # deleted-id sidecar view
 
     @classmethod
     def fit(
@@ -169,6 +184,32 @@ class IvfIndex:
             raise ValueError(f"carry_cols collide with index columns: {bad}")
         carry = [F.col(c) for c in carry_cols]
         feats = df.select(F.col(id_col), F.col(vec_col), *carry)
+        # ONE stats pass serves three needs: the row count the sampler
+        # wants, the NULL/dim guard (a NULL or wrong-length vector would
+        # get a NULL cluster from the zip_with fold and be filed under a
+        # NULL partition no probe ever scans — the silent loss upsert's
+        # _check_input_dims exists to catch, previously missing on the
+        # build path), and — dot only — the MIPS M-sphere radius.
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
+            F.min(F.size(F.col(vec_col))).alias("dmin"),
+            F.max(F.size(F.col(vec_col))).alias("dmax"),
+        ]
+        if metric == "dot":
+            aggs.append(
+                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("m")
+            )
+        stats = feats.agg(*aggs).first()
+        n = int(stats["n"])
+        if n == 0:
+            raise ValueError("cannot fit on an empty table")
+        if stats["n_null"] or stats["dmin"] != stats["dmax"]:
+            raise ValueError(
+                f"{stats['n_null']} NULL vector(s) and dims spanning "
+                f"[{stats['dmin']}, {stats['dmax']}] in the build input — "
+                "every build vector must be non-NULL with one shared dim"
+            )
         max_norm = None
         if metric == "cosine":
             feats = feats.select(
@@ -177,20 +218,12 @@ class IvfIndex:
                 *carry,
             )
         elif metric == "dot":
-            # M = max ‖x‖ — one tiny scalar aggregate, then the
-            # augmentation rides the same single encode projection
-            row = feats.agg(
-                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("m")
-            ).first()
-            if row is None or row["m"] is None:
-                raise ValueError("cannot fit on an empty table")
-            max_norm = float(row["m"])
+            max_norm = float(stats["m"])
             feats = feats.select(
                 F.col(id_col),
                 _augment_expr(f"`{vec_col}`", max_norm * max_norm).alias(vec_col),
                 *carry,
             )
-        n = feats.count()
         x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
         centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
         clustered = (
@@ -208,9 +241,17 @@ class IvfIndex:
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        self._clustered.write.mode("overwrite").partitionBy("cluster").parquet(
-            os.path.join(path, "rows")
+        # a save is a full rewrite: tombstoned rows are physically dropped
+        # (clustered_df is the live view), so the new layout needs no sidecar
+        self.clustered_df().write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(path, "rows"))
+        from custom_vector_database_spark.operators.layout import (
+            clear_tombstones,
         )
+
+        clear_tombstones(path)  # any stale sidecar at the target is obsolete
+        self._tombstones = None
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -236,15 +277,21 @@ class IvfIndex:
         # heal a crash mid-compact swap before touching the layout
         recover_partitioned_swap(os.path.join(path, "rows"))
         rows = spark.read.parquet(os.path.join(path, "rows"))
-        return cls(
+        idx = cls(
             meta["centroids"], rows, meta["id_col"], meta["vec_col"],
             meta.get("metric", "l2_sq"), path=path,
             max_norm=meta.get("max_norm"),
             carry_cols=meta.get("carry_cols"),
         )
+        idx._load_tombstones(spark)
+        return idx
+
+    def _raw_layout(self) -> DataFrame:
+        return self._clustered
 
     def clustered_df(self) -> DataFrame:
-        return self._clustered
+        """The LIVE index view: the saved layout minus tombstoned rows."""
+        return self._live(self._clustered)
 
     # -- incremental ingestion ---------------------------------------------
     def upsert(self, delta: DataFrame) -> int:
@@ -299,6 +346,7 @@ class IvfIndex:
         rows_path = os.path.join(self._path, "rows")
         encoded.write.mode("append").partitionBy("cluster").parquet(rows_path)
         self._clustered = delta.sparkSession.read.parquet(rows_path)
+        self._clear_readded_tombstones(encoded.select(self.id_col))
         return int(n)
 
     def _expected_input_dim(self) -> int:
@@ -347,10 +395,14 @@ class IvfIndex:
 
         spark = self._clustered.sparkSession
         rows_path = os.path.join(self._path, "rows")
+        # the rewrite is the moment tombstoned rows physically leave the
+        # layout — the filter rides the compaction shuffle for free
+        transform, on_success = self._compact_transform_and_clear()
         stats = compact_partitioned(
             spark, rows_path, "cluster", len(self.centroids),
-            files_per_cluster, salt_col=self.id_col,
+            files_per_cluster, salt_col=self.id_col, transform=transform,
         )
+        on_success()
         self._clustered = spark.read.parquet(rows_path)
         return stats
 
@@ -363,7 +415,7 @@ class IvfIndex:
         refitting with more clusters)."""
         counts = {
             r["cluster"]: r["n"]
-            for r in self._clustered.groupBy("cluster")
+            for r in self.clustered_df().groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -374,7 +426,12 @@ class IvfIndex:
             "metric": self.metric,
             "n_rows": int(n_rows),
             "n_clusters": len(self.centroids),
-            "dim": len(self.centroids[0]),
+            # the CALLER-facing dim — what search/upsert vectors must have;
+            # on a dot index the stored dim is one more (the augmented
+            # coordinate is internal, never supplied by the caller)
+            "dim": self._expected_input_dim(),
+            "stored_dim": len(self.centroids[0]),
+            "n_tombstones": self._tombstone_count(),
             "carry_cols": list(self.carry_cols),
             "nonempty_clusters": len(counts),
             "max_cluster_rows": max(counts.values(), default=0),
@@ -445,7 +502,9 @@ class IvfIndex:
             dist_col = dist_col or "dist_sq"
             project = None
         probe = self._probe_clusters(prepared, nprobe)
-        candidates = self._clustered.filter(F.col("cluster").isin(probe))
+        candidates = self._live(
+            self._clustered.filter(F.col("cluster").isin(probe))
+        )
         if predicate is not None:
             candidates = candidates.filter(predicate)
         if project is None:
@@ -591,9 +650,9 @@ class IvfIndex:
             m2 = float(self.max_norm) * float(self.max_norm)
             dist = (F.lit(m2) + F.col("_qn2") - dist) / 2.0  # = ⟨x,q⟩
             nearest_first = False
-        joined = self._clustered.filter(F.col("cluster").isin(probed)).join(
-            F.broadcast(exploded), "cluster"
-        )
+        joined = self._live(
+            self._clustered.filter(F.col("cluster").isin(probed))
+        ).join(F.broadcast(exploded), "cluster")
         for dcol, qcol in filter_map.items():
             joined = joined.filter(F.col(dcol) == F.col(qcol))
         scored = joined.select(

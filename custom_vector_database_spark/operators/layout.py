@@ -204,6 +204,49 @@ def recover_partitioned_swap(rows_path: str) -> None:
             os.rename(old, rows_path)  # roll back: swap never started
 
 
+def tombstones_path(base_path: str) -> str:
+    return f"{base_path.rstrip('/')}/tombstones"
+
+
+def read_tombstones(spark, base_path: str, id_col: str):
+    """The tombstone sidecar as a single-column DataFrame, or None when no
+    tombstones exist. The sidecar is a plain parquet directory of deleted
+    ids next to the partitioned layout — small relative to the layout by
+    design (deletes between compactions), so the anti-joins that consume
+    it broadcast."""
+    import os
+
+    p = tombstones_path(base_path)
+    has_parts = os.path.isdir(p) and any(
+        f.endswith(".parquet")
+        for _dp, _dn, fs in os.walk(p)
+        for f in fs
+    )
+    if not has_parts:
+        return None
+    return spark.read.parquet(p).select(id_col).distinct()
+
+
+def append_tombstones(ids_df, base_path: str) -> None:
+    """Append deleted ids to the sidecar. Parquet append is the same
+    object-store-portable commit the layout's delta appends use."""
+    ids_df.write.mode("append").parquet(tombstones_path(base_path))
+
+
+def overwrite_tombstones(ids_df, base_path: str) -> None:
+    """Replace the sidecar (used when an upsert re-adds a deleted id —
+    the surviving tombstones are rewritten without it). The caller must
+    pass a materialized (checkpointed) frame when it derives from the
+    sidecar itself, since overwrite deletes what a lazy plan would read."""
+    ids_df.write.mode("overwrite").parquet(tombstones_path(base_path))
+
+
+def clear_tombstones(base_path: str) -> None:
+    import shutil
+
+    shutil.rmtree(tombstones_path(base_path), ignore_errors=True)
+
+
 def compact_partitioned(
     spark,
     rows_path: str,
@@ -211,6 +254,7 @@ def compact_partitioned(
     n_partitions: int,
     files_per_partition: int = 1,
     salt_col: str | None = None,
+    transform=None,
 ) -> dict:
     """Compact a ``partitionBy(partition_col)`` parquet layout so each
     partition directory holds ``files_per_partition`` part files — the
@@ -220,6 +264,21 @@ def compact_partitioned(
     the rewrite is a single shuffle of the layout; the swap is the same
     tmp-write → two-rename dance with roll-forward/roll-back recovery on
     entry (complete tmp = the new state).
+
+    Concurrency contract: the swap is crash-safe but NOT reader-safe — a
+    search or scan in flight during the two-rename window (or holding file
+    handles into the old dir after its part files are deleted) fails with
+    missing-file errors. Compaction requires exclusive access to the
+    layout: schedule it like any table-maintenance window, with upserts
+    and searches quiesced. Spark has no cross-session lock to take here;
+    on a shared lakehouse, the table-format transaction log (Delta/Iceberg)
+    is the right tool — this parquet-native verb trades that isolation for
+    zero dependencies.
+
+    ``transform`` (DataFrame -> DataFrame), when given, is applied to the
+    layout before the rewrite — how index compaction physically drops
+    tombstoned rows (the rewrite is the one moment the whole layout is
+    already being rewritten, so the filter is free).
 
     Returns {files_before, files_after, n_rows}; the caller re-reads
     rows_path afterwards for a fresh handle.
@@ -247,6 +306,8 @@ def compact_partitioned(
 
     files_before = _count_files()
     df = spark.read.parquet(rows_path)
+    if transform is not None:
+        df = transform(df)
     n_rows = df.count()
     if files_per_partition == 1:
         packed = df.repartition(n_partitions, F.col(partition_col))

@@ -230,7 +230,12 @@ def _ivfpq_encode(
     return out.select(id_col, "cluster", codes.alias("codes"), *carry)
 
 
-class IvfPqIndex:
+from custom_vector_database_spark.operators.tombstones import (
+    TombstoneDeleteMixin,
+)
+
+
+class IvfPqIndex(TombstoneDeleteMixin):
     """IVF-PQ: coarse KMeans clusters + PQ-coded RESIDUALS — the composed
     billion-scale ANN layout (FAISS's IVFPQ, from the same public Jégou
     et al. 2011 paper).
@@ -309,27 +314,44 @@ class IvfPqIndex:
             raise ValueError(
                 f"unknown metric {metric!r}; expected 'l2_sq', 'cosine' or 'dot'"
             )
-        first = df.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            raise ValueError("cannot fit IVF-PQ on an empty table")
-        dim = int(first["d"])
-
         from custom_vector_database_spark.operators.ivf import (
             _augment_expr,
             _norm2_sql,
             _unit_normalize_expr,
         )
 
+        # ONE stats pass serves the row count, the NULL/dim guard (a NULL
+        # or wrong-length vector would encode to NULL codes under a NULL
+        # cluster partition no probe ever scans — the silent loss
+        # _check_input_dims catches on the delta path, previously missing
+        # at build), and — dot only — the MIPS M-sphere radius.
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
+            F.min(F.size(F.col(vec_col))).alias("dmin"),
+            F.max(F.size(F.col(vec_col))).alias("dmax"),
+        ]
+        if metric == "dot":
+            aggs.append(
+                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("mx")
+            )
+        stats = df.agg(*aggs).first()
+        n = int(stats["n"])
+        if n == 0:
+            raise ValueError("cannot fit IVF-PQ on an empty table")
+        if stats["n_null"] or stats["dmin"] != stats["dmax"]:
+            raise ValueError(
+                f"{stats['n_null']} NULL vector(s) and dims spanning "
+                f"[{stats['dmin']}, {stats['dmax']}] in the build input — "
+                "every build vector must be non-NULL with one shared dim"
+            )
+        dim = int(stats["dmin"])
+
         max_norm = None
         if metric == "cosine":
             src = _unit_normalize_expr(f"`{vec_col}`")
         elif metric == "dot":
-            row = df.agg(
-                F.max(F.expr(f"sqrt({_norm2_sql(f'`{vec_col}`')})")).alias("mx")
-            ).first()
-            if row is None or row["mx"] is None:
-                raise ValueError("cannot fit IVF-PQ on an empty table")
-            max_norm = float(row["mx"])
+            max_norm = float(stats["mx"])
             src = _augment_expr(f"`{vec_col}`", max_norm * max_norm)
             dim += 1  # the encoded space carries the augmented coordinate
         else:
@@ -347,7 +369,7 @@ class IvfPqIndex:
             src.cast("array<double>").alias("_vec"),
             *[F.col(c) for c in carry_cols],
         )
-        n = feats.count()
+        # n came from the stats pass above (select() preserves row count)
         # ONE sampling pass feeds both the coarse quantizer and (via
         # numpy-side assignment + residuals) all m subspace codebooks
         x = collect_sample_matrix(feats, "_vec", n, fit_sample, seed)
@@ -375,13 +397,18 @@ class IvfPqIndex:
             max_norm=max_norm, carry_cols=carry_cols,
         )
 
-    def encoded_df(self) -> DataFrame:
+    def _raw_layout(self) -> DataFrame:
         return self._encoded
+
+    def encoded_df(self) -> DataFrame:
+        """The LIVE code view: the saved layout minus tombstoned rows."""
+        return self._live(self._encoded)
 
     def save(self, path: str) -> None:
         """Codes Parquet-partitioned BY CLUSTER — a probe of nprobe
         clusters is a partition-pruned scan of nprobe/n_clusters of the
-        (already 16-32× compressed) index."""
+        (already 16-32× compressed) index. A save is a full rewrite:
+        tombstoned rows are physically dropped, so no sidecar follows."""
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
@@ -396,9 +423,15 @@ class IvfPqIndex:
                 },
                 f,
             )
-        self._encoded.write.mode("overwrite").partitionBy("cluster").parquet(
-            os.path.join(path, "codes")
+        self.encoded_df().write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(path, "codes"))
+        from custom_vector_database_spark.operators.layout import (
+            clear_tombstones,
         )
+
+        clear_tombstones(path)  # any stale sidecar at the target is obsolete
+        self._tombstones = None
         self._path = path
 
     @classmethod
@@ -419,6 +452,7 @@ class IvfPqIndex:
             carry_cols=meta.get("carry_cols"),
         )
         idx._path = path
+        idx._load_tombstones(spark)
         return idx
 
     def upsert(self, delta: DataFrame, vec_col: str = "vec") -> int:
@@ -463,6 +497,7 @@ class IvfPqIndex:
         codes_path = os.path.join(self._path, "codes")
         encoded.write.mode("append").partitionBy("cluster").parquet(codes_path)
         self._encoded = delta.sparkSession.read.parquet(codes_path)
+        self._clear_readded_tombstones(encoded.select(self.id_col))
         return int(n)
 
     def compact(self, files_per_cluster: int = 1) -> dict:
@@ -481,10 +516,12 @@ class IvfPqIndex:
 
         spark = self._encoded.sparkSession
         codes_path = os.path.join(self._path, "codes")
+        transform, on_success = self._compact_transform_and_clear()
         stats = compact_partitioned(
             spark, codes_path, "cluster", len(self.centroids),
-            files_per_cluster, salt_col=self.id_col,
+            files_per_cluster, salt_col=self.id_col, transform=transform,
         )
+        on_success()
         self._encoded = spark.read.parquet(codes_path)
         return stats
 
@@ -495,7 +532,7 @@ class IvfPqIndex:
         exists to buy)."""
         counts = {
             r["cluster"]: r["n"]
-            for r in self._encoded.groupBy("cluster")
+            for r in self.encoded_df().groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -516,6 +553,7 @@ class IvfPqIndex:
             if n_rows
             else 0.0,
             "compression_x": round(4.0 * self.dim / self.m, 1),
+            "n_tombstones": self._tombstone_count(),
             "saved": self._path is not None,
         }
         if self._path is not None:
@@ -627,7 +665,7 @@ class IvfPqIndex:
             else F.col(dist_col).desc_nulls_last()
         )
         cand = (
-            self._encoded.filter(F.col("cluster").isin(probe))
+            self._live(self._encoded.filter(F.col("cluster").isin(probe)))
             .select(self.id_col, adc.alias(dist_col))
             .orderBy(order, F.col(self.id_col).asc())
             .limit(k * rerank if rerank > 0 else k)
@@ -800,9 +838,9 @@ class IvfPqIndex:
             m2 = float(self.max_norm) * float(self.max_norm)
             dist_expr = (F.lit(m2) + F.col("_qn2") - dist_expr) / 2.0
             nearest_first = False
-        joined = self._encoded.filter(F.col("cluster").isin(probed)).join(
-            F.broadcast(exploded.drop(query_vec)), "cluster"
-        )
+        joined = self._live(
+            self._encoded.filter(F.col("cluster").isin(probed))
+        ).join(F.broadcast(exploded.drop(query_vec)), "cluster")
         for dcol, qcol in filter_map.items():
             joined = joined.filter(F.col(dcol) == F.col(qcol))
         scored = joined.select(

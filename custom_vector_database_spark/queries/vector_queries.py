@@ -1047,6 +1047,79 @@ def q_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Tombstone delete on the saved index (round 6 — completes the incremental
+# CRUD story upsert started): delete() appends ids to a sidecar that every
+# search anti-joins BEFORE distance work; no part file is touched, no
+# rebuild runs. The reference prices delete as a first-class verb
+# (vectordb.cpp:74-80; test.cpp:108-127) but its only index path is the
+# full rebuild — at 100 TB a GDPR-style removal stream cannot pay that per
+# batch. Oracle: the exact top-10 over base ∖ deleted; the boolean
+# certifies the delete semantics — deleted ids absent from the pruned
+# search WITHOUT a rebuild, pre-existing part files byte-untouched
+# (mtime-checked), and the live row count down by exactly |deleted|.
+# Runs on a COPY of the shared saved layout, like ivf_upsert.
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_delete",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="e.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS delete_ok
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id NOT IN (0, 1, 2, 3)
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    deleted = [0, 1, 2, 3]
+    base_idx = saved_index(spark, sf_dir, "ivf")
+    tmp = tempfile.mkdtemp(prefix="cvdb_delete_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = IvfIndex.load(spark, tmp)
+        n_before = idx.clustered_df().count()
+        pre_mtimes = {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _dn, fs in os.walk(os.path.join(tmp, "rows"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        n_deleted = idx.delete(deleted)
+        parts_untouched = all(
+            os.path.exists(p) and os.path.getmtime(p) == mt
+            for p, mt in pre_mtimes.items()
+        )
+        hit_ids = {
+            r["vec_id"] for r in idx.search(query, k=10, nprobe=8).collect()
+        }
+        remaining = emb.filter(~F.col("vec_id").isin(deleted))
+        exact = knn_ops.knn(
+            remaining, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            n_deleted == len(deleted)
+            and parts_untouched
+            and idx.clustered_df().count() == n_before - len(deleted)
+            and not (hit_ids & set(deleted))  # searchable-invisible, no rebuild
+            and len(exact_ids & hit_ids) >= 5
+        )
+        return exact.withColumn("delete_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register("ivf_filtered_build", _build_oracle("carry_ok"))
 def q_ivf_filtered_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prices the carried-attribute index fit (fit(carry_cols=['label']))

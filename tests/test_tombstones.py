@@ -1,0 +1,204 @@
+"""Tombstone deletes on the saved index layouts (round 6, VERDICT item 3).
+
+Contract under test (operators/tombstones.py): delete() hides rows from
+every search path immediately WITHOUT touching pre-existing part files;
+upsert() of a deleted id resurrects it; compact() physically drops
+tombstoned rows and clears the sidecar; save()/rebuild-style full
+rewrites never resurrect deleted rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators import knn as knn_ops
+from custom_vector_database_spark.operators.ivf import IvfIndex
+from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _part_mtimes(rows_path: str) -> dict[str, float]:
+    return {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(rows_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+
+@pytest.fixture()
+def ivf(spark, emb, tmp_path):
+    idx = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    return IvfIndex.load(spark, path)
+
+
+def test_ivf_delete_hides_rows_without_touching_parts(spark, emb, ivf):
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    # the self-match row is the certain top-1 — delete it
+    top = ivf.search(qvec, k=3, nprobe=8).collect()
+    victim = top[0]["vec_id"]
+    assert victim == 0
+
+    pre = _part_mtimes(os.path.join(ivf._path, "rows"))
+    n = ivf.delete([victim, 999_999_999])  # one live, one absent
+    assert n == 1
+    for p, mt in pre.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mt, p
+
+    hit_ids = {r["vec_id"] for r in ivf.search(qvec, k=10, nprobe=8).collect()}
+    assert victim not in hit_ids and len(hit_ids) == 10
+    assert ivf.describe()["n_tombstones"] == 2
+    # count the live view, not the stored rows
+    assert ivf.clustered_df().filter(F.col("vec_id") == victim).count() == 0
+
+    # double-delete counts zero new live rows
+    assert ivf.delete([victim]) == 0
+
+
+def test_ivf_delete_matches_exact_over_remaining(spark, emb, ivf):
+    """Search-after-delete == exact k-NN over base MINUS deleted (the
+    ivf_delete oracle's contract, asserted with full probes so the
+    approximate search is exhaustive)."""
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    deleted = [0, 1, 2, 3]
+    ivf.delete(deleted)
+    exact = knn_ops.knn(
+        emb.filter(~F.col("vec_id").isin(deleted)), qvec, k=10,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()
+    approx = ivf.search(qvec, k=10, nprobe=8).collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_search_many_excludes_deleted(spark, emb, ivf):
+    ivf.delete([0, 1])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = ivf.search_many(queries, k=5, nprobe=8).collect()
+    assert hits and all(r["vec_id"] not in (0, 1) for r in hits)
+
+
+def test_ivf_upsert_resurrects_deleted_id(spark, emb, ivf):
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    ivf.delete([0])
+    assert 0 not in {
+        r["vec_id"] for r in ivf.search(qvec, k=5, nprobe=8).collect()
+    }
+    delta = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    assert ivf.upsert(delta) == 1
+    # the re-added row must be searchable again (tombstone cleared)
+    assert 0 in {r["vec_id"] for r in ivf.search(qvec, k=5, nprobe=8).collect()}
+    assert ivf.describe()["n_tombstones"] == 0
+
+
+def test_ivf_compact_physically_drops_tombstoned_rows(spark, emb, ivf):
+    from custom_vector_database_spark.operators.layout import tombstones_path
+
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    ivf.delete([0, 1])
+    before = ivf.search(qvec, k=10, nprobe=8).collect()
+    n_live = ivf.clustered_df().count()
+    ivf.compact()
+    # sidecar gone, stored layout == live layout, answers unchanged
+    assert not os.path.exists(tombstones_path(ivf._path))
+    assert ivf._tombstones is None
+    assert ivf._clustered.count() == n_live
+    assert ivf._clustered.filter(F.col("vec_id").isin([0, 1])).count() == 0
+    after = ivf.search(qvec, k=10, nprobe=8).collect()
+    assert [r["vec_id"] for r in after] == [r["vec_id"] for r in before]
+
+
+def test_ivf_save_does_not_resurrect(spark, emb, ivf, tmp_path):
+    ivf.delete([0])
+    path2 = str(tmp_path / "ivf2")
+    ivf.save(path2)
+    reloaded = IvfIndex.load(spark, path2)
+    assert reloaded.clustered_df().filter(F.col("vec_id") == 0).count() == 0
+    assert reloaded._tombstones is None
+
+
+def test_ivf_delete_requires_saved_index(emb):
+    idx = IvfIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=4)
+    with pytest.raises(ValueError, match="saved"):
+        idx.delete([0])
+
+
+def test_ivf_delete_accepts_dataframe_ids(spark, emb, ivf):
+    ids = spark.range(0, 5).select(F.col("id").alias("vec_id"))
+    assert ivf.delete(ids) == 5
+    assert ivf.clustered_df().filter(F.col("vec_id") < 5).count() == 0
+
+
+def test_ivfpq_delete_hides_and_compact_clears(spark, emb, tmp_path):
+    from custom_vector_database_spark.operators.layout import tombstones_path
+
+    idx = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, m=8, k=16
+    )
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    idx = IvfPqIndex.load(spark, path)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+    pre = _part_mtimes(os.path.join(path, "codes"))
+    assert idx.delete([0]) == 1
+    for p, mt in pre.items():
+        assert os.path.getmtime(p) == mt, p
+    assert 0 not in {
+        r["vec_id"] for r in idx.search(qvec, k=10, nprobe=8).collect()
+    }
+    # rerank path also excludes (candidates already filtered)
+    assert 0 not in {
+        r["vec_id"]
+        for r in idx.search(
+            qvec, k=10, nprobe=8, base_df=emb, vec_col="embedding", rerank=4
+        ).collect()
+    }
+    # batch path
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert all(
+        r["vec_id"] != 0
+        for r in idx.search_many(queries, k=5, nprobe=8).collect()
+    )
+    assert idx.describe()["n_tombstones"] == 1
+
+    idx.compact()
+    assert not os.path.exists(tombstones_path(path))
+    assert idx._encoded.filter(F.col("vec_id") == 0).count() == 0
+
+
+def test_fit_rejects_null_and_ragged_vectors(spark, emb):
+    bad = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        IvfIndex.fit(bad, id_col="vec_id", vec_col="embedding", n_clusters=4)
+    with pytest.raises(ValueError, match="NULL"):
+        IvfPqIndex.fit(
+            bad, id_col="vec_id", vec_col="embedding", n_clusters=4, m=8, k=16
+        )
+    ragged = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 0, F.expr("slice(embedding, 1, 3)")
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dims spanning"):
+        IvfIndex.fit(ragged, id_col="vec_id", vec_col="embedding", n_clusters=4)
