@@ -369,27 +369,43 @@ class VectorTable:
         bucket_length: float | None = None,
         kind: str = "lsh",
         n_clusters: int = 16,
+        metric: str = "l2_sq",
     ):
         """Explicit index build. ``kind="lsh"`` (default): fit a
         BucketedRandomProjectionLSH model (euclidean — matching the
         reference's L2 metric) and persist model + hashed table.
         ``kind="ivf"``: fit the cluster-partitioned IVF index instead —
-        the partition-pruned probe layout (operators/ivf.py), same L2
-        metric and same API surface, the scale path for big tables
-        (cosine/dot/compressed variants live on the operators API).
-        Either way search answers from this artifact until the next
-        rebuild — preserving the reference's stale-index contract.
+        the partition-pruned probe layout (operators/ivf.py), the scale
+        path for big tables, under any of its metrics: ``metric="l2_sq"``
+        (default, the reference's), ``"cosine"`` (normalize-at-build), or
+        ``"dot"`` (MIPS via the augmented-dimension reduction) — the
+        engine's saved-index metric family exposed through the
+        reference-parity facade (the reference declares the metric slot,
+        hnsw.h:41, but never fills it). Either way search answers from
+        this artifact until the next rebuild — the stale-index contract.
+
+        Crash-safe: the new index builds into a sibling tmp directory
+        (kind marker written LAST = completeness flag), then swaps in via
+        renames — a crash at any point leaves either the old index or the
+        new one, never neither and never a mixed-kind layout.
         """
         import json as _json
         import shutil as _shutil
 
         if kind not in ("lsh", "ivf"):
             raise ValueError(f"unknown index kind {kind!r}; 'lsh' or 'ivf'")
+        if kind == "lsh" and metric != "l2_sq":
+            raise ValueError(
+                "kind='lsh' supports only the l2_sq metric (MLlib "
+                "BucketedRandomProjectionLSH is euclidean); use kind='ivf' "
+                f"for metric={metric!r}"
+            )
         if kind == "ivf":
             from custom_vector_database_spark.operators.ivf import IvfIndex
 
             index = IvfIndex.fit(
-                self.df(), id_col="id", vec_col="vec", n_clusters=n_clusters
+                self.df(), id_col="id", vec_col="vec",
+                n_clusters=n_clusters, metric=metric,
             )
         else:
             from custom_vector_database_spark.operators.ann import LshIndex
@@ -401,16 +417,46 @@ class VectorTable:
                 num_hash_tables=num_hash_tables,
                 bucket_length=bucket_length,
             )
-        # clean swap: the two kinds use different on-disk layouts
-        _shutil.rmtree(self._index_path, ignore_errors=True)
-        index.save(self._index_path)
-        with open(os.path.join(self._index_path, "kind.json"), "w") as f:
-            _json.dump({"kind": kind}, f)
+        # build into a sibling tmp dir and swap with renames (the
+        # layout.compact_partitioned recovery pattern): rmtree-then-save
+        # in place would leave NO index after a crash mid-save, and a
+        # crash between save and the kind marker would leave an IVF
+        # layout that _load_index reads as LSH
+        tmp = self._index_path + "_tmp"
+        old = self._index_path + "_old"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(old, ignore_errors=True)
+        index.save(tmp)
+        with open(os.path.join(tmp, "kind.json"), "w") as f:
+            _json.dump({"kind": kind}, f)  # written LAST: tmp is complete
+        if os.path.exists(self._index_path):
+            os.rename(self._index_path, old)
+        os.rename(tmp, self._index_path)
+        _shutil.rmtree(old, ignore_errors=True)
+        # the returned handle must point at the swapped-in layout, not the
+        # renamed-away tmp path (IvfIndex.upsert/delete/compact resolve
+        # via _path; LshIndex carries no path)
+        if hasattr(index, "_path"):
+            index._path = self._index_path
         return index
+
+    def _recover_index_swap(self) -> None:
+        """Heal a crash mid-rebuild swap: a complete tmp (kind marker
+        present — it is written last) rolls FORWARD; otherwise the old
+        index rolls BACK. Mirrors layout.recover_partitioned_swap."""
+        if os.path.exists(self._index_path):
+            return
+        tmp = self._index_path + "_tmp"
+        old = self._index_path + "_old"
+        if os.path.exists(os.path.join(tmp, "kind.json")):
+            os.rename(tmp, self._index_path)
+        elif os.path.exists(old):
+            os.rename(old, self._index_path)
 
     def _load_index(self):
         import json as _json
 
+        self._recover_index_swap()
         if not os.path.exists(self._index_path):
             raise RuntimeError("no index built; run rebuild() first")
         kind = "lsh"  # pre-kind-marker tables are LSH
@@ -439,9 +485,13 @@ class VectorTable:
         exact=True: single-pass scan + TakeOrderedAndProject over the LIVE
         table (always fresh, oracle-checkable), under any operators.knn
         metric ("l2_sq", "cosine", "dot"). exact=False: approximate search
-        over the last-rebuilt LSH index — euclidean only (MLlib LSH family)
-        and, like the reference's HNSW, stale until rebuild()
-        (test.cpp:116-118 contract).
+        over the last-rebuilt index — stale until rebuild() like the
+        reference's HNSW (test.cpp:116-118 contract). An IVF index serves
+        the metric it was BUILT with (rebuild(kind="ivf", metric=...));
+        asking for a different one errors with the rebuild hint rather
+        than silently answering in the wrong geometry. LSH is euclidean
+        only (MLlib LSH family). Result column follows the metric:
+        dist_sq / cos_dist / score (score is LARGEST-first).
         """
         meta = self.meta
         if len(query) != meta.dim:
@@ -450,13 +500,22 @@ class VectorTable:
             return knn_ops.knn(
                 self.df(), [float(x) for x in query], k, metric=metric
             )
-        if metric != "l2_sq":
-            raise ValueError("approximate search supports only the l2_sq metric")
         idx = self._load_index()
         from custom_vector_database_spark.operators.ivf import IvfIndex
 
         if isinstance(idx, IvfIndex):
+            if metric != idx.metric:
+                raise ValueError(
+                    f"the saved IVF index was built for metric "
+                    f"{idx.metric!r}, not {metric!r}; run "
+                    f"rebuild(kind='ivf', metric={metric!r}) first"
+                )
             return idx.search([float(x) for x in query], k, nprobe=8)
+        if metric != "l2_sq":
+            raise ValueError(
+                "the saved LSH index supports only the l2_sq metric; run "
+                f"rebuild(kind='ivf', metric={metric!r}) for metric search"
+            )
         return idx.search([float(x) for x in query], k)
 
     def search_many(
@@ -501,14 +560,19 @@ class VectorTable:
     def search_stale(self, query: list[float], k: int) -> DataFrame:
         """Exact-scan search against the ROWS CAPTURED AT LAST REBUILD —
         the reference's literal semantic (search answers from the index
-        snapshot, not the live rows). Returns (id, dist_sq) nearest-first."""
+        snapshot, not the live rows). On an IVF index this probes ALL
+        clusters (exhaustive = exact over the snapshot, in the index's own
+        metric and output column); the stored vectors are in index space
+        (normalized / augmented), so the metric-aware search path is the
+        correct reader. Returns (id, <metric dist>) best-first."""
         idx = self._load_index()
         from custom_vector_database_spark.operators.ivf import IvfIndex
 
         if isinstance(idx, IvfIndex):
-            snapshot = idx.clustered_df().select("id", "vec")
-        else:
-            snapshot = idx.hashed_df().select("id", "vec")
+            return idx.search(
+                [float(x) for x in query], k, nprobe=len(idx.centroids)
+            )
+        snapshot = idx.hashed_df().select("id", "vec")
         return knn_ops.knn(snapshot, [float(x) for x in query], k)
 
     # -- O8 save: every mutation already persists (whole-rewrite), like the

@@ -128,6 +128,7 @@ def test_search_metric_plumbing(spark, tmp_path):
     vt.add([([1.0, 0.0], None), ([0.0, 1.0], None)])
     assert vt.search([1.0, 0.1], k=1, metric="dot").collect()[0]["id"] == 1
     assert vt.search([1.0, 0.1], k=1, metric="cosine").collect()[0]["id"] == 1
+    vt.rebuild(num_hash_tables=2)  # LSH — euclidean-only
     with _pytest.raises(ValueError):
         vt.search([1.0, 0.1], k=1, exact=False, metric="dot")
 
@@ -207,3 +208,94 @@ def test_rebuild_ivf_kind_preserves_reference_contracts(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown index kind"):
         vt.rebuild(kind="hnsw")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the saved-index metric family through the reference-parity
+# facade — rebuild(kind="ivf", metric=...) / search(exact=False) serve
+# cosine and dot (MIPS), matching the exact path's answers; and the
+# rebuild swap is crash-safe (tmp build + rename, roll-forward/back).
+# ---------------------------------------------------------------------------
+def _seeded_table(tbl, n=24, dim=4):
+    import random
+
+    rng = random.Random(7)
+    tbl.init(dim=dim)
+    rows = [([rng.uniform(-1, 1) for _ in range(dim)], None) for _ in range(n)]
+    tbl.add(rows)
+    return [v for v, _ in rows]
+
+
+@pytest.mark.parametrize("metric", ["l2_sq", "cosine", "dot"])
+def test_rebuild_ivf_metric_matches_exact(spark, tmp_path, metric):
+    vt = VectorTable(spark, str(tmp_path / "t"))
+    vecs = _seeded_table(vt)
+    vt.rebuild(kind="ivf", n_clusters=4, metric=metric)
+    q = vecs[0]
+    exact_ids = [r["id"] for r in vt.search(q, 5, exact=True, metric=metric).collect()]
+    # nprobe=8 > n_clusters → the approximate search is exhaustive here,
+    # so ids must match the exact path in the same metric exactly
+    approx = vt.search(q, 5, exact=False, metric=metric)
+    approx_ids = [r["id"] for r in approx.collect()]
+    assert approx_ids == exact_ids
+    want_col = {"l2_sq": "dist_sq", "cosine": "cos_dist", "dot": "score"}[metric]
+    assert want_col in approx.columns
+    # stale search reads the same snapshot in the same metric
+    stale_ids = [r["id"] for r in vt.search_stale(q, 5).collect()]
+    assert stale_ids == exact_ids
+
+
+def test_metric_mismatch_errors_with_rebuild_hint(spark, tmp_path):
+    vt = VectorTable(spark, str(tmp_path / "t"))
+    _seeded_table(vt)
+    vt.rebuild(kind="ivf", n_clusters=4, metric="cosine")
+    with pytest.raises(ValueError, match="rebuild"):
+        vt.search([0.0] * 4, 3, exact=False, metric="l2_sq")
+    vt.rebuild(kind="lsh")
+    with pytest.raises(ValueError, match="l2_sq"):
+        vt.search([0.0] * 4, 3, exact=False, metric="cosine")
+    with pytest.raises(ValueError, match="lsh"):
+        vt.rebuild(kind="lsh", metric="cosine")
+
+
+def test_rebuild_swap_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    vt = VectorTable(spark, str(tmp_path / "t"))
+    _seeded_table(vt)
+    vt.rebuild(kind="ivf", n_clusters=4)
+    q = [0.1, 0.2, 0.3, 0.4]
+    want = [r["id"] for r in vt.search(q, 3, exact=False).collect()]
+
+    # crash AFTER the tmp completed but BEFORE the swap: tmp has the kind
+    # marker → _load_index must roll FORWARD to it
+    idxp = vt._index_path
+    shutil.copytree(idxp, idxp + "_tmp")
+    shutil.rmtree(idxp)
+    assert [r["id"] for r in vt.search(q, 3, exact=False).collect()] == want
+    assert os.path.exists(idxp) and not os.path.exists(idxp + "_tmp")
+
+    # crash MID-BUILD: incomplete tmp (no kind marker), old still present
+    # → roll BACK to old
+    shutil.copytree(idxp, idxp + "_old")
+    os.makedirs(idxp + "_tmp")  # incomplete build debris
+    shutil.rmtree(idxp)
+    assert [r["id"] for r in vt.search(q, 3, exact=False).collect()] == want
+    assert os.path.exists(idxp)
+
+
+def test_rebuild_returns_live_handle(spark, tmp_path):
+    """The handle rebuild() returns must point at the swapped-in layout,
+    so the incremental verbs (upsert/delete/compact) work on it."""
+    from pyspark.sql import functions as F
+
+    vt = VectorTable(spark, str(tmp_path / "t"))
+    _seeded_table(vt)
+    idx = vt.rebuild(kind="ivf", n_clusters=4)
+    assert idx._path == vt._index_path
+    assert idx.delete([1]) == 1
+    q = [0.1, 0.2, 0.3, 0.4]
+    assert all(
+        r["id"] != 1 for r in vt.search(q, 24, exact=False).collect()
+    )
