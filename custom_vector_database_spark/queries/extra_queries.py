@@ -479,12 +479,13 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Per-(user, event_type) custom stateful stream under a full oracle: final
-# emitted state must equal GROUP BY user_id, event_type. Where protobuf is
-# installed this runs on transformWithStateInPandas (Spark 4 arbitrary-
-# state API: per-user MapState keyed by event_type, RocksDB provider);
-# this container lacks protobuf, so the applyInPandasWithState compat twin
-# (same semantics, flat (user, type) key) answers instead — operator
-# selection is tested in tests/test_streaming.py.
+# emitted state must equal GROUP BY user_id, event_type. Runs on
+# applyInPandasWithState (flat (user, type) key) — the verified API. The
+# transformWithStateInPandas twin (stateful.user_type_spend) is
+# EXPERIMENTAL, explicit-opt-in only: it has never executed in this
+# environment (protobuf absent), so production paths no longer
+# auto-dispatch to it; tests/test_streaming.py carries the protobuf-CI
+# integration test that must go green before it is promoted.
 # ---------------------------------------------------------------------------
 @register(
     "stream_user_type_spend",
@@ -504,31 +505,12 @@ def q_stream_user_type_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_events,
     )
     from custom_vector_database_spark.streaming.stateful import (
-        tws_available,
-        user_type_spend,
         user_type_spend_compat,
     )
 
     ev = streaming_events(spark, sf_dir).filter(F.col("user_id") < 50)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(provider_key, None)
-    try:
-        if tws_available():
-            # transformWithState requires the RocksDB state store
-            spark.conf.set(
-                provider_key,
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-            stream = user_type_spend(ev)
-        else:
-            stream = user_type_spend_compat(ev)
-        snap = run_stream_to_memory(spark, stream, "tws", output_mode="update")
-    finally:
-        if old is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, old)
+    stream = user_type_spend_compat(ev)
+    snap = run_stream_to_memory(spark, stream, "tws", output_mode="update")
     final = snap.groupBy("user_id", "event_type").agg(
         F.max(F.struct("n_events", "total_value")).alias("s")
     )

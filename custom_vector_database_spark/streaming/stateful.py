@@ -11,14 +11,16 @@ equals a plain GROUP BY over the same data — which is exactly what the
 DuckDB oracle checks (queries/extra_queries.q_stream_stateful_user_stats).
 
 STATUS of the transformWithStateInPandas branch (`user_type_spend`):
-EXPERIMENTAL — it has never executed in this environment because pyspark's
+EXPERIMENTAL, EXPLICIT-OPT-IN ONLY (demoted round 6 after three rounds
+unexecuted) — it has never run in this environment because pyspark's
 protobuf dependency is absent here (tws_available() gates it with a hard
-NotImplementedError; tests/test_streaming.py records the skip with that
-reason). The oracle-checked, environment-independent implementation of
-the same semantics is `user_type_spend_compat` (applyInPandasWithState),
-which is what the registered query runs. Treat the TWS branch as a
-documented forward-port target, not a verified code path, until it has
-run on a protobuf-equipped deployment.
+NotImplementedError). NO production path auto-dispatches to it anymore:
+the registered query runs `user_type_spend_compat`
+(applyInPandasWithState — same semantics, oracle-checked) always. The
+TWS operator stays as the forward-port implementation with a dedicated
+integration test (tests/test_streaming.py::
+test_tws_user_type_spend_integration) that protobuf-equipped CI must
+pass before anyone promotes it.
 
 Scale shape: state is partitioned by the grouping key (user_id) across
 executors; each micro-batch routes a user's events to its state partition;

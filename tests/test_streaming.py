@@ -100,12 +100,43 @@ def test_tws_user_type_spend_integration(spark):
     import pyspark.sql.functions as F
     import pytest
 
-    from custom_vector_database_spark.streaming.stateful import tws_available
+    from custom_vector_database_spark.streaming import (
+        run_stream_to_memory,
+        streaming_events,
+    )
+    from custom_vector_database_spark.streaming.stateful import (
+        tws_available,
+        user_type_spend,
+    )
 
     if not tws_available():
         pytest.skip("protobuf absent: transformWithStateInPandas cannot run here")
 
-    got = reg.QUERIES["stream_user_type_spend"](spark, SF)  # tws path here
+    # the registered query runs the verified compat path; the
+    # EXPERIMENTAL TWS operator is exercised explicitly here, with the
+    # RocksDB provider it requires
+    ev = streaming_events(spark, SF).filter(F.col("user_id") < 50)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        snap = run_stream_to_memory(
+            spark, user_type_spend(ev), "tws_it", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = (
+        snap.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "event_type", "s.n_events", "s.total_value")
+    )
     batch = (
         spark.read.parquet(f"{SF}/events.parquet")
         .filter(F.col("user_id") < 50)
