@@ -526,17 +526,24 @@ class VectorTable:
         query_vec: str = "qvec",
         metric: str = "l2_sq",
         max_query_rows: int | None = 100_000,
+        exact: bool = True,
+        nprobe: int = 8,
     ) -> DataFrame:
-        """Batch search: the k nearest LIVE rows for every query row —
-        the set-oriented generalization of the reference's one-vector
-        search loop (main.cpp:95-118 calls search per CLI command; here
-        one job answers the whole query table).
+        """Batch search: the k nearest rows for every query row — the
+        set-oriented generalization of the reference's one-vector search
+        loop (main.cpp:95-118 calls search per CLI command; here one job
+        answers the whole query table).
 
-        Plan: broadcast(queries) ⨯ table scan → per-qid top-k window; only
-        (qid, id, dist) triples shuffle (operators/knn.knn_join). The query
-        side must broadcast — ``max_query_rows`` guards that assumption.
-        Returns (qid, id, dist) nearest-first within each qid.
+        exact=True (default): LIVE rows, broadcast(queries) ⨯ table scan →
+        per-qid top-k window; only (qid, id, dist) triples shuffle
+        (operators/knn.knn_join). exact=False: the last-rebuilt IVF index
+        answers via its partition-pruned batch path (IvfIndex.search_many
+        — per-query nprobe shortlist, statically pruned scan), in the
+        metric the index was built with; stale until rebuild(), matching
+        single-vector search(exact=False). An LSH index has no batch path
+        — rebuild(kind="ivf") first.
 
+        The query side must broadcast — ``max_query_rows`` guards that.
         Every query vector is dimension-checked (one cheap count over the
         small query side) — the same contract as single-vector search().
         """
@@ -544,6 +551,25 @@ class VectorTable:
         if n_bad:
             raise DimensionMismatchError(
                 f"{n_bad} query vector(s) do not have dim {self.meta.dim}"
+            )
+        if not exact:
+            idx = self._load_index()
+            from custom_vector_database_spark.operators.ivf import IvfIndex
+
+            if not isinstance(idx, IvfIndex):
+                raise ValueError(
+                    "batch approximate search needs the IVF layout; run "
+                    "rebuild(kind='ivf') first (LSH has no batch path)"
+                )
+            if metric != idx.metric:
+                raise ValueError(
+                    f"the saved IVF index was built for metric "
+                    f"{idx.metric!r}, not {metric!r}; run "
+                    f"rebuild(kind='ivf', metric={metric!r}) first"
+                )
+            return idx.search_many(
+                queries, k, nprobe=nprobe, query_id=query_id,
+                query_vec=query_vec, max_query_rows=max_query_rows,
             )
         return knn_ops.knn_join(
             self.df(),

@@ -299,3 +299,26 @@ def test_rebuild_returns_live_handle(spark, tmp_path):
     assert all(
         r["id"] != 1 for r in vt.search(q, 24, exact=False).collect()
     )
+
+
+def test_search_many_approx_matches_exact_when_exhaustive(spark, tmp_path):
+    """Batch approximate search through the facade: with nprobe covering
+    every cluster the pruned batch path must equal the exact batch path
+    per query; an LSH index must refuse with the rebuild hint."""
+    from pyspark.sql import functions as F
+
+    vt = VectorTable(spark, str(tmp_path / "t"))
+    _seeded_table(vt)
+    queries = vt.df().filter(F.col("id") <= 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    vt.rebuild(kind="ivf", n_clusters=4)
+    exact = vt.search_many(queries, 4)
+    approx = vt.search_many(queries, 4, exact=False, nprobe=4)
+    keyf = lambda rows: [(r["qid"], r["id"]) for r in rows]
+    assert keyf(approx.orderBy("qid", "dist_sq", "id").collect()) == keyf(
+        exact.orderBy("qid", "dist_sq", "id").collect()
+    )
+    vt.rebuild(kind="lsh")
+    with pytest.raises(ValueError, match="rebuild"):
+        vt.search_many(queries, 4, exact=False)
