@@ -531,6 +531,7 @@ class IvfIndex(TombstoneDeleteMixin):
         dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
         filter_map: dict[str, str] | None = None,
+        max_broadcast_bytes: int | None = 256 << 20,
     ) -> DataFrame:
         """Batch ANN: the k approximate nearest rows for EVERY row of a
         query table, answered from the saved cluster-partitioned layout in
@@ -573,13 +574,26 @@ class IvfIndex(TombstoneDeleteMixin):
         (queries zero-augmented, ‖q‖² riding the broadcast side) —
         best-first within each qid, id tie-break.
         """
-        if max_query_rows is not None:
+        if max_query_rows is not None or max_broadcast_bytes is not None:
             n_q = queries.count()
-            if n_q > max_query_rows:
+            if max_query_rows is not None and n_q > max_query_rows:
                 raise ValueError(
                     f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
                     "a broadcast this large risks executor OOM — split the "
                     "query table and search_many per split"
+                )
+            # the broadcast ships the EXPLODED side: n_q × nprobe rows,
+            # each carrying the query vector — row count alone
+            # under-estimates it (the round-6 sf1 probe's lesson), so
+            # guard on the byte arithmetic explicitly
+            est = n_q * nprobe * (self._expected_input_dim() * 4 + 24)
+            if max_broadcast_bytes is not None and est > max_broadcast_bytes:
+                raise ValueError(
+                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                    f"{nprobe} probes × ~{self._expected_input_dim() * 4 + 24} "
+                    f"B/row) > max_broadcast_bytes={max_broadcast_bytes >> 20} "
+                    "MiB; split the query table, lower nprobe, or use the "
+                    "IVF-PQ batch path (32× smaller codes)"
                 )
         for qc in (query_id, query_vec):
             if qc in self._clustered.columns:

@@ -707,6 +707,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
         filter_map: dict[str, str] | None = None,
+        max_broadcast_bytes: int | None = 256 << 20,
     ) -> DataFrame:
         """Batch ADC search: the k approximate nearest rows for EVERY row
         of a query table, answered from the compressed cluster-partitioned
@@ -730,13 +731,27 @@ class IvfPqIndex(TombstoneDeleteMixin):
         collect, unlike the single-query convenience path). Returns
         (query_id, id_col, dist_col) best-first per query, id tie-break.
         """
-        if max_query_rows is not None:
+        if max_query_rows is not None or max_broadcast_bytes is not None:
             n_q = queries.count()
-            if n_q > max_query_rows:
+            if max_query_rows is not None and n_q > max_query_rows:
                 raise ValueError(
                     f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
                     "a broadcast this large risks executor OOM — split the "
                     "query table and search_many per split"
+                )
+            # the broadcast ships n_q × nprobe exploded rows, each carrying
+            # its per-(query, cluster) LUTs: m arrays × k doubles — the
+            # dominant term (1 KiB/row at m=8, k=16), invisible to a
+            # row-count guard (the round-6 sf1 probe's lesson: at the
+            # 100k-row guard this side would be ~1 GiB)
+            per_row = self.m * self.k * 8 + 48
+            est = n_q * nprobe * per_row
+            if max_broadcast_bytes is not None and est > max_broadcast_bytes:
+                raise ValueError(
+                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                    f"{nprobe} probes × ~{per_row} B of LUTs/row) > "
+                    f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                    "split the query table or lower nprobe"
                 )
         from pyspark.sql import Window
 

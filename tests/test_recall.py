@@ -354,6 +354,18 @@ def test_ivf_search_many_validates_query_bound(spark, emb):
     )
     with pytest.raises(ValueError, match="max_query_rows"):
         ivf.search_many(queries, k=3, max_query_rows=5)
+    # the byte guard catches what the row guard can't: the exploded
+    # broadcast side (n_q × nprobe rows of vectors/LUTs)
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        ivf.search_many(queries, k=3, max_broadcast_bytes=1024)
+
+
+def test_ivfpq_search_many_validates_broadcast_bytes(spark, emb, ivfpq):
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="LUTs"):
+        ivfpq.search_many(queries, k=3, max_broadcast_bytes=1024)
 
 
 def test_ivf_upsert_appends_only_the_delta(spark, emb, tmp_path):
