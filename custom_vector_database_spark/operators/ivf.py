@@ -251,7 +251,19 @@ class IvfIndex(TombstoneDeleteMixin):
         )
 
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
-        self._tombstones = None
+        if self._tombstones is not None:
+            # re-point the handle at what was just written BEFORE dropping
+            # the tombstone view — otherwise the old raw layout (which
+            # still physically holds the deleted rows) would resurrect
+            # them on this very handle. Only needed when tombstones were
+            # dropped; a clean save keeps the (path-independent,
+            # checkpointed) in-memory frame so callers may move/rename
+            # the written directory afterwards (VectorTable.rebuild's
+            # tmp-and-swap does exactly that).
+            self._clustered = self._clustered.sparkSession.read.parquet(
+                os.path.join(path, "rows")
+            )
+            self._tombstones = None
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -343,10 +355,10 @@ class IvfIndex(TombstoneDeleteMixin):
             ),
         ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
         n = encoded.count()
+        self._refuse_tombstoned_delta(encoded.select(self.id_col))
         rows_path = os.path.join(self._path, "rows")
         encoded.write.mode("append").partitionBy("cluster").parquet(rows_path)
         self._clustered = delta.sparkSession.read.parquet(rows_path)
-        self._clear_readded_tombstones(encoded.select(self.id_col))
         return int(n)
 
     def _expected_input_dim(self) -> int:
@@ -356,23 +368,33 @@ class IvfIndex(TombstoneDeleteMixin):
         d = len(self.centroids[0])
         return d - 1 if self.metric == "dot" else d
 
-    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> None:
+    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> int:
         """Hard-error on wrong-length vectors BEFORE encoding: zip_with
         against the centroids pads mismatches with NULL, which would file
         the rows under a NULL cluster partition that no probe ever scans —
-        silent data loss. One cheap count over the (small) input side."""
+        silent data loss. ONE aggregate over the (small) input side that
+        also returns the row count, so callers needing both (the batch
+        guards) pay a single scan."""
         want = self._expected_input_dim()
         # NULL-safe: under ANSI mode size(NULL) is NULL, so `size != want`
         # is NULL (not true) for a NULL vector and a plain filter would
-        # wave exactly the rows this guard exists to catch straight through
-        n_bad = df.filter(
-            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != want)
-        ).count()
-        if n_bad:
+        # wave exactly the rows this guard exists to catch straight
+        # through; isNull() | NULL evaluates true for those rows
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col(vec_col).isNull()
+                    | (F.size(F.col(vec_col)) != want)
+                ).cast("long")
+            ).alias("n_bad"),
+        ).first()
+        if stats["n_bad"]:
             raise ValueError(
-                f"{n_bad} {what} vector(s) are NULL or do not have dim {want} "
-                f"(index metric {self.metric!r})"
+                f"{stats['n_bad']} {what} vector(s) are NULL or do not have "
+                f"dim {want} (index metric {self.metric!r})"
             )
+        return int(stats["n"])
 
     def compact(self, files_per_cluster: int = 1) -> dict:
         """Rewrite the saved layout so each cluster partition holds
@@ -574,27 +596,6 @@ class IvfIndex(TombstoneDeleteMixin):
         (queries zero-augmented, ‖q‖² riding the broadcast side) —
         best-first within each qid, id tie-break.
         """
-        if max_query_rows is not None or max_broadcast_bytes is not None:
-            n_q = queries.count()
-            if max_query_rows is not None and n_q > max_query_rows:
-                raise ValueError(
-                    f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
-                    "a broadcast this large risks executor OOM — split the "
-                    "query table and search_many per split"
-                )
-            # the broadcast ships the EXPLODED side: n_q × nprobe rows,
-            # each carrying the query vector — row count alone
-            # under-estimates it (the round-6 sf1 probe's lesson), so
-            # guard on the byte arithmetic explicitly
-            est = n_q * nprobe * (self._expected_input_dim() * 4 + 24)
-            if max_broadcast_bytes is not None and est > max_broadcast_bytes:
-                raise ValueError(
-                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
-                    f"{nprobe} probes × ~{self._expected_input_dim() * 4 + 24} "
-                    f"B/row) > max_broadcast_bytes={max_broadcast_bytes >> 20} "
-                    "MiB; split the query table, lower nprobe, or use the "
-                    "IVF-PQ batch path (32× smaller codes)"
-                )
         for qc in (query_id, query_vec):
             if qc in self._clustered.columns:
                 raise ValueError(
@@ -614,7 +615,37 @@ class IvfIndex(TombstoneDeleteMixin):
                     "column — alias it on the query side first"
                 )
         qfilter_cols = [F.col(c) for c in filter_map.values()]
-        self._check_input_dims(queries, query_vec, "query")
+        # ONE scan of the query side serves the dim guard AND the row
+        # count the broadcast guards need
+        n_q = self._check_input_dims(queries, query_vec, "query")
+        if max_query_rows is not None and n_q > max_query_rows:
+            raise ValueError(
+                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                "a broadcast this large risks executor OOM — split the "
+                "query table and search_many per split"
+            )
+        if max_broadcast_bytes is not None:
+            # the broadcast ships the EXPLODED side: n_q × nprobe rows,
+            # each carrying the query vector — row count alone
+            # under-estimates it (the round-6 sf1 probe's lesson), so
+            # guard on the byte arithmetic explicitly, at the ACTUAL
+            # element width (callers may pass array<double> queries) plus
+            # the dot path's augmented element and ‖q‖² column
+            from pyspark.sql import types as T
+
+            elem_t = queries.schema[query_vec].dataType.elementType
+            elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
+            dims = self._expected_input_dim() + (1 if self.metric == "dot" else 0)
+            per_row = dims * elem_b + 24 + (8 if self.metric == "dot" else 0)
+            est = n_q * nprobe * per_row
+            if est > max_broadcast_bytes:
+                raise ValueError(
+                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                    f"{nprobe} probes × ~{per_row} B/row) > "
+                    f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                    "split the query table, lower nprobe, or use the "
+                    "IVF-PQ batch path (32× smaller codes)"
+                )
         qv = f"`{query_vec}`"
         qside = queries.select(F.col(query_id), F.col(query_vec), *qfilter_cols)
         extra_q_cols: list = []

@@ -431,7 +431,15 @@ class IvfPqIndex(TombstoneDeleteMixin):
         )
 
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
-        self._tombstones = None
+        if self._tombstones is not None:
+            # re-point the handle at what was just written BEFORE dropping
+            # the tombstone view (same hazard and same conditional as
+            # IvfIndex.save: a clean save keeps the path-independent
+            # in-memory frame so the written dir stays movable)
+            self._encoded = self._encoded.sparkSession.read.parquet(
+                os.path.join(path, "codes")
+            )
+            self._tombstones = None
         self._path = path
 
     @classmethod
@@ -494,10 +502,10 @@ class IvfPqIndex(TombstoneDeleteMixin):
             carry_cols=self.carry_cols,
         ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
         n = encoded.count()
+        self._refuse_tombstoned_delta(encoded.select(self.id_col))
         codes_path = os.path.join(self._path, "codes")
         encoded.write.mode("append").partitionBy("cluster").parquet(codes_path)
         self._encoded = delta.sparkSession.read.parquet(codes_path)
-        self._clear_readded_tombstones(encoded.select(self.id_col))
         return int(n)
 
     def compact(self, files_per_cluster: int = 1) -> dict:
@@ -543,7 +551,11 @@ class IvfPqIndex(TombstoneDeleteMixin):
             "metric": self.metric,
             "n_rows": int(n_rows),
             "n_clusters": len(self.centroids),
-            "dim": self.dim,
+            # caller-facing dim (what search/upsert vectors must have) —
+            # one less than the stored/encoded dim on a dot index, the
+            # same contract as IvfIndex.describe
+            "dim": self.dim - 1 if self.metric == "dot" else self.dim,
+            "stored_dim": self.dim,
             "m": self.m,
             "k": self.k,
             "carry_cols": list(self.carry_cols),
@@ -566,7 +578,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
             )
         return out
 
-    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> None:
+    def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> int:
         """Hard-error on wrong-length vectors BEFORE encoding/probing —
         zip_with against the centroids pads mismatches with NULL, filing
         rows under a NULL cluster partition no probe ever scans (silent
@@ -575,15 +587,25 @@ class IvfPqIndex(TombstoneDeleteMixin):
         # NULL-safe: size(NULL) is NULL under ANSI mode, so `size != dim`
         # would wave NULL vectors straight through this guard. Callers
         # supply RAW vectors — one less than the encoded dim on a dot
-        # index (the augmented coordinate is added internally).
+        # index (the augmented coordinate is added internally). ONE
+        # aggregate also returns the row count, so the batch guards
+        # don't pay a second scan.
         want = self.dim - 1 if self.metric == "dot" else self.dim
-        n_bad = df.filter(
-            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != want)
-        ).count()
-        if n_bad:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col(vec_col).isNull()
+                    | (F.size(F.col(vec_col)) != want)
+                ).cast("long")
+            ).alias("n_bad"),
+        ).first()
+        if stats["n_bad"]:
             raise ValueError(
-                f"{n_bad} {what} vector(s) are NULL or do not have dim {want}"
+                f"{stats['n_bad']} {what} vector(s) are NULL or do not have "
+                f"dim {want}"
             )
+        return int(stats["n"])
 
     def _probe(self, query: list[float], nprobe: int) -> list[int]:
         dists = sorted(
@@ -731,28 +753,6 @@ class IvfPqIndex(TombstoneDeleteMixin):
         collect, unlike the single-query convenience path). Returns
         (query_id, id_col, dist_col) best-first per query, id tie-break.
         """
-        if max_query_rows is not None or max_broadcast_bytes is not None:
-            n_q = queries.count()
-            if max_query_rows is not None and n_q > max_query_rows:
-                raise ValueError(
-                    f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
-                    "a broadcast this large risks executor OOM — split the "
-                    "query table and search_many per split"
-                )
-            # the broadcast ships n_q × nprobe exploded rows, each carrying
-            # its per-(query, cluster) LUTs: m arrays × k doubles — the
-            # dominant term (1 KiB/row at m=8, k=16), invisible to a
-            # row-count guard (the round-6 sf1 probe's lesson: at the
-            # 100k-row guard this side would be ~1 GiB)
-            per_row = self.m * self.k * 8 + 48
-            est = n_q * nprobe * per_row
-            if max_broadcast_bytes is not None and est > max_broadcast_bytes:
-                raise ValueError(
-                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
-                    f"{nprobe} probes × ~{per_row} B of LUTs/row) > "
-                    f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
-                    "split the query table or lower nprobe"
-                )
         from pyspark.sql import Window
 
         for qc in (query_id, query_vec):
@@ -774,7 +774,30 @@ class IvfPqIndex(TombstoneDeleteMixin):
                     "column — alias it on the query side first"
                 )
         qfilter_cols = [F.col(c) for c in filter_map.values()]
-        self._check_input_dims(queries, query_vec, "query")
+        # ONE scan of the query side serves the dim guard AND the row
+        # count the broadcast guards need
+        n_q = self._check_input_dims(queries, query_vec, "query")
+        if max_query_rows is not None and n_q > max_query_rows:
+            raise ValueError(
+                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                "a broadcast this large risks executor OOM — split the "
+                "query table and search_many per split"
+            )
+        if max_broadcast_bytes is not None:
+            # the broadcast ships n_q × nprobe exploded rows, each carrying
+            # its per-(query, cluster) LUTs: m arrays × k doubles — the
+            # dominant term (1 KiB/row at m=8, k=16), invisible to a
+            # row-count guard (the round-6 sf1 probe's lesson: at the
+            # 100k-row guard this side would be ~1 GiB)
+            per_row = self.m * self.k * 8 + 48
+            est = n_q * nprobe * per_row
+            if est > max_broadcast_bytes:
+                raise ValueError(
+                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                    f"{nprobe} probes × ~{per_row} B of LUTs/row) > "
+                    f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                    "split the query table or lower nprobe"
+                )
         dist_col = dist_col or {
             "cosine": "cos_dist", "dot": "score"
         }.get(self.metric, "dist_sq")

@@ -14,8 +14,14 @@ upsert verb exists to avoid. Tombstones close that gap:
   Catalyst/AQE broadcasts it. With no tombstones the plan is unchanged.
 - ``compact()`` physically drops tombstoned rows (the filter rides the
   compaction shuffle for free) and clears the sidecar.
-- An ``upsert()`` that re-adds a deleted id rewrites the sidecar without
-  it, so the new row is searchable immediately.
+- An ``upsert()`` whose delta collides with a tombstoned id REFUSES with
+  a compact-first error. Rationale: the old physical copy is still in
+  the layout, so clearing the tombstone would resurrect BOTH copies (a
+  duplicate id), and any order of (append, sidecar-rewrite) leaves a
+  crash window that either un-deletes the old row or silently dooms the
+  new one. The reference never reuses ids at all (monotonic nextId,
+  vectordb.cpp:43); requiring a compact() before id reuse is the
+  two-artifact-safe version of that contract.
 
 This mixin carries the shared verbs; the host class provides
 ``self._path``, ``self.id_col``, and ``_raw_layout()`` (the full stored
@@ -30,7 +36,6 @@ from pyspark.sql import functions as F
 from custom_vector_database_spark.operators.layout import (
     append_tombstones,
     clear_tombstones,
-    overwrite_tombstones,
     read_tombstones,
 )
 
@@ -76,9 +81,14 @@ class TombstoneDeleteMixin:
                 F.col(src).cast(id_type).alias(self.id_col)
             ).distinct()
         else:
+            # build the literal list in the LAYOUT's id type — a
+            # hardcoded long schema would crash on string/other id columns
+            from pyspark.sql import types as T
+
+            schema = T.StructType([T.StructField(self.id_col, id_type)])
             ids_df = spark.createDataFrame(
-                [(i,) for i in ids], f"`{self.id_col}` long"
-            ).select(F.col(self.id_col).cast(id_type)).distinct()
+                [(i,) for i in ids], schema
+            ).distinct()
         # count live hits BEFORE appending (the return contract); one
         # bounded semi-join — the id side is the small one
         n_live = self._live(raw).join(ids_df, self.id_col, "left_semi").count()
@@ -86,30 +96,23 @@ class TombstoneDeleteMixin:
         self._load_tombstones(spark)
         return int(n_live)
 
-    def _clear_readded_tombstones(self, readded_ids: DataFrame) -> None:
-        """An upsert that re-adds a previously deleted id must make the
-        new row searchable — otherwise the tombstone would hide it
-        forever. The sidecar is rewritten minus the re-added ids (bounded
-        work: the sidecar is small by design). No-op when nothing
-        overlaps."""
+    def _refuse_tombstoned_delta(self, delta_ids: DataFrame) -> None:
+        """Called by upsert() BEFORE appending: a delta that reuses a
+        tombstoned id must refuse (module docstring — clearing the
+        tombstone would resurrect the old physical copy alongside the new
+        one, and either commit order has a crash window that silently
+        un-deletes or dooms a row). One bounded semi-join; no-op when no
+        tombstones exist."""
         if self._tombstones is None:
             return
-        spark = self._raw_layout().sparkSession
-        overlap = self._tombstones.join(
-            readded_ids, self.id_col, "left_semi"
-        ).count()
-        if not overlap:
-            return
-        remaining = self._tombstones.join(
-            readded_ids, self.id_col, "left_anti"
-        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the
-        # sidecar the plan reads from
-        if remaining.count():
-            overwrite_tombstones(remaining, self._path)
-            self._load_tombstones(spark)
-        else:
-            clear_tombstones(self._path)
-            self._tombstones = None
+        n = self._tombstones.join(delta_ids, self.id_col, "left_semi").count()
+        if n:
+            raise ValueError(
+                f"{n} delta id(s) are tombstoned on this index; run "
+                "compact() first to physically clear deletions, then "
+                "upsert (ids are otherwise append-only, matching the "
+                "reference's monotonic id contract)"
+            )
 
     def _compact_transform_and_clear(self):
         """(transform, on_success) pair for layout.compact_partitioned:

@@ -424,6 +424,10 @@ class VectorTable:
         # layout that _load_index reads as LSH
         tmp = self._index_path + "_tmp"
         old = self._index_path + "_old"
+        # heal any prior mid-swap crash FIRST — without this, the rmtree
+        # below would destroy the only surviving index copies (tmp/old)
+        # while the index dir itself is missing
+        self._recover_index_swap()
         _shutil.rmtree(tmp, ignore_errors=True)
         _shutil.rmtree(old, ignore_errors=True)
         index.save(tmp)
@@ -547,11 +551,6 @@ class VectorTable:
         Every query vector is dimension-checked (one cheap count over the
         small query side) — the same contract as single-vector search().
         """
-        n_bad = queries.filter(F.size(F.col(query_vec)) != self.meta.dim).count()
-        if n_bad:
-            raise DimensionMismatchError(
-                f"{n_bad} query vector(s) do not have dim {self.meta.dim}"
-            )
         if not exact:
             idx = self._load_index()
             from custom_vector_database_spark.operators.ivf import IvfIndex
@@ -567,9 +566,17 @@ class VectorTable:
                     f"{idx.metric!r}, not {metric!r}; run "
                     f"rebuild(kind='ivf', metric={metric!r}) first"
                 )
+            # the index path runs its own fused dim+count guard — a
+            # facade-side dim check here would re-scan the query lineage
+            # a second time for the same error
             return idx.search_many(
                 queries, k, nprobe=nprobe, query_id=query_id,
                 query_vec=query_vec, max_query_rows=max_query_rows,
+            )
+        n_bad = queries.filter(F.size(F.col(query_vec)) != self.meta.dim).count()
+        if n_bad:
+            raise DimensionMismatchError(
+                f"{n_bad} query vector(s) do not have dim {self.meta.dim}"
             )
         return knn_ops.knn_join(
             self.df(),

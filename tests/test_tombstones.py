@@ -2,9 +2,11 @@
 
 Contract under test (operators/tombstones.py): delete() hides rows from
 every search path immediately WITHOUT touching pre-existing part files;
-upsert() of a deleted id resurrects it; compact() physically drops
-tombstoned rows and clears the sidecar; save()/rebuild-style full
-rewrites never resurrect deleted rows.
+upsert() of a tombstoned id REFUSES until a compact() physically clears
+the deletion (id reuse = compact first — no duplicate-id resurrection,
+no crash window over the two artifacts); compact() drops tombstoned
+rows and clears the sidecar; save()/rebuild-style full rewrites never
+resurrect deleted rows, on the fresh load NOR on the saving handle.
 """
 
 from __future__ import annotations
@@ -90,16 +92,27 @@ def test_ivf_search_many_excludes_deleted(spark, emb, ivf):
     assert hits and all(r["vec_id"] not in (0, 1) for r in hits)
 
 
-def test_ivf_upsert_resurrects_deleted_id(spark, emb, ivf):
+def test_ivf_upsert_refuses_tombstoned_id_until_compact(spark, emb, ivf):
+    """Id reuse after delete requires a compact first: clearing the
+    tombstone at upsert time would resurrect the OLD physical copy
+    alongside the new one (duplicate id), and either commit order over
+    the two artifacts has a crash window. The reference never reuses ids
+    at all (monotonic nextId, vectordb.cpp:43)."""
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     ivf.delete([0])
     assert 0 not in {
         r["vec_id"] for r in ivf.search(qvec, k=5, nprobe=8).collect()
     }
     delta = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="compact"):
+        ivf.upsert(delta)
+    # compact physically clears the deletion; then the id is free again
+    ivf.compact()
     assert ivf.upsert(delta) == 1
-    # the re-added row must be searchable again (tombstone cleared)
-    assert 0 in {r["vec_id"] for r in ivf.search(qvec, k=5, nprobe=8).collect()}
+    hits = ivf.search(qvec, k=5, nprobe=8).collect()
+    assert 0 in {r["vec_id"] for r in hits}
+    # exactly ONE physical copy — no duplicate-id resurrection
+    assert ivf.clustered_df().filter(F.col("vec_id") == 0).count() == 1
     assert ivf.describe()["n_tombstones"] == 0
 
 
@@ -127,6 +140,14 @@ def test_ivf_save_does_not_resurrect(spark, emb, ivf, tmp_path):
     reloaded = IvfIndex.load(spark, path2)
     assert reloaded.clustered_df().filter(F.col("vec_id") == 0).count() == 0
     assert reloaded._tombstones is None
+    # the SAME handle must not resurrect either: after save() cleared the
+    # tombstone view, its raw layout must be the freshly written one (the
+    # old path still physically holds row 0)
+    assert ivf.clustered_df().filter(F.col("vec_id") == 0).count() == 0
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assert 0 not in {
+        r["vec_id"] for r in ivf.search(qvec, k=5, nprobe=8).collect()
+    }
 
 
 def test_ivf_delete_requires_saved_index(emb):
@@ -202,3 +223,20 @@ def test_fit_rejects_null_and_ragged_vectors(spark, emb):
     )
     with pytest.raises(ValueError, match="dims spanning"):
         IvfIndex.fit(ragged, id_col="vec_id", vec_col="embedding", n_clusters=4)
+
+
+def test_describe_reports_caller_facing_dim_on_dot_indexes(spark, emb):
+    """describe()['dim'] is what a caller must feed search/upsert — the
+    RAW dim, one less than the stored augmented dim on dot indexes, on
+    BOTH index classes (they must agree on what 'dim' means)."""
+    ivf = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, metric="dot"
+    )
+    d1 = ivf.describe()
+    pq = IvfPqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4, m=13,
+        k=16, metric="dot",
+    )
+    d2 = pq.describe()
+    assert d1["dim"] == d2["dim"] == 64
+    assert d1["stored_dim"] == d2["stored_dim"] == 65
