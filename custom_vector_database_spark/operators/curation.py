@@ -54,6 +54,7 @@ __all__ = [
     "centroid_outliers",
     "length_buckets",
     "unigram_logprob",
+    "leakage_safe_split",
 ]
 
 
@@ -428,3 +429,45 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split.
+# ---------------------------------------------------------------------------
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hashing the near-dup CLUSTER id instead of
+    the document id, so every member of a duplicate cluster lands in the
+    SAME split — the contamination guard a per-document split lacks: a
+    near-duplicate of a training document in the test split silently
+    inflates eval (the classic train/test leakage mode of web-scale
+    corpora; see the dedup literature's motivation for cluster-level
+    handling). Compose with operators/graph.connected_components over any
+    near-dup pair source (n-gram Jaccard, MinHash, SimHash, embedding
+    cosine) to produce ``cluster_col``.
+
+    Same determinism contract as the md5-threshold split
+    (queries/pipeline_queries.dataset_split_docs): the split is a pure
+    function of md5(cluster_id) against exact integer thresholds
+    (floor(frac·2^60) — identical arithmetic in any engine), so it is
+    reproducible across engines, reruns, and repartitioning, and adding
+    new documents to an EXISTING cluster never moves that cluster.
+    One codegen expression, zero shuffles."""
+    if not (0.0 < train_frac and 0.0 <= val_frac and train_frac + val_frac < 1.0):
+        raise ValueError("need 0 < train_frac, 0 <= val_frac, sum < 1")
+    t1 = int(train_frac * (1 << 60))
+    t2 = int((train_frac + val_frac) * (1 << 60))
+    h = F.conv(
+        F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    split = (
+        F.when(h < F.lit(t1), "train")
+        .when(h < F.lit(t2), "val")
+        .otherwise("test")
+    )
+    return df.withColumn(split_col, split)

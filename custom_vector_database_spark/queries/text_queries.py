@@ -487,6 +487,97 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (round 6): the split is a pure
+# function of md5(CLUSTER id) — the near-dup cluster from
+# dedup_cluster_docs — so every member of a duplicate cluster lands in
+# the SAME split and no near-duplicate of a training document can sit in
+# the test set (the train/test contamination mode a per-document split
+# cannot prevent). Fully oracle-expressible: the recursive-CTE clusters +
+# the md5-threshold arithmetic both already proved engine-identical
+# (dedup_cluster_docs, dataset_split_docs). The boolean certifies the
+# pipeline wiring end to end: zero near-dup PAIRS straddle splits.
+# ---------------------------------------------------------------------------
+_LEAK_TRAIN_MAX = 922337203685477580  # floor(0.8 * 2^60)
+_LEAK_VAL_MAX = 1037629354146162278  # floor(0.9 * 2^60)
+
+
+@register(
+    "leakage_safe_split_docs",
+    f"""
+    WITH RECURSIVE
+      {_DUCK_PAIRS_CTES},
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node),
+      cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+      labeled AS (
+        SELECT d.doc_id, CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+      sp AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN h < {_LEAK_TRAIN_MAX} THEN 'train'
+                    WHEN h < {_LEAK_VAL_MAX} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM labeled))
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           TRUE AS leakfree
+    FROM sp GROUP BY 1 ORDER BY split
+    """,
+)
+def q_leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from custom_vector_database_spark.operators.graph import connected_components
+
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = _exact_trigram_pairs(spark, sf_dir)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    labeled = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    assigned = leakage_safe_split(
+        labeled, "cluster_id", train_frac=0.8, val_frac=0.1
+    ).localCheckpoint(eager=True)  # reused by the aggregate AND the
+    # pair-straddle certificate below
+    # certificate: no near-dup PAIR straddles two splits — certifies the
+    # whole pairs→clusters→split wiring, not just the split arithmetic
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    n_straddle = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .withColumn("leakfree", F.lit(n_straddle == 0))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document chunking (operators/text.token_chunks): size-32 token windows
 # with 8-token overlap (stride 24). Output stays compact — chunk token
 # counts plus the exact Rabin–Karp fingerprint of each chunk string, so
