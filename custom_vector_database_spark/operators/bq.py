@@ -1,0 +1,123 @@
+"""Binary quantization (BQ) — 1-bit-per-dimension sign codes with Hamming
+shortlisting: the most aggressive member of the compressed-search family
+(PQ/IVF-PQ/SQ8, operators/pq.py, sq.py). 32× less candidate-scan I/O than
+float32 (64 dims -> one int64 word) and the cheapest possible per-pair
+distance — one XOR + popcount per word, both single CPU instructions that
+Spark's codegen emits directly (`bit_count(a ^ b)`).
+
+Scheme: code bit i = (x_i > 0). Hamming distance between codes is a
+monotone proxy for angular distance (sign-random-projection LSH with the
+identity projection — Charikar's SimHash bound applied to the raw axes),
+so the search is shortlist-by-Hamming then exact rerank:
+
+  quantize -> integer Hamming -> top-(k*rerank) by (hamming, id) -> exact L2
+
+Everything before the rerank is integer arithmetic with a strict total
+order (id tie-break — Hamming ties are dense at 64 bits), so, like SQ8
+and unlike PQ's float ADC, the ENTIRE search is deterministic and
+hash-checkable against a DuckDB oracle, not just recall-bounded.
+
+Scale shape:
+- encode is ONE codegen projection (no fit at all — BQ is data-independent,
+  so there is nothing to sample, broadcast, or save beyond the codes);
+- the candidate scan reads ceil(d/64) longs per row and ends in
+  TakeOrderedAndProject (per-partition heaps); the heap rows carry the
+  float vector so rerank needs no second scan — only k*rerank survivors'
+  vectors leave their executors. With a separately stored codes table
+  (the real 100 TB layout: 8 bytes per 64 dims per row), the k*rerank ids
+  broadcast-join back to the float table instead, as PqIndex.search does.
+
+Reference parity: the reference searches float32 only (hnsw.h:45-52);
+quantized search is part of the promised billion-scale surface
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.functions.vector import l2_squared
+
+__all__ = ["bq_pack", "bq_pack_python", "bq_hamming", "bq_search"]
+
+
+def bq_pack(vec: Column, dim: int) -> Column:
+    """array<float> -> array<long> sign codes, 64 dims per word, first
+    element of each 64-slice in the HIGH bit (shiftleft-or fold). A short
+    final slice packs into the low bits of the last word — consistent on
+    both sides, which is all Hamming needs. Bit rule: set iff x > 0
+    (zeros and negatives clear — exact float comparison, so the code is
+    engine-reproducible)."""
+    n_words = max(1, math.ceil(dim / 64))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.slice(vec, w * 64 + 1, 64),
+            F.lit(0).cast("long"),
+            # bitwise shift/or never overflow-checks (unlike ANSI `*2 + b`)
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(x > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            ),
+        ),
+    )
+
+
+def bq_pack_python(vec: list[float]) -> list[int]:
+    """Driver-side twin of bq_pack for query literals — same layout, same
+    bit rule, wrapped to signed int64 so the literal round-trips Spark's
+    long type."""
+    words: list[int] = []
+    for start in range(0, len(vec), 64):
+        acc = 0
+        for x in vec[start : start + 64]:
+            acc = (acc << 1) | (1 if x > 0 else 0)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words or [0]
+
+
+def bq_hamming(a: Column, b: Column) -> Column:
+    """Total Hamming distance between two code-word arrays: one
+    XOR + popcount per word, summed (bounded by dim — no overflow)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def bq_search(
+    df: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 3,
+) -> DataFrame:
+    """Top-k by exact L2 over BQ-preselected candidates.
+
+    Candidate set = top k*rerank by (Hamming code distance, id) — a strict
+    total order, so the set is deterministic; output = exact
+    (id, dist_sq) over that set, nearest-first, id tie-break.
+    """
+    dim = len(query)
+    qwords = F.array(*[F.lit(int(w)).cast("long") for w in bq_pack_python(query)])
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bq_hamming(bq_pack(F.col(vec_col), dim), qwords).alias("hamming"),
+    )
+    cands = coded.orderBy("hamming", id_col).limit(k * rerank)
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(l2_squared(F.col(vec_col), qlit), 6).alias("dist_sq"),
+        )
+        .orderBy("dist_sq", id_col)
+        .limit(k)
+    )

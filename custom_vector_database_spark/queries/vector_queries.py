@@ -1535,6 +1535,43 @@ def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BQ binary-quantized search (operators/bq.py): 1-bit sign codes, Hamming
+# shortlist (one XOR+popcount per 64 dims), exact rerank. Like SQ8 the
+# whole search is deterministic — the sign rule (x > 0) is exact float
+# comparison and Hamming is integer with an id tie-break — so candidate
+# set AND reranked answer must match DuckDB bit-for-bit. The oracle
+# computes Hamming positionally (count of sign disagreements), which by
+# construction equals the popcount-of-XOR over the packed words.
+# ---------------------------------------------------------------------------
+@register(
+    "bq_search",
+    f"""
+    WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    coded AS (
+      SELECT e.vec_id, e.embedding,
+             len(list_filter(list_zip(e.embedding, q.q),
+                 p -> (CAST(p[1] AS DOUBLE) > 0) != (CAST(p[2] AS DOUBLE) > 0)))
+               AS hamming
+      FROM embeddings e CROSS JOIN q
+    ), cand AS (
+      SELECT vec_id, embedding FROM coded ORDER BY hamming, vec_id LIMIT 30
+    )
+    SELECT c.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="c.embedding", b="q.q")}, 6) AS dist_sq
+    FROM cand c CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.bq import bq_search
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return bq_search(emb, query, k=10, rerank=3)
+
+
+# ---------------------------------------------------------------------------
 # O8/O9 interop — the reference's OWN snapshot file format
 # (vectordb.cpp:158-218). Spark path: embeddings → write_snapshot (a JSON
 # file the reference's load() would accept, metadata included) →

