@@ -31,6 +31,8 @@ __all__ = [
     "repetition_ratio",
     "feature_hash_bucket",
     "hashed_tf",
+    "positioned_grams",
+    "duplicate_spans",
 ]
 
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
@@ -306,4 +308,74 @@ def hashed_tf(
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def positioned_grams(col: Column | str, n: int) -> Column:
+    """Word n-grams in POSITION order (array<string>, index i = the gram
+    starting at token i) — the span-addressable sibling of shingles(),
+    which deduplicates and therefore discards offsets. Same shifted-slice
+    construction: O(n) tokenizer evaluations per row."""
+    toks = tokenize(col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicate_spans(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+):
+    """Maximal cross-document duplicated token spans — the span-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): any n-token window shared by >= min_docs distinct
+    documents marks its tokens duplicated; runs of consecutive marked
+    window starts merge into maximal spans. Returns one row per span:
+    (id, span_start, span_end, span_tokens), 1-based token offsets — the
+    cut list a span-level deduper consumes, where boilerplate_ngrams only
+    scores documents.
+
+    Shape (all relational, no UDFs): one tokenize pass -> posexplode ->
+    map-side-combined groupBy(gram) for document frequency (the inverted
+    index — never doc pairs) -> semi-join flagged starts back on gram ->
+    per-document islands via the pos - row_number() trick (one window,
+    partitioned by document, so state is bounded by the longest doc).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(positioned_grams(F.col(text_col), n)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = flagged.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
     )

@@ -861,3 +861,52 @@ def q_dedup_build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("id_a"), F.lit(0)).alias("sum_a"),
         F.coalesce(F.sum("id_b"), F.lit(0)).alias("sum_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal cross-document duplicated token spans (round 6) — the
+# span-level dedup of Lee et al. 2022: every 8-token window shared by
+# >= 2 distinct documents marks its tokens, and runs of consecutive
+# marked window starts merge into maximal (span_start, span_end) cut
+# intervals. Complements boilerplate_ngram_stats (which only SCORES
+# documents): this emits the spans a span-level deduper would remove.
+# Fully deterministic — token positions, document frequency, and the
+# pos - row_number() island merge are all exact integers.
+# ---------------------------------------------------------------------------
+_SPAN_N = 8
+_DUCK_GRAMS8 = (
+    "CASE WHEN len({t}) >= 8 THEN list_transform(range(1, len({t}) - 6), i -> "
+    + " || ' ' || ".join("{t}[i+%d]" % j for j in range(8))
+    + ") ELSE [] END"
+).replace("{t}[i+0]", "{t}[i]")
+
+
+@register(
+    "duplicate_span_extract",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_GRAMS8.format(t="toks")} AS grams FROM t),
+    g AS (SELECT doc_id, UNNEST(grams) AS gram,
+                 UNNEST(generate_series(1, len(grams))) AS pos
+          FROM s),
+    dup AS (SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram)
+      WHERE dfreq >= 2),
+    f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM f)
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_N - 1} AS span_end,
+           MAX(pos) + {_SPAN_N - 1} - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_duplicate_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return tx.duplicate_spans(
+        docs, id_col="doc_id", text_col="text", n=_SPAN_N, min_docs=2
+    ).orderBy("doc_id", "span_start")

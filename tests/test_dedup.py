@@ -228,3 +228,30 @@ def test_repetition_ratio_semantics(spark):
     assert got[1] == (7, 3, round(1 - 3 / 7, 6))
     assert got[2] == (2, 2, 0.0)
     assert got[3] == (0, 0, 0.0)
+
+
+def test_duplicate_spans_merges_maximal_runs(spark):
+    """Two docs share a 10-token run; with n=4 every window start inside
+    the run flags, and the island merge must return ONE maximal span per
+    doc covering exactly the shared tokens — plus nothing from the
+    unshared prefix/suffix. A third doc with no 4-gram overlap emits no
+    spans."""
+    from custom_vector_database_spark.operators import text as tx
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz"),
+            (2, shared + " aa bb cc"),
+            (3, "nothing in common here at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = (
+        tx.duplicate_spans(df, n=4, min_docs=2)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    got = [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in rows]
+    # doc 1: shared run occupies tokens 3..12; doc 2: tokens 1..10
+    assert got == [(1, 3, 12, 10), (2, 1, 10, 10)]
