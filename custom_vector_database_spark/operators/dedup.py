@@ -427,3 +427,57 @@ def cross_corpus_contamination(
             ).alias("contamination"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): within a cluster,
+# keep one representative per near-duplicate neighborhood.
+# ---------------------------------------------------------------------------
+def semantic_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    max_cos_dist: float = 0.2,
+) -> DataFrame:
+    """Drop embedding near-duplicates within each cluster: a row survives
+    iff NO lower-id row in the same cluster sits within ``max_cos_dist``
+    cosine distance. The lowest-id member of every neighborhood is the
+    deterministic keeper (the greedy-by-id rule — engine-reproducible,
+    unlike SemDeDup's arbitrary-representative choice). Returns the
+    surviving rows with all original columns.
+
+    The cluster column IS the scale story, exactly as in the paper: pair
+    generation is blocked per cluster (k-means cells there; compose with
+    IvfIndex.fit's assignments or any blocking key here), so the join is
+    sum-of-squares over bounded cells, never corpus-n². Norms are
+    computed once per side; per-pair work is one dot-product fold."""
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos_dist = F.round(
+        F.lit(1.0)
+        - F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom),
+        6,
+    )
+    dropped = (
+        a.join(b, "__c")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(F.col("__idb"), cos_dist.alias("__cd"))
+        .filter(F.col("__cd") <= max_cos_dist)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -910,3 +910,56 @@ def q_duplicate_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.duplicate_spans(
         docs, id_col="doc_id", text_col="text", n=_SPAN_N, min_docs=2
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic prune (round 6): within each cluster (the label
+# column stands in for the paper's k-means cell; compose with IVF
+# assignments in production), drop every row that has a LOWER-id row
+# within cosine distance 0.7 — the deterministic greedy-by-id keeper
+# rule. Output is the compact per-cluster audit (kept/dropped counts +
+# id checksum of the kept set), which pins the exact surviving set.
+# ---------------------------------------------------------------------------
+@register(
+    "semdedup_prune",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding, {_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(1.0 - CASE WHEN a.nrm * b.nrm != 0
+              THEN {_DOT.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
+              END, 6) + 0.0 <= 0.7
+    )
+    SELECT e.label,
+           COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS n_kept,
+           COUNT(*) FILTER (WHERE d.vec_id IS NOT NULL) AS n_dropped,
+           CAST(COALESCE(SUM(e.vec_id) FILTER (WHERE d.vec_id IS NULL), 0)
+                AS BIGINT) AS kept_id_checksum
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    kept = dd.semantic_prune(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+        max_cos_dist=0.7,
+    )
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_checksum"),
+    )
+    return (
+        per_label.join(kept_agg, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("kept_id_checksum", F.lit(0)).alias("kept_id_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -255,3 +255,26 @@ def test_duplicate_spans_merges_maximal_runs(spark):
     got = [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in rows]
     # doc 1: shared run occupies tokens 3..12; doc 2: tokens 1..10
     assert got == [(1, 3, 12, 10), (2, 1, 10, 10)]
+
+
+def test_semantic_prune_greedy_by_id_within_cluster(spark):
+    """Chain case: 3 close to 1, 5 close to 3 but NOT to 1 — the
+    greedy-by-id rule drops every row with ANY closer lower-id neighbor,
+    so both 3 and 5 drop (5 via the already-dropped 3: the rule is
+    'exists lower id within tau', deliberately not transitive-keeper).
+    Cross-cluster closeness never prunes."""
+    from custom_vector_database_spark.operators.dedup import semantic_prune
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (3, [0.96, 0.28], 0),   # ~0.04 cos_dist to 1
+        (5, [0.80, 0.60], 0),   # ~0.06 to 3, ~0.2 to 1
+        (7, [0.0, 1.0], 0),     # far from all
+        (9, [1.0, 0.0], 1),     # identical to 1 but another cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    kept = {
+        r["vec_id"]
+        for r in semantic_prune(df, cluster_col="label", max_cos_dist=0.1).collect()
+    }
+    assert kept == {1, 7, 9}
