@@ -55,6 +55,7 @@ __all__ = [
     "length_buckets",
     "unigram_logprob",
     "leakage_safe_split",
+    "cap_per_group",
 ]
 
 
@@ -471,3 +472,38 @@ def leakage_safe_split(
         .otherwise("test")
     )
     return df.withColumn(split_col, split)
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (domain caps — the Gopher/C4-style rule limiting any one
+# domain's share of the corpus).
+# ---------------------------------------------------------------------------
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected by md5(id) rank
+    (id tie-break) — a deterministic uniform-without-replacement draw per
+    group, reproducible across engines, reruns, and repartitioning
+    (same contract as the md5-threshold split family). The over-cap
+    groups are exactly the heavy domains the rule exists to dampen.
+
+    Shape: one window partitioned by the group — the shuffle is keyed on
+    the group column, and rank state per partition is O(1). A skewed
+    mega-domain makes that one partition wide; if a single domain
+    outgrows an executor, pre-aggregate with a salted count to find the
+    heavy groups and sample them by md5-threshold instead of ranking."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

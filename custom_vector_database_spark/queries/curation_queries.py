@@ -548,3 +548,40 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (round 6): the Gopher/C4-style domain-cap rule — at most
+# 10 documents per source, drawn deterministically by md5(doc_id) rank.
+# Audit output per source: total, kept, and an id checksum pinning the
+# exact kept set (the draw, not just its size, must match the oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "source_cap_docs",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE rk <= 10) AS n_kept,
+           CAST(SUM(doc_id) FILTER (WHERE rk <= 10) AS BIGINT) AS kept_id_checksum
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    kept = cu.cap_per_group(docs, group_col="source", cap=10, id_col="doc_id")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_checksum"),
+    )
+    return (
+        totals.join(kept_agg, "source")
+        .select("source", "n_total", "n_kept", "kept_id_checksum")
+        .orderBy("source")
+    )

@@ -464,3 +464,28 @@ def test_mmr_skips_null_and_mismatched_vectors(spark):
     assert [vid for _, vid, _ in sel] == [1, 4] or \
            [vid for _, vid, _ in sel] == [4, 1]
     assert all(rel is not None for _, _, rel in sel)
+
+
+def test_cap_per_group_is_deterministic_and_caps(spark):
+    """Over-cap groups keep exactly cap rows; under-cap groups are
+    untouched; the kept set is a pure function of the ids (repartition-
+    and rerun-invariant), and cap<=0 refuses."""
+    from custom_vector_database_spark.operators.curation import cap_per_group
+
+    rows = [(i, "big" if i < 20 else "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = cap_per_group(df, "source", cap=5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 5 and by_src["small"] == set(range(20, 25))
+    again = {
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(7), "source", cap=5).collect()
+        if r["source"] == "big"
+    }
+    assert again == by_src["big"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "source", cap=0)
