@@ -1206,3 +1206,56 @@ def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BATCH_QUERIES, "qid int, terms array<string>"
     )
     return rk.bm25_batch(docs, queries, k=5, max_terms=3).orderBy("qid", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Z-order-clustered scan (round 6): lineitem rewritten once per process
+# into a Morton-interleaved (l_partkey, l_suppkey) layout
+# (operators/layout.zorder_write), then a TWO-dimensional range predicate
+# aggregates over it. The oracle runs the plain predicate on the raw
+# table — identical answers prove the clustering rewrite is lossless;
+# tests/test_layout.py separately measures that BOTH columns' per-file
+# zone maps narrow (the pruning the rewrite exists to buy — a
+# single-column sort narrows one dimension and none of the other).
+# ---------------------------------------------------------------------------
+_ZORDER_CACHE: dict = {}
+
+
+@register(
+    "zorder_pruned_scan",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem
+    WHERE l_partkey <= 50 AND l_suppkey <= 5
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil as _shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.layout import zorder_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    zpath = _ZORDER_CACHE.get(key)
+    if zpath is None:
+        zpath = tempfile.mkdtemp(prefix="cvdb_zorder_q_")
+        atexit.register(_shutil.rmtree, zpath, ignore_errors=True)
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+        )
+        zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+        _ZORDER_CACHE[key] = zpath
+    return (
+        spark.read.parquet(zpath)
+        .filter((F.col("l_partkey") <= 50) & (F.col("l_suppkey") <= 5))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("key_checksum"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
