@@ -1259,3 +1259,107 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion with dedup-on-ingest (round 6): documents
+# stream into a parquet corpus; only fingerprint-new texts append
+# (streaming/stream_ops.stream_corpus_ingest — the streaming form of
+# dedup_exact_docs). Delta = 10 verbatim copies of existing docs (all
+# dropped), 10 genuinely new texts (kept), plus an intra-delta duplicate
+# pair (exactly one kept). WHICH physical copy of a duplicate survives
+# is arrival-order; the contract is fingerprint-SET equality, so the
+# audit aggregates over fingerprints (count, distinct count, checksum) —
+# arrival-invariant, and exactly computable by the oracle from
+# corpus ∪ distinct-new-fingerprints.
+# ---------------------------------------------------------------------------
+_FP_DUCK = "md5(trim(regexp_replace(lower({t}), '[ ]+', ' ', 'g')))"
+# each 15-hex-digit value is reduced mod 1e9+7 BEFORE summing so the
+# sum stays far inside int64 in both engines (a raw sum overflows)
+_FP_CKSUM_DUCK = (
+    "CAST(SUM(CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT) % 1000000007) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "stream_corpus_ingest",
+    f"""
+    WITH corpus AS (
+      SELECT {_FP_DUCK.format(t="text")} AS fp FROM documents
+    ), new_texts AS (
+      SELECT text || ' round6 fresh suffix' AS text
+      FROM documents WHERE doc_id >= 10 AND doc_id < 20
+    ), new_fps AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM new_texts
+    ), kept_new AS (
+      SELECT fp FROM new_fps
+      WHERE fp NOT IN (SELECT fp FROM corpus)
+    ), final AS (
+      SELECT fp FROM corpus UNION ALL SELECT fp FROM kept_new
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct_fp,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS ingest_ok
+    FROM final
+    """,
+)
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cvdb_corpus_ingest_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        copies = docs.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        fresh = (
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" round6 fresh suffix")))
+        )
+        intra_dup = fresh.filter(F.col("doc_id") == 2_000_000_010).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        delta = copies.unionByName(fresh).unionByName(intra_dup)
+        # 4 part files + maxFilesPerTrigger=2 -> two micro-batches, so the
+        # cross-batch anti-join path runs, not a degenerate single batch
+        delta.repartition(4).write.parquet(delta_dir)
+        n_batches = stream_corpus_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema
+        )
+        final = spark.read.parquet(corpus_dir).select(
+            fingerprint_md5(F.col("text")).alias("fp")
+        ).localCheckpoint(eager=True)  # the tmp corpus dir is deleted on return
+        cksum = (
+            final.select("fp")
+            .distinct()
+            .agg(
+                F.sum(
+                    F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
+                    % 1_000_000_007
+                ).alias("fp_checksum")
+            )
+        )
+        return (
+            final.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("fp").alias("n_distinct_fp"),
+            )
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -29,6 +29,7 @@ __all__ = [
     "stream_session_agg",
     "stream_purchase_click_join",
     "run_stream_to_memory",
+    "stream_corpus_ingest",
 ]
 
 
@@ -433,4 +434,109 @@ def stream_vector_ingest(
         )
 
     _drive_bounded_stream(spark, start, "vector_ingest", timeout, None)
+    return n_batches
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    corpus_dir: str,
+    doc_schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+) -> int:
+    """Continuous corpus ingestion with dedup-on-ingest: stream a
+    directory of document delta files into a parquet corpus, appending
+    only documents whose normalized-text fingerprint
+    (operators/text.fingerprint_md5) is new — the daily-crawl verb that
+    keeps a training corpus exactly-deduplicated WITHOUT re-running a
+    full dedup pass per drop. The streaming form of dedup_exact_docs,
+    exactly as stream_vector_ingest is the streaming form of ivf_upsert.
+
+    Per batch: dedup within the batch (one fingerprint per batch,
+    deterministic min-id keeper), anti-join against the corpus's
+    fingerprints, append survivors. Which physical copy of a duplicate
+    survives depends on arrival order (batch splits are an execution
+    detail), so the ingest CONTRACT — and the registered query's oracle —
+    is fingerprint-set equality: the final corpus carries exactly the
+    distinct fingerprints of corpus ∪ deltas, each once.
+
+    Scale: the anti-join probe side here re-derives corpus fingerprints
+    per batch from the corpus scan (one md5 projection — fine while the
+    corpus is small relative to executor parallelism); a 100 TB corpus
+    keeps a bucketed (fingerprint) sidecar table maintained by the same
+    appends, turning the probe into a bucket-pruned join instead of a
+    full scan. Same at-least-once idempotence machinery as
+    stream_vector_ingest: applied-batch-id sidecar, record-after-apply.
+
+    Returns the number of micro-batches applied this call."""
+    import json as _json
+    import os
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+
+    n_batches = 0
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    applied_path = os.path.join(delta_dir, "_applied_batches.json")
+
+    def _applied() -> set[int]:
+        try:
+            with open(applied_path) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch.isEmpty():
+            return
+        done = _applied()
+        if batch_id in done:
+            return
+        from pyspark.sql import Window
+
+        fp = fingerprint_md5(F.col(text_col))
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        fresh = (
+            batch.withColumn("__fp", fp)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        existing = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+            .distinct()
+        )
+        survivors = (
+            fresh.join(existing, "__fp", "left_anti")
+            .drop("__fp")
+            # the anti-join probe reads the corpus THIS append grows:
+            # materialize survivors before touching the sink path
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("append").parquet(corpus_dir)
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, applied_path)
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(delta_dir)
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_bounded_stream(spark, start, "corpus_ingest", timeout, None)
     return n_batches

@@ -271,3 +271,51 @@ def test_stream_vector_ingest_works_on_compressed_index(spark, tmp_path):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
     hits = {r["vec_id"] for r in idx.search(q, k=2, nprobe=4).collect()}
     assert hits == {2, 640_002}  # identical codes -> clone found at rank 1-2
+
+
+def test_stream_corpus_ingest_dedups_and_replays_idempotent(spark, tmp_path):
+    """Dedup-on-ingest contract: verbatim copies of corpus docs never
+    append; fresh texts append once even when duplicated inside the
+    delta; and re-driving the SAME delta_dir (fresh checkpoint, kept
+    sidecar — the crash-replay shape) applies zero batches and changes
+    nothing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    n0 = docs.count()
+    copies = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" brand new tail")))
+    )
+    intra = fresh.limit(1).withColumn("doc_id", F.col("doc_id") + 30_000)
+    copies.unionByName(fresh).unionByName(intra).repartition(4).write.parquet(delta)
+
+    n_batches = stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    assert n_batches >= 2
+    final = spark.read.parquet(corpus)
+    assert final.count() == n0 + 3
+    n_fp = final.select(
+        fingerprint_md5(F.col("text")).alias("fp")
+    ).distinct().count()
+    # original corpus may carry internal dups; the APPENDED set may not
+    base_fp = docs.select(fingerprint_md5(F.col("text")).alias("fp")).distinct().count()
+    assert n_fp == base_fp + 3
+
+    # crash-replay: fresh checkpoint forces the batches to re-run; the
+    # applied-id sidecar must skip every one
+    shutil.rmtree(str(tmp_path / "delta" / "_ckpt"))
+    n_again = stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    assert n_again == 0
+    assert spark.read.parquet(corpus).count() == n0 + 3
