@@ -80,3 +80,42 @@ def test_merge_agg_delta_empty_delta_is_identity(spark):
     empty = spark.createDataFrame([], "g long, total long, n long")
     got = merge_agg_delta(stored, empty, ["g"], {"total": "sum", "n": "count"})
     assert [(r["g"], r["total"], r["n"]) for r in got.collect()] == [(1, 10, 3)]
+
+
+def test_bq_search_empty_table_returns_empty(spark):
+    from custom_vector_database_spark.operators.bq import bq_search
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert bq_search(emb, [1.0, 0.0], k=3).count() == 0
+
+
+def test_duplicate_spans_no_duplicates_returns_empty(spark):
+    from custom_vector_database_spark.operators.text import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "every doc unique words entirely"), (2, "short"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, n=4, min_docs=2).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_spans(empty, n=4).count() == 0
+
+
+def test_semantic_prune_empty_and_singleton_clusters(spark):
+    from custom_vector_database_spark.operators.dedup import semantic_prune
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert semantic_prune(empty, cluster_col="label").count() == 0
+    solo = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # identical vectors but each alone in its cluster: nothing prunes
+    assert semantic_prune(solo, cluster_col="label", max_cos_dist=0.5).count() == 2
+
+
+def test_cap_per_group_empty_is_empty(spark):
+    from custom_vector_database_spark.operators.curation import cap_per_group
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert cap_per_group(empty, "source", cap=3).count() == 0
