@@ -369,3 +369,21 @@ def test_tpch_q13_left_join_preserved(spark):
     plan = _plan(spark, "tpch_q13_customer_distribution")
     assert "Outer" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bq_search_is_heap_topk_and_projects_scan(spark):
+    """BQ candidate ranking must end in TakeOrderedAndProject (per-
+    partition heaps, no global sort) over a scan that reads only the id
+    and vector columns — the packed-code projection is codegen'd into
+    the scan stage, never a shuffle of its own."""
+    plan = _plan(spark, "bq_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_duplicate_spans_prunes_scan_to_id_and_text(spark):
+    """The span extractor must not drag unused document columns through
+    the gram explode — column pruning down to (doc_id, text) at the
+    scan."""
+    plan = _plan(spark, "duplicate_span_extract")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
