@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from custom_vector_database_spark.functions.vector import l2_squared
 
-__all__ = ["bq_pack", "bq_pack_python", "bq_hamming", "bq_search"]
+__all__ = ["bq_pack", "bq_pack_python", "bq_hamming", "bq_search", "bq_search_many"]
 
 
 def bq_pack(vec: Column, dim: int) -> Column:
@@ -120,4 +120,94 @@ def bq_search(
         )
         .orderBy("dist_sq", id_col)
         .limit(k)
+    )
+
+
+def bq_search_many(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    rerank: int = 3,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Batch BQ retrieval: the k nearest data rows for EVERY query row,
+    via the Hamming shortlist — the bulk path where the candidate scan
+    costs one XOR+popcount per (pair, 64 dims) instead of a 64-term
+    float fold (the same scan-cost argument as IVF-PQ's ADC batch path,
+    on even smaller codes and with no index to build or probe).
+
+    Physical shape: data packs ONCE per scan (one codegen projection,
+    shared by every query); queries pack on the broadcast side. Then
+    broadcast(queries) ⨯ data → per-qid top-(k·rerank) window over BARE
+    (qid, id, hamming) triples — vectors never ride the ranking shuffle —
+    and the n_q·k·rerank survivors broadcast-join BACK to the data table
+    for the exact rerank (the same join-back shape as PqIndex.search).
+    Both stages keep the strict total order, so batch output ==
+    per-query bq_search and the whole thing is hash-checkable. The
+    query side must broadcast — ``max_query_rows`` guards that (the
+    payload per row is dim floats + ceil(dim/64) longs: ~300 B at
+    dim 64, so the default guard caps the broadcast at ~30 MiB)."""
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                "a broadcast this large risks executor OOM - split the "
+                "query table and bq_search_many per split"
+            )
+    from pyspark.sql import Window
+
+    dim_row = queries.select(F.size(F.col(query_vec)).alias("d")).first()
+    if dim_row is None:
+        return (
+            data.select(
+                F.lit(None).cast("long").alias(query_id),
+                F.col(id_col),
+                F.lit(0.0).alias("dist_sq"),
+            ).limit(0)
+        )
+    dim = int(dim_row["d"])
+    qwords = queries.select(
+        F.col(query_id), bq_pack(F.col(query_vec), dim).alias("__qwords")
+    )
+    dwords = data.select(
+        F.col(id_col), bq_pack(F.col(vec_col), dim).alias("__dwords")
+    )
+    triples = F.broadcast(qwords).crossJoin(dwords).select(
+        query_id,
+        id_col,
+        bq_hamming(F.col("__dwords"), F.col("__qwords")).alias("hamming"),
+    )
+    wq = Window.partitionBy(query_id).orderBy("hamming", id_col)
+    cands = (
+        triples.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= k * rerank)
+        .select(query_id, id_col)
+    )
+    # survivors (n_q * k * rerank ids) broadcast back into the float
+    # table; the query vectors ride the (small) query-side broadcast
+    rejoined = (
+        data.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cands), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(query_id), F.col(query_vec))),
+            query_id,
+        )
+    )
+    wr = Window.partitionBy(query_id).orderBy("dist_sq", id_col)
+    return (
+        rejoined.select(
+            query_id,
+            id_col,
+            F.round(l2_squared(F.col(vec_col), F.col(query_vec)), 6).alias(
+                "dist_sq"
+            ),
+        )
+        .withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

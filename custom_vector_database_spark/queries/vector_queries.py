@@ -1572,6 +1572,54 @@ def q_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch BQ retrieval: a whole query TABLE through the Hamming shortlist
+# in one job — vectors never ride the ranking shuffle (bare triples
+# rank; survivors broadcast-join back for the exact rerank). Strict
+# total order end to end, so per-query determinism carries to the batch
+# and the oracle checks every (qid, vec_id, dist_sq) row bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "bq_search_many",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < 5),
+    coded AS (
+      SELECT q.qid, e.vec_id, e.embedding, q.qvec,
+             len(list_filter(list_zip(e.embedding, q.qvec),
+                 p -> (CAST(p[1] AS DOUBLE) > 0) != (CAST(p[2] AS DOUBLE) > 0)))
+               AS hamming
+      FROM embeddings e CROSS JOIN q
+    ), cand AS (
+      SELECT qid, vec_id, embedding, qvec FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY hamming, vec_id) AS rk
+        FROM coded) WHERE rk <= 30
+    ), reranked AS (
+      SELECT qid, vec_id,
+             round({_DUCK_L2SQ.format(a="embedding", b="qvec")}, 6) AS dist_sq
+      FROM cand
+    )
+    SELECT qid, vec_id, dist_sq FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, vec_id) AS rk
+      FROM reranked) WHERE rk <= 10
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_bq_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.bq import bq_search_many
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return bq_search_many(emb, queries, k=10, rerank=3).orderBy(
+        "qid", "dist_sq", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O8/O9 interop — the reference's OWN snapshot file format
 # (vectordb.cpp:158-218). Spark path: embeddings → write_snapshot (a JSON
 # file the reference's load() would accept, metadata included) →

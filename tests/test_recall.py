@@ -1064,3 +1064,27 @@ def test_bq_recall_vs_exact(spark, emb):
         got = {r["vec_id"] for r in bq_search(emb, qvec, k=K, rerank=5).collect()}
         total += len(exact_ids & got) / K
     assert total / N_QUERIES >= 0.4
+
+
+def test_bq_search_many_matches_per_query_search(spark, emb):
+    """Batch == single-query on the deterministic BQ path, and the
+    empty-query and oversized-query guards behave."""
+    from custom_vector_database_spark.operators.bq import bq_search, bq_search_many
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = bq_search_many(emb, queries, k=5, rerank=3).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["vec_id"], r["dist_sq"]))
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], r["dist_sq"])
+            for r in bq_search(emb, list(q["qvec"]), k=5, rerank=3).collect()
+        ]
+        assert sorted(by_qid[q["qid"]]) == sorted(single), q["qid"]
+    empty = queries.limit(0)
+    assert bq_search_many(emb, empty, k=5).count() == 0
+    with pytest.raises(ValueError, match="max_query_rows"):
+        bq_search_many(emb, queries, k=5, max_query_rows=2)
