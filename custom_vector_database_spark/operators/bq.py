@@ -112,13 +112,17 @@ def bq_search(
         F.col(vec_col),
         bq_hamming(bq_pack(F.col(vec_col), dim), qwords).alias("hamming"),
     )
-    cands = coded.orderBy("hamming", id_col).limit(k * rerank)
+    # asc_nulls_last: a NULL hamming (NULL vector -> NULL code words)
+    # must never enter candidacy — default asc ordering is NULLS FIRST
+    cands = coded.orderBy(
+        F.col("hamming").asc_nulls_last(), F.col(id_col).asc()
+    ).limit(k * rerank)
     return (
         cands.select(
             F.col(id_col),
             F.round(l2_squared(F.col(vec_col), qlit), 6).alias("dist_sq"),
         )
-        .orderBy("dist_sq", id_col)
+        .orderBy(F.col("dist_sq").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -182,7 +186,9 @@ def bq_search_many(
         id_col,
         bq_hamming(F.col("__dwords"), F.col("__qwords")).alias("hamming"),
     )
-    wq = Window.partitionBy(query_id).orderBy("hamming", id_col)
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("hamming").asc_nulls_last(), F.col(id_col).asc()
+    )
     cands = (
         triples.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= k * rerank)
@@ -198,7 +204,9 @@ def bq_search_many(
             query_id,
         )
     )
-    wr = Window.partitionBy(query_id).orderBy("dist_sq", id_col)
+    wr = Window.partitionBy(query_id).orderBy(
+        F.col("dist_sq").asc_nulls_last(), F.col(id_col).asc()
+    )
     return (
         rejoined.select(
             query_id,

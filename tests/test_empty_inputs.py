@@ -119,3 +119,25 @@ def test_cap_per_group_empty_is_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, source string")
     assert cap_per_group(empty, "source", cap=3).count() == 0
+
+
+def test_bq_search_skips_null_and_mismatched_vectors(spark):
+    """A NULL embedding (NULL code words -> NULL hamming) and a
+    short/ragged embedding (NULL rerank distance) rank strictly AFTER
+    every real match — the knn asc_nulls_last contract — so they never
+    displace a valid neighbor from the top-k."""
+    from custom_vector_database_spark.operators.bq import bq_search
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 0.0]),  # ragged
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in bq_search(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()]
+    assert got == [1, 4]
+    wide = [
+        r["vec_id"] for r in bq_search(df, [1.0, 0.0, 0.0, 0.0], k=4).collect()
+    ]
+    assert wide[:2] == [1, 4]  # degenerate rows trail, never lead
