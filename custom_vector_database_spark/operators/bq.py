@@ -46,13 +46,19 @@ __all__ = ["bq_pack", "bq_pack_python", "bq_hamming", "bq_search", "bq_search_ma
 
 def bq_pack(vec: Column, dim: int) -> Column:
     """array<float> -> array<long> sign codes, 64 dims per word, first
-    element of each 64-slice in the HIGH bit (shiftleft-or fold). A short
-    final slice packs into the low bits of the last word — consistent on
-    both sides, which is all Hamming needs. Bit rule: set iff x > 0
-    (zeros and negatives clear — exact float comparison, so the code is
-    engine-reproducible)."""
+    element of each 64-slice in the HIGH bit (shiftleft-or fold); a dim
+    not divisible by 64 packs its final short slice into the low bits of
+    the last word — same layout as bq_pack_python. Bit rule: set iff
+    x > 0 (zeros and negatives clear — exact float comparison, so the
+    code is engine-reproducible).
+
+    A NULL vector or one whose length differs from ``dim`` packs to
+    NULL (not to a misaligned short fold, whose artificially small
+    Hamming distances could evict true neighbors from a shortlist) —
+    downstream asc_nulls_last orderings then rank such rows strictly
+    after every real match."""
     n_words = max(1, math.ceil(dim / 64))
-    return F.transform(
+    packed = F.transform(
         F.sequence(F.lit(0), F.lit(n_words - 1)),
         lambda w: F.aggregate(
             F.slice(vec, w * 64 + 1, 64),
@@ -63,6 +69,7 @@ def bq_pack(vec: Column, dim: int) -> Column:
             ),
         ),
     )
+    return F.when(F.size(vec) == dim, packed)
 
 
 def bq_pack_python(vec: list[float]) -> list[int]:
@@ -155,26 +162,36 @@ def bq_search_many(
     query side must broadcast — ``max_query_rows`` guards that (the
     payload per row is dim floats + ceil(dim/64) longs: ~300 B at
     dim 64, so the default guard caps the broadcast at ~30 MiB)."""
-    if max_query_rows is not None:
-        n_q = queries.count()
-        if n_q > max_query_rows:
-            raise ValueError(
-                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
-                "a broadcast this large risks executor OOM - split the "
-                "query table and bq_search_many per split"
-            )
     from pyspark.sql import Window
 
-    dim_row = queries.select(F.size(F.col(query_vec)).alias("d")).first()
-    if dim_row is None:
-        return (
-            data.select(
-                F.lit(None).cast("long").alias(query_id),
-                F.col(id_col),
-                F.lit(0.0).alias("dist_sq"),
-            ).limit(0)
+    # ONE query-side aggregate serves the row-count guard, the
+    # NULL/ragged validation, and the dim inference
+    stats = queries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(query_vec).isNull().cast("long")).alias("n_null"),
+        F.min(F.size(F.col(query_vec))).alias("d_min"),
+        F.max(F.size(F.col(query_vec))).alias("d_max"),
+    ).first()
+    n_q = int(stats["n"])
+    if n_q == 0:
+        return queries.select(
+            F.col(query_id),
+            F.lit(None).cast(dict(data.dtypes)[id_col]).alias(id_col),
+            F.lit(0.0).alias("dist_sq"),
+        ).limit(0)
+    if stats["n_null"] or stats["d_min"] != stats["d_max"]:
+        raise ValueError(
+            f"{stats['n_null']} query vector(s) are NULL and dims span "
+            f"[{stats['d_min']}, {stats['d_max']}] - bq_search_many needs "
+            "non-NULL queries of one dimension"
         )
-    dim = int(dim_row["d"])
+    if max_query_rows is not None and n_q > max_query_rows:
+        raise ValueError(
+            f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+            "a broadcast this large risks executor OOM - split the "
+            "query table and bq_search_many per split"
+        )
+    dim = int(stats["d_min"])
     qwords = queries.select(
         F.col(query_id), bq_pack(F.col(query_vec), dim).alias("__qwords")
     )

@@ -461,8 +461,15 @@ def leakage_safe_split(
     One codegen expression, zero shuffles."""
     if not (0.0 < train_frac and 0.0 <= val_frac and train_frac + val_frac < 1.0):
         raise ValueError("need 0 < train_frac, 0 <= val_frac, sum < 1")
-    t1 = int(train_frac * (1 << 60))
-    t2 = int((train_frac + val_frac) * (1 << 60))
+    import math
+    from fractions import Fraction
+
+    # exact floor(frac * 2^60) from the DECIMAL the caller wrote, not the
+    # nearest binary float: int(0.8 * (1 << 60)) is 52 too high, which
+    # would put a (vanishingly rare but real) hash band in 'train' here
+    # and 'val' in any engine computing the documented floor
+    t1 = math.floor(Fraction(str(train_frac)) * (1 << 60))
+    t2 = math.floor((Fraction(str(train_frac)) + Fraction(str(val_frac))) * (1 << 60))
     h = F.conv(
         F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 15), 16, 10
     ).cast("long")

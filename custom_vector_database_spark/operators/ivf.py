@@ -637,11 +637,14 @@ class IvfIndex(TombstoneDeleteMixin):
             elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
             dims = self._expected_input_dim() + (1 if self.metric == "dot" else 0)
             per_row = dims * elem_b + 24 + (8 if self.metric == "dot" else 0)
-            est = n_q * nprobe * per_row
+            # the explode caps at the cluster count - an exhaustive
+            # nprobe >= n_clusters must not be refused for rows the
+            # broadcast will never carry
+            est = n_q * min(nprobe, len(self.centroids)) * per_row
             if est > max_broadcast_bytes:
                 raise ValueError(
                     f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
-                    f"{nprobe} probes × ~{per_row} B/row) > "
+                    f"{min(nprobe, len(self.centroids))} probes × ~{per_row} B/row) > "
                     f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
                     "split the query table, lower nprobe, or use the "
                     "IVF-PQ batch path (32× smaller codes)"

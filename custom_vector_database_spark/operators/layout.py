@@ -233,14 +233,6 @@ def append_tombstones(ids_df, base_path: str) -> None:
     ids_df.write.mode("append").parquet(tombstones_path(base_path))
 
 
-def overwrite_tombstones(ids_df, base_path: str) -> None:
-    """Replace the sidecar (used when an upsert re-adds a deleted id —
-    the surviving tombstones are rewritten without it). The caller must
-    pass a materialized (checkpointed) frame when it derives from the
-    sidecar itself, since overwrite deletes what a lazy plan would read."""
-    ids_df.write.mode("overwrite").parquet(tombstones_path(base_path))
-
-
 def clear_tombstones(base_path: str) -> None:
     import shutil
 

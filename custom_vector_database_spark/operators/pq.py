@@ -790,11 +790,14 @@ class IvfPqIndex(TombstoneDeleteMixin):
             # row-count guard (the round-6 sf1 probe's lesson: at the
             # 100k-row guard this side would be ~1 GiB)
             per_row = self.m * self.k * 8 + 48
-            est = n_q * nprobe * per_row
+            # the explode caps at the cluster count - an exhaustive
+            # nprobe >= n_clusters must not be refused for rows the
+            # broadcast will never carry
+            est = n_q * min(nprobe, len(self.centroids)) * per_row
             if est > max_broadcast_bytes:
                 raise ValueError(
                     f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
-                    f"{nprobe} probes × ~{per_row} B of LUTs/row) > "
+                    f"{min(nprobe, len(self.centroids))} probes × ~{per_row} B of LUTs/row) > "
                     f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
                     "split the query table or lower nprobe"
                 )

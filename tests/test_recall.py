@@ -1017,19 +1017,20 @@ def test_bq_pack_spark_matches_python(spark, emb):
     (dim not a multiple of 64) and the signed wrap of a set high bit."""
     from custom_vector_database_spark.operators.bq import bq_pack, bq_pack_python
 
-    for dim in (64, 70):
+    # dim 64 = exact word; dim 70 = ragged 6-bit final slice (built by
+    # wrapping the embedding around, so every row genuinely has 70
+    # elements and the short-slice packing is actually exercised)
+    for dim, vcol in (
+        (64, F.col("embedding")),
+        (70, F.concat(F.col("embedding"), F.slice(F.col("embedding"), 1, 6))),
+    ):
         rows = (
             emb.limit(8)
-            .select(
-                "vec_id",
-                F.slice(F.col("embedding"), 1, dim).alias("v"),
-                bq_pack(F.slice(F.col("embedding"), 1, dim), dim).alias("w"),
-            )
+            .select("vec_id", vcol.alias("v"), bq_pack(vcol, dim).alias("w"))
             .collect()
         )
         for r in rows:
-            if len(r["v"]) < dim:
-                continue  # base dim is 64; the 70-case only checks padding logic
+            assert len(r["v"]) == dim, r["vec_id"]
             assert list(r["w"]) == bq_pack_python(list(r["v"])), r["vec_id"]
     # signed wrap: a vector whose first element is positive sets bit 63
     one = [1.0] + [0.0] * 63
