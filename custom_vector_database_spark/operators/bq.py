@@ -75,12 +75,16 @@ def bq_pack(vec: Column, dim: int) -> Column:
 def bq_pack_python(vec: list[float]) -> list[int]:
     """Driver-side twin of bq_pack for query literals — same layout, same
     bit rule, wrapped to signed int64 so the literal round-trips Spark's
-    long type."""
+    long type. NaN sets the bit: SQL comparison semantics order NaN
+    above every number (Spark and DuckDB both evaluate NaN > 0 as true,
+    verified empirically), while Python's IEEE `nan > 0` is false —
+    without the explicit isnan branch a NaN query element would pack
+    differently here than either engine packs it."""
     words: list[int] = []
     for start in range(0, len(vec), 64):
         acc = 0
         for x in vec[start : start + 64]:
-            acc = (acc << 1) | (1 if x > 0 else 0)
+            acc = (acc << 1) | (1 if (x > 0 or math.isnan(x)) else 0)
         if acc >= 1 << 63:
             acc -= 1 << 64
         words.append(acc)

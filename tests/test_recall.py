@@ -1089,3 +1089,20 @@ def test_bq_search_many_matches_per_query_search(spark, emb):
     assert bq_search_many(emb, empty, k=5).count() == 0
     with pytest.raises(ValueError, match="max_query_rows"):
         bq_search_many(emb, queries, k=5, max_query_rows=2)
+
+
+def test_bq_pack_nan_matches_engine_comparison_semantics(spark):
+    """SQL comparison semantics order NaN above every number, so the
+    engines set the sign bit for NaN; bq_pack_python must agree (IEEE
+    `nan > 0` is false in Python, the divergence this pins)."""
+    from custom_vector_database_spark.operators.bq import bq_pack, bq_pack_python
+
+    v = [float("nan"), -1.0, 0.0, 1.0]
+    got = (
+        spark.range(1)
+        .select(bq_pack(F.array(*[F.lit(x) for x in v]), 4).alias("w"))
+        .first()["w"]
+    )
+    assert list(got) == bq_pack_python(v)
+    # fold order: nan(set), -1(clear), 0(clear), 1(set) -> 0b1001
+    assert bq_pack_python(v) == [0b1001]
