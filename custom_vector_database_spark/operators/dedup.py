@@ -481,3 +481,107 @@ def semantic_prune(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs at CORPUS scale via sign-bit banding
+# (SimHash/sign-random-projection applied to the raw axes) — the
+# unbounded-corpus complement to embedding_neardup_pairs, whose probe
+# predicate exists to bound one join side.
+# ---------------------------------------------------------------------------
+def sign_band_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_cos_dist: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs whose sign codes agree on at least one band of
+    ``band_bits`` consecutive dimensions, each verified with its exact
+    cosine distance: (id_a, id_b, cos_dist, is_near) with is_near =
+    cos_dist <= threshold. Charikar's bound makes band agreement a
+    recall knob (P[bit agrees] = 1 − θ/π per dimension), and the
+    verify step makes precision exact — the same
+    band-then-verify contract as the MinHash and SimHash text paths,
+    here over embeddings with the deterministic identity projection, so
+    both candidate generation AND verification are engine-reproducible
+    (no seeded hyperplanes).
+
+    Scale shape: the band frame carries only (band, key, id) — vectors
+    never ride the band shuffle; candidate pairs (bounded by bucket
+    sizes, never corpus-n²) join BACK to the vector table twice for the
+    one-dot-fold verify. Rows whose vector length differs from
+    n_bands × band_bits cannot band consistently and are excluded (the
+    caller's dim contract; NULL vectors fall out the same way)."""
+    if band_bits >= 63 or n_bands <= 0 or band_bits <= 0:
+        raise ValueError("need 0 < band_bits < 63 and n_bands > 0")
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    dim = n_bands * band_bits
+    bits = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * band_bits + 1, band_bits),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + v,  # <= 2^band_bits, far inside int64
+        ),
+    )
+    bands = (
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("__norm"),
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos_dist = (
+        F.round(
+            F.lit(1.0)
+            - F.when(
+                denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom
+            ),
+            6,
+        )
+        + F.lit(0.0)  # normalize -0.0 from identical-vector self-matches
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cos_dist.alias("cos_dist"),
+            (cos_dist <= max_cos_dist).alias("is_near"),
+        )
+    )

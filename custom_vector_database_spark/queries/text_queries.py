@@ -963,3 +963,52 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale embedding near-dup via sign-bit banding (round 6): 4 bands
+# × 16 sign bits — a pair is a candidate iff some band's 16 consecutive
+# sign bits all agree; every candidate is verified with its exact cosine
+# distance. No probe predicate bounds either side (the limitation of
+# embedding_neardup_pairs this operator removes); candidate generation
+# is bucket-bounded and, with the deterministic identity projection,
+# both stages are engine-reproducible — the oracle recomputes bands,
+# candidates, and verification bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "sign_band_neardup_pairs",
+    f"""
+    WITH bits AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS b
+      FROM embeddings),
+    bands AS (
+      SELECT vec_id, band,
+             list_reduce(list_prepend(0, b[band*16+1 : band*16+16]),
+                         (acc, v) -> acc*2 + v) AS key
+      FROM bits, (SELECT UNNEST(range(0,4)) AS band)
+      WHERE len(b) = 64),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+    ver AS (
+      SELECT id_a, id_b,
+             round(1.0 - CASE WHEN {_NORM.format(a="x.embedding")} *
+                                   {_NORM.format(a="y.embedding")} != 0
+                   THEN {_DOT.format(a="x.embedding", b="y.embedding")} /
+                        ({_NORM.format(a="x.embedding")} * {_NORM.format(a="y.embedding")})
+                   END, 6) + 0.0 AS cos_dist
+      FROM cand JOIN embeddings x ON cand.id_a = x.vec_id
+                JOIN embeddings y ON cand.id_b = y.vec_id)
+    SELECT id_a, id_b, cos_dist, cos_dist <= 0.7 AS is_near
+    FROM ver ORDER BY id_a, id_b
+    """,
+)
+def q_sign_band_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return dd.sign_band_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", n_bands=4, band_bits=16,
+        max_cos_dist=0.7,
+    ).orderBy("id_a", "id_b")

@@ -278,3 +278,32 @@ def test_semantic_prune_greedy_by_id_within_cluster(spark):
         for r in semantic_prune(df, cluster_col="label", max_cos_dist=0.1).collect()
     }
     assert kept == {1, 7, 9}
+
+
+def test_sign_band_neardup_catches_exact_dups_and_verifies(spark):
+    """An exact duplicate always shares every band (sign codes identical),
+    so it MUST surface with cos_dist +0.0 / is_near true; an
+    opposite-sign vector can never band with it; ragged rows are
+    excluded from banding entirely."""
+    from custom_vector_database_spark.operators.dedup import sign_band_neardup_pairs
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    rows = [
+        (1, base),
+        (2, list(base)),                 # exact dup of 1
+        (5, [-x for x in base]),         # antipode: zero band agreement
+        (9, base[:10]),                  # ragged: cannot band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cos_dist"], r["is_near"])
+        for r in sign_band_neardup_pairs(df, max_cos_dist=0.5).collect()
+    }
+    assert got == {(1, 2): (0.0, True)}
+    import math
+
+    assert math.copysign(1.0, got[(1, 2)][0]) == 1.0  # +0.0, never -0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band_bits"):
+        sign_band_neardup_pairs(df, band_bits=64)
