@@ -361,3 +361,51 @@ def test_rrf_fuse_matches_python_reference(spark, rankings):
     assert set(got) == set(expect)
     for d, s in expect.items():
         assert got[d] == round(s, 6), d
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_matches_bruteforce(spark, docs):
+    """duplicate_spans must agree with a direct Python re-implementation
+    (flag every n-gram start appearing in >= 2 distinct docs, merge
+    consecutive flagged starts into maximal intervals) on arbitrary tiny
+    corpora — a 1-letter alphabet makes collisions and long overlapping
+    runs common, the regime where island-merge bugs hide."""
+    from custom_vector_database_spark.operators.text import duplicate_spans
+
+    n = 3
+    toks = [d.split() if d else [] for d in docs]
+    grams: dict[str, set[int]] = {}
+    for i, ts in enumerate(toks):
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    expected = set()
+    for i, ts in enumerate(toks):
+        flagged = [
+            p + 1 for p in range(len(ts) - n + 1)
+            if " ".join(ts[p : p + n]) in dup
+        ]
+        run: list[int] = []
+        for p in flagged + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expected.add((i, run[0], run[-1] + n - 1, run[-1] + n - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, n=n, min_docs=2).collect()
+    }
+    assert got == expected
