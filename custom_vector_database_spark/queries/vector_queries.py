@@ -467,6 +467,13 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             metric="dot",
         ).save(path)
         idx = IvfIndex.load(spark, path)
+    elif kind == "ivfbq":
+        from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+        IvfBqIndex.fit(
+            emb, id_col="vec_id", vec_col="embedding", n_clusters=16
+        ).save(path)
+        idx = IvfBqIndex.load(spark, path)
     elif kind == "pq":
         from custom_vector_database_spark.operators.pq import PqIndex
 
@@ -1895,3 +1902,38 @@ def q_mmr_diverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qdf, k=5, candidates=20, lam=0.5, id_col="vec_id", vec_col="embedding"
     )
     return spark.createDataFrame(sel, "rk int, vec_id long, rel double").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ (round 6): coarse partition pruning over stored 1-bit sign
+# codes — 8 bytes per 64 dims per scanned row, and (unlike the PQ
+# siblings) nothing but the probe routing is fitted, so upserted deltas
+# carry ZERO code staleness. Build row proves the persisted structure
+# (every row present, exactly one code word, routed into the 16 declared
+# clusters); the search row answers from the saved layout under the
+# guarantee-oracle pattern (the probe shortlist depends on the fitted
+# centroids, which the oracle cannot retrain — everything after the
+# probe is deterministic).
+# ---------------------------------------------------------------------------
+@register("ivfbq_build", _build_oracle("layout_ok"))
+def q_ivfbq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "ivfbq")
+    return idx.encoded_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").alias("sum_ids"),
+        (
+            (F.min(F.size("words")) == 1)
+            & (F.max(F.size("words")) == 1)
+            & (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+        ).alias("layout_ok"),
+    )
+
+
+@register("ivfbq_search", _KNN10_ORACLE.format(ok="ivfbq_ok"))
+def q_ivfbq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = saved_index(spark, sf_dir, "ivfbq")
+    approx = idx.search(query, k=10, base_df=emb, nprobe=8, rerank=10)
+    return _exact_with_recall_flag(spark, sf_dir, approx, "ivfbq_ok", query=query)

@@ -1106,3 +1106,64 @@ def test_bq_pack_nan_matches_engine_comparison_semantics(spark):
     assert list(got) == bq_pack_python(v)
     # fold order: nan(set), -1(clear), 0(clear), 1(set) -> 0b1001
     assert bq_pack_python(v) == [0b1001]
+
+
+def test_ivfbq_recall_and_crud_lifecycle(spark, emb, tmp_path):
+    """IVF-BQ: pruned code scan + exact rerank clears a recall bar set
+    for the compounded coarseness (IVF pruning × 1-bit codes); the full
+    incremental CRUD surface (upsert fresh-code append, tombstone
+    delete, refuse-until-compact id reuse, compaction) behaves like the
+    sibling layouts."""
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+    idx = IvfBqIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    path = str(tmp_path / "ivfbq")
+    idx.save(path)
+    loaded = IvfBqIndex.load(spark, path)
+
+    queries = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    total = 0.0
+    for qvec in queries:
+        exact_ids = {
+            r["vec_id"]
+            for r in knn_ops.knn(
+                emb, qvec, k=K, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in loaded.search(qvec, k=K, base_df=emb, nprobe=6, rerank=10).collect()
+        }
+        total += len(exact_ids & got) / K
+    assert total / N_QUERIES >= 0.5, f"IVF-BQ recall {total / N_QUERIES:.3f}"
+
+    # probe pruning reaches the physical scan
+    plan = (
+        loaded.search(queries[0], k=5, base_df=emb, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "cluster" in plan
+
+    # CRUD: delete -> excluded; reuse refuses; compact frees the id
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    assert loaded.delete([0]) == 1
+    assert 0 not in {
+        r["vec_id"]
+        for r in loaded.search(qvec, k=5, base_df=emb, nprobe=8).collect()
+    }
+    delta = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="compact"):
+        loaded.upsert(delta)
+    loaded.compact()
+    assert loaded.upsert(delta) == 1
+    assert loaded.encoded_df().filter(F.col("vec_id") == 0).count() == 1
+    assert 0 in {
+        r["vec_id"]
+        for r in loaded.search(qvec, k=5, base_df=emb, nprobe=8).collect()
+    }
+    d = loaded.describe()
+    assert d["kind"] == "ivfbq" and d["compression_x"] == 32.0
+    assert d["n_rows"] == emb.count() and d["n_tombstones"] == 0
