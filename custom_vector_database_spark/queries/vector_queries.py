@@ -1937,3 +1937,68 @@ def q_ivfbq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = saved_index(spark, sf_dir, "ivfbq")
     approx = idx.search(query, k=10, base_df=emb, nprobe=8, rerank=10)
     return _exact_with_recall_flag(spark, sf_dir, approx, "ivfbq_ok", query=query)
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ incremental ingestion: the family's upsert row on the binary
+# layout, where (unlike ivfpq_upsert) the delta's CODES are exactly as
+# good as the build's — sign bits are data-independent; only cluster
+# routing uses the fitted centroids. Same certification shape as
+# ivf_upsert: delta counted, searchable without rebuild, recall held.
+# ---------------------------------------------------------------------------
+@register(
+    "ivfbq_upsert",
+    f"""
+    WITH d AS ({_UPSERT_DELTA_DUCK}),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM d),
+         q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT u.vec_id AS vec_id,
+           round({_DUCK_L2SQ.format(a="u.embedding", b="q.q")}, 6) AS dist_sq,
+           TRUE AS upsert_ok
+    FROM u CROSS JOIN q
+    ORDER BY dist_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivfbq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    delta = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    base_idx = saved_index(spark, sf_dir, "ivfbq")
+    tmp = tempfile.mkdtemp(prefix="cvdb_bq_upsert_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = IvfBqIndex.load(spark, tmp)
+        n_before = idx.encoded_df().count()
+        n_added = idx.upsert(delta)
+        n_after = idx.encoded_df().count()
+        union = emb.select("vec_id", "embedding").unionByName(delta)
+        hit_ids = {
+            r["vec_id"]
+            for r in idx.search(
+                query, k=10, base_df=union, nprobe=8, rerank=10
+            ).collect()
+        }
+        exact = knn_ops.knn(
+            union, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).localCheckpoint(eager=True)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        ok = (
+            n_added == 20
+            and n_after == n_before + 20
+            and 1_000_000_000 in hit_ids  # the query's clone, no rebuild
+            and len(exact_ids & hit_ids) >= 5
+        )
+        return exact.withColumn("upsert_ok", F.lit(bool(ok))).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col("vec_id").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
