@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_count"]
 
 
 def connected_components(
@@ -237,3 +237,46 @@ def pagerank(
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     return ranks
+
+
+def triangle_count(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (``src < dst`` canonical pairs, deduplicated here defensively) —
+    the local clustering signal that separates tight duplicate cliques
+    from chains in a near-dup graph, and the classic two-join
+    distributed graph kernel.
+
+    Shape: the oriented (low → high) edge representation counts each
+    triangle exactly once — join wedges a<b<c on their closing edge
+    (a,c). Two shuffle joins on node keys; no wedge materialization
+    beyond the join itself, and skew is bounded by the max degree (salt
+    the hot node's wedge join if one node dominates). Returns
+    (node, n_triangles) for every node in at least one triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # also drops self-loops
+        .distinct()
+    )
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tris = wedges.alias("w").join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

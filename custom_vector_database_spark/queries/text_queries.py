@@ -1012,3 +1012,34 @@ def q_sign_band_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", n_bands=4, band_bits=16,
         max_cos_dist=0.7,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Triangle participation over the near-dup graph (round 6): tight
+# duplicate CLIQUES close triangles, chains do not — the local
+# clustering signal on top of connected_components' global one. Two
+# shuffle joins on the canonical low->high edge orientation count each
+# triangle once; the oracle replays the identical wedge-close join.
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_count_docs",
+    f"""
+    WITH {_DUCK_PAIRS_CTES},
+    e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs WHERE id_a < id_b),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+    nodes AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY node ORDER BY node
+    """,
+)
+def q_triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.graph import triangle_count
+
+    pairs = _exact_trigram_pairs(spark, sf_dir)
+    return triangle_count(pairs).orderBy("node")

@@ -307,3 +307,20 @@ def test_sign_band_neardup_catches_exact_dups_and_verifies(spark):
 
     with _pytest.raises(ValueError, match="band_bits"):
         sign_band_neardup_pairs(df, band_bits=64)
+
+
+def test_triangle_count_semantics(spark):
+    """A 4-clique yields C(3,2)=3 triangles per member; a chain closes
+    none; duplicate and reversed edges dedupe to the canonical
+    orientation before counting."""
+    from custom_vector_database_spark.operators.graph import triangle_count
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    # reversed-only edge (21,20), self-loop, and duplicates must all
+    # canonicalize: the reversed edge closes the 20-21-22 triangle
+    noisy = clique + chain + [(2, 1), (1, 2), (7, 7)]
+    noisy += [(20, 22), (21, 22), (21, 20)]
+    df = spark.createDataFrame(noisy, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 20: 1, 21: 1, 22: 1}
