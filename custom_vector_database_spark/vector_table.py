@@ -381,7 +381,15 @@ class VectorTable:
         ``"dot"`` (MIPS via the augmented-dimension reduction) — the
         engine's saved-index metric family exposed through the
         reference-parity facade (the reference declares the metric slot,
-        hnsw.h:41, but never fills it). Either way search answers from
+        hnsw.h:41, but never fills it). ``kind="ivfbq"``: the binary-code
+        layout (operators/ivfbq.py, l2_sq only) — 32× smaller probed
+        scans, reranked against the LIVE table; its CODE shortlist is
+        stale until rebuild like every index here, but because codes
+        hold no floats, a row deleted from the table vanishes from
+        approximate results immediately instead of lingering like the
+        reference's HNSW copies (test.cpp:116-118) — fresher than the
+        stale contract, stated here because it differs from lsh/ivf.
+        Either way search answers from
         this artifact until the next rebuild — the stale-index contract.
 
         Crash-safe: the new index builds into a sibling tmp directory
@@ -392,15 +400,22 @@ class VectorTable:
         import json as _json
         import shutil as _shutil
 
-        if kind not in ("lsh", "ivf"):
-            raise ValueError(f"unknown index kind {kind!r}; 'lsh' or 'ivf'")
-        if kind == "lsh" and metric != "l2_sq":
+        if kind not in ("lsh", "ivf", "ivfbq"):
             raise ValueError(
-                "kind='lsh' supports only the l2_sq metric (MLlib "
-                "BucketedRandomProjectionLSH is euclidean); use kind='ivf' "
-                f"for metric={metric!r}"
+                f"unknown index kind {kind!r}; 'lsh', 'ivf', or 'ivfbq'"
             )
-        if kind == "ivf":
+        if kind != "ivf" and metric != "l2_sq":
+            raise ValueError(
+                f"kind={kind!r} supports only the l2_sq metric; use "
+                f"kind='ivf' for metric={metric!r}"
+            )
+        if kind == "ivfbq":
+            from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+            index = IvfBqIndex.fit(
+                self.df(), id_col="id", vec_col="vec", n_clusters=n_clusters
+            )
+        elif kind == "ivf":
             from custom_vector_database_spark.operators.ivf import IvfIndex
 
             index = IvfIndex.fit(
@@ -468,6 +483,10 @@ class VectorTable:
         if os.path.exists(marker):
             with open(marker) as f:
                 kind = _json.load(f)["kind"]
+        if kind == "ivfbq":
+            from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+            return IvfBqIndex.load(self.spark, self._index_path)
         if kind == "ivf":
             from custom_vector_database_spark.operators.ivf import IvfIndex
 
@@ -506,7 +525,21 @@ class VectorTable:
             )
         idx = self._load_index()
         from custom_vector_database_spark.operators.ivf import IvfIndex
+        from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
 
+        if isinstance(idx, IvfBqIndex):
+            if metric != "l2_sq":
+                raise ValueError(
+                    "the saved IVF-BQ index is l2_sq-only; run "
+                    f"rebuild(kind='ivf', metric={metric!r}) for metric search"
+                )
+            # rerank against the LIVE table (stale-index contract applies
+            # to the CODES; rerank distances are over current floats for
+            # ids the stale shortlist surfaced - same staleness class as
+            # the reference's HNSW holding copies, test.cpp:116-118)
+            return idx.search(
+                [float(x) for x in query], k, base_df=self.df(), nprobe=8
+            )
         if isinstance(idx, IvfIndex):
             if metric != idx.metric:
                 raise ValueError(

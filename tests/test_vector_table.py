@@ -322,3 +322,34 @@ def test_search_many_approx_matches_exact_when_exhaustive(spark, tmp_path):
     vt.rebuild(kind="lsh")
     with pytest.raises(ValueError, match="rebuild"):
         vt.search_many(queries, 4, exact=False)
+
+
+def test_rebuild_ivfbq_and_search(spark, tmp_path):
+    """The facade builds/loads the binary-code layout: approximate
+    search answers from the saved codes with exact reranked distances;
+    non-l2 metrics refuse with the rebuild hint; a row deleted from the
+    table vanishes from approximate results immediately (documented
+    divergence from the lsh/ivf stale-copy behavior - BQ codes hold no
+    floats to answer from)."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=4)
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.9, 0.1, 0.0, 0.0],
+    ]
+    ids = t.add([(v, None) for v in vecs])
+    idx = t.rebuild(kind="ivfbq", n_clusters=2)
+    assert idx.describe()["kind"] == "ivfbq"
+    hits = t.search([1.0, 0.0, 0.0, 0.0], k=2, exact=False).collect()
+    assert [r["id"] for r in hits] == [ids[0], ids[3]]
+    assert hits[0]["dist_sq"] == 0.0
+    with pytest.raises(ValueError, match="l2_sq-only"):
+        t.search([1.0, 0.0, 0.0, 0.0], k=2, exact=False, metric="cosine")
+    t.delete(ids[3])
+    after = {r["id"] for r in t.search([1.0, 0.0, 0.0, 0.0], k=4, exact=False).collect()}
+    assert ids[3] not in after and ids[0] in after
+    with pytest.raises(ValueError, match="lsh"):
+        t.rebuild(kind="hnsw")
