@@ -585,3 +585,83 @@ def q_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_total", "n_kept", "kept_id_checksum")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-card corpus report (round 6): the one-pass summary a corpus
+# release ships — per-language, per-source, and overall: document and
+# token counts, exact-duplicate rate, and mean quality — composed from
+# the already-oracled primitives in ONE GROUPING SETS aggregate (no
+# three-pass union). Quality averages via floor(q·1e6) micro-integers so
+# the mean is an exact BIGINT ratio in any engine (float sums are
+# fold-order-dependent; integer sums are not).
+# ---------------------------------------------------------------------------
+def _corpus_stats_oracle() -> str:
+    from custom_vector_database_spark.queries.text_queries import (
+        DUCK_QUALITY_EXPR,
+        DUCK_QUALITY_M_CTES,
+    )
+
+    return f"""
+    WITH {DUCK_QUALITY_M_CTES},
+    q AS (SELECT doc_id, {DUCK_QUALITY_EXPR} AS quality FROM m),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS f
+      FROM documents),
+    reps AS (SELECT f, MIN(doc_id) AS rep_id FROM fp GROUP BY f),
+    base AS (
+      SELECT d.lang, d.source,
+             len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                 x -> x != '')) AS n_tokens,
+             CAST(floor(q.quality * 1000000) AS BIGINT) AS q_micro,
+             CASE WHEN fp.doc_id != r.rep_id THEN 1 ELSE 0 END AS is_dup
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN fp ON d.doc_id = fp.doc_id
+      JOIN reps r ON fp.f = r.f)
+    SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                WHEN GROUPING(source) = 0 THEN 'source'
+                ELSE 'all' END AS level,
+           COALESCE(CASE WHEN GROUPING(lang) = 0 THEN lang ELSE source END,
+                    '*') AS key,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(q_micro) AS BIGINT) AS quality_micro_sum
+    FROM base
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    ORDER BY level, key
+    """
+
+
+@register("corpus_stats_report", _corpus_stats_oracle())
+def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators import dedup as dd
+    from custom_vector_database_spark.operators import text as tx
+
+    docs = load_spread(spark, sf_dir, "documents")
+    flags = dd.exact_dedup(docs).select("doc_id", "is_dup")
+    t = docs.join(flags, "doc_id").select(
+        "lang", "source",
+        tx.token_count("text").alias("n_tokens"),
+        F.floor(tx.quality_score("text") * 1e6).cast("long").alias("q_micro"),
+        F.col("is_dup").cast("long").alias("is_dup"),
+    )
+    t.createOrReplaceTempView("__csr_t")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                    WHEN GROUPING(source) = 0 THEN 'source'
+                    ELSE 'all' END AS level,
+               COALESCE(CASE WHEN GROUPING(lang) = 0 THEN lang
+                        ELSE source END, '*') AS key,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(q_micro) AS BIGINT) AS quality_micro_sum
+        FROM __csr_t
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY level, key
+        """
+    )
