@@ -318,3 +318,104 @@ class IvfBqIndex(TombstoneDeleteMixin):
             .orderBy(F.col("dist_sq").asc_nulls_last(), F.col(self.id_col))
             .limit(k)
         )
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int,
+        base_df: DataFrame,
+        nprobe: int = 4,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        rerank: int = 4,
+        max_query_rows: int | None = 100_000,
+    ) -> DataFrame:
+        """Batch IVF-BQ: the k nearest rows for every query row, answered
+        from the saved code layout in one job — the family's
+        search_many contract on the cheapest stored codes.
+
+        Plan (the IvfIndex.search_many shape with a Hamming candidate
+        stage): each query row computes its own nprobe shortlist as a
+        codegen projection and explodes to (qid, qwords, cluster); the
+        union of probed clusters statically partition-prunes the CODE
+        scan; the broadcast equi-join on cluster scores candidates by
+        XOR+popcount; a per-qid window keeps k·rerank by (hamming, id) —
+        bare triples shuffle, 8-byte codes scan; survivors broadcast-join
+        back into ``base_df`` with the (broadcast) query vectors for the
+        exact per-qid top-k. Deterministic after the probe stage, exactly
+        like the single-query path."""
+        for qc in (query_id, query_vec):
+            if qc in self._encoded.columns:
+                raise ValueError(
+                    f"query column {qc!r} collides with a layout column — "
+                    "alias it on the query side first"
+                )
+        n_q = self._check_input_dims(queries, query_vec, "query")
+        if max_query_rows is not None and n_q > max_query_rows:
+            raise ValueError(
+                f"queries has {n_q} rows > max_query_rows={max_query_rows}; "
+                "a broadcast this large risks executor OOM - split the "
+                "query table and search_many per split"
+            )
+        from custom_vector_database_spark.operators.fitting import (
+            nprobe_clusters_sql,
+        )
+
+        qv = f"`{query_vec}`"
+        probes = F.expr(
+            nprobe_clusters_sql(
+                f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
+            )
+        )
+        exploded = queries.select(
+            F.col(query_id),
+            bq_pack(F.col(query_vec), self.dim).alias("__qwords"),
+            F.explode(probes).alias("cluster"),
+        ).localCheckpoint(eager=True)  # feeds the probed listing AND the join
+        probed = sorted(
+            r["cluster"] for r in exploded.select("cluster").distinct().collect()
+        )
+        from pyspark.sql import Window
+
+        triples = (
+            self._live(self._encoded.filter(F.col("cluster").isin(probed)))
+            .join(F.broadcast(exploded), "cluster")
+            .select(
+                F.col(query_id),
+                F.col(self.id_col),
+                bq_hamming(F.col("words"), F.col("__qwords")).alias("hamming"),
+            )
+        )
+        wq = Window.partitionBy(query_id).orderBy(
+            F.col("hamming").asc_nulls_last(), F.col(self.id_col).asc()
+        )
+        shortlist = (
+            triples.withColumn("__rk", F.row_number().over(wq))
+            .filter(F.col("__rk") <= k * rerank)
+            .select(query_id, self.id_col)
+        )
+        from custom_vector_database_spark.functions.vector import l2_squared
+
+        rejoined = (
+            base_df.select(F.col(self.id_col), F.col(self.vec_col))
+            .join(F.broadcast(shortlist), self.id_col)
+            .join(
+                F.broadcast(queries.select(F.col(query_id), F.col(query_vec))),
+                query_id,
+            )
+        )
+        wr = Window.partitionBy(query_id).orderBy(
+            F.col("dist_sq").asc_nulls_last(), F.col(self.id_col).asc()
+        )
+        return (
+            rejoined.select(
+                query_id,
+                self.id_col,
+                F.round(
+                    l2_squared(F.col(self.vec_col), F.col(query_vec)), 6
+                ).alias("dist_sq"),
+            )
+            .withColumn("__rk", F.row_number().over(wr))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )

@@ -2002,3 +2002,50 @@ def q_ivfbq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ batch retrieval: the family's search_many row on the binary
+# layout — per-query codegen probe shortlist, statically pruned 8-byte
+# code scan, (hamming, id) shortlist window, exact rerank joined back.
+# Guarantee-oracled like the sibling search rows (the probe stage
+# depends on the fitted centroids); the exact baseline doubles as the
+# recall certificate.
+# ---------------------------------------------------------------------------
+@register(
+    "ivfbq_search_many",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+      FROM embeddings e CROSS JOIN q)
+    SELECT qid, vec_id, dist_sq, TRUE AS batch_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored) WHERE rn <= 10
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivfbq_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = saved_index(spark, sf_dir, "ivfbq")
+    approx = idx.search_many(
+        queries, k=10, base_df=emb, nprobe=8, rerank=10
+    ).localCheckpoint(eager=True)
+    approx_pairs = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    exact = knn_ops.knn_join(
+        emb, queries, k=10, data_id="vec_id", data_vec="embedding",
+        query_id="qid", query_vec="qvec",
+    ).localCheckpoint(eager=True)
+    exact_pairs = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    ok = len(exact_pairs & approx_pairs) >= len(exact_pairs) // 2
+    return (
+        exact.withColumn("batch_ok", F.lit(bool(ok)))
+        .orderBy("qid", F.col("dist_sq").asc_nulls_last(), "vec_id")
+    )

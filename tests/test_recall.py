@@ -1167,3 +1167,38 @@ def test_ivfbq_recall_and_crud_lifecycle(spark, emb, tmp_path):
     d = loaded.describe()
     assert d["kind"] == "ivfbq" and d["compression_x"] == 32.0
     assert d["n_rows"] == emb.count() and d["n_tombstones"] == 0
+
+
+def test_ivfbq_search_many_matches_per_query_search(spark, emb, tmp_path):
+    """Batch == single-query on the saved binary layout (deterministic
+    after the shared probe stage), plus the collision and row guards."""
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+    idx = IvfBqIndex.fit(emb, id_col="vec_id", vec_col="embedding", n_clusters=8)
+    path = str(tmp_path / "ivfbq_many")
+    idx.save(path)
+    loaded = IvfBqIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = loaded.search_many(
+        queries, k=5, base_df=emb, nprobe=4, rerank=4
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["vec_id"], r["dist_sq"]))
+    for q in queries.collect():
+        single = [
+            (r["vec_id"], r["dist_sq"])
+            for r in loaded.search(
+                list(q["qvec"]), k=5, base_df=emb, nprobe=4, rerank=4
+            ).collect()
+        ]
+        assert sorted(by_qid[q["qid"]]) == sorted(single), q["qid"]
+    with pytest.raises(ValueError, match="collides"):
+        loaded.search_many(
+            queries.withColumnRenamed("qid", "cluster"), k=5, base_df=emb,
+            query_id="cluster",
+        )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        loaded.search_many(queries, k=5, base_df=emb, max_query_rows=2)
