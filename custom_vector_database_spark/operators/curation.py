@@ -54,6 +54,7 @@ __all__ = [
     "centroid_outliers",
     "length_buckets",
     "unigram_logprob",
+    "bigram_logprob",
     "leakage_safe_split",
     "cap_per_group",
 ]
@@ -513,4 +514,89 @@ def cap_per_group(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood — the
+    second-order perplexity proxy (unigram_logprob's big sibling): docs
+    whose CONTEXT-conditional transitions are improbable under the
+    corpus score low even when their individual words are common (the
+    word-salad failure mode the unigram model cannot see).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), V = unigram vocab size —
+    add-one smoothing keeps every transition finite. Per-token log-probs
+    become floor(1e6·ln p) micro-integers so per-doc sums are exact
+    BIGINTs in any engine (the unigram operator's contract).
+
+    Shape: one tokenize pass feeds the bigram explode; counts are two
+    map-side-combined aggregates; scoring joins the bigram stream to
+    its probability table keyed ON THE BIGRAM — a shuffle join, not the
+    unigram path's broadcast: a bigram vocabulary is O(corpus) at scale
+    (1e8+ rows — too big to broadcast) and its frequency distribution
+    is far flatter than the unigram Zipf head, so the hash join's skew
+    exposure is mild (salt the top transitions if a corpus proves
+    otherwise). Returns (id, n_bigrams, lp_micro_sum, avg_logprob).
+    """
+    toks = tokenize(F.col(text_col))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+    bcnt = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    left = bcnt.withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    )
+    lcnt = left.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v_row = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    lp = (
+        left.join(lcnt, "w1")
+        .crossJoin(F.broadcast(v_row))
+        .select(
+            "bigram",
+            F.floor(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        big.join(lp, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("lp_micro_sum", F.lit(0)).alias("lp_micro_sum"),
+            F.round(
+                F.when(
+                    F.coalesce("n_bigrams", F.lit(0)) > 0,
+                    F.col("lp_micro_sum").cast("double")
+                    / (F.col("n_bigrams").cast("double") * 1e6),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
     )

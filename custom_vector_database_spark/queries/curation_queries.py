@@ -665,3 +665,54 @@ def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY level, key
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality (round 6): add-one-smoothed transition log-
+# likelihood — the second-order sibling of unigram_logprob_quality,
+# catching word-salad documents whose individual words are common but
+# whose transitions are not. Same micro-integer contract: per-bigram
+# floor(1e6·ln P) so every per-doc sum is an exact BIGINT in any engine.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_logprob_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS bigram
+      FROM t),
+    bcnt AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
+    lcnt AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, SUM(c2) AS c1
+      FROM bcnt GROUP BY 1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(toks) AS tok FROM t)),
+    lp AS (
+      SELECT b.bigram,
+             CAST(floor(ln(CAST(b.c2 + 1 AS DOUBLE) / CAST(l.c1 + v.v AS DOUBLE))
+                  * 1000000) AS BIGINT) AS lp_micro
+      FROM bcnt b
+      JOIN lcnt l ON string_split(b.bigram, ' ')[1] = l.w1
+      CROSS JOIN v),
+    per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_bigrams, SUM(lp.lp_micro) AS lp_micro_sum
+      FROM big g JOIN lp ON g.bigram = lp.bigram GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           CAST(COALESCE(p.lp_micro_sum, 0) AS BIGINT) AS lp_micro_sum,
+           round(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                 THEN CAST(p.lp_micro_sum AS DOUBLE)
+                      / (CAST(p.n_bigrams AS DOUBLE) * 1000000)
+                 ELSE 0.0 END, 6) AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return cu.bigram_logprob(docs, id_col="doc_id", text_col="text").orderBy(
+        "doc_id"
+    )

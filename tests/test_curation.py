@@ -489,3 +489,25 @@ def test_cap_per_group_is_deterministic_and_caps(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         cap_per_group(df, "source", cap=0)
+
+
+def test_bigram_logprob_semantics(spark):
+    """Hand-computed add-one bigram likelihood on a 3-doc corpus: the
+    repeated 'a b' transition scores above the once-seen ones; a doc
+    with <2 tokens contributes (and receives) zero bigrams."""
+    import math
+
+    from custom_vector_database_spark.operators.curation import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # corpus bigrams: (a b)x2, (b c)x1; left counts: a->2, b->1; V=4 (a,b,c,x)
+    lp_ab = math.floor(math.log((2 + 1) / (2 + 4)) * 1e6)
+    lp_bc = math.floor(math.log((1 + 1) / (1 + 4)) * 1e6)
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["lp_micro_sum"] == lp_ab + lp_bc
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["lp_micro_sum"] == lp_ab
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["lp_micro_sum"] == 0
+    assert rows[2]["avg_logprob"] > rows[1]["avg_logprob"]
