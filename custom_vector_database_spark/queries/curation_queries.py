@@ -716,3 +716,132 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.bigram_logprob(docs, id_col="doc_id", text_col="text").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2 (round 6): the domain-governance front half the
+# v1 pipeline lacks — per-source caps FIRST (a mega-crawl domain cannot
+# dominate anything downstream), then exact dedup, quality gate,
+# md5-threshold train split, token packing; ONE declarative plan with
+# per-stage doc/token yield accounting, oracle = the standalone stages'
+# fragments chained. Stage order matters and is part of the contract:
+# caps before dedup means a capped-out duplicate cannot crowd a kept
+# slot (the draw is over raw rows).
+# ---------------------------------------------------------------------------
+def _pipe_v2_oracle() -> str:
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _SPLIT_TRAIN_MAX,
+    )
+    from custom_vector_database_spark.queries.text_queries import (
+        DUCK_QUALITY_EXPR,
+        DUCK_QUALITY_M_CTES,
+    )
+
+    return f"""
+    WITH {DUCK_QUALITY_M_CTES},
+    scored AS (
+      SELECT m.doc_id, m.lang, len(m.toks) AS n_tokens,
+             {DUCK_QUALITY_EXPR} AS quality, d.source
+      FROM m JOIN documents d ON m.doc_id = d.doc_id),
+    capped AS (
+      SELECT s.* FROM scored s JOIN (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 10) c ON s.doc_id = c.doc_id),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS f
+      FROM documents),
+    reps AS (
+      SELECT f.f, MIN(f.doc_id) AS rep_id
+      FROM fp f JOIN capped c ON f.doc_id = c.doc_id GROUP BY f.f),
+    dedup AS (
+      SELECT c.* FROM capped c
+      JOIN fp ON c.doc_id = fp.doc_id
+      JOIN reps r ON fp.f = r.f AND c.doc_id = r.rep_id),
+    qual AS (SELECT * FROM dedup WHERE quality >= {_PIPE_QUALITY_MIN}),
+    train AS (
+      SELECT * FROM qual
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_SPLIT_TRAIN_MAX}),
+    packed AS (
+      SELECT lang,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // 256 AS BIGINT) AS seq_id,
+             n_tokens
+      FROM train),
+    stages AS (
+      SELECT '0_raw' AS stage, COUNT(*) AS n,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens FROM scored
+      UNION ALL
+      SELECT '1_capped', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM capped
+      UNION ALL
+      SELECT '2_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+      UNION ALL
+      SELECT '3_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM qual
+      UNION ALL
+      SELECT '4_train', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM train
+      UNION ALL
+      SELECT '5_packed', COUNT(*), CAST(SUM(tokens) AS BIGINT) FROM (
+        SELECT lang, seq_id, SUM(n_tokens) AS tokens
+        FROM packed GROUP BY lang, seq_id))
+    SELECT stage, n AS n_docs, tokens AS n_tokens FROM stages ORDER BY stage
+    """
+
+
+@register("corpus_curation_pipeline_v2", _pipe_v2_oracle())
+def q_corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators import dedup as dd
+    from custom_vector_database_spark.operators import text as tx
+    from custom_vector_database_spark.operators.text import tokenize
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _SPLIT_TRAIN_MAX,
+    )
+
+    docs = load_spread(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.size(tokenize("text")).alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    ).localCheckpoint(eager=True)  # six stage aggregates consume it
+    capped = cu.cap_per_group(
+        scored, group_col="source", cap=10, id_col="doc_id"
+    ).localCheckpoint(eager=True)
+    # dedup WITHIN the capped survivors: min-id representative per
+    # fingerprint over the capped set (caps first is the contract)
+    fps = capped.select(
+        "doc_id", tx.fingerprint_md5(F.col("text")).alias("f")
+    )
+    reps = fps.groupBy("f").agg(F.min("doc_id").alias("rep_id"))
+    keep = fps.join(reps, "f").filter(F.col("doc_id") == F.col("rep_id"))
+    deduped = capped.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    qual = deduped.filter(F.col("quality") >= _PIPE_QUALITY_MIN)
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    train = qual.filter(h60 < F.lit(_SPLIT_TRAIN_MAX))
+    packed = cu.pack_sequences(
+        train, shard_col="lang", order_col="doc_id", budget=256
+    )
+    seqs = packed.groupBy("lang", "seq_id").agg(F.sum("n_tokens").alias("tokens"))
+
+    def stage(df, name, tok_col="n_tokens"):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).alias("n_tokens"),
+        )
+
+    out = (
+        stage(scored, "0_raw")
+        .unionAll(stage(capped, "1_capped"))
+        .unionAll(stage(deduped, "2_dedup"))
+        .unionAll(stage(qual, "3_quality"))
+        .unionAll(stage(train, "4_train"))
+        .unionAll(stage(seqs, "5_packed", tok_col="tokens"))
+    )
+    return out.orderBy("stage")
