@@ -33,6 +33,7 @@ __all__ = [
     "hashed_tf",
     "positioned_grams",
     "duplicate_spans",
+    "cut_token_spans",
 ]
 
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
@@ -377,5 +378,56 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def cut_token_spans(
+    df,
+    spans,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Apply a span cut-list to documents: remove the tokens covered by
+    each doc's (span_start, span_end) intervals (1-based, inclusive —
+    duplicate_spans' output shape) and rebuild the cleaned text from the
+    survivors. This is the surgery half of span-level dedup: pair with
+    duplicate_spans and a KEEP POLICY of the caller's choosing (e.g.
+    filter the span table to all-but-one occurrence before passing it
+    here — ownership is policy, mechanics are this operator).
+
+    Shape: spans aggregate to one array per document (bounded by the
+    doc's own span count), broadcast-friendly join back to the doc
+    table, then ONE codegen projection — an indexed filter over the
+    token array with an exists() probe per token. No shuffle beyond the
+    span groupBy. Returns (id, n_tokens, n_cut, cleaned) where cleaned
+    is the surviving tokens joined by single spaces (the tokenizer is
+    lossy by design — token-level dedup operates on token streams).
+    """
+    spans_per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    toks = tokenize(F.col(text_col))
+    covered = lambda t, i: F.exists(  # noqa: E731 — inline 2-arg lambda
+        F.col("__spans"),
+        lambda s: (s["span_start"] <= i + 1) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(t, i))
+    return (
+        df.join(spans_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.when(
+                F.col("__spans").isNull(), F.array_join(toks, " ")
+            ).otherwise(F.array_join(kept, " ")).alias("cleaned"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - token_count("cleaned")).alias("n_cut"),
+            "cleaned",
         )
     )

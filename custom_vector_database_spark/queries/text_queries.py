@@ -1043,3 +1043,83 @@ def q_triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _exact_trigram_pairs(spark, sf_dir)
     return triangle_count(pairs).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Span-cut surgery (round 6): apply the duplicate_span_extract cut list
+# under the keep-first-doc policy — the LOWEST doc_id containing each
+# maximal span keeps its copy, every later doc loses it (one window over
+# the span table decides ownership; the cut itself is one indexed-filter
+# codegen projection per doc). Output pins the cleaned text exactly via
+# md5, not just the counts.
+# ---------------------------------------------------------------------------
+@register(
+    "span_cut_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_GRAMS8.format(t="toks")} AS grams FROM t),
+    g AS (SELECT doc_id, UNNEST(grams) AS gram,
+                 UNNEST(generate_series(1, len(grams))) AS pos
+          FROM s),
+    dup AS (SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram)
+      WHERE dfreq >= 2),
+    f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM f),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + {_SPAN_N - 1} AS span_end
+      FROM isl GROUP BY doc_id, island),
+    cuts AS (
+      SELECT doc_id, span_start, span_end FROM (
+        SELECT *, row_number() OVER (PARTITION BY span_start, span_end
+                                     ORDER BY doc_id) AS own
+        FROM spans) WHERE own > 1),
+    agg AS (
+      SELECT doc_id,
+             flatten(list(generate_series(span_start, span_end))) AS cov
+      FROM cuts GROUP BY doc_id),
+    cleaned AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             CASE WHEN a.cov IS NULL THEN t.toks
+                  ELSE list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i))
+             END AS kept
+      FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+    SELECT doc_id, n_tokens,
+           n_tokens - len(kept) AS n_cut,
+           md5(list_reduce(list_prepend('', kept), (x, y) -> x || ' ' || y))
+             AS cleaned_fp
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q_span_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    spans = tx.duplicate_spans(
+        docs, id_col="doc_id", text_col="text", n=_SPAN_N, min_docs=2
+    )
+    # keep-first-doc ownership: per identical (start, end) interval the
+    # lowest doc_id keeps its copy; later docs get cut
+    w = Window.partitionBy("span_start", "span_end").orderBy("doc_id")
+    cuts = (
+        spans.withColumn("__own", F.row_number().over(w))
+        .filter(F.col("__own") > 1)
+        .select("doc_id", "span_start", "span_end")
+    )
+    out = tx.cut_token_spans(docs, cuts, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_cut",
+        F.md5(
+            # the oracle's fold yields '' for a fully-cut doc and
+            # ' tok tok…' otherwise — mirror both cases exactly
+            F.when(F.col("cleaned") == "", F.lit("")).otherwise(
+                F.concat(F.lit(" "), F.col("cleaned"))
+            )
+        ).alias("cleaned_fp"),
+    ).orderBy("doc_id")

@@ -324,3 +324,23 @@ def test_triangle_count_semantics(spark):
     df = spark.createDataFrame(noisy, "id_a long, id_b long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 20: 1, 21: 1, 22: 1}
+
+
+def test_cut_token_spans_mechanics(spark):
+    """Span surgery removes exactly the listed 1-based token intervals,
+    handles overlapping spans, leaves span-free docs untouched, and a
+    fully-covered doc comes back empty."""
+    from custom_vector_database_spark.operators.text import cut_token_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 5), (3, 1, 2)],  # overlapping 2-3 and 3-5 on doc 1
+        "doc_id long, span_start int, span_end int",
+    )
+    got = {r["doc_id"]: r for r in cut_token_spans(docs, spans).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_cut"], got[1]["cleaned"]) == (6, 4, "a f")
+    assert (got[2]["n_tokens"], got[2]["n_cut"], got[2]["cleaned"]) == (3, 0, "x y z")
+    assert (got[3]["n_tokens"], got[3]["n_cut"], got[3]["cleaned"]) == (2, 2, "")
