@@ -148,6 +148,7 @@ def bq_search_many(
     query_vec: str = "qvec",
     rerank: int = 3,
     max_query_rows: int | None = 100_000,
+    max_broadcast_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """Batch BQ retrieval: the k nearest data rows for EVERY query row,
     via the Hamming shortlist — the bulk path where the candidate scan
@@ -196,6 +197,23 @@ def bq_search_many(
             "query table and bq_search_many per split"
         )
     dim = int(stats["d_min"])
+    if max_broadcast_bytes is not None:
+        # the rerank broadcast carries the FULL float query vectors (the
+        # code-word side is negligible); row count alone under-estimates
+        # it - the same byte guard as the index batch paths
+        from pyspark.sql import types as T
+
+        elem_t = queries.schema[query_vec].dataType.elementType
+        elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
+        per_row = dim * elem_b + max(1, math.ceil(dim / 64)) * 8 + 32
+        est = n_q * per_row
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                f"~{per_row} B of vector+code words/row) > "
+                f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                "split the query table and bq_search_many per split"
+            )
     qwords = queries.select(
         F.col(query_id), bq_pack(F.col(query_vec), dim).alias("__qwords")
     )

@@ -234,9 +234,11 @@ class IvfBqIndex(TombstoneDeleteMixin):
         return stats
 
     def describe(self) -> dict:
+        # LIVE view (sibling contract): n_rows/cluster stats must not
+        # count tombstoned rows that every search already excludes
         counts = {
             int(r["cluster"]): int(r["n"])
-            for r in self._encoded.groupBy("cluster")
+            for r in self.encoded_df().groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -329,6 +331,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         query_vec: str = "qvec",
         rerank: int = 4,
         max_query_rows: int | None = 100_000,
+        max_broadcast_bytes: int | None = 256 << 20,
     ) -> DataFrame:
         """Batch IVF-BQ: the k nearest rows for every query row, answered
         from the saved code layout in one job — the family's
@@ -345,10 +348,13 @@ class IvfBqIndex(TombstoneDeleteMixin):
         exact per-qid top-k. Deterministic after the probe stage, exactly
         like the single-query path."""
         for qc in (query_id, query_vec):
-            if qc in self._encoded.columns:
+            # the rejoin also meets base_df's (id, vec) columns, so those
+            # names collide too - the layout-only check missed base-side
+            # ambiguity (review finding)
+            if qc in self._encoded.columns or qc in (self.id_col, self.vec_col):
                 raise ValueError(
-                    f"query column {qc!r} collides with a layout column — "
-                    "alias it on the query side first"
+                    f"query column {qc!r} collides with a layout or base "
+                    "column - alias it on the query side first"
                 )
         n_q = self._check_input_dims(queries, query_vec, "query")
         if max_query_rows is not None and n_q > max_query_rows:
@@ -357,6 +363,23 @@ class IvfBqIndex(TombstoneDeleteMixin):
                 "a broadcast this large risks executor OOM - split the "
                 "query table and search_many per split"
             )
+        if max_broadcast_bytes is not None:
+            # the rerank broadcast carries the FULL float query vectors -
+            # the family's row-count-is-not-bytes lesson applies here too
+            from pyspark.sql import types as T
+
+            elem_t = queries.schema[query_vec].dataType.elementType
+            elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
+            words = max(1, math.ceil(self.dim / 64))
+            per_row = self.dim * elem_b + words * 8 + 32
+            est = n_q * per_row
+            if est > max_broadcast_bytes:
+                raise ValueError(
+                    f"estimated broadcast {est >> 20} MiB (= {n_q} queries × "
+                    f"~{per_row} B of vector+code words/row) > "
+                    f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                    "split the query table and search_many per split"
+                )
         from custom_vector_database_spark.operators.fitting import (
             nprobe_clusters_sql,
         )

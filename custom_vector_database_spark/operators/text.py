@@ -415,19 +415,21 @@ def cut_token_spans(
         lambda s: (s["span_start"] <= i + 1) & (i + 1 <= s["span_end"]),
     )
     kept = F.filter(toks, lambda t, i: ~covered(t, i))
+    kept_or_all = F.when(F.col("__spans").isNull(), toks).otherwise(kept)
     return (
         df.join(spans_per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.size(toks).alias("n_tokens"),
-            F.when(
-                F.col("__spans").isNull(), F.array_join(toks, " ")
-            ).otherwise(F.array_join(kept, " ")).alias("cleaned"),
+            # size of the kept ARRAY, not a re-tokenize of the joined
+            # string - the second full-text pass was pure waste
+            F.size(kept_or_all).alias("__n_kept"),
+            F.array_join(kept_or_all, " ").alias("cleaned"),
         )
         .select(
             id_col,
             "n_tokens",
-            (F.col("n_tokens") - token_count("cleaned")).alias("n_cut"),
+            (F.col("n_tokens") - F.col("__n_kept")).alias("n_cut"),
             "cleaned",
         )
     )

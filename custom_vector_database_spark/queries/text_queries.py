@@ -1047,11 +1047,13 @@ def q_triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Span-cut surgery (round 6): apply the duplicate_span_extract cut list
-# under the keep-first-doc policy — the LOWEST doc_id containing each
-# maximal span keeps its copy, every later doc loses it (one window over
-# the span table decides ownership; the cut itself is one indexed-filter
-# codegen projection per doc). Output pins the cleaned text exactly via
-# md5, not just the counts.
+# under keep-one-occurrence ownership keyed on the span's token CONTENT
+# (not its offsets — two unrelated docs can share positions, and the
+# same text can sit at different positions): the lowest (doc_id,
+# span_start) occurrence of each distinct span text keeps its copy,
+# every other occurrence is cut (one window over the span table; the
+# cut itself is one indexed-filter codegen projection per doc). Output
+# pins the cleaned text exactly via md5, not just the counts.
 # ---------------------------------------------------------------------------
 @register(
     "span_cut_docs",
@@ -1073,11 +1075,16 @@ def q_triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, MIN(pos) AS span_start,
              MAX(pos) + {_SPAN_N - 1} AS span_end
       FROM isl GROUP BY doc_id, island),
+    keyed AS (
+      SELECT sp.doc_id, sp.span_start, sp.span_end,
+             list_reduce(list_prepend('', t.toks[sp.span_start : sp.span_end]),
+                         (x, y) -> x || ' ' || y) AS span_txt
+      FROM spans sp JOIN t ON sp.doc_id = t.doc_id),
     cuts AS (
       SELECT doc_id, span_start, span_end FROM (
-        SELECT *, row_number() OVER (PARTITION BY span_start, span_end
-                                     ORDER BY doc_id) AS own
-        FROM spans) WHERE own > 1),
+        SELECT *, row_number() OVER (PARTITION BY span_txt
+                                     ORDER BY doc_id, span_start) AS own
+        FROM keyed) WHERE own > 1),
     agg AS (
       SELECT doc_id,
              flatten(list(generate_series(span_start, span_end))) AS cov
@@ -1102,11 +1109,25 @@ def q_span_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = tx.duplicate_spans(
         docs, id_col="doc_id", text_col="text", n=_SPAN_N, min_docs=2
     )
-    # keep-first-doc ownership: per identical (start, end) interval the
-    # lowest doc_id keeps its copy; later docs get cut
-    w = Window.partitionBy("span_start", "span_end").orderBy("doc_id")
+    # ownership keys on the span's token CONTENT: the same text at
+    # different offsets is one span family; unrelated texts sharing
+    # offsets are not (review finding - a position-only key cut every
+    # copy of the second family)
+    toks = tx.tokenize(F.col("text"))
+    keyed = spans.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "span_start", "span_end",
+        F.array_join(
+            F.slice(
+                toks,
+                F.col("span_start"),
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+            " ",
+        ).alias("__span_txt"),
+    )
+    w = Window.partitionBy("__span_txt").orderBy("doc_id", "span_start")
     cuts = (
-        spans.withColumn("__own", F.row_number().over(w))
+        keyed.withColumn("__own", F.row_number().over(w))
         .filter(F.col("__own") > 1)
         .select("doc_id", "span_start", "span_end")
     )

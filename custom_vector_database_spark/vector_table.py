@@ -587,11 +587,25 @@ class VectorTable:
         if not exact:
             idx = self._load_index()
             from custom_vector_database_spark.operators.ivf import IvfIndex
+            from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
 
+            if isinstance(idx, IvfBqIndex):
+                if metric != "l2_sq":
+                    raise ValueError(
+                        "the saved IVF-BQ index is l2_sq-only; run "
+                        f"rebuild(kind='ivf', metric={metric!r}) for "
+                        "metric search"
+                    )
+                return idx.search_many(
+                    queries, k, base_df=self.df(), nprobe=nprobe,
+                    query_id=query_id, query_vec=query_vec,
+                    max_query_rows=max_query_rows,
+                )
             if not isinstance(idx, IvfIndex):
                 raise ValueError(
-                    "batch approximate search needs the IVF layout; run "
-                    "rebuild(kind='ivf') first (LSH has no batch path)"
+                    "batch approximate search needs the IVF or IVF-BQ "
+                    "layout; run rebuild(kind='ivf') first (LSH has no "
+                    "batch path)"
                 )
             if metric != idx.metric:
                 raise ValueError(

@@ -353,3 +353,28 @@ def test_rebuild_ivfbq_and_search(spark, tmp_path):
     assert ids[3] not in after and ids[0] in after
     with pytest.raises(ValueError, match="lsh"):
         t.rebuild(kind="hnsw")
+
+
+def test_search_many_dispatches_to_ivfbq(spark, tmp_path):
+    """The facade batch path answers from a saved IVF-BQ layout (review
+    finding: it used to refuse with a misleading rebuild hint), and the
+    live describe() excludes tombstoned rows."""
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "db")).init(dim=4)
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    ids = t.add([(v, None) for v in vecs])
+    idx = t.rebuild(kind="ivfbq", n_clusters=2)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "qid long, qvec array<float>",
+    )
+    hits = t.search_many(q, k=1, exact=False).collect()
+    got = {r["qid"]: r["id"] for r in hits}
+    assert got == {0: ids[0], 1: ids[1]}
+    with pytest.raises(ValueError, match="l2_sq-only"):
+        t.search_many(q, k=1, exact=False, metric="cosine")
+    # live describe: tombstoned rows excluded (review finding)
+    assert idx.delete([ids[2]]) == 1
+    d = idx.describe()
+    assert d["n_rows"] == 2 and d["n_tombstones"] == 1
