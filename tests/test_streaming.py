@@ -319,3 +319,40 @@ def test_stream_corpus_ingest_dedups_and_replays_idempotent(spark, tmp_path):
     n_again = stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
     assert n_again == 0
     assert spark.read.parquet(corpus).count() == n0 + 3
+
+
+def test_stream_vector_ingest_works_on_binary_index(spark, tmp_path):
+    """The same delta stream ingests into the IVF-BQ layout (third
+    layout through the index-agnostic foreachBatch sink), and the
+    streamed clone reranks to the top alongside its original."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivfbq")
+    IvfBqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4
+    ).save(idx_path)
+    idx = IvfBqIndex.load(spark, idx_path)
+    delta = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 640_000).alias("vec_id"), "embedding"
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(3).write.parquet(delta_dir)
+    n0 = idx.encoded_df().count()
+    n_batches = stream_vector_ingest(
+        spark, delta_dir, idx, delta.schema, max_files_per_trigger=2
+    )
+    assert n_batches >= 2
+    assert idx.encoded_df().count() == n0 + 6
+    base = emb.select("vec_id", "embedding").unionByName(delta)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    hits = {
+        r["vec_id"]
+        for r in idx.search(q, k=2, base_df=base, nprobe=4).collect()
+    }
+    assert hits == {2, 640_002}
