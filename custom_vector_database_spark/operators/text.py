@@ -34,6 +34,7 @@ __all__ = [
     "positioned_grams",
     "duplicate_spans",
     "cut_token_spans",
+    "winnow_fingerprints",
 ]
 
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
@@ -431,5 +432,87 @@ def cut_token_spans(
             "n_tokens",
             (F.col("n_tokens") - F.col("__n_kept")).alias("n_cut"),
             "cleaned",
+        )
+    )
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003): hash every word n-gram, slide a window of ``w`` consecutive
+    hashes, and in each window select the minimal hash (rightmost on
+    ties) — the selected (position, hash) set is the fingerprint. The
+    guarantee that makes winnowing the plagiarism/local-similarity
+    fingerprint: any shared substring of at least n + w - 1 tokens
+    yields at least one IDENTICAL selected hash in both documents, and
+    expected density is 2/(w+1) — a tunable, position-robust sample
+    where fingerprint_md5 is all-or-nothing and fingerprint_rolling is
+    whole-document.
+
+    Shape: one tokenize pass -> positioned n-gram hashes -> explode the
+    w window memberships per gram (a bounded w× row blowup of
+    (id, window, pos, hash) scalars — never text) -> per-window
+    rightmost-min via one row_number window -> distinct selected
+    positions per doc. Hashes are md5-prefix integers, so the whole
+    fingerprint is engine-reproducible. Returns per document:
+    (id, n_grams, n_selected, fp_checksum) with the checksum summing
+    selected hashes mod 1e9+7 (exact BIGINT in any engine)."""
+    if n <= 0 or w <= 0:
+        raise ValueError("n and w must be positive")
+    grams = positioned_grams(F.col(text_col), n)
+    hashes = df.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # gram at pos belongs to windows starting at s in [pos-w+1, pos],
+    # clipped to valid starts — exploded as scalars only
+    member = hashes.select(
+        id_col,
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(F.greatest(F.col("pos") - (w - 1), F.lit(1)), F.col("pos"))
+        ).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy(id_col, "s").orderBy(
+        F.col("h").asc(), F.col("pos").desc()
+    )
+    # count windows per doc to drop the trailing starts whose window
+    # would be short (s must satisfy s + w - 1 <= n_grams)
+    n_grams = df.select(
+        F.col(id_col), F.size(grams).alias("n_grams")
+    )
+    selected = (
+        member.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .join(n_grams, id_col)
+        .filter(F.col("s") + (w - 1) <= F.col("n_grams"))
+        .select(id_col, "pos", "h")
+        .distinct()
+    )
+    agg = selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.col("h") % 1_000_000_007).alias("fp_checksum"),
+    )
+    return (
+        n_grams.join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("fp_checksum", F.lit(0)).alias("fp_checksum"),
         )
     )

@@ -1144,3 +1144,62 @@ def q_span_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 6, Schleimer et al. 2003): rightmost-min
+# hash per sliding window of w=4 consecutive 5-gram hashes — any shared
+# substring of >= n+w-1 tokens is GUARANTEED one identical selected
+# hash in both docs (the plagiarism-detection fingerprint family's
+# defining property; density ~2/(w+1)). md5-prefix integer hashes make
+# the whole selection engine-reproducible — exact oracle, no guarantee
+# booleans needed.
+# ---------------------------------------------------------------------------
+_WIN_N, _WIN_W = 5, 4
+_DUCK_GRAMS5 = (
+    "CASE WHEN len({t}) >= 5 THEN list_transform(range(1, len({t}) - 3), i -> "
+    + " || ' ' || ".join("{t}[i+%d]" % j for j in range(5))
+    + ") ELSE [] END"
+).replace("{t}[i+0]", "{t}[i]")
+
+
+@register(
+    "winnow_fingerprint_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_GRAMS5.format(t="toks")} AS grams FROM t),
+    ng AS (SELECT doc_id, len(grams) AS n_grams FROM s),
+    h AS (SELECT doc_id,
+                 UNNEST(generate_series(1, len(grams))) AS pos,
+                 UNNEST(list_transform(grams, g ->
+                   CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS h
+          FROM s),
+    member AS (
+      SELECT h.doc_id, h.pos, h.h, u.s
+      FROM h, UNNEST(generate_series(greatest(h.pos - {_WIN_W - 1}, 1), h.pos))
+             AS u(s)),
+    picked AS (
+      SELECT doc_id, pos, h, s FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, s
+                                     ORDER BY h ASC, pos DESC) AS rk
+        FROM member) WHERE rk = 1),
+    sel AS (
+      SELECT DISTINCT p.doc_id, p.pos, p.h
+      FROM picked p JOIN ng ON p.doc_id = ng.doc_id
+      WHERE p.s + {_WIN_W - 1} <= ng.n_grams),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_selected,
+             CAST(SUM(h % 1000000007) AS BIGINT) AS fp_checksum
+      FROM sel GROUP BY doc_id)
+    SELECT ng.doc_id, ng.n_grams,
+           COALESCE(a.n_selected, 0) AS n_selected,
+           CAST(COALESCE(a.fp_checksum, 0) AS BIGINT) AS fp_checksum
+    FROM ng LEFT JOIN agg a ON ng.doc_id = a.doc_id
+    ORDER BY ng.doc_id
+    """,
+)
+def q_winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(
+        docs, id_col="doc_id", text_col="text", n=_WIN_N, w=_WIN_W
+    ).orderBy("doc_id")

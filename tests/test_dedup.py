@@ -344,3 +344,63 @@ def test_cut_token_spans_mechanics(spark):
     assert (got[1]["n_tokens"], got[1]["n_cut"], got[1]["cleaned"]) == (6, 4, "a f")
     assert (got[2]["n_tokens"], got[2]["n_cut"], got[2]["cleaned"]) == (3, 0, "x y z")
     assert (got[3]["n_tokens"], got[3]["n_cut"], got[3]["cleaned"]) == (2, 2, "")
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem on crafted docs: two documents sharing a
+    run of >= n+w-1 tokens MUST select at least one identical hash; the
+    selection density sits near 2/(w+1); and a doc with fewer than n
+    tokens fingerprints empty."""
+    from custom_vector_database_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, shared + " completely different ending words"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    # guarantee check needs the selected hash SETS, not just checksums:
+    # recompute via the operator's building blocks
+    from custom_vector_database_spark.operators.text import positioned_grams
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs, n=5, w=4).collect()}
+    assert out[3]["n_grams"] == 0 and out[3]["n_selected"] == 0
+    for d in (1, 2):
+        dens = out[d]["n_selected"] / out[d]["n_grams"]
+        assert 0.2 <= dens <= 0.8, (d, dens)  # 2/(w+1)=0.4 with slack
+    # shared-substring guarantee: selected hash sets intersect. Shared
+    # run is 10 tokens >= n+w-1 = 8.
+    grams = docs.select(
+        "doc_id", F.posexplode(positioned_grams(F.col("text"), 5)).alias("p", "g")
+    )
+    # brute-force the winnow per doc in python
+    rows = grams.collect()
+    import hashlib
+
+    per_doc: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["p"])):
+        per_doc.setdefault(r["doc_id"], []).append(
+            int(hashlib.md5(r["g"].encode()).hexdigest()[:15], 16)
+        )
+    sel_hashes, sel_pos = {}, {}
+    for d, hs in per_doc.items():
+        picked = set()
+        for s in range(0, len(hs) - 4 + 1):
+            win = hs[s : s + 4]
+            m = min(win)
+            picked.add(s + max(i for i, h in enumerate(win) if h == m))
+        sel_pos[d] = picked
+        sel_hashes[d] = {hs[p] for p in picked}
+    assert sel_hashes[1] & sel_hashes[2], "shared 10-token run must share a fingerprint"
+    # the operator's counts and checksums agree with the brute force
+    # exactly (n_selected = distinct positions; checksum sums per
+    # POSITION, so a hash selected at two positions counts twice)
+    for d in (1, 2):
+        assert out[d]["n_selected"] == len(sel_pos[d]), d
+        assert out[d]["fp_checksum"] == sum(
+            per_doc[d][p] % 1_000_000_007 for p in sel_pos[d]
+        ), d
