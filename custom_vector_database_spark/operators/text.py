@@ -56,6 +56,14 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def md5_prefix_long(col: Column | str, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of md5 as a non-negative long — THE
+    engine-reproducible hash used everywhere a DuckDB oracle must
+    recompute the identical value (feature hashing, winnowing,
+    md5-threshold splits). n_hex <= 15 keeps the value inside int64."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, n_hex), 16, 10).cast("long")
+
+
 def tokenize(col: Column | str) -> Column:
     """Lowercase word tokens: split on non-alphanumeric runs, drop empties."""
     toks = F.split(F.lower(_c(col)), "[^a-z0-9]+")
@@ -284,8 +292,7 @@ def feature_hash_bucket(col: Column | str, num_buckets: int = 32) -> Column:
     if num_buckets <= 0:
         # modulo-by-zero would yield NULL buckets silently
         raise ValueError("num_buckets must be positive")
-    h32 = F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
-    return (h32 % num_buckets).cast("int")
+    return (md5_prefix_long(col, 8) % num_buckets).cast("int")
 
 
 def hashed_tf(
@@ -465,24 +472,39 @@ def winnow_fingerprints(
     if n <= 0 or w <= 0:
         raise ValueError("n and w must be positive")
     grams = positioned_grams(F.col(text_col), n)
-    hashes = df.select(
-        F.col(id_col),
-        F.posexplode(grams).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # ONE pass over the text builds (n_grams, pos, hash) — posexplode_outer
+    # keeps zero-gram docs as a NULL row so the doc totals come from the
+    # SAME scan; materialized once because two consumers (totals + the
+    # window pick) read it (the ngram_jaccard inverted-index pattern)
+    rows = (
+        df.select(F.col(id_col), grams.alias("__g"))
+        .select(
+            F.col(id_col),
+            F.size("__g").alias("n_grams"),
+            F.posexplode_outer("__g").alias("pos0", "gram"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_prefix_long("gram", 15).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
-    # gram at pos belongs to windows starting at s in [pos-w+1, pos],
-    # clipped to valid starts — exploded as scalars only
-    member = hashes.select(
+    totals = rows.groupBy(id_col).agg(F.max("n_grams").alias("n_grams"))
+    # gram at pos belongs to windows starting at s in
+    # [max(pos-w+1, 1), min(pos, n_grams-w+1)] — the upper clip drops the
+    # trailing short-window starts BEFORE they reach the ranking shuffle
+    lo = F.greatest(F.col("pos") - (w - 1), F.lit(1))
+    hi = F.least(F.col("pos"), F.col("n_grams") - (w - 1))
+    member = rows.filter(F.col("pos").isNotNull()).select(
         id_col,
         "pos",
         "h",
         F.explode(
-            F.sequence(F.greatest(F.col("pos") - (w - 1), F.lit(1)), F.col("pos"))
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<int>")
+            )
         ).alias("s"),
     )
     from pyspark.sql import Window
@@ -490,16 +512,9 @@ def winnow_fingerprints(
     pick = Window.partitionBy(id_col, "s").orderBy(
         F.col("h").asc(), F.col("pos").desc()
     )
-    # count windows per doc to drop the trailing starts whose window
-    # would be short (s must satisfy s + w - 1 <= n_grams)
-    n_grams = df.select(
-        F.col(id_col), F.size(grams).alias("n_grams")
-    )
     selected = (
         member.withColumn("__rk", F.row_number().over(pick))
         .filter(F.col("__rk") == 1)
-        .join(n_grams, id_col)
-        .filter(F.col("s") + (w - 1) <= F.col("n_grams"))
         .select(id_col, "pos", "h")
         .distinct()
     )
@@ -508,7 +523,7 @@ def winnow_fingerprints(
         F.sum(F.col("h") % 1_000_000_007).alias("fp_checksum"),
     )
     return (
-        n_grams.join(agg, id_col, "left")
+        totals.join(agg, id_col, "left")
         .select(
             id_col,
             "n_grams",
