@@ -5,7 +5,7 @@
     python -m custom_vector_database_spark.cli <db_path> get <id>
     python -m custom_vector_database_spark.cli <db_path> update <id> <vector> <metadata_json>
     python -m custom_vector_database_spark.cli <db_path> delete <id>
-    python -m custom_vector_database_spark.cli <db_path> rebuild
+    python -m custom_vector_database_spark.cli <db_path> rebuild [kind]
     python -m custom_vector_database_spark.cli <db_path> search <k> <query_vector>
 
 plus two migration extensions over the reference's own snapshot format
@@ -94,8 +94,11 @@ def main(argv: list[str] | None = None) -> int:
         ok = table.delete(int(args[0]))
         print("Deleted" if ok else f"Vector with ID {args[0]} not found")
     elif cmd == "rebuild":
-        table.rebuild()
-        print("Index rebuilt")
+        # optional kind operand (extension; bare `rebuild` keeps the
+        # reference's LSH default): lsh | ivf | ivfbq
+        kind = args[0] if args else "lsh"
+        table.rebuild(kind=kind)
+        print(f"Index rebuilt ({kind})")
     elif cmd == "import-snapshot":  # extension: migrate FROM the reference
         table.import_snapshot(args[0])
         print(f"Imported snapshot {args[0]} into {db_path}")
