@@ -387,3 +387,21 @@ def test_duplicate_spans_prunes_scan_to_id_and_text(spark):
     scan."""
     plan = _plan(spark, "duplicate_span_extract")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_winnow_fingerprints_ranks_scalars_only(spark):
+    """Everything downstream of winnowing's one materialized text pass
+    is scalar (doc_id, n_grams, pos, h): no text or gram column may
+    reach the window/shuffle stages. (The parquet scan itself sits
+    behind the localCheckpoint, so the executed plan reads the
+    materialized RDD — assert its column set, which is the guarantee
+    that matters for the shuffles.)"""
+    plan = _plan(spark, "winnow_fingerprint_docs")
+    import re
+
+    rdd_scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    assert rdd_scans, plan[:500]
+    for cols in rdd_scans:
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names == {"doc_id", "n_grams", "pos", "h"}, names
+    assert "text" not in plan and "gram#" not in plan
