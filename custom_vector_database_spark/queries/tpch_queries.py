@@ -521,9 +521,15 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _revenue().alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("mx")
+    # the MAX is one scalar: aggregate it and broadcast the 1-row frame
+    # back over the per-supplier aggregate. An unpartitioned window here
+    # would move every supplier row to ONE partition to compute the same
+    # scalar — the single-partition WindowExec anti-pattern.
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
     )
     return (
         F.broadcast(supp)
@@ -688,9 +694,13 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
     )
-    w = Window.partitionBy()
-    above = shipped.withColumn("avg_qty", F.avg("qty").over(w)).filter(
-        F.col("qty") > F.col("avg_qty")
+    # scalar AVG via aggregate + broadcast crossJoin, not an
+    # unpartitioned window (which would single-thread all suppliers)
+    avg_qty = shipped.agg(F.avg("qty").alias("__avg_qty"))
+    above = (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("__avg_qty"))
+        .drop("__avg_qty")
     )
     return (
         F.broadcast(supp)

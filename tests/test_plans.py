@@ -405,3 +405,15 @@ def test_winnow_fingerprints_ranks_scalars_only(spark):
         names = {c.split("#")[0] for c in cols.split(",")}
         assert names == {"doc_id", "n_grams", "pos", "h"}, names
     assert "text" not in plan and "gram#" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q15_top_supplier", "tpch_q20_excess_suppliers"]
+)
+def test_tpch_scalar_aggregates_are_not_single_partition_windows(spark, name):
+    """q15's MAX and q20's AVG are one scalar each: they must be computed
+    as an aggregate + broadcast crossJoin, never a Window.partitionBy()
+    (which moves every per-supplier row to ONE partition)."""
+    plan = _plan(spark, name)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
