@@ -169,6 +169,18 @@ def bq_search_many(
     dim 64, so the default guard caps the broadcast at ~30 MiB)."""
     from pyspark.sql import Window
 
+    for qc in (query_id, query_vec):
+        # the rerank stage joins the query frame back onto the data
+        # table, so a query column named like the data side's id/vec
+        # surfaces as an ambiguous-column AnalysisException deep in the
+        # plan — fail fast with the remedy instead (mirrors
+        # IvfBqIndex.search_many's guard)
+        if qc in (id_col, vec_col):
+            raise ValueError(
+                f"query column {qc!r} collides with the data table's "
+                f"({id_col!r}, {vec_col!r}) columns - alias it on the "
+                "query side first"
+            )
     # ONE query-side aggregate serves the row-count guard, the
     # NULL/ragged validation, and the dim inference
     stats = queries.agg(

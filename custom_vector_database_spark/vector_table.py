@@ -647,7 +647,23 @@ class VectorTable:
         correct reader. Returns (id, <metric dist>) best-first."""
         idx = self._load_index()
         from custom_vector_database_spark.operators.ivf import IvfIndex
+        from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
 
+        if isinstance(idx, IvfBqIndex):
+            # the BQ layout stores 1-bit sign codes only — no float
+            # copies exist to answer "exact over the snapshot", and
+            # reranking codes against LIVE rows would be neither stale
+            # nor fresh. Refuse with the route instead of crashing in
+            # hashed_df() (which a code-only layout does not define).
+            raise ValueError(
+                "search_stale is not available on an 'ivfbq' index: the "
+                "BQ layout keeps no float vectors, so there is no "
+                "snapshot to answer exactly from. Use search(exact=True) "
+                "for live-exact, search(exact=False) for approximate "
+                "(which reranks against live rows and therefore never "
+                "serves stale vectors), or rebuild(kind='ivf') if the "
+                "reference's stale-snapshot semantic is required."
+            )
         if isinstance(idx, IvfIndex):
             return idx.search(
                 [float(x) for x in query], k, nprobe=len(idx.centroids)

@@ -1089,6 +1089,13 @@ def test_bq_search_many_matches_per_query_search(spark, emb):
     assert bq_search_many(emb, empty, k=5).count() == 0
     with pytest.raises(ValueError, match="max_query_rows"):
         bq_search_many(emb, queries, k=5, max_query_rows=2)
+    # query columns named like the data side would make the rerank
+    # rejoin ambiguous - the guard fails fast with the remedy
+    collide = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="collides"):
+        bq_search_many(emb, collide, k=5, query_id="vec_id", query_vec="qvec")
+    with pytest.raises(ValueError, match="collides"):
+        bq_search_many(emb, collide, k=5, query_id="qid", query_vec="embedding")
 
 
 def test_bq_pack_nan_matches_engine_comparison_semantics(spark):

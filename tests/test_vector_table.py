@@ -378,3 +378,16 @@ def test_search_many_dispatches_to_ivfbq(spark, tmp_path):
     assert idx.delete([ids[2]]) == 1
     d = idx.describe()
     assert d["n_rows"] == 2 and d["n_tombstones"] == 1
+
+
+def test_search_stale_on_ivfbq_refuses_with_route(tbl):
+    """The BQ layout stores 1-bit codes only — no snapshot floats exist,
+    so search_stale must refuse with the rebuild route, not crash with
+    an AttributeError in hashed_df() (ADVICE r6 finding)."""
+    tbl.init(dim=64)
+    tbl.add([([float(i == j) for i in range(64)], None) for j in range(8)])
+    tbl.rebuild(kind="ivfbq", n_clusters=2)
+    with pytest.raises(ValueError, match="ivfbq"):
+        tbl.search_stale([1.0] + [0.0] * 63, 1)
+    # live paths still answer
+    assert tbl.search([1.0] + [0.0] * 63, 1).collect()[0]["id"] == 1
