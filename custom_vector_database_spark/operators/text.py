@@ -346,17 +346,22 @@ def duplicate_spans(
     """Maximal cross-document duplicated token spans — the span-level
     dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better"): any n-token window shared by >= min_docs distinct
-    documents marks its tokens duplicated; runs of consecutive marked
-    window starts merge into maximal spans. Returns one row per span:
-    (id, span_start, span_end, span_tokens), 1-based token offsets — the
-    cut list a span-level deduper consumes, where boilerplate_ngrams only
-    scores documents.
+    documents marks its tokens duplicated; maximal runs of MARKED TOKENS
+    become spans. Two flagged window starts p1 < p2 belong to one span
+    whenever p2 <= p1 + n — their token intervals [p, p+n-1] overlap or
+    touch — so output spans are DISJOINT per document and span_tokens is
+    additive across rows (starts 1 and 3 at n=8 merge to [1, 10], never
+    the overlapping [1, 8] + [3, 10] pair; ADVICE r6 finding). Returns
+    one row per span: (id, span_start, span_end, span_tokens), 1-based
+    token offsets — the cut list a span-level deduper consumes, where
+    boilerplate_ngrams only scores documents.
 
     Shape (all relational, no UDFs): one tokenize pass -> posexplode ->
     map-side-combined groupBy(gram) for document frequency (the inverted
     index — never doc pairs) -> semi-join flagged starts back on gram ->
-    per-document islands via the pos - row_number() trick (one window,
-    partitioned by document, so state is bounded by the longest doc).
+    per-document islands via lag + running-sum gap detection (two
+    same-partitioning windows per document, so state is bounded by the
+    longest doc and nothing reshuffles between them).
     """
     grams = df.select(
         F.col(id_col),
@@ -372,8 +377,19 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
-    islands = flagged.withColumn(
-        "island", F.col("pos") - F.row_number().over(w)
+    # a gap of more than n between flagged starts leaves at least one
+    # unmarked token between their windows — only then does a new
+    # island begin (gap <= n means the [pos, pos+n-1] intervals overlap
+    # or touch, i.e. one contiguous run of duplicated tokens)
+    islands = (
+        flagged.withColumn("__gap", F.col("pos") - F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__gap").isNull() | (F.col("__gap") > n), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("__new").over(w))
     )
     return (
         islands.groupBy(id_col, "island")

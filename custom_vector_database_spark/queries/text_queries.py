@@ -874,6 +874,18 @@ def q_dedup_build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pos - row_number() island merge are all exact integers.
 # ---------------------------------------------------------------------------
 _SPAN_N = 8
+# islands = maximal runs of duplicated TOKENS: a new island starts only
+# when the gap between flagged window starts exceeds n (intervals
+# [pos, pos+n-1] no longer overlap or touch) — mirrors
+# operators/text.duplicate_spans' lag + running-sum merge exactly
+_DUCK_ISL = f"""isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_N}
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS prev
+                  FROM f))"""
 _DUCK_GRAMS8 = (
     "CASE WHEN len({t}) >= 8 THEN list_transform(range(1, len({t}) - 6), i -> "
     + " || ' ' || ".join("{t}[i+%d]" % j for j in range(8))
@@ -893,10 +905,7 @@ _DUCK_GRAMS8 = (
         SELECT gram, COUNT(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram)
       WHERE dfreq >= 2),
     f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-    isl AS (SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                     AS island
-            FROM f)
+    {_DUCK_ISL}
     SELECT doc_id,
            MIN(pos) AS span_start,
            MAX(pos) + {_SPAN_N - 1} AS span_end,
@@ -1067,10 +1076,7 @@ def q_triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT gram, COUNT(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram)
       WHERE dfreq >= 2),
     f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-    isl AS (SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                     AS island
-            FROM f),
+    {_DUCK_ISL},
     spans AS (
       SELECT doc_id, MIN(pos) AS span_start,
              MAX(pos) + {_SPAN_N - 1} AS span_end

@@ -257,6 +257,43 @@ def test_duplicate_spans_merges_maximal_runs(spark):
     assert got == [(1, 3, 12, 10), (2, 1, 10, 10)]
 
 
+def test_duplicate_spans_merges_gapped_overlapping_windows(spark):
+    """Flagged window starts with a GAP whose token intervals still
+    overlap must merge into one disjoint span (ADVICE r6: starts 1 and 3
+    at n=4 cover tokens 1..4 and 3..6 — one run 1..6, never two
+    overlapping rows whose span_tokens double-count). Docs 1/2 share
+    'a b c d' (start 1) and 'c d e f' (start 3) but NOT the middle
+    window 'b c d e' — doc 2's interposed 'q' breaks it, so only doc 1
+    contains it and dfreq stays below min_docs."""
+    from custom_vector_database_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d q c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = (
+        tx.duplicate_spans(df, n=4, min_docs=2)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    got = [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in rows]
+    # doc 1: windows at 1 ('a b c d') and 3 ('c d e f') both shared;
+    # window 2 ('b c d e') is doc-1-only -> starts 1 and 3, gap 2 <= 4,
+    # intervals [1,4] and [3,6] overlap -> ONE span [1,6]
+    assert (1, 1, 6, 6) in got
+    # spans must be disjoint per doc: no overlapping intervals anywhere
+    by_doc: dict = {}
+    for d, s_, e_, _t in got:
+        by_doc.setdefault(d, []).append((s_, e_))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 > e1, spans
+
+
 def test_semantic_prune_greedy_by_id_within_cluster(spark):
     """Chain case: 3 close to 1, 5 close to 3 but NOT to 1 — the
     greedy-by-id rule drops every row with ANY closer lower-id neighbor,

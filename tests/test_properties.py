@@ -375,8 +375,8 @@ def test_rrf_fuse_matches_python_reference(spark, rankings):
 )
 def test_duplicate_spans_matches_bruteforce(spark, docs):
     """duplicate_spans must agree with a direct Python re-implementation
-    (flag every n-gram start appearing in >= 2 distinct docs, merge
-    consecutive flagged starts into maximal intervals) on arbitrary tiny
+    (mark every token covered by an n-gram window appearing in >= 2
+    distinct docs, emit maximal runs of marked tokens) on arbitrary tiny
     corpora — a 1-letter alphabet makes collisions and long overlapping
     runs common, the regime where island-merge bugs hide."""
     from custom_vector_database_spark.operators.text import duplicate_spans
@@ -390,17 +390,17 @@ def test_duplicate_spans_matches_bruteforce(spark, docs):
     dup = {g for g, ds in grams.items() if len(ds) >= 2}
     expected = set()
     for i, ts in enumerate(toks):
-        flagged = [
-            p + 1 for p in range(len(ts) - n + 1)
-            if " ".join(ts[p : p + n]) in dup
-        ]
+        marked = set()
+        for p in range(len(ts) - n + 1):
+            if " ".join(ts[p : p + n]) in dup:
+                marked.update(range(p + 1, p + n + 1))  # 1-based tokens
         run: list[int] = []
-        for p in flagged + [None]:
-            if run and (p is None or p != run[-1] + 1):
-                expected.add((i, run[0], run[-1] + n - 1, run[-1] + n - run[0]))
+        for t in sorted(marked) + [None]:
+            if run and (t is None or t != run[-1] + 1):
+                expected.add((i, run[0], run[-1], run[-1] - run[0] + 1))
                 run = []
-            if p is not None:
-                run.append(p)
+            if t is not None:
+                run.append(t)
     df = spark.createDataFrame(
         list(enumerate(docs)), "doc_id long, text string"
     )
