@@ -248,11 +248,19 @@ def triangle_count(
     from chains in a near-dup graph, and the classic two-join
     distributed graph kernel.
 
-    Shape: the oriented (low → high) edge representation counts each
-    triangle exactly once — join wedges a<b<c on their closing edge
-    (a,c). Two shuffle joins on node keys; no wedge materialization
-    beyond the join itself, and skew is bounded by the max degree (salt
-    the hot node's wedge join if one node dominates). Returns
+    Shape: edges are oriented from the lower-(degree, id) endpoint to
+    the higher one (the degree-ordering of Cohen / node-iterator++), so
+    a node's wedge fan-out is its HIGHER-ORDERED-neighbor count — at
+    most O(sqrt(m)) for any node on any graph — bounding total wedges at
+    O(m^1.5) even when a hub concentrates the degree mass. Id-only
+    orientation (the round-6 shape) left a low-id hub generating deg²
+    wedges: 56.6 s on the sf1 hub probe vs the same order as the other
+    graph rows after this change (PLANS.md). Each triangle is counted
+    exactly once (its corners have a unique (degree, id) order); per-node
+    counts are orientation-invariant, so the registered oracle is
+    unchanged. Cost: one extra degree aggregate + two broadcast-or-
+    shuffle joins of the edge list against the (node, degree) table —
+    linear work that buys the m^1.5 wedge bound. Returns
     (node, n_triangles) for every node in at least one triangle.
     """
     e = (
@@ -263,15 +271,36 @@ def triangle_count(
         .filter(F.col("a") < F.col("b"))  # also drops self-loops
         .distinct()
     )
-    wedges = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("__db")), "b")
+    )
+    # struct comparison is lexicographic: (deg, id) totally orders the
+    # endpoints because ids are distinct within an edge
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("i"))
+    o = ed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("__kv"),
+    )
+    # wedges fan out only toward HIGHER-ordered neighbors; the closing
+    # edge (v1 -> v2) is oriented the same way, so one semi-join closes
+    wedges = o.alias("e1").join(
+        o.alias("e2"),
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.__kv") < F.col("e2.__kv")),
     ).select(
-        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
-        F.col("e2.b").alias("c"),
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
     )
     tris = wedges.alias("w").join(
-        e.alias("e3"),
-        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        o.alias("e3"),
+        (F.col("w.b") == F.col("e3.u")) & (F.col("w.c") == F.col("e3.v")),
         "left_semi",
     )
     per_node = (

@@ -441,3 +441,23 @@ def test_winnowing_guarantee_and_density(spark):
         assert out[d]["fp_checksum"] == sum(
             per_doc[d][p] % 1_000_000_007 for p in sel_pos[d]
         ), d
+
+
+def test_triangle_count_low_id_hub_wheel(spark):
+    """Wheel graph with the hub at the LOWEST id (the degree-orientation
+    regression case: id-orientation fanned deg² wedges out of node 0).
+    Hub 0 joins every rim node 1..12; rim is a cycle. Every rim edge
+    closes exactly one triangle with the hub: 12 triangles total, hub in
+    all 12, each rim node in 3 (two hub triangles + its own rim corner
+    count... exactly: rim node i sits in triangles (0,i-1,i), (0,i,i+1)
+    -> 2, plus none rim-only), so rim counts are 2."""
+    from custom_vector_database_spark.operators.graph import triangle_count
+
+    n = 12
+    edges = [(0, i) for i in range(1, n + 1)]
+    edges += [(i, i + 1) for i in range(1, n)] + [(n, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got[0] == n
+    assert all(got[i] == 2 for i in range(1, n + 1)), got
+    assert sum(got.values()) == 3 * n  # n triangles, 3 corners each
