@@ -437,6 +437,154 @@ def stream_vector_ingest(
     return n_batches
 
 
+_FP_SIDECAR = "_fingerprints"      # inside corpus_dir; "_" prefix hides it
+_FP_CLAIMS = "_ingest_claims"      # write-ahead claim markers, one per batch
+
+
+def _corpus_fp_bucket(fp_col, n_buckets: int):
+    """Stable integer bucket from a fingerprint's first 4 hex chars —
+    the sidecar's partition key, identical in bootstrap, append, and
+    probe so partition pruning always sees the same function."""
+    return (F.conv(F.substring(fp_col, 1, 4), 16, 10).cast("long") % n_buckets)
+
+
+def _read_fp_sidecar(spark: SparkSession, sidecar_dir: str, n_buckets: int):
+    # explicit schema: an empty bootstrap (empty corpus) writes a
+    # zero-file sidecar that parquet schema inference cannot read
+    return spark.read.schema("fp string, batch_id long, fpb long").parquet(
+        sidecar_dir
+    )
+
+
+def _ensure_fp_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    sidecar_dir: str,
+    text_col: str,
+    n_buckets: int,
+) -> None:
+    """One-time bootstrap: derive the fingerprint sidecar from a single
+    corpus scan (the ONLY steady-state-free corpus read in the ingest
+    path), written crash-safe via the tmp-then-rename swap so a partial
+    bootstrap can never masquerade as a complete fingerprint set."""
+    import os
+    import shutil
+
+    if os.path.isdir(sidecar_dir):
+        return
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+
+    if os.path.isdir(corpus_dir):
+        fps = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col(text_col)).alias("fp"))
+            .distinct()
+        )
+    else:
+        fps = spark.createDataFrame([], "fp string")
+    tmp = sidecar_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        fps.select(
+            "fp",
+            F.lit(-1).cast("long").alias("batch_id"),
+            _corpus_fp_bucket(F.col("fp"), n_buckets).alias("fpb"),
+        )
+        .write.partitionBy("fpb")
+        .parquet(tmp)
+    )
+    os.rename(tmp, sidecar_dir)
+
+
+def corpus_ingest_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> int:
+    """Apply ONE dedup-on-ingest micro-batch against the fingerprint
+    sidecar. Returns the number of documents appended.
+
+    Steady state never reads the corpus: the anti-join probe side is the
+    bucket-pruned sidecar — compact (fp, batch_id) rows partitioned by
+    fingerprint prefix — so probe I/O is fp-sidecar bytes (~40 B/row)
+    over only the buckets this batch's fingerprints can land in, never a
+    corpus rescan + re-hash (the round-6 shape this replaces: a 100 TB
+    corpus paid corpus-sized I/O per 2-file micro-batch).
+
+    Crash safety (write-ahead claims): the order is claim marker ->
+    sidecar append -> corpus append; the CALLER records the batch
+    applied and then removes the claim. A replayed batch that finds its
+    own claim takes the recovery path: probe excluding its own claimed
+    rows, then ONE reconciling corpus scan decides which claimed
+    fingerprints already carry their documents — so a crash at any point
+    re-applies exactly the missing half and never duplicates either
+    side. Recovery is the only corpus read, and only a crashed batch
+    pays it."""
+    import os
+
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+
+    sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+    claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+    claim = os.path.join(claims_dir, f"claim_{batch_id}")
+    recovering = os.path.exists(claim)
+
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    fresh = (
+        batch.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumn("__fpb", _corpus_fp_bucket(F.col("__fp"), n_buckets))
+    )
+    sidecar = _read_fp_sidecar(spark, sidecar_dir, n_buckets)
+    probe = sidecar
+    if recovering:
+        probe = probe.filter(F.col("batch_id") != batch_id)
+    # bucket-pruned probe: a bounded collect (<= n_buckets values)
+    # restricts the sidecar scan to the partitions this batch can hit
+    buckets = [r["__fpb"] for r in fresh.select("__fpb").distinct().collect()]
+    probe = probe.filter(F.col("fpb").isin(buckets)).select(
+        F.col("fp").alias("__fp")
+    )
+    survivors = fresh.join(probe, "__fp", "left_anti")
+    if recovering:
+        # reconcile sidecar/corpus divergence: claimed fps whose
+        # documents already landed must not re-append
+        corpus_fps = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+            .distinct()
+        )
+        survivors = survivors.join(corpus_fps, "__fp", "left_anti")
+    # materialize BEFORE the appends: the lazy plan reads the very
+    # sidecar (and, recovering, corpus) the appends below grow
+    survivors = survivors.localCheckpoint(eager=True)
+    n_new = survivors.count()
+    if n_new:
+        os.makedirs(claims_dir, exist_ok=True)
+        with open(claim, "a"):
+            pass  # write-ahead: claim before either append
+        new_fps = survivors.select(
+            F.col("__fp").alias("fp"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("__fpb").alias("fpb"),
+        )
+        if recovering:
+            claimed = sidecar.filter(F.col("batch_id") == batch_id).select("fp")
+            new_fps = new_fps.join(claimed, "fp", "left_anti")
+        new_fps.write.mode("append").partitionBy("fpb").parquet(sidecar_dir)
+        survivors.drop("__fp", "__fpb").write.mode("append").parquet(corpus_dir)
+    return n_new
+
+
 def stream_corpus_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -446,6 +594,7 @@ def stream_corpus_ingest(
     text_col: str = "text",
     max_files_per_trigger: int = 2,
     timeout: int = 120,
+    n_buckets: int = 16,
 ) -> int:
     """Continuous corpus ingestion with dedup-on-ingest: stream a
     directory of document delta files into a parquet corpus, appending
@@ -455,31 +604,38 @@ def stream_corpus_ingest(
     full dedup pass per drop. The streaming form of dedup_exact_docs,
     exactly as stream_vector_ingest is the streaming form of ivf_upsert.
 
-    Per batch: dedup within the batch (one fingerprint per batch,
-    deterministic min-id keeper), anti-join against the corpus's
-    fingerprints, append survivors. Which physical copy of a duplicate
-    survives depends on arrival order (batch splits are an execution
-    detail), so the ingest CONTRACT — and the registered query's oracle —
-    is fingerprint-set equality: the final corpus carries exactly the
+    Per batch (corpus_ingest_apply_batch): dedup within the batch
+    (deterministic min-id keeper per fingerprint), bucket-pruned
+    anti-join against the FINGERPRINT SIDECAR — a compact (fp, batch_id)
+    parquet table at ``corpus_dir/_fingerprints`` partitioned by
+    fingerprint prefix, maintained by the same per-batch appends and
+    bootstrapped once from a single corpus scan — then append survivors
+    to both. The "_"-prefixed sidecar is invisible to plain parquet
+    reads of the corpus. Which physical copy of a duplicate survives
+    depends on arrival order (batch splits are an execution detail), so
+    the ingest CONTRACT — and the registered query's oracle — is
+    fingerprint-set equality: the final corpus carries exactly the
     distinct fingerprints of corpus ∪ deltas, each once.
 
-    Scale: the anti-join probe side here re-derives corpus fingerprints
-    per batch from the corpus scan (one md5 projection — fine while the
-    corpus is small relative to executor parallelism); a 100 TB corpus
-    keeps a bucketed (fingerprint) sidecar table maintained by the same
-    appends, turning the probe into a bucket-pruned join instead of a
-    full scan. Same at-least-once idempotence machinery as
-    stream_vector_ingest: applied-batch-id sidecar, record-after-apply.
+    Scale: steady-state probe I/O is sidecar bytes over the batch's
+    buckets — independent of corpus width and free of re-hashing; the
+    corpus parquet is read only at first-time bootstrap and when
+    recovering a crashed batch (tests prove a steady-state probe
+    succeeds with the corpus files unreadable). At-least-once idempotence
+    uses the same applied-batch-id sidecar as stream_vector_ingest
+    (record-after-apply) plus per-batch write-ahead claim markers that
+    route replays into the reconciling recovery path.
 
     Returns the number of micro-batches applied this call."""
     import json as _json
     import os
 
-    from custom_vector_database_spark.operators.text import fingerprint_md5
-
     n_batches = 0
     ckpt = os.path.join(delta_dir, "_ckpt")
     applied_path = os.path.join(delta_dir, "_applied_batches.json")
+    sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+    claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+    _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
 
     def _applied() -> set[int]:
         try:
@@ -492,36 +648,28 @@ def stream_corpus_ingest(
         nonlocal n_batches
         if batch.isEmpty():
             return
+        claim = os.path.join(claims_dir, f"claim_{batch_id}")
         done = _applied()
         if batch_id in done:
+            # fully applied before a crash could remove the claim —
+            # the stale marker is inert (the applied set gates first);
+            # clean it so recovery never triggers for this id again
+            if os.path.exists(claim):
+                os.remove(claim)
             return
-        from pyspark.sql import Window
-
-        fp = fingerprint_md5(F.col(text_col))
-        w = Window.partitionBy("__fp").orderBy(id_col)
-        fresh = (
-            batch.withColumn("__fp", fp)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
+        corpus_ingest_apply_batch(
+            spark, batch, batch_id, corpus_dir,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
         )
-        existing = (
-            spark.read.parquet(corpus_dir)
-            .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
-            .distinct()
-        )
-        survivors = (
-            fresh.join(existing, "__fp", "left_anti")
-            .drop("__fp")
-            # the anti-join probe reads the corpus THIS append grows:
-            # materialize survivors before touching the sink path
-            .localCheckpoint(eager=True)
-        )
-        survivors.write.mode("append").parquet(corpus_dir)
+        # record-AFTER-apply: a crash between the appends and this
+        # marker replays the batch into the recovery path, never skips
+        # it; the marker write is a same-dir atomic rename
         tmp = applied_path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(sorted(done | {batch_id}), f)
         os.replace(tmp, applied_path)
+        if os.path.exists(claim):
+            os.remove(claim)
         n_batches += 1
 
     stream = (
