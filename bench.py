@@ -72,12 +72,42 @@ def main() -> None:
     # threshold and report the min — bounded extra cost (only the tail
     # re-runs), and a genuinely slow query stays slow on both samples.
     RETRY_ABOVE_SEC = 3.0
-    # rows whose FIRST run populates a process-level cache (saved ANN
-    # indexes, the dedup pair set, the PCA fit) must not retry: the second
-    # sample would answer from the cache and report the cheap path as the
-    # build cost. Searches hitting those caches retry consistently.
+    # Rows whose FIRST run populates a process-level cache must not
+    # retry: the second sample would answer from the cache and report
+    # the cheap path as the build cost. Audited explicitly (VERDICT r6
+    # item 8) — the list below is every registered row that writes a
+    # session-lifetime cache on first run:
+    #   - the saved-layout builds (queries/vector_queries.saved_index's
+    #     _INDEX_CACHE): ann_lsh_build, pq_build, and the ivf/ivfpq/
+    #     ivfbq build family incl. metric variants,
+    #   - dedup_build_pairs (the shared exact trigram pair-set cache),
+    #   - embedding_pca_project (_PCA_MODEL_CACHE).
+    # Explicitly NOT excluded, audited retry-fair: the layout mutation
+    # verbs (ivf_upsert/ivf_delete/ivf_compact, ivfpq_upsert,
+    # ivfbq_upsert, stream_index_ingest, stream_corpus_ingest) copy the
+    # cached layout into a fresh tmpdir each run and mutate the COPY —
+    # both samples price identical work; semdedup_ivf_prune re-fits its
+    # clustering per run; the ANN search rows hit _EXACT_CACHE but sit
+    # far under the retry threshold. In sorted execution order every
+    # build row precedes its dependents, so dependents never absorb a
+    # build into their first sample.
+    _NO_RETRY = {
+        "ann_lsh_build",
+        "dedup_build_pairs",
+        "embedding_pca_project",
+        "ivf_build",
+        "ivf_cosine_build",
+        "ivf_dot_build",
+        "ivf_filtered_build",
+        "ivfbq_build",
+        "ivfpq_build",
+        "ivfpq_cosine_build",
+        "ivfpq_dot_build",
+        "pq_build",
+    }
+
     def _no_retry(name: str) -> bool:
-        return "build" in name or name == "embedding_pca_project"
+        return name in _NO_RETRY
 
     for i, name in enumerate(sorted(reg.QUERIES)):
         fn = reg.QUERIES[name]
