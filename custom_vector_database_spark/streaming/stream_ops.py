@@ -30,6 +30,7 @@ __all__ = [
     "stream_purchase_click_join",
     "run_stream_to_memory",
     "stream_corpus_ingest",
+    "compact_fp_sidecar",
 ]
 
 
@@ -583,6 +584,66 @@ def corpus_ingest_apply_batch(
         new_fps.write.mode("append").partitionBy("fpb").parquet(sidecar_dir)
         survivors.drop("__fp", "__fpb").write.mode("append").parquet(corpus_dir)
     return n_new
+
+
+def compact_fp_sidecar(
+    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+) -> dict:
+    """Compact the fingerprint sidecar: per-batch appends leave one
+    small file per touched bucket per micro-batch, and a year of daily
+    drops is ~6k files/bucket whose open/footer overhead eventually
+    dominates the probe — the same small-file story ivf_compact closes
+    for index layouts, on the ingest sidecar. Rewrites each bucket to
+    one file via the crash-safe tmp-then-rename swap (a crash leaves the
+    old sidecar fully intact; the tmp is re-rolled next call). Refuses
+    while any claim marker is outstanding: a crashed batch's recovery
+    reads its own batch_id rows, which compaction collapses to -1.
+
+    Returns {"files_before", "files_after", "n_fps"}."""
+    import glob
+    import os
+    import shutil
+
+    sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+    claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+    outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
+    if outstanding:
+        raise ValueError(
+            f"{len(outstanding)} unresolved ingest claim(s) "
+            f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
+            "re-drive stream_corpus_ingest to let recovery resolve them "
+            "before compacting (compaction erases the per-batch claim "
+            "rows recovery reconciles against)"
+        )
+    count_files = lambda d: sum(  # noqa: E731
+        1
+        for dp, _dn, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    files_before = count_files(sidecar_dir)
+    fps = _read_fp_sidecar(spark, sidecar_dir, n_buckets)
+    n_fps = fps.count()
+    tmp = sidecar_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        fps.select("fp", F.lit(-1).cast("long").alias("batch_id"), "fpb")
+        .repartition(n_buckets, "fpb")  # one writer task per bucket
+        .write.partitionBy("fpb")
+        .parquet(tmp)
+    )
+    old = sidecar_dir + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(sidecar_dir, old)
+    os.rename(tmp, sidecar_dir)
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": count_files(sidecar_dir),
+        "n_fps": n_fps,
+    }
 
 
 def stream_corpus_ingest(

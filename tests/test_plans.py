@@ -417,3 +417,14 @@ def test_tpch_scalar_aggregates_are_not_single_partition_windows(spark, name):
     plan = _plan(spark, name)
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_degree_oriented_joins_are_hash_joins(spark):
+    """The degree-orientation rework must stay all equi-join: degree
+    attach, wedge fan-out, and the closing semi-join each hash/sort-merge
+    on node keys — never a cartesian or nested-loop fallback (the
+    (deg, id) struct comparison rides as a post-join filter, not as the
+    join condition's only clause)."""
+    plan = _plan(spark, "triangle_count_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -483,3 +483,59 @@ def test_corpus_ingest_replay_heals_sidecar_corpus_divergence(spark, tmp_path):
     assert n2 == 0
     assert spark.read.parquet(corpus).count() == 30 + 6
     assert _read_fp_sidecar(spark, sidecar, 16).count() == len(corpus_fps)
+
+
+def test_compact_fp_sidecar_shrinks_files_preserves_set(spark, tmp_path):
+    """Sidecar compaction: fewer files, identical fingerprint set, the
+    probe still dedups afterwards, and an outstanding claim marker makes
+    it refuse (recovery needs the per-batch rows compaction erases)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_CLAIMS,
+        _FP_SIDECAR,
+        _read_fp_sidecar,
+        compact_fp_sidecar,
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    fresh = lambda k: (  # noqa: E731
+        docs.limit(4)
+        .withColumn("doc_id", F.col("doc_id") + k * 100_000)
+        .withColumn("text", F.concat("text", F.lit(f" compact probe {k}")))
+    )
+    fresh(1).unionByName(fresh(2)).repartition(4).write.parquet(delta)
+    stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    sidecar = os.path.join(corpus, _FP_SIDECAR)
+    before = {r["fp"] for r in _read_fp_sidecar(spark, sidecar, 16).collect()}
+
+    claims = os.path.join(corpus, _FP_CLAIMS)
+    os.makedirs(claims, exist_ok=True)
+    open(os.path.join(claims, "claim_99"), "a").close()
+    with _pytest.raises(ValueError, match="claim"):
+        compact_fp_sidecar(spark, corpus)
+    os.remove(os.path.join(claims, "claim_99"))
+
+    stats = compact_fp_sidecar(spark, corpus)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["n_fps"] == len(before)
+    after = {r["fp"] for r in _read_fp_sidecar(spark, sidecar, 16).collect()}
+    assert after == before
+    # the probe still answers from the compacted sidecar: verbatim
+    # re-drops of already-ingested docs must not append
+    fresh(1).withColumn("doc_id", F.col("doc_id") + 7).repartition(2).write.mode(
+        "append"
+    ).parquet(delta)
+    stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    final = spark.read.parquet(corpus)
+    got = final.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    base = docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    assert got == base + 8
