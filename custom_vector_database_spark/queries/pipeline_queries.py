@@ -1363,3 +1363,103 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint-sidecar compaction (round 7): the maintenance verb for
+# stream_corpus_ingest's probe table — per-batch appends leave one small
+# file per touched bucket per micro-batch, and compaction rewrites each
+# bucket to one file via the crash-safe two-rename swap (refusing while
+# any ingest claim is outstanding). The oracle pins the semantic
+# contract: the fingerprint SET is untouched by compaction, so the same
+# corpus∪delta aggregate as stream_corpus_ingest must hold afterwards;
+# compact_ok certifies files strictly decreased, the sidecar row count
+# equals the distinct corpus fingerprints, and a post-compaction ingest
+# of a verbatim re-drop appends nothing (the probe still answers).
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_ingest_compact",
+    f"""
+    WITH corpus AS (
+      SELECT {_FP_DUCK.format(t="text")} AS fp FROM documents
+    ), new_texts AS (
+      SELECT text || ' round7 compact suffix' AS text
+      FROM documents WHERE doc_id >= 20 AND doc_id < 30
+    ), new_fps AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM new_texts
+    ), kept_new AS (
+      SELECT fp FROM new_fps WHERE fp NOT IN (SELECT fp FROM corpus)
+    ), final AS (
+      SELECT fp FROM corpus UNION ALL SELECT fp FROM kept_new
+    )
+    SELECT COUNT(*) AS n_docs,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS compact_ok
+    FROM final
+    """,
+)
+def q_corpus_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        _read_fp_sidecar,
+        compact_fp_sidecar,
+        stream_corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cvdb_fp_compact_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        fresh = (
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(" round7 compact suffix"))
+            )
+        )
+        # 4 part files / maxFilesPerTrigger=2 -> >= 2 micro-batches of
+        # sidecar appends, so compaction has real fragmentation to fold
+        fresh.repartition(4).write.parquet(delta_dir)
+        stream_corpus_ingest(spark, delta_dir, corpus_dir, doc_schema=docs.schema)
+        stats = compact_fp_sidecar(spark, corpus_dir)
+        # probe-after-compact: a verbatim re-drop must append nothing
+        fresh.withColumn("doc_id", F.col("doc_id") + 1_000_000_000).repartition(
+            2
+        ).write.mode("append").parquet(delta_dir)
+        stream_corpus_ingest(spark, delta_dir, corpus_dir, doc_schema=docs.schema)
+        final = spark.read.parquet(corpus_dir).select(
+            fingerprint_md5(F.col("text")).alias("fp")
+        ).localCheckpoint(eager=True)
+        n_side = _read_fp_sidecar(
+            spark, os.path.join(corpus_dir, _FP_SIDECAR), 16
+        ).count()
+        n_distinct = final.distinct().count()
+        ok = (
+            stats["files_after"] < stats["files_before"]
+            and stats["n_fps"] == n_distinct
+            and n_side == n_distinct
+        )
+        cksum = (
+            final.distinct()
+            .agg(
+                F.sum(
+                    F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
+                    % 1_000_000_007
+                ).alias("fp_checksum")
+            )
+        )
+        return (
+            final.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(cksum)
+            .withColumn("compact_ok", F.lit(bool(ok)))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1018,20 +1018,25 @@ def q_semdedup_ivf_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding",
         n_clusters=max(8, n // 512), metric="cosine",
     )
-    clustered = emb.join(
-        idx.clustered_df().select("vec_id", "cluster"), "vec_id"
+    # ONE materialized (id, vec, cluster, norm) base: the greedy scan
+    # and all three verification sides read it — without this the
+    # embeddings parquet would be re-scanned per verify side
+    base = (
+        emb.join(idx.clustered_df().select("vec_id", "cluster"), "vec_id")
+        .withColumn("__norm", l2_norm("embedding"))
+        .localCheckpoint(eager=True)
     )
     flags = dd.semantic_prune_greedy_flags(
-        clustered, id_col="vec_id", vec_col="embedding",
+        base, id_col="vec_id", vec_col="embedding",
         cluster_col="cluster", max_cos_dist=thr,
     ).localCheckpoint(eager=True)  # three verifications reuse the flags
 
     def side(fl: DataFrame, suffix: str) -> DataFrame:
-        return fl.join(emb, "vec_id").select(
+        return fl.select("vec_id").join(base, "vec_id").select(
             F.col("cluster").alias("__c"),
             F.col("vec_id").alias(f"__id{suffix}"),
             F.col("embedding").alias(f"__v{suffix}"),
-            l2_norm("embedding").alias(f"__n{suffix}"),
+            F.col("__norm").alias(f"__n{suffix}"),
         )
 
     kept = side(flags.filter(F.col("__keep")), "a")
