@@ -106,6 +106,19 @@ def main() -> None:
         "pq_build",
     }
 
+    # safety net the old '"build" in name' substring rule gave for free:
+    # a future cache-populating build row that forgets to extend the
+    # audited list must fail LOUDLY here, not silently report its cached
+    # retry as the build cost
+    _unlisted_builds = {
+        n for n in reg.QUERIES if "build" in n and n not in _NO_RETRY
+    }
+    assert not _unlisted_builds, (
+        f"registered build-like rows missing from _NO_RETRY: "
+        f"{sorted(_unlisted_builds)} — audit whether their first run "
+        "populates a process-level cache and extend the list"
+    )
+
     def _no_retry(name: str) -> bool:
         return name in _NO_RETRY
 

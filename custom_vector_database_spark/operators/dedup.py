@@ -498,7 +498,7 @@ def semantic_prune_greedy_flags(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     max_cos_dist: float = 0.2,
-    max_cluster_rows: int = 100_000,
+    max_cluster_rows: int = 16_000,
 ) -> DataFrame:
     """SemDeDup's ACTUAL greedy scan (Abbas et al. 2023 §3), per
     cluster: visit rows in ascending id and keep a row iff no
@@ -520,7 +520,9 @@ def semantic_prune_greedy_flags(
     matrix + an O(c) row sweep), memory c·d + c² floats bounded by the
     CLUSTER contract (compose with IvfIndex.fit so occupancy n/k stays
     constant as the corpus grows; ``max_cluster_rows`` hard-stops a
-    degenerate cell instead of OOMing an executor). Each vector rides
+    degenerate cell instead of OOMing an executor — the 16k default
+    caps the per-task gram matrix at 16k² × 8 B ≈ 2 GiB + a 256 MiB
+    bool mask, sized so the ValueError fires before memory does). Each vector rides
     the cluster shuffle exactly once — byte-minimal for this operator:
     within-cluster candidates are DENSE (every pair), so the
     sparse-candidate shape used by sign_band_neardup_pairs (scalars
@@ -554,7 +556,11 @@ def semantic_prune_greedy_flags(
         u = np.zeros_like(x)
         u[ok] = x[ok] / norms[ok, None]
         # round(1 - cos, 6) <= thr mirrors the relational family's
-        # comparison convention bit-for-bit at the decision boundary
+        # comparison convention up to the rounding RULE: np.round is
+        # half-even where Spark's F.round is half-up, so a value landing
+        # exactly on x.xxxxx5e-6 can differ — callers certifying against
+        # Spark-side distances must compare with a band wider than 1e-6
+        # (q_semdedup_ivf_prune uses ±2e-6)
         near = np.round(1.0 - (u @ u.T), 6) <= thr
         near &= ok[:, None] & ok[None, :]
         keep = np.ones(c, dtype=bool)
@@ -584,7 +590,7 @@ def semantic_prune_greedy(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     max_cos_dist: float = 0.2,
-    max_cluster_rows: int = 100_000,
+    max_cluster_rows: int = 16_000,
 ) -> DataFrame:
     """Surviving rows (all original columns) under the greedy
     keep-one-representative scan — see semantic_prune_greedy_flags."""

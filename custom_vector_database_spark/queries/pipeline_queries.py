@@ -1282,6 +1282,19 @@ _FP_CKSUM_DUCK = (
 )
 
 
+def _fp_checksum_agg(fp_df: DataFrame) -> DataFrame:
+    """One-row (fp_checksum) aggregate over a DISTINCT fp frame — the
+    Spark twin of _FP_CKSUM_DUCK. Load-bearing convention shared by
+    stream_corpus_ingest and corpus_ingest_compact: each 15-hex-digit
+    prefix is reduced mod 1e9+7 BEFORE summing so both engines stay far
+    inside int64; change it here and in _FP_CKSUM_DUCK together."""
+    return fp_df.distinct().agg(
+        F.sum(
+            F.conv(F.substring("fp", 1, 15), 16, 10).cast("long") % 1_000_000_007
+        ).alias("fp_checksum")
+    )
+
+
 @register(
     "stream_corpus_ingest",
     f"""
@@ -1343,16 +1356,7 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.read.parquet(corpus_dir).select(
             fingerprint_md5(F.col("text")).alias("fp")
         ).localCheckpoint(eager=True)  # the tmp corpus dir is deleted on return
-        cksum = (
-            final.select("fp")
-            .distinct()
-            .agg(
-                F.sum(
-                    F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
-                    % 1_000_000_007
-                ).alias("fp_checksum")
-            )
-        )
+        cksum = _fp_checksum_agg(final.select("fp"))
         return (
             final.agg(
                 F.count(F.lit(1)).alias("n_docs"),
@@ -1439,7 +1443,7 @@ def q_corpus_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             fingerprint_md5(F.col("text")).alias("fp")
         ).localCheckpoint(eager=True)
         n_side = _read_fp_sidecar(
-            spark, os.path.join(corpus_dir, _FP_SIDECAR), 16
+            spark, os.path.join(corpus_dir, _FP_SIDECAR)
         ).count()
         n_distinct = final.distinct().count()
         ok = (
@@ -1447,15 +1451,7 @@ def q_corpus_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             and stats["n_fps"] == n_distinct
             and n_side == n_distinct
         )
-        cksum = (
-            final.distinct()
-            .agg(
-                F.sum(
-                    F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
-                    % 1_000_000_007
-                ).alias("fp_checksum")
-            )
-        )
+        cksum = _fp_checksum_agg(final)
         return (
             final.agg(F.count(F.lit(1)).alias("n_docs"))
             .crossJoin(cksum)

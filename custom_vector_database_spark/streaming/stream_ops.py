@@ -449,12 +449,36 @@ def _corpus_fp_bucket(fp_col, n_buckets: int):
     return (F.conv(F.substring(fp_col, 1, 4), 16, 10).cast("long") % n_buckets)
 
 
-def _read_fp_sidecar(spark: SparkSession, sidecar_dir: str, n_buckets: int):
+def _read_fp_sidecar(spark: SparkSession, sidecar_dir: str):
     # explicit schema: an empty bootstrap (empty corpus) writes a
     # zero-file sidecar that parquet schema inference cannot read
     return spark.read.schema("fp string, batch_id long, fpb long").parquet(
         sidecar_dir
     )
+
+
+def _write_sidecar_meta(sidecar_dir: str, n_buckets: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+
+
+def _sidecar_n_buckets(sidecar_dir: str, default: int) -> int:
+    """The AUTHORITATIVE bucket count of an existing sidecar — persisted
+    at bootstrap/compaction so a caller passing a different n_buckets
+    later cannot silently probe the wrong partitions (a mismatched
+    modulus would miss existing fingerprints and re-append duplicates).
+    ``default`` covers only a sidecar predating the meta file."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(sidecar_dir, "_sidecar_meta.json")) as f:
+            return int(json.load(f)["n_buckets"])
+    except (OSError, ValueError, KeyError):
+        return default
 
 
 def _ensure_fp_sidecar(
@@ -471,6 +495,12 @@ def _ensure_fp_sidecar(
     import os
     import shutil
 
+    old_dir = sidecar_dir + "_old"
+    if not os.path.isdir(sidecar_dir) and os.path.isdir(old_dir):
+        # a compaction crashed between its two renames: the _old dir IS
+        # the complete pre-compaction sidecar — roll it back rather than
+        # paying a fresh corpus-scan bootstrap
+        os.rename(old_dir, sidecar_dir)
     if os.path.isdir(sidecar_dir):
         return
     from custom_vector_database_spark.operators.text import fingerprint_md5
@@ -495,6 +525,7 @@ def _ensure_fp_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
+    _write_sidecar_meta(tmp, n_buckets)
     os.rename(tmp, sidecar_dir)
 
 
@@ -536,6 +567,10 @@ def corpus_ingest_apply_batch(
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
     recovering = os.path.exists(claim)
+    # the persisted bucket count is authoritative: probing with a
+    # different modulus than the sidecar was written with would skip the
+    # partitions existing fingerprints live in and re-append duplicates
+    n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
 
     w = Window.partitionBy("__fp").orderBy(id_col)
     fresh = (
@@ -545,13 +580,24 @@ def corpus_ingest_apply_batch(
         .drop("__rk")
         .withColumn("__fpb", _corpus_fp_bucket(F.col("__fp"), n_buckets))
     )
-    sidecar = _read_fp_sidecar(spark, sidecar_dir, n_buckets)
+    sidecar = _read_fp_sidecar(spark, sidecar_dir)
     probe = sidecar
     if recovering:
         probe = probe.filter(F.col("batch_id") != batch_id)
     # bucket-pruned probe: a bounded collect (<= n_buckets values)
-    # restricts the sidecar scan to the partitions this batch can hit
-    buckets = [r["__fpb"] for r in fresh.select("__fpb").distinct().collect()]
+    # restricts the sidecar scan to the partitions this batch can hit.
+    # One cheap md5+mod projection over the raw batch — NOT the fresh
+    # plan, whose per-fp window shuffle would otherwise run twice
+    buckets = [
+        r["__fpb"]
+        for r in batch.select(
+            _corpus_fp_bucket(
+                fingerprint_md5(F.col(text_col)), n_buckets
+            ).alias("__fpb")
+        )
+        .distinct()
+        .collect()
+    ]
     probe = probe.filter(F.col("fpb").isin(buckets)).select(
         F.col("fp").alias("__fp")
     )
@@ -594,8 +640,11 @@ def compact_fp_sidecar(
     drops is ~6k files/bucket whose open/footer overhead eventually
     dominates the probe — the same small-file story ivf_compact closes
     for index layouts, on the ingest sidecar. Rewrites each bucket to
-    one file via the crash-safe tmp-then-rename swap (a crash leaves the
-    old sidecar fully intact; the tmp is re-rolled next call). Refuses
+    one file via the tmp-then-rename swap; a crash at any point leaves a
+    complete sidecar recoverable — before the first rename the original
+    is untouched (a stale tmp is re-rolled), and between the two renames
+    the _old dir holds it intact and the next compact/ingest call rolls
+    it back automatically. Refuses
     while any claim marker is outstanding: a crashed batch's recovery
     reads its own batch_id rows, which compaction collapses to -1.
 
@@ -606,6 +655,12 @@ def compact_fp_sidecar(
 
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+    old_dir = sidecar_dir + "_old"
+    if not os.path.isdir(sidecar_dir) and os.path.isdir(old_dir):
+        # a prior compaction crashed between its two renames; _old is
+        # the complete pre-compaction sidecar — roll back and compact it
+        os.rename(old_dir, sidecar_dir)
+    n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
     outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
     if outstanding:
         raise ValueError(
@@ -622,7 +677,7 @@ def compact_fp_sidecar(
         if f.endswith(".parquet")
     )
     files_before = count_files(sidecar_dir)
-    fps = _read_fp_sidecar(spark, sidecar_dir, n_buckets)
+    fps = _read_fp_sidecar(spark, sidecar_dir)
     n_fps = fps.count()
     tmp = sidecar_dir + "_tmp"
     if os.path.isdir(tmp):
@@ -633,12 +688,12 @@ def compact_fp_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
-    old = sidecar_dir + "_old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(sidecar_dir, old)
+    _write_sidecar_meta(tmp, n_buckets)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(sidecar_dir, old_dir)
     os.rename(tmp, sidecar_dir)
-    shutil.rmtree(old)
+    shutil.rmtree(old_dir)
     return {
         "files_before": files_before,
         "files_after": count_files(sidecar_dir),

@@ -468,7 +468,7 @@ def test_corpus_ingest_replay_heals_sidecar_corpus_divergence(spark, tmp_path):
     final = spark.read.parquet(corpus)
     assert final.count() == 30 + 6
     # sidecar carries each fingerprint exactly once
-    sc = _read_fp_sidecar(spark, sidecar, 16)
+    sc = _read_fp_sidecar(spark, sidecar)
     assert sc.count() == sc.select("fp").distinct().count()
     # sidecar set == corpus fingerprint set (divergence healed)
     corpus_fps = {
@@ -482,7 +482,7 @@ def test_corpus_ingest_replay_heals_sidecar_corpus_divergence(spark, tmp_path):
     n2 = corpus_ingest_apply_batch(spark, batch, 7, corpus, n_buckets=16)
     assert n2 == 0
     assert spark.read.parquet(corpus).count() == 30 + 6
-    assert _read_fp_sidecar(spark, sidecar, 16).count() == len(corpus_fps)
+    assert _read_fp_sidecar(spark, sidecar).count() == len(corpus_fps)
 
 
 def test_compact_fp_sidecar_shrinks_files_preserves_set(spark, tmp_path):
@@ -515,7 +515,7 @@ def test_compact_fp_sidecar_shrinks_files_preserves_set(spark, tmp_path):
     fresh(1).unionByName(fresh(2)).repartition(4).write.parquet(delta)
     stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
     sidecar = os.path.join(corpus, _FP_SIDECAR)
-    before = {r["fp"] for r in _read_fp_sidecar(spark, sidecar, 16).collect()}
+    before = {r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()}
 
     claims = os.path.join(corpus, _FP_CLAIMS)
     os.makedirs(claims, exist_ok=True)
@@ -527,7 +527,7 @@ def test_compact_fp_sidecar_shrinks_files_preserves_set(spark, tmp_path):
     stats = compact_fp_sidecar(spark, corpus)
     assert stats["files_after"] < stats["files_before"]
     assert stats["n_fps"] == len(before)
-    after = {r["fp"] for r in _read_fp_sidecar(spark, sidecar, 16).collect()}
+    after = {r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()}
     assert after == before
     # the probe still answers from the compacted sidecar: verbatim
     # re-drops of already-ingested docs must not append
@@ -539,3 +539,71 @@ def test_compact_fp_sidecar_shrinks_files_preserves_set(spark, tmp_path):
     got = final.select(fingerprint_md5("text").alias("fp")).distinct().count()
     base = docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
     assert got == base + 8
+
+
+def test_sidecar_bucket_count_is_persisted_and_authoritative(spark, tmp_path):
+    """A caller passing a DIFFERENT n_buckets than the sidecar was
+    bootstrapped with must not mis-prune the probe (review finding: a
+    mismatched modulus would miss existing fingerprints and re-append
+    duplicates). The persisted meta wins."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(25)
+    corpus, delta = str(tmp_path / "corpus"), str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(6).withColumn("doc_id", F.col("doc_id") + 10_000).write.parquet(
+        delta
+    )
+    stream_corpus_ingest(
+        spark, delta, corpus, doc_schema=docs.schema, n_buckets=16
+    )
+    # verbatim re-drop, ingested with a DIFFERENT requested bucket count
+    docs.limit(6).withColumn("doc_id", F.col("doc_id") + 20_000).repartition(
+        2
+    ).write.mode("append").parquet(delta)
+    stream_corpus_ingest(
+        spark, delta, corpus, doc_schema=docs.schema, n_buckets=4
+    )
+    final = spark.read.parquet(corpus)
+    base = docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    got = final.select(fingerprint_md5("text").alias("fp")).distinct().count()
+    assert got == base  # every re-drop deduped despite the mismatched arg
+    assert final.count() == 25
+
+
+def test_compact_fp_sidecar_crash_between_renames_rolls_back(spark, tmp_path):
+    """A crash between compact's two renames leaves only the _old dir;
+    the next compact (and the next ingest) must roll it back instead of
+    failing or paying a fresh corpus-scan bootstrap (review finding)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        _read_fp_sidecar,
+        compact_fp_sidecar,
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    corpus, delta = str(tmp_path / "corpus"), str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "text", F.concat("text", F.lit(" rollback probe"))
+    ).write.parquet(delta)
+    stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    sidecar = os.path.join(corpus, _FP_SIDECAR)
+    before = {r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()}
+    # simulate the crash window: first rename done, second never ran
+    os.rename(sidecar, sidecar + "_old")
+    stats = compact_fp_sidecar(spark, corpus)
+    assert stats["n_fps"] == len(before)
+    assert not os.path.isdir(sidecar + "_old")
+    after = {r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()}
+    assert after == before
