@@ -2049,3 +2049,87 @@ def q_ivfbq_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("batch_ok", F.lit(bool(ok)))
         .orderBy("qid", F.col("dist_sq").asc_nulls_last(), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) MaxSim retrieval (round 7): documents
+# carry MULTIPLE token vectors; a query is itself a bag of token vectors;
+# score(doc) = Σ_q max_t cos(q, t) — the multi-vector retrieval model a
+# single-vector k-NN cannot express (a doc matching every query facet on
+# different tokens outranks one matching a single facet well). Pseudo
+# token groups: vec_id DIV 8 buckets the embeddings table into 8-token
+# documents; the query bag is doc 0's tokens, so its own group scoring
+# exactly n_q at rank 1 is the built-in sanity anchor. Fully relational
+# and exactly oracle-checked: per-(doc, q) maxes are rounded to 6
+# decimals BEFORE the per-doc sum, so the final fold is over 1e-6-grid
+# values and engine fold order cannot flip the hash.
+#
+# Scale shape: the query bag broadcasts (bounded — n_q token vectors);
+# ONE scan of the token table fans out n_q-fold into a map-side-combined
+# (doc, qid) max aggregate, then a tiny per-doc sum and a heap top-k.
+# Zero-norm tokens carry NULL cosine and drop out of MAX/SUM/COUNT in
+# both engines. At 100 TB the token table shuffles only its (doc, qid,
+# cos) scalars — vectors never pass the aggregate boundary.
+# ---------------------------------------------------------------------------
+_MAXSIM_Q_TOKS, _MAXSIM_DOC_TOKS = 8, 8
+
+
+@register(
+    "maxsim_late_interaction",
+    f"""
+    WITH t AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS doc, embedding,
+             {_DUCK_NORM.format(a="embedding")} AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_DUCK_NORM.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {_MAXSIM_Q_TOKS}),
+    p AS (
+      SELECT t.doc, q.qid,
+             round(CASE WHEN t.nrm * q.qn != 0
+                   THEN {_DUCK_DOT.format(a="t.embedding", b="q.qv")}
+                        / (t.nrm * q.qn) END, 6) AS cos
+      FROM t CROSS JOIN q),
+    m AS (SELECT doc, qid, MAX(cos) AS mx FROM p GROUP BY doc, qid),
+    s AS (SELECT doc, round(SUM(mx), 6) AS score, COUNT(mx) AS n_q
+          FROM m GROUP BY doc)
+    SELECT doc AS doc_id, score, n_q
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"),
+        F.col("embedding"),
+        l2_norm("embedding").alias("__nrm"),
+    )
+    qtoks = emb.filter(F.col("vec_id") < _MAXSIM_Q_TOKS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qv"),
+        l2_norm("embedding").alias("__qn"),
+    )
+    denom = F.col("__nrm") * F.col("__qn")
+    cos = F.round(
+        F.when(denom != 0.0, dot_product(F.col("embedding"), F.col("__qv")) / denom),
+        6,
+    )
+    per_q = (
+        toks.crossJoin(F.broadcast(qtoks))
+        .select("doc", "qid", cos.alias("__cos"))
+        .groupBy("doc", "qid")
+        .agg(F.max("__cos").alias("__mx"))
+    )
+    return (
+        per_q.groupBy("doc")
+        .agg(
+            F.round(F.sum("__mx"), 6).alias("score"),
+            F.count("__mx").alias("n_q"),
+        )
+        .select(F.col("doc").alias("doc_id"), "score", "n_q")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

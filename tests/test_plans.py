@@ -428,3 +428,13 @@ def test_triangle_count_degree_oriented_joins_are_hash_joins(spark):
     plan = _plan(spark, "triangle_count_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_maxsim_broadcasts_query_bag_and_heap_topk(spark):
+    """MaxSim must broadcast the bounded query token bag over ONE token
+    scan (never sort-merge the fan-out) and take the final top-10 as a
+    heap, not a global sort."""
+    plan = _plan(spark, "maxsim_late_interaction")
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded cross join
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1209,3 +1209,18 @@ def test_ivfbq_search_many_matches_per_query_search(spark, emb, tmp_path):
         )
     with pytest.raises(ValueError, match="max_query_rows"):
         loaded.search_many(queries, k=5, base_df=emb, max_query_rows=2)
+
+
+def test_maxsim_self_retrieval_anchor(spark):
+    """The query bag IS doc 0's token group, so doc 0 must rank first
+    with score == n_q (every query token maxes at cosine 1 against
+    itself, modulo zero-norm drop-outs)."""
+    from custom_vector_database_spark.queries_registry import QUERIES
+
+    rows = QUERIES["maxsim_late_interaction"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows[0]["doc_id"] == 0
+    assert rows[0]["score"] == float(rows[0]["n_q"])
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
