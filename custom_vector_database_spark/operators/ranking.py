@@ -230,3 +230,51 @@ def rrf_fuse(
         F.desc("rrf_score"), F.col(id_col).asc()
     )
     return out.limit(topk) if topk is not None else out
+
+
+def maxsim_scores(
+    tokens: DataFrame,
+    query_tokens: DataFrame,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim scoring: documents carry
+    MULTIPLE token vectors, the query is a bag of token vectors, and
+    score(doc) = Σ_q max_t cos(q, t) — the multi-vector relevance model
+    a single-vector k-NN cannot express. Returns (doc_col, score, n_q),
+    unordered (callers top-k as they see fit).
+
+    Scale shape: the query bag broadcasts (bounded); ONE scan of the
+    token table fans out |Q|-fold into a map-side-combined (doc, qid)
+    MAX, then a tiny per-doc SUM — vectors never pass the aggregate
+    boundary, only (doc, qid, cos) scalars shuffle. Per-(doc, q) maxes
+    round to 6 decimals BEFORE the sum so the final fold is over a
+    1e-6 grid and fold order cannot change the result (hash-exact
+    oracles). Zero-norm vectors carry NULL cosine and drop out of
+    MAX/SUM/COUNT; n_q counts the query tokens that matched any token
+    of the document."""
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    toks = tokens.select(
+        F.col(doc_col), F.col(vec_col), l2_norm(vec_col).alias("__nrm")
+    )
+    qtoks = query_tokens.select(
+        F.col(qid_col), F.col(qvec_col), l2_norm(qvec_col).alias("__qn")
+    )
+    denom = F.col("__nrm") * F.col("__qn")
+    cos = F.round(
+        F.when(denom != 0.0, dot_product(F.col(vec_col), F.col(qvec_col)) / denom),
+        6,
+    )
+    per_q = (
+        toks.crossJoin(F.broadcast(qtoks))
+        .select(doc_col, qid_col, cos.alias("__cos"))
+        .groupBy(doc_col, qid_col)
+        .agg(F.max("__cos").alias("__mx"))
+    )
+    return per_q.groupBy(doc_col).agg(
+        F.round(F.sum("__mx"), 6).alias("score"),
+        F.count("__mx").alias("n_q"),
+    )

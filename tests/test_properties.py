@@ -409,3 +409,60 @@ def test_duplicate_spans_matches_bruteforce(spark, docs):
         for r in duplicate_spans(df, n=n, min_docs=2).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=4, max_size=4,
+            ),
+            st.integers(min_value=0, max_value=1),  # cluster
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_semantic_prune_greedy_matches_bruteforce(spark, rows):
+    """semantic_prune_greedy must agree with a direct Python greedy scan
+    (ascending id; keep iff no KEPT lower-id cluster-mate within thr;
+    zero-norm rows always kept, never droppers) on arbitrary tiny
+    clusters — low-dim vectors in a narrow range make near-threshold
+    cosine pairs and zero norms common."""
+    from custom_vector_database_spark.operators.dedup import semantic_prune_greedy
+
+    thr = 0.3
+    expected = set()
+    for c in {cl for _v, cl in rows}:
+        kept_vecs: list[tuple[int, np.ndarray]] = []
+        for i, (v, cl) in enumerate(rows):
+            if cl != c:
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            drop = False
+            if n > 0:
+                for _j, u in kept_vecs:
+                    if round(1.0 - float(x @ u) / n, 6) <= thr:
+                        drop = True
+                        break
+            if not drop:
+                expected.add(i)
+                if n > 0:
+                    kept_vecs.append((i, x / n))
+    df = spark.createDataFrame(
+        [(i, v, cl) for i, (v, cl) in enumerate(rows)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r["vec_id"]
+        for r in semantic_prune_greedy(
+            df, cluster_col="label", max_cos_dist=thr
+        ).collect()
+    }
+    assert got == expected

@@ -1224,3 +1224,14 @@ def test_maxsim_self_retrieval_anchor(spark):
     assert rows[0]["score"] == float(rows[0]["n_q"])
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_maxsim_pruned_recall_tight(spark):
+    """The loose oracle boolean is recall@10 >= 0.5; the TIGHT contract
+    at fixture params (nprobe=1 per query token over 16 cosine cells,
+    8-token docs) is near-total candidate coverage — assert >= 0.9."""
+    from custom_vector_database_spark.queries_registry import QUERIES
+
+    rows = QUERIES["maxsim_pruned"](spark, "/root/testdata/sf0.01").collect()
+    assert all(r["pruned_ok"] for r in rows)
+    assert rows[0]["doc_id"] == 0  # self-retrieval anchor survives pruning
