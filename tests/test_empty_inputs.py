@@ -141,3 +141,23 @@ def test_bq_search_skips_null_and_mismatched_vectors(spark):
         r["vec_id"] for r in bq_search(df, [1.0, 0.0, 0.0, 0.0], k=4).collect()
     ]
     assert wide[:2] == [1, 4]  # degenerate rows trail, never lead
+
+
+def test_maxsim_scores_empty_sides(spark):
+    from custom_vector_database_spark.operators.ranking import maxsim_scores
+
+    toks = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "doc long, embedding array<double>"
+    )
+    qe = spark.createDataFrame([], "qid long, qvec array<double>")
+    # empty query bag -> no (doc, q) pairs -> empty scores
+    assert maxsim_scores(toks, qe).count() == 0
+    te = spark.createDataFrame([], "doc long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    assert maxsim_scores(te, q).count() == 0
+    # zero-norm document token: NULL cosine drops out, n_q counts matches
+    z = spark.createDataFrame(
+        [(5, [0.0, 0.0])], "doc long, embedding array<double>"
+    )
+    rows = maxsim_scores(z, q).collect()
+    assert len(rows) == 1 and rows[0]["n_q"] == 0
