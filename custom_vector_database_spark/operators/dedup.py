@@ -531,6 +531,9 @@ def semantic_prune_greedy_flags(
 
     Zero-norm vectors have undefined cosine: they are always kept and
     never drop others (semantic_prune's NULL-comparison convention).
+    NULL and ragged (length != the cluster's modal dim) vectors get the
+    same treatment — kept, never droppers — rather than crashing the
+    Arrow batch with an opaque numpy error.
     """
     import pandas as pd
 
@@ -550,7 +553,20 @@ def semantic_prune_greedy_flags(
                 "contract of the per-cell gram matrix)"
             )
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        # NULL or ragged (mismatched-length) vectors get the zero-norm
+        # treatment — always kept, never droppers — instead of an opaque
+        # np.stack/norm crash, mirroring the relational semantic_prune's
+        # NULL-comparison tolerance. The reference dim is the modal
+        # length of the non-NULL vectors (ties break to the larger dim).
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]]
+        lengths = [len(v) for v in vals if v is not None]
+        d = (max(set(lengths), key=lambda L: (lengths.count(L), L))
+             if lengths else 0)
+        x = np.zeros((c, d), dtype=np.float64)
+        for i, v in enumerate(vals):
+            if v is not None and len(v) == d:
+                x[i] = v
         norms = np.linalg.norm(x, axis=1)
         ok = norms > 0.0
         u = np.zeros_like(x)

@@ -232,6 +232,58 @@ def rrf_fuse(
     return out.limit(topk) if topk is not None else out
 
 
+def _guard_maxsim_query_side(
+    query_tokens: DataFrame,
+    doc_side_cols: set[str],
+    query_side_cols: list[str],
+    qvec_col: str,
+    max_query_tokens: int | None,
+    max_broadcast_bytes: int | None,
+) -> None:
+    """Shared fail-fast guards for the MaxSim family's broadcast query
+    bag. (1) Column collision: a query column named like a token-table
+    column (both sides called 'embedding', say) hits an ambiguous-column
+    AnalysisException deep in the crossJoin plan — reject up front with
+    a rename remedy (the bq_search_many convention). (2) Broadcast size:
+    the bag ships to every executor; guard on the BYTE arithmetic
+    (rows × dim × element width), not row count alone — the
+    ivf.search_many lesson — with ONE aggregate over the (small) query
+    side, before any token-table job runs."""
+    clash = [c for c in query_side_cols if c in doc_side_cols]
+    if clash:
+        raise ValueError(
+            f"query column(s) {clash!r} collide with token-table columns "
+            f"{sorted(doc_side_cols)!r} — alias the query side first"
+        )
+    if max_query_tokens is None and max_broadcast_bytes is None:
+        return
+    stats = query_tokens.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(qvec_col))).alias("d"),
+    ).first()
+    n_q, dim = int(stats["n"]), int(stats["d"] or 0)
+    if max_query_tokens is not None and n_q > max_query_tokens:
+        raise ValueError(
+            f"query bag has {n_q} token vectors > "
+            f"max_query_tokens={max_query_tokens}; split the bag or raise "
+            "the bound explicitly"
+        )
+    if max_broadcast_bytes is not None:
+        from pyspark.sql import types as T
+
+        elem_t = query_tokens.schema[qvec_col].dataType.elementType
+        elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
+        est = n_q * (dim * elem_b + 24)
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"estimated query-bag broadcast {est >> 20} MiB (= {n_q} "
+                f"token vectors × {dim} dims × {elem_b} B) > "
+                f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
+                "split the query bag — an unbounded broadcast OOMs "
+                "executors silently"
+            )
+
+
 def maxsim_scores(
     tokens: DataFrame,
     query_tokens: DataFrame,
@@ -239,6 +291,8 @@ def maxsim_scores(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_query_tokens: int | None = 100_000,
+    max_broadcast_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style) MaxSim scoring: documents carry
     MULTIPLE token vectors, the query is a bag of token vectors, and
@@ -254,9 +308,19 @@ def maxsim_scores(
     1e-6 grid and fold order cannot change the result (hash-exact
     oracles). Zero-norm vectors carry NULL cosine and drop out of
     MAX/SUM/COUNT; n_q counts the query tokens that matched any token
-    of the document."""
+    of the document.
+
+    Guards (fail fast, before any token-table job): qid/qvec column
+    names must not collide with doc/vec names, and the query bag must
+    fit ``max_query_tokens`` rows / ``max_broadcast_bytes`` estimated
+    bytes (rows × dim × element width) — the one broadcast in the repo
+    previously without a limit (VERDICT r7)."""
     from custom_vector_database_spark.functions.vector import dot_product, l2_norm
 
+    _guard_maxsim_query_side(
+        query_tokens, {doc_col, vec_col}, [qid_col, qvec_col],
+        qvec_col, max_query_tokens, max_broadcast_bytes,
+    )
     toks = tokens.select(
         F.col(doc_col), F.col(vec_col), l2_norm(vec_col).alias("__nrm")
     )
@@ -277,4 +341,77 @@ def maxsim_scores(
     return per_q.groupBy(doc_col).agg(
         F.round(F.sum("__mx"), 6).alias("score"),
         F.count("__mx").alias("n_q"),
+    )
+
+
+def maxsim_scores_many(
+    tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qtok_col: str = "qtid",
+    qvec_col: str = "qvec",
+    max_query_tokens: int | None = 100_000,
+    max_broadcast_bytes: int | None = 256 << 20,
+) -> DataFrame:
+    """Batch MaxSim: top-``k`` late-interaction results for EVERY query
+    of a query TABLE in ONE token-table scan — the family's production
+    verb (RAG retrieval and hard-negative mining are batch workloads;
+    the reference answers one query per process, main.cpp:95-118), the
+    shape bm25_batch / ivf.search_many give their families.
+
+    ``query_tokens``: (qid_col, qtok_col, qvec_col) — one row per query
+    TOKEN, ``qtok_col`` distinguishing tokens within a query (the
+    single-query form's qid plays that role; here qid groups a whole
+    bag). score(doc, query) = Σ_{qt ∈ query} max_t cos(qt, t), exactly
+    maxsim_scores per query.
+
+    Physical plan: the whole token bag broadcasts ONCE (byte-guarded —
+    total tokens across all queries × dim × element width); one scan of
+    the token table fans out into a map-side-combined (doc, qid, qtid)
+    MAX, a per-(doc, qid) fixed-grid SUM (maxes rounded to 1e-6 before
+    the sum, so the fold is order-independent and hash-exact against a
+    SQL oracle), then a per-qid top-k window over (qid, doc, score)
+    scalars — vectors never pass the aggregate boundary, and cost is
+    ∝ |tokens| × |all query tokens| once, not per query.
+
+    Returns (qid_col, doc_col, score, n_q, rk) with rk = 1..k best-first
+    per qid (score desc, doc asc tie-break — the bm25_batch contract).
+    """
+    from custom_vector_database_spark.functions.vector import dot_product, l2_norm
+
+    _guard_maxsim_query_side(
+        query_tokens, {doc_col, vec_col},
+        [qid_col, qtok_col, qvec_col], qvec_col,
+        max_query_tokens, max_broadcast_bytes,
+    )
+    toks = tokens.select(
+        F.col(doc_col), F.col(vec_col), l2_norm(vec_col).alias("__nrm")
+    )
+    qtoks = query_tokens.select(
+        F.col(qid_col), F.col(qtok_col), F.col(qvec_col),
+        l2_norm(qvec_col).alias("__qn"),
+    )
+    denom = F.col("__nrm") * F.col("__qn")
+    cos = F.round(
+        F.when(denom != 0.0, dot_product(F.col(vec_col), F.col(qvec_col)) / denom),
+        6,
+    )
+    per_qt = (
+        toks.crossJoin(F.broadcast(qtoks))
+        .select(doc_col, qid_col, qtok_col, cos.alias("__cos"))
+        .groupBy(doc_col, qid_col, qtok_col)
+        .agg(F.max("__cos").alias("__mx"))
+    )
+    scored = per_qt.groupBy(qid_col, doc_col).agg(
+        F.round(F.sum("__mx"), 6).alias("score"),
+        F.count("__mx").alias("n_q"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.col(doc_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
     )

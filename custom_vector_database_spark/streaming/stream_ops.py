@@ -442,6 +442,29 @@ _FP_SIDECAR = "_fingerprints"      # inside corpus_dir; "_" prefix hides it
 _FP_CLAIMS = "_ingest_claims"      # write-ahead claim markers, one per batch
 
 
+def _corpus_has_data(corpus_dir: str) -> bool:
+    """True iff the corpus dir holds at least one parquet data file
+    OUTSIDE the underscore-prefixed metadata dirs (sidecar/claims) that
+    Spark's file listing skips anyway — the existence test a bare
+    ``os.path.isdir`` cannot answer, because the claim marker's mkdir
+    creates corpus_dir before the first corpus append lands."""
+    import os
+
+    if not os.path.isdir(corpus_dir):
+        return False
+    for entry in os.listdir(corpus_dir):
+        if entry.startswith(("_", ".")):
+            continue
+        full = os.path.join(corpus_dir, entry)
+        if entry.endswith(".parquet") and os.path.isfile(full):
+            return True
+        if os.path.isdir(full):  # partitioned corpus: key=value subdirs
+            for _, _, fs in os.walk(full):
+                if any(f.endswith(".parquet") for f in fs):
+                    return True
+    return False
+
+
 def _corpus_fp_bucket(fp_col, n_buckets: int):
     """Stable integer bucket from a fingerprint's first 4 hex chars —
     the sidecar's partition key, identical in bootstrap, append, and
@@ -470,15 +493,29 @@ def _sidecar_n_buckets(sidecar_dir: str, default: int) -> int:
     at bootstrap/compaction so a caller passing a different n_buckets
     later cannot silently probe the wrong partitions (a mismatched
     modulus would miss existing fingerprints and re-append duplicates).
-    ``default`` covers only a sidecar predating the meta file."""
+    ``default`` covers only a sidecar predating the meta file
+    (FileNotFoundError) — a PRESENT but unparseable meta raises loudly:
+    silently falling back to the caller's modulus on a sidecar built
+    with a different one would mis-prune probe buckets and re-append
+    duplicates, the exact bug the meta file exists to prevent."""
     import json
     import os
 
+    meta_path = os.path.join(sidecar_dir, "_sidecar_meta.json")
     try:
-        with open(os.path.join(sidecar_dir, "_sidecar_meta.json")) as f:
-            return int(json.load(f)["n_buckets"])
-    except (OSError, ValueError, KeyError):
+        with open(meta_path) as f:
+            raw = f.read()
+    except FileNotFoundError:
         return default
+    try:
+        return int(json.loads(raw)["n_buckets"])
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"corrupt sidecar meta {meta_path!r} ({e!r}) — refusing to "
+            "guess the bucket modulus; restore the meta file or rebuild "
+            "the sidecar (delete it and let bootstrap re-derive it from "
+            "the corpus)"
+        ) from e
 
 
 def _ensure_fp_sidecar(
@@ -604,12 +641,22 @@ def corpus_ingest_apply_batch(
     survivors = fresh.join(probe, "__fp", "left_anti")
     if recovering:
         # reconcile sidecar/corpus divergence: claimed fps whose
-        # documents already landed must not re-append
-        corpus_fps = (
-            spark.read.parquet(corpus_dir)
-            .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
-            .distinct()
-        )
+        # documents already landed must not re-append. The very first
+        # batch can crash between claim creation and the corpus append —
+        # at that point corpus_dir exists (the claim marker lives inside
+        # it) but holds ONLY underscore-prefixed sidecar/claims dirs,
+        # which Spark's file listing skips, so a bare read dies with a
+        # schema-inference error instead of recovering. Replay must
+        # reconcile against an EMPTY fingerprint set in that state
+        # (mirrors _ensure_fp_sidecar's empty-corpus branch).
+        if _corpus_has_data(corpus_dir):
+            corpus_fps = (
+                spark.read.parquet(corpus_dir)
+                .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+                .distinct()
+            )
+        else:
+            corpus_fps = spark.createDataFrame([], "__fp string")
         survivors = survivors.join(corpus_fps, "__fp", "left_anti")
     # materialize BEFORE the appends: the lazy plan reads the very
     # sidecar (and, recovering, corpus) the appends below grow

@@ -533,3 +533,31 @@ def test_semantic_prune_greedy_edge_cases(spark):
         semantic_prune_greedy_flags(
             df, cluster_col="label", max_cluster_rows=2
         ).collect()
+
+
+def test_semantic_prune_greedy_tolerates_null_and_ragged_vectors(spark):
+    """ADVICE r7: NULL / mismatched-length embeddings previously crashed
+    the Arrow batch with an opaque numpy error; they must get the
+    zero-norm treatment instead — always kept, never droppers — while
+    the well-formed rows still prune normally around them."""
+    from custom_vector_database_spark.operators.dedup import (
+        semantic_prune_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, None, 0),            # NULL: kept, drops nobody
+            (3, [1.0, 0.0, 9.0], 0),  # ragged: kept, drops nobody
+            (4, [1.0, 0.001], 0),    # near id 1 -> dropped
+            (5, [0.0, 1.0], 0),      # orthogonal: kept
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_prune_greedy(
+            df, cluster_col="label", max_cos_dist=0.1
+        ).collect()
+    }
+    assert kept == {1, 2, 3, 5}

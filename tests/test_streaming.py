@@ -607,3 +607,78 @@ def test_compact_fp_sidecar_crash_between_renames_rolls_back(spark, tmp_path):
     assert not os.path.isdir(sidecar + "_old")
     after = {r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()}
     assert after == before
+
+
+def test_corpus_ingest_first_batch_crash_recovers_without_corpus_data(
+    spark, tmp_path
+):
+    """ADVICE r7: the very FIRST batch can crash between claim creation
+    and the corpus append — corpus_dir then exists (the claim marker
+    lives inside it) but holds only underscore-prefixed metadata dirs.
+    Replay previously died reading the data-less corpus; it must instead
+    reconcile against an empty fingerprint set and land the claimed
+    docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_CLAIMS,
+        _FP_SIDECAR,
+        _corpus_fp_bucket,
+        _ensure_fp_sidecar,
+        _read_fp_sidecar,
+        corpus_ingest_apply_batch,
+    )
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    corpus = str(tmp_path / "corpus")  # never written: no data files
+    sidecar = os.path.join(corpus, _FP_SIDECAR)
+    _ensure_fp_sidecar(spark, corpus, sidecar, "text", 16)  # empty bootstrap
+    # hand-build the post-crash state: batch 0's fps claimed, claim
+    # marker present, ZERO corpus data files
+    batch.select(fingerprint_md5("text").alias("fp")).distinct().select(
+        "fp",
+        F.lit(0).cast("long").alias("batch_id"),
+        _corpus_fp_bucket(F.col("fp"), 16).alias("fpb"),
+    ).write.mode("append").partitionBy("fpb").parquet(sidecar)
+    claims = os.path.join(corpus, _FP_CLAIMS)
+    os.makedirs(claims, exist_ok=True)
+    open(os.path.join(claims, "claim_0"), "a").close()
+
+    n = corpus_ingest_apply_batch(spark, batch, 0, corpus, n_buckets=16)
+    assert n == 5  # every claimed-but-missing doc lands, no crash
+    final = spark.read.parquet(corpus)
+    assert final.count() == 5
+    sc = _read_fp_sidecar(spark, sidecar)
+    assert sc.count() == sc.select("fp").distinct().count() == 5
+
+
+def test_sidecar_corrupt_meta_raises_missing_meta_falls_back(tmp_path):
+    """ADVICE r7: a PRESENT but unparseable _sidecar_meta.json must
+    raise (silently using the caller's modulus on a sidecar built with
+    another one mis-prunes probe buckets and re-appends duplicates); a
+    MISSING meta (pre-meta sidecar) still falls back to the default."""
+    import os
+
+    import pytest as _pytest
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _sidecar_n_buckets,
+        _write_sidecar_meta,
+    )
+
+    d = str(tmp_path / "sidecar")
+    os.makedirs(d)
+    assert _sidecar_n_buckets(d, 16) == 16  # no meta file -> default
+    _write_sidecar_meta(d, 8)
+    assert _sidecar_n_buckets(d, 16) == 8  # persisted value authoritative
+    with open(os.path.join(d, "_sidecar_meta.json"), "w") as f:
+        f.write("{ not json !!")
+    with _pytest.raises(ValueError, match="corrupt sidecar meta"):
+        _sidecar_n_buckets(d, 16)
+    with open(os.path.join(d, "_sidecar_meta.json"), "w") as f:
+        f.write('{"wrong_key": 4}')
+    with _pytest.raises(ValueError, match="corrupt sidecar meta"):
+        _sidecar_n_buckets(d, 16)
