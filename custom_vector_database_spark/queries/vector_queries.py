@@ -481,6 +481,17 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
             emb, id_col="vec_id", vec_col="embedding", m=16, k=16
         ).save(path)
         idx = PqIndex.load(spark, path)
+    elif kind == "maxsim":
+        from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+
+        toks = emb.select(
+            F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
+        )
+        MaxSimIndex.fit(
+            toks, doc_col="doc", vec_col="embedding", n_clusters=16,
+            n_doc_buckets=8,
+        ).save(path)
+        idx = MaxSimIndex.load(spark, path)
     elif kind == "lsh":
         from custom_vector_database_spark.operators.ann import LshIndex
 
@@ -2117,20 +2128,70 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The SAVED multi-vector token layout (operators/maxsim.py — VERDICT r7
+# item 1): maxsim_build persists the token-IVF clustering ONCE as a
+# cluster-partitioned layout plus a doc-bucketed gather sidecar (the
+# ivf_build convention: fit cost paid in its own registered row,
+# searches many), and maxsim_pruned / maxsim_pruned_bq probe that saved
+# layout with STATIC partition pruning — no per-call refit, no runtime
+# filter over a freshly encoded full scan (the r7 `weak` shape this
+# replaces). Build oracle: count + doc-sum prove every token is indexed
+# exactly once in BOTH halves of the layout; the structural boolean
+# pins cluster range, code width, and rows/docs parity.
+# ---------------------------------------------------------------------------
+@register(
+    "maxsim_build",
+    f"""
+    SELECT COUNT(*) AS n_tokens,
+           CAST(SUM(vec_id // {_MAXSIM_DOC_TOKS}) AS BIGINT) AS sum_docs,
+           TRUE AS layout_ok
+    FROM embeddings
+    """,
+)
+def q_maxsim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = saved_index(spark, sf_dir, "maxsim")
+    rows = idx.rows_df().agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("doc").alias("sum_docs"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < 16)
+            & (F.min(F.size("scode")) == 1)
+            & (F.max(F.size("scode")) == 1)
+        ).alias("rows_ok"),
+    )
+    docs = idx.docs_df().agg(
+        F.count(F.lit(1)).alias("n2"), F.sum("doc").alias("s2")
+    )
+    return rows.crossJoin(docs).select(
+        "n_tokens",
+        "sum_docs",
+        (
+            F.col("rows_ok")
+            & (F.col("n2") == F.col("n_tokens"))
+            & (F.col("s2") == F.col("sum_docs"))
+        ).alias("layout_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Two-stage pruned MaxSim (the 100 TB form of maxsim_late_interaction —
-# ColBERT's retrieve-then-rerank): stage 1 probes an IVF clustering of
-# the TOKEN vectors per query token (nprobe nearest centroids, bounded
-# driver-side centroid math) and unions the owning documents into a
-# candidate set; stage 2 runs the EXACT MaxSim aggregate restricted to
-# candidate docs' FULL token groups — so every scored doc gets its true
-# score, and the only approximation is candidate recall. Guarantee
-# oracle: the exact brute-force top-10 (oracle-expressible) plus a
-# boolean asserting pruned-vs-exact recall@10 >= 0.5 (loose — the tight
-# contract lives in tests) and that stage 1 probed strictly fewer
-# clusters than exist (the pruning MECHANISM engaged — at fixture scale
-# 8-token docs blanket a 16-cell clustering, so doc-level reduction
-# only shows at real cluster counts: 8 tokens × nprobe 1 over 4096
-# cells leaves ≥ 99% of cells — and their exclusive docs — unscanned).
+# ColBERT's retrieve-then-rerank) over the SAVED token layout: stage 1
+# statically prunes the cluster-partitioned rows to the union of every
+# query token's nprobe cells and ranks docs by partial MaxSim over the
+# matched tokens only; stage 2 gathers the top candidates' FULL token
+# groups from the doc-bucketed sidecar (bucket partition pruning + a
+# pushed-down doc IN filter) and scores them EXACTLY — every returned
+# doc carries its true score, the only approximation is candidate
+# recall. Guarantee oracle: the exact brute-force top-10
+# (oracle-expressible) plus a boolean asserting pruned-vs-exact
+# recall@10 >= 0.5 (loose — the tight contract lives in tests) and that
+# stage 1 probed strictly fewer clusters than exist (the pruning
+# MECHANISM engaged — at fixture scale 8-token docs blanket a 16-cell
+# clustering, so doc-level reduction only shows at real cluster counts:
+# 8 tokens × nprobe 1 over 4096 cells leaves ≥ 99% of cells — and
+# their exclusive docs — unscanned). Plan shape asserted in
+# tests/test_plans.py (pruned cluster scan + pruned gather).
 # ---------------------------------------------------------------------------
 @register(
     "maxsim_pruned",
@@ -2157,54 +2218,142 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from custom_vector_database_spark.operators.ivf import IvfIndex
+    return _maxsim_pruned_impl(spark, sf_dir, quantized=False, ok_col="pruned_ok")
+
+
+def _maxsim_pruned_impl(
+    spark: SparkSession, sf_dir: str, quantized: bool, ok_col: str
+) -> DataFrame:
+    """Shared body of maxsim_pruned (float candidates) and
+    maxsim_pruned_bq (sign-code candidates): two-stage search over the
+    SAVED token layout, certified against the exact brute-force top-10."""
     from custom_vector_database_spark.operators.ranking import maxsim_scores
 
     emb = load(spark, sf_dir, "embeddings")
     toks = emb.select(
-        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"),
-        "vec_id",
-        "embedding",
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
     )
     qrows = emb.filter(F.col("vec_id") < _MAXSIM_Q_TOKS).collect()  # bounded bag
     qtoks = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
         "qid long, qvec array<float>",
     )
-    idx = IvfIndex.fit(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16,
-        metric="cosine",
-    )
-    probe = sorted(
-        {
-            c
-            for r in qrows
-            for c in idx._probe_clusters(
-                [float(x) for x in r["embedding"]], nprobe=1
-            )
-        }
-    )
-    cand_docs = (
-        idx.clustered_df()
-        .filter(F.col("cluster").isin(probe))
-        .select(F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"))
-        .distinct()
-    )
-    cand_toks = toks.join(cand_docs, "doc", "left_semi")
+    idx = saved_index(spark, sf_dir, "maxsim")  # built ONCE (maxsim_build)
+    probe = idx.probe_union([list(r["embedding"]) for r in qrows], 1)
     pruned = (
-        maxsim_scores(cand_toks.select("doc", "embedding"), qtoks)
-        .orderBy(F.col("score").desc(), F.col("doc").asc())
-        .limit(10)
+        idx.search(qtoks, k=10, nprobe=1, n_candidates=128, quantized=quantized)
         .localCheckpoint(eager=True)
     )
     exact = (
-        maxsim_scores(toks.select("doc", "embedding"), qtoks)
+        maxsim_scores(toks, qtoks)
         .select(F.col("doc").alias("doc_id"), "score", "n_q")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
         .localCheckpoint(eager=True)
     )
-    pruned_ids = {r["doc"] for r in pruned.collect()}
-    exact_ids = {r["doc_id"] for r in exact.collect()}
-    ok = len(pruned_ids & exact_ids) >= 5 and len(probe) < len(idx.centroids)
-    return exact.withColumn("pruned_ok", F.lit(bool(ok)))
+    pruned_rows = {r["doc"]: r["score"] for r in pruned.collect()}
+    exact_rows = {r["doc_id"]: r["score"] for r in exact.collect()}
+    overlap = set(pruned_rows) & set(exact_rows)
+    ok = (
+        len(overlap) >= 5
+        and len(probe) < len(idx.centroids)
+        # stage 2 is exact: scores agree bit-for-bit on the overlap
+        and all(pruned_rows[d] == exact_rows[d] for d in overlap)
+    )
+    return exact.withColumn(ok_col, F.lit(bool(ok)))
+
+
+# ---------------------------------------------------------------------------
+# Quantized-candidate pruned MaxSim (the PLAID-shaped composition,
+# VERDICT r7 stretch item): stage 1 ranks candidates from the SAVED
+# layout's packed SIGN CODES — the pruned scan reads (doc, scode,
+# cluster) only, 8 bytes per 64 dims per token instead of float32
+# (parquet column pruning; asserted in tests/test_plans.py) — stage 2
+# is the identical exact gather+rerank, so scores stay true. Guarantee
+# oracle: exact top-10 + bq_ok (recall >= 0.5, pruning engaged, and
+# bit-exact scores on the overlap).
+# ---------------------------------------------------------------------------
+@register(
+    "maxsim_pruned_bq",
+    f"""
+    WITH t AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS doc, embedding,
+             {_DUCK_NORM.format(a="embedding")} AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_DUCK_NORM.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {_MAXSIM_Q_TOKS}),
+    p AS (
+      SELECT t.doc, q.qid,
+             round(CASE WHEN t.nrm * q.qn != 0
+                   THEN {_DUCK_DOT.format(a="t.embedding", b="q.qv")}
+                        / (t.nrm * q.qn) END, 6) AS cos
+      FROM t CROSS JOIN q),
+    m AS (SELECT doc, qid, MAX(cos) AS mx FROM p GROUP BY doc, qid),
+    s AS (SELECT doc, round(SUM(mx), 6) AS score, COUNT(mx) AS n_q
+          FROM m GROUP BY doc)
+    SELECT doc AS doc_id, score, n_q, TRUE AS bq_ok
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_maxsim_pruned_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _maxsim_pruned_impl(spark, sf_dir, quantized=True, ok_col="bq_ok")
+
+
+# ---------------------------------------------------------------------------
+# Batch MaxSim (VERDICT r7 item 2): a whole query TABLE (qid -> token
+# bag) answered in ONE token-table scan — broadcast the full token bag
+# once (byte-guarded), map-side-combined (doc, qid, qtid) MAX, 1e-6-grid
+# per-(doc, qid) SUM, per-qid top-k window over scalars. Exactly
+# maxsim_scores per query, so the oracle is hash-exact (no guarantee
+# boolean needed). Queries: docs 0-2's own token bags (24 token rows),
+# so each query's own doc anchors rank 1 at score n_q.
+# ---------------------------------------------------------------------------
+_MAXSIM_BATCH_TOKS = 24  # 3 queries x 8 tokens
+
+
+@register(
+    "maxsim_search_many",
+    f"""
+    WITH t AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS doc, embedding,
+             {_DUCK_NORM.format(a="embedding")} AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS qid, vec_id AS qtid,
+             embedding AS qv, {_DUCK_NORM.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {_MAXSIM_BATCH_TOKS}),
+    p AS (
+      SELECT t.doc, q.qid, q.qtid,
+             round(CASE WHEN t.nrm * q.qn != 0
+                   THEN {_DUCK_DOT.format(a="t.embedding", b="q.qv")}
+                        / (t.nrm * q.qn) END, 6) AS cos
+      FROM t CROSS JOIN q),
+    m AS (SELECT doc, qid, qtid, MAX(cos) AS mx
+          FROM p GROUP BY doc, qid, qtid),
+    s AS (SELECT qid, doc, round(SUM(mx), 6) AS score, COUNT(mx) AS n_q
+          FROM m GROUP BY qid, doc),
+    r AS (SELECT qid, doc, score, n_q,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc ASC) AS rk
+          FROM s)
+    SELECT qid, doc, score, n_q, rk FROM r WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q_maxsim_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ranking import (
+        maxsim_scores_many,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
+    )
+    qt = emb.filter(F.col("vec_id") < _MAXSIM_BATCH_TOKS).select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("qid"),
+        F.col("vec_id").alias("qtid"),
+        F.col("embedding").alias("qvec"),
+    )
+    return maxsim_scores_many(toks, qt, k=5).orderBy("qid", "rk")
