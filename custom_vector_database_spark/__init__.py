@@ -17,8 +17,9 @@ Design principles (not a port):
   exactly the reference's whole-file-rewrite consistency model (SURVEY §1.4).
 """
 
+from custom_vector_database_spark.multivector_table import MultiVectorTable
 from custom_vector_database_spark.session import get_spark
 from custom_vector_database_spark.vector_table import VectorTable
 
-__all__ = ["get_spark", "VectorTable"]
+__all__ = ["get_spark", "VectorTable", "MultiVectorTable"]
 __version__ = "0.1.0"

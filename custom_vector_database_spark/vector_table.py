@@ -397,9 +397,6 @@ class VectorTable:
         renames — a crash at any point leaves either the old index or the
         new one, never neither and never a mixed-kind layout.
         """
-        import json as _json
-        import shutil as _shutil
-
         if kind not in ("lsh", "ivf", "ivfbq"):
             raise ValueError(
                 f"unknown index kind {kind!r}; 'lsh', 'ivf', or 'ivfbq'"
@@ -432,11 +429,18 @@ class VectorTable:
                 num_hash_tables=num_hash_tables,
                 bucket_length=bucket_length,
             )
-        # build into a sibling tmp dir and swap with renames (the
-        # layout.compact_partitioned recovery pattern): rmtree-then-save
-        # in place would leave NO index after a crash mid-save, and a
-        # crash between save and the kind marker would leave an IVF
-        # layout that _load_index reads as LSH
+        return self._swap_index_in(index, kind)
+
+    def _swap_index_in(self, index, kind: str):
+        """Crash-safe index install shared by every rebuild flavor
+        (including MultiVectorTable's): build into a sibling tmp dir and
+        swap with renames (the layout.compact_partitioned recovery
+        pattern). rmtree-then-save in place would leave NO index after a
+        crash mid-save, and a crash between save and the kind marker
+        would leave a layout read back as the wrong kind."""
+        import json as _json
+        import shutil as _shutil
+
         tmp = self._index_path + "_tmp"
         old = self._index_path + "_old"
         # heal any prior mid-swap crash FIRST — without this, the rmtree
