@@ -69,16 +69,32 @@ from custom_vector_database_spark.operators.ranking import (
     maxsim_scores,
     maxsim_scores_many,
 )
+from custom_vector_database_spark.operators.tombstones import (
+    TombstoneDeleteMixin,
+)
 
 __all__ = ["MaxSimIndex"]
 
 
-class MaxSimIndex:
+class MaxSimIndex(TombstoneDeleteMixin):
     """Token-IVF layout + two-stage (candidates -> exact rerank) MaxSim.
 
     Build once (``fit`` + ``save``), search many — single-query
     (``search``) or a whole query TABLE in one pass (``search_many``),
-    float or sign-code (``quantized=True``) candidate generation."""
+    float or sign-code (``quantized=True``) candidate generation.
+
+    Incremental CRUD on the saved layout (the sibling-family contract,
+    operators/ivf.py): ``upsert`` appends delta token bags encoded with
+    the SAVED centroids (no refit — codebook refresh stays the explicit
+    rebuild verb), ``delete`` tombstones whole DOCS via the shared
+    sidecar (every search path anti-joins it before distance work),
+    ``compact`` rewrites BOTH layout halves, physically dropping
+    tombstoned docs and healing small-file fragmentation.
+
+    MaxSim is invariant to token duplication (score = Σ_q max_t — a
+    repeated token cannot change a max), so a crash-retried upsert that
+    re-appends the same bags degrades bytes, never scores; compact()
+    heals the bytes."""
 
     def __init__(
         self,
@@ -94,10 +110,12 @@ class MaxSimIndex:
         self._clustered = clustered  # (doc, vec, scode, cluster)
         self.doc_col = doc_col
         self.vec_col = vec_col
+        self.id_col = doc_col  # TombstoneDeleteMixin tombstones whole docs
         self.dim = int(dim)
         self.n_doc_buckets = int(n_doc_buckets)
         self._path = path
         self._docs: DataFrame | None = None  # doc-bucketed gather sidecar
+        self._tombstones: DataFrame | None = None
 
     # -- build -------------------------------------------------------------
     @classmethod
@@ -160,19 +178,28 @@ class MaxSimIndex:
         """Write both halves of the layout: cluster-partitioned token
         rows (stage-1 probes) and doc-bucketed token rows (stage-2
         gather). One write each — the checkpointed clustered frame feeds
-        both without recomputing the encode."""
+        both without recomputing the encode. A save is a full rewrite of
+        the LIVE view: tombstoned docs are physically dropped, so the
+        new layout needs no sidecar (the IvfIndex.save convention)."""
+        from custom_vector_database_spark.operators.layout import (
+            clear_tombstones,
+        )
+
         os.makedirs(path, exist_ok=True)
-        self._clustered.write.mode("overwrite").partitionBy("cluster").parquet(
+        live = self.rows_df()
+        live.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(path, "rows")
         )
         (
-            self._clustered.select(
+            live.select(
                 F.col(self.doc_col), F.col(self.vec_col), self._dbkt_col()
             )
             .write.mode("overwrite")
             .partitionBy("dbkt")
             .parquet(os.path.join(path, "docs"))
         )
+        clear_tombstones(path)  # any stale sidecar at the target is obsolete
+        self._tombstones = None
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -191,8 +218,15 @@ class MaxSimIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MaxSimIndex":
+        from custom_vector_database_spark.operators.layout import (
+            recover_partitioned_swap,
+        )
+
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        # heal a crash mid-compact swap in EITHER layout half first
+        recover_partitioned_swap(os.path.join(path, "rows"))
+        recover_partitioned_swap(os.path.join(path, "docs"))
         idx = cls(
             meta["centroids"],
             spark.read.parquet(os.path.join(path, "rows")),
@@ -203,20 +237,130 @@ class MaxSimIndex:
             path=path,
         )
         idx._docs = spark.read.parquet(os.path.join(path, "docs"))
+        idx._load_tombstones(spark)
         return idx
 
-    def rows_df(self) -> DataFrame:
-        """The cluster-partitioned token layout (doc, vec, scode,
-        cluster)."""
+    def _raw_layout(self) -> DataFrame:
         return self._clustered
 
+    def rows_df(self) -> DataFrame:
+        """The LIVE cluster-partitioned token layout (doc, vec, scode,
+        cluster) — saved rows minus tombstoned docs."""
+        return self._live(self._clustered)
+
     def docs_df(self) -> DataFrame:
-        """The doc-bucketed gather layout (doc, vec, dbkt)."""
+        """The LIVE doc-bucketed gather layout (doc, vec, dbkt)."""
         if self._docs is not None:
-            return self._docs
-        return self._clustered.select(
-            F.col(self.doc_col), F.col(self.vec_col), self._dbkt_col()
+            return self._live(self._docs)
+        return self._live(
+            self._clustered.select(
+                F.col(self.doc_col), F.col(self.vec_col), self._dbkt_col()
+            )
         )
+
+    # -- incremental CRUD on the saved layout ------------------------------
+    def upsert(self, delta: DataFrame) -> int:
+        """Append delta token rows (doc_col, vec_col) to BOTH halves of
+        the SAVED layout, encoding ONLY the delta: one projection
+        assigns clusters with the saved centroids (unit-space, fused
+        normalize) and packs sign codes — no refit, no full re-encode
+        (the ivf.upsert contract; at 100 TB daily token ingestion cannot
+        pay the rebuild). Doc-id discipline is the caller's (the facade's
+        monotonic next_id): tombstoned doc ids REFUSE with the
+        compact-first error; appending tokens for a live existing doc
+        extends its bag.
+
+        Write order: docs/ (gather half) FIRST, then rows/ (probe
+        half) — a crash in between leaves the new docs invisible to
+        stage 1 (absent from results, like before the call), never
+        candidates whose gather comes up empty. A retried upsert
+        re-appends both halves; duplicated tokens cannot change any
+        MaxSim score (class docstring) and compact() reclaims the bytes.
+        Returns the number of token rows appended."""
+        if self._path is None:
+            raise ValueError(
+                "upsert requires a saved index (call save() or load() first)"
+            )
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col(self.vec_col).isNull()
+                    | (F.size(F.col(self.vec_col)) != self.dim)
+                ).cast("long")
+            ).alias("n_bad"),
+        ).first()
+        if stats["n_bad"]:
+            raise ValueError(
+                f"{stats['n_bad']} delta token vector(s) are NULL or do "
+                f"not have dim {self.dim}"
+            )
+        encoded = delta.select(
+            F.col(self.doc_col),
+            F.col(self.vec_col).cast("array<float>").alias(self.vec_col),
+        )
+        encoded = encoded.select(
+            F.col(self.doc_col),
+            F.col(self.vec_col),
+            bq_pack(F.col(self.vec_col), self.dim).alias("scode"),
+            F.expr(
+                _nearest_unit_centroid_sql(f"`{self.vec_col}`", self.centroids)
+            ).alias("cluster"),
+        ).localCheckpoint(eager=True)  # ONE encode feeds both writes
+        self._refuse_tombstoned_delta(
+            encoded.select(self.doc_col).distinct()
+        )
+        spark = delta.sparkSession
+        (
+            encoded.select(
+                F.col(self.doc_col), F.col(self.vec_col), self._dbkt_col()
+            )
+            .write.mode("append")
+            .partitionBy("dbkt")
+            .parquet(os.path.join(self._path, "docs"))
+        )
+        encoded.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(self._path, "rows")
+        )
+        self._clustered = spark.read.parquet(os.path.join(self._path, "rows"))
+        self._docs = spark.read.parquet(os.path.join(self._path, "docs"))
+        return int(stats["n"])
+
+    def compact(self, files_per_partition: int = 1) -> dict:
+        """Rewrite BOTH layout halves to ``files_per_partition`` part
+        files per partition — the maintenance verb pairing with
+        upsert/streamed ingest (every delta append adds small files) —
+        and physically drop tombstoned docs (the filter rides both
+        compaction shuffles for free). Each half swaps crash-safely
+        (layout.compact_partitioned's tmp + two-rename recovery); the
+        tombstone sidecar clears only after BOTH swaps land, so a crash
+        between them leaves every view still tombstone-filtered and the
+        next compact converges. Returns per-half {files_before,
+        files_after, n_rows}."""
+        if self._path is None:
+            raise ValueError(
+                "compact requires a saved index (call save() or load() first)"
+            )
+        from custom_vector_database_spark.operators.layout import (
+            compact_partitioned,
+        )
+
+        spark = self._clustered.sparkSession
+        transform, on_success = self._compact_transform_and_clear()
+        rows_stats = compact_partitioned(
+            spark, os.path.join(self._path, "rows"), "cluster",
+            len(self.centroids), files_per_partition,
+            salt_col=self.doc_col, transform=transform,
+        )
+        docs_stats = compact_partitioned(
+            spark, os.path.join(self._path, "docs"), "dbkt",
+            self.n_doc_buckets, files_per_partition,
+            salt_col=self.doc_col, transform=transform,
+        )
+        on_success()
+        self._clustered = spark.read.parquet(os.path.join(self._path, "rows"))
+        self._docs = spark.read.parquet(os.path.join(self._path, "docs"))
+        return {"rows": rows_stats, "docs": docs_stats}
 
     def _dbkt_col(self):
         return F.pmod(
@@ -276,7 +420,9 @@ class MaxSimIndex:
 
     # -- stage 1: candidate docs ------------------------------------------
     def _pruned_rows(self, probe: list[int]) -> DataFrame:
-        return self._clustered.filter(F.col("cluster").isin(probe))
+        # partition filter FIRST (file-listing pruning), tombstone
+        # anti-join after — the sidecar is the broadcast-small side
+        return self._live(self._clustered.filter(F.col("cluster").isin(probe)))
 
     def _quantized_partial_scores(
         self,
@@ -519,7 +665,7 @@ class MaxSimIndex:
         IvfIndex.describe convention)."""
         counts = {
             r["cluster"]: r["n"]
-            for r in self._clustered.groupBy("cluster")
+            for r in self.rows_df().groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -528,6 +674,7 @@ class MaxSimIndex:
         return {
             "kind": "maxsim",
             "n_tokens": int(n_rows),
+            "n_tombstones": self._tombstone_count(),
             "n_clusters": len(self.centroids),
             "dim": self.dim,
             "n_doc_buckets": self.n_doc_buckets,

@@ -2357,3 +2357,134 @@ def q_maxsim_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
     )
     return maxsim_scores_many(toks, qt, k=5).orderBy("qid", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Incremental CRUD on the saved MaxSim layout (the sibling-family
+# contract ivf_upsert/ivf_delete/ivf_compact give the single-vector
+# layouts, in one row): on a COPY of the shared saved layout, (1)
+# upsert a shifted clone of docs 0-1's token bags at new doc ids —
+# searchable WITHOUT a rebuild, proving the delta-encode append reaches
+# BOTH layout halves; (2) tombstone-delete docs 1 and 2 — absent from
+# search with pre-existing part files byte-untouched; (3) compact —
+# tombstones physically cleared from both halves, search identical
+# before and after. Output: the exact brute-force MaxSim top-10 over
+# the MUTATED corpus ((base \ deleted) ∪ delta — oracle-expressible;
+# the float shift is CAST(CAST(x AS DOUBLE)+0.001 AS FLOAT) on both
+# engines, the proven ivf_upsert trick) + crud_ok certifying all three
+# verbs and that the pruned search's hits carry bit-exact true scores.
+# ---------------------------------------------------------------------------
+_MAXSIM_CRUD_DELTA_DUCK = (
+    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + 1000000 AS doc, "
+    "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)) "
+    "AS embedding FROM embeddings WHERE vec_id < 16"
+)
+
+
+@register(
+    "maxsim_crud",
+    f"""
+    WITH base AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS doc, embedding FROM embeddings),
+    d AS ({_MAXSIM_CRUD_DELTA_DUCK}),
+    u AS (SELECT doc, embedding FROM base WHERE doc NOT IN (1, 2)
+          UNION ALL SELECT doc, embedding FROM d),
+    t AS (SELECT doc, embedding,
+                 {_DUCK_NORM.format(a="embedding")} AS nrm FROM u),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_DUCK_NORM.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {_MAXSIM_Q_TOKS}),
+    p AS (
+      SELECT t.doc, q.qid,
+             round(CASE WHEN t.nrm * q.qn != 0
+                   THEN {_DUCK_DOT.format(a="t.embedding", b="q.qv")}
+                        / (t.nrm * q.qn) END, 6) AS cos
+      FROM t CROSS JOIN q),
+    m AS (SELECT doc, qid, MAX(cos) AS mx FROM p GROUP BY doc, qid),
+    s AS (SELECT doc, round(SUM(mx), 6) AS score, COUNT(mx) AS n_q
+          FROM m GROUP BY doc)
+    SELECT doc AS doc_id, score, n_q, TRUE AS crud_ok
+    FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+    from custom_vector_database_spark.operators.ranking import maxsim_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
+    )
+    delta = emb.filter(F.col("vec_id") < 16).select(
+        (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + 1_000_000).alias("doc"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    deleted = [1, 2]
+    qrows = emb.filter(F.col("vec_id") < _MAXSIM_Q_TOKS).collect()
+    qtoks = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
+        "qid long, qvec array<float>",
+    )
+    base_idx = saved_index(spark, sf_dir, "maxsim")
+    tmp = tempfile.mkdtemp(prefix="cvdb_maxsim_crud_")
+    try:
+        shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
+        idx = MaxSimIndex.load(spark, tmp)
+        n_added = idx.upsert(delta)
+        up_hits = {
+            r["doc"]
+            for r in idx.search(qtoks, k=10, nprobe=4,
+                                n_candidates=64).collect()
+        }
+        pre_mtimes = {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for half in ("rows", "docs")
+            for dp, _dn, fs in os.walk(os.path.join(tmp, half))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        idx.delete(deleted)
+        parts_untouched = all(
+            os.path.exists(f) and os.path.getmtime(f) == mt
+            for f, mt in pre_mtimes.items()
+        )
+        post_del = (
+            idx.search(qtoks, k=10, nprobe=4, n_candidates=64)
+            .localCheckpoint(eager=True)
+        )
+        del_rows = [(r["doc"], r["score"]) for r in post_del.collect()]
+        idx.compact()
+        post_cmp = [
+            (r["doc"], r["score"])
+            for r in idx.search(qtoks, k=10, nprobe=4,
+                                n_candidates=64).collect()
+        ]
+        # exact brute force over the mutated corpus = the oracle's frame
+        mutated = toks.filter(~F.col("doc").isin(deleted)).unionByName(delta)
+        exact = (
+            maxsim_scores(mutated, qtoks)
+            .select(F.col("doc").alias("doc_id"), "score", "n_q")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10)
+            .localCheckpoint(eager=True)
+        )
+        exact_rows = {r["doc_id"]: r["score"] for r in exact.collect()}
+        overlap = {d for d, _ in del_rows} & set(exact_rows)
+        ok = (
+            n_added == 16
+            and 1_000_000 in up_hits  # upserted clone searchable, no rebuild
+            and parts_untouched  # delete touched no part file
+            and not ({1, 2} & {d for d, _ in del_rows})  # deleted absent
+            and post_cmp == del_rows  # compact changed nothing
+            and len(overlap) >= 5  # recall vs exact over the mutated corpus
+            and all(s == exact_rows[d] for d, s in del_rows
+                    if d in exact_rows)  # true scores, bit-equal
+        )
+        return exact.withColumn("crud_ok", F.lit(bool(ok)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -222,3 +222,113 @@ def test_fit_rejects_null_and_ragged_tokens(spark):
         MaxSimIndex.fit(ragged, n_clusters=2)
     with pytest.raises(ValueError, match="empty"):
         MaxSimIndex.fit(bad.limit(0), n_clusters=2)
+
+
+def test_upsert_delete_compact_crud(spark, tmp_path):
+    """Incremental CRUD on the saved token layout (the sibling-family
+    contract): upserted docs searchable WITHOUT a rebuild through both
+    layout halves; tombstoned docs vanish from search without touching
+    part files; tombstoned-id re-upsert refuses with the compact-first
+    error; compact shrinks files in BOTH halves and changes nothing."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = MaxSimIndex.fit(
+        _tokens(spark), doc_col="doc", vec_col="embedding",
+        n_clusters=8, n_doc_buckets=4,
+    )
+    p = str(tmp_path / "crud")
+    idx.save(p)
+    idx = MaxSimIndex.load(spark, p)
+    q = _query_bag(spark)
+
+    delta = emb.filter(F.col("vec_id") < 8).select(
+        F.lit(1_000_000).cast("long").alias("doc"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
+        ).alias("embedding"),
+    )
+    pre_mtimes = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for half in ("rows", "docs")
+        for dp, _dn, fs in os.walk(os.path.join(p, half))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert idx.upsert(delta) == 8
+    # upsert appends only: pre-existing part files byte-untouched
+    assert all(
+        os.path.exists(f) and os.path.getmtime(f) == mt
+        for f, mt in pre_mtimes.items()
+    )
+    hits = idx.search(q, k=3, nprobe=4, n_candidates=32).collect()
+    assert 1_000_000 in {r["doc"] for r in hits}  # visible, no rebuild
+
+    assert idx.delete([0]) == 8  # 8 live token rows tombstoned
+    hits2 = idx.search(q, k=3, nprobe=4, n_candidates=32).collect()
+    assert 0 not in {r["doc"] for r in hits2}
+    assert idx.describe()["n_tombstones"] == 1
+
+    with pytest.raises(ValueError, match="compact"):
+        idx.upsert(delta.withColumn("doc", F.lit(0).cast("long")))
+
+    stats = idx.compact()
+    assert stats["rows"]["files_after"] <= stats["rows"]["files_before"]
+    assert stats["docs"]["files_after"] <= stats["docs"]["files_before"]
+    assert idx.describe()["n_tombstones"] == 0
+    hits3 = idx.search(q, k=3, nprobe=4, n_candidates=32).collect()
+    assert [(r["doc"], r["score"]) for r in hits3] == [
+        (r["doc"], r["score"]) for r in hits2
+    ]
+    # reload heals nothing-to-heal and sees the compacted state
+    again = MaxSimIndex.load(spark, p)
+    assert {r["doc"] for r in
+            again.search(q, k=3, nprobe=4, n_candidates=32).collect()} == {
+        r["doc"] for r in hits3
+    }
+
+
+def test_stream_ingest_into_maxsim_layout(spark, tmp_path):
+    """stream_vector_ingest is index-agnostic (it calls index.upsert per
+    micro-batch): streamed token deltas must land in BOTH halves of the
+    saved MaxSim layout and become searchable without a rebuild."""
+    from pyspark.sql import types as T
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = MaxSimIndex.fit(
+        _tokens(spark), doc_col="doc", vec_col="embedding",
+        n_clusters=8, n_doc_buckets=4,
+    )
+    p = str(tmp_path / "stream")
+    idx.save(p)
+    idx = MaxSimIndex.load(spark, p)
+
+    delta_dir = str(tmp_path / "deltas")
+    for i, shift in enumerate([0.001, 0.002]):
+        emb.filter(F.col("vec_id") < 8).select(
+            F.lit(2_000_000 + i).cast("long").alias("doc"),
+            F.expr(
+                f"transform(embedding, x -> CAST(CAST(x AS DOUBLE) + {shift}D AS FLOAT))"
+            ).alias("embedding"),
+        ).coalesce(1).write.mode("append").parquet(delta_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    n_batches = stream_vector_ingest(
+        spark, delta_dir, idx, schema, max_files_per_trigger=1
+    )
+    assert n_batches >= 1
+    got = {
+        r["doc"]
+        for r in idx.search(
+            _query_bag(spark), k=4, nprobe=4, n_candidates=32
+        ).collect()
+    }
+    assert {2_000_000, 2_000_001} <= got  # both streamed docs searchable
