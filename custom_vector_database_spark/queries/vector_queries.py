@@ -2488,3 +2488,85 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact.withColumn("crud_ok", F.lit(bool(ok)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Pruned BATCH MaxSim over the saved layout (the production 10k-query
+# shape: maxsim_search_many's exact one-scan form stays affordable only
+# while |tokens| x |query tokens| does; past that the batch rides the
+# SAME two-stage layout — one statically pruned candidate scan for the
+# whole batch, one shared gather, one exact batch rerank). Guarantee
+# oracle: the exact batch top-5 (oracle-expressible) + pruned_ok
+# asserting the pruned batch reproduced >= half of every query's exact
+# positions, with bit-equal scores on agreement, and that stage 1
+# probed strictly fewer clusters than exist.
+# ---------------------------------------------------------------------------
+@register(
+    "maxsim_search_many_pruned",
+    f"""
+    WITH t AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS doc, embedding,
+             {_DUCK_NORM.format(a="embedding")} AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id // {_MAXSIM_DOC_TOKS} AS qid, vec_id AS qtid,
+             embedding AS qv, {_DUCK_NORM.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {_MAXSIM_BATCH_TOKS}),
+    p AS (
+      SELECT t.doc, q.qid, q.qtid,
+             round(CASE WHEN t.nrm * q.qn != 0
+                   THEN {_DUCK_DOT.format(a="t.embedding", b="q.qv")}
+                        / (t.nrm * q.qn) END, 6) AS cos
+      FROM t CROSS JOIN q),
+    m AS (SELECT doc, qid, qtid, MAX(cos) AS mx
+          FROM p GROUP BY doc, qid, qtid),
+    s AS (SELECT qid, doc, round(SUM(mx), 6) AS score, COUNT(mx) AS n_q
+          FROM m GROUP BY qid, doc),
+    r AS (SELECT qid, doc, score, n_q,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc ASC) AS rk
+          FROM s)
+    SELECT qid, doc, score, n_q, rk, TRUE AS pruned_ok FROM r WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q_maxsim_search_many_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.ranking import (
+        maxsim_scores_many,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
+    )
+    qt = emb.filter(F.col("vec_id") < _MAXSIM_BATCH_TOKS).select(
+        F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("qid"),
+        F.col("vec_id").alias("qtid"),
+        F.col("embedding").alias("qvec"),
+    )
+    idx = saved_index(spark, sf_dir, "maxsim")
+    qrows = qt.collect()
+    probe = idx.probe_union([list(r["qvec"]) for r in qrows], 2)
+    pruned = {
+        (r["qid"], r["rk"]): (r["doc"], r["score"])
+        for r in idx.search_many(
+            qt, k=5, nprobe=2, n_candidates=64
+        ).collect()
+    }
+    exact = (
+        maxsim_scores_many(toks, qt, k=5)
+        .orderBy("qid", "rk")
+        .localCheckpoint(eager=True)
+    )
+    exact_rows = {
+        (r["qid"], r["rk"]): (r["doc"], r["score"]) for r in exact.collect()
+    }
+    per_qid_hits: dict = {}
+    for (qid, rk), v in exact_rows.items():
+        hit = pruned.get((qid, rk)) == v
+        per_qid_hits.setdefault(qid, []).append(hit)
+    ok = (
+        len(probe) < len(idx.centroids)
+        and all(sum(h) * 2 >= len(h) for h in per_qid_hits.values())
+    )
+    return exact.withColumn("pruned_ok", F.lit(bool(ok)))

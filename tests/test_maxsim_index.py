@@ -108,12 +108,24 @@ def test_search_many_matches_exact_batch(spark, saved):
         F.col("vec_id").alias("qtid"),
         F.col("embedding").alias("qvec"),
     )
+    exact = {(r["qid"], r["rk"]): (r["doc"], r["score"])
+             for r in maxsim_scores_many(_tokens(spark), qt, k=5).collect()}
+    # candidate set == every doc -> the pair-restricted exact stage must
+    # reproduce brute force bit-for-bit (machinery exactness)
+    n_docs = _tokens(spark).select("doc").distinct().count()
+    got_all = {(r["qid"], r["rk"]): (r["doc"], r["score"])
+               for r in saved.search_many(qt, k=5, nprobe=4,
+                                          n_candidates=n_docs).collect()}
+    assert got_all == exact  # positions AND true scores
+    # pruned candidates (32 of ~63 docs): strong positional recall, and
+    # bit-equal true scores wherever positions agree (pruning quality)
     got = {(r["qid"], r["rk"]): (r["doc"], r["score"])
            for r in saved.search_many(qt, k=5, nprobe=4,
                                       n_candidates=32).collect()}
-    exact = {(r["qid"], r["rk"]): (r["doc"], r["score"])
-             for r in maxsim_scores_many(_tokens(spark), qt, k=5).collect()}
-    assert got == exact  # positions AND true scores
+    agree = sum(1 for key, v in exact.items() if got.get(key) == v)
+    assert agree >= int(0.8 * len(exact)), (agree, len(exact))
+    for qid in {k_[0] for k_ in exact}:
+        assert got[(qid, 1)] == exact[(qid, 1)]  # rank-1 anchor survives
 
 
 def test_search_many_single_query_equals_search(spark, saved):
@@ -150,7 +162,7 @@ def test_quantized_candidate_scan_skips_float_vectors(spark, saved):
     ).collect()
     probe = saved.probe_union([list(r["embedding"]) for r in qrows], 2)
     qd = [{"qvec": list(r["embedding"])} for r in qrows]
-    cand = saved._candidate_docs(None, qd, probe, 32, quantized=True)
+    cand = saved._candidate_docs(qd, 2, 32, quantized=True)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans and all("embedding" not in ln for ln in scans), plan

@@ -472,7 +472,7 @@ def test_maxsim_pruned_probes_saved_layout_partitions(spark):
 
     # quantized stage 1 (maxsim_pruned_bq) reads sign codes, not floats
     qd = [{"qvec": list(r["embedding"])} for r in qrows]
-    cand = idx._candidate_docs(None, qd, probe, 32, quantized=True)
+    cand = idx._candidate_docs(qd, 1, 32, quantized=True)
     qplan = cand._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in qplan.splitlines() if "FileScan" in ln]
     assert scans and all("embedding" not in ln for ln in scans), qplan
