@@ -78,19 +78,23 @@ def main() -> None:
     # item 8) — the list below is every registered row that writes a
     # session-lifetime cache on first run:
     #   - the saved-layout builds (queries/vector_queries.saved_index's
-    #     _INDEX_CACHE): ann_lsh_build, pq_build, and the ivf/ivfpq/
-    #     ivfbq build family incl. metric variants,
+    #     _INDEX_CACHE): ann_lsh_build, pq_build, maxsim_build, and the
+    #     ivf/ivfpq/ivfbq build family incl. metric variants,
     #   - dedup_build_pairs (the shared exact trigram pair-set cache),
     #   - embedding_pca_project (_PCA_MODEL_CACHE).
     # Explicitly NOT excluded, audited retry-fair: the layout mutation
     # verbs (ivf_upsert/ivf_delete/ivf_compact, ivfpq_upsert,
-    # ivfbq_upsert, stream_index_ingest, stream_corpus_ingest) copy the
-    # cached layout into a fresh tmpdir each run and mutate the COPY —
-    # both samples price identical work; semdedup_ivf_prune re-fits its
-    # clustering per run; the ANN search rows hit _EXACT_CACHE but sit
-    # far under the retry threshold. In sorted execution order every
-    # build row precedes its dependents, so dependents never absorb a
-    # build into their first sample.
+    # ivfbq_upsert, maxsim_crud, stream_index_ingest,
+    # stream_corpus_ingest) copy the cached layout into a fresh tmpdir
+    # each run and mutate the COPY — both samples price identical work;
+    # semdedup_ivf_prune re-fits its clustering per run; the ANN search
+    # rows (incl. the maxsim_pruned* / maxsim_search_many* family, which
+    # answer from the cached saved layout) hit caches populated by their
+    # build row and sit on the cheap path in BOTH samples. In sorted
+    # execution order every build row precedes its dependents, so
+    # dependents never absorb a build into their first sample
+    # (maxsim_build < maxsim_crud < maxsim_pruned* < maxsim_search_many*
+    # alphabetically).
     _NO_RETRY = {
         "ann_lsh_build",
         "dedup_build_pairs",
@@ -103,6 +107,7 @@ def main() -> None:
         "ivfpq_build",
         "ivfpq_cosine_build",
         "ivfpq_dot_build",
+        "maxsim_build",
         "pq_build",
     }
 
