@@ -2436,11 +2436,6 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copytree(base_idx._path, tmp, dirs_exist_ok=True)
         idx = MaxSimIndex.load(spark, tmp)
         n_added = idx.upsert(delta)
-        up_hits = {
-            r["doc"]
-            for r in idx.search(qtoks, k=10, nprobe=4,
-                                n_candidates=64).collect()
-        }
         pre_mtimes = {
             os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
             for half in ("rows", "docs")
@@ -2454,15 +2449,15 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f, mt in pre_mtimes.items()
         )
         post_del = (
-            idx.search(qtoks, k=10, nprobe=4, n_candidates=64)
+            idx.search(qtoks, k=10, nprobe=2, n_candidates=32)
             .localCheckpoint(eager=True)
         )
         del_rows = [(r["doc"], r["score"]) for r in post_del.collect()]
         idx.compact()
         post_cmp = [
             (r["doc"], r["score"])
-            for r in idx.search(qtoks, k=10, nprobe=4,
-                                n_candidates=64).collect()
+            for r in idx.search(qtoks, k=10, nprobe=2,
+                                n_candidates=32).collect()
         ]
         # exact brute force over the mutated corpus = the oracle's frame
         mutated = toks.filter(~F.col("doc").isin(deleted)).unionByName(delta)
@@ -2475,9 +2470,14 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         exact_rows = {r["doc_id"]: r["score"] for r in exact.collect()}
         overlap = {d for d, _ in del_rows} & set(exact_rows)
+        # ONE post-delete search certifies BOTH incremental verbs: the
+        # upserted clone is present (no rebuild ran) and the tombstoned
+        # docs are absent (no part file changed) — a separate
+        # post-upsert search re-proved only the first half at the price
+        # of a full two-stage pass
         ok = (
             n_added == 16
-            and 1_000_000 in up_hits  # upserted clone searchable, no rebuild
+            and 1_000_000 in {d for d, _ in del_rows}  # upserted, searchable
             and parts_untouched  # delete touched no part file
             and not ({1, 2} & {d for d, _ in del_rows})  # deleted absent
             and post_cmp == del_rows  # compact changed nothing
