@@ -393,6 +393,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         qvec_col: str,
         max_query_tokens: int,
         max_broadcast_bytes: int,
+        nprobe: int = 1,
     ):
         """Bounded collect of the query bag (the bm25_batch convention:
         ONE collected set feeds both the driver-side probe math and the
@@ -406,6 +407,9 @@ class MaxSimIndex(TombstoneDeleteMixin):
             qvec_col,
             max_query_tokens,
             max_broadcast_bytes,
+            # stage 1 broadcasts the EXPLODED side: one row per (token,
+            # probed cluster) — size the guard on that, not the bag
+            explode_factor=min(int(nprobe), len(self.centroids)),
         )
         rows = query_tokens.select(*cols).collect()
         for r in rows:
@@ -574,7 +578,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         best-first, ``score`` the TRUE MaxSim of each candidate."""
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qvec_col], qvec_col,
-            max_query_tokens, max_broadcast_bytes,
+            max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
         )
         spark = query_tokens.sparkSession
         qtok_df = spark.createDataFrame(
@@ -628,7 +632,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         (score desc, doc asc), scores TRUE MaxSim."""
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qtok_col, qvec_col], qvec_col,
-            max_query_tokens, max_broadcast_bytes,
+            max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
         )
         if len({(r[qid_col], r[qtok_col]) for r in qrows}) != len(qrows):
             raise ValueError(

@@ -239,6 +239,7 @@ def _guard_maxsim_query_side(
     qvec_col: str,
     max_query_tokens: int | None,
     max_broadcast_bytes: int | None,
+    explode_factor: int = 1,
 ) -> None:
     """Shared fail-fast guards for the MaxSim family's broadcast query
     bag. (1) Column collision: a query column named like a token-table
@@ -273,14 +274,21 @@ def _guard_maxsim_query_side(
 
         elem_t = query_tokens.schema[qvec_col].dataType.elementType
         elem_b = 8 if isinstance(elem_t, T.DoubleType) else 4
-        est = n_q * (dim * elem_b + 24)
+        # explode_factor > 1 when the broadcast ships the EXPLODED side
+        # (MaxSimIndex stage 1: one row per token per probed cluster) —
+        # row count alone under-estimates it by nprobe×, the
+        # ivf.search_many lesson
+        est = n_q * explode_factor * (dim * elem_b + 24)
         if est > max_broadcast_bytes:
+            factor = (
+                f" × {explode_factor} probes/token" if explode_factor > 1 else ""
+            )
             raise ValueError(
                 f"estimated query-bag broadcast {est >> 20} MiB (= {n_q} "
-                f"token vectors × {dim} dims × {elem_b} B) > "
+                f"token vectors{factor} × {dim} dims × {elem_b} B) > "
                 f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
-                "split the query bag — an unbounded broadcast OOMs "
-                "executors silently"
+                "split the query bag (or lower nprobe) — an unbounded "
+                "broadcast OOMs executors silently"
             )
 
 

@@ -344,3 +344,27 @@ def test_stream_ingest_into_maxsim_layout(spark, tmp_path):
         ).collect()
     }
     assert {2_000_000, 2_000_001} <= got  # both streamed docs searchable
+
+
+def test_empty_query_bag_returns_empty(spark, saved):
+    """Degenerate input: an empty query bag probes nothing, gathers
+    nothing, and returns an empty frame with the contract schema — not
+    an error (maxsim_scores' empty-input convention)."""
+    empty = spark.createDataFrame([], "qid bigint, qvec array<float>")
+    out = saved.search(empty, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc", "score", "n_q"}
+    emptyb = spark.createDataFrame([], "qid bigint, qtid bigint, qvec array<float>")
+    outb = saved.search_many(emptyb, k=5)
+    assert outb.count() == 0
+    assert set(outb.columns) == {"qid", "doc", "score", "n_q", "rk"}
+
+
+def test_broadcast_guard_accounts_for_nprobe_explosion(spark, saved):
+    """Stage 1 broadcasts one row per (token, probed cluster): a bag
+    that fits the byte bound at nprobe=1 must still be refused when
+    nprobe multiplies the exploded side past it."""
+    q = _query_bag(spark)  # 8 tokens x 64 dims ~ 2.2 KiB
+    saved.search(q, k=3, nprobe=1, max_broadcast_bytes=4096)  # fits
+    with pytest.raises(ValueError, match="probes/token"):
+        saved.search(q, k=3, nprobe=8, max_broadcast_bytes=4096)
