@@ -57,32 +57,11 @@ class MultiVectorTable(VectorTable):
     indexing. The table id is the DOC id; every mutation operates on a
     whole token group."""
 
-    # -- lifecycle ---------------------------------------------------------
-    def init(self, dim: int) -> "MultiVectorTable":
-        if os.path.exists(self._meta_path):
-            raise FileExistsError(f"table already exists at {self.path}")
-        if dim <= 0:
-            raise ValueError("dim must be positive")
-        os.makedirs(self.path, exist_ok=True)
-        empty = self.spark.createDataFrame([], MULTIVECTOR_SCHEMA)
-        empty.write.mode("overwrite").parquet(self._data_path)
-        TableMeta(dim=dim, next_id=1).write(self._meta_path)
-        return self
-
-    def df(self) -> DataFrame:
-        if not os.path.exists(self._data_path) and os.path.exists(
-            self._data_path + "_old"
-        ):
-            os.rename(self._data_path + "_old", self._data_path)
-        return self.spark.read.schema(MULTIVECTOR_SCHEMA).parquet(
-            self._data_path
-        )
-
-    def _local_batch(self, rows: list[tuple]) -> DataFrame:
-        import pandas as pd
-
-        pdf = pd.DataFrame(rows, columns=["doc", "tok", "vec", "metadata"])
-        return self.spark.createDataFrame(pdf, MULTIVECTOR_SCHEMA)
+    # init/df (incl. crash-recovery rollback)/_local_batch are inherited:
+    # the parent bodies consume these two class attributes, so a fix to
+    # the shared rename dance applies to both tables (review finding)
+    SCHEMA = MULTIVECTOR_SCHEMA
+    _BATCH_COLUMNS = ("doc", "tok", "vec", "metadata")
 
     def _check_bag(self, vectors: list[list[float]], dim: int) -> None:
         if not vectors:
@@ -335,7 +314,6 @@ class MultiVectorTable(VectorTable):
         stats = self.df().agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.count_distinct("doc").alias("n_docs"),
-            F.max("doc").alias("max_doc"),
         ).first()
         meta = self.meta
         return {

@@ -198,7 +198,21 @@ class MaxSimIndex(TombstoneDeleteMixin):
             .parquet(os.path.join(path, "docs"))
         )
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
-        self._tombstones = None
+        if self._tombstones is not None:
+            # the save just physically dropped tombstoned rows: re-point
+            # the frames at what was written BEFORE dropping the
+            # tombstone view, else the old frames would resurrect the
+            # deleted docs on this very handle (the IvfIndex.save
+            # rationale). Only needed when tombstones were dropped — a
+            # clean save keeps the PATH-INDEPENDENT in-memory frames so
+            # callers may move/rename the written directory afterwards
+            # (MultiVectorTable.rebuild's tmp-and-swap does exactly
+            # that; re-reading from `path` here would bind the handle
+            # to the renamed-away tmp dir and crash its first search).
+            spark = self._clustered.sparkSession
+            self._clustered = spark.read.parquet(os.path.join(path, "rows"))
+            self._docs = spark.read.parquet(os.path.join(path, "docs"))
+            self._tombstones = None
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -211,9 +225,6 @@ class MaxSimIndex(TombstoneDeleteMixin):
                 f,
             )
         self._path = path
-        spark = self._clustered.sparkSession
-        self._clustered = spark.read.parquet(os.path.join(path, "rows"))
-        self._docs = spark.read.parquet(os.path.join(path, "docs"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MaxSimIndex":
@@ -394,6 +405,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         max_query_tokens: int,
         max_broadcast_bytes: int,
         nprobe: int = 1,
+        quantized: bool = False,
     ):
         """Bounded collect of the query bag (the bm25_batch convention:
         ONE collected set feeds both the driver-side probe math and the
@@ -408,8 +420,13 @@ class MaxSimIndex(TombstoneDeleteMixin):
             max_query_tokens,
             max_broadcast_bytes,
             # stage 1 broadcasts the EXPLODED side: one row per (token,
-            # probed cluster) — size the guard on that, not the bag
+            # probed cluster) — size the guard on that, not the bag; the
+            # quantized payload is ceil(dim/64) sign-code longs, not
+            # floats
             explode_factor=min(int(nprobe), len(self.centroids)),
+            payload_bytes_per_token=(
+                max(1, math.ceil(self.dim / 64)) * 8 if quantized else None
+            ),
         )
         rows = query_tokens.select(*cols).collect()
         for r in rows:
@@ -579,7 +596,16 @@ class MaxSimIndex(TombstoneDeleteMixin):
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
+            quantized=quantized,
         )
+        if len({r[qid_col] for r in qrows}) != len(qrows):
+            # two rows sharing a token id would collapse into one MAX
+            # group and silently UNDERSTATE the score (the search_many
+            # duplicate-(qid, qtid) guard, single-bag form)
+            raise ValueError(
+                f"duplicate {qid_col!r} rows in the query bag — every "
+                "token needs a distinct id"
+            )
         spark = query_tokens.sparkSession
         qtok_df = spark.createDataFrame(
             [(r[qid_col], [float(x) for x in r[qvec_col]]) for r in qrows],
@@ -622,17 +648,19 @@ class MaxSimIndex(TombstoneDeleteMixin):
         equi-joins the exploded query side on cluster, so each token's
         compute stays ∝ its own cells (_candidate_docs docstring);
         candidates are per-QUERY top-``n_candidates`` by partial
-        MaxSim; the gather
-        unions candidates across queries (shared docs gathered once);
-        the exact stage scores every gathered doc against every query —
-        a superset of the candidate pairs, so per-query recall can only
-        improve — and a per-qid window takes the top k.
+        MaxSim; the gather unions candidates across queries (shared
+        docs gathered once); the exact stage scores ONLY the candidate
+        (qid, doc) pairs (_exact_pair_scores — minimal exact work; a
+        doc gathered for one query is NOT scorable for another, which
+        is the candidate-recall contract), and a per-qid window takes
+        the top k.
 
         Returns (qid, doc, score, n_q, rk), rk = 1..k best-first per qid
         (score desc, doc asc), scores TRUE MaxSim."""
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qtok_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
+            quantized=quantized,
         )
         if len({(r[qid_col], r[qtok_col]) for r in qrows}) != len(qrows):
             raise ValueError(

@@ -240,6 +240,7 @@ def _guard_maxsim_query_side(
     max_query_tokens: int | None,
     max_broadcast_bytes: int | None,
     explode_factor: int = 1,
+    payload_bytes_per_token: int | None = None,
 ) -> None:
     """Shared fail-fast guards for the MaxSim family's broadcast query
     bag. (1) Column collision: a query column named like a token-table
@@ -277,15 +278,29 @@ def _guard_maxsim_query_side(
         # explode_factor > 1 when the broadcast ships the EXPLODED side
         # (MaxSimIndex stage 1: one row per token per probed cluster) —
         # row count alone under-estimates it by nprobe×, the
-        # ivf.search_many lesson
-        est = n_q * explode_factor * (dim * elem_b + 24)
+        # ivf.search_many lesson. payload_bytes_per_token overrides the
+        # float-vector width when what actually ships is smaller (the
+        # quantized path broadcasts ceil(dim/64)-long sign codes, ~32×
+        # less than floats — pricing them at float width would refuse
+        # batches that broadcast fine).
+        per_tok = (
+            payload_bytes_per_token
+            if payload_bytes_per_token is not None
+            else dim * elem_b
+        )
+        est = n_q * explode_factor * (per_tok + 24)
         if est > max_broadcast_bytes:
             factor = (
                 f" × {explode_factor} probes/token" if explode_factor > 1 else ""
             )
+            what = (
+                f"~{per_tok} B/token payload"
+                if payload_bytes_per_token is not None
+                else f"{dim} dims × {elem_b} B"
+            )
             raise ValueError(
                 f"estimated query-bag broadcast {est >> 20} MiB (= {n_q} "
-                f"token vectors{factor} × {dim} dims × {elem_b} B) > "
+                f"token vectors{factor} × {what}) > "
                 f"max_broadcast_bytes={max_broadcast_bytes >> 20} MiB; "
                 "split the query bag (or lower nprobe) — an unbounded "
                 "broadcast OOMs executors silently"

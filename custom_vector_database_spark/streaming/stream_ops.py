@@ -542,7 +542,13 @@ def _ensure_fp_sidecar(
         return
     from custom_vector_database_spark.operators.text import fingerprint_md5
 
-    if os.path.isdir(corpus_dir):
+    # _corpus_has_data, not bare isdir: a corpus dir holding ONLY the
+    # underscore metadata dirs (claims after a first-batch crash, or a
+    # deleted-for-rebuild sidecar) has no Spark-visible files and a bare
+    # read dies with a schema-inference error instead of bootstrapping
+    # empty — the same failure corpus_ingest_apply_batch's recovery
+    # guards against
+    if _corpus_has_data(corpus_dir):
         fps = (
             spark.read.parquet(corpus_dir)
             .select(fingerprint_md5(F.col(text_col)).alias("fp"))

@@ -71,6 +71,12 @@ class TableMeta:
 class VectorTable:
     """A Parquet-backed vector table with explicit-rebuild ANN indexing."""
 
+    # subclasses (multivector_table.MultiVectorTable) override BOTH to
+    # reuse init/df/_local_batch — including df()'s crash-recovery
+    # rollback — without copy-pasting the schema-dependent bodies
+    SCHEMA = VECTOR_SCHEMA
+    _BATCH_COLUMNS = ("id", "vec", "metadata")
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path  # directory; data under data/, meta sidecar, index under index/
@@ -85,7 +91,7 @@ class VectorTable:
         if dim <= 0:
             raise ValueError("dim must be positive")
         os.makedirs(self.path, exist_ok=True)
-        empty = self.spark.createDataFrame([], VECTOR_SCHEMA)
+        empty = self.spark.createDataFrame([], self.SCHEMA)
         empty.write.mode("overwrite").parquet(self._data_path)
         TableMeta(dim=dim, next_id=1).write(self._meta_path)
         return self
@@ -108,7 +114,7 @@ class VectorTable:
             self._data_path + "_old"
         ):
             os.rename(self._data_path + "_old", self._data_path)
-        return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_path)
+        return self.spark.read.schema(self.SCHEMA).parquet(self._data_path)
 
     # -- reference snapshot interop (vectordb.cpp:158-218) -----------------
     def import_snapshot(self, snapshot_path: str) -> "VectorTable":
@@ -188,8 +194,8 @@ class VectorTable:
         mutation of a session — measured, not guessed)."""
         import pandas as pd
 
-        pdf = pd.DataFrame(rows, columns=["id", "vec", "metadata"])
-        return self.spark.createDataFrame(pdf, VECTOR_SCHEMA)
+        pdf = pd.DataFrame(rows, columns=list(self._BATCH_COLUMNS))
+        return self.spark.createDataFrame(pdf, self.SCHEMA)
 
     # -- O2 add (vectordb.cpp:38-52) --------------------------------------
     def add(self, rows: DataFrame | list[tuple[list[float], str | None]]) -> list[int]:

@@ -368,3 +368,28 @@ def test_broadcast_guard_accounts_for_nprobe_explosion(spark, saved):
     saved.search(q, k=3, nprobe=1, max_broadcast_bytes=4096)  # fits
     with pytest.raises(ValueError, match="probes/token"):
         saved.search(q, k=3, nprobe=8, max_broadcast_bytes=4096)
+
+
+def test_single_bag_duplicate_token_ids_refused(spark, saved):
+    """Review finding (r8): search_many refused duplicate (qid, qtid)
+    rows but the single-bag search silently collapsed duplicate token
+    ids into one MAX group, understating scores. Both verbs now raise."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 2).select(
+        F.lit(3).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        saved.search(dup, k=3)
+
+
+def test_quantized_broadcast_priced_at_code_width(spark, saved):
+    """Review finding (r8): the quantized stage-1 broadcast ships
+    ceil(dim/64)-long sign codes (~32x smaller than floats); the byte
+    guard must price THAT, not float width — a bound that refuses the
+    float bag must still admit the quantized one."""
+    q = _query_bag(spark)  # 8 tokens x 64 dims: floats ~2.2 KiB, codes ~260 B
+    bound = 8 * (64 * 4 + 24) - 1  # just under the float estimate
+    with pytest.raises(ValueError, match="broadcast"):
+        saved.search(q, k=3, nprobe=1, max_broadcast_bytes=bound)
+    saved.search(q, k=3, nprobe=1, quantized=True,
+                 max_broadcast_bytes=bound)  # codes fit the same bound

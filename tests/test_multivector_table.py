@@ -143,3 +143,33 @@ def test_single_vector_verbs_refused(spark, tmp_path):
         vt.export_snapshot(str(tmp_path / "snap.json"))
     with pytest.raises(NotImplementedError):
         vt.update_many(None)
+
+
+def test_rebuild_returns_usable_handle_after_swap(spark, tmp_path):
+    """Review finding (r8): MaxSimIndex.save used to re-point its frames
+    at the save path, so the handle rebuild() returned was bound to the
+    renamed-away index_tmp dir and crashed on first use. The returned
+    handle must search, describe, and upsert against the SWAPPED-IN
+    location."""
+    import os
+
+    vt = _mk(spark, tmp_path)
+    vt.add(BAGS)
+    idx = vt.rebuild(kind="maxsim", n_clusters=2, n_doc_buckets=2)
+    assert not os.path.exists(vt._index_path + "_tmp")  # swap completed
+    q = spark.createDataFrame(
+        [(0, BAGS[0][0][0])], "qid bigint, qvec array<float>"
+    )
+    hits = idx.search(q, k=2, nprobe=2, n_candidates=8).collect()
+    assert hits and hits[0]["doc"] == 1
+    assert idx.describe()["saved"]
+    # upsert through the handle lands in the swapped-in index dir and is
+    # immediately searchable
+    delta = spark.createDataFrame(
+        [(999, [1.0, 0.0, 0.0, 0.0])], "doc long, vec array<float>"
+    )
+    assert idx.upsert(delta) == 1
+    got = {r["doc"] for r in idx.search(q, k=3, nprobe=2,
+                                        n_candidates=8).collect()}
+    assert 999 in got
+    assert os.path.isdir(os.path.join(vt._index_path, "rows"))

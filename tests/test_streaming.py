@@ -682,3 +682,25 @@ def test_sidecar_corrupt_meta_raises_missing_meta_falls_back(tmp_path):
         f.write('{"wrong_key": 4}')
     with _pytest.raises(ValueError, match="corrupt sidecar meta"):
         _sidecar_n_buckets(d, 16)
+
+
+def test_fp_sidecar_bootstrap_on_metadata_only_corpus(spark, tmp_path):
+    """Review finding (r8): _ensure_fp_sidecar gated its bootstrap scan
+    on bare isdir(corpus_dir) — a corpus holding ONLY underscore
+    metadata dirs (claims after a first-batch crash, or a sidecar
+    deleted for rebuild per the corrupt-meta error's remedy) died with
+    a schema-inference error instead of bootstrapping empty."""
+    import os
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_CLAIMS,
+        _FP_SIDECAR,
+        _ensure_fp_sidecar,
+        _read_fp_sidecar,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(os.path.join(corpus, _FP_CLAIMS))  # metadata only, no data
+    sidecar = os.path.join(corpus, _FP_SIDECAR)
+    _ensure_fp_sidecar(spark, corpus, sidecar, "text", 16)  # must not raise
+    assert _read_fp_sidecar(spark, sidecar).count() == 0
