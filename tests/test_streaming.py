@@ -273,6 +273,68 @@ def test_stream_vector_ingest_works_on_compressed_index(spark, tmp_path):
     assert hits == {2, 640_002}  # identical codes -> clone found at rank 1-2
 
 
+def test_stream_vector_ingest_on_maxsim_layout(spark, tmp_path):
+    """stream_vector_ingest is index-agnostic down to the MULTI-vector
+    layout: token-bag delta files stream into a saved MaxSimIndex in
+    >=2 micro-batches (a doc's bag may SPAN batches — bag semantics are
+    additive, so batch-by-batch must equal merge-once), both layout
+    halves grow append-only, and an identically-cloned streamed doc is
+    retrievable with a score bit-equal to its source doc."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    toks = emb.select(F.expr("vec_id DIV 8").alias("doc"), "embedding")
+    idx_path = str(tmp_path / "maxsim")
+    MaxSimIndex.fit(
+        toks, doc_col="doc", vec_col="embedding", n_clusters=4, n_doc_buckets=4
+    ).save(idx_path)
+    idx = MaxSimIndex.load(spark, idx_path)
+    pre_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for half in ("rows", "docs")
+        for dp, _dn, fs in os.walk(os.path.join(idx_path, half))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # identical clones of docs 0-1's bags at fresh ids; 4 part files +
+    # maxFilesPerTrigger=2 -> 2 batches, bags split ACROSS batches
+    delta = toks.filter(F.col("doc") < 2).select(
+        (F.col("doc") + 500_000).alias("doc"), "embedding"
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta.repartition(4).write.parquet(delta_dir)
+    n_rows0, n_docs0 = idx.rows_df().count(), idx.docs_df().count()
+    n_batches = stream_vector_ingest(
+        spark, delta_dir, idx, delta.schema, max_files_per_trigger=2
+    )
+    assert n_batches >= 2
+    assert idx.rows_df().count() == n_rows0 + 16
+    assert idx.docs_df().count() == n_docs0 + 16
+    # append-only: no pre-existing part file of either half rewritten
+    for p, mtime in pre_files.items():
+        assert os.path.getmtime(p) == mtime, p
+    qtoks = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ],
+        "qid long, qvec array<float>",
+    )
+    hits = {
+        r["doc"]: r["score"]
+        for r in idx.search(qtoks, k=4, nprobe=4, n_candidates=16).collect()
+    }
+    assert 500_000 in hits and 0 in hits
+    assert hits[500_000] == hits[0]  # identical bag -> bit-equal score
+
+
 def test_stream_corpus_ingest_dedups_and_replays_idempotent(spark, tmp_path):
     """Dedup-on-ingest contract: verbatim copies of corpus docs never
     append; fresh texts append once even when duplicated inside the
