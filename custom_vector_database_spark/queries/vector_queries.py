@@ -2505,10 +2505,20 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delta corpus (oracle-expressible; the float shift is
 # CAST(CAST(x AS DOUBLE)+0.001 AS FLOAT) on both engines) + ingest_ok
 # certifying batch count, both halves' growth, the streamed near-clone
-# surfacing, and score bit-equality on the pruned/exact overlap.
+# surfacing, and score bit-equality on the pruned/exact overlap. The
+# streamed docs' ids sit at MAX(vec_id)//8 + 1 — derived from the data
+# on BOTH engines, never a constant that could collide with real doc
+# ids at a larger sf (a hardcoded +2M offset DID collide on the 10×
+# sf1 clone, silently merging the delta into an existing bag); the
+# near-clone check probes k=16 so a fixture with exact-copy docs tying
+# ahead of it (the sf1 clone is 10 key-shifted copies) cannot push it
+# out of a top-10 window.
 # ---------------------------------------------------------------------------
+_MAXSIM_STREAM_OFF_DUCK = (
+    f"(SELECT MAX(vec_id) // {_MAXSIM_DOC_TOKS} + 1 FROM embeddings)"
+)
 _MAXSIM_STREAM_DELTA_DUCK = (
-    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + 2000000 AS doc, "
+    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + {_MAXSIM_STREAM_OFF_DUCK} AS doc, "
     "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)) "
     "AS embedding FROM embeddings WHERE vec_id < 16"
 )
@@ -2554,8 +2564,11 @@ def q_stream_maxsim_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = emb.select(
         F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
     )
+    # fresh-doc offset derived from the data (bounded scalar agg), so the
+    # streamed ids can never collide with a real doc at any sf
+    off = emb.agg(F.max("vec_id")).collect()[0][0] // _MAXSIM_DOC_TOKS + 1
     delta = emb.filter(F.col("vec_id") < 16).select(
-        (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + 2_000_000).alias("doc"),
+        (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + F.lit(off)).alias("doc"),
         F.expr(
             "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
         ).alias("embedding"),
@@ -2585,7 +2598,7 @@ def q_stream_maxsim_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pruned = {
             r["doc"]: r["score"]
-            for r in idx.search(qtoks, k=10, nprobe=1,
+            for r in idx.search(qtoks, k=16, nprobe=1,
                                 n_candidates=128).collect()
         }
         exact = (
@@ -2600,7 +2613,7 @@ def q_stream_maxsim_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = (
             n_batches >= 2
             and halves_grew
-            and 2_000_000 in pruned  # the streamed near-clone of the query doc
+            and off in pruned  # the streamed near-clone of the query doc
             and len(overlap) >= 5
             and all(pruned[d] == exact_rows[d] for d in overlap)
         )
