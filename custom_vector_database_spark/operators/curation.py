@@ -57,6 +57,8 @@ __all__ = [
     "bigram_logprob",
     "leakage_safe_split",
     "cap_per_group",
+    "dsir_logweights",
+    "dsir_resample",
 ]
 
 
@@ -599,4 +601,158 @@ def bigram_logprob(
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169) — select raw-pool documents whose hashed-n-gram
+# distribution looks like a TARGET corpus.
+# ---------------------------------------------------------------------------
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights, in exact micro-integer
+    form: ``(id, n_grams, logw_micro)`` with
+    logw_micro = Σ_buckets tf_b · lr_micro(b), where lr_micro(b) =
+    floor(1e6·ln p̂_b) − floor(1e6·ln q̂_b) over add-one-smoothed hashed
+    unigram+bigram bucket distributions (p̂ from ``target``, q̂ from
+    ``raw`` — the paper's bag-of-hashed-ngrams features). High logw =
+    the document looks like the target corpus relative to the pool.
+
+    Determinism (the unigram_logprob convention): ln runs once per
+    BUCKET on exact integer ratios and is floored to an integer, so the
+    per-document aggregation is an exact BIGINT sum — associative,
+    engine-independent, no fixed-order fold needed. The only
+    cross-engine risk is a 1-ulp ln() divergence flipping a floor,
+    odds ~2e-9 per bucket.
+
+    Scale shape: ONE codegen'd tokenize+hash pass per corpus — the raw
+    pass feeds a map-side-combined (id, bucket) tf aggregate (≤ docs ×
+    num_buckets rows, materialized once) from which BOTH the pool
+    distribution q̂ and the per-doc weights roll up; the target pass is
+    a groupBy on ≤``num_buckets`` keys. The num_buckets-row log-ratio
+    table is BROADCAST back (never a shuffled join keyed on the
+    Zipf-skewed bucket). Nothing driver-side except the bucket spine; no
+    vocabulary is ever materialized (that is the point of the hashing
+    trick — the feature space is fixed-width at any corpus size).
+    """
+    from custom_vector_database_spark.operators.text import (
+        md5_prefix_long,
+        positioned_grams,
+    )
+
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    b = num_buckets
+
+    def stream(df: DataFrame, cols: list[str]) -> DataFrame:
+        grams = F.concat(tokenize(text_col), positioned_grams(text_col, 2))
+        return df.select(*cols, F.explode(grams).alias("gram")).select(
+            *cols,
+            (md5_prefix_long("gram", 8) % b).cast("int").alias("bucket"),
+        )
+
+    spark = raw.sparkSession
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    pc = (
+        stream(target, [])
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    pt = pc.agg(F.sum("pc").alias("pc_tot"))
+    # the pool distribution q̂ rolls up from the per-doc tf aggregate —
+    # ONE tokenize+hash pass over the raw corpus feeds both q̂ and the
+    # per-doc weights (tf is the determinism-critical frame either way)
+    tf = (
+        stream(raw, [id_col])
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    qc = tf.groupBy("bucket").agg(F.sum("tf").alias("qc"))
+    qt = qc.agg(F.sum("qc").alias("qc_tot"))
+
+    def log_micro(cnt_col: str, tot_col: str) -> Column:
+        return F.floor(
+            F.log(
+                (F.coalesce(F.col(cnt_col), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col(tot_col), F.lit(0)) + F.lit(float(b)))
+            )
+            * 1e6
+        ).cast("long")
+
+    lr = (
+        spine.join(pc, "bucket", "left")
+        .join(qc, "bucket", "left")
+        .crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "bucket",
+            (log_micro("pc", "pc_tot") - log_micro("qc", "qc_tot")).alias(
+                "lr_micro"
+            ),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("logw_micro"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("logw_micro", F.lit(0)).alias("logw_micro"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's second half: sample ``n`` documents without replacement
+    with probability ∝ exp(logw) via the Gumbel-top-k identity —
+    top-n by logw + Gumbel(0,1), with the Gumbel draw derandomized to
+    g = −ln(−ln(u)), u = (md5_32(salt‖id) + 0.5) / 2³², so the selection
+    is a pure function of the data (reproducible across engines, reruns,
+    and repartitioning — the md5-rank-draw contract of
+    mixture_resample). Returns ``(id, n_grams, logw_micro, key_micro)``
+    nearest-first; key_micro = logw_micro + floor(1e6·g) stays an exact
+    BIGINT so ordering and values are engine-exact. ``n`` ≥ pool size
+    returns the whole pool. The selection itself is one
+    TakeOrderedAndProject — no extra shuffle beyond dsir_logweights."""
+    from custom_vector_database_spark.operators.text import md5_prefix_long
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = dsir_logweights(
+        raw, target, id_col=id_col, text_col=text_col, num_buckets=num_buckets
+    )
+    u = (
+        md5_prefix_long(
+            F.concat(F.lit(salt), F.col(id_col).cast("string")), 8
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    g_micro = F.floor(-F.log(-F.log(u)) * 1e6).cast("long")
+    return (
+        w.withColumn("key_micro", F.col("logw_micro") + g_micro)
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(n)
     )

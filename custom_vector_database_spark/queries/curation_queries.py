@@ -845,3 +845,82 @@ def q_corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(stage(seqs, "5_packed", tok_col="tokens"))
     )
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al., NeurIPS 2023): pick the non-English
+# pool docs whose hashed unigram+bigram distribution best matches the
+# English target corpus, importance-resampled via deterministic
+# Gumbel-top-n. Everything is exact BIGINT arithmetic (the
+# unigram_logprob micro-integer convention: ln runs once per BUCKET /
+# once per doc on exact inputs and is floored, so the per-doc sums and
+# the selection key are engine-exact — no float columns in the output).
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 32
+_DSIR_N = 40
+_DSIR_GRAMS = (
+    "toks || CASE WHEN len(toks) >= 2 THEN list_transform("
+    "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+_DSIR_BUCKET = (
+    "CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) "
+    f"% {_DSIR_BUCKETS} AS INT)"
+)
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH rawd AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+    tgt AS (SELECT text FROM documents WHERE lang = 'en'),
+    rg AS (
+      SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM rawd)),
+    tg AS (
+      SELECT unnest({_DSIR_GRAMS}) AS gram
+      FROM (SELECT {_DUCK_TOKS.format(c="text")} AS toks FROM tgt)),
+    rb AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM rg),
+    tb AS (SELECT {_DSIR_BUCKET} AS bucket FROM tg),
+    qc AS (SELECT bucket, COUNT(*) AS c FROM rb GROUP BY bucket),
+    pc AS (SELECT bucket, COUNT(*) AS c FROM tb GROUP BY bucket),
+    qt AS (SELECT COUNT(*) AS t FROM rb),
+    pt AS (SELECT COUNT(*) AS t FROM tb),
+    lr AS (
+      SELECT s.bucket,
+             CAST(floor(1e6 * ln((COALESCE(pc.c, 0) + 1.0)
+                                 / (pt.t + {_DSIR_BUCKETS}.0)))
+                  - floor(1e6 * ln((COALESCE(qc.c, 0) + 1.0)
+                                   / (qt.t + {_DSIR_BUCKETS}.0)))
+                  AS BIGINT) AS lr_micro
+      FROM (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS bucket) s
+      LEFT JOIN pc ON s.bucket = pc.bucket
+      LEFT JOIN qc ON s.bucket = qc.bucket
+      CROSS JOIN pt CROSS JOIN qt),
+    tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM rb
+           GROUP BY doc_id, bucket),
+    w AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+                 CAST(SUM(tf * lr_micro) AS BIGINT) AS logw_micro
+          FROM tf JOIN lr USING (bucket) GROUP BY doc_id),
+    pool AS (
+      SELECT r.doc_id, COALESCE(w.n_grams, 0) AS n_grams,
+             COALESCE(w.logw_micro, 0) AS logw_micro
+      FROM rawd r LEFT JOIN w ON r.doc_id = w.doc_id),
+    keyed AS (
+      SELECT *,
+             logw_micro + CAST(floor(1e6 * -ln(-ln(
+               (CAST(concat('0x', substr(md5(concat('dsir',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0))) AS BIGINT) AS key_micro
+      FROM pool)
+    SELECT doc_id, n_grams, logw_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT {_DSIR_N}
+    """,
+)
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en").select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("text")
+    return cu.dsir_resample(
+        raw, target, n=_DSIR_N, num_buckets=_DSIR_BUCKETS, salt="dsir"
+    )

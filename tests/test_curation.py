@@ -511,3 +511,73 @@ def test_bigram_logprob_semantics(spark):
     assert rows[2]["n_bigrams"] == 1 and rows[2]["lp_micro_sum"] == lp_ab
     assert rows[3]["n_bigrams"] == 0 and rows[3]["lp_micro_sum"] == 0
     assert rows[2]["avg_logprob"] > rows[1]["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# dsir_logweights / dsir_resample
+# ---------------------------------------------------------------------------
+def test_dsir_identical_corpora_gives_zero_weights(spark):
+    """target == raw -> p̂ == q̂ exactly, so every bucket's log-ratio
+    (and hence every document's logw_micro) is EXACTLY zero — the
+    selection degenerates to the pure Gumbel draw."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    w = cu.dsir_logweights(docs, docs.select("text"), num_buckets=16)
+    assert [r["logw_micro"] for r in w.collect()] == [0] * 8
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(f"alpha bravo charlie delta echo {i}",) for i in range(20)],
+        "text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo")]
+        + [(i, "zulu yankee xray whiskey victor") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in cu.dsir_logweights(raw, target, num_buckets=64).collect()
+    }
+    # the target-like doc outranks every pool-typical doc on raw weight
+    assert all(w[0] > w[i] for i in range(1, 6))
+    # and survives resampling at n=1 (its weight gap dominates the Gumbel)
+    sel = cu.dsir_resample(raw, target, n=1, num_buckets=64).collect()
+    assert [r["doc_id"] for r in sel] == [0]
+
+
+def test_dsir_resample_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"token{i} filler words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = docs.select("text")
+    a = cu.dsir_resample(docs, target, n=4).collect()
+    b = cu.dsir_resample(docs, target, n=4).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 4
+    # n >= pool returns the whole pool
+    assert cu.dsir_resample(docs, target, n=100).count() == 10
+    # a different salt draws a different Gumbel ordering key
+    c = cu.dsir_resample(docs, target, n=4, salt="other").collect()
+    assert [r["key_micro"] for r in c] != [r["key_micro"] for r in a]
+    with pytest.raises(ValueError, match="n must be positive"):
+        cu.dsir_resample(docs, target, n=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        cu.dsir_logweights(docs, target, num_buckets=0)
+
+
+def test_dsir_empty_text_doc_kept_with_zero_weight(spark):
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "alpha beta")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([("alpha beta",)], "text string")
+    w = {
+        r["doc_id"]: (r["n_grams"], r["logw_micro"])
+        for r in cu.dsir_logweights(raw, target).collect()
+    }
+    assert w[1] == (0, 0)  # no grams -> neutral weight, still selectable
+    assert w[2][0] == 3  # 2 unigrams + 1 bigram

@@ -482,3 +482,19 @@ def test_maxsim_pruned_probes_saved_layout_partitions(spark):
     gplan = g._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*?dbkt#\d+ IN \(", gplan), gplan
     assert re.search(r"PushedFilters: \[.*?In\(doc", gplan), gplan
+
+
+def test_dsir_select_is_broadcast_ratio_heap_topn(spark):
+    """DSIR's physical shape: the bucket log-ratio table is BROADCAST to
+    the (doc, bucket) tf aggregate (never a shuffled join keyed on the
+    Zipf-skewed bucket), the only nested-loop joins are against one-row
+    total aggregates, and the final selection is a heap top-n, not a
+    global sort."""
+    plan = _plan(spark, "dsir_select_docs")
+    assert "TakeOrderedAndProject(limit=40" in plan
+    assert "BroadcastHashJoin [bucket" in plan
+    # the per-doc weight aggregate is map-side combined
+    assert "partial_sum" in plan
+    # no shuffled join keyed on bucket anywhere
+    assert "SortMergeJoin [bucket" not in plan
+    assert "ShuffledHashJoin [bucket" not in plan
