@@ -38,6 +38,10 @@ __all__ = [
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "cross_corpus_contamination",
+    "minhash_perm_consts",
+    "with_minhash_sig",
+    "sig_band_structs",
+    "sig_agreement",
 ]
 
 
@@ -719,4 +723,115 @@ def sign_band_neardup_pairs(
             cos_dist.alias("cos_dist"),
             (cos_dist <= max_cos_dist).alias("is_near"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine-reproducible MinHash signatures (the streaming near-dup sidecar's
+# signature scheme; unlike MLlib's MinHashLSH, whose seeded murmur hashes
+# are engine-private, every value here is md5 + integer arithmetic a SQL
+# oracle recomputes exactly).
+# ---------------------------------------------------------------------------
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1: h,a < P keeps h*a+b < 2^62
+
+def minhash_perm_consts(n_perms: int) -> list[tuple[int, int]]:
+    """Fixed affine-permutation constants (a_j, b_j), a_j != 0, shared
+    verbatim by the Spark expression and the DuckDB oracle."""
+    return [
+        (((j + 1) * 2_654_435_761) % MINHASH_P or 1, ((j + 1) * 40_503) % MINHASH_P)
+        for j in range(n_perms)
+    ]
+
+
+def with_minhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    n_perms: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append a MinHash signature column (array<long> length ``n_perms``,
+    NULL when the document has fewer than ``shingle_n`` tokens):
+    component j = MIN over distinct word shingles of
+    (a_j · h + b_j) mod P, h = first-15-hex(md5(shingle)) mod P.
+
+    One md5 per shingle (materialized as an intermediate column so the
+    n_perms affine maps reuse it instead of re-hashing), then n_perms
+    cheap integer transforms — all codegen, no UDF. Docs shorter than a
+    shingle get a NULL signature: they can never be NEAR-duplicates
+    (no shingle evidence), only exact ones (fingerprint path)."""
+    hs_col = f"__mh_hs_{out_col}"
+    hs = F.transform(
+        shingles(text_col, shingle_n),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        ),
+    )
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+
+    comps = [
+        F.array_min(F.transform(F.col(hs_col), _affine(a, b)))
+        for a, b in minhash_perm_consts(n_perms)
+    ]
+    return (
+        df.withColumn(hs_col, hs)
+        .withColumn(
+            out_col,
+            F.when(F.size(hs_col) > 0, F.array(*comps)).otherwise(
+                F.lit(None).cast("array<long>")
+            ),
+        )
+        .drop(hs_col)
+    )
+
+
+def sig_band_structs(sig_col: Column | str, n_perms: int, n_bands: int) -> Column:
+    """LSH band hashes of a MinHash signature: array<struct<band:int,
+    bh:bigint>> with bh = first-15-hex(md5('_'-joined band components)) —
+    the '_' join in component order makes the band key a pure string
+    function both engines compute identically. NULL signature -> empty
+    array (short docs emit no bands)."""
+    if n_perms % n_bands:
+        raise ValueError("n_perms must divide evenly into n_bands")
+    r = n_perms // n_bands
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(c, b * r + i + 1).cast("string")
+                                for i in range(r)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    return F.when(c.isNotNull(), F.array(*bands)).otherwise(
+        F.array().cast("array<struct<band:int,bh:bigint>>")
+    )
+
+
+def sig_agreement(a: Column | str, b: Column | str) -> Column:
+    """Number of equal components between two equal-length signatures —
+    the unbiased Jaccard estimator's numerator (matches/n_perms ≈ J)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.size(
+        F.filter(F.zip_with(ca, cb, lambda x, y: x == y), lambda m: m)
     )

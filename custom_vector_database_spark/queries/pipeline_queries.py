@@ -1459,3 +1459,167 @@ def q_corpus_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup ingest (streaming/stream_ops.stream_corpus_neardup_
+# ingest — the fuzzy sibling of stream_corpus_ingest, backed by the
+# two-frame minhash sidecar). Delta: 5 verbatim copies (exact-dropped),
+# 5 single-token-appended near-copies + 1 intra-delta exact duplicate of
+# one of them (dropped iff an LSH band collides with a corpus doc AND the
+# signatures agree on >= 8/16 components — the oracle RECOMPUTES that
+# decision from the same md5 arithmetic rather than assuming it), and 5
+# per-doc-distinct fresh texts built from md5 hex tokens (kept; md5-built
+# so the construction is engine-identical and shares no shingles across
+# docs). Contract = fingerprint-set equality, same as stream_corpus_ingest.
+# ---------------------------------------------------------------------------
+def _mh_oracle_cte(src: str, pfx: str) -> str:
+    """Signature + band CTEs over ``src`` (a CTE with doc_id, text) —
+    the DuckDB twin of operators/dedup.with_minhash_sig +
+    sig_band_structs, emitting {pfx}m (doc_id, j, c) and {pfx}b
+    (doc_id, band, bh)."""
+    from custom_vector_database_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+    )
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    sh = (
+        "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+        "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' "
+        "|| toks[i+2])) ELSE [] END"
+    )
+    vals = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_perm_consts(16))
+    )
+    return f"""
+    {pfx}t AS (SELECT doc_id, {toks} AS toks FROM {src}),
+    {pfx}s AS (SELECT doc_id, unnest({sh}) AS sh FROM {pfx}t),
+    {pfx}h AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                        % {MINHASH_P} AS h
+               FROM {pfx}s),
+    {pfx}m AS (SELECT doc_id, j, MIN((h * a + b) % {MINHASH_P}) AS c
+               FROM {pfx}h CROSS JOIN (VALUES {vals}) perms(j, a, b)
+               GROUP BY doc_id, j),
+    {pfx}b AS (SELECT doc_id, j // 4 AS band,
+                      CAST(concat('0x', substr(md5(
+                        string_agg(CAST(c AS VARCHAR), '_' ORDER BY j)
+                      ), 1, 15)) AS BIGINT) AS bh
+               FROM {pfx}m GROUP BY doc_id, j // 4)"""
+
+
+_NEARDUP_DELTA_DUCK = """
+    delta AS (
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000000000, text || ' zz'
+      FROM documents WHERE doc_id >= 10 AND doc_id < 15
+      UNION ALL
+      SELECT doc_id + 4000000000, text || ' zz'
+      FROM documents WHERE doc_id = 12
+      UNION ALL
+      SELECT doc_id + 3000000000,
+             'fresh ' || md5(text) || ' ' || md5(text || '1') || ' '
+               || md5(text || '2')
+      FROM documents WHERE doc_id >= 20 AND doc_id < 25)"""
+
+
+@register(
+    "stream_neardup_ingest",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_NEARDUP_DELTA_DUCK},
+    {_mh_oracle_cte("corpus", "c")},
+    {_mh_oracle_cte("delta", "d")},
+    cand AS (
+      SELECT DISTINCT db.doc_id AS did, cb.doc_id AS cid
+      FROM db JOIN cb ON db.band = cb.band AND db.bh = cb.bh),
+    agree AS (
+      SELECT cand.did, cand.cid, COUNT(*) AS m
+      FROM cand
+      JOIN dm ON dm.doc_id = cand.did
+      JOIN cm ON cm.doc_id = cand.cid AND cm.j = dm.j AND cm.c = dm.c
+      GROUP BY cand.did, cand.cid),
+    dropped AS (SELECT DISTINCT did FROM agree WHERE m >= 8),
+    cfps AS (SELECT {_FP_DUCK.format(t="text")} AS fp FROM corpus),
+    kept AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM delta
+      WHERE doc_id NOT IN (SELECT did FROM dropped)
+        AND {_FP_DUCK.format(t="text")} NOT IN (SELECT fp FROM cfps)),
+    final AS (SELECT fp FROM cfps UNION ALL SELECT fp FROM kept)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct_fp,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS ingest_ok
+    FROM final
+    """,
+)
+def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cvdb_neardup_ingest_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        copies = docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        near = (
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+        )
+        intra_exact = near.filter(
+            F.col("doc_id") == 2_000_000_012
+        ).withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+        fresh = (
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+            .withColumn("doc_id", F.col("doc_id") + 3_000_000_000)
+            .withColumn(
+                "text",
+                F.concat(
+                    F.lit("fresh "),
+                    F.md5("text"),
+                    F.lit(" "),
+                    F.md5(F.concat(F.col("text"), F.lit("1"))),
+                    F.lit(" "),
+                    F.md5(F.concat(F.col("text"), F.lit("2"))),
+                ),
+            )
+        )
+        delta = copies.unionByName(near).unionByName(intra_exact).unionByName(
+            fresh
+        )
+        # 4 part files + maxFilesPerTrigger=2 -> two micro-batches
+        delta.repartition(4).write.parquet(delta_dir)
+        n_batches = stream_corpus_neardup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col("text")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        cksum = _fp_checksum_agg(final.select("fp"))
+        return (
+            final.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("fp").alias("n_distinct_fp"),
+            )
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

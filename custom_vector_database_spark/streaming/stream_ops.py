@@ -30,6 +30,7 @@ __all__ = [
     "stream_purchase_click_join",
     "run_stream_to_memory",
     "stream_corpus_ingest",
+    "stream_corpus_neardup_ingest",
     "compact_fp_sidecar",
 ]
 
@@ -856,4 +857,419 @@ def stream_corpus_ingest(
         )
 
     _drive_bounded_stream(spark, start, "corpus_ingest", timeout, None)
+    return n_batches
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate corpus ingest: the fuzzy sibling of
+# stream_corpus_ingest. Exact dedup-on-ingest misses the dominant
+# real-crawl duplicate class (boilerplate variants, re-dated reposts), so
+# this verb keeps a MINHASH SIDECAR next to the fingerprint idea: two
+# compact frames under corpus_dir —
+#   _mh_sigs : (fp, sig array<long>, batch_id, fpb)   partitioned by fp prefix
+#   _mh_bands: (band, bh, fp, batch_id, bhb)          partitioned by bh % n
+# and drops an arriving document iff it is an exact fingerprint match OR a
+# band-collision candidate whose signature agreement >= min_agree (the
+# standard two-stage LSH decision, computed ENTIRELY from the sidecar: the
+# corpus text is never read in steady state, so probe I/O is sidecar bytes
+# over the batch's buckets — corpus-width-independent, the same bound the
+# exact sidecar proved). All signature arithmetic is the engine-reproducible
+# operators/dedup.with_minhash_sig scheme, so a SQL oracle can recompute
+# every drop decision exactly.
+# ---------------------------------------------------------------------------
+_MH_SIGS = "_mh_sigs"
+_MH_BANDS = "_mh_bands"
+_MH_CLAIMS = "_mh_claims"
+
+
+def _read_mh_sigs(spark: SparkSession, d: str):
+    return spark.read.schema(
+        "fp string, sig array<bigint>, batch_id long, fpb long"
+    ).parquet(d)
+
+
+def _read_mh_bands(spark: SparkSession, d: str):
+    return spark.read.schema(
+        "band int, bh long, fp string, batch_id long, bhb long"
+    ).parquet(d)
+
+
+def _mh_encode(
+    df: DataFrame, text_col: str, n_perms: int, n_bands: int
+) -> DataFrame:
+    """(__fp, __sig, __bands) columns appended — the shared encode of
+    bootstrap and per-batch ingest (ONE definition so the probe always
+    hashes exactly like the sidecar it probes)."""
+    from custom_vector_database_spark.operators.dedup import (
+        sig_band_structs,
+        with_minhash_sig,
+    )
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+
+    out = with_minhash_sig(
+        df.withColumn("__fp", fingerprint_md5(F.col(text_col))),
+        text_col=text_col,
+        out_col="__sig",
+        n_perms=n_perms,
+    )
+    return out.withColumn(
+        "__bands", sig_band_structs("__sig", n_perms, n_bands)
+    )
+
+
+def _mh_sig_rows(enc: DataFrame, batch_id: int, n_buckets: int) -> DataFrame:
+    return enc.select(
+        F.col("__fp").alias("fp"),
+        F.col("__sig").alias("sig"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        _corpus_fp_bucket(F.col("__fp"), n_buckets).alias("fpb"),
+    )
+
+
+def _mh_band_rows(enc: DataFrame, batch_id: int, n_buckets: int) -> DataFrame:
+    b = enc.select("__fp", F.explode("__bands").alias("b"))
+    return b.select(
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+        F.col("__fp").alias("fp"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        (F.pmod(F.col("b.bh"), F.lit(n_buckets))).cast("long").alias("bhb"),
+    )
+
+
+def _ensure_mh_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    text_col: str,
+    n_perms: int,
+    n_bands: int,
+    n_buckets: int,
+) -> None:
+    """One-time bootstrap of BOTH minhash sidecar frames from a single
+    corpus scan, tmp-then-rename per frame with the SIGS rename LAST as
+    the commit point: a crash after the bands rename leaves sigs missing,
+    and the next ensure rebuilds both (deleting the orphan bands dir), so
+    a partial bootstrap can never serve probes. A sigs frame without a
+    bands frame (crash between the two renames of a future compaction)
+    rebuilds bands FROM the sigs frame — no corpus scan."""
+    import os
+    import shutil
+
+    sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
+    bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    if os.path.isdir(sigs_dir) and os.path.isdir(bands_dir):
+        return
+    from custom_vector_database_spark.operators.dedup import sig_band_structs
+
+    tmp_b = bands_dir + "_tmp"
+    if os.path.isdir(sigs_dir):
+        # bands missing only: re-derive from the signature frame
+        n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+        # carry each row's ORIGINAL batch_id so a concurrent crashed
+        # batch's recovery still recognizes its own claimed rows
+        sigs = _read_mh_sigs(spark, sigs_dir)
+        rebuilt = sigs.select(
+            F.explode(sig_band_structs("sig", n_perms, n_bands)).alias("b"),
+            "fp",
+            "batch_id",
+        ).select(
+            F.col("b.band").alias("band"),
+            F.col("b.bh").alias("bh"),
+            "fp",
+            "batch_id",
+            F.pmod(F.col("b.bh"), F.lit(n_buckets)).cast("long").alias("bhb"),
+        )
+        if os.path.isdir(tmp_b):
+            shutil.rmtree(tmp_b)
+        rebuilt.write.partitionBy("bhb").parquet(tmp_b)
+        _write_sidecar_meta(tmp_b, n_buckets)
+        if os.path.isdir(bands_dir):
+            shutil.rmtree(bands_dir)
+        os.rename(tmp_b, bands_dir)
+        return
+    if os.path.isdir(bands_dir):  # orphan: sigs is the commit marker
+        shutil.rmtree(bands_dir)
+    if _corpus_has_data(corpus_dir):
+        # one doc per fingerprint: identical normalized text => identical
+        # signature, so any representative carries the right sig
+        corpus = spark.read.parquet(corpus_dir)
+        enc = (
+            _mh_encode(corpus, text_col, n_perms, n_bands)
+            .select("__fp", "__sig", "__bands")
+            .dropDuplicates(["__fp"])
+        )
+    else:
+        enc = spark.createDataFrame(
+            [],
+            "__fp string, __sig array<bigint>, "
+            "__bands array<struct<band:int,bh:bigint>>",
+        )
+    enc = enc.localCheckpoint(eager=True)  # two writers below share it
+    tmp_s = sigs_dir + "_tmp"
+    for t in (tmp_s, tmp_b):
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+    _mh_band_rows(enc, -1, n_buckets).write.partitionBy("bhb").parquet(tmp_b)
+    _write_sidecar_meta(tmp_b, n_buckets)
+    _mh_sig_rows(enc, -1, n_buckets).write.partitionBy("fpb").parquet(tmp_s)
+    _write_sidecar_meta(tmp_s, n_buckets)
+    os.rename(tmp_b, bands_dir)
+    os.rename(tmp_s, sigs_dir)  # commit point
+
+
+def corpus_neardup_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perms: int = 16,
+    n_bands: int = 4,
+    min_agree: int = 8,
+    n_buckets: int = 16,
+) -> int:
+    """Apply ONE near-dup-on-ingest micro-batch against the minhash
+    sidecar. A document is dropped iff (a) its fingerprint already exists
+    (exact), or (b) some LSH band collides with a sidecar row AND the two
+    signatures agree on >= ``min_agree`` of ``n_perms`` components (the
+    estimator: matches/n_perms ≈ Jaccard, so min_agree=8/16 ≈ J>=0.5).
+    Within a batch, the same decision runs pairwise with the smaller
+    ``id_col`` surviving (dedup_keep_min's documented one-hop semantics:
+    chains may keep an extra representative). Steady state reads ONLY the
+    two bucket-pruned sidecar frames — never the corpus.
+
+    Crash safety mirrors corpus_ingest_apply_batch: write-ahead claim ->
+    sigs append -> bands append -> corpus append; a replayed batch probes
+    with its own batch_id rows excluded (recomputing the identical
+    survivor set), anti-joins its claimed rows per frame, and reconciles
+    the corpus append against one corpus fingerprint scan — so recovery
+    re-applies exactly the missing pieces. Returns docs appended."""
+    import os
+
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.operators.dedup import sig_agreement
+
+    sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
+    bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
+    claim = os.path.join(claims_dir, f"claim_{batch_id}")
+    recovering = os.path.exists(claim)
+    n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    enc = (
+        _mh_encode(batch, text_col, n_perms, n_bands)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .localCheckpoint(eager=True)  # fp+sig+bands computed once; the
+        # exact probe, candidate join, verify join, intra-batch pass, and
+        # both sidecar appends all reuse it
+    )
+    sig_side = _read_mh_sigs(spark, sigs_dir)
+    band_side = _read_mh_bands(spark, bands_dir)
+    if recovering:
+        sig_side = sig_side.filter(F.col("batch_id") != batch_id)
+        band_side = band_side.filter(F.col("batch_id") != batch_id)
+
+    # (a) exact: bucket-pruned fingerprint anti-join (<= n_buckets values)
+    fpbs = [
+        r["fpb"]
+        for r in enc.select(
+            _corpus_fp_bucket(F.col("__fp"), n_buckets).alias("fpb")
+        )
+        .distinct()
+        .collect()
+    ]
+    exact_fps = sig_side.filter(F.col("fpb").isin(fpbs)).select(
+        F.col("fp").alias("__fp")
+    )
+    s1 = enc.join(exact_fps, "__fp", "left_anti")
+
+    # (b) near vs corpus: band candidates from the bucket-pruned bands
+    # frame, verified by signature agreement from the bucket-pruned sigs
+    # frame — both prunes are bounded collects (<= n_buckets values each)
+    bb = s1.select("__fp", "__sig", F.explode("__bands").alias("b")).select(
+        "__fp",
+        "__sig",
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    bhbs = [
+        r["bhb"]
+        for r in bb.select(
+            F.pmod(F.col("bh"), F.lit(n_buckets)).alias("bhb")
+        )
+        .distinct()
+        .collect()
+    ]
+    cand = (
+        bb.join(
+            band_side.filter(F.col("bhb").isin(bhbs)).select(
+                "band", "bh", F.col("fp").alias("__cfp")
+            ),
+            ["band", "bh"],
+        )
+        .select("__fp", "__sig", "__cfp")
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded: batch docs x their collisions
+    )
+    cfpbs = [
+        r["fpb"]
+        for r in cand.select(
+            _corpus_fp_bucket(F.col("__cfp"), n_buckets).alias("fpb")
+        )
+        .distinct()
+        .collect()
+    ]
+    near_fps = (
+        cand.join(
+            sig_side.filter(F.col("fpb").isin(cfpbs)).select(
+                F.col("fp").alias("__cfp"), F.col("sig").alias("__csig")
+            ),
+            "__cfp",
+        )
+        .filter(sig_agreement("__sig", "__csig") >= min_agree)
+        .select("__fp")
+        .distinct()
+    )
+    s2 = s1.join(near_fps, "__fp", "left_anti")
+
+    # (c) near within the batch: keep-min-id over verified band collisions
+    bb2 = bb.join(s2.select("__fp"), "__fp", "left_semi").join(
+        s2.select("__fp", F.col(id_col).alias("__id")), "__fp"
+    )
+    intra_victims = (
+        bb2.alias("x")
+        .join(
+            bb2.select(
+                F.col("band"),
+                F.col("bh"),
+                F.col("__fp").alias("__vfp"),
+                F.col("__sig").alias("__vsig"),
+                F.col("__id").alias("__vid"),
+            ).alias("y"),
+            ["band", "bh"],
+        )
+        .filter(F.col("x.__id") < F.col("__vid"))
+        .select(F.col("x.__sig").alias("__ksig"), "__vfp", "__vsig")
+        .distinct()
+        .filter(sig_agreement("__ksig", "__vsig") >= min_agree)
+        .select(F.col("__vfp").alias("__fp"))
+        .distinct()
+    )
+    survivors = s2.join(intra_victims, "__fp", "left_anti")
+    if recovering:
+        from custom_vector_database_spark.operators.text import fingerprint_md5
+
+        if _corpus_has_data(corpus_dir):
+            corpus_fps = (
+                spark.read.parquet(corpus_dir)
+                .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+                .distinct()
+            )
+        else:
+            corpus_fps = spark.createDataFrame([], "__fp string")
+        survivors = survivors.join(corpus_fps, "__fp", "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)  # before the appends
+    n_new = survivors.count()
+    if n_new:
+        os.makedirs(claims_dir, exist_ok=True)
+        with open(claim, "a"):
+            pass  # write-ahead: claim before any append
+        new_sigs = _mh_sig_rows(survivors, batch_id, n_buckets)
+        new_bands = _mh_band_rows(survivors, batch_id, n_buckets)
+        if recovering:
+            claimed_s = _read_mh_sigs(spark, sigs_dir).filter(
+                F.col("batch_id") == batch_id
+            ).select("fp")
+            new_sigs = new_sigs.join(claimed_s, "fp", "left_anti")
+            claimed_b = _read_mh_bands(spark, bands_dir).filter(
+                F.col("batch_id") == batch_id
+            ).select("band", "fp")
+            new_bands = new_bands.join(claimed_b, ["band", "fp"], "left_anti")
+        new_sigs.write.mode("append").partitionBy("fpb").parquet(sigs_dir)
+        new_bands.write.mode("append").partitionBy("bhb").parquet(bands_dir)
+        survivors.drop("__fp", "__sig", "__bands").write.mode("append").parquet(
+            corpus_dir
+        )
+    return n_new
+
+
+def stream_corpus_neardup_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    corpus_dir: str,
+    doc_schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+    n_perms: int = 16,
+    n_bands: int = 4,
+    min_agree: int = 8,
+    n_buckets: int = 16,
+) -> int:
+    """Continuous corpus ingestion with NEAR-dup-on-ingest (see
+    corpus_neardup_apply_batch for the decision rule and crash story) —
+    the streaming form of minhash dedup, exactly as stream_corpus_ingest
+    is the streaming form of dedup_exact_docs. Returns micro-batches
+    applied this call. Same at-least-once idempotence machinery as
+    stream_corpus_ingest (applied-batch marker + write-ahead claims)."""
+    import json as _json
+    import os
+
+    n_batches = 0
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    applied_path = os.path.join(delta_dir, "_applied_batches.json")
+    claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
+    _ensure_mh_sidecar(spark, corpus_dir, text_col, n_perms, n_bands, n_buckets)
+
+    def _applied() -> set[int]:
+        try:
+            with open(applied_path) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch.isEmpty():
+            return
+        claim = os.path.join(claims_dir, f"claim_{batch_id}")
+        done = _applied()
+        if batch_id in done:
+            if os.path.exists(claim):
+                os.remove(claim)
+            return
+        corpus_neardup_apply_batch(
+            spark, batch, batch_id, corpus_dir,
+            id_col=id_col, text_col=text_col, n_perms=n_perms,
+            n_bands=n_bands, min_agree=min_agree, n_buckets=n_buckets,
+        )
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, applied_path)
+        if os.path.exists(claim):
+            os.remove(claim)
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(delta_dir)
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_bounded_stream(spark, start, "corpus_neardup_ingest", timeout, None)
     return n_batches

@@ -766,3 +766,208 @@ def test_fp_sidecar_bootstrap_on_metadata_only_corpus(spark, tmp_path):
     sidecar = os.path.join(corpus, _FP_SIDECAR)
     _ensure_fp_sidecar(spark, corpus, sidecar, "text", 16)  # must not raise
     assert _read_fp_sidecar(spark, sidecar).count() == 0
+
+
+def test_stream_corpus_neardup_ingest_drops_near_and_exact(spark, tmp_path):
+    """Near-dup-on-ingest contract: verbatim copies drop on the exact
+    fingerprint path, single-token-appended near-copies drop on the
+    band-candidate + signature-agreement path, genuinely fresh texts
+    append — and a crash-replay (fresh checkpoint, kept sidecars)
+    applies zero batches and changes nothing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    n0 = docs.count()
+    copies = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    near = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    )
+    # reversed text: per-doc-distinct garbage shingles — no overlap with
+    # the corpus OR with each other (a shared fresh-text template would
+    # make the fresh docs near-dups of one another)
+    fresh = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 30_000)
+        .withColumn("text", F.reverse(F.col("text")))
+    )
+    copies.unionByName(near).unionByName(fresh).repartition(4).write.parquet(
+        delta
+    )
+    n_batches = stream_corpus_neardup_ingest(
+        spark, delta, corpus, doc_schema=docs.schema
+    )
+    assert n_batches >= 2
+    final = spark.read.parquet(corpus)
+    assert final.count() == n0 + 3
+    assert final.filter(F.col("doc_id") >= 30_000).count() == 3
+
+    shutil.rmtree(str(tmp_path / "delta" / "_ckpt"))
+    again = stream_corpus_neardup_ingest(
+        spark, delta, corpus, doc_schema=docs.schema
+    )
+    assert again == 0
+    assert spark.read.parquet(corpus).count() == n0 + 3
+
+
+def test_neardup_ingest_intra_batch_keeps_min_id(spark, tmp_path):
+    """Two near-dup FRESH docs arriving in the same micro-batch resolve
+    by keep-min-id (the dedup_keep_min convention); short no-shingle docs
+    get NULL signatures and are never near-dropped."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    base = docs.limit(1).select(F.reverse(F.col("text")).alias("t"))
+    pair = base.select(
+        F.lit(100).cast("long").alias("doc_id"),
+        F.col("t").alias("text"),
+    ).unionByName(
+        base.select(
+            F.lit(200).cast("long").alias("doc_id"),
+            F.concat(F.col("t"), F.lit(" qq")).alias("text"),
+        )
+    )
+    tiny = spark.createDataFrame(
+        [(300, "zq xv")], "doc_id long, text string"
+    )  # < 3 tokens: NULL signature, kept via the exact path only
+    full = pair.unionByName(tiny)
+    # align schemas with the corpus docs (extra columns nulled)
+    for c in docs.columns:
+        if c not in full.columns:
+            full = full.withColumn(c, F.lit(None).cast(docs.schema[c].dataType))
+    full.select(docs.columns).coalesce(1).write.parquet(delta)
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    final = spark.read.parquet(corpus)
+    kept = {r["doc_id"] for r in final.filter(F.col("doc_id") >= 100).collect()}
+    assert kept == {100, 300}  # 200 lost to 100; the tiny doc survives
+
+
+def test_neardup_probe_never_reads_corpus(spark, tmp_path):
+    """The minhash sidecar inherits the fingerprint sidecar's scale
+    contract: steady-state probes (exact AND near) read only the two
+    sidecar frames — proven by garbaging every corpus part file and
+    ingesting a second delta on top."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000).write.parquet(
+        delta
+    )
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+
+    part_files = glob.glob(corpus + "/part-*.parquet")
+    assert part_files
+    saved = str(tmp_path / "saved")
+    shutil.copytree(corpus, saved)
+    for p in part_files:
+        with open(p, "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    nxt = (
+        docs.limit(2)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" vv")))  # near
+        .unionByName(
+            docs.limit(1)
+            .withColumn("doc_id", F.col("doc_id") + 40_000)
+            .withColumn("text", F.reverse(F.col("text")))  # fresh
+        )
+    )
+    nxt.repartition(2).write.mode("append").parquet(delta)
+    n = stream_corpus_neardup_ingest(
+        spark, delta, corpus, doc_schema=docs.schema
+    )
+    assert n >= 1
+    for p in part_files:
+        shutil.copyfile(saved + "/" + p.rsplit("/", 1)[1], p)
+    final = spark.read.parquet(corpus)
+    assert final.count() == 20 + 1  # near-copies dropped over garbage bytes
+    assert final.filter(F.col("doc_id") >= 40_000).count() == 1
+
+
+def test_neardup_crash_replay_heals_partial_appends(spark, tmp_path):
+    """Crash between the sidecar appends and the corpus append: the
+    hand-built post-crash state has batch 7's rows in the SIGS frame and
+    its claim marker present, but neither bands nor corpus rows. Replay
+    must re-append exactly the missing pieces (bands + corpus), not
+    duplicate sigs; a second replay changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_BANDS,
+        _MH_CLAIMS,
+        _MH_SIGS,
+        _ensure_mh_sidecar,
+        _mh_encode,
+        _mh_sig_rows,
+        _read_mh_bands,
+        _read_mh_sigs,
+        corpus_neardup_apply_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(15)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    bands_dir = os.path.join(corpus, _MH_BANDS)
+
+    batch = (
+        docs.limit(4)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.reverse(F.col("text")))
+    )
+    enc = _mh_encode(batch, "text", 16, 4).dropDuplicates(["__fp"])
+    _mh_sig_rows(enc, 7, 16).write.mode("append").partitionBy("fpb").parquet(
+        sigs_dir
+    )
+    claims = os.path.join(corpus, _MH_CLAIMS)
+    os.makedirs(claims, exist_ok=True)
+    open(os.path.join(claims, "claim_7"), "a").close()
+
+    n_sigs_crash = _read_mh_sigs(spark, sigs_dir).count()
+    n = corpus_neardup_apply_batch(spark, batch, 7, corpus)
+    assert n == 4
+    final = spark.read.parquet(corpus)
+    assert final.filter(F.col("doc_id") >= 50_000).count() == 4
+    assert _read_mh_sigs(spark, sigs_dir).count() == n_sigs_crash  # no dup
+    assert (
+        _read_mh_bands(spark, bands_dir)
+        .filter(F.col("batch_id") == 7)
+        .count()
+        == 4 * 4
+    )
+    # second replay (crashed-after-everything shape): fully idempotent
+    n2 = corpus_neardup_apply_batch(spark, batch, 7, corpus)
+    assert n2 == 0
+    assert spark.read.parquet(corpus).filter(
+        F.col("doc_id") >= 50_000
+    ).count() == 4
