@@ -1623,3 +1623,120 @@ def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Minhash-sidecar compaction (the near-dup family's maintenance verb,
+# mirroring corpus_ingest_compact): ingest fresh md5-token-built docs in
+# >=2 append batches, compact BOTH sidecar frames, then certify the
+# compacted probes still answer — a re-drop of verbatim copies (exact
+# path) and dot-appended copies (NEAR path: '.' changes the fingerprint
+# but not the token stream, so the shingle sets are IDENTICAL — J=1,
+# every band collides, agreement 16/16 — a guaranteed drop with zero LSH
+# randomness) appends nothing. Oracle pins the fingerprint SET
+# (corpus ∪ the fresh docs; the md5-hex fresh texts share no shingles
+# with natural text, so no near decision is in play); compact_ok
+# certifies files strictly decreased, sigs == distinct fps, and the
+# post-compaction corpus row count unchanged by the re-drop.
+# ---------------------------------------------------------------------------
+_ND_FRESH_DUCK = (
+    "'fresh' || ' ' || md5(text) || ' ' || md5(text || 'a') || ' ' || "
+    "md5(text || 'b') || ' ' || md5(text || 'c') || ' ' || md5(text || 'd')"
+)
+
+
+@register(
+    "neardup_ingest_compact",
+    f"""
+    WITH corpus AS (SELECT {_FP_DUCK.format(t="text")} AS fp FROM documents),
+    fresh AS (
+      SELECT {_ND_FRESH_DUCK} AS text
+      FROM documents WHERE doc_id >= 30 AND doc_id < 38),
+    kept AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM fresh
+      WHERE {_FP_DUCK.format(t="text")} NOT IN (SELECT fp FROM corpus)),
+    final AS (SELECT fp FROM corpus UNION ALL SELECT fp FROM kept)
+    SELECT COUNT(*) AS n_docs,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS compact_ok
+    FROM final
+    """,
+)
+def q_neardup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_SIGS,
+        _read_mh_sigs,
+        compact_mh_sidecar,
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cvdb_mh_compact_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        fresh = (
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 38))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.lit("fresh"),
+                    F.md5("text"),
+                    *[
+                        F.md5(F.concat(F.col("text"), F.lit(s)))
+                        for s in ("a", "b", "c", "d")
+                    ],
+                ),
+            )
+        )
+        fresh.repartition(4).write.parquet(delta_dir)  # >= 2 append batches
+        stream_corpus_neardup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema
+        )
+        n_mid = spark.read.parquet(corpus_dir).count()
+        stats = compact_mh_sidecar(spark, corpus_dir)
+        # probe-after-compact: exact copies AND guaranteed near-copies
+        # (dot-appended: new fingerprint, identical shingles) re-drop
+        redrop = fresh.withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        ).unionByName(
+            fresh.withColumn("doc_id", F.col("doc_id") + 3_000_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(".")))
+        )
+        redrop.repartition(2).write.mode("append").parquet(delta_dir)
+        stream_corpus_neardup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col("text")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        n_after = final.count()
+        n_distinct = final.distinct().count()
+        n_sigs = _read_mh_sigs(
+            spark, os.path.join(corpus_dir, _MH_SIGS)
+        ).count()
+        ok = (
+            stats["files_after"] < stats["files_before"]
+            and stats["n_sigs"] == n_distinct
+            and n_sigs == n_distinct
+            and n_after == n_mid  # the re-drop appended NOTHING
+        )
+        cksum = _fp_checksum_agg(final)
+        return (
+            final.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(cksum)
+            .withColumn("compact_ok", F.lit(bool(ok)))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

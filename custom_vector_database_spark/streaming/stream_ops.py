@@ -32,6 +32,7 @@ __all__ = [
     "stream_corpus_ingest",
     "stream_corpus_neardup_ingest",
     "compact_fp_sidecar",
+    "compact_mh_sidecar",
 ]
 
 
@@ -957,6 +958,11 @@ def _ensure_mh_sidecar(
 
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    for d in (sigs_dir, bands_dir):
+        # a compaction crashed between a frame's two renames: _old IS
+        # the complete pre-compaction frame — roll back, never re-derive
+        if not os.path.isdir(d) and os.path.isdir(d + "_old"):
+            os.rename(d + "_old", d)
     if os.path.isdir(sigs_dir) and os.path.isdir(bands_dir):
         return
     from custom_vector_database_spark.operators.dedup import sig_band_structs
@@ -1273,3 +1279,74 @@ def stream_corpus_neardup_ingest(
 
     _drive_bounded_stream(spark, start, "corpus_neardup_ingest", timeout, None)
     return n_batches
+
+
+def compact_mh_sidecar(
+    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+) -> dict:
+    """Compact BOTH minhash sidecar frames (compact_fp_sidecar's story on
+    the near-dup probe tables): per-batch appends leave one small file
+    per touched bucket per micro-batch in each frame, and this rewrites
+    every bucket to one file via the per-frame tmp-then-rename swap
+    (batch_id collapsed to -1). Frames compact one at a time and each
+    swap is individually crash-safe — before a frame's first rename its
+    original is untouched; between its two renames the _old dir holds it
+    intact and _ensure_mh_sidecar (or the next compact) rolls it back.
+    Refuses while any ingest claim is outstanding, for the same reason
+    the fp version does: recovery reads its own batch_id rows.
+
+    Returns {"files_before", "files_after", "n_sigs", "n_band_rows"}."""
+    import glob
+    import os
+    import shutil
+
+    sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
+    bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
+    for d in (sigs_dir, bands_dir):
+        if not os.path.isdir(d) and os.path.isdir(d + "_old"):
+            os.rename(d + "_old", d)
+    outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
+    if outstanding:
+        raise ValueError(
+            f"{len(outstanding)} unresolved ingest claim(s) "
+            f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
+            "re-drive stream_corpus_neardup_ingest to resolve them before "
+            "compacting (compaction erases the per-batch claim rows "
+            "recovery reconciles against)"
+        )
+    n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+    count_files = lambda d: sum(  # noqa: E731
+        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+    files_before = count_files(sigs_dir) + count_files(bands_dir)
+    counts = {}
+    for d, reader, part_col in (
+        (sigs_dir, _read_mh_sigs, "fpb"),
+        (bands_dir, _read_mh_bands, "bhb"),
+    ):
+        rows = reader(spark, d).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+        counts[d] = rows.count()
+        tmp = d + "_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (
+            rows.repartition(n_buckets, part_col)  # one writer per bucket
+            .write.partitionBy(part_col)
+            .parquet(tmp)
+        )
+        _write_sidecar_meta(tmp, n_buckets)
+        old = d + "_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": count_files(sigs_dir) + count_files(bands_dir),
+        "n_sigs": counts[sigs_dir],
+        "n_band_rows": counts[bands_dir],
+    }

@@ -971,3 +971,100 @@ def test_neardup_crash_replay_heals_partial_appends(spark, tmp_path):
     assert spark.read.parquet(corpus).filter(
         F.col("doc_id") >= 50_000
     ).count() == 4
+
+
+def test_compact_mh_sidecar_folds_files_and_probe_survives(spark, tmp_path):
+    """Compaction of both minhash frames: files strictly decrease, the
+    signature/band SETS are untouched (row counts preserved, batch_id
+    collapsed), a verbatim+near re-drop after compaction still appends
+    nothing, and an outstanding claim makes it refuse."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_BANDS,
+        _MH_CLAIMS,
+        _MH_SIGS,
+        _read_mh_bands,
+        _read_mh_sigs,
+        compact_mh_sidecar,
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    fresh = (
+        docs.limit(4)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.reverse(F.col("text")))
+    )
+    fresh.repartition(4).write.parquet(delta)  # >= 2 append batches
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    bands_dir = os.path.join(corpus, _MH_BANDS)
+    n_sigs0 = _read_mh_sigs(spark, sigs_dir).count()
+    n_bands0 = _read_mh_bands(spark, bands_dir).count()
+
+    claims = os.path.join(corpus, _MH_CLAIMS)
+    os.makedirs(claims, exist_ok=True)
+    open(os.path.join(claims, "claim_99"), "a").close()
+    try:
+        compact_mh_sidecar(spark, corpus)
+        raise AssertionError("compact must refuse with outstanding claims")
+    except ValueError as e:
+        assert "claim" in str(e)
+    os.remove(os.path.join(claims, "claim_99"))
+
+    stats = compact_mh_sidecar(spark, corpus)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["n_sigs"] == n_sigs0
+    assert stats["n_band_rows"] == n_bands0
+    assert _read_mh_sigs(spark, sigs_dir).count() == n_sigs0
+    assert _read_mh_bands(spark, bands_dir).count() == n_bands0
+
+    # probe-after-compact: exact copies + near-copies of already-ingested
+    # docs must all drop against the compacted frames
+    redrop = fresh.withColumn("doc_id", F.col("doc_id") + 10_000).unionByName(
+        fresh.withColumn("doc_id", F.col("doc_id") + 30_000).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" mm"))
+        )
+    )
+    redrop.repartition(2).write.mode("append").parquet(delta)
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    assert spark.read.parquet(corpus).count() == 20 + 4
+
+
+def test_compact_mh_sidecar_crash_between_renames_rolls_back(spark, tmp_path):
+    """A compaction crash between a frame's two renames leaves _old as
+    the complete pre-compaction frame; the next ensure (stream start) or
+    compact call rolls it back instead of re-deriving."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_SIGS,
+        _ensure_mh_sidecar,
+        _read_mh_sigs,
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(12)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).withColumn("text", F.reverse(F.col("text"))).write.parquet(delta)
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    n0 = _read_mh_sigs(spark, sigs_dir).count()
+    os.rename(sigs_dir, sigs_dir + "_old")  # the mid-swap crash state
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    assert os.path.isdir(sigs_dir) and not os.path.isdir(sigs_dir + "_old")
+    assert _read_mh_sigs(spark, sigs_dir).count() == n0
