@@ -793,8 +793,11 @@ def sig_band_structs(sig_col: Column | str, n_perms: int, n_bands: int) -> Colum
     the '_' join in component order makes the band key a pure string
     function both engines compute identically. NULL signature -> empty
     array (short docs emit no bands)."""
-    if n_perms % n_bands:
-        raise ValueError("n_perms must divide evenly into n_bands")
+    if n_bands <= 0 or n_perms % n_bands:
+        raise ValueError(
+            f"n_bands must be positive and divide n_perms evenly "
+            f"(got n_perms={n_perms}, n_bands={n_bands})"
+        )
     r = n_perms // n_bands
     c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     bands = [

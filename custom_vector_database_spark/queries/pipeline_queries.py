@@ -1483,7 +1483,7 @@ def _mh_oracle_cte(src: str, pfx: str) -> str:
         minhash_perm_consts,
     )
 
-    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    toks = _DUCK_TOKS  # the ONE tokenizer convention, shared module-wide
     sh = (
         "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
         "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' "
@@ -1524,6 +1524,46 @@ _NEARDUP_DELTA_DUCK = """
              'fresh ' || md5(text) || ' ' || md5(text || '1') || ' '
                || md5(text || '2')
       FROM documents WHERE doc_id >= 20 AND doc_id < 25)"""
+
+
+def neardup_ingest_delta(docs: DataFrame) -> DataFrame:
+    """The stream_neardup_ingest delta — factored out so the tripwire
+    test (tests/test_streaming.py) can pin the oracle's one modeling
+    assumption on the SAME frame the row streams: the oracle computes
+    delta-vs-CORPUS drop decisions only, which is exact as long as no
+    two DISTINCT-fingerprint delta docs are near-dup candidates of each
+    other (such a pair would resolve by batch-arrival order, which SQL
+    cannot see). The construction makes that structurally unlikely —
+    copies drop on the exact path before any near logic, near-copies
+    derive from five distinct corpus docs, fresh texts are per-doc md5
+    streams — and the tripwire test asserts it holds on the fixture."""
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000_000
+    )
+    near = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    )
+    intra_exact = near.filter(F.col("doc_id") == 2_000_000_012).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000_000
+    )
+    fresh = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000_000)
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("fresh "),
+                F.md5("text"),
+                F.lit(" "),
+                F.md5(F.concat(F.col("text"), F.lit("1"))),
+                F.lit(" "),
+                F.md5(F.concat(F.col("text"), F.lit("2"))),
+            ),
+        )
+    )
+    return copies.unionByName(near).unionByName(intra_exact).unionByName(fresh)
 
 
 @register(
@@ -1573,35 +1613,7 @@ def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
         docs.write.parquet(corpus_dir)
-        copies = docs.filter(F.col("doc_id") < 5).withColumn(
-            "doc_id", F.col("doc_id") + 1_000_000_000
-        )
-        near = (
-            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
-            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
-            .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
-        )
-        intra_exact = near.filter(
-            F.col("doc_id") == 2_000_000_012
-        ).withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
-        fresh = (
-            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
-            .withColumn("doc_id", F.col("doc_id") + 3_000_000_000)
-            .withColumn(
-                "text",
-                F.concat(
-                    F.lit("fresh "),
-                    F.md5("text"),
-                    F.lit(" "),
-                    F.md5(F.concat(F.col("text"), F.lit("1"))),
-                    F.lit(" "),
-                    F.md5(F.concat(F.col("text"), F.lit("2"))),
-                ),
-            )
-        )
-        delta = copies.unionByName(near).unionByName(intra_exact).unionByName(
-            fresh
-        )
+        delta = neardup_ingest_delta(docs)
         # 4 part files + maxFilesPerTrigger=2 -> two micro-batches
         delta.repartition(4).write.parquet(delta_dir)
         n_batches = stream_corpus_neardup_ingest(

@@ -2374,8 +2374,15 @@ def q_maxsim_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, the proven ivf_upsert trick) + crud_ok certifying all three
 # verbs and that the pruned search's hits carry bit-exact true scores.
 # ---------------------------------------------------------------------------
+# fresh-doc offset derived from the data on BOTH engines: a hardcoded
+# constant collides with real doc ids once vec_id//8 outgrows it (the
+# sf1 clone reaches doc 11.25M), silently merging "fresh" bags into
+# existing docs and making the upsert certification vacuous
+_MAXSIM_OFF_DUCK = (
+    f"(SELECT MAX(vec_id) // {_MAXSIM_DOC_TOKS} + 1 FROM embeddings)"
+)
 _MAXSIM_CRUD_DELTA_DUCK = (
-    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + 1000000 AS doc, "
+    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + {_MAXSIM_OFF_DUCK} AS doc, "
     "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)) "
     "AS embedding FROM embeddings WHERE vec_id < 16"
 )
@@ -2418,8 +2425,9 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = emb.select(
         F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
     )
+    off = emb.agg(F.max("vec_id")).collect()[0][0] // _MAXSIM_DOC_TOKS + 1
     delta = emb.filter(F.col("vec_id") < 16).select(
-        (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + 1_000_000).alias("doc"),
+        (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + F.lit(off)).alias("doc"),
         F.expr(
             "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001D AS FLOAT))"
         ).alias("embedding"),
@@ -2448,15 +2456,19 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.exists(f) and os.path.getmtime(f) == mt
             for f, mt in pre_mtimes.items()
         )
+        # k=16, not the output's 10: a fixture with exact-copy docs
+        # tying ahead of the upserted near-clone (the sf1 clone is 10
+        # key-shifted copies) must not push it out of the certification
+        # window (the stream_maxsim_ingest convention)
         post_del = (
-            idx.search(qtoks, k=10, nprobe=1, n_candidates=128)
+            idx.search(qtoks, k=16, nprobe=1, n_candidates=128)
             .localCheckpoint(eager=True)
         )
         del_rows = [(r["doc"], r["score"]) for r in post_del.collect()]
         idx.compact()
         post_cmp = [
             (r["doc"], r["score"])
-            for r in idx.search(qtoks, k=10, nprobe=1,
+            for r in idx.search(qtoks, k=16, nprobe=1,
                                 n_candidates=128).collect()
         ]
         # exact brute force over the mutated corpus = the oracle's frame
@@ -2477,7 +2489,7 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of a full two-stage pass
         ok = (
             n_added == 16
-            and 1_000_000 in {d for d, _ in del_rows}  # upserted, searchable
+            and off in {d for d, _ in del_rows}  # upserted, searchable
             and parts_untouched  # delete touched no part file
             and not ({1, 2} & {d for d, _ in del_rows})  # deleted absent
             and post_cmp == del_rows  # compact changed nothing
@@ -2514,11 +2526,8 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ahead of it (the sf1 clone is 10 key-shifted copies) cannot push it
 # out of a top-10 window.
 # ---------------------------------------------------------------------------
-_MAXSIM_STREAM_OFF_DUCK = (
-    f"(SELECT MAX(vec_id) // {_MAXSIM_DOC_TOKS} + 1 FROM embeddings)"
-)
 _MAXSIM_STREAM_DELTA_DUCK = (
-    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + {_MAXSIM_STREAM_OFF_DUCK} AS doc, "
+    f"SELECT (vec_id // {_MAXSIM_DOC_TOKS}) + {_MAXSIM_OFF_DUCK} AS doc, "
     "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.001 AS FLOAT)) "
     "AS embedding FROM embeddings WHERE vec_id < 16"
 )

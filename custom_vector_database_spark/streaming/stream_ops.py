@@ -574,6 +574,20 @@ def _ensure_fp_sidecar(
     os.rename(tmp, sidecar_dir)
 
 
+def _refuse_null_text(batch: DataFrame, text_col: str) -> None:
+    """Fail fast on NULL text in an ingest batch: fingerprint_md5(NULL)
+    is NULL, and NULL never equi-joins — so a NULL-text doc would bypass
+    every dedup probe AND every crash-replay reconcile anti-join,
+    re-appending itself on each replay. Filter or impute upstream."""
+    if batch.filter(F.col(text_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"NULL {text_col!r} in ingest batch: a NULL fingerprint can "
+            "neither dedup nor reconcile on crash replay (NULL never "
+            "equi-joins) — filter or impute upstream before streaming "
+            "into the corpus"
+        )
+
+
 def corpus_ingest_apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -608,6 +622,7 @@ def corpus_ingest_apply_batch(
 
     from custom_vector_database_spark.operators.text import fingerprint_md5
 
+    _refuse_null_text(batch, text_col)
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
@@ -1057,6 +1072,7 @@ def corpus_neardup_apply_batch(
 
     from custom_vector_database_spark.operators.dedup import sig_agreement
 
+    _refuse_null_text(batch, text_col)
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
     claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
@@ -1144,9 +1160,9 @@ def corpus_neardup_apply_batch(
     s2 = s1.join(near_fps, "__fp", "left_anti")
 
     # (c) near within the batch: keep-min-id over verified band collisions
-    bb2 = bb.join(s2.select("__fp"), "__fp", "left_semi").join(
-        s2.select("__fp", F.col(id_col).alias("__id")), "__fp"
-    )
+    # the inner join on s2's (unique) fps both restricts bb to the
+    # corpus-survivors and attaches the keep-min id — no separate semi
+    bb2 = bb.join(s2.select("__fp", F.col(id_col).alias("__id")), "__fp")
     intra_victims = (
         bb2.alias("x")
         .join(

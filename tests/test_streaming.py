@@ -1068,3 +1068,80 @@ def test_compact_mh_sidecar_crash_between_renames_rolls_back(spark, tmp_path):
     _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
     assert os.path.isdir(sigs_dir) and not os.path.isdir(sigs_dir + "_old")
     assert _read_mh_sigs(spark, sigs_dir).count() == n0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_neardup_oracle_assumption_no_intra_delta_near_pairs(spark, sf):
+    """Tripwire for stream_neardup_ingest's one oracle modeling
+    assumption: the registered row's SQL computes delta-vs-CORPUS drop
+    decisions only, which is exact iff no two DISTINCT-fingerprint delta
+    docs are near-dup candidates of EACH OTHER (such a pair would
+    resolve by batch-arrival order, invisible to SQL). All arithmetic is
+    md5-deterministic, so this holds-or-fails identically on every run —
+    assert it holds on the driver's smoke and oracle fixtures."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.dedup import (
+        sig_agreement,
+        sig_band_structs,
+        with_minhash_sig,
+    )
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        neardup_ingest_delta,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    delta = neardup_ingest_delta(docs)
+    enc = with_minhash_sig(
+        delta.withColumn("fp", fingerprint_md5("text"))
+    ).withColumn("b", F.explode(sig_band_structs("sig", 16, 4)))
+    bands = enc.select("fp", "sig", F.col("b.band").alias("band"),
+                       F.col("b.bh").alias("bh"))
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.select(
+                "band", "bh",
+                F.col("fp").alias("fp2"), F.col("sig").alias("sig2"),
+            ).alias("y"),
+            ["band", "bh"],
+        )
+        .filter(F.col("x.fp") < F.col("fp2"))  # distinct fingerprints only
+        .select(F.col("x.sig").alias("sig"), "sig2")
+        .distinct()
+        .filter(sig_agreement("sig", "sig2") >= 8)
+    )
+    assert pairs.count() == 0
+
+
+def test_ingest_verbs_refuse_null_text(spark, tmp_path):
+    """Both dedup-on-ingest verbs fail FAST on NULL text: a NULL
+    fingerprint bypasses every dedup probe and every crash-replay
+    reconcile anti-join (NULL never equi-joins), so the doc would
+    re-append on each replay — refuse before any state is touched."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_fp_sidecar,
+        _ensure_mh_sidecar,
+        corpus_ingest_apply_batch,
+        corpus_neardup_apply_batch,
+    )
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_fp_sidecar(
+        spark, corpus, os.path.join(corpus, "_fingerprints"), "text", 16
+    )
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    bad = docs.limit(2).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(F.lit(None)),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        corpus_ingest_apply_batch(spark, bad, 1, corpus)
+    with pytest.raises(ValueError, match="NULL"):
+        corpus_neardup_apply_batch(spark, bad, 1, corpus)
