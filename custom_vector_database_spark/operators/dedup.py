@@ -38,6 +38,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "cross_corpus_contamination",
+    "neardup_contamination",
     "minhash_perm_consts",
     "with_minhash_sig",
     "sig_band_structs",
@@ -837,4 +838,75 @@ def sig_agreement(a: Column | str, b: Column | str) -> Column:
     cb = F.col(b) if isinstance(b, str) else b
     return F.size(
         F.filter(F.zip_with(ca, cb, lambda x, y: x == y), lambda m: m)
+    )
+
+
+def neardup_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perms: int = 16,
+    n_bands: int = 4,
+    min_agree: int = 8,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy sibling of
+    cross_corpus_contamination (which counts EXACT shingle overlap and
+    understates reformatted leaks: a dot-level edit keeps the token
+    stream but changes nothing it measures per-shingle). Flags every
+    train document that is an LSH band-collision candidate of some
+    holdout document with MinHash signature agreement >= ``min_agree``
+    of ``n_perms`` (agreement/n_perms ≈ Jaccard). Returns
+    (id, n_cand, max_agree, contaminated) for every train doc —
+    n_cand = distinct holdout docs band-colliding with it, max_agree the
+    best agreement among them (0/0/false when no candidate, including
+    docs too short to shingle).
+
+    Scale shape: one signature encode per corpus (engine-reproducible
+    with_minhash_sig — codegen, no UDF); the holdout's exploded band
+    rows BROADCAST (eval benchmarks are thousands of docs — kilobytes of
+    (band, bh, id) triples), so the train side shuffles only its
+    band-collision candidates into the per-train-doc max aggregate. No
+    document pair outside a band collision is ever materialized, and
+    the train corpus text never rides a shuffle."""
+    tsig = with_minhash_sig(train, text_col, "__sig", n_perms).select(
+        F.col(id_col), "__sig"
+    )
+    hsig = with_minhash_sig(holdout, text_col, "__sig", n_perms).select(
+        F.col(id_col).alias("__hid"), F.col("__sig").alias("__hsig")
+    )
+    tb = tsig.select(
+        id_col,
+        "__sig",
+        F.explode(sig_band_structs("__sig", n_perms, n_bands)).alias("b"),
+    ).select(id_col, "__sig", "b.band", "b.bh")
+    hb = hsig.select(
+        "__hid",
+        "__hsig",
+        F.explode(sig_band_structs("__hsig", n_perms, n_bands)).alias("b"),
+    ).select("__hid", "__hsig", "b.band", "b.bh")
+    cand = (
+        tb.join(F.broadcast(hb), ["band", "bh"])
+        .select(id_col, "__sig", "__hid", "__hsig")
+        .distinct()
+    )
+    per_doc = (
+        cand.withColumn("__m", sig_agreement("__sig", "__hsig"))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("__hid").alias("n_cand"),
+            F.max("__m").alias("max_agree"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("max_agree", F.lit(0)).alias("max_agree"),
+            (F.coalesce("max_agree", F.lit(0)) >= min_agree).alias(
+                "contaminated"
+            ),
+        )
     )

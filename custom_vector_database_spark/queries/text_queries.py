@@ -1310,3 +1310,72 @@ def q_winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(
         docs, id_col="doc_id", text_col="text", n=_WIN_N, w=_WIN_W
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# NEAR-duplicate benchmark decontamination (operators/dedup.
+# neardup_contamination): the fuzzy sibling of decontaminate_docs above —
+# exact shingle overlap understates reformatted leaks, so this flags
+# train docs that are MinHash band-collision candidates of a holdout doc
+# with signature agreement >= 8/16. The holdout here is docs 0-39 plus
+# dot-appended variants of train docs 50-59 (a '.' changes the
+# fingerprint but not the token stream: J=1, guaranteed flags with zero
+# LSH randomness); the oracle RECOMPUTES every candidate and agreement
+# from the same md5 arithmetic (pipeline_queries._mh_oracle_cte).
+# ---------------------------------------------------------------------------
+from custom_vector_database_spark.queries.pipeline_queries import (  # noqa: E402
+    _mh_oracle_cte,
+)
+
+
+@register(
+    "neardup_decontaminate_docs",
+    f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+    hold AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 5000000000, text || '.'
+      FROM documents WHERE doc_id >= 50 AND doc_id < 60),
+    {_mh_oracle_cte("train", "t")},
+    {_mh_oracle_cte("hold", "h")},
+    cand AS (
+      SELECT DISTINCT tb.doc_id AS tid, hb.doc_id AS hid
+      FROM tb JOIN hb ON tb.band = hb.band AND tb.bh = hb.bh),
+    agree AS (
+      SELECT cand.tid, cand.hid, COUNT(*) AS m
+      FROM cand
+      JOIN tm ON tm.doc_id = cand.tid
+      JOIN hm ON hm.doc_id = cand.hid AND hm.j = tm.j AND hm.c = tm.c
+      GROUP BY cand.tid, cand.hid),
+    nc AS (SELECT tid, COUNT(DISTINCT hid) AS n_cand FROM cand GROUP BY tid),
+    ag AS (SELECT tid, MAX(m) AS max_agree FROM agree GROUP BY tid),
+    per AS (
+      SELECT nc.tid AS doc_id,
+             CAST(nc.n_cand AS BIGINT) AS n_cand,
+             CAST(COALESCE(ag.max_agree, 0) AS BIGINT) AS max_agree
+      FROM nc LEFT JOIN ag ON nc.tid = ag.tid)
+    SELECT doc_id, n_cand, max_agree, TRUE AS contaminated
+    FROM per WHERE max_agree >= 8 ORDER BY doc_id
+    """,
+)
+def q_neardup_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 50).select("doc_id", "text")
+    hold = (
+        docs.filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 60))
+            .select(
+                (F.col("doc_id") + 5_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(".")).alias("text"),
+            )
+        )
+    )
+    out = dd.neardup_contamination(train, hold)
+    return (
+        out.filter(F.col("contaminated"))
+        .withColumn("max_agree", F.col("max_agree").cast("long"))
+        .orderBy("doc_id")
+    )

@@ -561,3 +561,35 @@ def test_semantic_prune_greedy_tolerates_null_and_ragged_vectors(spark):
         ).collect()
     }
     assert kept == {1, 2, 3, 5}
+
+
+def test_neardup_contamination_flags_reformatted_leaks(spark):
+    """A dot-level reformatting (same token stream, different
+    fingerprint) must flag as contaminated with full agreement; an
+    unrelated doc stays clean; a too-short doc has a NULL signature and
+    can never be flagged."""
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words about distributed query engines"),
+            (3, "xy zz"),  # < 3 tokens: NULL signature
+        ],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight.")],
+        "doc_id long, text string",
+    )
+    from custom_vector_database_spark.operators.dedup import (
+        neardup_contamination,
+    )
+
+    out = {
+        r["doc_id"]: (r["n_cand"], r["max_agree"], r["contaminated"])
+        for r in neardup_contamination(train, hold).collect()
+    }
+    assert out[1] == (1, 16, True)  # identical token stream: J=1
+    assert out[2] == (0, 0, False)
+    assert out[3] == (0, 0, False)
