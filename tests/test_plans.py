@@ -498,3 +498,15 @@ def test_dsir_select_is_broadcast_ratio_heap_topn(spark):
     # no shuffled join keyed on bucket anywhere
     assert "SortMergeJoin [bucket" not in plan
     assert "ShuffledHashJoin [bucket" not in plan
+
+
+def test_neardup_decontaminate_broadcasts_holdout_bands(spark):
+    """The fuzzy decontamination verb's physical shape: the holdout's
+    exploded band rows BROADCAST to the train side (never a shuffled
+    join keyed on band hashes), and the per-train-doc aggregate is
+    map-side combined."""
+    plan = _plan(spark, "neardup_decontaminate_docs")
+    assert "BroadcastHashJoin [band" in plan
+    assert "SortMergeJoin [band" not in plan
+    assert "ShuffledHashJoin [band" not in plan
+    assert "partial_max" in plan  # per-train-doc max agreement combines map-side
