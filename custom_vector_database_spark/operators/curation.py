@@ -59,6 +59,8 @@ __all__ = [
     "cap_per_group",
     "dsir_logweights",
     "dsir_resample",
+    "dsir_bucket_logratios",
+    "dsir_score_with",
 ]
 
 
@@ -609,6 +611,130 @@ def bigram_logprob(
 # arXiv:2302.03169) — select raw-pool documents whose hashed-n-gram
 # distribution looks like a TARGET corpus.
 # ---------------------------------------------------------------------------
+
+def _dsir_gram_stream(
+    df: DataFrame, cols: list[str], text_col: str, num_buckets: int
+) -> DataFrame:
+    """The DSIR feature stream: hashed unigram+bigram bucket per gram —
+    ONE definition shared by weight fitting, scoring, and the gate, so a
+    persisted log-ratio table always hashes exactly like its probes."""
+    from custom_vector_database_spark.operators.text import (
+        md5_prefix_long,
+        positioned_grams,
+    )
+
+    grams = F.concat(tokenize(text_col), positioned_grams(text_col, 2))
+    return df.select(*cols, F.explode(grams).alias("gram")).select(
+        *cols,
+        (md5_prefix_long("gram", 8) % num_buckets).cast("int").alias("bucket"),
+    )
+
+
+def _dsir_lr(spark, pc: DataFrame, qc: DataFrame, b: int) -> DataFrame:
+    """Assemble the (bucket, lr_micro) log-ratio table from target/pool
+    bucket-count frames: floor(1e6·ln p̂_b) − floor(1e6·ln q̂_b), add-one
+    smoothed — exact BIGINT per bucket."""
+
+    def log_micro(cnt_col: str, tot_col: str) -> Column:
+        return F.floor(
+            F.log(
+                (F.coalesce(F.col(cnt_col), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col(tot_col), F.lit(0)) + F.lit(float(b)))
+            )
+            * 1e6
+        ).cast("long")
+
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    pt = pc.agg(F.sum("pc").alias("pc_tot"))
+    qt = qc.agg(F.sum("qc").alias("qc_tot"))
+    return (
+        spine.join(pc, "bucket", "left")
+        .join(qc, "bucket", "left")
+        .crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "bucket",
+            (log_micro("pc", "pc_tot") - log_micro("qc", "qc_tot")).alias(
+                "lr_micro"
+            ),
+        )
+    )
+
+
+def _dsir_score_tf(
+    docs: DataFrame, tf: DataFrame, lr: DataFrame, id_col: str
+) -> DataFrame:
+    """Score a (id, bucket, tf) frame against a broadcast log-ratio table:
+    (id, n_grams, logw_micro), gram-less docs at 0/0."""
+    per_doc = (
+        tf.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("logw_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("logw_micro", F.lit(0)).alias("logw_micro"),
+        )
+    )
+
+
+def dsir_bucket_logratios(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Fit the DSIR log-ratio table alone — (bucket, lr_micro), tiny
+    (num_buckets rows) — for the fit-once / score-many shape: persist it
+    and gate arriving data with dsir_score_with (the streaming quality
+    gate, streaming/stream_ops.stream_corpus_dsir_ingest). p̂ from
+    ``target``, q̂ from ``pool`` (add-one smoothed hashed unigram+bigram
+    distributions, the paper's features)."""
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    pc = (
+        _dsir_gram_stream(target, [], text_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    qc = (
+        _dsir_gram_stream(pool, [], text_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("qc"))
+    )
+    return _dsir_lr(pool.sparkSession, pc, qc, num_buckets)
+
+
+def dsir_score_with(
+    lr: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a PRECOMPUTED log-ratio table (the other
+    half of the fit-once / score-many split): one codegen tokenize+hash
+    pass over ``docs``, a map-side-combined (id, bucket) aggregate, a
+    broadcast of the num_buckets-row table. ``num_buckets`` MUST equal
+    the fit's (the caller persists it next to the table — see
+    stream_ops.fit_dsir_gate's meta file)."""
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    tf = (
+        _dsir_gram_stream(docs, [id_col], text_col, num_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _dsir_score_tf(docs, tf, lr, id_col)
+
+
 def dsir_logweights(
     raw: DataFrame,
     target: DataFrame,
@@ -641,80 +767,25 @@ def dsir_logweights(
     vocabulary is ever materialized (that is the point of the hashing
     trick — the feature space is fixed-width at any corpus size).
     """
-    from custom_vector_database_spark.operators.text import (
-        md5_prefix_long,
-        positioned_grams,
-    )
-
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
-    b = num_buckets
-
-    def stream(df: DataFrame, cols: list[str]) -> DataFrame:
-        grams = F.concat(tokenize(text_col), positioned_grams(text_col, 2))
-        return df.select(*cols, F.explode(grams).alias("gram")).select(
-            *cols,
-            (md5_prefix_long("gram", 8) % b).cast("int").alias("bucket"),
-        )
-
-    spark = raw.sparkSession
-    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
-    pc = (
-        stream(target, [])
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("pc"))
-    )
-    pt = pc.agg(F.sum("pc").alias("pc_tot"))
     # the pool distribution q̂ rolls up from the per-doc tf aggregate —
     # ONE tokenize+hash pass over the raw corpus feeds both q̂ and the
     # per-doc weights (tf is the determinism-critical frame either way)
     tf = (
-        stream(raw, [id_col])
+        _dsir_gram_stream(raw, [id_col], text_col, num_buckets)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
     qc = tf.groupBy("bucket").agg(F.sum("tf").alias("qc"))
-    qt = qc.agg(F.sum("qc").alias("qc_tot"))
-
-    def log_micro(cnt_col: str, tot_col: str) -> Column:
-        return F.floor(
-            F.log(
-                (F.coalesce(F.col(cnt_col), F.lit(0)) + F.lit(1.0))
-                / (F.coalesce(F.col(tot_col), F.lit(0)) + F.lit(float(b)))
-            )
-            * 1e6
-        ).cast("long")
-
-    lr = (
-        spine.join(pc, "bucket", "left")
-        .join(qc, "bucket", "left")
-        .crossJoin(F.broadcast(pt))
-        .crossJoin(F.broadcast(qt))
-        .select(
-            "bucket",
-            (log_micro("pc", "pc_tot") - log_micro("qc", "qc_tot")).alias(
-                "lr_micro"
-            ),
-        )
+    pc = (
+        _dsir_gram_stream(target, [], text_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pc"))
     )
-    per_doc = (
-        tf.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").alias("n_grams"),
-            F.sum(F.col("tf") * F.col("lr_micro")).alias("logw_micro"),
-        )
-    )
-    return (
-        raw.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("logw_micro", F.lit(0)).alias("logw_micro"),
-        )
-    )
+    lr = _dsir_lr(raw.sparkSession, pc, qc, num_buckets)
+    return _dsir_score_tf(raw, tf, lr, id_col)
 
 
 def dsir_resample(

@@ -1752,3 +1752,167 @@ def q_neardup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR-gated ingest (streaming/stream_ops.stream_corpus_dsir_
+# ingest): the quality-gate member of the ingest family — fit the
+# log-ratio table once (target = English docs, pool = the whole corpus),
+# persist it, then stream a delta where each doc must clear
+# logw_micro >= 1 before the exact dedup-on-ingest path runs. The oracle
+# RECOMPUTES the whole gate (hashed unigram+bigram buckets, add-one
+# smoothed micro-integer log-ratios, per-doc exact BIGINT sums) plus the
+# fingerprint-set dedup contract. Delta: variants of docs 40-49 (gate
+# decision data-determined, identically on both engines), verbatim
+# copies of docs 0-4 (never append: fp-dropped if they pass the gate,
+# gate-dropped otherwise), and one whitespace-only doc (0 grams ->
+# logw 0 < 1: a GUARANTEED gate drop certifying the filter actually ran).
+# ---------------------------------------------------------------------------
+def _dsir_gate_oracle_cte(num_buckets: int, threshold: int) -> str:
+    """CTE chain computing gate-kept delta fingerprints: expects CTEs
+    ``tgt`` (text), ``pool`` (text), and ``deltad`` (doc_id, text) to be
+    defined upstream; emits ``gkept`` (fp) — the DuckDB twin of
+    operators/curation.dsir_bucket_logratios + dsir_score_with over
+    fingerprint_md5, mirroring the dsir_select_docs arithmetic."""
+    toks = _DUCK_TOKS
+    grams = (
+        "toks || CASE WHEN len(toks) >= 2 THEN list_transform("
+        "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    )
+    bucket = (
+        "CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) "
+        f"% {num_buckets} AS INT)"
+    )
+    return f"""
+    gtg AS (SELECT unnest({grams}) AS gram
+            FROM (SELECT {toks} AS toks FROM tgt)),
+    gpg AS (SELECT unnest({grams}) AS gram
+            FROM (SELECT {toks} AS toks FROM pool)),
+    gpc AS (SELECT {bucket} AS bucket, COUNT(*) AS c FROM gtg GROUP BY 1),
+    gqc AS (SELECT {bucket} AS bucket, COUNT(*) AS c FROM gpg GROUP BY 1),
+    gpt AS (SELECT COUNT(*) AS t FROM gtg),
+    gqt AS (SELECT COUNT(*) AS t FROM gpg),
+    glr AS (
+      SELECT s.bucket,
+             CAST(floor(1e6 * ln((COALESCE(gpc.c, 0) + 1.0)
+                                 / (gpt.t + {num_buckets}.0)))
+                  - floor(1e6 * ln((COALESCE(gqc.c, 0) + 1.0)
+                                   / (gqt.t + {num_buckets}.0)))
+                  AS BIGINT) AS lr_micro
+      FROM (SELECT unnest(range(0, {num_buckets})) AS bucket) s
+      LEFT JOIN gpc ON s.bucket = gpc.bucket
+      LEFT JOIN gqc ON s.bucket = gqc.bucket
+      CROSS JOIN gpt CROSS JOIN gqt),
+    gdg AS (SELECT doc_id, unnest({grams}) AS gram
+            FROM (SELECT doc_id, {toks} AS toks FROM deltad)),
+    gtf AS (SELECT doc_id, {bucket} AS bucket, COUNT(*) AS tf
+            FROM gdg GROUP BY doc_id, 2),
+    gw AS (SELECT doc_id, CAST(SUM(tf * lr_micro) AS BIGINT) AS logw
+           FROM gtf JOIN glr USING (bucket) GROUP BY doc_id),
+    gsc AS (SELECT d.doc_id, d.text, COALESCE(gw.logw, 0) AS logw
+            FROM deltad d LEFT JOIN gw ON d.doc_id = gw.doc_id),
+    gkept AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp
+      FROM gsc WHERE logw >= {threshold})"""
+
+
+_DSIR_GATE_BUCKETS = 32
+_DSIR_GATE_MIN = 1
+
+
+@register(
+    "stream_dsir_gated_ingest",
+    f"""
+    WITH corpus AS (SELECT {_FP_DUCK.format(t="text")} AS fp FROM documents),
+    tgt AS (SELECT text FROM documents WHERE lang = 'en'),
+    pool AS (SELECT text FROM documents),
+    deltad AS (
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000000000, text || ' gated fresh suffix'
+      FROM documents WHERE doc_id >= 40 AND doc_id < 50
+      UNION ALL
+      SELECT 3000000000, '   '),
+    {_dsir_gate_oracle_cte(_DSIR_GATE_BUCKETS, _DSIR_GATE_MIN)},
+    kept AS (
+      SELECT fp FROM gkept WHERE fp NOT IN (SELECT fp FROM corpus)),
+    final AS (SELECT fp FROM corpus UNION ALL SELECT fp FROM kept)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct_fp,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS ingest_ok
+    FROM final
+    """,
+)
+def q_stream_dsir_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_dsir_gate,
+        stream_corpus_dsir_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cvdb_dsir_gate_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        gate_dir = os.path.join(tmp, "gate")
+        docs.write.parquet(corpus_dir)
+        fit_dsir_gate(
+            spark,
+            pool=docs.select("text"),
+            target=docs.filter(F.col("lang") == "en").select("text"),
+            gate_dir=gate_dir,
+            num_buckets=_DSIR_GATE_BUCKETS,
+        )
+        copies = docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        fresh = (
+            docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(" gated fresh suffix"))
+            )
+        )
+        blank = docs.limit(1).select(
+            F.lit(3_000_000_000).alias("doc_id"),
+            F.lit("   ").alias("text"),
+            *[
+                F.lit(None).cast(docs.schema[c].dataType).alias(c)
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        ).select(docs.columns)
+        delta = copies.unionByName(fresh).unionByName(blank)
+        delta.repartition(4).write.parquet(delta_dir)  # >= 2 micro-batches
+        n_batches = stream_corpus_dsir_ingest(
+            spark,
+            delta_dir,
+            corpus_dir,
+            gate_dir,
+            doc_schema=docs.schema,
+            min_logw_micro=_DSIR_GATE_MIN,
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col("text")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        cksum = _fp_checksum_agg(final.select("fp"))
+        return (
+            final.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("fp").alias("n_distinct_fp"),
+            )
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

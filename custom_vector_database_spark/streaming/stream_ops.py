@@ -31,6 +31,9 @@ __all__ = [
     "run_stream_to_memory",
     "stream_corpus_ingest",
     "stream_corpus_neardup_ingest",
+    "stream_corpus_dsir_ingest",
+    "fit_dsir_gate",
+    "load_dsir_gate",
     "compact_fp_sidecar",
     "compact_mh_sidecar",
 ]
@@ -1366,3 +1369,165 @@ def compact_mh_sidecar(
         "n_sigs": counts[sigs_dir],
         "n_band_rows": counts[bands_dir],
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR quality gate: fit the hashed-n-gram log-ratio table ONCE
+# (against a target corpus and a pool sample), persist it, and gate every
+# arriving micro-batch with one codegen scoring pass — keep only documents
+# whose importance log-weight clears a threshold, then hand the keepers to
+# the exact dedup-on-ingest path. The fit-once / score-many split is the
+# whole point: steady-state ingest never touches the target corpus, only
+# the persisted num_buckets-row table (broadcast per batch).
+# ---------------------------------------------------------------------------
+_DSIR_GATE_META = "_gate_meta.json"
+
+
+def fit_dsir_gate(
+    spark: SparkSession,
+    pool: DataFrame,
+    target: DataFrame,
+    gate_dir: str,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> None:
+    """Fit and persist the DSIR log-ratio table (crash-safe tmp-then-
+    rename; the meta file pins num_buckets so a scorer can never hash
+    with a different modulus than the table was fit with)."""
+    import json
+    import os
+    import shutil
+
+    from custom_vector_database_spark.operators.curation import (
+        dsir_bucket_logratios,
+    )
+
+    lr = dsir_bucket_logratios(
+        pool, target, text_col=text_col, num_buckets=num_buckets
+    )
+    tmp = gate_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    lr.coalesce(1).write.parquet(tmp)
+    with open(os.path.join(tmp, _DSIR_GATE_META), "w") as f:
+        json.dump({"num_buckets": int(num_buckets)}, f)
+    if os.path.isdir(gate_dir):
+        shutil.rmtree(gate_dir)
+    os.rename(tmp, gate_dir)
+
+
+def load_dsir_gate(spark: SparkSession, gate_dir: str):
+    """(lr DataFrame, num_buckets) from a persisted gate. A missing or
+    unparseable meta raises — scoring with a guessed modulus would
+    silently mis-bucket every gram (the _sidecar_n_buckets rationale)."""
+    import json
+    import os
+
+    meta_path = os.path.join(gate_dir, _DSIR_GATE_META)
+    try:
+        with open(meta_path) as f:
+            nb = int(json.load(f)["num_buckets"])
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"missing/corrupt DSIR gate meta {meta_path!r} ({e!r}) — refit "
+            "the gate (fit_dsir_gate) rather than guessing the bucket "
+            "modulus"
+        ) from e
+    lr = spark.read.schema("bucket int, lr_micro long").parquet(gate_dir)
+    return lr, nb
+
+
+def stream_corpus_dsir_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    corpus_dir: str,
+    gate_dir: str,
+    doc_schema: T.StructType,
+    min_logw_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+    n_buckets: int = 16,
+) -> int:
+    """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
+    every document against the persisted DSIR log-ratio table
+    (operators/curation.dsir_score_with — one codegen pass + a broadcast
+    of the tiny table) and keep only docs with
+    logw_micro >= ``min_logw_micro``; the keepers then run the exact
+    dedup-on-ingest path (corpus_ingest_apply_batch: fingerprint sidecar
+    probe + write-ahead claims), which also makes replay idempotence and
+    crash recovery EXACTLY the proven stream_corpus_ingest story — the
+    gate is a pure per-batch filter with no state of its own, so a
+    replayed batch gates identically. Returns micro-batches applied."""
+    import json as _json
+    import os
+
+    n_batches = 0
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    applied_path = os.path.join(delta_dir, "_applied_batches.json")
+    claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+    sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+    lr, gate_buckets = load_dsir_gate(spark, gate_dir)
+    _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
+
+    def _applied() -> set[int]:
+        try:
+            with open(applied_path) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch.isEmpty():
+            return
+        claim = os.path.join(claims_dir, f"claim_{batch_id}")
+        done = _applied()
+        if batch_id in done:
+            if os.path.exists(claim):
+                os.remove(claim)
+            return
+        from custom_vector_database_spark.operators.curation import (
+            dsir_score_with,
+        )
+
+        scores = dsir_score_with(
+            lr, batch, id_col=id_col, text_col=text_col,
+            num_buckets=gate_buckets,
+        )
+        kept = batch.join(
+            scores.filter(F.col("logw_micro") >= min_logw_micro).select(
+                id_col
+            ),
+            id_col,
+            "left_semi",
+        )
+        corpus_ingest_apply_batch(
+            spark, kept, batch_id, corpus_dir,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        )
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, applied_path)
+        if os.path.exists(claim):
+            os.remove(claim)
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(delta_dir)
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_bounded_stream(spark, start, "corpus_dsir_ingest", timeout, None)
+    return n_batches

@@ -1145,3 +1145,107 @@ def test_ingest_verbs_refuse_null_text(spark, tmp_path):
         corpus_ingest_apply_batch(spark, bad, 1, corpus)
     with pytest.raises(ValueError, match="NULL"):
         corpus_neardup_apply_batch(spark, bad, 1, corpus)
+
+
+def test_stream_dsir_gated_ingest_filters_and_dedups(spark, tmp_path):
+    """The quality gate composes with dedup-on-ingest: pool-typical docs
+    (logw < threshold) never append; target-like FRESH docs append once;
+    a target-like VERBATIM COPY of a corpus doc passes the gate but
+    drops on the fingerprint path; replay (fresh checkpoint) applies
+    zero batches. The gate is stateless, so crash semantics are exactly
+    corpus_ingest_apply_batch's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_dsir_gate,
+        stream_corpus_dsir_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot") for i in range(5)]
+        + [(10 + i, "zulu yankee xray whiskey victor uniform") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    gate_dir = str(tmp_path / "gate")
+    delta_dir = str(tmp_path / "delta")
+    corpus.write.parquet(corpus_dir)
+    # target = the alpha-family docs; pool = everything
+    fit_dsir_gate(
+        spark,
+        pool=corpus.select("text"),
+        target=corpus.filter(F.col("doc_id") < 5).select("text"),
+        gate_dir=gate_dir,
+        num_buckets=64,
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, "alpha bravo charlie delta echo golf"),  # target-like fresh
+            (101, "zulu yankee xray whiskey victor tango"),  # pool-typical
+            (102, "alpha bravo charlie delta echo foxtrot"),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    delta.repartition(3).write.parquet(delta_dir)
+    n = stream_corpus_dsir_ingest(
+        spark, delta_dir, corpus_dir, gate_dir,
+        doc_schema=delta.schema, min_logw_micro=1, max_files_per_trigger=2,
+    )
+    assert n >= 2
+    final = spark.read.parquet(corpus_dir)
+    kept = {r["doc_id"] for r in final.filter(F.col("doc_id") >= 100).collect()}
+    assert kept == {100}  # 101 gate-dropped, 102 fp-dropped
+    shutil.rmtree(str(tmp_path / "delta" / "_ckpt"))
+    assert stream_corpus_dsir_ingest(
+        spark, delta_dir, corpus_dir, gate_dir,
+        doc_schema=delta.schema, min_logw_micro=1,
+    ) == 0
+    assert spark.read.parquet(corpus_dir).count() == 11
+
+
+def test_dsir_gate_meta_pins_modulus(spark, tmp_path):
+    """load_dsir_gate refuses a gate without a readable meta — scoring
+    with a guessed modulus would silently mis-bucket every gram; and
+    the fit/load roundtrip preserves the table exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.curation import (
+        dsir_bucket_logratios,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _DSIR_GATE_META,
+        fit_dsir_gate,
+        load_dsir_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    gate_dir = str(tmp_path / "gate")
+    fit_dsir_gate(
+        spark, docs.select("text"), docs.limit(3).select("text"),
+        gate_dir, num_buckets=16,
+    )
+    lr, nb = load_dsir_gate(spark, gate_dir)
+    assert nb == 16
+    want = {
+        r["bucket"]: r["lr_micro"]
+        for r in dsir_bucket_logratios(
+            docs.select("text"), docs.limit(3).select("text"), num_buckets=16
+        ).collect()
+    }
+    got = {r["bucket"]: r["lr_micro"] for r in lr.collect()}
+    assert got == want
+    meta = os.path.join(gate_dir, _DSIR_GATE_META)
+    with open(meta, "w") as f:
+        f.write("not json")
+    with pytest.raises(ValueError, match="gate meta"):
+        load_dsir_gate(spark, gate_dir)
+    os.remove(meta)
+    with pytest.raises(ValueError, match="gate meta"):
+        load_dsir_gate(spark, gate_dir)
