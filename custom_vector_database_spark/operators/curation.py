@@ -612,6 +612,25 @@ def bigram_logprob(
 # distribution looks like a TARGET corpus.
 # ---------------------------------------------------------------------------
 
+# The DuckDB twins of _dsir_gram_stream below — defined HERE, next to the
+# Spark expression they mirror, so the feature convention cannot silently
+# fork between the DSIR oracles (dsir_select_docs in curation_queries and
+# the gate oracle in pipeline_queries both import these; keeping them in a
+# query module would cycle the query-package imports).
+DSIR_GRAMS_DUCK = (
+    "toks || CASE WHEN len(toks) >= 2 THEN list_transform("
+    "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+
+
+def dsir_bucket_duck(num_buckets: int) -> str:
+    return (
+        "CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) "
+        f"% {num_buckets} AS INT)"
+    )
+
+
 def _dsir_gram_stream(
     df: DataFrame, cols: list[str], text_col: str, num_buckets: int
 ) -> DataFrame:

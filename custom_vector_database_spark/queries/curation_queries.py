@@ -858,15 +858,11 @@ def q_corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 _DSIR_BUCKETS = 32
 _DSIR_N = 40
-_DSIR_GRAMS = (
-    "toks || CASE WHEN len(toks) >= 2 THEN list_transform("
-    "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
-    "ELSE [] END"
-)
-_DSIR_BUCKET = (
-    "CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) "
-    f"% {_DSIR_BUCKETS} AS INT)"
-)
+# the DuckDB twins live in operators/curation next to the Spark feature
+# stream they mirror (one definition for BOTH DSIR oracles — this row's
+# and pipeline_queries' gate)
+_DSIR_GRAMS = cu.DSIR_GRAMS_DUCK
+_DSIR_BUCKET = cu.dsir_bucket_duck(_DSIR_BUCKETS)
 
 
 @register(

@@ -1774,15 +1774,14 @@ def _dsir_gate_oracle_cte(num_buckets: int, threshold: int) -> str:
     defined upstream; emits ``gkept`` (fp) — the DuckDB twin of
     operators/curation.dsir_bucket_logratios + dsir_score_with over
     fingerprint_md5, mirroring the dsir_select_docs arithmetic."""
+    from custom_vector_database_spark.operators.curation import (
+        DSIR_GRAMS_DUCK,
+        dsir_bucket_duck,
+    )
+
     toks = _DUCK_TOKS
-    grams = (
-        "toks || CASE WHEN len(toks) >= 2 THEN list_transform("
-        "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
-    )
-    bucket = (
-        "CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) "
-        f"% {num_buckets} AS INT)"
-    )
+    grams = DSIR_GRAMS_DUCK
+    bucket = dsir_bucket_duck(num_buckets)
     return f"""
     gtg AS (SELECT unnest({grams}) AS gram
             FROM (SELECT {toks} AS toks FROM tgt)),
@@ -1865,7 +1864,6 @@ def q_stream_dsir_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate_dir = os.path.join(tmp, "gate")
         docs.write.parquet(corpus_dir)
         fit_dsir_gate(
-            spark,
             pool=docs.select("text"),
             target=docs.filter(F.col("lang") == "en").select("text"),
             gate_dir=gate_dir,

@@ -774,6 +774,76 @@ def compact_fp_sidecar(
     }
 
 
+def _run_ingest_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    doc_schema: T.StructType,
+    claims_dir: str,
+    apply_fn,
+    max_files_per_trigger: int,
+    timeout: int,
+    label: str,
+) -> int:
+    """The ONE copy of the corpus-ingest family's at-least-once
+    micro-batch protocol (exact / near-dup / DSIR-gated verbs differ
+    only in their ``apply_fn(batch, batch_id)``): skip batches already
+    in the applied-id marker (cleaning their stale claim — the marker
+    gates first, so the claim is inert); record-AFTER-apply via a
+    same-dir atomic rename so a crash between the appends and the
+    marker replays the batch into apply_fn's recovery path, never
+    skips it; drive with trigger(availableNow). Returns batches
+    applied this call."""
+    import json as _json
+    import os
+
+    n_batches = 0
+    ckpt = os.path.join(delta_dir, "_ckpt")
+    applied_path = os.path.join(delta_dir, "_applied_batches.json")
+
+    def _applied() -> set[int]:
+        try:
+            with open(applied_path) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch.isEmpty():
+            return
+        claim = os.path.join(claims_dir, f"claim_{batch_id}")
+        done = _applied()
+        if batch_id in done:
+            if os.path.exists(claim):
+                os.remove(claim)
+            return
+        apply_fn(batch, batch_id)
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, applied_path)
+        if os.path.exists(claim):
+            os.remove(claim)
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(delta_dir)
+    )
+
+    def start():
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_bounded_stream(spark, start, label, timeout, None)
+    return n_batches
+
+
 def stream_corpus_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -816,67 +886,22 @@ def stream_corpus_ingest(
     route replays into the reconciling recovery path.
 
     Returns the number of micro-batches applied this call."""
-    import json as _json
     import os
 
-    n_batches = 0
-    ckpt = os.path.join(delta_dir, "_ckpt")
-    applied_path = os.path.join(delta_dir, "_applied_batches.json")
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
     _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
 
-    def _applied() -> set[int]:
-        try:
-            with open(applied_path) as f:
-                return set(_json.load(f))
-        except (OSError, ValueError):
-            return set()
-
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        if batch.isEmpty():
-            return
-        claim = os.path.join(claims_dir, f"claim_{batch_id}")
-        done = _applied()
-        if batch_id in done:
-            # fully applied before a crash could remove the claim —
-            # the stale marker is inert (the applied set gates first);
-            # clean it so recovery never triggers for this id again
-            if os.path.exists(claim):
-                os.remove(claim)
-            return
+    def apply(batch: DataFrame, batch_id: int) -> None:
         corpus_ingest_apply_batch(
             spark, batch, batch_id, corpus_dir,
             id_col=id_col, text_col=text_col, n_buckets=n_buckets,
         )
-        # record-AFTER-apply: a crash between the appends and this
-        # marker replays the batch into the recovery path, never skips
-        # it; the marker write is a same-dir atomic rename
-        tmp = applied_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(sorted(done | {batch_id}), f)
-        os.replace(tmp, applied_path)
-        if os.path.exists(claim):
-            os.remove(claim)
-        n_batches += 1
 
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(delta_dir)
+    return _run_ingest_stream(
+        spark, delta_dir, doc_schema, claims_dir, apply,
+        max_files_per_trigger, timeout, "corpus_ingest",
     )
-
-    def start():
-        return (
-            stream.writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    _drive_bounded_stream(spark, start, "corpus_ingest", timeout, None)
-    return n_batches
 
 
 # ---------------------------------------------------------------------------
@@ -1243,61 +1268,22 @@ def stream_corpus_neardup_ingest(
     is the streaming form of dedup_exact_docs. Returns micro-batches
     applied this call. Same at-least-once idempotence machinery as
     stream_corpus_ingest (applied-batch marker + write-ahead claims)."""
-    import json as _json
     import os
 
-    n_batches = 0
-    ckpt = os.path.join(delta_dir, "_ckpt")
-    applied_path = os.path.join(delta_dir, "_applied_batches.json")
     claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
     _ensure_mh_sidecar(spark, corpus_dir, text_col, n_perms, n_bands, n_buckets)
 
-    def _applied() -> set[int]:
-        try:
-            with open(applied_path) as f:
-                return set(_json.load(f))
-        except (OSError, ValueError):
-            return set()
-
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        if batch.isEmpty():
-            return
-        claim = os.path.join(claims_dir, f"claim_{batch_id}")
-        done = _applied()
-        if batch_id in done:
-            if os.path.exists(claim):
-                os.remove(claim)
-            return
+    def apply(batch: DataFrame, batch_id: int) -> None:
         corpus_neardup_apply_batch(
             spark, batch, batch_id, corpus_dir,
             id_col=id_col, text_col=text_col, n_perms=n_perms,
             n_bands=n_bands, min_agree=min_agree, n_buckets=n_buckets,
         )
-        tmp = applied_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(sorted(done | {batch_id}), f)
-        os.replace(tmp, applied_path)
-        if os.path.exists(claim):
-            os.remove(claim)
-        n_batches += 1
 
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(delta_dir)
+    return _run_ingest_stream(
+        spark, delta_dir, doc_schema, claims_dir, apply,
+        max_files_per_trigger, timeout, "corpus_neardup_ingest",
     )
-
-    def start():
-        return (
-            stream.writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    _drive_bounded_stream(spark, start, "corpus_neardup_ingest", timeout, None)
-    return n_batches
 
 
 def compact_mh_sidecar(
@@ -1384,16 +1370,18 @@ _DSIR_GATE_META = "_gate_meta.json"
 
 
 def fit_dsir_gate(
-    spark: SparkSession,
     pool: DataFrame,
     target: DataFrame,
     gate_dir: str,
     text_col: str = "text",
     num_buckets: int = 64,
 ) -> None:
-    """Fit and persist the DSIR log-ratio table (crash-safe tmp-then-
-    rename; the meta file pins num_buckets so a scorer can never hash
-    with a different modulus than the table was fit with)."""
+    """Fit and persist the DSIR log-ratio table. The meta file pins
+    num_buckets so a scorer can never hash with a different modulus
+    than the table was fit with. Refit over an existing gate is
+    crash-safe via the sidecar _old dance: a crash between the two
+    renames leaves _old holding the complete previous gate, which
+    load_dsir_gate rolls back — at no instant is there NO gate."""
     import json
     import os
     import shutil
@@ -1411,9 +1399,13 @@ def fit_dsir_gate(
     lr.coalesce(1).write.parquet(tmp)
     with open(os.path.join(tmp, _DSIR_GATE_META), "w") as f:
         json.dump({"num_buckets": int(num_buckets)}, f)
+    old = gate_dir + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(gate_dir):
-        shutil.rmtree(gate_dir)
+        os.rename(gate_dir, old)
     os.rename(tmp, gate_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_dsir_gate(spark: SparkSession, gate_dir: str):
@@ -1423,6 +1415,11 @@ def load_dsir_gate(spark: SparkSession, gate_dir: str):
     import json
     import os
 
+    old = gate_dir + "_old"
+    if not os.path.isdir(gate_dir) and os.path.isdir(old):
+        # a refit crashed between its two renames: _old IS the complete
+        # previous gate — roll it back rather than halting ingestion
+        os.rename(old, gate_dir)
     meta_path = os.path.join(gate_dir, _DSIR_GATE_META)
     try:
         with open(meta_path) as f:
@@ -1460,38 +1457,22 @@ def stream_corpus_dsir_ingest(
     crash recovery EXACTLY the proven stream_corpus_ingest story — the
     gate is a pure per-batch filter with no state of its own, so a
     replayed batch gates identically. Returns micro-batches applied."""
-    import json as _json
     import os
 
-    n_batches = 0
-    ckpt = os.path.join(delta_dir, "_ckpt")
-    applied_path = os.path.join(delta_dir, "_applied_batches.json")
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     lr, gate_buckets = load_dsir_gate(spark, gate_dir)
     _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
 
-    def _applied() -> set[int]:
-        try:
-            with open(applied_path) as f:
-                return set(_json.load(f))
-        except (OSError, ValueError):
-            return set()
-
-    def ingest(batch: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        if batch.isEmpty():
-            return
-        claim = os.path.join(claims_dir, f"claim_{batch_id}")
-        done = _applied()
-        if batch_id in done:
-            if os.path.exists(claim):
-                os.remove(claim)
-            return
+    def apply(batch: DataFrame, batch_id: int) -> None:
         from custom_vector_database_spark.operators.curation import (
             dsir_score_with,
         )
 
+        # refuse NULL text on the RAW batch: a NULL doc scores 0 and a
+        # positive threshold would silently gate-drop it, making the
+        # family's fail-fast contract threshold-dependent
+        _refuse_null_text(batch, text_col)
         scores = dsir_score_with(
             lr, batch, id_col=id_col, text_col=text_col,
             num_buckets=gate_buckets,
@@ -1502,32 +1483,16 @@ def stream_corpus_dsir_ingest(
             ),
             id_col,
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
+        # ^ materialize: apply_batch evaluates its batch three times
+        # (null guard, bucket collect, survivors checkpoint) — without
+        # the barrier each evaluation re-runs the full gate scoring
         corpus_ingest_apply_batch(
             spark, kept, batch_id, corpus_dir,
             id_col=id_col, text_col=text_col, n_buckets=n_buckets,
         )
-        tmp = applied_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(sorted(done | {batch_id}), f)
-        os.replace(tmp, applied_path)
-        if os.path.exists(claim):
-            os.remove(claim)
-        n_batches += 1
 
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(delta_dir)
+    return _run_ingest_stream(
+        spark, delta_dir, doc_schema, claims_dir, apply,
+        max_files_per_trigger, timeout, "corpus_dsir_ingest",
     )
-
-    def start():
-        return (
-            stream.writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    _drive_bounded_stream(spark, start, "corpus_dsir_ingest", timeout, None)
-    return n_batches

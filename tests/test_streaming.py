@@ -1174,7 +1174,6 @@ def test_stream_dsir_gated_ingest_filters_and_dedups(spark, tmp_path):
     corpus.write.parquet(corpus_dir)
     # target = the alpha-family docs; pool = everything
     fit_dsir_gate(
-        spark,
         pool=corpus.select("text"),
         target=corpus.filter(F.col("doc_id") < 5).select("text"),
         gate_dir=gate_dir,
@@ -1228,7 +1227,7 @@ def test_dsir_gate_meta_pins_modulus(spark, tmp_path):
     )
     gate_dir = str(tmp_path / "gate")
     fit_dsir_gate(
-        spark, docs.select("text"), docs.limit(3).select("text"),
+        docs.select("text"), docs.limit(3).select("text"),
         gate_dir, num_buckets=16,
     )
     lr, nb = load_dsir_gate(spark, gate_dir)
@@ -1249,3 +1248,37 @@ def test_dsir_gate_meta_pins_modulus(spark, tmp_path):
     os.remove(meta)
     with pytest.raises(ValueError, match="gate meta"):
         load_dsir_gate(spark, gate_dir)
+
+
+def test_dsir_gate_refit_crash_rolls_back(spark, tmp_path):
+    """A refit crash between fit_dsir_gate's two renames leaves _old
+    holding the complete previous gate; load_dsir_gate rolls it back —
+    at no instant is there NO gate (the sidecar _old contract)."""
+    import os
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_dsir_gate,
+        load_dsir_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo words {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    gate_dir = str(tmp_path / "gate")
+    fit_dsir_gate(
+        docs.select("text"), docs.limit(2).select("text"), gate_dir,
+        num_buckets=16,
+    )
+    before = {
+        r["bucket"]: r["lr_micro"]
+        for r in load_dsir_gate(spark, gate_dir)[0].collect()
+    }
+    # hand-build the mid-swap crash state: gate renamed to _old, the new
+    # tmp never renamed in
+    os.rename(gate_dir, gate_dir + "_old")
+    lr, nb = load_dsir_gate(spark, gate_dir)
+    assert nb == 16
+    assert os.path.isdir(gate_dir) and not os.path.isdir(gate_dir + "_old")
+    got = {r["bucket"]: r["lr_micro"] for r in lr.collect()}
+    assert got == before
