@@ -86,9 +86,11 @@ def main() -> None:
     # verbs (ivf_upsert/ivf_delete/ivf_compact, ivfpq_upsert,
     # ivfbq_upsert, maxsim_crud, stream_index_ingest,
     # stream_corpus_ingest, stream_maxsim_ingest, stream_neardup_ingest,
-    # neardup_ingest_compact, corpus_ingest_compact) copy the cached
+    # stream_dsir_gated_ingest, neardup_ingest_compact,
+    # corpus_ingest_compact) copy the cached
     # layout / build a fresh tmp corpus each run and mutate the COPY —
-    # both samples price identical work; dsir_select_docs is stateless;
+    # both samples price identical work; dsir_select_docs and
+    # neardup_decontaminate_docs are stateless;
     # semdedup_ivf_prune re-fits its clustering per run; the ANN search
     # rows (incl. the maxsim_pruned* / maxsim_search_many* family, which
     # answer from the cached saved layout) hit caches populated by their
