@@ -1446,23 +1446,32 @@ def stream_corpus_dsir_ingest(
     max_files_per_trigger: int = 2,
     timeout: int = 120,
     n_buckets: int = 16,
+    dedup: str = "exact",
 ) -> int:
     """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
     every document against the persisted DSIR log-ratio table
     (operators/curation.dsir_score_with — one codegen pass + a broadcast
     of the tiny table) and keep only docs with
-    logw_micro >= ``min_logw_micro``; the keepers then run the exact
-    dedup-on-ingest path (corpus_ingest_apply_batch: fingerprint sidecar
-    probe + write-ahead claims), which also makes replay idempotence and
-    crash recovery EXACTLY the proven stream_corpus_ingest story — the
+    logw_micro >= ``min_logw_micro``; the keepers then run the
+    dedup-on-ingest path — ``dedup="exact"`` (fingerprint sidecar,
+    corpus_ingest_apply_batch) or ``dedup="neardup"`` (minhash sidecars,
+    corpus_neardup_apply_batch: the full production stack, importance
+    gate + fuzzy dedup in one stream). Replay idempotence and crash
+    recovery are EXACTLY the chosen dedup verb's proven story — the
     gate is a pure per-batch filter with no state of its own, so a
     replayed batch gates identically. Returns micro-batches applied."""
     import os
 
-    claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
-    sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+    if dedup not in ("exact", "neardup"):
+        raise ValueError(f"dedup must be 'exact' or 'neardup', got {dedup!r}")
     lr, gate_buckets = load_dsir_gate(spark, gate_dir)
-    _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
+    if dedup == "exact":
+        claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
+        sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
+        _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
+    else:
+        claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
+        _ensure_mh_sidecar(spark, corpus_dir, text_col, 16, 4, n_buckets)
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         from custom_vector_database_spark.operators.curation import (
@@ -1487,10 +1496,16 @@ def stream_corpus_dsir_ingest(
         # ^ materialize: apply_batch evaluates its batch three times
         # (null guard, bucket collect, survivors checkpoint) — without
         # the barrier each evaluation re-runs the full gate scoring
-        corpus_ingest_apply_batch(
-            spark, kept, batch_id, corpus_dir,
-            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
-        )
+        if dedup == "exact":
+            corpus_ingest_apply_batch(
+                spark, kept, batch_id, corpus_dir,
+                id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            )
+        else:
+            corpus_neardup_apply_batch(
+                spark, kept, batch_id, corpus_dir,
+                id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            )
 
     return _run_ingest_stream(
         spark, delta_dir, doc_schema, claims_dir, apply,

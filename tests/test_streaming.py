@@ -1282,3 +1282,67 @@ def test_dsir_gate_refit_crash_rolls_back(spark, tmp_path):
     assert os.path.isdir(gate_dir) and not os.path.isdir(gate_dir + "_old")
     got = {r["bucket"]: r["lr_micro"] for r in lr.collect()}
     assert got == before
+
+
+def test_dsir_gated_ingest_composes_with_neardup(spark, tmp_path):
+    """dedup='neardup' stacks the importance gate ON the fuzzy dedup
+    path: a pool-typical doc gate-drops, a target-like NEAR-copy of a
+    corpus doc passes the gate but drops on band+agreement, and a
+    target-like fresh doc appends — the full production ingest stack in
+    one stream. An unknown dedup mode refuses."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_dsir_gate,
+        stream_corpus_dsir_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot golf") for i in range(5)]
+        + [(10 + i, "zulu yankee xray whiskey victor uniform tango")
+           for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    gate_dir = str(tmp_path / "gate")
+    delta_dir = str(tmp_path / "delta")
+    corpus.write.parquet(corpus_dir)
+    fit_dsir_gate(
+        pool=corpus.select("text"),
+        target=corpus.filter(F.col("doc_id") < 5).select("text"),
+        gate_dir=gate_dir,
+        num_buckets=64,
+    )
+    delta = spark.createDataFrame(
+        [
+            # target-like unigrams in a NEW arrangement: no trigram
+            # shingle overlaps the corpus, so only the gate decides.
+            # Its reversed bigrams are unseen and some collide into
+            # pool-typical buckets at 64 buckets, so its weight is
+            # mildly negative (-1.7M) — far above the pool-typical
+            # doc's -13.0M; the threshold below separates them (the
+            # gate is a RELATIVE ranking, not a sign test)
+            (100, "echo charlie alpha golf delta bravo foxtrot"),
+            (101, "zulu yankee xray whiskey victor sierra nov"),  # pool-typical
+            (102, "alpha bravo charlie delta echo foxtrot golf."),  # near-copy
+        ],
+        "doc_id long, text string",
+    )
+    delta.repartition(3).write.parquet(delta_dir)
+    with pytest.raises(ValueError, match="dedup must be"):
+        stream_corpus_dsir_ingest(
+            spark, delta_dir, corpus_dir, gate_dir,
+            doc_schema=delta.schema, dedup="bogus",
+        )
+    n = stream_corpus_dsir_ingest(
+        spark, delta_dir, corpus_dir, gate_dir,
+        doc_schema=delta.schema, min_logw_micro=-5_000_000, dedup="neardup",
+    )
+    assert n >= 2
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_dir)
+        .filter(F.col("doc_id") >= 100)
+        .collect()
+    }
+    assert kept == {100}  # 101 gate-dropped, 102 near-dup-dropped (J=1)
