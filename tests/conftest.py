@@ -1,6 +1,15 @@
 from __future__ import annotations
 
 import os
+import sys
+from pathlib import Path
+
+# Bare `pytest tests/` (no -m) doesn't put the repo root on sys.path the way
+# `python -m pytest` does; insert it so `custom_vector_database_spark` imports
+# under either invocation.
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import pytest
 
