@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -73,6 +74,44 @@ from custom_vector_database_spark.operators.tombstones import (
 )
 
 __all__ = ["MaxSimIndex"]
+
+_SAVE_COMMIT = "_save_commit"
+
+
+def _complete_save_swap(path: str) -> None:
+    """Finish an overwrite-save whose commit marker exists: swap each
+    half's complete ``_save_tmp`` into place, drop the ``_save_old``
+    renames, then atomically install the marker as the new meta.json.
+    Idempotent — safe to re-run from any mid-swap crash point."""
+    for half in ("rows", "docs"):
+        p = os.path.join(path, half)
+        tmp, old = p + "_save_tmp", p + "_save_old"
+        if os.path.isdir(tmp):
+            if os.path.isdir(p):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(p, old)
+            os.rename(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
+    marker = os.path.join(path, _SAVE_COMMIT)
+    if os.path.exists(marker):
+        os.replace(marker, os.path.join(path, "meta.json"))
+
+
+def _recover_save_swap(path: str) -> None:
+    """Heal a crash in save()-over-an-existing-layout. Before the commit
+    marker exists nothing has been renamed — incomplete tmp halves are
+    deleted and the old layout+meta stand untouched. Once the marker
+    exists both tmp halves are complete, so the swap rolls FORWARD and
+    the marker (which holds the new meta) replaces meta.json — layout
+    and meta commit together, never one without the other."""
+    if os.path.exists(os.path.join(path, _SAVE_COMMIT)):
+        _complete_save_swap(path)
+        return
+    for half in ("rows", "docs"):
+        shutil.rmtree(
+            os.path.join(path, half + "_save_tmp"), ignore_errors=True
+        )
 
 
 class MaxSimIndex(TombstoneDeleteMixin):
@@ -179,51 +218,71 @@ class MaxSimIndex(TombstoneDeleteMixin):
         gather). One write each — the checkpointed clustered frame feeds
         both without recomputing the encode. A save is a full rewrite of
         the LIVE view: tombstoned docs are physically dropped, so the
-        new layout needs no sidecar (the IvfIndex.save convention)."""
+        new layout needs no sidecar (the IvfIndex.save convention).
+
+        Saving OVER an existing layout is two-phase: both halves land in
+        sibling ``_save_tmp`` dirs first, then a ``_save_commit`` marker
+        (holding the NEW meta) is created as the commit point, then the
+        rename swap runs — so a crash anywhere leaves either the complete
+        old layout+meta (pre-marker) or rolls forward to the complete new
+        one (_recover_save_swap, called here and at load()). The previous
+        in-place double-overwrite could crash between the halves and
+        leave them permanently inconsistent."""
         from custom_vector_database_spark.operators.layout import (
             clear_tombstones,
         )
 
         os.makedirs(path, exist_ok=True)
+        rows_p = os.path.join(path, "rows")
+        docs_p = os.path.join(path, "docs")
         live = self.rows_df()
-        live.write.mode("overwrite").partitionBy("cluster").parquet(
-            os.path.join(path, "rows")
-        )
+        overwriting = os.path.isdir(rows_p) or os.path.isdir(docs_p)
+        if overwriting:
+            _recover_save_swap(path)  # heal any prior crashed save first
+            rows_w, docs_w = rows_p + "_save_tmp", docs_p + "_save_tmp"
+            for t in (rows_w, docs_w):
+                shutil.rmtree(t, ignore_errors=True)
+        else:
+            rows_w, docs_w = rows_p, docs_p
+        live.write.mode("overwrite").partitionBy("cluster").parquet(rows_w)
         (
             live.select(
                 F.col(self.doc_col), F.col(self.vec_col), self._dbkt_col()
             )
             .write.mode("overwrite")
             .partitionBy("dbkt")
-            .parquet(os.path.join(path, "docs"))
+            .parquet(docs_w)
         )
+        meta = {
+            "doc_col": self.doc_col,
+            "vec_col": self.vec_col,
+            "dim": self.dim,
+            "n_doc_buckets": self.n_doc_buckets,
+            "centroids": self.centroids,
+        }
+        if overwriting:
+            with open(os.path.join(path, _SAVE_COMMIT), "w") as f:
+                json.dump(meta, f)  # commit point: marker IS the new meta
+            _complete_save_swap(path)
+        else:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
-        if self._tombstones is not None:
-            # the save just physically dropped tombstoned rows: re-point
-            # the frames at what was written BEFORE dropping the
-            # tombstone view, else the old frames would resurrect the
-            # deleted docs on this very handle (the IvfIndex.save
-            # rationale). Only needed when tombstones were dropped — a
-            # clean save keeps the PATH-INDEPENDENT in-memory frames so
-            # callers may move/rename the written directory afterwards
+        if overwriting or self._tombstones is not None:
+            # re-point the frames at what was written: after a swap the
+            # old dirs were renamed away (a cached file listing would
+            # read deleted part files), and after a tombstone-dropping
+            # save the old frames would resurrect the deleted docs (the
+            # IvfIndex.save rationale). A clean fresh-dir save keeps the
+            # PATH-INDEPENDENT in-memory frames so callers may
+            # move/rename the written directory afterwards
             # (MultiVectorTable.rebuild's tmp-and-swap does exactly
             # that; re-reading from `path` here would bind the handle
             # to the renamed-away tmp dir and crash its first search).
             spark = self._clustered.sparkSession
-            self._clustered = spark.read.parquet(os.path.join(path, "rows"))
-            self._docs = spark.read.parquet(os.path.join(path, "docs"))
+            self._clustered = spark.read.parquet(rows_p)
+            self._docs = spark.read.parquet(docs_p)
             self._tombstones = None
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "doc_col": self.doc_col,
-                    "vec_col": self.vec_col,
-                    "dim": self.dim,
-                    "n_doc_buckets": self.n_doc_buckets,
-                    "centroids": self.centroids,
-                },
-                f,
-            )
         self._path = path
 
     @classmethod
@@ -232,11 +291,14 @@ class MaxSimIndex(TombstoneDeleteMixin):
             recover_partitioned_swap,
         )
 
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
-        # heal a crash mid-compact swap in EITHER layout half first
+        # heal a crash mid-swap FIRST: an overwrite-save's commit marker
+        # rolls the layout (and meta) forward, then either layout half's
+        # compact swap heals — only then is meta.json current
+        _recover_save_swap(path)
         recover_partitioned_swap(os.path.join(path, "rows"))
         recover_partitioned_swap(os.path.join(path, "docs"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
         idx = cls(
             meta["centroids"],
             spark.read.parquet(os.path.join(path, "rows")),

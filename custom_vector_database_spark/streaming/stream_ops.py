@@ -485,12 +485,50 @@ def _read_fp_sidecar(spark: SparkSession, sidecar_dir: str):
     )
 
 
-def _write_sidecar_meta(sidecar_dir: str, n_buckets: int) -> None:
+def _write_sidecar_meta(
+    sidecar_dir: str,
+    n_buckets: int,
+    n_perms: int | None = None,
+    n_bands: int | None = None,
+) -> None:
     import json
     import os
 
+    meta: dict = {"n_buckets": int(n_buckets)}
+    if n_perms is not None:
+        meta["n_perms"] = int(n_perms)
+    if n_bands is not None:
+        meta["n_bands"] = int(n_bands)
     with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
-        json.dump({"n_buckets": int(n_buckets)}, f)
+        json.dump(meta, f)
+
+
+def _read_sidecar_meta(sidecar_dir: str) -> dict | None:
+    """Raw meta dict, or None for a sidecar predating the meta file. A
+    PRESENT but unparseable meta raises loudly — silently guessing any
+    pinned parameter would reintroduce the mis-probe class the meta file
+    exists to prevent."""
+    import json
+    import os
+
+    meta_path = os.path.join(sidecar_dir, "_sidecar_meta.json")
+    try:
+        with open(meta_path) as f:
+            raw = f.read()
+    except FileNotFoundError:
+        return None
+    try:
+        meta = json.loads(raw)
+        if not isinstance(meta, dict):
+            raise ValueError(f"meta is {type(meta).__name__}, not a dict")
+        return meta
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt sidecar meta {meta_path!r} ({e!r}) — refusing to "
+            "guess the pinned parameters; restore the meta file or rebuild "
+            "the sidecar (delete it and let bootstrap re-derive it from "
+            "the corpus)"
+        ) from e
 
 
 def _sidecar_n_buckets(sidecar_dir: str, default: int) -> int:
@@ -503,24 +541,45 @@ def _sidecar_n_buckets(sidecar_dir: str, default: int) -> int:
     silently falling back to the caller's modulus on a sidecar built
     with a different one would mis-prune probe buckets and re-append
     duplicates, the exact bug the meta file exists to prevent."""
-    import json
-    import os
-
-    meta_path = os.path.join(sidecar_dir, "_sidecar_meta.json")
-    try:
-        with open(meta_path) as f:
-            raw = f.read()
-    except FileNotFoundError:
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
         return default
     try:
-        return int(json.loads(raw)["n_buckets"])
+        return int(meta["n_buckets"])
     except (ValueError, KeyError, TypeError) as e:
         raise ValueError(
-            f"corrupt sidecar meta {meta_path!r} ({e!r}) — refusing to "
-            "guess the bucket modulus; restore the meta file or rebuild "
+            f"corrupt sidecar meta in {sidecar_dir!r} ({e!r}) — refusing "
+            "to guess the bucket modulus; restore the meta file or rebuild "
             "the sidecar (delete it and let bootstrap re-derive it from "
             "the corpus)"
         ) from e
+
+
+def _check_mh_shape(sidecar_dir: str, n_perms: int, n_bands: int) -> None:
+    """Refuse a minhash probe/rebuild whose (n_perms, n_bands) differ from
+    the shape the sidecar's signatures and band hashes were built with.
+    A mismatched shape does NOT fail loudly on its own: band hashes simply
+    diverge (missing every near-duplicate) and signature agreement over
+    mismatched-length signatures NULL-pads and undercounts — the silent
+    mis-probe class the n_buckets meta exists to prevent, now pinned for
+    the minhash shape too. Sidecars whose meta predates shape pinning
+    (or the meta file entirely) pass through on the caller's values."""
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
+        return
+    pinned_p, pinned_b = meta.get("n_perms"), meta.get("n_bands")
+    if pinned_p is None and pinned_b is None:
+        return
+    if int(pinned_p) != int(n_perms) or int(pinned_b) != int(n_bands):
+        raise ValueError(
+            f"minhash sidecar {sidecar_dir!r} was built with "
+            f"n_perms={pinned_p}, n_bands={pinned_b} but this call asked "
+            f"for n_perms={n_perms}, n_bands={n_bands} — a mismatched "
+            "shape silently misses near-duplicates (band hashes diverge; "
+            "agreement over mismatched-length signatures undercounts); "
+            "pass the pinned shape, or rebuild the sidecar under the new "
+            "one (delete both frames and let bootstrap re-derive them)"
+        )
 
 
 def _ensure_fp_sidecar(
@@ -1007,13 +1066,19 @@ def _ensure_mh_sidecar(
         if not os.path.isdir(d) and os.path.isdir(d + "_old"):
             os.rename(d + "_old", d)
     if os.path.isdir(sigs_dir) and os.path.isdir(bands_dir):
+        # fail fast BEFORE any stream starts: a shape mismatch would
+        # otherwise only surface inside the first micro-batch's probe
+        _check_mh_shape(sigs_dir, n_perms, n_bands)
         return
     from custom_vector_database_spark.operators.dedup import sig_band_structs
 
     tmp_b = bands_dir + "_tmp"
     if os.path.isdir(sigs_dir):
-        # bands missing only: re-derive from the signature frame
+        # bands missing only: re-derive from the signature frame — with
+        # the caller's shape validated against the pinned one first, so
+        # the rebuilt bands can never hash differently than the sigs
         n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+        _check_mh_shape(sigs_dir, n_perms, n_bands)
         # carry each row's ORIGINAL batch_id so a concurrent crashed
         # batch's recovery still recognizes its own claimed rows
         sigs = _read_mh_sigs(spark, sigs_dir)
@@ -1031,7 +1096,7 @@ def _ensure_mh_sidecar(
         if os.path.isdir(tmp_b):
             shutil.rmtree(tmp_b)
         rebuilt.write.partitionBy("bhb").parquet(tmp_b)
-        _write_sidecar_meta(tmp_b, n_buckets)
+        _write_sidecar_meta(tmp_b, n_buckets, n_perms, n_bands)
         if os.path.isdir(bands_dir):
             shutil.rmtree(bands_dir)
         os.rename(tmp_b, bands_dir)
@@ -1059,9 +1124,9 @@ def _ensure_mh_sidecar(
         if os.path.isdir(t):
             shutil.rmtree(t)
     _mh_band_rows(enc, -1, n_buckets).write.partitionBy("bhb").parquet(tmp_b)
-    _write_sidecar_meta(tmp_b, n_buckets)
+    _write_sidecar_meta(tmp_b, n_buckets, n_perms, n_bands)
     _mh_sig_rows(enc, -1, n_buckets).write.partitionBy("fpb").parquet(tmp_s)
-    _write_sidecar_meta(tmp_s, n_buckets)
+    _write_sidecar_meta(tmp_s, n_buckets, n_perms, n_bands)
     os.rename(tmp_b, bands_dir)
     os.rename(tmp_s, sigs_dir)  # commit point
 
@@ -1107,6 +1172,7 @@ def corpus_neardup_apply_batch(
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
     recovering = os.path.exists(claim)
     n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+    _check_mh_shape(sigs_dir, n_perms, n_bands)
 
     w = Window.partitionBy("__fp").orderBy(id_col)
     enc = (
@@ -1321,6 +1387,11 @@ def compact_mh_sidecar(
             "recovery reconciles against)"
         )
     n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+    # carry the pinned minhash shape through compaction verbatim — a
+    # compaction that dropped it would strip the mismatch guard from a
+    # sidecar that had it
+    _meta = _read_sidecar_meta(sigs_dir) or {}
+    pinned_perms, pinned_bands = _meta.get("n_perms"), _meta.get("n_bands")
     count_files = lambda d: sum(  # noqa: E731
         1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
     )
@@ -1342,7 +1413,7 @@ def compact_mh_sidecar(
             .write.partitionBy(part_col)
             .parquet(tmp)
         )
-        _write_sidecar_meta(tmp, n_buckets)
+        _write_sidecar_meta(tmp, n_buckets, pinned_perms, pinned_bands)
         old = d + "_old"
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -1447,6 +1518,9 @@ def stream_corpus_dsir_ingest(
     timeout: int = 120,
     n_buckets: int = 16,
     dedup: str = "exact",
+    n_perms: int = 16,
+    n_bands: int = 4,
+    min_agree: int = 8,
 ) -> int:
     """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
     every document against the persisted DSIR log-ratio table
@@ -1456,7 +1530,11 @@ def stream_corpus_dsir_ingest(
     dedup-on-ingest path — ``dedup="exact"`` (fingerprint sidecar,
     corpus_ingest_apply_batch) or ``dedup="neardup"`` (minhash sidecars,
     corpus_neardup_apply_batch: the full production stack, importance
-    gate + fuzzy dedup in one stream). Replay idempotence and crash
+    gate + fuzzy dedup in one stream; ``n_perms``/``n_bands``/
+    ``min_agree`` parameterize it exactly as on
+    stream_corpus_neardup_ingest, and a shape mismatching an existing
+    sidecar's pinned meta refuses rather than mis-probing). Replay
+    idempotence and crash
     recovery are EXACTLY the chosen dedup verb's proven story — the
     gate is a pure per-batch filter with no state of its own, so a
     replayed batch gates identically. Returns micro-batches applied."""
@@ -1471,7 +1549,9 @@ def stream_corpus_dsir_ingest(
         _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
     else:
         claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
-        _ensure_mh_sidecar(spark, corpus_dir, text_col, 16, 4, n_buckets)
+        _ensure_mh_sidecar(
+            spark, corpus_dir, text_col, n_perms, n_bands, n_buckets
+        )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         from custom_vector_database_spark.operators.curation import (
@@ -1504,7 +1584,8 @@ def stream_corpus_dsir_ingest(
         else:
             corpus_neardup_apply_batch(
                 spark, kept, batch_id, corpus_dir,
-                id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+                id_col=id_col, text_col=text_col, n_perms=n_perms,
+                n_bands=n_bands, min_agree=min_agree, n_buckets=n_buckets,
             )
 
     return _run_ingest_stream(

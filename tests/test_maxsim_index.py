@@ -393,3 +393,76 @@ def test_quantized_broadcast_priced_at_code_width(spark, saved):
         saved.search(q, k=3, nprobe=1, max_broadcast_bytes=bound)
     saved.search(q, k=3, nprobe=1, quantized=True,
                  max_broadcast_bytes=bound)  # codes fit the same bound
+
+
+def test_save_over_existing_layout_is_two_phase_and_consistent(
+    spark, tmp_path
+):
+    """Review finding (ADVICE r8): save() onto an existing layout used
+    two in-place overwrites — a crash between them left the halves
+    permanently inconsistent. Now: tmp halves + a commit marker holding
+    the NEW meta, so (a) a re-save over an existing path round-trips
+    with BOTH halves and meta from the new build, (b) a crash BEFORE the
+    marker leaves the old layout+meta fully intact, (c) a crash AFTER
+    the marker rolls forward at load with layout and meta together."""
+    import json
+    import os
+    import shutil
+
+    from custom_vector_database_spark.operators.maxsim import (
+        _SAVE_COMMIT,
+        _recover_save_swap,
+    )
+
+    toks = _tokens(spark)
+    p = str(tmp_path / "idx")
+    MaxSimIndex.fit(
+        toks, doc_col="doc", vec_col="embedding", n_clusters=8,
+        n_doc_buckets=4,
+    ).save(p)
+    n_docs_v1 = spark.read.parquet(os.path.join(p, "docs")).select(
+        "doc"
+    ).distinct().count()
+
+    # (a) re-save a SMALLER build over the same path: both halves and
+    # meta must come from the new build, atomically
+    idx2 = MaxSimIndex.fit(
+        toks.filter(F.col("doc") < 10), doc_col="doc", vec_col="embedding",
+        n_clusters=4, n_doc_buckets=2,
+    )
+    idx2.save(p)
+    loaded = MaxSimIndex.load(spark, p)
+    assert loaded.n_doc_buckets == 2 and len(loaded.centroids) == 4
+    for half in ("rows", "docs"):
+        got = spark.read.parquet(os.path.join(p, half)).select(
+            "doc"
+        ).distinct().count()
+        assert got == 10 < n_docs_v1
+    assert not os.path.exists(os.path.join(p, _SAVE_COMMIT))
+    assert not os.path.isdir(os.path.join(p, "rows_save_tmp"))
+    # the handle idx2 itself stays usable post-swap (frames re-pointed)
+    assert idx2.search(_query_bag(spark), k=3).count() == 3
+
+    # (b) crash BEFORE the marker: stale tmp halves, no marker — load
+    # must serve the OLD layout and delete the garbage tmps
+    shutil.copytree(os.path.join(p, "rows"), os.path.join(p, "rows_save_tmp"))
+    _recover_save_swap(p)
+    assert not os.path.isdir(os.path.join(p, "rows_save_tmp"))
+    assert MaxSimIndex.load(spark, p).n_doc_buckets == 2
+
+    # (c) crash AFTER the marker (mid-swap: rows renamed away, tmp not
+    # yet installed): load rolls FORWARD and installs the marker's meta
+    os.rename(os.path.join(p, "rows"), os.path.join(p, "rows_save_old"))
+    shutil.copytree(
+        os.path.join(p, "docs"), os.path.join(p, "rows_save_tmp")
+    )  # stand-in complete tmp (content irrelevant to the swap mechanics)
+    with open(os.path.join(p, "meta.json")) as f:
+        new_meta = json.load(f)
+    new_meta["n_doc_buckets"] = 99  # distinguishable marker meta
+    with open(os.path.join(p, _SAVE_COMMIT), "w") as f:
+        json.dump(new_meta, f)
+    healed = MaxSimIndex.load(spark, p)
+    assert healed.n_doc_buckets == 99  # marker meta installed
+    assert os.path.isdir(os.path.join(p, "rows"))
+    assert not os.path.isdir(os.path.join(p, "rows_save_old"))
+    assert not os.path.exists(os.path.join(p, _SAVE_COMMIT))

@@ -1346,3 +1346,116 @@ def test_dsir_gated_ingest_composes_with_neardup(spark, tmp_path):
         .collect()
     }
     assert kept == {100}  # 101 gate-dropped, 102 near-dup-dropped (J=1)
+
+
+def test_mh_sidecar_pins_minhash_shape(spark, tmp_path):
+    """The minhash sidecar meta pins (n_perms, n_bands), not just
+    n_buckets: a probe, a bands-rebuild, or a gated-ingest composition
+    asking for a DIFFERENT shape refuses loudly instead of silently
+    missing every near-duplicate (diverged band hashes; NULL-padded
+    agreement over mismatched-length signatures). Compaction carries
+    the pinned shape forward verbatim."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_BANDS,
+        _MH_SIGS,
+        _ensure_mh_sidecar,
+        compact_mh_sidecar,
+        corpus_neardup_apply_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    with open(os.path.join(sigs_dir, "_sidecar_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_perms"] == 16 and meta["n_bands"] == 4
+
+    batch = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000)
+    with pytest.raises(ValueError, match="n_perms=16, n_bands=4"):
+        corpus_neardup_apply_batch(spark, batch, 1, corpus, n_perms=8)
+    with pytest.raises(ValueError, match="n_perms"):
+        corpus_neardup_apply_batch(spark, batch, 1, corpus, n_bands=2)
+    # ensure over an existing sidecar fail-fasts on the same mismatch
+    with pytest.raises(ValueError, match="n_perms"):
+        _ensure_mh_sidecar(spark, corpus, "text", 8, 4, 16)
+
+    # compaction preserves the pinned shape (meta survives the rewrite)
+    compact_mh_sidecar(spark, corpus)
+    with pytest.raises(ValueError, match="n_perms=16, n_bands=4"):
+        corpus_neardup_apply_batch(spark, batch, 1, corpus, n_perms=8)
+
+    # the bands-rebuild-from-sigs path refuses a mismatched shape too —
+    # rebuilt bands hashing differently than the sigs they came from is
+    # exactly the divergence the pin exists to prevent
+    shutil.rmtree(os.path.join(corpus, _MH_BANDS))
+    with pytest.raises(ValueError, match="n_perms"):
+        _ensure_mh_sidecar(spark, corpus, "text", 16, 8, 16)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)  # pinned shape: ok
+
+    # the matching shape still probes fine end to end
+    n = corpus_neardup_apply_batch(spark, batch, 2, corpus)
+    assert n == 0  # an exact copy of a corpus doc: dropped
+
+
+def test_dsir_gated_ingest_plumbs_minhash_shape(spark, tmp_path):
+    """stream_corpus_dsir_ingest(dedup='neardup') exposes n_perms/
+    n_bands/min_agree (no more hardcoded 16/4/defaults): composing the
+    gate with a sidecar built under a NON-default shape works when the
+    shapes match and refuses before the stream starts when they don't."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_SIGS,
+        fit_dsir_gate,
+        stream_corpus_dsir_ingest,
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    gate_dir = str(tmp_path / "gate")
+    fit_dsir_gate(docs, docs.limit(5), gate_dir)
+
+    # bootstrap the sidecar under a NON-default shape via the plain
+    # near-dup stream
+    d0 = str(tmp_path / "d0")
+    docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000).write.parquet(
+        d0
+    )
+    stream_corpus_neardup_ingest(
+        spark, d0, corpus, doc_schema=docs.schema, n_perms=8, n_bands=2,
+        min_agree=4,
+    )
+    assert os.path.isdir(os.path.join(corpus, _MH_SIGS))
+
+    d1 = str(tmp_path / "d1")
+    delta = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 20_000)
+    delta.write.parquet(d1)
+    # default shape (16/4) mismatches the pinned 8/2: refuse pre-stream
+    with pytest.raises(ValueError, match="n_perms=8, n_bands=2"):
+        stream_corpus_dsir_ingest(
+            spark, d1, corpus, gate_dir, doc_schema=docs.schema,
+            min_logw_micro=-100_000_000, dedup="neardup",
+        )
+    # the pinned shape composes: exact copies of corpus docs all drop
+    n = stream_corpus_dsir_ingest(
+        spark, d1, corpus, gate_dir, doc_schema=docs.schema,
+        min_logw_micro=-100_000_000, dedup="neardup", n_perms=8, n_bands=2,
+        min_agree=4,
+    )
+    assert n >= 1
+    assert (
+        spark.read.parquet(corpus).filter(F.col("doc_id") >= 20_000).count()
+        == 0
+    )
