@@ -629,6 +629,30 @@ def semantic_prune_greedy(
 # unbounded-corpus complement to embedding_neardup_pairs, whose probe
 # predicate exists to bound one join side.
 # ---------------------------------------------------------------------------
+def sign_band_keys(
+    vec_col: Column | str, n_bands: int, band_bits: int
+) -> Column:
+    """``n_bands`` integer band keys from a vector's sign bits: key_b
+    packs the signs of ``band_bits`` consecutive dimensions (1 iff
+    component > 0) as a base-2 integer — the deterministic identity
+    projection shared by sign_band_neardup_pairs and the streaming
+    semantic-dedup sidecar (ONE definition so a probe always hashes
+    exactly like the sidecar it probes, and a SQL oracle can recompute
+    every key)."""
+    bits = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * band_bits + 1, band_bits),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + v,  # <= 2^band_bits, far inside int64
+        ),
+    )
+
+
 def sign_band_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -659,18 +683,7 @@ def sign_band_neardup_pairs(
     from custom_vector_database_spark.functions.vector import dot_product, l2_norm
 
     dim = n_bands * band_bits
-    bits = F.transform(
-        F.col(vec_col),
-        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.aggregate(
-            F.slice(bits, b * band_bits + 1, band_bits),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc * 2 + v,  # <= 2^band_bits, far inside int64
-        ),
-    )
+    keys = sign_band_keys(vec_col, n_bands, band_bits)
     bands = (
         df.filter(F.size(F.col(vec_col)) == dim)
         .select(F.col(id_col), F.posexplode(keys).alias("band", "key"))

@@ -1914,3 +1914,176 @@ def q_stream_dsir_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC dedup-on-ingest (round 9): the fourth corpus-ingest
+# family member — the duplicate key is the EMBEDDING, so reformatted
+# duplicates sharing no shingles still drop. Sign-band LSH candidates
+# (Charikar sign bits, identity projection — deterministic) verified by
+# exact round-6 cosine, streamed against the two-frame sidecar
+# (streaming/stream_ops.stream_corpus_semdedup_ingest). Everything is
+# engine-reproducible, so the oracle RECOMPUTES every drop decision:
+# band keys for corpus and delta, band-collision candidates, exact
+# cosine verification, then the kept-id set. Delta construction avoids
+# intra-delta near pairs (verbatim copies / 1.001x-scaled copies /
+# zeroed-last-dim variants of DISTINCT corpus docs whose pairwise
+# cosine <= 0.52 in this data; negated fresh vectors, pairwise-apart by
+# the same bound) — the one modeling assumption, pinned by the tripwire
+# test like stream_neardup_ingest's (tests/test_streaming.py). The audit
+# aggregates over the id SET (count + md5 checksum): arrival-invariant,
+# exactly computable by the oracle from corpus ∪ kept delta ids.
+# ---------------------------------------------------------------------------
+def _sb_oracle_cte(src: str, pfx: str) -> str:
+    """Sign-band CTEs over ``src`` (a CTE with doc_id, embedding) — the
+    DuckDB twin of operators/dedup.sign_band_keys at 4 bands x 16 bits,
+    emitting {pfx}bands (doc_id, band, key)."""
+    return f"""
+    {pfx}bits AS (
+      SELECT doc_id, list_transform(embedding,
+               x -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS b
+      FROM {src}),
+    {pfx}bands AS (
+      SELECT doc_id, band,
+             list_reduce(list_prepend(0, b[band*16+1 : band*16+16]),
+                         (acc, v) -> acc*2 + v) AS key
+      FROM {pfx}bits, (SELECT UNNEST(range(0,4)) AS band)
+      WHERE len(b) = 64)"""
+
+
+_SB_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * "
+    "CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+)
+_SB_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+_SEMDEDUP_DELTA_DUCK = """
+    delta AS (
+      SELECT doc_id + 1000000000 AS doc_id, embedding
+      FROM corpus WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000000000,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+      FROM corpus WHERE doc_id >= 10 AND doc_id < 15
+      UNION ALL
+      SELECT doc_id + 4000000000,
+             list_concat(embedding[1:63], [CAST(0.0 AS FLOAT)])
+      FROM corpus WHERE doc_id >= 15 AND doc_id < 18
+      UNION ALL
+      SELECT doc_id + 3000000000, list_transform(embedding, x -> -x)
+      FROM corpus WHERE doc_id >= 20 AND doc_id < 25)"""
+
+
+def semdedup_ingest_delta(docs: DataFrame) -> DataFrame:
+    """The stream_semdedup_ingest delta — factored out so the tripwire
+    test can pin the oracle's one modeling assumption (no intra-delta
+    near pairs) on the SAME frame the row streams."""
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000_000
+    )
+    scaled = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"
+            ),
+        )
+    )
+    zeroed = (
+        docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 18))
+        .withColumn("doc_id", F.col("doc_id") + 4_000_000_000)
+        .withColumn(
+            "embedding",
+            F.expr("concat(slice(embedding, 1, 63), array(CAST(0.0 AS FLOAT)))"),
+        )
+    )
+    fresh = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000_000)
+        .withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
+    )
+    return copies.unionByName(scaled).unionByName(zeroed).unionByName(fresh)
+
+
+_SB_COS_DIST_DUCK = (
+    "round(1.0 - CASE WHEN {na} * {nb} != 0 THEN {dot} / ({na} * {nb}) END, 6)"
+    " + 0.0"
+)
+
+
+@register(
+    "stream_semdedup_ingest",
+    f"""
+    WITH corpus AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+    {_SEMDEDUP_DELTA_DUCK},
+    {_sb_oracle_cte("corpus", "c")},
+    {_sb_oracle_cte("delta", "d")},
+    cand AS (
+      SELECT DISTINCT dbands.doc_id AS did, cbands.doc_id AS cid
+      FROM dbands JOIN cbands
+        ON dbands.band = cbands.band AND dbands.key = cbands.key),
+    dropped AS (
+      SELECT DISTINCT cand.did
+      FROM cand JOIN delta y ON cand.did = y.doc_id
+                JOIN corpus x ON cand.cid = x.doc_id
+      WHERE {_SB_COS_DIST_DUCK.format(
+          na=_SB_NORM.format(a="y.embedding"),
+          nb=_SB_NORM.format(a="x.embedding"),
+          dot=_SB_DOT.format(a="y.embedding", b="x.embedding"),
+      )} <= 0.1),
+    kept AS (
+      SELECT doc_id FROM delta
+      WHERE doc_id NOT IN (SELECT did FROM dropped)),
+    final AS (
+      SELECT doc_id FROM corpus UNION ALL SELECT doc_id FROM kept),
+    fps AS (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS fp FROM final)
+    SELECT (SELECT COUNT(*) FROM final) AS n_docs,
+           (SELECT {_FP_CKSUM_DUCK} FROM fps) AS id_checksum,
+           TRUE AS ingest_ok
+    """,
+)
+def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_semdedup_ingest,
+    )
+
+    docs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_semdedup_ingest_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        delta = semdedup_ingest_delta(docs)
+        # 4 part files + maxFilesPerTrigger=2 -> two micro-batches
+        delta.repartition(4).write.parquet(delta_dir)
+        n_batches = stream_corpus_semdedup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema,
+            max_cos_dist=0.1,
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(F.md5(F.col("doc_id").cast("string")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        cksum = _fp_checksum_agg(final.select("fp")).withColumnRenamed(
+            "fp_checksum", "id_checksum"
+        )
+        return (
+            final.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -490,6 +490,7 @@ def _write_sidecar_meta(
     n_buckets: int,
     n_perms: int | None = None,
     n_bands: int | None = None,
+    band_bits: int | None = None,
 ) -> None:
     import json
     import os
@@ -499,6 +500,8 @@ def _write_sidecar_meta(
         meta["n_perms"] = int(n_perms)
     if n_bands is not None:
         meta["n_bands"] = int(n_bands)
+    if band_bits is not None:
+        meta["band_bits"] = int(band_bits)
     with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -579,6 +582,29 @@ def _check_mh_shape(sidecar_dir: str, n_perms: int, n_bands: int) -> None:
             "agreement over mismatched-length signatures undercounts); "
             "pass the pinned shape, or rebuild the sidecar under the new "
             "one (delete both frames and let bootstrap re-derive them)"
+        )
+
+
+def _check_sb_shape(sidecar_dir: str, n_bands: int, band_bits: int) -> None:
+    """The sign-band analogue of _check_mh_shape: a probe or rebuild
+    whose (n_bands, band_bits) differ from the pinned shape would band
+    the SAME vectors into different keys and silently miss every
+    semantic near-duplicate. Pre-pin metas pass on the caller's values."""
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
+        return
+    pinned_b, pinned_w = meta.get("n_bands"), meta.get("band_bits")
+    if pinned_b is None and pinned_w is None:
+        return
+    if int(pinned_b) != int(n_bands) or int(pinned_w) != int(band_bits):
+        raise ValueError(
+            f"sign-band sidecar {sidecar_dir!r} was built with "
+            f"n_bands={pinned_b}, band_bits={pinned_w} but this call "
+            f"asked for n_bands={n_bands}, band_bits={band_bits} — a "
+            "mismatched shape silently misses semantic near-duplicates "
+            "(band keys diverge); pass the pinned shape, or rebuild the "
+            "sidecar under the new one (delete both frames and let "
+            "bootstrap re-derive them)"
         )
 
 
@@ -1592,3 +1618,498 @@ def stream_corpus_dsir_ingest(
         spark, delta_dir, doc_schema, claims_dir, apply,
         max_files_per_trigger, timeout, "corpus_dsir_ingest",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC (embedding) dedup-on-ingest: the fourth corpus-ingest
+# family member (exact fingerprints / minhash near-dup / DSIR gate /
+# SEMANTIC), for embedding-first pipelines whose duplicate key is the
+# VECTOR, not the text — reformatted or translated duplicates that share
+# no shingles but sit at near-zero cosine distance. The sidecar is the
+# streaming form of operators/dedup.sign_band_neardup_pairs' band-then-
+# verify contract (Charikar 2002 sign bits, identity projection — fully
+# engine-reproducible, so a SQL oracle recomputes every drop):
+#   _sb_vecs : (id, vec, batch_id, idb)            partitioned by id mod n
+#   _sb_bands: (band, key, id, batch_id, bb)       partitioned by key mod n
+# An arriving document drops iff some sign band's key collides with a
+# sidecar row AND the exact cosine distance to that candidate (recomputed
+# on the float vectors of the CANDIDATES only, round-6 — the
+# sign_band_neardup_pairs arithmetic verbatim) is <= max_cos_dist.
+# Steady state reads ONLY bucket-pruned sidecar bytes over the batch's
+# band-key and candidate-id buckets — corpus-width-independent, the same
+# bound the exact and minhash sidecars prove. Identical vectors collide
+# on every band at distance 0, so exact duplicates need no separate path.
+# Reference anchor: this replaces the add -> full-rebuild cost model of
+# the reference engine (vectordb.cpp:82-118) — a batch re-dedup per crawl
+# drop is exactly that rebuild.
+# ---------------------------------------------------------------------------
+_SB_VECS = "_sb_vecs"
+_SB_BANDS = "_sb_bands"
+_SB_CLAIMS = "_sb_claims"
+
+
+def _read_sb_vecs(spark: SparkSession, d: str):
+    return spark.read.schema(
+        "id long, vec array<float>, batch_id long, idb long"
+    ).parquet(d)
+
+
+def _read_sb_bands(spark: SparkSession, d: str):
+    return spark.read.schema(
+        "band int, key long, id long, batch_id long, bb long"
+    ).parquet(d)
+
+
+def _sb_cos_dist(va, vb):
+    """round-6 cosine distance between two vector columns — the
+    sign_band_neardup_pairs verify arithmetic verbatim (NULL for a
+    zero-norm side: an undefined angle is never 'near', and the +0.0
+    normalizes -0.0 from identical-vector matches)."""
+    from custom_vector_database_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    denom = l2_norm(va) * l2_norm(vb)
+    return (
+        F.round(
+            F.lit(1.0)
+            - F.when(denom != 0.0, dot_product(F.col(va), F.col(vb)) / denom),
+            6,
+        )
+        + F.lit(0.0)
+    )
+
+
+def _sb_vec_rows(
+    enc: DataFrame, id_col: str, vec_col: str, batch_id: int, n_buckets: int
+) -> DataFrame:
+    return enc.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("idb"),
+    )
+
+
+def _sb_band_rows(
+    enc: DataFrame, id_col: str, batch_id: int, n_buckets: int
+) -> DataFrame:
+    return enc.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode("__keys").alias("band", "key"),
+    ).select(
+        "band",
+        "key",
+        "id",
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.pmod(F.col("key"), F.lit(n_buckets)).cast("long").alias("bb"),
+    )
+
+
+def _refuse_bad_vectors(
+    batch: DataFrame, id_col: str, vec_col: str, dim: int
+) -> None:
+    """Fail fast on an ingest batch the semantic probe cannot decide:
+    a NULL or wrong-dim vector cannot band (it would bypass every dedup
+    probe), and duplicate ids make the sidecar's id->vector mapping
+    ambiguous (ids are the corpus key the crash-replay reconcile
+    anti-joins on). One aggregate job checks all three."""
+    s = batch.agg(
+        F.sum(
+            (F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim))
+            .cast("long")
+        ).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if s["bad"]:
+        raise ValueError(
+            f"{s['bad']} document(s) with NULL or wrong-dimension "
+            f"{vec_col!r} (need exactly {dim} = n_bands x band_bits "
+            "components): an unbandable vector bypasses every semantic "
+            "dedup probe — filter or impute upstream"
+        )
+    if s["nd"] != s["n"]:
+        raise ValueError(
+            f"{s['n'] - s['nd']} duplicate {id_col!r} value(s) in the "
+            "ingest batch: ids key the sidecar's vector frame and the "
+            "crash-replay reconcile — deduplicate ids upstream"
+        )
+
+
+def _ensure_sb_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    band_bits: int,
+    n_buckets: int,
+) -> None:
+    """One-time bootstrap of BOTH sign-band sidecar frames from a single
+    corpus scan — the _ensure_mh_sidecar crash story verbatim: bands tmp
+    renamed first, VECS rename last as the commit point; an orphan bands
+    dir is deleted and rebuilt; a vecs frame without bands rebuilds the
+    bands FROM the stored vectors (no corpus scan). Corpus rows whose
+    vector is NULL or off-dimension cannot band and are excluded from
+    the sidecar (they stay in the corpus, un-probed — the apply path
+    refuses such rows in new batches)."""
+    import os
+    import shutil
+
+    from custom_vector_database_spark.operators.dedup import sign_band_keys
+
+    vecs_dir = os.path.join(corpus_dir, _SB_VECS)
+    bands_dir = os.path.join(corpus_dir, _SB_BANDS)
+    for d in (vecs_dir, bands_dir):
+        if not os.path.isdir(d) and os.path.isdir(d + "_old"):
+            os.rename(d + "_old", d)
+    if os.path.isdir(vecs_dir) and os.path.isdir(bands_dir):
+        # fail fast BEFORE any stream starts (the _check_mh_shape story)
+        _check_sb_shape(vecs_dir, n_bands, band_bits)
+        return
+    dim = n_bands * band_bits
+    tmp_b = bands_dir + "_tmp"
+    if os.path.isdir(vecs_dir):
+        # bands missing only: re-derive from the stored vectors
+        n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
+        _check_sb_shape(vecs_dir, n_bands, band_bits)
+        vecs = _read_sb_vecs(spark, vecs_dir)
+        rebuilt = vecs.select(
+            "id",
+            "batch_id",
+            F.posexplode(
+                sign_band_keys("vec", n_bands, band_bits)
+            ).alias("band", "key"),
+        ).select(
+            "band",
+            "key",
+            "id",
+            "batch_id",
+            F.pmod(F.col("key"), F.lit(n_buckets)).cast("long").alias("bb"),
+        )
+        if os.path.isdir(tmp_b):
+            shutil.rmtree(tmp_b)
+        rebuilt.write.partitionBy("bb").parquet(tmp_b)
+        _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits)
+        if os.path.isdir(bands_dir):
+            shutil.rmtree(bands_dir)
+        os.rename(tmp_b, bands_dir)
+        return
+    if os.path.isdir(bands_dir):  # orphan: vecs is the commit marker
+        shutil.rmtree(bands_dir)
+    if _corpus_has_data(corpus_dir):
+        corpus = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.size(F.col(vec_col)) == dim)
+            .dropDuplicates([id_col, vec_col])
+        )
+        enc = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_band_keys(vec_col, n_bands, band_bits).alias("__keys"),
+        )
+    else:
+        enc = spark.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<float>, __keys array<bigint>"
+        )
+    enc = enc.localCheckpoint(eager=True)  # two writers below share it
+    tmp_v = vecs_dir + "_tmp"
+    for t in (tmp_v, tmp_b):
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+    _sb_band_rows(enc, id_col, -1, n_buckets).write.partitionBy("bb").parquet(
+        tmp_b
+    )
+    _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits)
+    _sb_vec_rows(enc, id_col, vec_col, -1, n_buckets).write.partitionBy(
+        "idb"
+    ).parquet(tmp_v)
+    _write_sidecar_meta(tmp_v, n_buckets, None, n_bands, band_bits)
+    os.rename(tmp_b, bands_dir)
+    os.rename(tmp_v, vecs_dir)  # commit point
+
+
+def corpus_semdedup_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_cos_dist: float = 0.1,
+    n_buckets: int = 16,
+) -> int:
+    """Apply ONE semantic-dedup-on-ingest micro-batch against the
+    sign-band sidecar. A document is dropped iff some band key collides
+    with a sidecar row AND the exact round-6 cosine distance to that
+    candidate is <= ``max_cos_dist`` (band recall knob, exact-verify
+    precision — the sign_band_neardup_pairs contract on a stream).
+    Within a batch the same decision runs pairwise with the smaller
+    ``id_col`` surviving (dedup_keep_min's documented one-hop
+    semantics). Steady state reads ONLY the two bucket-pruned sidecar
+    frames — never the corpus.
+
+    Crash safety is corpus_neardup_apply_batch's proven story: write-
+    ahead claim -> vecs append -> bands append -> corpus append; a
+    replayed batch probes with its own batch_id rows excluded, anti-
+    joins its claimed rows per frame, and reconciles the corpus append
+    against one column-pruned corpus id scan. Returns docs appended."""
+    import os
+
+    from custom_vector_database_spark.operators.dedup import sign_band_keys
+
+    vecs_dir = os.path.join(corpus_dir, _SB_VECS)
+    bands_dir = os.path.join(corpus_dir, _SB_BANDS)
+    claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
+    claim = os.path.join(claims_dir, f"claim_{batch_id}")
+    recovering = os.path.exists(claim)
+    n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
+    _check_sb_shape(vecs_dir, n_bands, band_bits)
+    dim = n_bands * band_bits
+    _refuse_bad_vectors(batch, id_col, vec_col, dim)
+
+    enc = batch.withColumn(
+        "__keys", sign_band_keys(vec_col, n_bands, band_bits)
+    ).localCheckpoint(eager=True)  # keys computed once; the candidate
+    # join, verify join, intra-batch pass, and all three appends reuse it
+    vec_side = _read_sb_vecs(spark, vecs_dir)
+    band_side = _read_sb_bands(spark, bands_dir)
+    if recovering:
+        vec_side = vec_side.filter(F.col("batch_id") != batch_id)
+        band_side = band_side.filter(F.col("batch_id") != batch_id)
+
+    # candidates: band-key collisions from the bucket-pruned bands frame
+    # (bounded collect: <= n_buckets values)
+    bb = enc.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.posexplode("__keys").alias("band", "key"),
+    )
+    bbs = [
+        r["bb"]
+        for r in bb.select(
+            F.pmod(F.col("key"), F.lit(n_buckets)).alias("bb")
+        )
+        .distinct()
+        .collect()
+    ]
+    cand = (
+        bb.join(
+            band_side.filter(F.col("bb").isin(bbs)).select(
+                "band", "key", F.col("id").alias("__cid")
+            ),
+            ["band", "key"],
+        )
+        .select("__id", "__cid")
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded: batch docs x collisions
+    )
+    # verify: exact cosine against ONLY the candidates' stored vectors,
+    # gathered from the id-bucket-pruned vecs frame
+    cidbs = [
+        r["idb"]
+        for r in cand.select(
+            F.pmod(F.col("__cid"), F.lit(n_buckets)).alias("idb")
+        )
+        .distinct()
+        .collect()
+    ]
+    near_ids = (
+        cand.join(
+            vec_side.filter(F.col("idb").isin(cidbs)).select(
+                F.col("id").alias("__cid"), F.col("vec").alias("__cvec")
+            ),
+            "__cid",
+        )
+        .join(
+            enc.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__bvec")
+            ),
+            "__id",
+        )
+        .filter(_sb_cos_dist("__bvec", "__cvec") <= max_cos_dist)
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    s1 = enc.join(near_ids, id_col, "left_anti")
+
+    # intra-batch: keep-min-id over verified band collisions among the
+    # corpus-survivors (the corpus_neardup_apply_batch convention)
+    bb1 = bb.join(s1.select(F.col(id_col).alias("__id")), "__id")
+    pairs = (
+        bb1.alias("x")
+        .join(
+            bb1.select(
+                "band", "key", F.col("__id").alias("__vid")
+            ).alias("y"),
+            ["band", "key"],
+        )
+        .filter(F.col("x.__id") < F.col("__vid"))
+        .select(F.col("x.__id").alias("__kid"), "__vid")
+        .distinct()
+    )
+    bvecs = enc.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
+    )
+    intra_victims = (
+        pairs.join(
+            bvecs.select(
+                F.col("__pid").alias("__kid"), F.col("__pvec").alias("__kvec")
+            ),
+            "__kid",
+        )
+        .join(
+            bvecs.select(
+                F.col("__pid").alias("__vid"), F.col("__pvec").alias("__vvec")
+            ),
+            "__vid",
+        )
+        .filter(_sb_cos_dist("__kvec", "__vvec") <= max_cos_dist)
+        .select(F.col("__vid").alias(id_col))
+        .distinct()
+    )
+    survivors = s1.join(intra_victims, id_col, "left_anti")
+    if recovering:
+        # reconcile the corpus append against the ids already landed —
+        # a column-pruned scan of id_col only (recovery-path-only cost,
+        # mirroring the near-dup verb's fingerprint reconcile)
+        if _corpus_has_data(corpus_dir):
+            corpus_ids = (
+                spark.read.parquet(corpus_dir).select(F.col(id_col)).distinct()
+            )
+        else:
+            corpus_ids = spark.createDataFrame([], f"{id_col} long")
+        survivors = survivors.join(corpus_ids, id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)  # before the appends
+    n_new = survivors.count()
+    if n_new:
+        os.makedirs(claims_dir, exist_ok=True)
+        with open(claim, "a"):
+            pass  # write-ahead: claim before any append
+        new_vecs = _sb_vec_rows(survivors, id_col, vec_col, batch_id, n_buckets)
+        new_bands = _sb_band_rows(survivors, id_col, batch_id, n_buckets)
+        if recovering:
+            claimed_v = _read_sb_vecs(spark, vecs_dir).filter(
+                F.col("batch_id") == batch_id
+            ).select("id")
+            new_vecs = new_vecs.join(claimed_v, "id", "left_anti")
+            claimed_b = _read_sb_bands(spark, bands_dir).filter(
+                F.col("batch_id") == batch_id
+            ).select("band", "id")
+            new_bands = new_bands.join(claimed_b, ["band", "id"], "left_anti")
+        new_vecs.write.mode("append").partitionBy("idb").parquet(vecs_dir)
+        new_bands.write.mode("append").partitionBy("bb").parquet(bands_dir)
+        survivors.drop("__keys").write.mode("append").parquet(corpus_dir)
+    return n_new
+
+
+def stream_corpus_semdedup_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    corpus_dir: str,
+    doc_schema: T.StructType,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_cos_dist: float = 0.1,
+    n_buckets: int = 16,
+) -> int:
+    """Continuous corpus ingestion with SEMANTIC dedup-on-ingest (see
+    corpus_semdedup_apply_batch for the decision rule and crash story) —
+    the streaming form of sign-band embedding near-dup, completing the
+    corpus-ingest family: exact / near-dup / quality-gated / semantic,
+    all on the ONE at-least-once replay/claim protocol
+    (_run_ingest_stream). Returns micro-batches applied this call."""
+    import os
+
+    claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
+    _ensure_sb_sidecar(
+        spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        corpus_semdedup_apply_batch(
+            spark, batch, batch_id, corpus_dir,
+            id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+            band_bits=band_bits, max_cos_dist=max_cos_dist,
+            n_buckets=n_buckets,
+        )
+
+    return _run_ingest_stream(
+        spark, delta_dir, doc_schema, claims_dir, apply,
+        max_files_per_trigger, timeout, "corpus_semdedup_ingest",
+    )
+
+
+def compact_sb_sidecar(
+    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+) -> dict:
+    """Compact BOTH sign-band sidecar frames — compact_mh_sidecar's
+    story on the semantic probe tables: per-frame tmp-then-rename swap
+    (batch_id collapsed to -1, the pinned shape carried verbatim),
+    refuses while any ingest claim is outstanding.
+
+    Returns {"files_before", "files_after", "n_vecs", "n_band_rows"}."""
+    import glob
+    import os
+    import shutil
+
+    vecs_dir = os.path.join(corpus_dir, _SB_VECS)
+    bands_dir = os.path.join(corpus_dir, _SB_BANDS)
+    claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
+    for d in (vecs_dir, bands_dir):
+        if not os.path.isdir(d) and os.path.isdir(d + "_old"):
+            os.rename(d + "_old", d)
+    outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
+    if outstanding:
+        raise ValueError(
+            f"{len(outstanding)} unresolved ingest claim(s) "
+            f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
+            "re-drive stream_corpus_semdedup_ingest to resolve them before "
+            "compacting (compaction erases the per-batch claim rows "
+            "recovery reconciles against)"
+        )
+    n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
+    _meta = _read_sidecar_meta(vecs_dir) or {}
+    pinned_bands, pinned_bits = _meta.get("n_bands"), _meta.get("band_bits")
+    count_files = lambda d: sum(  # noqa: E731
+        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+    files_before = count_files(vecs_dir) + count_files(bands_dir)
+    counts = {}
+    for d, reader, part_col in (
+        (vecs_dir, _read_sb_vecs, "idb"),
+        (bands_dir, _read_sb_bands, "bb"),
+    ):
+        rows = reader(spark, d).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+        counts[d] = rows.count()
+        tmp = d + "_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (
+            rows.repartition(n_buckets, part_col)  # one writer per bucket
+            .write.partitionBy(part_col)
+            .parquet(tmp)
+        )
+        _write_sidecar_meta(tmp, n_buckets, None, pinned_bands, pinned_bits)
+        old = d + "_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": count_files(vecs_dir) + count_files(bands_dir),
+        "n_vecs": counts[vecs_dir],
+        "n_band_rows": counts[bands_dir],
+    }

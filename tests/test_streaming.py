@@ -1459,3 +1459,317 @@ def test_dsir_gated_ingest_plumbs_minhash_shape(spark, tmp_path):
         spark.read.parquet(corpus).filter(F.col("doc_id") >= 20_000).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC dedup-on-ingest (the sign-band sidecar): the near-dup
+# suite's contract tests on the embedding-keyed fourth family member.
+# ---------------------------------------------------------------------------
+def _emb_corpus(spark, n=30):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+
+
+def test_stream_corpus_semdedup_ingest_drops_near_and_exact(spark, tmp_path):
+    """Contract: verbatim embedding copies drop (every band collides at
+    cos_dist 0), positively-scaled copies drop (same sign bits, dist 0),
+    a zeroed-last-dim variant drops on the NEAR path (bands 0-2 still
+    collide, verify sees dist ~0.008 <= 0.1 — a genuine non-exact
+    semantic duplicate), negated vectors append (no corpus cos <= -0.9
+    in this data), and a crash-replay applies zero batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_semdedup_ingest,
+    )
+
+    docs = _emb_corpus(spark)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    n0 = docs.count()
+    copies = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    scaled = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"
+            ),
+        )
+    )
+    zeroed = (
+        docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 18))
+        .withColumn("doc_id", F.col("doc_id") + 40_000)
+        .withColumn(
+            "embedding",
+            F.expr("concat(slice(embedding, 1, 63), array(CAST(0.0 AS FLOAT)))"),
+        )
+    )
+    fresh = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+        .withColumn("doc_id", F.col("doc_id") + 30_000)
+        .withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
+    )
+    (
+        copies.unionByName(scaled).unionByName(zeroed).unionByName(fresh)
+        .repartition(4)
+        .write.parquet(delta)
+    )
+    n_batches = stream_corpus_semdedup_ingest(
+        spark, delta, corpus, doc_schema=docs.schema
+    )
+    assert n_batches >= 2
+    final = spark.read.parquet(corpus)
+    assert final.count() == n0 + 5
+    assert final.filter(F.col("doc_id") >= 30_000).count() == 5
+    assert final.filter(
+        (F.col("doc_id") >= 10_000) & (F.col("doc_id") < 30_000)
+    ).count() == 0
+    assert final.filter(F.col("doc_id") >= 40_000).count() == 0
+
+    shutil.rmtree(str(tmp_path / "delta" / "_ckpt"))
+    again = stream_corpus_semdedup_ingest(
+        spark, delta, corpus, doc_schema=docs.schema
+    )
+    assert again == 0
+    assert spark.read.parquet(corpus).count() == n0 + 5
+
+
+def test_semdedup_ingest_intra_batch_keeps_min_id(spark, tmp_path):
+    """Two near-dup FRESH vectors in one micro-batch resolve by
+    keep-min-id (one-hop semantics, the family convention)."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_semdedup_ingest,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    base = docs.limit(1).select(
+        F.expr("transform(embedding, x -> -x)").alias("e")
+    )
+    pair = base.select(
+        F.lit(100).cast("long").alias("doc_id"), F.col("e").alias("embedding")
+    ).unionByName(
+        base.select(
+            F.lit(200).cast("long").alias("doc_id"),
+            F.expr(
+                "transform(e, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    pair.coalesce(1).write.parquet(delta)
+    stream_corpus_semdedup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus)
+        .filter(F.col("doc_id") >= 100)
+        .collect()
+    }
+    assert kept == {100}  # 200 (same direction, scaled) lost to 100
+
+
+def test_semdedup_probe_never_reads_corpus(spark, tmp_path):
+    """Steady-state semantic probes read ONLY the two sidecar frames —
+    proven by garbaging every corpus part file and ingesting a second
+    delta on top (the family's scale contract)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_semdedup_ingest,
+    )
+
+    docs = _emb_corpus(spark, 20)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "embedding", F.expr("transform(embedding, x -> -x)")
+    ).write.parquet(delta)
+    stream_corpus_semdedup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+
+    part_files = glob.glob(corpus + "/part-*.parquet")
+    assert part_files
+    saved = str(tmp_path / "saved")
+    shutil.copytree(corpus, saved)
+    for p in part_files:
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    delta2 = str(tmp_path / "delta2")
+    # one verbatim copy of a corpus doc (must drop via sidecar alone)
+    # and one fresh 1.5x-scaled negation of another (must append)
+    docs.filter(F.col("doc_id") == 3).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 7)
+        .withColumn("doc_id", F.col("doc_id") + 30_000)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * -1.5 AS FLOAT))"
+            ),
+        )
+    ).coalesce(1).write.parquet(delta2)
+    n = stream_corpus_semdedup_ingest(
+        spark, delta2, corpus, doc_schema=docs.schema
+    )
+    assert n == 1
+    # restore the corpus data files and check exactly the fresh doc landed
+    for p in glob.glob(saved + "/part-*.parquet"):
+        shutil.copy(p, corpus + "/" + p.split("/")[-1])
+    final = spark.read.parquet(corpus)
+    assert final.filter(F.col("doc_id") >= 30_000).count() == 1
+    assert final.filter(
+        (F.col("doc_id") >= 20_000) & (F.col("doc_id") < 30_000)
+    ).count() == 0
+
+
+def test_semdedup_crash_replay_heals_partial_appends(spark, tmp_path):
+    """Replay after a crash mid-appends (claim exists; vecs+bands landed
+    but the corpus append did not) re-applies exactly the missing corpus
+    rows — no duplicates in any of the three frames."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_BANDS,
+        _SB_CLAIMS,
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        _read_sb_bands,
+        _read_sb_vecs,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    batch = (
+        docs.limit(2)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
+        .localCheckpoint(eager=True)
+    )
+    n = corpus_semdedup_apply_batch(spark, batch, 7, corpus)
+    assert n == 2
+    n_corpus = spark.read.parquet(corpus).count()
+    # simulate the crash: re-create the claim (the stream removes it on
+    # success) so the replay enters the recovery path with everything
+    # already landed — it must append NOTHING anywhere
+    os.makedirs(os.path.join(corpus, _SB_CLAIMS), exist_ok=True)
+    with open(os.path.join(corpus, _SB_CLAIMS, "claim_7"), "a"):
+        pass
+    n2 = corpus_semdedup_apply_batch(spark, batch, 7, corpus)
+    assert n2 == 0
+    assert spark.read.parquet(corpus).count() == n_corpus
+    vecs = _read_sb_vecs(spark, os.path.join(corpus, _SB_VECS))
+    assert vecs.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    bands = _read_sb_bands(spark, os.path.join(corpus, _SB_BANDS))
+    assert (
+        bands.groupBy("band", "id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_semdedup_refusals_and_shape_pin(spark, tmp_path):
+    """Fail-fast contract: NULL vectors, wrong-dim vectors, and
+    duplicate ids all refuse with the remedy in the message; a probe or
+    ensure under a different (n_bands, band_bits) than the pinned shape
+    refuses; compaction preserves the pin and the probe set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        compact_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+
+    nulls = spark.createDataFrame(
+        [(100, None)], "doc_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL or wrong-dimension"):
+        corpus_semdedup_apply_batch(spark, nulls, 1, corpus)
+    short = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "doc_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="wrong-dimension"):
+        corpus_semdedup_apply_batch(spark, short, 1, corpus)
+    dup = docs.limit(1).withColumn("doc_id", F.lit(100).cast("long"))
+    dup = dup.unionByName(dup)
+    with pytest.raises(ValueError, match="duplicate"):
+        corpus_semdedup_apply_batch(spark, dup, 1, corpus)
+
+    ok = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000)
+    with pytest.raises(ValueError, match="n_bands=4, band_bits=16"):
+        corpus_semdedup_apply_batch(spark, ok, 1, corpus, n_bands=8, band_bits=8)
+    with pytest.raises(ValueError, match="n_bands"):
+        _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 2, 32, 16)
+
+    meta_before = os.path.join(corpus, _SB_VECS, "_sidecar_meta.json")
+    with open(meta_before) as f:
+        import json
+
+        m0 = json.load(f)
+    stats = compact_sb_sidecar(spark, corpus)
+    assert stats["n_vecs"] == 10 and stats["n_band_rows"] == 40
+    with open(meta_before) as f:
+        assert json.load(f) == m0  # shape pin survives compaction
+    # a verbatim copy still drops after compaction (probe set intact)
+    n = corpus_semdedup_apply_batch(
+        spark, docs.limit(1).withColumn("doc_id", F.col("doc_id") + 20_000),
+        2, corpus,
+    )
+    assert n == 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_semdedup_oracle_assumption_no_intra_delta_near_pairs(spark, sf):
+    """Tripwire for stream_semdedup_ingest's one oracle modeling
+    assumption (the neardup tripwire's sign-band twin): the row's SQL
+    computes delta-vs-CORPUS drop decisions only, exact iff no two
+    DISTINCT delta docs are semantic near-dups of EACH OTHER at the
+    row's threshold. All arithmetic is deterministic (sign bits + exact
+    cosine), so this holds-or-fails identically on every run."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.dedup import (
+        sign_band_neardup_pairs,
+    )
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        semdedup_ingest_delta,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    delta = semdedup_ingest_delta(emb)
+    pairs = sign_band_neardup_pairs(
+        delta, id_col="doc_id", vec_col="embedding", n_bands=4, band_bits=16,
+        max_cos_dist=0.1,
+    ).filter(F.col("is_near"))
+    assert pairs.count() == 0
