@@ -374,6 +374,16 @@ def duplicate_spans(
         .select("gram")
     )
     flagged = grams.join(dup, "gram").select(id_col, "pos")
+    return _spans_from_flagged(flagged, id_col, n)
+
+
+def _spans_from_flagged(flagged, id_col: str, n: int):
+    """Maximal disjoint spans from flagged n-token window starts — the
+    ONE copy of the island merge shared by duplicate_spans (intra-corpus
+    dfreq flags) and contaminated_spans (holdout-membership flags).
+    Two flagged starts p1 < p2 merge whenever p2 <= p1 + n (their token
+    intervals overlap or touch), so output spans are DISJOINT per
+    document and span_tokens is additive across rows."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -404,6 +414,65 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def contaminated_spans(
+    train,
+    holdout,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Maximal TRAIN-doc token spans whose every n-token window appears
+    somewhere in the HOLDOUT corpus — duplicate_spans' inverted-index +
+    island machinery with the flag condition swapped from intra-corpus
+    document frequency to holdout-gram membership (the span-level form
+    of cross_corpus_contamination, dedup.py): a train position is
+    flagged iff its n-gram exists in the holdout's DISTINCT gram set,
+    and maximal runs of flagged windows become (id, span_start,
+    span_end, span_tokens) rows — the cut list decontaminate_span_cut
+    feeds to cut_token_spans.
+
+    Scale shape: the holdout's distinct grams are an aggregate far
+    smaller than the holdout (eval sets are small by construction at
+    100 TB), joined to train grams on the gram — no doc pair, no
+    train-width state; the island windows partition by train doc."""
+    train_grams = train.select(
+        F.col(id_col),
+        F.posexplode(positioned_grams(F.col(text_col), n)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gram")
+    holdout_grams = (
+        holdout.select(
+            F.explode(positioned_grams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    flagged = train_grams.join(holdout_grams, "gram", "left_semi").select(
+        id_col, "pos"
+    )
+    return _spans_from_flagged(flagged, id_col, n)
+
+
+def decontaminate_span_cut(
+    train,
+    holdout,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Span-level decontamination: cut the holdout-contaminated spans
+    out of each train document and KEEP the document — the surgical
+    alternative to doc-drop decontamination (decontaminate_docs /
+    neardup_decontaminate_docs flag whole docs; against a large train
+    corpus, dropping a whole document for one leaked paragraph costs
+    real yield). Composes contaminated_spans' cut list with
+    cut_token_spans' indexed-filter surgery; ownership policy is
+    implicit — the HOLDOUT owns every leaked span, so all occurrences
+    in train are cut. Returns (id, n_tokens, n_cut, cleaned)."""
+    spans = contaminated_spans(
+        train, holdout, id_col=id_col, text_col=text_col, n=n
+    )
+    return cut_token_spans(train, spans, id_col=id_col, text_col=text_col)
 
 
 def cut_token_spans(

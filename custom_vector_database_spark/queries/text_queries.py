@@ -1379,3 +1379,134 @@ def q_neardup_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("max_agree", F.col("max_agree").cast("long"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (round 9): the surgical completion of the
+# decontamination trio — decontaminate_docs flags by shingle overlap,
+# neardup_decontaminate_docs flags reformatted leaks, and this verb CUTS
+# the leaked spans and KEEPS the documents (operators/text.
+# decontaminate_span_cut = contaminated_spans' holdout-flagged inverted
+# index + cut_token_spans' indexed-filter surgery). The fixture plants a
+# leak inside the query (the pii_redaction convention — natural 8-gram
+# train-vs-holdout overlap is zero in this data): every doc_id % 13 == 1
+# train doc gets the first 20 tokens of the lowest-id holdout doc
+# appended, so both engines build the identical contaminated corpus and
+# the oracle replays detection + surgery exactly (cleaned text pinned by
+# md5 over the re-joined token stream). The constant yield columns carry
+# the policy comparison the row exists to make: tokens kept under
+# span-cut vs under doc-drop across the whole train corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_span_cut",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    hold AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+    leak AS (
+      SELECT list_reduce(list_prepend('', toks[1:20]), (x, y) -> x || ' ' || y)
+               AS l
+      FROM (SELECT {_DUCK_TOKS.format(c="text")} AS toks
+            FROM hold ORDER BY doc_id LIMIT 1)),
+    train AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1
+                  THEN text || ' ' || (SELECT l FROM leak)
+                  ELSE text END AS text
+      FROM base WHERE doc_id % 97 != 0),
+    t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM train),
+    s AS (SELECT doc_id, {_DUCK_GRAMS8.format(t="toks")} AS grams FROM t),
+    ht AS (SELECT {_DUCK_TOKS.format(c="text")} AS toks FROM hold),
+    hs AS (SELECT DISTINCT unnest({_DUCK_GRAMS8.format(t="toks")}) AS gram
+           FROM ht),
+    g AS (SELECT doc_id, UNNEST(grams) AS gram,
+                 UNNEST(generate_series(1, len(grams))) AS pos
+          FROM s),
+    f AS (SELECT g.doc_id, g.pos FROM g JOIN hs USING (gram)),
+    {_DUCK_ISL},
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + {_SPAN_N - 1} AS span_end
+      FROM isl GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id,
+             flatten(list(generate_series(span_start, span_end))) AS cov
+      FROM spans GROUP BY doc_id),
+    cleaned AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             CASE WHEN a.cov IS NULL THEN t.toks
+                  ELSE list_filter(t.toks, (x, i) -> NOT list_contains(a.cov, i))
+             END AS kept
+      FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id),
+    perdoc AS (
+      SELECT doc_id, n_tokens, n_tokens - len(kept) AS n_cut,
+             md5(list_reduce(list_prepend('', kept), (x, y) -> x || ' ' || y))
+               AS cleaned_fp
+      FROM cleaned),
+    yields AS (
+      SELECT CAST(SUM(n_tokens - n_cut) AS BIGINT) AS yield_spancut_tokens,
+             CAST(SUM(CASE WHEN n_cut = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS yield_docdrop_tokens
+      FROM perdoc)
+    SELECT doc_id, n_tokens, CAST(n_cut AS BIGINT) AS n_cut, cleaned_fp,
+           (SELECT yield_spancut_tokens FROM yields) AS yield_spancut_tokens,
+           (SELECT yield_docdrop_tokens FROM yields) AS yield_docdrop_tokens
+    FROM perdoc WHERE n_cut > 0 ORDER BY doc_id
+    """,
+)
+def q_decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    # the planted leak: first 20 tokens of the lowest-id holdout doc —
+    # a one-row frame cross-joined in (both engines build the same
+    # contaminated corpus; only the token stream matters downstream)
+    leak = (
+        holdout.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.array_join(
+                F.slice(tx.tokenize(F.col("text")), 1, 20), " "
+            ).alias("__leak")
+        )
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 1,
+                F.concat(F.col("text"), F.lit(" "), F.col("__leak")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = tx.decontaminate_span_cut(
+        train, holdout, id_col="doc_id", text_col="text", n=_SPAN_N
+    ).localCheckpoint(eager=True)  # one detection+surgery pass feeds the
+    # per-doc rows AND both yield aggregates
+    yields = out.agg(
+        F.sum(F.col("n_tokens") - F.col("n_cut"))
+        .cast("long")
+        .alias("yield_spancut_tokens"),
+        F.sum(F.when(F.col("n_cut") == 0, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("yield_docdrop_tokens"),
+    )
+    return (
+        out.filter(F.col("n_cut") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_cut").cast("long").alias("n_cut"),
+            F.md5(
+                # mirror the oracle's fold: '' for a fully-cut doc,
+                # ' tok tok…' otherwise (the span_cut_docs convention)
+                F.when(F.col("cleaned") == "", F.lit("")).otherwise(
+                    F.concat(F.lit(" "), F.col("cleaned"))
+                )
+            ).alias("cleaned_fp"),
+        )
+        .crossJoin(F.broadcast(yields))
+        .orderBy("doc_id")
+    )

@@ -593,3 +593,57 @@ def test_neardup_contamination_flags_reformatted_leaks(spark):
     assert out[1] == (1, 16, True)  # identical token stream: J=1
     assert out[2] == (0, 0, False)
     assert out[3] == (0, 0, False)
+
+
+def test_decontaminate_span_cut_surgery(spark):
+    """Span-level decontamination contract: a train doc containing a
+    holdout passage loses exactly that span (all its tokens, merged
+    maximally) and KEEPS the rest; a doc that IS entirely holdout text
+    cleans to empty; an uncontaminated doc passes through byte-for-byte;
+    the leak is cut from EVERY occurrence (holdout owns it — no
+    keep-one policy here, unlike span_cut_docs)."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.text import (
+        contaminated_spans,
+        decontaminate_span_cut,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    holdout = spark.createDataFrame(
+        [(1, f"eval question: {leak} answer follows")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # leak mid-doc: span cut, prefix+suffix kept
+            (10, f"intro words here {leak} closing words here now"),
+            # two occurrences in one doc: both cut
+            (11, f"x1 y2 z3 {leak} mid section {leak} tail t1 t2"),
+            # entirely leaked text: cleans to empty
+            (12, leak),
+            # clean doc: untouched
+            (13, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_span_cut(
+            train, holdout, n=8
+        ).collect()
+    }
+    assert out[10]["cleaned"] == "intro words here closing words here now"
+    assert out[10]["n_cut"] == 10
+    assert out[11]["cleaned"] == "x1 y2 z3 mid section tail t1 t2"
+    assert out[11]["n_cut"] == 20
+    assert out[12]["cleaned"] == "" and out[12]["n_cut"] == 10
+    assert out[13]["cleaned"] == train.collect()[3]["text"]
+    assert out[13]["n_cut"] == 0
+    # the span table itself: disjoint, 1-based, maximal — exactly one
+    # 10-token span for docs 10/12, two for doc 11, none for doc 13
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in contaminated_spans(train, holdout, n=8).collect()
+    )
+    assert spans == [(10, 4, 10), (11, 4, 10), (11, 16, 10), (12, 1, 10)]
