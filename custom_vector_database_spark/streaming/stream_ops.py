@@ -791,7 +791,10 @@ def corpus_ingest_apply_batch(
 
 
 def compact_fp_sidecar(
-    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+    spark: SparkSession,
+    corpus_dir: str,
+    n_buckets: int = 16,
+    new_n_buckets: int | None = None,
 ) -> dict:
     """Compact the fingerprint sidecar: per-batch appends leave one
     small file per touched bucket per micro-batch, and a year of daily
@@ -806,7 +809,16 @@ def compact_fp_sidecar(
     while any claim marker is outstanding: a crashed batch's recovery
     reads its own batch_id rows, which compaction collapses to -1.
 
-    Returns {"files_before", "files_after", "n_fps"}."""
+    ``new_n_buckets`` REBUCKETS during the rewrite: every fingerprint's
+    bucket is recomputed under the new modulus and the meta pin updates
+    with it — the maintenance verb for a corpus that outgrew its
+    bootstrap-time bucket count (probe pruning degrades as buckets
+    widen; production sizes n_buckets to batch width). The fingerprint
+    SET is untouched, so every probe decision is identical before and
+    after; the single-frame swap makes modulus + layout change
+    atomically (the _old dir always holds a self-consistent sidecar).
+
+    Returns {"files_before", "files_after", "n_fps", "n_buckets"}."""
     import glob
     import os
     import shutil
@@ -819,6 +831,7 @@ def compact_fp_sidecar(
         # the complete pre-compaction sidecar — roll back and compact it
         os.rename(old_dir, sidecar_dir)
     n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
+    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
     outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
     if outstanding:
         raise ValueError(
@@ -841,12 +854,18 @@ def compact_fp_sidecar(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     (
-        fps.select("fp", F.lit(-1).cast("long").alias("batch_id"), "fpb")
-        .repartition(n_buckets, "fpb")  # one writer task per bucket
+        fps.select(
+            "fp",
+            F.lit(-1).cast("long").alias("batch_id"),
+            # recomputed, not copied: identical under the pinned modulus,
+            # the rebucket itself under a new one
+            _corpus_fp_bucket(F.col("fp"), out_buckets).alias("fpb"),
+        )
+        .repartition(out_buckets, "fpb")  # one writer task per bucket
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
-    _write_sidecar_meta(tmp, n_buckets)
+    _write_sidecar_meta(tmp, out_buckets)
     if os.path.isdir(old_dir):
         shutil.rmtree(old_dir)
     os.rename(sidecar_dir, old_dir)
@@ -856,6 +875,7 @@ def compact_fp_sidecar(
         "files_before": files_before,
         "files_after": count_files(sidecar_dir),
         "n_fps": n_fps,
+        "n_buckets": out_buckets,
     }
 
 
@@ -1086,6 +1106,9 @@ def _ensure_mh_sidecar(
 
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
+    )
     for d in (sigs_dir, bands_dir):
         # a compaction crashed between a frame's two renames: _old IS
         # the complete pre-compaction frame — roll back, never re-derive
@@ -1194,6 +1217,9 @@ def corpus_neardup_apply_batch(
     _refuse_null_text(batch, text_col)
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
+    )
     claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
     recovering = os.path.exists(claim)
@@ -1378,8 +1404,46 @@ def stream_corpus_neardup_ingest(
     )
 
 
+_MH_REBUCKET_MARKER = "_mh_rebucket_commit"
+_SB_REBUCKET_MARKER = "_sb_rebucket_commit"
+
+
+def _heal_two_frame_rebucket(
+    corpus_dir: str, marker_name: str, frame_dirs
+) -> None:
+    """Complete a crashed two-frame REBUCKET whose commit marker exists:
+    install each frame's complete ``_tmp`` (written under the new
+    modulus, meta included) via the _old rename dance, then remove the
+    marker. Idempotent from any mid-swap crash point (the MaxSimIndex
+    _complete_save_swap pattern). Without the marker a crashed rebucket
+    left nothing renamed — its partial tmps are inert and the next
+    compact deletes them. The marker exists because the two frames must
+    change modulus ATOMICALLY: a probe reads the bucket modulus from the
+    sigs/vecs meta and prunes the BANDS frame with it, so frames on
+    different moduli would silently miss collisions."""
+    import os
+    import shutil
+
+    marker = os.path.join(corpus_dir, marker_name)
+    if not os.path.exists(marker):
+        return
+    for d in frame_dirs:
+        tmp, old = d + "_tmp", d + "_old"
+        if os.path.isdir(tmp):
+            if os.path.isdir(d):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(d, old)
+            os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+
+
 def compact_mh_sidecar(
-    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+    spark: SparkSession,
+    corpus_dir: str,
+    n_buckets: int = 16,
+    new_n_buckets: int | None = None,
 ) -> dict:
     """Compact BOTH minhash sidecar frames (compact_fp_sidecar's story on
     the near-dup probe tables): per-batch appends leave one small file
@@ -1392,7 +1456,21 @@ def compact_mh_sidecar(
     Refuses while any ingest claim is outstanding, for the same reason
     the fp version does: recovery reads its own batch_id rows.
 
-    Returns {"files_before", "files_after", "n_sigs", "n_band_rows"}."""
+    ``new_n_buckets`` REBUCKETS during the rewrite (the maintenance verb
+    for a corpus that outgrew its bootstrap bucket count): both frames'
+    bucket columns are recomputed under the new modulus and their meta
+    pins update with it. Unlike the same-modulus path, the two swaps
+    must be atomic TOGETHER — probes read the modulus from the sigs
+    meta and prune the bands frame with it — so the rebucket writes
+    both tmps first, then a commit marker, then swaps; a crash anywhere
+    either leaves the old modulus fully intact (pre-marker) or rolls
+    forward at the next compact/ensure/probe (_heal_two_frame_rebucket).
+    The (fp, sig, band) row SET is untouched, so every probe decision
+    is identical before and after. The minhash SHAPE (n_perms/n_bands)
+    never changes here — signatures would have to be refit.
+
+    Returns {"files_before", "files_after", "n_sigs", "n_band_rows",
+    "n_buckets"}."""
     import glob
     import os
     import shutil
@@ -1400,6 +1478,9 @@ def compact_mh_sidecar(
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
     claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
+    )
     for d in (sigs_dir, bands_dir):
         if not os.path.isdir(d) and os.path.isdir(d + "_old"):
             os.rename(d + "_old", d)
@@ -1413,6 +1494,7 @@ def compact_mh_sidecar(
             "recovery reconciles against)"
         )
     n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
+    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
     # carry the pinned minhash shape through compaction verbatim — a
     # compaction that dropped it would strip the mismatch guard from a
     # sidecar that had it
@@ -1423,34 +1505,50 @@ def compact_mh_sidecar(
     )
     files_before = count_files(sigs_dir) + count_files(bands_dir)
     counts = {}
-    for d, reader, part_col in (
-        (sigs_dir, _read_mh_sigs, "fpb"),
-        (bands_dir, _read_mh_bands, "bhb"),
-    ):
-        rows = reader(spark, d).withColumn(
-            "batch_id", F.lit(-1).cast("long")
+    rebucketing = out_buckets != n_buckets
+    frames = (
+        (sigs_dir, _read_mh_sigs, "fpb",
+         _corpus_fp_bucket(F.col("fp"), out_buckets)),
+        (bands_dir, _read_mh_bands, "bhb",
+         F.pmod(F.col("bh"), F.lit(out_buckets)).cast("long")),
+    )
+    for d, reader, part_col, bucket_expr in frames:
+        rows = (
+            reader(spark, d)
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+            .withColumn(part_col, bucket_expr)  # recomputed, not copied:
+            # identical under the pinned modulus, the rebucket under new
         )
         counts[d] = rows.count()
         tmp = d + "_tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         (
-            rows.repartition(n_buckets, part_col)  # one writer per bucket
+            rows.repartition(out_buckets, part_col)  # one writer per bucket
             .write.partitionBy(part_col)
             .parquet(tmp)
         )
-        _write_sidecar_meta(tmp, n_buckets, pinned_perms, pinned_bands)
+        _write_sidecar_meta(tmp, out_buckets, pinned_perms, pinned_bands)
+        if rebucketing:
+            continue  # both tmps land before ANY rename — see below
         old = d + "_old"
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)
+    if rebucketing:
+        with open(os.path.join(corpus_dir, _MH_REBUCKET_MARKER), "w"):
+            pass  # commit point: both tmps complete with the new modulus
+        _heal_two_frame_rebucket(
+            corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
+        )  # executes the swap
     return {
         "files_before": files_before,
         "files_after": count_files(sigs_dir) + count_files(bands_dir),
         "n_sigs": counts[sigs_dir],
         "n_band_rows": counts[bands_dir],
+        "n_buckets": out_buckets,
     }
 
 
@@ -1762,6 +1860,9 @@ def _ensure_sb_sidecar(
 
     vecs_dir = os.path.join(corpus_dir, _SB_VECS)
     bands_dir = os.path.join(corpus_dir, _SB_BANDS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
+    )
     for d in (vecs_dir, bands_dir):
         if not os.path.isdir(d) and os.path.isdir(d + "_old"):
             os.rename(d + "_old", d)
@@ -1864,6 +1965,9 @@ def corpus_semdedup_apply_batch(
 
     vecs_dir = os.path.join(corpus_dir, _SB_VECS)
     bands_dir = os.path.join(corpus_dir, _SB_BANDS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
+    )
     claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
     recovering = os.path.exists(claim)
@@ -2049,14 +2153,22 @@ def stream_corpus_semdedup_ingest(
 
 
 def compact_sb_sidecar(
-    spark: SparkSession, corpus_dir: str, n_buckets: int = 16
+    spark: SparkSession,
+    corpus_dir: str,
+    n_buckets: int = 16,
+    new_n_buckets: int | None = None,
 ) -> dict:
     """Compact BOTH sign-band sidecar frames — compact_mh_sidecar's
     story on the semantic probe tables: per-frame tmp-then-rename swap
     (batch_id collapsed to -1, the pinned shape carried verbatim),
-    refuses while any ingest claim is outstanding.
+    refuses while any ingest claim is outstanding. ``new_n_buckets``
+    REBUCKETS under the compact_mh_sidecar marker protocol: both tmps
+    land under the new modulus first, then the commit marker, then the
+    swap — a crash leaves the old modulus fully intact or rolls forward
+    at the next entry point, never frames on different moduli.
 
-    Returns {"files_before", "files_after", "n_vecs", "n_band_rows"}."""
+    Returns {"files_before", "files_after", "n_vecs", "n_band_rows",
+    "n_buckets"}."""
     import glob
     import os
     import shutil
@@ -2064,6 +2176,9 @@ def compact_sb_sidecar(
     vecs_dir = os.path.join(corpus_dir, _SB_VECS)
     bands_dir = os.path.join(corpus_dir, _SB_BANDS)
     claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
+    _heal_two_frame_rebucket(
+        corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
+    )
     for d in (vecs_dir, bands_dir):
         if not os.path.isdir(d) and os.path.isdir(d + "_old"):
             os.rename(d + "_old", d)
@@ -2077,6 +2192,7 @@ def compact_sb_sidecar(
             "recovery reconciles against)"
         )
     n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
+    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
     _meta = _read_sidecar_meta(vecs_dir) or {}
     pinned_bands, pinned_bits = _meta.get("n_bands"), _meta.get("band_bits")
     count_files = lambda d: sum(  # noqa: E731
@@ -2084,32 +2200,47 @@ def compact_sb_sidecar(
     )
     files_before = count_files(vecs_dir) + count_files(bands_dir)
     counts = {}
-    for d, reader, part_col in (
-        (vecs_dir, _read_sb_vecs, "idb"),
-        (bands_dir, _read_sb_bands, "bb"),
-    ):
-        rows = reader(spark, d).withColumn(
-            "batch_id", F.lit(-1).cast("long")
+    rebucketing = out_buckets != n_buckets
+    frames = (
+        (vecs_dir, _read_sb_vecs, "idb",
+         F.pmod(F.col("id"), F.lit(out_buckets)).cast("long")),
+        (bands_dir, _read_sb_bands, "bb",
+         F.pmod(F.col("key"), F.lit(out_buckets)).cast("long")),
+    )
+    for d, reader, part_col, bucket_expr in frames:
+        rows = (
+            reader(spark, d)
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+            .withColumn(part_col, bucket_expr)
         )
         counts[d] = rows.count()
         tmp = d + "_tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         (
-            rows.repartition(n_buckets, part_col)  # one writer per bucket
+            rows.repartition(out_buckets, part_col)  # one writer per bucket
             .write.partitionBy(part_col)
             .parquet(tmp)
         )
-        _write_sidecar_meta(tmp, n_buckets, None, pinned_bands, pinned_bits)
+        _write_sidecar_meta(tmp, out_buckets, None, pinned_bands, pinned_bits)
+        if rebucketing:
+            continue  # both tmps land before ANY rename
         old = d + "_old"
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)
+    if rebucketing:
+        with open(os.path.join(corpus_dir, _SB_REBUCKET_MARKER), "w"):
+            pass  # commit point: both tmps complete with the new modulus
+        _heal_two_frame_rebucket(
+            corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
+        )
     return {
         "files_before": files_before,
         "files_after": count_files(vecs_dir) + count_files(bands_dir),
         "n_vecs": counts[vecs_dir],
         "n_band_rows": counts[bands_dir],
+        "n_buckets": out_buckets,
     }

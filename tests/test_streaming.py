@@ -1773,3 +1773,241 @@ def test_semdedup_oracle_assumption_no_intra_delta_near_pairs(spark, sf):
         max_cos_dist=0.1,
     ).filter(F.col("is_near"))
     assert pairs.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Sidecar REBUCKETING (round 9): new_n_buckets= on the three compact
+# verbs — probe decisions must be IDENTICAL before/after, the modulus
+# pin must update, and a crashed two-frame rebucket must never leave
+# the frames on different moduli.
+# ---------------------------------------------------------------------------
+def test_fp_sidecar_rebucket_preserves_decisions(spark, tmp_path):
+    """compact_fp_sidecar(new_n_buckets=...) rewrites every fingerprint
+    into its new-modulus bucket, updates the meta pin, and leaves the
+    fingerprint SET — and therefore every probe decision — unchanged:
+    a verbatim copy still drops, a fresh doc still appends."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        _read_fp_sidecar,
+        compact_fp_sidecar,
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    ).withColumn("text", F.reverse(F.col("text"))).write.parquet(delta)
+    stream_corpus_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    sidecar = os.path.join(corpus, _FP_SIDECAR)
+    fps_before = {
+        r["fp"] for r in _read_fp_sidecar(spark, sidecar).collect()
+    }
+
+    stats = compact_fp_sidecar(spark, corpus, new_n_buckets=64)
+    assert stats["n_buckets"] == 64
+    with open(os.path.join(sidecar, "_sidecar_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 64
+    after = _read_fp_sidecar(spark, sidecar).collect()
+    assert {r["fp"] for r in after} == fps_before  # set-invariant
+    assert {r["fpb"] for r in after} <= set(range(64))
+    assert max(r["fpb"] for r in after) >= 16  # genuinely rebucketed
+
+    # re-drop probe: a verbatim copy appends nothing; fresh appends
+    delta2 = str(tmp_path / "delta2")
+    docs.limit(1).withColumn("doc_id", F.col("doc_id") + 20_000).unionByName(
+        docs.limit(1)
+        .withColumn("doc_id", F.col("doc_id") + 30_000)
+        .withColumn("text", F.concat(F.reverse(F.col("text")), F.lit(" qq")))
+    ).coalesce(1).write.parquet(delta2)
+    n_before = spark.read.parquet(corpus).count()
+    stream_corpus_ingest(spark, delta2, corpus, doc_schema=docs.schema)
+    final = spark.read.parquet(corpus)
+    assert final.count() == n_before + 1
+    assert final.filter(F.col("doc_id") >= 30_000).count() == 1
+
+
+def test_mh_sidecar_rebucket_preserves_decisions_and_shape(spark, tmp_path):
+    """The two-frame minhash rebucket: row sets of BOTH frames are
+    invariant, both meta pins move to the new modulus together, the
+    minhash shape pin survives, and the post-rebucket probe still drops
+    a dot-appended copy on the NEAR path (fingerprint differs, shingle
+    set identical — J=1, a guaranteed band collision)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_BANDS,
+        _MH_SIGS,
+        _read_mh_bands,
+        _read_mh_sigs,
+        compact_mh_sidecar,
+        corpus_neardup_apply_batch,
+        stream_corpus_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+    docs.limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    ).withColumn("text", F.reverse(F.col("text"))).write.parquet(delta)
+    stream_corpus_neardup_ingest(spark, delta, corpus, doc_schema=docs.schema)
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    bands_dir = os.path.join(corpus, _MH_BANDS)
+    sigs_before = {
+        (r["fp"], tuple(r["sig"]))
+        for r in _read_mh_sigs(spark, sigs_dir).collect()
+    }
+    bands_before = {
+        (r["band"], r["bh"], r["fp"])
+        for r in _read_mh_bands(spark, bands_dir).collect()
+    }
+
+    stats = compact_mh_sidecar(spark, corpus, new_n_buckets=64)
+    assert stats["n_buckets"] == 64
+    for d in (sigs_dir, bands_dir):
+        with open(os.path.join(d, "_sidecar_meta.json")) as f:
+            m = json.load(f)
+        assert m["n_buckets"] == 64
+        assert m["n_perms"] == 16 and m["n_bands"] == 4  # shape survives
+    assert {
+        (r["fp"], tuple(r["sig"]))
+        for r in _read_mh_sigs(spark, sigs_dir).collect()
+    } == sigs_before
+    assert {
+        (r["band"], r["bh"], r["fp"])
+        for r in _read_mh_bands(spark, bands_dir).collect()
+    } == bands_before
+
+    # near re-drop probe under the new modulus
+    dotted = docs.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(".")))
+    n = corpus_neardup_apply_batch(spark, dotted, 99, corpus)
+    assert n == 0  # J=1 with its source doc: dropped via the sidecar
+
+
+def test_mh_rebucket_crash_safety(spark, tmp_path):
+    """Crash windows of the marker protocol: (a) BEFORE the marker —
+    complete new-modulus tmps are inert garbage, the next compact serves
+    the OLD modulus and cleans them; (b) AFTER the marker — any entry
+    point (ensure, probe, compact) rolls the swap FORWARD, installing
+    both frames and both meta pins together."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_BANDS,
+        _MH_REBUCKET_MARKER,
+        _MH_SIGS,
+        _ensure_mh_sidecar,
+        corpus_neardup_apply_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    sigs_dir = os.path.join(corpus, _MH_SIGS)
+    bands_dir = os.path.join(corpus, _MH_BANDS)
+
+    # (a) pre-marker crash: stage complete tmps, NO marker
+    shutil.copytree(sigs_dir, sigs_dir + "_tmp")
+    shutil.copytree(bands_dir, bands_dir + "_tmp")
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)  # no-op heal
+    with open(os.path.join(sigs_dir, "_sidecar_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 16  # old modulus intact
+
+    # (b) post-marker crash: run the REAL rebucket but crash its swap —
+    # both tmps are complete under the new modulus, the marker exists,
+    # nothing is renamed yet
+    import custom_vector_database_spark.streaming.stream_ops as so
+
+    real_heal = so._heal_two_frame_rebucket
+    marker = os.path.join(corpus, _MH_REBUCKET_MARKER)
+
+    def crashing_heal(corpus_dir, marker_name, frame_dirs):
+        if os.path.exists(marker):
+            raise RuntimeError("simulated crash mid-rebucket")
+        return real_heal(corpus_dir, marker_name, frame_dirs)
+
+    so._heal_two_frame_rebucket = crashing_heal
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            so.compact_mh_sidecar(spark, corpus, new_n_buckets=64)
+    finally:
+        so._heal_two_frame_rebucket = real_heal
+    assert os.path.exists(marker)
+    # worsen it: bands already swapped, sigs not — the frames-on-
+    # different-moduli window the marker exists to close
+    os.rename(bands_dir, bands_dir + "_old")
+    os.rename(bands_dir + "_tmp", bands_dir)
+    batch = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000)
+    n = corpus_neardup_apply_batch(spark, batch, 1, corpus)  # heals first
+    assert n == 0  # verbatim copy: dropped under the healed sidecar
+    assert not os.path.exists(marker)
+    for d in (sigs_dir, bands_dir):
+        assert not os.path.isdir(d + "_tmp")
+        assert not os.path.isdir(d + "_old")
+        with open(os.path.join(d, "_sidecar_meta.json")) as f:
+            assert json.load(f)["n_buckets"] == 64  # rolled FORWARD
+
+
+def test_sb_sidecar_rebucket_preserves_decisions(spark, tmp_path):
+    """Sign-band rebucket: frame row sets invariant, both pins move
+    together, shape survives, and the probe still drops a scaled copy
+    and keeps a negated fresh vector under the new modulus."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_BANDS,
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        compact_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = _emb_corpus(spark, 20)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    vecs_dir = os.path.join(corpus, _SB_VECS)
+    bands_dir = os.path.join(corpus, _SB_BANDS)
+
+    stats = compact_sb_sidecar(spark, corpus, new_n_buckets=8)
+    assert stats["n_buckets"] == 8
+    assert stats["n_vecs"] == 20 and stats["n_band_rows"] == 80
+    for d in (vecs_dir, bands_dir):
+        with open(os.path.join(d, "_sidecar_meta.json")) as f:
+            m = json.load(f)
+        assert m["n_buckets"] == 8
+        assert m["n_bands"] == 4 and m["band_bits"] == 16
+
+    scaled = docs.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    ).withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"),
+    )
+    assert corpus_semdedup_apply_batch(spark, scaled, 1, corpus) == 0
+    fresh = docs.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
+    assert corpus_semdedup_apply_batch(spark, fresh, 2, corpus) == 1
