@@ -171,3 +171,36 @@ def nearest_centroid_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Column wrapper over ``nearest_centroid_sql``; ``vec_sql`` is a SQL
     fragment (a column name or expression) yielding array<double>."""
     return F.expr(nearest_centroid_sql(vec_sql, centroids))
+
+
+def logreg_fit_np(
+    X: np.ndarray,
+    y: np.ndarray,
+    iters: int = 200,
+    step: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[np.ndarray, float]:
+    """Binary logistic regression by deterministic FULL-BATCH gradient
+    descent (driver-side numpy — the kmeans_fit_np convention: fits run
+    on a bounded sample on the driver, scoring stays a distributed
+    codegen projection). No stochastic minibatching, no data-dependent
+    stopping: a fixed iteration count over the full sample makes the
+    fit a pure function of (X, y, hyperparameters) — same inputs, same
+    weights, bit for bit. L2 on the weights only (not the intercept).
+    Returns (w, b) with scores = X @ w + b (sigmoid monotone — the
+    threshold comparison needs only the linear score)."""
+    n, d = X.shape
+    if n == 0:
+        raise ValueError("cannot fit a classifier on an empty sample")
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    yf = y.astype(np.float64)
+    for _ in range(int(iters)):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - yf
+        gw = (X.T @ g) / n + l2 * w
+        gb = float(g.sum()) / n
+        w -= step * gw
+        b -= step * gb
+    return w, float(b)

@@ -2087,3 +2087,147 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Learned-classifier gated ingest (round 9): the gated-ingest verb driven
+# by a LEARNED linear quality classifier instead of the DSIR importance
+# table — fit_quality_classifier(method='lcr'): Wang & Manning 2012's
+# log-count-ratio weights over hashed unigram+bigram buckets, the closed
+# form of the fastText-style gate (Joulin et al. 2016), fit on LABELED
+# corpora: pos = the English documents, neg = deterministic md5-token
+# gibberish derived from them inside the query (both engines build the
+# identical corpus — the pii_redaction convention). The fit is exact
+# integer arithmetic, so the oracle recomputes the persisted weights,
+# every document score, and the kept set — _dsir_gate_oracle_cte with
+# its target/pool roles bound to pos/neg labels (the lcr closed form IS
+# that table with labeled inputs; intercept 0). Gate-dropped: gibberish
+# delta docs (never near the natural-text buckets); gate-passed: natural
+# fresh docs, which then run the exact-dedup path.
+# ---------------------------------------------------------------------------
+_QGATE_BUCKETS = 64
+_QGATE_MIN = 1_000_000
+_QGATE_JUNK_TRAIN = "abcdefghijkl"
+_QGATE_JUNK_HELD = "mnopqrstuvwx"
+
+
+def _junk_text_duck(salts: str) -> str:
+    return " || ' ' || ".join(f"md5(text || '{s}')" for s in salts)
+
+
+def classifier_junk_docs(docs: DataFrame, salts: str, offset: int) -> DataFrame:
+    """Deterministic 12-token md5 gibberish per source doc — the Spark
+    twin of _junk_text_duck, shared by the fit (training negatives) and
+    the delta (held-out junk, distinct salts)."""
+    cols = [F.md5(F.concat(F.col("text"), F.lit(s))) for s in salts]
+    return docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat_ws(" ", *cols).alias("text"),
+    )
+
+
+@register(
+    "stream_classifier_gated_ingest",
+    f"""
+    WITH corpus AS (SELECT {_FP_DUCK.format(t="text")} AS fp FROM documents),
+    tgt AS (SELECT text FROM documents WHERE lang = 'en'),
+    pool AS (SELECT {_junk_text_duck(_QGATE_JUNK_TRAIN)} AS text
+             FROM documents WHERE lang = 'en'),
+    deltad AS (
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000000000, text || ' classifier fresh suffix'
+      FROM documents WHERE doc_id >= 40 AND doc_id < 50
+      UNION ALL
+      SELECT doc_id + 3000000000, {_junk_text_duck(_QGATE_JUNK_HELD)}
+      FROM documents WHERE doc_id >= 60 AND doc_id < 70),
+    {_dsir_gate_oracle_cte(_QGATE_BUCKETS, _QGATE_MIN)},
+    kept AS (
+      SELECT fp FROM gkept WHERE fp NOT IN (SELECT fp FROM corpus)),
+    final AS (SELECT fp FROM corpus UNION ALL SELECT fp FROM kept)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct_fp,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS ingest_ok
+    FROM final
+    """,
+)
+def q_stream_classifier_gated_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        stream_corpus_dsir_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    tmp = tempfile.mkdtemp(prefix="cvdb_classifier_gate_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        gate_dir = os.path.join(tmp, "gate")
+        docs.write.parquet(corpus_dir)
+        fit_quality_classifier(
+            pos=en.select("text"),
+            neg=classifier_junk_docs(en, _QGATE_JUNK_TRAIN, 0).select("text"),
+            gate_dir=gate_dir,
+            method="lcr",
+            num_buckets=_QGATE_BUCKETS,
+        )
+        copies = docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        fresh = (
+            docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" classifier fresh suffix")),
+            )
+        )
+        junk = classifier_junk_docs(
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70)),
+            _QGATE_JUNK_HELD,
+            3_000_000_000,
+        )
+        for c in docs.columns:
+            if c not in junk.columns:
+                junk = junk.withColumn(
+                    c, F.lit(None).cast(docs.schema[c].dataType)
+                )
+        delta = copies.unionByName(fresh).unionByName(
+            junk.select(docs.columns)
+        )
+        delta.repartition(4).write.parquet(delta_dir)  # >= 2 micro-batches
+        n_batches = stream_corpus_dsir_ingest(
+            spark,
+            delta_dir,
+            corpus_dir,
+            gate_dir,
+            doc_schema=docs.schema,
+            min_logw_micro=_QGATE_MIN,
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(fingerprint_md5(F.col("text")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        cksum = _fp_checksum_agg(final.select("fp"))
+        return (
+            final.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("fp").alias("n_distinct_fp"),
+            )
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

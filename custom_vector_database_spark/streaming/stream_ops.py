@@ -33,9 +33,13 @@ __all__ = [
     "stream_corpus_neardup_ingest",
     "stream_corpus_dsir_ingest",
     "fit_dsir_gate",
+    "fit_quality_classifier",
     "load_dsir_gate",
+    "load_quality_gate",
     "compact_fp_sidecar",
     "compact_mh_sidecar",
+    "compact_sb_sidecar",
+    "stream_corpus_semdedup_ingest",
 ]
 
 
@@ -1564,6 +1568,31 @@ def compact_mh_sidecar(
 _DSIR_GATE_META = "_gate_meta.json"
 
 
+def _persist_gate(lr: DataFrame, gate_dir: str, meta: dict) -> None:
+    """Persist a (bucket, lr_micro) gate table + meta crash-safely: the
+    sidecar _old dance — a crash between the two renames leaves _old
+    holding the complete previous gate, which load rolls back; at no
+    instant is there NO gate. ONE copy shared by the DSIR fit and the
+    learned-classifier fit."""
+    import json
+    import os
+    import shutil
+
+    tmp = gate_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    lr.coalesce(1).write.parquet(tmp)
+    with open(os.path.join(tmp, _DSIR_GATE_META), "w") as f:
+        json.dump(meta, f)
+    old = gate_dir + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(gate_dir):
+        os.rename(gate_dir, old)
+    os.rename(tmp, gate_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def fit_dsir_gate(
     pool: DataFrame,
     target: DataFrame,
@@ -1574,13 +1603,7 @@ def fit_dsir_gate(
     """Fit and persist the DSIR log-ratio table. The meta file pins
     num_buckets so a scorer can never hash with a different modulus
     than the table was fit with. Refit over an existing gate is
-    crash-safe via the sidecar _old dance: a crash between the two
-    renames leaves _old holding the complete previous gate, which
-    load_dsir_gate rolls back — at no instant is there NO gate."""
-    import json
-    import os
-    import shutil
-
+    crash-safe via _persist_gate's _old dance."""
     from custom_vector_database_spark.operators.curation import (
         dsir_bucket_logratios,
     )
@@ -1588,25 +1611,151 @@ def fit_dsir_gate(
     lr = dsir_bucket_logratios(
         pool, target, text_col=text_col, num_buckets=num_buckets
     )
-    tmp = gate_dir + "_tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    lr.coalesce(1).write.parquet(tmp)
-    with open(os.path.join(tmp, _DSIR_GATE_META), "w") as f:
-        json.dump({"num_buckets": int(num_buckets)}, f)
-    old = gate_dir + "_old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    if os.path.isdir(gate_dir):
-        os.rename(gate_dir, old)
-    os.rename(tmp, gate_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _persist_gate(
+        lr, gate_dir,
+        {"num_buckets": int(num_buckets), "kind": "dsir",
+         "intercept_micro": 0},
+    )
+
+
+def fit_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    gate_dir: str,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    method: str = "lcr",
+    fit_sample: int = 50_000,
+    seed: int = 42,
+    iters: int = 200,
+    step: float = 0.5,
+    l2: float = 1e-3,
+) -> None:
+    """Fit and persist a LEARNED linear quality classifier over hashed
+    unigram+bigram bucket features (the fastText-style gate of Joulin et
+    al. 2016 — the supervised sibling of the DSIR importance gate, fit
+    on LABELED good/bad corpora instead of target/pool distributions).
+    Scoring is the same one-codegen-pass dot product against the
+    broadcast (bucket, lr_micro) table, plus the persisted intercept;
+    the persisted gate slots into stream_corpus_dsir_ingest's dispatch
+    unchanged (the gate directory self-describes via its meta "kind").
+
+    ``method="lcr"`` (default): log-count-ratio weights — Wang &
+    Manning 2012's NB-SVM feature weights, the closed form of the
+    linear classifier. Exactly dsir_bucket_logratios with the roles
+    bound to (pool=neg, target=pos); fully deterministic and
+    SQL-reproducible, so a registered row's oracle can recompute every
+    weight and score (intercept 0 — the decision threshold absorbs the
+    class prior).
+
+    ``method="logistic"``: discriminative logistic regression by
+    deterministic full-batch gradient descent over a bounded,
+    md5-rank-sampled doc set, driver-side numpy (the kmeans_fit_np /
+    collect_sample_matrix convention — fits are sample-bounded
+    driver-side, encodes stay distributed; an MLlib LBFGS fit would
+    need a per-row vector-assembly UDF and is run-order-sensitive).
+    Weights and intercept persist as micro-integers; scoring stays the
+    identical codegen path."""
+    if method not in ("lcr", "logistic"):
+        raise ValueError(f"method must be 'lcr' or 'logistic', got {method!r}")
+    from custom_vector_database_spark.operators.curation import (
+        dsir_bucket_logratios,
+    )
+
+    if method == "lcr":
+        lr = dsir_bucket_logratios(
+            neg, pos, text_col=text_col, num_buckets=num_buckets
+        )
+        _persist_gate(
+            lr, gate_dir,
+            {"num_buckets": int(num_buckets), "kind": "classifier_lcr",
+             "intercept_micro": 0},
+        )
+        return
+
+    import numpy as np
+
+    from custom_vector_database_spark.operators.fitting import logreg_fit_np
+
+    spark = pos.sparkSession
+    X_pos = _collect_tf_matrix(pos, text_col, num_buckets, fit_sample, seed)
+    X_neg = _collect_tf_matrix(neg, text_col, num_buckets, fit_sample, seed)
+    X = np.vstack([X_pos, X_neg])
+    y = np.concatenate(
+        [np.ones(len(X_pos)), np.zeros(len(X_neg))]
+    )
+    w, b = logreg_fit_np(X, y, iters=iters, step=step, l2=l2)
+    rows = [(int(i), int(np.floor(w[i] * 1e6))) for i in range(num_buckets)]
+    lr = spark.createDataFrame(rows, "bucket int, lr_micro long")
+    _persist_gate(
+        lr, gate_dir,
+        {"num_buckets": int(num_buckets), "kind": "classifier_logistic",
+         "intercept_micro": int(np.floor(b * 1e6))},
+    )
+
+
+def _collect_tf_matrix(
+    docs: DataFrame, text_col: str, num_buckets: int, fit_sample: int,
+    seed: int,
+):
+    """Dense (n_docs x num_buckets) hashed-gram tf matrix of a BOUNDED
+    deterministic sample: docs ranked by md5(seed‖row md5) — the repo's
+    derandomized-draw convention — top fit_sample taken, tf aggregated
+    distributed, only the (doc, bucket, tf) triples collected (≤ sample
+    × num_buckets rows). Feature hashing is _dsir_gram_stream, so the
+    fit sees exactly what the scorer hashes."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from custom_vector_database_spark.operators.curation import (
+        _dsir_gram_stream,
+    )
+
+    # distributed top-k by md5 rank (TakeOrderedAndProject — no global
+    # sort, no corpus-wide window); the row_number index only runs over
+    # the <= fit_sample SAMPLE
+    sampled = (
+        docs.select(F.col(text_col))
+        .withColumn("__rk", F.md5(F.concat(F.lit(str(seed)), F.col(text_col))))
+        .orderBy("__rk", text_col)
+        .limit(fit_sample)
+    )
+    ranked = sampled.withColumn(
+        "__doc", F.row_number().over(Window.orderBy("__rk", text_col))
+    ).select("__doc", F.col(text_col))
+    tf = (
+        _dsir_gram_stream(ranked, ["__doc"], text_col, num_buckets)
+        .groupBy("__doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    n = int(sampled.count())
+    X = np.zeros((n, num_buckets), dtype=np.float64)
+    for r in tf:
+        X[r["__doc"] - 1, r["bucket"]] = float(r["tf"])
+    # length-normalize: classic fastText averages feature vectors so
+    # long docs don't dominate the gradient
+    norms = X.sum(axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return X / norms
 
 
 def load_dsir_gate(spark: SparkSession, gate_dir: str):
-    """(lr DataFrame, num_buckets) from a persisted gate. A missing or
-    unparseable meta raises — scoring with a guessed modulus would
-    silently mis-bucket every gram (the _sidecar_n_buckets rationale)."""
+    """(lr DataFrame, num_buckets) from a persisted gate — the original
+    two-field form; load_quality_gate returns the full self-describing
+    tuple. A missing or unparseable meta raises — scoring with a
+    guessed modulus would silently mis-bucket every gram (the
+    _sidecar_n_buckets rationale)."""
+    lr, nb, _intercept, _kind = load_quality_gate(spark, gate_dir)
+    return lr, nb
+
+
+def load_quality_gate(spark: SparkSession, gate_dir: str):
+    """(lr DataFrame, num_buckets, intercept_micro, kind) from a
+    persisted gate directory — DSIR or learned-classifier, the meta
+    self-describes (gates persisted before the classifier existed read
+    as kind='dsir', intercept 0). Heals a crashed refit first."""
     import json
     import os
 
@@ -1618,15 +1767,19 @@ def load_dsir_gate(spark: SparkSession, gate_dir: str):
     meta_path = os.path.join(gate_dir, _DSIR_GATE_META)
     try:
         with open(meta_path) as f:
-            nb = int(json.load(f)["num_buckets"])
+            meta = json.load(f)
+        nb = int(meta["num_buckets"])
     except (OSError, ValueError, KeyError, TypeError) as e:
         raise ValueError(
-            f"missing/corrupt DSIR gate meta {meta_path!r} ({e!r}) — refit "
-            "the gate (fit_dsir_gate) rather than guessing the bucket "
-            "modulus"
+            f"missing/corrupt quality gate meta {meta_path!r} ({e!r}) — "
+            "refit the gate (fit_dsir_gate / fit_quality_classifier) "
+            "rather than guessing the bucket modulus"
         ) from e
     lr = spark.read.schema("bucket int, lr_micro long").parquet(gate_dir)
-    return lr, nb
+    return (
+        lr, nb, int(meta.get("intercept_micro", 0)),
+        str(meta.get("kind", "dsir")),
+    )
 
 
 def stream_corpus_dsir_ingest(
@@ -1666,7 +1819,12 @@ def stream_corpus_dsir_ingest(
 
     if dedup not in ("exact", "neardup"):
         raise ValueError(f"dedup must be 'exact' or 'neardup', got {dedup!r}")
-    lr, gate_buckets = load_dsir_gate(spark, gate_dir)
+    # the gate directory self-describes: a DSIR fit or a learned
+    # classifier (fit_quality_classifier) slot in identically — scoring
+    # is the same codegen dot product, plus the persisted intercept
+    lr, gate_buckets, intercept_micro, _kind = load_quality_gate(
+        spark, gate_dir
+    )
     if dedup == "exact":
         claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
         sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
@@ -1691,7 +1849,10 @@ def stream_corpus_dsir_ingest(
             num_buckets=gate_buckets,
         )
         kept = batch.join(
-            scores.filter(F.col("logw_micro") >= min_logw_micro).select(
+            scores.filter(
+                F.col("logw_micro") + F.lit(intercept_micro)
+                >= min_logw_micro
+            ).select(
                 id_col
             ),
             id_col,

@@ -2011,3 +2011,200 @@ def test_sb_sidecar_rebucket_preserves_decisions(spark, tmp_path):
         "doc_id", F.col("doc_id") + 20_000
     ).withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
     assert corpus_semdedup_apply_batch(spark, fresh, 2, corpus) == 1
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate (round 9): fit_quality_classifier — the fastText-
+# style linear classifier over hashed gram buckets, slotting into the
+# gated-ingest dispatch via the self-describing gate meta.
+# ---------------------------------------------------------------------------
+def _junk_docs(spark, docs, n=30):
+    """Deterministic gibberish derived from real texts — md5 hex tokens
+    share no grams with natural text (the fresh-text convention). 12
+    tokens per doc: enough grams that per-gram scores concentrate (a
+    4-token doc's 7 grams leave too much variance for a hashed-bucket
+    classifier to separate deterministically)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.md5(F.concat(F.col("text"), F.lit(s))) for s in "abcdefghijkl"
+    ]
+    return docs.limit(n).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat_ws(" ", *cols).alias("text"),
+    )
+
+
+@pytest.mark.parametrize("method", ["lcr", "logistic"])
+def test_quality_classifier_separates_and_persists(spark, tmp_path, method):
+    """Gate-quality bound: a classifier fit on natural-vs-gibberish
+    corpora scores EVERY held-out natural doc above EVERY held-out
+    gibberish doc on the per-gram (length-normalized) score — raw sums
+    are length-confounded by construction, the thresholding caller's
+    concern; the persisted gate pins num_buckets + intercept + kind;
+    the logistic fit is deterministic (refit == identical weights)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.curation import (
+        dsir_score_with,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        load_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pos = docs.filter(F.col("doc_id") < 60).select("text")
+    neg = _junk_docs(
+        spark, docs.filter(F.col("doc_id") < 60), n=60
+    ).select("text")
+    gate_dir = str(tmp_path / f"gate_{method}")
+    # the discriminative fit needs more capacity to separate than the
+    # closed-form log-count ratios: 256 hashed buckets, 400 GD steps
+    nbk, iters = (64, 200) if method == "lcr" else (256, 400)
+    fit_quality_classifier(
+        pos, neg, gate_dir, method=method, num_buckets=nbk, iters=iters
+    )
+    lr, nb, intercept, kind = load_quality_gate(spark, gate_dir)
+    assert nb == nbk and kind == f"classifier_{method}"
+    with open(os.path.join(gate_dir, "_gate_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["intercept_micro"] == intercept
+
+    # held-out docs (disjoint from the fit): natural vs gibberish
+    held_nat = docs.filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    ).select("doc_id", "text")
+    held_junk = _junk_docs(
+        spark, docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    )
+    def per_gram(d):
+        return [
+            (r["logw_micro"] + intercept) / max(r["n_grams"], 1)
+            for r in dsir_score_with(lr, d, num_buckets=nb).collect()
+        ]
+
+    sc_nat, sc_junk = per_gram(held_nat), per_gram(held_junk)
+    assert min(sc_nat) > max(sc_junk)  # perfect separation
+
+    if method == "logistic":
+        gate2 = str(tmp_path / "gate_refit")
+        fit_quality_classifier(
+            pos, neg, gate2, method=method, num_buckets=nbk, iters=iters
+        )
+        w1 = sorted(
+            (r["bucket"], r["lr_micro"]) for r in lr.collect()
+        )
+        lr2, _, i2, _ = load_quality_gate(spark, gate2)
+        assert sorted(
+            (r["bucket"], r["lr_micro"]) for r in lr2.collect()
+        ) == w1
+        assert i2 == intercept  # deterministic fit
+
+
+def test_logistic_gate_scores_recomputable_from_persisted_weights(
+    spark, tmp_path
+):
+    """The oracle contract for the learned gate: given ONLY the
+    persisted (bucket, lr_micro) table + intercept, DuckDB recomputes
+    every document's gate score exactly (the scoring arithmetic is an
+    integer dot product over the same md5 bucket hashing)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.curation import (
+        DSIR_GRAMS_DUCK,
+        dsir_bucket_duck,
+        dsir_score_with,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        load_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pos = docs.filter(F.col("doc_id") < 40).select("text")
+    neg = _junk_docs(spark, docs.filter(F.col("doc_id") < 40)).select("text")
+    gate_dir = str(tmp_path / "gate")
+    fit_quality_classifier(
+        pos, neg, gate_dir, method="logistic", num_buckets=32
+    )
+    lr, nb, intercept, _ = load_quality_gate(spark, gate_dir)
+    score_df = dsir_score_with(
+        lr, docs.filter(F.col("doc_id") < 100), num_buckets=nb
+    ).select("doc_id", (F.col("logw_micro") + intercept).alias("score"))
+    spark_scores = {
+        r["doc_id"]: r["score"] for r in score_df.collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'"
+    )
+    con.sql(f"CREATE VIEW gate AS SELECT * FROM '{gate_dir}/*.parquet'")
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    duck = con.sql(f"""
+        WITH d AS (SELECT doc_id, {toks} AS toks FROM documents
+                   WHERE doc_id < 100),
+        g AS (SELECT doc_id, unnest({DSIR_GRAMS_DUCK}) AS gram FROM d),
+        tf AS (SELECT doc_id, {dsir_bucket_duck(nb)} AS bucket,
+                      COUNT(*) AS tf
+               FROM g GROUP BY doc_id, 2),
+        w AS (SELECT doc_id, CAST(SUM(tf * lr_micro) AS BIGINT) AS s
+              FROM tf JOIN gate USING (bucket) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(w.s, 0) + {intercept} AS score
+        FROM d LEFT JOIN w ON d.doc_id = w.doc_id
+    """).df()
+    duck_scores = dict(zip(duck.doc_id, duck.score))
+    assert spark_scores == {int(k): int(v) for k, v in duck_scores.items()}
+
+
+def test_classifier_gated_ingest_composes(spark, tmp_path):
+    """quality gate dispatch: a gate directory fit by
+    fit_quality_classifier drives stream_corpus_dsir_ingest unchanged
+    (the meta self-describes) — gibberish delta docs gate-drop, natural
+    fresh docs pass the gate and dedup, verbatim copies dedup-drop."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        stream_corpus_dsir_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).select(
+        "doc_id", "text"
+    )
+    corpus = str(tmp_path / "corpus")
+    delta_dir = str(tmp_path / "delta")
+    gate_dir = str(tmp_path / "gate")
+    docs.write.parquet(corpus)
+    fit_quality_classifier(
+        docs.select("text"), _junk_docs(spark, docs).select("text"),
+        gate_dir, method="lcr", num_buckets=64,
+    )
+    copies = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh = docs.limit(3).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" gated fresh suffix")).alias("text"),
+    )
+    junk = _junk_docs(spark, docs.limit(3)).select(
+        (F.col("doc_id") - 500_000 + 30_000).alias("doc_id"), "text"
+    )
+    copies.unionByName(fresh).unionByName(junk).repartition(3).write.parquet(
+        delta_dir
+    )
+    n = stream_corpus_dsir_ingest(
+        spark, delta_dir, corpus, gate_dir, doc_schema=docs.schema,
+        min_logw_micro=1_000_000,
+    )
+    assert n >= 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus)
+        .filter(F.col("doc_id") >= 10_000)
+        .collect()
+    }
+    assert kept == {20_000, 20_001, 20_002}
