@@ -49,7 +49,7 @@ from custom_vector_database_spark.operators.fitting import (
     nprobe_clusters_sql,
 )
 
-__all__ = ["PqIndex", "IvfPqIndex"]
+__all__ = ["PqIndex", "IvfPqIndex", "quantization_error_report"]
 
 
 class PqIndex:
@@ -118,6 +118,16 @@ class PqIndex:
 
     def encoded_df(self) -> DataFrame:
         return self._encoded
+
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Flat PQ quantizes raw vectors — the report's residual IS the
+        vector (quantization_error_report protocol)."""
+        return df.select(
+            F.col(vec_col).cast("array<double>").alias("_res")
+        )
+
+    def _staleness_error_expr(self) -> Column:
+        return _pq_error_expr("_res", self.codebooks, self.dim)
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
@@ -477,21 +487,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
                 "upsert requires a saved index (call save() or load() first)"
             )
         self._check_input_dims(delta, vec_col, "delta")
-        if self.metric == "cosine":
-            from custom_vector_database_spark.operators.ivf import (
-                _unit_normalize_expr,
-            )
-
-            src = _unit_normalize_expr(f"`{vec_col}`")
-        elif self.metric == "dot":
-            # saved M; over-M delta rows clamp to the sphere (ivf.upsert
-            # contract — a rebuild refreshes M)
-            from custom_vector_database_spark.operators.ivf import _augment_expr
-
-            m2 = float(self.max_norm) * float(self.max_norm)
-            src = _augment_expr(f"`{vec_col}`", m2)
-        else:
-            src = F.col(vec_col)
+        src = self._metric_src_expr(vec_col)
         feats = delta.select(
             F.col(self.id_col),
             src.cast("array<double>").alias("_vec"),
@@ -507,6 +503,50 @@ class IvfPqIndex(TombstoneDeleteMixin):
         encoded.write.mode("append").partitionBy("cluster").parquet(codes_path)
         self._encoded = delta.sparkSession.read.parquet(codes_path)
         return int(n)
+
+    def _metric_src_expr(self, vec_col: str):
+        """The metric-specific raw->stored vector transform (cosine
+        normalize-at-build / dot sphere-augment / l2 identity) — ONE
+        definition shared by upsert's delta encode and the staleness
+        report, so the report measures exactly what an upsert would
+        commit."""
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            return _unit_normalize_expr(f"`{vec_col}`")
+        if self.metric == "dot":
+            # saved M; over-M delta rows clamp to the sphere (ivf.upsert
+            # contract — a rebuild refreshes M)
+            from custom_vector_database_spark.operators.ivf import (
+                _augment_expr,
+            )
+
+            m2 = float(self.max_norm) * float(self.max_norm)
+            return _augment_expr(f"`{vec_col}`", m2)
+        return F.col(vec_col)
+
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """(_vec, cluster, _res) for the staleness report — the encode
+        pass's own cluster assignment + residual, current quantizers."""
+        self._check_input_dims(df, vec_col, "report input")
+        feats = df.select(
+            self._metric_src_expr(vec_col).cast("array<double>").alias("_vec")
+        )
+        return feats.withColumn(
+            "cluster", nearest_centroid_expr("_vec", self.centroids)
+        ).withColumn(
+            "_res",
+            F.expr(
+                f"zip_with(_vec, element_at("
+                f"{centroids_literal_sql(self.centroids)}, cluster + 1), "
+                f"(a, b) -> a - b)"
+            ),
+        )
+
+    def _staleness_error_expr(self) -> Column:
+        return _pq_error_expr("_res", self.codebooks, self.dim)
 
     def compact(self, files_per_cluster: int = 1) -> dict:
         """Compact the saved code layout (layout.compact_partitioned) —
@@ -938,3 +978,115 @@ class IvfPqIndex(TombstoneDeleteMixin):
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
+
+
+# ---------------------------------------------------------------------------
+# Codebook staleness (round 9): the when-to-rebuild metric for saved
+# quantized layouts. Upserted deltas encode with the BUILD-time centroids
+# and codebooks (the explicit-rebuild contract, reference main.cpp:34);
+# as the data distribution drifts away from the training sample, those
+# rows' quantization error grows and ADC distances degrade silently.
+# This report prices the rebuild: reconstruction error of a recent slice
+# vs the build-time distribution, as exact micro-integer sums (the
+# embedding_drift convention — BIGINT-exact, order-free).
+# ---------------------------------------------------------------------------
+def _min_sq_dist_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL for the squared L2 distance from ``vec_sql`` to its NEAREST
+    centroid — array_min over the literal distance table; exactly the
+    error the encode pass commits to when it picks that centroid."""
+    from custom_vector_database_spark.operators.fitting import (
+        squared_distances_sql,
+    )
+
+    return f"array_min({squared_distances_sql(vec_sql, centroids)})"
+
+
+def _pq_error_expr(
+    res_sql: str, codebooks: list[list[list[float]]], dim: int
+) -> Column:
+    """Total PQ reconstruction error of a residual: Σ_j min_c ||res_j −
+    c||² — the per-subspace nearest-centroid distances the saved codes
+    commit to, summed. One codegen expression over literal codebooks."""
+    m = len(codebooks)
+    dsub = dim // m
+    terms = [
+        _min_sq_dist_sql(f"slice({res_sql}, {j * dsub + 1}, {dsub})",
+                         codebooks[j])
+        for j in range(m)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def quantization_error_report(
+    idx,
+    build_df: DataFrame,
+    recent_df: DataFrame,
+    vec_col: str = "vec",
+    ratio_threshold: float = 2.0,
+) -> DataFrame:
+    """One-row staleness report for a saved PqIndex or IvfPqIndex:
+    per-row reconstruction error of ``recent_df`` (rows upserted after
+    build) vs ``build_df`` (the build-time corpus or a sample of it),
+    both encoded with the CURRENT saved quantizers in one codegen
+    projection each — no codes are read; the report measures what the
+    encode pass would commit to today.
+
+    Columns: (n_build, n_recent, build_err_micro_sum,
+    recent_err_micro_sum, mean_build_err_micro, mean_recent_err_micro,
+    err_ratio, stale). Sums are exact BIGINTs of floor(1e6·err) —
+    order-free, engine-exact; err_ratio = round(recent_mean/build_mean,
+    6); stale = err_ratio > ratio_threshold (the rebuild signal: recent
+    rows quantize ratio× worse than the data the codebooks were fit
+    on). Empty recent_df reports ratio 0.0, never stale.
+
+    Scale shape: two narrow projections + two scalar aggregates;
+    nothing driver-side, no join — each side is one pass over its own
+    vectors."""
+
+    def errs(df: DataFrame) -> DataFrame:
+        feats = idx._staleness_feats(df, vec_col)
+        err = idx._staleness_error_expr()
+        return feats.select(
+            F.floor(err * F.lit(1e6)).cast("long").alias("err_micro")
+        )
+
+    b = errs(build_df).agg(
+        F.count(F.lit(1)).alias("n_build"),
+        F.coalesce(F.sum("err_micro"), F.lit(0)).alias("build_err_micro_sum"),
+    )
+    r = errs(recent_df).agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        F.coalesce(F.sum("err_micro"), F.lit(0)).alias("recent_err_micro_sum"),
+    )
+    out = b.crossJoin(r)
+    mean_b = F.when(
+        F.col("n_build") > 0,
+        F.floor(F.col("build_err_micro_sum") / F.col("n_build")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    mean_r = F.when(
+        F.col("n_recent") > 0,
+        F.floor(F.col("recent_err_micro_sum") / F.col("n_recent")).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    out = out.select(
+        "n_build",
+        "n_recent",
+        "build_err_micro_sum",
+        "recent_err_micro_sum",
+        mean_b.alias("mean_build_err_micro"),
+        mean_r.alias("mean_recent_err_micro"),
+    )
+    ratio = F.when(
+        (F.col("mean_build_err_micro") > 0) & (F.col("n_recent") > 0),
+        F.round(
+            F.col("mean_recent_err_micro").cast("double")
+            / F.col("mean_build_err_micro").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        ratio.alias("err_ratio"),
+        (ratio > F.lit(float(ratio_threshold))).alias("stale"),
+    )

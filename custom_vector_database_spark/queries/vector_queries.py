@@ -2715,3 +2715,63 @@ def q_maxsim_search_many_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         and all(sum(h) * 2 >= len(h) for h in per_qid_hits.values())
     )
     return exact.withColumn("pruned_ok", F.lit(bool(ok)))
+
+
+# ---------------------------------------------------------------------------
+# Codebook staleness report (round 9): the when-to-rebuild metric for the
+# saved IVF-PQ layout (operators/pq.quantization_error_report). Upserted
+# deltas encode with build-time quantizers (the explicit-rebuild
+# contract, reference main.cpp:34); this row certifies the signal that
+# prices the rebuild: an in-distribution recent slice reports err_ratio
+# ~1 (no false rebuild), a deliberately drifted slice (+1.0 on every
+# component — far outside the trained residual space) trips `stale`.
+# Guarantee-oracled (the _build_oracle convention): the KMeans-derived
+# error values are not SQL-recomputable, so the oracle checks the exact
+# slice counts and the row certifies the decision booleans.
+# ---------------------------------------------------------------------------
+@register(
+    "pq_staleness_report",
+    """
+    SELECT COUNT(*) AS n_build,
+           CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fresh,
+           CAST(SUM(CASE WHEN vec_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drifted,
+           TRUE AS fresh_ok,
+           TRUE AS drift_detected
+    FROM embeddings
+    """,
+)
+def q_pq_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    idx = saved_index(spark, sf_dir, "ivfpq")
+    emb = load_spread(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    same = base.filter(F.col("vec_id") % 3 == 0)
+    drifted = base.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    fresh = quantization_error_report(idx, base, same)
+    drift = quantization_error_report(idx, base, drifted)
+    return (
+        fresh.select(
+            "n_build",
+            F.col("n_recent").alias("n_fresh"),
+            (~F.col("stale") & (F.col("err_ratio") < 1.5)).alias("fresh_ok"),
+        )
+        .crossJoin(
+            drift.select(
+                F.col("n_recent").alias("n_drifted"),
+                (F.col("stale") & (F.col("err_ratio") > 2.0)).alias(
+                    "drift_detected"
+                ),
+            )
+        )
+        .select("n_build", "n_fresh", "n_drifted", "fresh_ok", "drift_detected")
+    )

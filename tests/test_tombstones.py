@@ -240,3 +240,50 @@ def test_describe_reports_caller_facing_dim_on_dot_indexes(spark, emb):
     d2 = pq.describe()
     assert d1["dim"] == d2["dim"] == 64
     assert d1["stored_dim"] == d2["stored_dim"] == 65
+
+
+# ---------------------------------------------------------------------------
+# Codebook staleness report (round 9): the when-to-rebuild metric for
+# saved quantized layouts (operators/pq.quantization_error_report).
+# ---------------------------------------------------------------------------
+def test_pq_staleness_report_trips_on_drifted_delta(spark):
+    """A delta drawn from the build distribution reports err_ratio ~1
+    (not stale); a deliberately drifted delta (every component shifted
+    by +1.0 — far outside the trained residual space) quantizes much
+    worse and trips the report. Both for IvfPqIndex (residual
+    codebooks) and flat PqIndex (raw-vector codebooks)."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.pq import (
+        IvfPqIndex,
+        PqIndex,
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    drifted = base.select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    same = base.filter(F.col("vec_id") % 3 == 0)  # in-distribution slice
+
+    for idx in (
+        IvfPqIndex.fit(base, id_col="vec_id", n_clusters=8, m=8, k=16),
+        PqIndex.fit(base, id_col="vec_id", m=8, k=16),
+    ):
+        fresh = quantization_error_report(idx, base, same).first()
+        assert fresh["n_build"] == 500 and fresh["n_recent"] == 167
+        assert not fresh["stale"]
+        assert 0.5 < fresh["err_ratio"] < 1.5  # same distribution
+        rep = quantization_error_report(idx, base, drifted).first()
+        assert rep["stale"] and rep["err_ratio"] > 2.0
+        assert rep["mean_recent_err_micro"] > 2 * rep["mean_build_err_micro"]
+
+    # empty recent slice: ratio 0, never stale (no false rebuild signal)
+    idx = PqIndex.fit(base, id_col="vec_id", m=8, k=16)
+    empty = base.filter(F.col("vec_id") < 0)
+    rep = quantization_error_report(idx, base, empty).first()
+    assert rep["n_recent"] == 0 and rep["err_ratio"] == 0.0 and not rep["stale"]
