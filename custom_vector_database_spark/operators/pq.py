@@ -121,7 +121,23 @@ class PqIndex:
 
     def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
         """Flat PQ quantizes raw vectors — the report's residual IS the
-        vector (quantization_error_report protocol)."""
+        vector (quantization_error_report protocol). Refuses NULL or
+        wrong-dim vectors like the IvfPq path: a short vector's sliced
+        distance folds to NULL, which F.sum would silently skip while
+        F.count still counts — understating the mean with no error."""
+        bad = (
+            df.filter(
+                F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != self.dim)
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"report input has NULL or wrong-dimension {vec_col!r} "
+                f"(index dim {self.dim}) — a NULL reconstruction error "
+                "would silently dilute the staleness mean"
+            )
         return df.select(
             F.col(vec_col).cast("array<double>").alias("_res")
         )
@@ -1077,11 +1093,18 @@ def quantization_error_report(
         mean_b.alias("mean_build_err_micro"),
         mean_r.alias("mean_recent_err_micro"),
     )
+    # the denominator floors at 1 micro, NOT at "build mean must be
+    # positive": a perfectly-quantizing build corpus (every per-row err
+    # floors to 0) with a drifted recent slice must report a HUGE ratio
+    # and trip, not silently suppress the rebuild signal (review finding
+    # r9 — only an EMPTY recent slice legitimately reports 0.0/fresh)
     ratio = F.when(
-        (F.col("mean_build_err_micro") > 0) & (F.col("n_recent") > 0),
+        F.col("n_recent") > 0,
         F.round(
             F.col("mean_recent_err_micro").cast("double")
-            / F.col("mean_build_err_micro").cast("double"),
+            / F.greatest(
+                F.col("mean_build_err_micro"), F.lit(1)
+            ).cast("double"),
             6,
         ),
     ).otherwise(F.lit(0.0))

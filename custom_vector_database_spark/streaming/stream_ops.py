@@ -835,7 +835,13 @@ def compact_fp_sidecar(
         # the complete pre-compaction sidecar — roll back and compact it
         os.rename(old_dir, sidecar_dir)
     n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
-    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
+    if new_n_buckets is not None and int(new_n_buckets) <= 0:
+        raise ValueError(
+            f"new_n_buckets must be positive, got {new_n_buckets!r}"
+        )
+    out_buckets = (
+        int(new_n_buckets) if new_n_buckets is not None else n_buckets
+    )
     outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
     if outstanding:
         raise ValueError(
@@ -1475,17 +1481,64 @@ def compact_mh_sidecar(
 
     Returns {"files_before", "files_after", "n_sigs", "n_band_rows",
     "n_buckets"}."""
+    counts, meta = _compact_two_frame_sidecar(
+        spark,
+        corpus_dir,
+        _MH_REBUCKET_MARKER,
+        _MH_CLAIMS,
+        "stream_corpus_neardup_ingest",
+        (
+            (_MH_SIGS, _read_mh_sigs, "fpb",
+             lambda out: _corpus_fp_bucket(F.col("fp"), out)),
+            (_MH_BANDS, _read_mh_bands, "bhb",
+             lambda out: F.pmod(F.col("bh"), F.lit(out)).cast("long")),
+        ),
+        n_buckets,
+        new_n_buckets,
+    )
+    return {
+        "files_before": meta["files_before"],
+        "files_after": meta["files_after"],
+        "n_sigs": counts[_MH_SIGS],
+        "n_band_rows": counts[_MH_BANDS],
+        "n_buckets": meta["n_buckets"],
+    }
+
+
+def _compact_two_frame_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    marker_name: str,
+    claims_name: str,
+    resolve_verb: str,
+    frames,
+    n_buckets: int,
+    new_n_buckets: int | None,
+):
+    """The ONE copy of the two-frame sidecar compact/rebucket
+    choreography (minhash and sign-band verbs differ only in frame
+    names, readers, and bucket expressions — the crash-critical swap
+    ordering must not exist in drifting copies, the _run_ingest_stream
+    rationale): heal a crashed rebucket, roll back per-frame _old dirs,
+    refuse outstanding claims, resolve the pinned modulus, rewrite each
+    frame (batch_id collapsed to -1, bucket column RECOMPUTED under the
+    output modulus, all pinned meta keys carried verbatim), and swap —
+    per-frame tmp-then-rename when the modulus is unchanged, the
+    both-tmps-then-commit-marker protocol when rebucketing (frames must
+    change modulus atomically: probes read it from the first frame's
+    meta and prune the second frame with it).
+
+    ``frames``: ((name, reader, part_col, bucket_expr_fn), ...) with
+    the FIRST frame's meta authoritative. Returns (counts-by-name,
+    {"files_before", "files_after", "n_buckets"})."""
     import glob
     import os
     import shutil
 
-    sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
-    bands_dir = os.path.join(corpus_dir, _MH_BANDS)
-    claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
-    _heal_two_frame_rebucket(
-        corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
-    )
-    for d in (sigs_dir, bands_dir):
+    frame_dirs = [os.path.join(corpus_dir, name) for name, *_ in frames]
+    claims_dir = os.path.join(corpus_dir, claims_name)
+    _heal_two_frame_rebucket(corpus_dir, marker_name, frame_dirs)
+    for d in frame_dirs:
         if not os.path.isdir(d) and os.path.isdir(d + "_old"):
             os.rename(d + "_old", d)
     outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
@@ -1493,37 +1546,39 @@ def compact_mh_sidecar(
         raise ValueError(
             f"{len(outstanding)} unresolved ingest claim(s) "
             f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
-            "re-drive stream_corpus_neardup_ingest to resolve them before "
+            f"re-drive {resolve_verb} to resolve them before "
             "compacting (compaction erases the per-batch claim rows "
             "recovery reconciles against)"
         )
-    n_buckets = _sidecar_n_buckets(sigs_dir, n_buckets)
-    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
-    # carry the pinned minhash shape through compaction verbatim — a
-    # compaction that dropped it would strip the mismatch guard from a
+    n_buckets = _sidecar_n_buckets(frame_dirs[0], n_buckets)
+    if new_n_buckets is not None and int(new_n_buckets) <= 0:
+        raise ValueError(
+            f"new_n_buckets must be positive, got {new_n_buckets!r}"
+        )
+    out_buckets = (
+        int(new_n_buckets) if new_n_buckets is not None else n_buckets
+    )
+    # carry every pinned shape key through compaction verbatim — a
+    # compaction that dropped one would strip the mismatch guard from a
     # sidecar that had it
-    _meta = _read_sidecar_meta(sigs_dir) or {}
-    pinned_perms, pinned_bands = _meta.get("n_perms"), _meta.get("n_bands")
+    _meta = _read_sidecar_meta(frame_dirs[0]) or {}
     count_files = lambda d: sum(  # noqa: E731
         1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
     )
-    files_before = count_files(sigs_dir) + count_files(bands_dir)
+    files_before = sum(count_files(d) for d in frame_dirs)
     counts = {}
     rebucketing = out_buckets != n_buckets
-    frames = (
-        (sigs_dir, _read_mh_sigs, "fpb",
-         _corpus_fp_bucket(F.col("fp"), out_buckets)),
-        (bands_dir, _read_mh_bands, "bhb",
-         F.pmod(F.col("bh"), F.lit(out_buckets)).cast("long")),
-    )
-    for d, reader, part_col, bucket_expr in frames:
+    for (name, reader, part_col, bucket_expr_fn), d in zip(
+        frames, frame_dirs
+    ):
         rows = (
             reader(spark, d)
             .withColumn("batch_id", F.lit(-1).cast("long"))
-            .withColumn(part_col, bucket_expr)  # recomputed, not copied:
-            # identical under the pinned modulus, the rebucket under new
+            .withColumn(part_col, bucket_expr_fn(out_buckets))
+            # ^ recomputed, not copied: identical under the pinned
+            # modulus, the rebucket itself under a new one
         )
-        counts[d] = rows.count()
+        counts[name] = rows.count()
         tmp = d + "_tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -1532,7 +1587,10 @@ def compact_mh_sidecar(
             .write.partitionBy(part_col)
             .parquet(tmp)
         )
-        _write_sidecar_meta(tmp, out_buckets, pinned_perms, pinned_bands)
+        _write_sidecar_meta(
+            tmp, out_buckets, _meta.get("n_perms"), _meta.get("n_bands"),
+            _meta.get("band_bits"),
+        )
         if rebucketing:
             continue  # both tmps land before ANY rename — see below
         old = d + "_old"
@@ -1542,16 +1600,13 @@ def compact_mh_sidecar(
         os.rename(tmp, d)
         shutil.rmtree(old)
     if rebucketing:
-        with open(os.path.join(corpus_dir, _MH_REBUCKET_MARKER), "w"):
+        with open(os.path.join(corpus_dir, marker_name), "w"):
             pass  # commit point: both tmps complete with the new modulus
-        _heal_two_frame_rebucket(
-            corpus_dir, _MH_REBUCKET_MARKER, (sigs_dir, bands_dir)
-        )  # executes the swap
-    return {
+        _heal_two_frame_rebucket(corpus_dir, marker_name, frame_dirs)
+        # ^ executes the swap
+    return counts, {
         "files_before": files_before,
-        "files_after": count_files(sigs_dir) + count_files(bands_dir),
-        "n_sigs": counts[sigs_dir],
-        "n_band_rows": counts[bands_dir],
+        "files_after": sum(count_files(d) for d in frame_dirs),
         "n_buckets": out_buckets,
     }
 
@@ -1627,8 +1682,8 @@ def fit_quality_classifier(
     method: str = "lcr",
     fit_sample: int = 50_000,
     seed: int = 42,
-    iters: int = 200,
-    step: float = 0.5,
+    iters: int = 800,
+    step: float = 0.01,
     l2: float = 1e-3,
 ) -> None:
     """Fit and persist a LEARNED linear quality classifier over hashed
@@ -1654,8 +1709,10 @@ def fit_quality_classifier(
     collect_sample_matrix convention — fits are sample-bounded
     driver-side, encodes stay distributed; an MLlib LBFGS fit would
     need a per-row vector-assembly UDF and is run-order-sensitive).
-    Weights and intercept persist as micro-integers; scoring stays the
-    identical codegen path."""
+    The fit runs on RAW tf counts — exactly the Σ tf·w + intercept
+    feature the deployed scorer thresholds, so gate decisions implement
+    the trained classifier verbatim. Weights and intercept persist as
+    micro-integers; scoring stays the identical codegen path."""
     if method not in ("lcr", "logistic"):
         raise ValueError(f"method must be 'lcr' or 'logistic', got {method!r}")
     from custom_vector_database_spark.operators.curation import (
@@ -1721,24 +1778,33 @@ def _collect_tf_matrix(
         .orderBy("__rk", text_col)
         .limit(fit_sample)
     )
-    ranked = sampled.withColumn(
-        "__doc", F.row_number().over(Window.orderBy("__rk", text_col))
-    ).select("__doc", F.col(text_col))
+    ranked = (
+        sampled.withColumn(
+            "__doc", F.row_number().over(Window.orderBy("__rk", text_col))
+        )
+        .select("__doc", F.col(text_col))
+        .localCheckpoint(eager=True)  # the tf collect AND the row count
+        # below share one materialization — without it each pays the
+        # full corpus top-k scan again
+    )
     tf = (
         _dsir_gram_stream(ranked, ["__doc"], text_col, num_buckets)
         .groupBy("__doc", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
         .collect()
     )
-    n = int(sampled.count())
+    n = int(ranked.count())
     X = np.zeros((n, num_buckets), dtype=np.float64)
     for r in tf:
         X[r["__doc"] - 1, r["bucket"]] = float(r["tf"])
-    # length-normalize: classic fastText averages feature vectors so
-    # long docs don't dominate the gradient
-    norms = X.sum(axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return X / norms
+    # RAW tf, deliberately un-normalized: the deployed gate thresholds
+    # Σ tf·w + intercept (dsir_score_with's sum), so the fit must see
+    # the exact feature the scorer computes — a length-normalized fit
+    # here would train a different classifier than the one deployed
+    # (review finding r9: decisions would skew with document length).
+    # The smaller default step in fit_quality_classifier compensates
+    # for the larger raw-count gradients.
+    return X
 
 
 def load_dsir_gate(spark: SparkSession, gate_dir: str):
@@ -1966,28 +2032,45 @@ def _sb_band_rows(
     )
 
 
+def _check_sb_args(n_bands: int, band_bits: int) -> None:
+    """The batch twin's (sign_band_neardup_pairs) argument contract on
+    the streaming family: band_bits >= 63 silently overflows the int64
+    key fold (acc*2+v wraps under non-ANSI Spark, producing keys no SQL
+    oracle reproduces), so refuse it at the front door everywhere."""
+    if band_bits >= 63 or n_bands <= 0 or band_bits <= 0:
+        raise ValueError("need 0 < band_bits < 63 and n_bands > 0")
+
+
 def _refuse_bad_vectors(
     batch: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> None:
     """Fail fast on an ingest batch the semantic probe cannot decide:
-    a NULL or wrong-dim vector cannot band (it would bypass every dedup
-    probe), and duplicate ids make the sidecar's id->vector mapping
-    ambiguous (ids are the corpus key the crash-replay reconcile
-    anti-joins on). One aggregate job checks all three."""
+    a NULL, wrong-dim, or NULL-COMPONENT vector cannot dedup (a NULL
+    component still bands — NULL > 0 is false, sign bit 0 — but its
+    cosine against anything is NULL, never 'near', so the row AND every
+    later copy of it would bypass the probe forever), and duplicate ids
+    make the sidecar's id->vector mapping ambiguous (ids are the corpus
+    key the crash-replay reconcile anti-joins on). One aggregate job
+    checks all four."""
+    vec = F.col(vec_col)
     s = batch.agg(
         F.sum(
-            (F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim))
-            .cast("long")
+            (
+                vec.isNull()
+                | (F.size(vec) != dim)
+                | F.exists(vec, lambda x: x.isNull())
+            ).cast("long")
         ).alias("bad"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
     if s["bad"]:
         raise ValueError(
-            f"{s['bad']} document(s) with NULL or wrong-dimension "
-            f"{vec_col!r} (need exactly {dim} = n_bands x band_bits "
-            "components): an unbandable vector bypasses every semantic "
-            "dedup probe — filter or impute upstream"
+            f"{s['bad']} document(s) with NULL, wrong-dimension, or "
+            f"NULL-component {vec_col!r} (need exactly {dim} = n_bands x "
+            "band_bits non-NULL components): an undecidable vector "
+            "bypasses every semantic dedup probe — filter or impute "
+            "upstream"
         )
     if s["nd"] != s["n"]:
         raise ValueError(
@@ -2019,6 +2102,7 @@ def _ensure_sb_sidecar(
 
     from custom_vector_database_spark.operators.dedup import sign_band_keys
 
+    _check_sb_args(n_bands, band_bits)
     vecs_dir = os.path.join(corpus_dir, _SB_VECS)
     bands_dir = os.path.join(corpus_dir, _SB_BANDS)
     _heal_two_frame_rebucket(
@@ -2067,6 +2151,23 @@ def _ensure_sb_sidecar(
             .filter(F.size(F.col(vec_col)) == dim)
             .dropDuplicates([id_col, vec_col])
         )
+        # refuse the ambiguous id->vector mapping the apply path refuses
+        # per batch: after exact-duplicate collapse, one id with TWO
+        # different vectors has no single sidecar row to reconcile on
+        dup = (
+            corpus.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"corpus has duplicate {id_col!r} values with differing "
+                f"{vec_col!r} vectors — the sidecar's id->vector mapping "
+                "would be ambiguous (the same contract every ingest batch "
+                "is held to); deduplicate the corpus before bootstrapping"
+            )
         enc = corpus.select(
             F.col(id_col),
             F.col(vec_col),
@@ -2124,6 +2225,7 @@ def corpus_semdedup_apply_batch(
 
     from custom_vector_database_spark.operators.dedup import sign_band_keys
 
+    _check_sb_args(n_bands, band_bits)
     vecs_dir = os.path.join(corpus_dir, _SB_VECS)
     bands_dir = os.path.join(corpus_dir, _SB_BANDS)
     _heal_two_frame_rebucket(
@@ -2330,78 +2432,25 @@ def compact_sb_sidecar(
 
     Returns {"files_before", "files_after", "n_vecs", "n_band_rows",
     "n_buckets"}."""
-    import glob
-    import os
-    import shutil
-
-    vecs_dir = os.path.join(corpus_dir, _SB_VECS)
-    bands_dir = os.path.join(corpus_dir, _SB_BANDS)
-    claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
-    _heal_two_frame_rebucket(
-        corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
-    )
-    for d in (vecs_dir, bands_dir):
-        if not os.path.isdir(d) and os.path.isdir(d + "_old"):
-            os.rename(d + "_old", d)
-    outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
-    if outstanding:
-        raise ValueError(
-            f"{len(outstanding)} unresolved ingest claim(s) "
-            f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
-            "re-drive stream_corpus_semdedup_ingest to resolve them before "
-            "compacting (compaction erases the per-batch claim rows "
-            "recovery reconciles against)"
-        )
-    n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
-    out_buckets = int(new_n_buckets) if new_n_buckets else n_buckets
-    _meta = _read_sidecar_meta(vecs_dir) or {}
-    pinned_bands, pinned_bits = _meta.get("n_bands"), _meta.get("band_bits")
-    count_files = lambda d: sum(  # noqa: E731
-        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
-    )
-    files_before = count_files(vecs_dir) + count_files(bands_dir)
-    counts = {}
-    rebucketing = out_buckets != n_buckets
-    frames = (
-        (vecs_dir, _read_sb_vecs, "idb",
-         F.pmod(F.col("id"), F.lit(out_buckets)).cast("long")),
-        (bands_dir, _read_sb_bands, "bb",
-         F.pmod(F.col("key"), F.lit(out_buckets)).cast("long")),
-    )
-    for d, reader, part_col, bucket_expr in frames:
-        rows = (
-            reader(spark, d)
-            .withColumn("batch_id", F.lit(-1).cast("long"))
-            .withColumn(part_col, bucket_expr)
-        )
-        counts[d] = rows.count()
-        tmp = d + "_tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
+    counts, meta = _compact_two_frame_sidecar(
+        spark,
+        corpus_dir,
+        _SB_REBUCKET_MARKER,
+        _SB_CLAIMS,
+        "stream_corpus_semdedup_ingest",
         (
-            rows.repartition(out_buckets, part_col)  # one writer per bucket
-            .write.partitionBy(part_col)
-            .parquet(tmp)
-        )
-        _write_sidecar_meta(tmp, out_buckets, None, pinned_bands, pinned_bits)
-        if rebucketing:
-            continue  # both tmps land before ANY rename
-        old = d + "_old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old)
-    if rebucketing:
-        with open(os.path.join(corpus_dir, _SB_REBUCKET_MARKER), "w"):
-            pass  # commit point: both tmps complete with the new modulus
-        _heal_two_frame_rebucket(
-            corpus_dir, _SB_REBUCKET_MARKER, (vecs_dir, bands_dir)
-        )
+            (_SB_VECS, _read_sb_vecs, "idb",
+             lambda out: F.pmod(F.col("id"), F.lit(out)).cast("long")),
+            (_SB_BANDS, _read_sb_bands, "bb",
+             lambda out: F.pmod(F.col("key"), F.lit(out)).cast("long")),
+        ),
+        n_buckets,
+        new_n_buckets,
+    )
     return {
-        "files_before": files_before,
-        "files_after": count_files(vecs_dir) + count_files(bands_dir),
-        "n_vecs": counts[vecs_dir],
-        "n_band_rows": counts[bands_dir],
-        "n_buckets": out_buckets,
+        "files_before": meta["files_before"],
+        "files_after": meta["files_after"],
+        "n_vecs": counts[_SB_VECS],
+        "n_band_rows": counts[_SB_BANDS],
+        "n_buckets": meta["n_buckets"],
     }

@@ -1712,8 +1712,16 @@ def test_semdedup_refusals_and_shape_pin(spark, tmp_path):
     nulls = spark.createDataFrame(
         [(100, None)], "doc_id long, embedding array<float>"
     )
-    with pytest.raises(ValueError, match="NULL or wrong-dimension"):
+    with pytest.raises(ValueError, match="NULL, wrong-dimension"):
         corpus_semdedup_apply_batch(spark, nulls, 1, corpus)
+    # NULL COMPONENTS (review finding r9): a [NULL, ...] vector of the
+    # right length would band (sign bit 0) but never verify (cosine
+    # NULL) — it and every later copy would bypass dedup forever
+    nullcomp = spark.createDataFrame(
+        [(100, [None] + [0.5] * 63)], "doc_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL-component"):
+        corpus_semdedup_apply_batch(spark, nullcomp, 1, corpus)
     short = spark.createDataFrame(
         [(100, [1.0, 2.0])], "doc_id long, embedding array<float>"
     )
@@ -2064,7 +2072,7 @@ def test_quality_classifier_separates_and_persists(spark, tmp_path, method):
     gate_dir = str(tmp_path / f"gate_{method}")
     # the discriminative fit needs more capacity to separate than the
     # closed-form log-count ratios: 256 hashed buckets, 400 GD steps
-    nbk, iters = (64, 200) if method == "lcr" else (256, 400)
+    nbk, iters = (64, 200) if method == "lcr" else (256, 800)
     fit_quality_classifier(
         pos, neg, gate_dir, method=method, num_buckets=nbk, iters=iters
     )
@@ -2208,3 +2216,102 @@ def test_classifier_gated_ingest_composes(spark, tmp_path):
         .collect()
     }
     assert kept == {20_000, 20_001, 20_002}
+
+
+def test_r9_review_regressions(spark, tmp_path):
+    """Round-9 review-pass regressions: (1) the streaming sign-band
+    verbs enforce the batch twin's shape-argument contract (band_bits
+    >= 63 overflows the int64 key fold); (2) compact verbs refuse
+    new_n_buckets=0 / negative loudly instead of silently dropping the
+    rebucket; (3) sidecar bootstrap refuses a corpus whose duplicate
+    ids carry DIFFERING vectors (the ambiguous mapping every batch is
+    refused for)."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_sb_sidecar,
+        compact_fp_sidecar,
+        compact_sb_sidecar,
+        corpus_semdedup_apply_batch,
+        stream_corpus_ingest,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+
+    with pytest.raises(ValueError, match="band_bits"):
+        _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 1, 64, 16)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    with pytest.raises(ValueError, match="band_bits"):
+        corpus_semdedup_apply_batch(
+            spark, docs.limit(1), 1, corpus, n_bands=1, band_bits=64
+        )
+    with pytest.raises(ValueError, match="new_n_buckets must be positive"):
+        compact_sb_sidecar(spark, corpus, new_n_buckets=0)
+    with pytest.raises(ValueError, match="new_n_buckets must be positive"):
+        compact_sb_sidecar(spark, corpus, new_n_buckets=-8)
+
+    # fp family: the same new_n_buckets guard
+    tcorpus = str(tmp_path / "tcorpus")
+    tdocs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    tdocs.write.parquet(tcorpus)
+    d0 = str(tmp_path / "d0")
+    tdocs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "text", F.reverse(F.col("text"))
+    ).write.parquet(d0)
+    stream_corpus_ingest(spark, d0, tcorpus, doc_schema=tdocs.schema)
+    with pytest.raises(ValueError, match="new_n_buckets must be positive"):
+        compact_fp_sidecar(spark, tcorpus, new_n_buckets=0)
+
+    # bootstrap over a corpus with one id -> two different vectors
+    bad_corpus = str(tmp_path / "bad_corpus")
+    docs.unionByName(
+        docs.limit(1).withColumn(
+            "embedding", F.expr("transform(embedding, x -> -x)")
+        )
+    ).write.parquet(bad_corpus)
+    with pytest.raises(ValueError, match="duplicate 'doc_id'"):
+        _ensure_sb_sidecar(spark, bad_corpus, "doc_id", "embedding", 4, 16, 16)
+
+
+def test_logistic_gate_deployed_score_separates_raw(spark, tmp_path):
+    """The r9 fit/score-consistency fix: the logistic gate is fit on
+    RAW tf — exactly the Σ tf·w + intercept the deployed scorer
+    thresholds — so held-out natural docs and gibberish separate on the
+    RAW deployed score itself (natural all positive, junk all negative
+    at threshold 0), not merely after length normalization."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.curation import (
+        dsir_score_with,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        load_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pos = docs.filter(F.col("doc_id") < 60).select("text")
+    neg = _junk_docs(
+        spark, docs.filter(F.col("doc_id") < 60), n=60
+    ).select("text")
+    gate_dir = str(tmp_path / "gate")
+    fit_quality_classifier(
+        pos, neg, gate_dir, method="logistic", num_buckets=256
+    )
+    lr, nb, intercept, _ = load_quality_gate(spark, gate_dir)
+    held_nat = docs.filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+    ).select("doc_id", "text")
+    held_junk = _junk_docs(
+        spark, docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    )
+
+    def raw(d):
+        return [
+            r["logw_micro"] + intercept
+            for r in dsir_score_with(lr, d, num_buckets=nb).collect()
+        ]
+
+    assert min(raw(held_nat)) > 0 > max(raw(held_junk))

@@ -287,3 +287,36 @@ def test_pq_staleness_report_trips_on_drifted_delta(spark):
     empty = base.filter(F.col("vec_id") < 0)
     rep = quantization_error_report(idx, base, empty).first()
     assert rep["n_recent"] == 0 and rep["err_ratio"] == 0.0 and not rep["stale"]
+
+
+def test_pq_staleness_zero_build_error_still_trips(spark):
+    """Review finding (r9): a perfectly-quantizing build corpus (k >=
+    distinct sub-vectors, every per-row error floors to 0 micro) must
+    NOT suppress the rebuild signal — a drifted recent slice still
+    reports a huge ratio and trips; only an EMPTY recent slice reports
+    0.0/fresh."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.pq import (
+        PqIndex,
+        quantization_error_report,
+    )
+
+    # 8 distinct vectors repeated: k=16 codebooks quantize them exactly
+    base = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), i -> CAST(CAST(id % 8 AS DOUBLE) "
+            "/ 8.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    idx = PqIndex.fit(base, id_col="vec_id", m=8, k=16)
+    build_rep = quantization_error_report(idx, base, base).first()
+    assert build_rep["mean_build_err_micro"] == 0  # exact quantization
+    drifted = base.select(
+        "vec_id",
+        F.expr("transform(vec, x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT))")
+        .alias("vec"),
+    )
+    rep = quantization_error_report(idx, base, drifted).first()
+    assert rep["stale"] and rep["err_ratio"] > 1000  # ratio vs floor(1)
