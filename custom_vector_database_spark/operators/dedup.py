@@ -653,6 +653,34 @@ def sign_band_keys(
     )
 
 
+def sign_band_cos_dist(va, vb, na=None, nb=None) -> Column:
+    """The ONE copy of the band-then-verify exact-cosine arithmetic:
+    round-6 cosine distance, NULL for a zero-norm side (an undefined
+    angle is never 'near'), +0.0 normalizing -0.0 from identical-vector
+    matches — shared by sign_band_neardup_pairs and the streaming
+    semantic-dedup sidecar so a stream drop can never diverge from the
+    batch pair set or the DuckDB oracle. ``na``/``nb`` take precomputed
+    norm COLUMNS when the caller stored them; omitted, norms fold
+    inline (identical deterministic arithmetic either way)."""
+    from custom_vector_database_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    va = F.col(va) if isinstance(va, str) else va
+    vb = F.col(vb) if isinstance(vb, str) else vb
+    na = l2_norm(va) if na is None else na
+    nb = l2_norm(vb) if nb is None else nb
+    denom = na * nb
+    return (
+        F.round(
+            F.lit(1.0) - F.when(denom != 0.0, dot_product(va, vb) / denom),
+            6,
+        )
+        + F.lit(0.0)
+    )
+
+
 def sign_band_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -717,16 +745,8 @@ def sign_band_neardup_pairs(
         F.col(vec_col).alias("__vb"),
         F.col("__norm").alias("__nb"),
     )
-    denom = F.col("__na") * F.col("__nb")
-    cos_dist = (
-        F.round(
-            F.lit(1.0)
-            - F.when(
-                denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom
-            ),
-            6,
-        )
-        + F.lit(0.0)  # normalize -0.0 from identical-vector self-matches
+    cos_dist = sign_band_cos_dist(
+        F.col("__va"), F.col("__vb"), na=F.col("__na"), nb=F.col("__nb")
     )
     return (
         cand.join(a, "id_a")

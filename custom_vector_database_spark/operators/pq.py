@@ -121,23 +121,8 @@ class PqIndex:
 
     def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
         """Flat PQ quantizes raw vectors — the report's residual IS the
-        vector (quantization_error_report protocol). Refuses NULL or
-        wrong-dim vectors like the IvfPq path: a short vector's sliced
-        distance folds to NULL, which F.sum would silently skip while
-        F.count still counts — understating the mean with no error."""
-        bad = (
-            df.filter(
-                F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != self.dim)
-            )
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"report input has NULL or wrong-dimension {vec_col!r} "
-                f"(index dim {self.dim}) — a NULL reconstruction error "
-                "would silently dilute the staleness mean"
-            )
+        vector (quantization_error_report protocol)."""
+        _refuse_report_vectors(df, vec_col, self.dim)
         return df.select(
             F.col(vec_col).cast("array<double>").alias("_res")
         )
@@ -547,6 +532,10 @@ class IvfPqIndex(TombstoneDeleteMixin):
         """(_vec, cluster, _res) for the staleness report — the encode
         pass's own cluster assignment + residual, current quantizers."""
         self._check_input_dims(df, vec_col, "report input")
+        # _check_input_dims covers NULL/size (incl. the dot-metric
+        # caller dim); NULL COMPONENTS additionally poison the error
+        # aggregate (review finding r9)
+        _refuse_report_vectors(df, vec_col, None)
         feats = df.select(
             self._metric_src_expr(vec_col).cast("array<double>").alias("_vec")
         )
@@ -1006,6 +995,27 @@ class IvfPqIndex(TombstoneDeleteMixin):
 # vs the build-time distribution, as exact micro-integer sums (the
 # embedding_drift convention — BIGINT-exact, order-free).
 # ---------------------------------------------------------------------------
+def _refuse_report_vectors(
+    df: DataFrame, vec_col: str, dim: int | None
+) -> None:
+    """Refuse staleness-report inputs whose reconstruction error would
+    evaluate to NULL — NULL vectors, wrong-dim vectors (``dim`` given),
+    or vectors with NULL COMPONENTS: F.sum silently skips NULL errors
+    while F.count still counts the row, understating the mean with no
+    error (review finding r9 — the same hole the streaming sidecar's
+    _refuse_bad_vectors closes)."""
+    vec = F.col(vec_col)
+    bad = vec.isNull() | F.exists(vec, lambda x: x.isNull())
+    if dim is not None:
+        bad = bad | (F.size(vec) != dim)
+    if df.filter(bad).limit(1).count():
+        raise ValueError(
+            f"report input has NULL, wrong-dimension, or NULL-component "
+            f"{vec_col!r} — a NULL reconstruction error would silently "
+            "dilute the staleness mean; filter or impute upstream"
+        )
+
+
 def _min_sq_dist_sql(vec_sql: str, centroids: list[list[float]]) -> str:
     """SQL for the squared L2 distance from ``vec_sql`` to its NEAREST
     centroid — array_min over the literal distance table; exactly the
@@ -1058,6 +1068,16 @@ def quantization_error_report(
     Scale shape: two narrow projections + two scalar aggregates;
     nothing driver-side, no join — each side is one pass over its own
     vectors."""
+
+    # an empty baseline is undecidable, not "perfectly quantizing": the
+    # ratio would compare against the 1-micro floor and spuriously trip
+    # stale on ANY recent slice (review finding r9) — refuse loudly
+    if build_df.limit(1).count() == 0:
+        raise ValueError(
+            "empty build_df baseline: the staleness ratio needs the "
+            "build-time error distribution to compare against — pass "
+            "the build corpus (or a sample of it)"
+        )
 
     def errs(df: DataFrame) -> DataFrame:
         feats = idx._staleness_feats(df, vec_col)

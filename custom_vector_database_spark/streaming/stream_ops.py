@@ -1986,24 +1986,14 @@ def _read_sb_bands(spark: SparkSession, d: str):
 
 
 def _sb_cos_dist(va, vb):
-    """round-6 cosine distance between two vector columns — the
-    sign_band_neardup_pairs verify arithmetic verbatim (NULL for a
-    zero-norm side: an undefined angle is never 'near', and the +0.0
-    normalizes -0.0 from identical-vector matches)."""
-    from custom_vector_database_spark.functions.vector import (
-        dot_product,
-        l2_norm,
+    """The band-then-verify exact cosine — ONE definition shared with
+    the batch twin (operators/dedup.sign_band_cos_dist), so stream
+    drops, batch pairs, and the DuckDB oracle can never diverge."""
+    from custom_vector_database_spark.operators.dedup import (
+        sign_band_cos_dist,
     )
 
-    denom = l2_norm(va) * l2_norm(vb)
-    return (
-        F.round(
-            F.lit(1.0)
-            - F.when(denom != 0.0, dot_product(F.col(va), F.col(vb)) / denom),
-            6,
-        )
-        + F.lit(0.0)
-    )
+    return sign_band_cos_dist(va, vb)
 
 
 def _sb_vec_rows(
@@ -2032,6 +2022,27 @@ def _sb_band_rows(
     )
 
 
+def _sb_undecidable(vec, dim: int):
+    """The semantic-dedup undecidability predicate — ONE definition
+    shared by the batch refusal and the bootstrap exclusion: NULL,
+    wrong-dim, any-NULL-component, or zero-norm vectors all band
+    (sign bit 0 everywhere it matters) but can never VERIFY (their
+    cosine is NULL), so they would bypass the probe forever."""
+    return (
+        vec.isNull()
+        | (F.size(vec) != dim)
+        | F.exists(vec, lambda x: x.isNull())
+        | (
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            == 0.0
+        )
+    )
+
+
 def _check_sb_args(n_bands: int, band_bits: int) -> None:
     """The batch twin's (sign_band_neardup_pairs) argument contract on
     the streaming family: band_bits >= 63 silently overflows the int64
@@ -2045,32 +2056,26 @@ def _refuse_bad_vectors(
     batch: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> None:
     """Fail fast on an ingest batch the semantic probe cannot decide:
-    a NULL, wrong-dim, or NULL-COMPONENT vector cannot dedup (a NULL
-    component still bands — NULL > 0 is false, sign bit 0 — but its
-    cosine against anything is NULL, never 'near', so the row AND every
-    later copy of it would bypass the probe forever), and duplicate ids
-    make the sidecar's id->vector mapping ambiguous (ids are the corpus
-    key the crash-replay reconcile anti-joins on). One aggregate job
-    checks all four."""
+    a NULL, wrong-dim, NULL-COMPONENT, or ZERO-NORM vector cannot dedup
+    (NULL components and zero norms still band — NULL > 0 and 0 > 0 are
+    false, sign bit 0 — but their cosine against anything is NULL, never
+    'near', so the row AND every later copy of it would bypass the
+    probe forever), and duplicate ids make the sidecar's id->vector
+    mapping ambiguous (ids are the corpus key the crash-replay
+    reconcile anti-joins on). One aggregate job checks all five."""
     vec = F.col(vec_col)
     s = batch.agg(
-        F.sum(
-            (
-                vec.isNull()
-                | (F.size(vec) != dim)
-                | F.exists(vec, lambda x: x.isNull())
-            ).cast("long")
-        ).alias("bad"),
+        F.sum(_sb_undecidable(vec, dim).cast("long")).alias("bad"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
     if s["bad"]:
         raise ValueError(
-            f"{s['bad']} document(s) with NULL, wrong-dimension, or "
-            f"NULL-component {vec_col!r} (need exactly {dim} = n_bands x "
-            "band_bits non-NULL components): an undecidable vector "
-            "bypasses every semantic dedup probe — filter or impute "
-            "upstream"
+            f"{s['bad']} document(s) with NULL, wrong-dimension, "
+            f"NULL-component, or zero-norm {vec_col!r} (need exactly "
+            f"{dim} = n_bands x band_bits non-NULL components, not all "
+            "zero): an undecidable vector bypasses every semantic dedup "
+            "probe — filter or impute upstream"
         )
     if s["nd"] != s["n"]:
         raise ValueError(
@@ -2148,7 +2153,10 @@ def _ensure_sb_sidecar(
     if _corpus_has_data(corpus_dir):
         corpus = (
             spark.read.parquet(corpus_dir)
-            .filter(F.size(F.col(vec_col)) == dim)
+            # the full undecidability predicate, not just wrong-dim:
+            # NULL-component and zero-norm rows would enter the sidecar
+            # as permanently unverifiable band rows (cosine NULL)
+            .filter(~_sb_undecidable(F.col(vec_col), dim))
             .dropDuplicates([id_col, vec_col])
         )
         # refuse the ambiguous id->vector mapping the apply path refuses
@@ -2248,6 +2256,42 @@ def corpus_semdedup_apply_batch(
     if recovering:
         vec_side = vec_side.filter(F.col("batch_id") != batch_id)
         band_side = band_side.filter(F.col("batch_id") != batch_id)
+
+    # refuse batch ids already present in the sidecar (review finding
+    # r9): an id reuse would append a second id->vector mapping on the
+    # normal path, while a crash replay's corpus-id reconcile would
+    # silently DROP the doc yet leave its sidecar rows behind — ghost
+    # rows dropping future near-dups of a document that never landed.
+    # Bucket-pruned and bounded like every other probe; the recovering
+    # filter above already excluded this batch's OWN claimed rows, so
+    # replay sees exactly the pre-batch id set and decides identically.
+    idbs = [
+        r["idb"]
+        for r in enc.select(
+            F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("idb")
+        )
+        .distinct()
+        .collect()
+    ]
+    clash = (
+        vec_side.filter(F.col("idb").isin(idbs))
+        .select("id")
+        .join(
+            enc.select(F.col(id_col).cast("long").alias("id")),
+            "id",
+            "left_semi",
+        )
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"ingest batch reuses {id_col!r} value(s) already in the "
+            "corpus: ids key the sidecar's vector frame and the "
+            "crash-replay reconcile, so a reuse either double-maps the "
+            "id or silently drops the document on replay — assign fresh "
+            "ids upstream"
+        )
 
     # candidates: band-key collisions from the bucket-pruned bands frame
     # (bounded collect: <= n_buckets values)

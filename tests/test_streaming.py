@@ -2315,3 +2315,55 @@ def test_logistic_gate_deployed_score_separates_raw(spark, tmp_path):
         ]
 
     assert min(raw(held_nat)) > 0 > max(raw(held_junk))
+
+
+def test_r9_second_pass_regressions(spark, tmp_path):
+    """Second r9 review pass: (1) zero-norm vectors refuse at ingest
+    (they band but never verify — every copy would bypass dedup
+    forever); (2) an id already in the corpus refuses (a reuse either
+    double-maps the id or is silently dropped by the crash-replay
+    reconcile, leaving ghost sidecar rows); (3) bootstrap EXCLUDES
+    NULL-component and zero-norm corpus rows from the sidecar entirely."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        _read_sb_vecs,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+
+    zero = spark.createDataFrame(
+        [(100, [0.0] * 64)], "doc_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        corpus_semdedup_apply_batch(spark, zero, 1, corpus)
+
+    # id reuse: same id as an existing corpus doc, different vector
+    reuse = docs.limit(1).withColumn(
+        "embedding", F.expr("transform(embedding, x -> -x)")
+    )
+    with pytest.raises(ValueError, match="reuses 'doc_id'"):
+        corpus_semdedup_apply_batch(spark, reuse, 1, corpus)
+
+    # bootstrap exclusion: a dirty pre-existing corpus keeps its rows
+    # but the undecidable ones never enter the sidecar
+    import os
+
+    dirty = str(tmp_path / "dirty")
+    bad_rows = spark.createDataFrame(
+        [(900, [0.0] * 64), (901, [None] + [0.5] * 63)],
+        "doc_id long, embedding array<float>",
+    )
+    docs.unionByName(bad_rows).write.parquet(dirty)
+    _ensure_sb_sidecar(spark, dirty, "doc_id", "embedding", 4, 16, 16)
+    ids = {
+        r["id"]
+        for r in _read_sb_vecs(spark, os.path.join(dirty, _SB_VECS)).collect()
+    }
+    assert 900 not in ids and 901 not in ids and len(ids) == 10

@@ -320,3 +320,34 @@ def test_pq_staleness_zero_build_error_still_trips(spark):
     )
     rep = quantization_error_report(idx, base, drifted).first()
     assert rep["stale"] and rep["err_ratio"] > 1000  # ratio vs floor(1)
+
+
+def test_pq_staleness_refuses_undecidable_inputs(spark):
+    """Second r9 review pass: NULL-component report vectors refuse on
+    BOTH index kinds (a NULL error silently dilutes the mean), and an
+    empty build baseline refuses instead of spuriously tripping stale
+    against the 1-micro denominator floor."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.pq import (
+        IvfPqIndex,
+        PqIndex,
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    nullcomp = spark.createDataFrame(
+        [(1, [None] + [0.5] * 63)], "vec_id long, vec array<float>"
+    )
+    for idx in (
+        IvfPqIndex.fit(base, id_col="vec_id", n_clusters=8, m=8, k=16),
+        PqIndex.fit(base, id_col="vec_id", m=8, k=16),
+    ):
+        with pytest.raises(ValueError, match="NULL"):
+            quantization_error_report(idx, base, nullcomp).first()
+        with pytest.raises(ValueError, match="empty build_df"):
+            quantization_error_report(
+                idx, base.filter(F.col("vec_id") < 0), base
+            ).first()
