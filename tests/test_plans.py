@@ -510,3 +510,46 @@ def test_neardup_decontaminate_broadcasts_holdout_bands(spark):
     assert "SortMergeJoin [band" not in plan
     assert "ShuffledHashJoin [band" not in plan
     assert "partial_max" in plan  # per-train-doc max agreement combines map-side
+
+
+def test_semdedup_sidecar_probes_are_partition_pruned(spark, tmp_path):
+    """The semantic-dedup steady-state probe's scale contract in the
+    PLAN (the garbage-corpus test proves it physically; this pins the
+    mechanism): the bands-frame candidate read and the vecs-frame
+    gather both carry PartitionFilters over their bucket columns — the
+    scans list only the batch's band-key / candidate-id buckets, never
+    the whole sidecar."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_BANDS,
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        _read_sb_bands,
+        _read_sb_vecs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+
+    band_side = _read_sb_bands(spark, f"{corpus}/{_SB_BANDS}")
+    probe = band_side.filter(F.col("bb").isin([1, 3, 5]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*?bb#\d+L? IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == {1, 3, 5}
+
+    vec_side = _read_sb_vecs(spark, f"{corpus}/{_SB_VECS}")
+    gather = vec_side.filter(F.col("idb").isin([0, 7]))
+    vplan = gather._jdf.queryExecution().executedPlan().toString()
+    mv = re.search(r"PartitionFilters: \[.*?idb#\d+L? IN \(([^)]*)\)", vplan)
+    assert mv, vplan
+    assert {int(x) for x in mv.group(1).split(",")} == {0, 7}
