@@ -2231,3 +2231,144 @@ def q_stream_classifier_gated_ingest(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Semantic-sidecar compaction + REBUCKET (round 9): the sign-band
+# family's maintenance verb, registered like neardup_ingest_compact —
+# and the rebucket certification rides in the same row: the compaction
+# moves the sidecar from 16 to 32 buckets (compact_sb_sidecar's
+# commit-marker protocol), and the post-compact re-drop probe proves
+# decisions are IDENTICAL under the new modulus. Ingest fresh negated
+# vectors in >= 2 append batches (per-bucket small files in both
+# frames), compact+rebucket, then re-stream verbatim copies of the
+# fresh docs (cosine 0 — guaranteed exact-path drops) and 1.001x-scaled
+# copies of corpus docs (guaranteed near-path drops): nothing appends.
+# Oracle pins the id SET (corpus ∪ the fresh negated docs, with the
+# negated-vs-corpus decisions RECOMPUTED from band keys + exact cosine,
+# not assumed); compact_ok certifies files strictly decreased,
+# n_vecs == final corpus rows, the meta pin moved to 32, and the
+# re-drop appended nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "semdedup_ingest_compact",
+    f"""
+    WITH corpus AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+    delta AS (
+      SELECT doc_id + 2000000000 AS doc_id,
+             list_transform(embedding, x -> -x) AS embedding
+      FROM corpus WHERE doc_id >= 30 AND doc_id < 38),
+    {_sb_oracle_cte("corpus", "c")},
+    {_sb_oracle_cte("delta", "d")},
+    cand AS (
+      SELECT DISTINCT dbands.doc_id AS did, cbands.doc_id AS cid
+      FROM dbands JOIN cbands
+        ON dbands.band = cbands.band AND dbands.key = cbands.key),
+    dropped AS (
+      SELECT DISTINCT cand.did
+      FROM cand JOIN delta y ON cand.did = y.doc_id
+                JOIN corpus x ON cand.cid = x.doc_id
+      WHERE {_SB_COS_DIST_DUCK.format(
+          na=_SB_NORM.format(a="y.embedding"),
+          nb=_SB_NORM.format(a="x.embedding"),
+          dot=_SB_DOT.format(a="y.embedding", b="x.embedding"),
+      )} <= 0.1),
+    kept AS (
+      SELECT doc_id FROM delta
+      WHERE doc_id NOT IN (SELECT did FROM dropped)),
+    final AS (
+      SELECT doc_id FROM corpus UNION ALL SELECT doc_id FROM kept),
+    fps AS (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS fp FROM final)
+    SELECT (SELECT COUNT(*) FROM final) AS n_docs,
+           (SELECT {_FP_CKSUM_DUCK} FROM fps) AS id_checksum,
+           TRUE AS compact_ok
+    """,
+)
+def q_semdedup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_VECS,
+        _read_sb_vecs,
+        compact_sb_sidecar,
+        stream_corpus_semdedup_ingest,
+    )
+
+    docs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_sb_compact_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        docs.write.parquet(corpus_dir)
+        fresh = (
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 38))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn("embedding", F.expr("transform(embedding, x -> -x)"))
+        )
+        fresh.repartition(4).write.parquet(delta_dir)  # >= 2 append batches
+        stream_corpus_semdedup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema,
+            max_cos_dist=0.1,
+        )
+        n_mid = spark.read.parquet(corpus_dir).count()
+        stats = compact_sb_sidecar(spark, corpus_dir, new_n_buckets=32)
+        with open(
+            os.path.join(corpus_dir, _SB_VECS, "_sidecar_meta.json")
+        ) as f:
+            pinned = json.load(f)["n_buckets"]
+        # probe-after-rebucket: verbatim copies of the FRESH docs
+        # (cosine 0 to their sidecar rows — exact-path drops) and
+        # 1.001x-scaled corpus copies (near-path drops) re-drop under
+        # the NEW modulus; nothing appends
+        redrop = fresh.withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        ).unionByName(
+            docs.filter(F.col("doc_id") < 5)
+            .withColumn("doc_id", F.col("doc_id") + 4_000_000_000)
+            .withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"
+                ),
+            )
+        )
+        redrop.repartition(2).write.mode("append").parquet(delta_dir)
+        stream_corpus_semdedup_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=docs.schema,
+            max_cos_dist=0.1,
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select(F.md5(F.col("doc_id").cast("string")).alias("fp"))
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        n_after = final.count()
+        n_vecs = _read_sb_vecs(
+            spark, os.path.join(corpus_dir, _SB_VECS)
+        ).count()
+        ok = (
+            # a 16 -> 32 widening can raise the TOTAL file count, so
+            # the defrag certification is one-file-per-bucket, with the
+            # pre-compact state proven fragmented beyond that bound
+            stats["files_after"] <= 2 * stats["n_buckets"]
+            and stats["files_before"] > 2 * 16
+            and stats["n_buckets"] == 32
+            and pinned == 32
+            and n_vecs == n_after  # one sidecar row per live doc
+            and n_after == n_mid  # the re-drop appended NOTHING
+        )
+        cksum = _fp_checksum_agg(final).withColumnRenamed(
+            "fp_checksum", "id_checksum"
+        )
+        return (
+            final.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(cksum)
+            .withColumn("compact_ok", F.lit(bool(ok)))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
