@@ -943,3 +943,85 @@ def neardup_contamination(
             ),
         )
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_cos_dist: float = 0.1,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding member of the
+    decontamination trio (exact shingle overlap: cross_corpus_
+    contamination; fuzzy text: neardup_contamination; THIS: the
+    duplicate key is the vector, catching paraphrased or translated
+    leaks that share neither shingles nor minhash bands). Flags every
+    train document whose embedding is a sign-band collision candidate
+    of some holdout embedding at exact round-6 cosine distance <=
+    ``max_cos_dist`` (sign_band_keys + sign_band_cos_dist — the ONE
+    band-then-verify definition shared with the batch pair operator and
+    the streaming sidecar, so an oracle recomputes every flag).
+    Returns (id, n_cand, min_cos_dist, contaminated) for every train
+    doc — n_cand = distinct holdout docs band-colliding with it,
+    min_cos_dist the closest verified candidate (NULL when no
+    candidate or undecidable vectors only).
+
+    Scale shape: the holdout's exploded (band, key, id, vec) rows
+    BROADCAST (eval benchmarks are thousands of docs); the train side
+    shuffles only its band-collision candidates into the per-train-doc
+    min aggregate. No pair outside a band collision is materialized.
+    Train rows whose vector cannot band (NULL / off-dim) report
+    0/NULL/false — the caller's dim contract, as in
+    sign_band_neardup_pairs."""
+    if band_bits >= 63 or n_bands <= 0 or band_bits <= 0:
+        raise ValueError("need 0 < band_bits < 63 and n_bands > 0")
+    dim = n_bands * band_bits
+    tb = (
+        train.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__tv"),
+            F.posexplode(
+                sign_band_keys(vec_col, n_bands, band_bits)
+            ).alias("band", "key"),
+        )
+    )
+    hb = (
+        holdout.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col).alias("__hid"),
+            F.col(vec_col).alias("__hv"),
+            F.posexplode(
+                sign_band_keys(vec_col, n_bands, band_bits)
+            ).alias("band", "key"),
+        )
+    )
+    cand = (
+        tb.join(F.broadcast(hb), ["band", "key"])
+        .select(id_col, "__tv", "__hid", "__hv")
+        .distinct()
+    )
+    per_doc = (
+        cand.withColumn("__cd", sign_band_cos_dist("__tv", "__hv"))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("__hid").alias("n_cand"),
+            F.min("__cd").alias("min_cos_dist"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.col("min_cos_dist"),
+            F.coalesce(
+                F.col("min_cos_dist") <= F.lit(float(max_cos_dist)),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    )

@@ -2372,3 +2372,93 @@ def q_semdedup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (round 9): the embedding member of
+# the decontamination trio — decontaminate_docs counts exact shingle
+# overlap, neardup_decontaminate_docs catches reformatted text leaks,
+# and THIS flags train rows whose EMBEDDING sits within cosine 0.1 of a
+# holdout embedding (paraphrased/translated leaks share neither
+# shingles nor minhash bands, but an embedding model maps them
+# together). operators/dedup.semantic_contamination: sign-band
+# candidates against a BROADCAST holdout, exact round-6 cosine verify —
+# both halves the ONE shared definition (sign_band_keys /
+# sign_band_cos_dist), so the oracle recomputes every flag. Fixture
+# mirrors neardup_decontaminate_docs: holdout = vec_id % 97 == 0;
+# train = the rest PLUS planted leaks (1.001x-scaled holdout vectors
+# under +5e9 ids — same direction, cosine distance 0, guaranteed
+# band-collisions). Natural train rows sit >= 0.45 away in this data,
+# but nothing is assumed: the SQL recomputes candidates and verdicts.
+# ---------------------------------------------------------------------------
+@register(
+    "semantic_decontaminate_docs",
+    f"""
+    WITH hold AS (SELECT vec_id AS doc_id, embedding FROM embeddings
+                  WHERE vec_id % 97 = 0),
+    train AS (
+      SELECT vec_id AS doc_id, embedding FROM embeddings
+      WHERE vec_id % 97 != 0
+      UNION ALL
+      SELECT doc_id + 5000000000,
+             list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+      FROM hold),
+    {_sb_oracle_cte("train", "t")},
+    {_sb_oracle_cte("hold", "h")},
+    cand AS (
+      SELECT tbands.doc_id AS tid, hbands.doc_id AS hid
+      FROM tbands JOIN hbands
+        ON tbands.band = hbands.band AND tbands.key = hbands.key
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT cand.tid,
+             {_SB_COS_DIST_DUCK.format(
+                 na=_SB_NORM.format(a="x.embedding"),
+                 nb=_SB_NORM.format(a="y.embedding"),
+                 dot=_SB_DOT.format(a="x.embedding", b="y.embedding"),
+             )} AS cd
+      FROM cand JOIN train x ON cand.tid = x.doc_id
+                JOIN hold y ON cand.hid = y.doc_id),
+    per_doc AS (
+      SELECT tid AS doc_id, COUNT(*) AS n_cand,
+             MIN(cd) AS min_cos_dist
+      FROM ver GROUP BY tid)
+    SELECT doc_id, CAST(n_cand AS BIGINT) AS n_cand, min_cos_dist,
+           min_cos_dist <= 0.1 AS contaminated
+    FROM per_doc WHERE min_cos_dist <= 0.1
+    ORDER BY doc_id
+    """,
+)
+def q_semantic_decontaminate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from custom_vector_database_spark.operators.dedup import (
+        semantic_contamination,
+    )
+
+    emb = load_spread(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    hold = emb.filter(F.col("doc_id") % 97 == 0)
+    train = emb.filter(F.col("doc_id") % 97 != 0).unionByName(
+        hold.select(
+            (F.col("doc_id") + 5_000_000_000).alias("doc_id"),
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    out = semantic_contamination(
+        train, hold, id_col="doc_id", vec_col="embedding", max_cos_dist=0.1
+    )
+    return (
+        out.filter(F.col("contaminated"))
+        .select(
+            "doc_id",
+            F.col("n_cand").cast("long").alias("n_cand"),
+            "min_cos_dist",
+            "contaminated",
+        )
+        .orderBy("doc_id")
+    )

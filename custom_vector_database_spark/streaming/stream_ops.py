@@ -1864,6 +1864,9 @@ def stream_corpus_dsir_ingest(
     n_perms: int = 16,
     n_bands: int = 4,
     min_agree: int = 8,
+    vec_col: str = "embedding",
+    band_bits: int = 16,
+    max_cos_dist: float = 0.1,
 ) -> int:
     """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
     every document against the persisted DSIR log-ratio table
@@ -1871,20 +1874,26 @@ def stream_corpus_dsir_ingest(
     of the tiny table) and keep only docs with
     logw_micro >= ``min_logw_micro``; the keepers then run the
     dedup-on-ingest path — ``dedup="exact"`` (fingerprint sidecar,
-    corpus_ingest_apply_batch) or ``dedup="neardup"`` (minhash sidecars,
-    corpus_neardup_apply_batch: the full production stack, importance
-    gate + fuzzy dedup in one stream; ``n_perms``/``n_bands``/
-    ``min_agree`` parameterize it exactly as on
-    stream_corpus_neardup_ingest, and a shape mismatching an existing
-    sidecar's pinned meta refuses rather than mis-probing). Replay
+    corpus_ingest_apply_batch), ``dedup="neardup"`` (minhash sidecars,
+    corpus_neardup_apply_batch: importance gate + fuzzy dedup in one
+    stream; ``n_perms``/``n_bands``/``min_agree`` parameterize it
+    exactly as on stream_corpus_neardup_ingest), or ``dedup="semdedup"``
+    (sign-band sidecars, corpus_semdedup_apply_batch: the gate scores
+    the TEXT, the dedup keys on the EMBEDDING — the multimodal
+    production stack for docs carrying both; ``n_bands``/``band_bits``/
+    ``max_cos_dist`` parameterize it as on
+    stream_corpus_semdedup_ingest). A shape mismatching an existing
+    sidecar's pinned meta refuses rather than mis-probing. Replay
     idempotence and crash
     recovery are EXACTLY the chosen dedup verb's proven story — the
     gate is a pure per-batch filter with no state of its own, so a
     replayed batch gates identically. Returns micro-batches applied."""
     import os
 
-    if dedup not in ("exact", "neardup"):
-        raise ValueError(f"dedup must be 'exact' or 'neardup', got {dedup!r}")
+    if dedup not in ("exact", "neardup", "semdedup"):
+        raise ValueError(
+            f"dedup must be 'exact', 'neardup', or 'semdedup', got {dedup!r}"
+        )
     # the gate directory self-describes: a DSIR fit or a learned
     # classifier (fit_quality_classifier) slot in identically — scoring
     # is the same codegen dot product, plus the persisted intercept
@@ -1895,10 +1904,15 @@ def stream_corpus_dsir_ingest(
         claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
         sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
         _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
-    else:
+    elif dedup == "neardup":
         claims_dir = os.path.join(corpus_dir, _MH_CLAIMS)
         _ensure_mh_sidecar(
             spark, corpus_dir, text_col, n_perms, n_bands, n_buckets
+        )
+    else:
+        claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
+        _ensure_sb_sidecar(
+            spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets
         )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -1932,11 +1946,18 @@ def stream_corpus_dsir_ingest(
                 spark, kept, batch_id, corpus_dir,
                 id_col=id_col, text_col=text_col, n_buckets=n_buckets,
             )
-        else:
+        elif dedup == "neardup":
             corpus_neardup_apply_batch(
                 spark, kept, batch_id, corpus_dir,
                 id_col=id_col, text_col=text_col, n_perms=n_perms,
                 n_bands=n_bands, min_agree=min_agree, n_buckets=n_buckets,
+            )
+        else:
+            corpus_semdedup_apply_batch(
+                spark, kept, batch_id, corpus_dir,
+                id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+                band_bits=band_bits, max_cos_dist=max_cos_dist,
+                n_buckets=n_buckets,
             )
 
     return _run_ingest_stream(

@@ -647,3 +647,44 @@ def test_decontaminate_span_cut_surgery(spark):
         for r in contaminated_spans(train, holdout, n=8).collect()
     )
     assert spans == [(10, 4, 10), (11, 4, 10), (11, 16, 10), (12, 1, 10)]
+
+
+def test_semantic_contamination_flags_planted_leaks(spark):
+    """Semantic decontamination contract: scaled copies of holdout
+    vectors flag at cosine distance 0; negated and orthogonal-ish
+    vectors don't; vectors that cannot band (wrong dim) report
+    0/NULL/false rather than erroring."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.dedup import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hold = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    leak = hold.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    clean = (
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+        .select((F.col("vec_id") + 200).alias("doc_id"),
+                F.expr("transform(embedding, x -> -x)").alias("embedding"))
+    )
+    short = spark.createDataFrame(
+        [(999, [1.0, 2.0])], "doc_id long, embedding array<float>"
+    )
+    train = leak.unionByName(clean).unionByName(short)
+    out = {
+        r["doc_id"]: r
+        for r in semantic_contamination(train, hold).collect()
+    }
+    assert all(out[100 + i]["contaminated"] for i in range(10))
+    assert all(out[100 + i]["min_cos_dist"] == 0.0 for i in range(10))
+    assert not any(out[220 + i]["contaminated"] for i in range(10))
+    assert not out[999]["contaminated"] and out[999]["n_cand"] == 0
+    assert out[999]["min_cos_dist"] is None

@@ -2367,3 +2367,88 @@ def test_r9_second_pass_regressions(spark, tmp_path):
         for r in _read_sb_vecs(spark, os.path.join(dirty, _SB_VECS)).collect()
     }
     assert 900 not in ids and 901 not in ids and len(ids) == 10
+
+
+def test_dsir_gated_ingest_composes_with_semdedup(spark, tmp_path):
+    """dedup='semdedup' stacks the TEXT-scored quality gate on the
+    EMBEDDING-keyed semantic sidecar — the multimodal production stack
+    for docs carrying both columns: a junk-text doc gate-drops even
+    with a fresh embedding; a good-text doc with a near-duplicate
+    embedding (1.001x a corpus vector) dedup-drops; a good-text doc
+    with a fresh (negated) embedding appends; the old mode refusal
+    message now names all three modes."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        stream_corpus_dsir_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    ).select("doc_id", "text")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    delta_dir = str(tmp_path / "delta")
+    gate_dir = str(tmp_path / "gate")
+    corpus.write.parquet(corpus_dir)
+    fit_quality_classifier(
+        corpus.select("text"),
+        _junk_docs(spark, corpus, n=40).select("text"),
+        gate_dir, method="lcr", num_buckets=64,
+    )
+    base = corpus.limit(3).localCheckpoint(eager=True)
+    fresh_vec = F.expr("transform(embedding, x -> -x)")
+    near_vec = F.expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))"
+    )
+    good_text = F.concat(F.col("text"), F.lit(" gated fresh suffix"))
+    delta = (
+        # junk text + fresh embedding: GATE drop
+        _junk_docs(spark, base, n=1).select(
+            (F.col("doc_id") - 500_000 + 10_000).alias("doc_id"), "text"
+        ).join(
+            base.limit(1).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                fresh_vec.alias("embedding"),
+            ),
+            "doc_id",
+        )
+        # good text + near-dup embedding: SEMANTIC drop
+        .unionByName(
+            base.limit(1).select(
+                (F.col("doc_id") + 20_000).alias("doc_id"),
+                good_text.alias("text"), near_vec.alias("embedding"),
+            )
+        )
+        # good text + fresh embedding: APPENDS
+        .unionByName(
+            base.limit(1).select(
+                (F.col("doc_id") + 30_000).alias("doc_id"),
+                good_text.alias("text"), fresh_vec.alias("embedding"),
+            )
+        )
+    )
+    delta.coalesce(1).write.parquet(delta_dir)
+    with pytest.raises(ValueError, match="'semdedup'"):
+        stream_corpus_dsir_ingest(
+            spark, delta_dir, corpus_dir, gate_dir,
+            doc_schema=delta.schema, dedup="bogus",
+        )
+    n = stream_corpus_dsir_ingest(
+        spark, delta_dir, corpus_dir, gate_dir, doc_schema=delta.schema,
+        min_logw_micro=1_000_000, dedup="semdedup",
+    )
+    assert n >= 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_dir)
+        .filter(F.col("doc_id") >= 10_000)
+        .collect()
+    }
+    assert kept == {base.collect()[0]["doc_id"] + 30_000}
