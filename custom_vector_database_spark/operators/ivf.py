@@ -368,6 +368,36 @@ class IvfIndex(TombstoneDeleteMixin):
         d = len(self.centroids[0])
         return d - 1 if self.metric == "dot" else d
 
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Staleness-report input (operators/pq.quantization_error_report
+        protocol) for the COARSE quantizer: the metric-transformed
+        vector, whose distance to its nearest saved centroid is the
+        distortion the cluster assignment commits to — the signal that
+        prices the explicit rebuild as upserted deltas drift away from
+        the centroids' training sample (probe recall degrades with
+        it)."""
+        from custom_vector_database_spark.operators.pq import (
+            _refuse_report_vectors,
+        )
+
+        self._check_input_dims(df, vec_col, "report input")
+        _refuse_report_vectors(df, vec_col, None)
+        if self.metric == "cosine":
+            src = _unit_normalize_expr(f"`{vec_col}`")
+        elif self.metric == "dot":
+            m2 = float(self.max_norm) * float(self.max_norm)
+            src = _augment_expr(f"`{vec_col}`", m2)
+        else:
+            src = F.col(vec_col)
+        return df.select(src.cast("array<double>").alias("_vec"))
+
+    def _staleness_error_expr(self) -> F.Column:
+        from custom_vector_database_spark.operators.pq import (
+            _min_sq_dist_sql,
+        )
+
+        return F.expr(_min_sq_dist_sql("_vec", self.centroids))
+
     def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> int:
         """Hard-error on wrong-length vectors BEFORE encoding: zip_with
         against the centroids pads mismatches with NULL, which would file

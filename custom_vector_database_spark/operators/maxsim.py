@@ -439,6 +439,31 @@ class MaxSimIndex(TombstoneDeleteMixin):
             F.hash(F.col(self.doc_col)), F.lit(self.n_doc_buckets)
         ).alias("dbkt")
 
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Staleness-report input (operators/pq.quantization_error_report
+        protocol) for the token-IVF coarse quantizer: TOKEN vectors
+        unit-normalized into the assignment space — their distance to
+        the nearest saved centroid is the distortion stage-1 pruning
+        commits to; a drifted token distribution degrades candidate
+        recall, the signal pricing the explicit rebuild."""
+        from custom_vector_database_spark.operators.pq import (
+            _refuse_report_vectors,
+        )
+
+        _refuse_report_vectors(df, vec_col, self.dim)
+        return df.select(
+            _unit_normalize_expr(f"`{vec_col}`")
+            .cast("array<double>")
+            .alias("_vec")
+        )
+
+    def _staleness_error_expr(self):
+        from custom_vector_database_spark.operators.pq import (
+            _min_sq_dist_sql,
+        )
+
+        return F.expr(_min_sq_dist_sql("_vec", self.centroids))
+
     # -- probing -----------------------------------------------------------
     def _probe_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         """Per-query-token centroid shortlist — driver-side math over the

@@ -1065,6 +1065,14 @@ def quantization_error_report(
     rows quantize ratio× worse than the data the codebooks were fit
     on). Empty recent_df reports ratio 0.0, never stale.
 
+    Threshold calibration: PQ/IVF-PQ residual distortion swings hard
+    under drift (defaults fine); COARSE quantizers on the unit sphere
+    (cosine IvfIndex, MaxSimIndex's token IVF) have high, saturating
+    baseline distortion — a few dozen centroids leave every unit
+    vector roughly equidistant, so even a large directional drift
+    moves the ratio only ~1.2-1.4×. Threshold those layouts lower
+    (~1.15-1.25), ideally against a recorded fresh-slice baseline.
+
     Scale shape: two narrow projections + two scalar aggregates;
     nothing driver-side, no join — each side is one pass over its own
     vectors."""

@@ -351,3 +351,87 @@ def test_pq_staleness_refuses_undecidable_inputs(spark):
             quantization_error_report(
                 idx, base.filter(F.col("vec_id") < 0), base
             ).first()
+
+
+def test_staleness_report_covers_ivf_and_maxsim(spark):
+    """The when-to-rebuild metric covers every fitted layout: the same
+    quantization_error_report runs against IvfIndex (coarse-centroid
+    distortion, incl. the cosine metric's unit space) and MaxSimIndex
+    (token-IVF unit-space distortion) — in-distribution slices report
+    ~1 and don't trip, drifted slices trip."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    same = base.filter(F.col("vec_id") % 3 == 0)
+    drifted = base.select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    # l2: residual distortion swings hard — the default 2.0 trips
+    idx = IvfIndex.fit(
+        base, id_col="vec_id", vec_col="vec", n_clusters=8, metric="l2_sq"
+    )
+    assert not quantization_error_report(
+        idx, base, same, vec_col="vec"
+    ).first()["stale"]
+    assert quantization_error_report(
+        idx, base, drifted, vec_col="vec"
+    ).first()["stale"]
+    # cosine: unit-sphere coarse distortion SATURATES (the docstring's
+    # calibration note) — the drift signal is real but compressed, so
+    # the layout thresholds lower; fresh stays well under it
+    cidx = IvfIndex.fit(
+        base, id_col="vec_id", vec_col="vec", n_clusters=64, metric="cosine"
+    )
+    cfresh = quantization_error_report(
+        cidx, base, same, vec_col="vec", ratio_threshold=1.15
+    ).first()
+    assert not cfresh["stale"] and cfresh["err_ratio"] < 1.1
+    cdrift = quantization_error_report(
+        cidx, base, drifted, vec_col="vec", ratio_threshold=1.15
+    ).first()
+    assert cdrift["stale"] and cdrift["err_ratio"] > 1.25
+
+    # maxsim's token IVF assigns in unit space — same saturating-sphere
+    # calibration as cosine IVF
+    toks = emb.select(
+        F.expr("vec_id DIV 8").alias("doc"), F.col("embedding")
+    )
+    midx = MaxSimIndex.fit(
+        toks, doc_col="doc", vec_col="embedding", n_clusters=64,
+        n_doc_buckets=4,
+    )
+    fresh = quantization_error_report(
+        midx, toks, toks.limit(100), vec_col="embedding",
+        ratio_threshold=1.15,
+    ).first()
+    assert not fresh["stale"]
+    tok_drift = toks.select(
+        "doc",
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    rep = quantization_error_report(
+        midx, toks, tok_drift, vec_col="embedding", ratio_threshold=1.15
+    ).first()
+    assert rep["stale"] and rep["err_ratio"] > 1.25
+    with pytest.raises(ValueError, match="NULL"):
+        quantization_error_report(
+            midx,
+            toks,
+            spark.createDataFrame(
+                [(1, [None] + [0.5] * 63)], "doc long, embedding array<float>"
+            ),
+            vec_col="embedding",
+        ).first()
