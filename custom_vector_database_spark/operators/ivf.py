@@ -334,18 +334,10 @@ class IvfIndex(TombstoneDeleteMixin):
             F.col(self.vec_col).cast("array<float>").alias(self.vec_col),
             *carry,
         )
-        if self.metric == "cosine":
+        if self.metric != "l2_sq":
             feats = feats.select(
                 F.col(self.id_col),
-                _unit_normalize_expr(f"`{self.vec_col}`").alias(self.vec_col),
-                *carry,
-            )
-        elif self.metric == "dot":
-            # saved M; over-M delta rows clamp to the sphere (module doc)
-            m2 = float(self.max_norm) * float(self.max_norm)
-            feats = feats.select(
-                F.col(self.id_col),
-                _augment_expr(f"`{self.vec_col}`", m2).alias(self.vec_col),
+                self._metric_src_expr(self.vec_col).alias(self.vec_col),
                 *carry,
             )
         encoded = feats.withColumn(
@@ -382,14 +374,23 @@ class IvfIndex(TombstoneDeleteMixin):
 
         self._check_input_dims(df, vec_col, "report input")
         _refuse_report_vectors(df, vec_col, None)
+        return df.select(
+            self._metric_src_expr(vec_col).cast("array<double>").alias("_vec")
+        )
+
+    def _metric_src_expr(self, vec_col: str):
+        """The metric-specific raw->stored vector transform (cosine
+        normalize / dot sphere-augment with the saved M, over-M rows
+        clamping / l2 identity) — ONE definition consumed by upsert's
+        delta encode and the staleness report, so the report always
+        measures exactly the assignment space encode commits to (the
+        IvfPqIndex._metric_src_expr convention)."""
         if self.metric == "cosine":
-            src = _unit_normalize_expr(f"`{vec_col}`")
-        elif self.metric == "dot":
+            return _unit_normalize_expr(f"`{vec_col}`")
+        if self.metric == "dot":
             m2 = float(self.max_norm) * float(self.max_norm)
-            src = _augment_expr(f"`{vec_col}`", m2)
-        else:
-            src = F.col(vec_col)
-        return df.select(src.cast("array<double>").alias("_vec"))
+            return _augment_expr(f"`{vec_col}`", m2)
+        return F.col(vec_col)
 
     def _staleness_error_expr(self) -> F.Column:
         from custom_vector_database_spark.operators.pq import (

@@ -191,6 +191,28 @@ class IvfBqIndex(TombstoneDeleteMixin):
         self._encoded = delta.sparkSession.read.parquet(codes_path)
         return int(n)
 
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Staleness-report input (operators/pq.quantization_error_report
+        protocol): the sign CODES carry zero fit staleness (data-
+        independent bits), but cluster ROUTING uses the fitted coarse
+        centroids exactly like IvfIndex — drifted deltas degrade stage-1
+        probe recall identically, so the report prices the same
+        rebuild."""
+        from custom_vector_database_spark.operators.pq import (
+            _refuse_report_vectors,
+        )
+
+        self._check_input_dims(df, vec_col, "report input")
+        _refuse_report_vectors(df, vec_col, None)
+        return df.select(F.col(vec_col).cast("array<double>").alias("_vec"))
+
+    def _staleness_error_expr(self):
+        from custom_vector_database_spark.operators.pq import (
+            _min_sq_dist_sql,
+        )
+
+        return F.expr(_min_sq_dist_sql("_vec", self.centroids))
+
     def _check_input_dims(self, df: DataFrame, vec_col: str, what: str) -> int:
         """NULL-safe dim guard (the family contract): NULL or ragged
         vectors would pack NULL words into an unsearchable row."""

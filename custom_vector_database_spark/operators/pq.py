@@ -1050,8 +1050,12 @@ def quantization_error_report(
     vec_col: str = "vec",
     ratio_threshold: float = 2.0,
 ) -> DataFrame:
-    """One-row staleness report for a saved PqIndex or IvfPqIndex:
-    per-row reconstruction error of ``recent_df`` (rows upserted after
+    """One-row staleness report for ANY fitted layout implementing the
+    two-method protocol (_staleness_feats + _staleness_error_expr):
+    PqIndex / IvfPqIndex (residual quantization error), IvfIndex /
+    IvfBqIndex (coarse-centroid distortion), MaxSimIndex (token-IVF
+    unit-space distortion). Per-row reconstruction error of
+    ``recent_df`` (rows upserted after
     build) vs ``build_df`` (the build-time corpus or a sample of it),
     both encoded with the CURRENT saved quantizers in one codegen
     projection each — no codes are read; the report measures what the

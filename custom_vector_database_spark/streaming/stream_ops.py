@@ -1920,10 +1920,17 @@ def stream_corpus_dsir_ingest(
             dsir_score_with,
         )
 
-        # refuse NULL text on the RAW batch: a NULL doc scores 0 and a
-        # positive threshold would silently gate-drop it, making the
-        # family's fail-fast contract threshold-dependent
+        # refuse NULL text — and, on the semantic path, undecidable
+        # vectors/duplicate ids — on the RAW batch: a bad doc whose text
+        # happens to score under the threshold would otherwise be
+        # silently gate-dropped before the dedup verb's own refusal ever
+        # sees it, making the family's fail-fast contract
+        # threshold-dependent
         _refuse_null_text(batch, text_col)
+        if dedup == "semdedup":
+            _refuse_bad_vectors(
+                batch, id_col, vec_col, n_bands * band_bits
+            )
         scores = dsir_score_with(
             lr, batch, id_col=id_col, text_col=text_col,
             num_buckets=gate_buckets,

@@ -2452,3 +2452,49 @@ def test_dsir_gated_ingest_composes_with_semdedup(spark, tmp_path):
         .collect()
     }
     assert kept == {base.collect()[0]["doc_id"] + 30_000}
+
+
+def test_gated_semdedup_refuses_bad_vectors_on_raw_batch(spark, tmp_path):
+    """Third r9 review pass: the gated semdedup path refuses undecidable
+    vectors on the RAW batch — a zero-norm embedding whose text scores
+    UNDER the gate threshold must still abort (the fail-fast contract
+    cannot be threshold-dependent; the _refuse_null_text precedent)."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        fit_quality_classifier,
+        stream_corpus_dsir_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 20
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    ).select("doc_id", "text")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    delta_dir = str(tmp_path / "delta")
+    gate_dir = str(tmp_path / "gate")
+    corpus.write.parquet(corpus_dir)
+    fit_quality_classifier(
+        corpus.select("text"), _junk_docs(spark, corpus, n=20).select("text"),
+        gate_dir, method="lcr", num_buckets=64,
+    )
+    # junk text (scores far below the threshold) + ZERO-NORM embedding:
+    # without the raw-batch guard this doc would be silently gate-dropped
+    bad = _junk_docs(spark, corpus.limit(1), n=1).select(
+        (F.col("doc_id") - 500_000 + 10_000).alias("doc_id"), "text"
+    ).withColumn(
+        "embedding", F.expr("transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))")
+    )
+    bad.coalesce(1).write.parquet(delta_dir)
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="zero-norm"):
+        stream_corpus_dsir_ingest(
+            spark, delta_dir, corpus_dir, gate_dir, doc_schema=bad.schema,
+            min_logw_micro=1_000_000, dedup="semdedup",
+        )

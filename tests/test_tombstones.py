@@ -435,3 +435,31 @@ def test_staleness_report_covers_ivf_and_maxsim(spark):
             ),
             vec_col="embedding",
         ).first()
+
+
+def test_staleness_report_covers_ivfbq(spark):
+    """IvfBq's sign codes are fit-free, but its coarse ROUTING quantizer
+    drifts exactly like IvfIndex's — the report protocol covers it."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    idx = IvfBqIndex.fit(base, id_col="vec_id", vec_col="vec", n_clusters=8)
+    fresh = quantization_error_report(
+        idx, base, base.filter(F.col("vec_id") % 3 == 0), vec_col="vec"
+    ).first()
+    assert not fresh["stale"]
+    drifted = base.select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    assert quantization_error_report(
+        idx, base, drifted, vec_col="vec"
+    ).first()["stale"]
