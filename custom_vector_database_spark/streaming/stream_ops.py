@@ -40,6 +40,7 @@ __all__ = [
     "compact_mh_sidecar",
     "compact_sb_sidecar",
     "stream_corpus_semdedup_ingest",
+    "sidecar_report",
 ]
 
 
@@ -2526,3 +2527,57 @@ def compact_sb_sidecar(
         "n_band_rows": counts[_SB_BANDS],
         "n_buckets": meta["n_buckets"],
     }
+
+
+def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
+    """Operational snapshot of every dedup-on-ingest sidecar present
+    under ``corpus_dir`` — the ingest family's describe() (the ops
+    verb pairing with embedding_drift / key_skew_report): per family
+    (exact fingerprint / minhash / sign-band), the pinned meta
+    (modulus + shape), per-frame row and parquet-file counts, files
+    per bucket (the compact-when signal — probe latency grows with
+    per-bucket file fragmentation), and outstanding crash-recovery
+    claims (the resolve-before-compacting signal). Frames are read
+    whole — sidecars are corpus-METADATA-sized by design, and this is
+    a maintenance verb, not a probe path."""
+    import glob
+    import os
+
+    count_files = lambda d: sum(  # noqa: E731
+        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+    report: dict = {}
+    families = (
+        ("exact", ((_FP_SIDECAR, _read_fp_sidecar),), _FP_CLAIMS),
+        ("minhash", ((_MH_SIGS, _read_mh_sigs), (_MH_BANDS, _read_mh_bands)),
+         _MH_CLAIMS),
+        ("signband", ((_SB_VECS, _read_sb_vecs), (_SB_BANDS, _read_sb_bands)),
+         _SB_CLAIMS),
+    )
+    for family, frames, claims_name in families:
+        first_dir = os.path.join(corpus_dir, frames[0][0])
+        if not os.path.isdir(first_dir):
+            continue
+        meta = _read_sidecar_meta(first_dir) or {}
+        fam: dict = {"meta": meta, "frames": {}}
+        for name, reader in frames:
+            d = os.path.join(corpus_dir, name)
+            if not os.path.isdir(d):
+                fam["frames"][name] = None  # half-present: heal pending
+                continue
+            n_files = count_files(d)
+            n_buckets = int(meta.get("n_buckets", 0)) or 1
+            fam["frames"][name] = {
+                "n_rows": reader(spark, d).count(),
+                "n_files": n_files,
+                "files_per_bucket": round(n_files / n_buckets, 2),
+            }
+        claims = sorted(
+            os.path.basename(c)
+            for c in glob.glob(
+                os.path.join(corpus_dir, claims_name, "claim_*")
+            )
+        )
+        fam["outstanding_claims"] = claims
+        report[family] = fam
+    return report

@@ -2498,3 +2498,45 @@ def test_gated_semdedup_refuses_bad_vectors_on_raw_batch(spark, tmp_path):
             spark, delta_dir, corpus_dir, gate_dir, doc_schema=bad.schema,
             min_logw_micro=1_000_000, dedup="semdedup",
         )
+
+
+def test_sidecar_report_snapshots_all_families(spark, tmp_path):
+    """sidecar_report: one ops snapshot across every ingest family's
+    sidecar — pinned meta, per-frame rows/files/files-per-bucket, and
+    outstanding claims; absent families are simply omitted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_CLAIMS,
+        _ensure_fp_sidecar,
+        _ensure_sb_sidecar,
+        sidecar_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    emb = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.join(
+        emb.select("doc_id", "embedding"), "doc_id"
+    ).write.parquet(corpus)
+    _ensure_fp_sidecar(
+        spark, corpus, os.path.join(corpus, "_fingerprints"), "text", 16
+    )
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    os.makedirs(os.path.join(corpus, _SB_CLAIMS), exist_ok=True)
+    with open(os.path.join(corpus, _SB_CLAIMS, "claim_3"), "a"):
+        pass
+
+    rep = sidecar_report(spark, corpus)
+    assert set(rep) == {"exact", "signband"}  # minhash absent: omitted
+    assert rep["exact"]["meta"]["n_buckets"] == 16
+    assert rep["exact"]["frames"]["_fingerprints"]["n_rows"] == 10
+    assert rep["signband"]["meta"]["n_bands"] == 4
+    assert rep["signband"]["meta"]["band_bits"] == 16
+    assert rep["signband"]["frames"]["_sb_vecs"]["n_rows"] == 10
+    assert rep["signband"]["frames"]["_sb_bands"]["n_rows"] == 40
+    assert rep["signband"]["frames"]["_sb_bands"]["files_per_bucket"] > 0
+    assert rep["signband"]["outstanding_claims"] == ["claim_3"]
+    assert rep["exact"]["outstanding_claims"] == []
