@@ -38,11 +38,12 @@ class LshIndex:
     """A fitted LSH model + materialized hashed table (the 'rebuilt index')."""
 
     def __init__(self, model: BucketedRandomProjectionLSHModel, hashed: DataFrame,
-                 id_col: str, vec_col: str):
+                 id_col: str, vec_col: str, model_id: str | None = None):
         self.model = model
         self._hashed = hashed
         self.id_col = id_col
         self.vec_col = vec_col
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
 
     # -- build (O6) --------------------------------------------------------
     @classmethod
@@ -53,6 +54,7 @@ class LshIndex:
         vec_col: str = "vec",
         num_hash_tables: int = 4,
         bucket_length: float | None = None,
+        model_id: str | None = None,
     ) -> "LshIndex":
         feats = df.select(
             F.col(id_col), F.col(vec_col),
@@ -85,7 +87,7 @@ class LshIndex:
         # materializing here means search/similarity-join never recompute
         # the hashing pass — approxSimilarityJoin reads it twice.
         hashed = model.transform(feats).localCheckpoint(eager=True)
-        return cls(model, hashed, id_col, vec_col)
+        return cls(model, hashed, id_col, vec_col, model_id=model_id)
 
     # -- persistence: the index is a real artifact, unlike the reference's
     # never-persisted graph (vectordb.h:51 indexFilePath is dead code) -------
@@ -96,7 +98,8 @@ class LshIndex:
             os.path.join(path, "rows")
         )
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
+                       "model_id": self.model_id}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LshIndex":
@@ -108,16 +111,23 @@ class LshIndex:
             "features", array_to_vector(F.col(meta["vec_col"]).cast("array<double>"))
         )
         hashed = model.transform(feats)
-        return cls(model, hashed, meta["id_col"], meta["vec_col"])
+        return cls(model, hashed, meta["id_col"], meta["vec_col"],
+                   model_id=meta.get("model_id"))  # absent = legacy, unpinned
 
     def hashed_df(self) -> DataFrame:
         return self._hashed
 
     # -- search (O7 approx) ---------------------------------------------------
-    def search(self, query: list[float], k: int, dist_col: str = "dist_sq") -> DataFrame:
+    def search(self, query: list[float], k: int, dist_col: str = "dist_sq",
+               model_id: str | None = None) -> DataFrame:
         """Bucket-pruned k-NN; returns (id, dist_sq) nearest-first —
         squared L2 to match the reference's API-level metric
         (vectordb.cpp:154; the CLI sqrt()s for display only)."""
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, model_id, "this LSH layout")
         res = self.model.approxNearestNeighbors(
             self._hashed, Vectors.dense([float(x) for x in query]), k, distCol="_dist"
         )

@@ -141,7 +141,8 @@ class IvfIndex(TombstoneDeleteMixin):
     def __init__(self, centroids: list[list[float]], clustered: DataFrame,
                  id_col: str, vec_col: str, metric: str = "l2_sq",
                  path: str | None = None, max_norm: float | None = None,
-                 carry_cols: list[str] | None = None):
+                 carry_cols: list[str] | None = None,
+                 model_id: str | None = None):
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         self.centroids = centroids
@@ -153,7 +154,15 @@ class IvfIndex(TombstoneDeleteMixin):
         self._path = path  # set when saved/loaded; required by upsert()
         self.carry_cols = list(carry_cols or [])  # filter attributes stored
         # IN the layout so filtered searches push down into the pruned scan
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self._tombstones: DataFrame | None = None  # deleted-id sidecar view
+
+    def _check_model(self, supplied: str | None, what: str) -> None:
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, supplied, what)
 
     @classmethod
     def fit(
@@ -167,6 +176,7 @@ class IvfIndex(TombstoneDeleteMixin):
         fit_sample: int = 100_000,
         metric: str = "l2_sq",
         carry_cols: list[str] | None = None,
+        model_id: str | None = None,
     ) -> "IvfIndex":
         """Build the index. The coarse quantizer trains on at most
         ``fit_sample`` rows (uniform sample — statistically plenty for
@@ -236,7 +246,8 @@ class IvfIndex(TombstoneDeleteMixin):
             .localCheckpoint(eager=True)  # the materialized index
         )
         return cls(centroids, clustered, id_col, vec_col, metric,
-                   max_norm=max_norm, carry_cols=carry_cols)
+                   max_norm=max_norm, carry_cols=carry_cols,
+                   model_id=model_id)
 
     # -- persistence: partitioned by cluster → partition-pruned probes -----
     def save(self, path: str) -> None:
@@ -272,6 +283,7 @@ class IvfIndex(TombstoneDeleteMixin):
                     "metric": self.metric,
                     "max_norm": self.max_norm,
                     "carry_cols": self.carry_cols,
+                    "model_id": self.model_id,
                     "centroids": self.centroids,
                 },
                 f,
@@ -294,6 +306,7 @@ class IvfIndex(TombstoneDeleteMixin):
             meta.get("metric", "l2_sq"), path=path,
             max_norm=meta.get("max_norm"),
             carry_cols=meta.get("carry_cols"),
+            model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
         idx._load_tombstones(spark)
         return idx
@@ -306,7 +319,7 @@ class IvfIndex(TombstoneDeleteMixin):
         return self._live(self._clustered)
 
     # -- incremental ingestion ---------------------------------------------
-    def upsert(self, delta: DataFrame) -> int:
+    def upsert(self, delta: DataFrame, model_id: str | None = None) -> int:
         """Append a delta batch to the SAVED layout, encoding ONLY the new
         rows: one projection assigns each delta row its cluster with the
         saved centroids (plus the cosine normalization when the index is
@@ -324,6 +337,7 @@ class IvfIndex(TombstoneDeleteMixin):
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_model(model_id, "this IVF layout")
         self._check_input_dims(delta, self.vec_col, "delta")
         carry = [F.col(c) for c in self.carry_cols]
         # cast to the layout's array<float> on EVERY branch — an
@@ -518,6 +532,7 @@ class IvfIndex(TombstoneDeleteMixin):
     def search(
         self, query: list[float], k: int, nprobe: int = 4,
         dist_col: str | None = None, predicate=None,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Exact k-NN restricted to the ``nprobe`` nearest clusters.
         L2 index: returns (id, dist_sq) nearest-first — squared L2, the
@@ -526,6 +541,7 @@ class IvfIndex(TombstoneDeleteMixin):
         ``cos_dist`` = 1 − cosine similarity (≡ L2²/2 on unit vectors),
         nearest-first. Dot index: the query is zero-augmented and the
         result column is ``score`` = ⟨x,q⟩, LARGEST first (MIPS)."""
+        self._check_model(model_id, "this IVF layout")
         want = self._expected_input_dim()
         if len(query) != want:
             # _probe_clusters' zip() would silently truncate and the
@@ -585,6 +601,7 @@ class IvfIndex(TombstoneDeleteMixin):
         max_query_rows: int | None = 100_000,
         filter_map: dict[str, str] | None = None,
         max_broadcast_bytes: int | None = 256 << 20,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Batch ANN: the k approximate nearest rows for EVERY row of a
         query table, answered from the saved cluster-partitioned layout in
@@ -627,6 +644,7 @@ class IvfIndex(TombstoneDeleteMixin):
         (queries zero-augmented, ‖q‖² riding the broadcast side) —
         best-first within each qid, id tie-break.
         """
+        self._check_model(model_id, "this IVF layout")
         for qc in (query_id, query_vec):
             if qc in self._clustered.columns:
                 raise ValueError(

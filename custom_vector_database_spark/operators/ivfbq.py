@@ -61,14 +61,22 @@ class IvfBqIndex(TombstoneDeleteMixin):
 
     def __init__(self, centroids: list[list[float]], encoded: DataFrame,
                  id_col: str, vec_col: str, dim: int,
-                 path: str | None = None):
+                 path: str | None = None, model_id: str | None = None):
         self.centroids = centroids
         self._encoded = encoded  # (id, cluster, words array<long>)
         self.id_col = id_col
         self.vec_col = vec_col
         self.dim = dim
         self._path = path
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self._tombstones: DataFrame | None = None
+
+    def _check_model(self, supplied: str | None) -> None:
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, supplied, "this IVF-BQ layout")
 
     # -- build -------------------------------------------------------------
     @classmethod
@@ -81,6 +89,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
+        model_id: str | None = None,
     ) -> "IvfBqIndex":
         """Coarse quantizer from a bounded driver-side sample (the ONLY
         fitted artifact — the codes themselves are sign bits, nothing to
@@ -112,7 +121,8 @@ class IvfBqIndex(TombstoneDeleteMixin):
             ).alias("cluster"),
             bq_pack(F.col(vec_col), dim).alias("words"),
         ).localCheckpoint(eager=True)
-        return cls(centroids, encoded, id_col, vec_col, dim)
+        return cls(centroids, encoded, id_col, vec_col, dim,
+                   model_id=model_id)
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
@@ -137,6 +147,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
                     "dim": self.dim,
+                    "model_id": self.model_id,
                     "centroids": self.centroids,
                 },
                 f,
@@ -154,7 +165,8 @@ class IvfBqIndex(TombstoneDeleteMixin):
         recover_partitioned_swap(os.path.join(path, "codes"))
         codes = spark.read.parquet(os.path.join(path, "codes"))
         idx = cls(meta["centroids"], codes, meta["id_col"], meta["vec_col"],
-                  int(meta["dim"]), path=path)
+                  int(meta["dim"]), path=path,
+                  model_id=meta.get("model_id"))  # absent = legacy, unpinned
         idx._load_tombstones(spark)
         return idx
 
@@ -166,7 +178,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         return self._live(self._encoded)
 
     # -- incremental ingestion ---------------------------------------------
-    def upsert(self, delta: DataFrame) -> int:
+    def upsert(self, delta: DataFrame, model_id: str | None = None) -> int:
         """Append a delta batch to the SAVED layout. Unlike the PQ
         siblings the delta's codes carry zero fit staleness (sign bits
         are data-independent); only cluster ROUTING uses the fitted
@@ -176,6 +188,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_model(model_id)
         self._check_input_dims(delta, self.vec_col, "delta")
         encoded = delta.select(
             F.col(self.id_col),
@@ -302,6 +315,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         base_df: DataFrame,
         nprobe: int = 4,
         rerank: int = 4,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Top-k by exact L2: probe the nprobe nearest clusters, rank
         the pruned CODE scan by (hamming, id), then broadcast-join the
@@ -309,6 +323,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         the index was built from) for exact distances — the scan reads 8
         bytes per 64 dims per candidate row, and full vectors are read
         for shortlist survivors only."""
+        self._check_model(model_id)
         if len(query) != self.dim:
             raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
         query = [float(x) for x in query]
@@ -354,6 +369,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         rerank: int = 4,
         max_query_rows: int | None = 100_000,
         max_broadcast_bytes: int | None = 256 << 20,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Batch IVF-BQ: the k nearest rows for every query row, answered
         from the saved code layout in one job — the family's
@@ -369,6 +385,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         back into ``base_df`` with the (broadcast) query vectors for the
         exact per-qid top-k. Deterministic after the probe stage, exactly
         like the single-query path."""
+        self._check_model(model_id)
         for qc in (query_id, query_vec):
             # the rejoin also meets base_df's (id, vec) columns, so those
             # names collide too - the layout-only check missed base-side

@@ -326,3 +326,34 @@ def compact_partitioned(
         "files_after": _count_files(),
         "n_rows": int(n_rows),
     }
+
+
+def check_model_id(
+    pinned: str | None, supplied: str | None, what: str
+) -> None:
+    """Refuse vectors from a DIFFERENT embedding model than the one an
+    embedding-keyed artifact was built from — the one remaining
+    silent-wrongness class in the embedding path: re-embedding a corpus
+    with a new model and upserting into an old layout (or probing an old
+    sign-band sidecar) compares vectors across incompatible spaces, so
+    every distance/cosine verdict is garbage and nothing else fires.
+    The reference refuses wrong-SPACE vectors at every write (dim check,
+    vectordb.cpp:39-41, 65-67); this is the same contract one level up —
+    same dim, wrong model.
+
+    Opt-in, the n_buckets/minhash-shape pin pattern: the check refuses
+    only when BOTH sides declare a model. A legacy artifact (no pin) or
+    an undeclared caller (model_id=None) passes — so every pre-pin
+    layout loads and every existing call keeps working, while two
+    DECLARED-and-different models always refuse."""
+    if pinned is None or supplied is None:
+        return
+    if str(pinned) != str(supplied):
+        raise ValueError(
+            f"{what} was built from embedding model {pinned!r} but this "
+            f"call supplies vectors from model {supplied!r} — vectors "
+            "from different models live in incompatible spaces, so every "
+            "distance/cosine verdict against the stored vectors would be "
+            "silently wrong; re-embed with the pinned model, or rebuild "
+            "the artifact from vectors of the new model"
+        )

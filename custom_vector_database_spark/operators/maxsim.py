@@ -143,6 +143,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         dim: int,
         n_doc_buckets: int = 32,
         path: str | None = None,
+        model_id: str | None = None,
     ):
         self.centroids = centroids
         self._clustered = clustered  # (doc, vec, scode, cluster)
@@ -152,8 +153,16 @@ class MaxSimIndex(TombstoneDeleteMixin):
         self.dim = int(dim)
         self.n_doc_buckets = int(n_doc_buckets)
         self._path = path
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self._docs: DataFrame | None = None  # doc-bucketed gather sidecar
         self._tombstones: DataFrame | None = None
+
+    def _check_model(self, supplied: str | None) -> None:
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, supplied, "this MaxSim layout")
 
     # -- build -------------------------------------------------------------
     @classmethod
@@ -167,6 +176,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
+        model_id: str | None = None,
     ) -> "MaxSimIndex":
         """Cluster the TOKEN vectors: coarse KMeans trained driver-side
         over a bounded unit-normalized sample (operators/fitting.py
@@ -209,7 +219,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
             ).alias("cluster"),
         ).localCheckpoint(eager=True)
         return cls(centroids, clustered, doc_col, vec_col, dim,
-                   n_doc_buckets=n_doc_buckets)
+                   n_doc_buckets=n_doc_buckets, model_id=model_id)
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
@@ -258,6 +268,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
             "vec_col": self.vec_col,
             "dim": self.dim,
             "n_doc_buckets": self.n_doc_buckets,
+            "model_id": self.model_id,
             "centroids": self.centroids,
         }
         if overwriting:
@@ -307,6 +318,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
             meta["dim"],
             n_doc_buckets=meta["n_doc_buckets"],
             path=path,
+            model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
         idx._docs = spark.read.parquet(os.path.join(path, "docs"))
         idx._load_tombstones(spark)
@@ -331,7 +343,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         )
 
     # -- incremental CRUD on the saved layout ------------------------------
-    def upsert(self, delta: DataFrame) -> int:
+    def upsert(self, delta: DataFrame, model_id: str | None = None) -> int:
         """Append delta token rows (doc_col, vec_col) to BOTH halves of
         the SAVED layout, encoding ONLY the delta: one projection
         assigns clusters with the saved centroids (unit-space, fused
@@ -353,6 +365,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_model(model_id)
         stats = delta.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -676,10 +689,12 @@ class MaxSimIndex(TombstoneDeleteMixin):
         max_query_tokens: int = 4096,
         max_broadcast_bytes: int = 256 << 20,
         max_gather_docs: int = 8192,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Two-stage MaxSim for ONE query bag (qid_col = token id within
         the bag, the maxsim_scores convention). Returns (doc, score, n_q)
         best-first, ``score`` the TRUE MaxSim of each candidate."""
+        self._check_model(model_id)
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
@@ -726,6 +741,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         max_query_tokens: int = 100_000,
         max_broadcast_bytes: int = 256 << 20,
         max_gather_docs: int = 100_000,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Batch two-stage MaxSim: a whole query TABLE (qid -> token bag,
         one row per token, ``qtok_col`` naming the token) answered with
@@ -744,6 +760,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
 
         Returns (qid, doc, score, n_q, rk), rk = 1..k best-first per qid
         (score desc, doc asc), scores TRUE MaxSim."""
+        self._check_model(model_id)
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qtok_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,

@@ -61,6 +61,7 @@ class PqIndex:
         encoded: DataFrame,  # (id_col, codes array<int>)
         id_col: str,
         dim: int,
+        model_id: str | None = None,
     ):
         self.codebooks = codebooks
         self._encoded = encoded
@@ -68,6 +69,7 @@ class PqIndex:
         self.dim = dim
         self.m = len(codebooks)
         self.k = len(codebooks[0])
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
 
     @classmethod
     def fit(
@@ -80,6 +82,7 @@ class PqIndex:
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
+        model_id: str | None = None,
     ) -> "PqIndex":
         """Train m subspace codebooks (k centroids each) driver-side on a
         bounded sample (ONE sampling pass collects the matrix), then
@@ -114,7 +117,7 @@ class PqIndex:
         encoded = feats.select(id_col, codes.alias("codes")).localCheckpoint(
             eager=True
         )
-        return cls(codebooks, encoded, id_col, dim)
+        return cls(codebooks, encoded, id_col, dim, model_id=model_id)
 
     def encoded_df(self) -> DataFrame:
         return self._encoded
@@ -135,7 +138,8 @@ class PqIndex:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "codebooks.json"), "w") as f:
             json.dump(
-                {"id_col": self.id_col, "dim": self.dim, "codebooks": self.codebooks},
+                {"id_col": self.id_col, "dim": self.dim,
+                 "model_id": self.model_id, "codebooks": self.codebooks},
                 f,
             )
         self._encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
@@ -145,7 +149,8 @@ class PqIndex:
         with open(os.path.join(path, "codebooks.json")) as f:
             meta = json.load(f)
         encoded = spark.read.parquet(os.path.join(path, "codes"))
-        return cls(meta["codebooks"], encoded, meta["id_col"], meta["dim"])
+        return cls(meta["codebooks"], encoded, meta["id_col"], meta["dim"],
+                   model_id=meta.get("model_id"))  # absent = legacy, unpinned
 
     # -- search -------------------------------------------------------------
     def _adc_expr(self, query: list[float]) -> Column:
@@ -177,12 +182,18 @@ class PqIndex:
         vec_col: str = "vec",
         rerank: int = 0,
         dist_col: str = "dist_sq",
+        model_id: str | None = None,
     ) -> DataFrame:
         """ADC top-k over the code table. With ``rerank`` > 0 and the
         full-precision ``base_df``, the ADC top ``k·rerank`` candidate ids
         are re-scored exactly — the candidate fetch is an IN(ids) predicate
         pushed into the base scan, so the full vectors of only k·rerank
         rows are ever read."""
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, model_id, "this PQ codebook")
         if len(query) != self.dim:
             raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
         query = [float(x) for x in query]
@@ -276,6 +287,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         metric: str = "l2_sq",
         max_norm: float | None = None,
         carry_cols: list[str] | None = None,
+        model_id: str | None = None,
     ):
         if metric not in ("l2_sq", "cosine", "dot"):
             raise ValueError(
@@ -292,7 +304,15 @@ class IvfPqIndex(TombstoneDeleteMixin):
         # IN the code layout so filtered searches read them off the scan
         self.m = len(codebooks)
         self.k = len(codebooks[0])
+        self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self._path: str | None = None  # set by save()/load(); upsert needs it
+
+    def _check_model(self, supplied: str | None) -> None:
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, supplied, "this IVF-PQ layout")
 
     @classmethod
     def fit(
@@ -308,6 +328,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         fit_sample: int = 100_000,
         metric: str = "l2_sq",
         carry_cols: list[str] | None = None,
+        model_id: str | None = None,
     ) -> "IvfPqIndex":
         """``metric="cosine"`` is normalize-at-build (the IvfIndex
         pattern): vectors unit-normalize INSIDE the same cast projection,
@@ -405,7 +426,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         ).localCheckpoint(eager=True)
         return cls(
             centroids, codebooks, encoded, id_col, dim, metric=metric,
-            max_norm=max_norm, carry_cols=carry_cols,
+            max_norm=max_norm, carry_cols=carry_cols, model_id=model_id,
         )
 
     def _raw_layout(self) -> DataFrame:
@@ -429,6 +450,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
                     "metric": self.metric,
                     "max_norm": self.max_norm,
                     "carry_cols": self.carry_cols,
+                    "model_id": self.model_id,
                     "centroids": self.centroids,
                     "codebooks": self.codebooks,
                 },
@@ -469,12 +491,14 @@ class IvfPqIndex(TombstoneDeleteMixin):
             meta["dim"], metric=meta.get("metric", "l2_sq"),
             max_norm=meta.get("max_norm"),
             carry_cols=meta.get("carry_cols"),
+            model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
         idx._path = path
         idx._load_tombstones(spark)
         return idx
 
-    def upsert(self, delta: DataFrame, vec_col: str = "vec") -> int:
+    def upsert(self, delta: DataFrame, vec_col: str = "vec",
+               model_id: str | None = None) -> int:
         """Append a delta batch to the SAVED code layout, encoding ONLY the
         new rows with the saved centroids AND codebooks (_ivfpq_encode —
         the same single projection as fit's full-table pass, over the
@@ -487,6 +511,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
             raise ValueError(
                 "upsert requires a saved index (call save() or load() first)"
             )
+        self._check_model(model_id)
         self._check_input_dims(delta, vec_col, "delta")
         src = self._metric_src_expr(vec_col)
         feats = delta.select(
@@ -668,7 +693,9 @@ class IvfPqIndex(TombstoneDeleteMixin):
         vec_col: str = "vec",
         rerank: int = 0,
         dist_col: str | None = None,
+        model_id: str | None = None,
     ) -> DataFrame:
+        self._check_model(model_id)
         want = self.dim - 1 if self.metric == "dot" else self.dim
         if len(query) != want:
             raise ValueError(f"query dim {len(query)} != index dim {want}")
@@ -775,6 +802,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         max_query_rows: int | None = 100_000,
         filter_map: dict[str, str] | None = None,
         max_broadcast_bytes: int | None = 256 << 20,
+        model_id: str | None = None,
     ) -> DataFrame:
         """Batch ADC search: the k approximate nearest rows for EVERY row
         of a query table, answered from the compressed cluster-partitioned
@@ -800,6 +828,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         """
         from pyspark.sql import Window
 
+        self._check_model(model_id)
         for qc in (query_id, query_vec):
             if qc in self._encoded.columns:
                 raise ValueError(
@@ -1049,6 +1078,7 @@ def quantization_error_report(
     recent_df: DataFrame,
     vec_col: str = "vec",
     ratio_threshold: float = 2.0,
+    model_id: str | None = None,
 ) -> DataFrame:
     """One-row staleness report for ANY fitted layout implementing the
     two-method protocol (_staleness_feats + _staleness_error_expr):
@@ -1080,6 +1110,17 @@ def quantization_error_report(
     Scale shape: two narrow projections + two scalar aggregates;
     nothing driver-side, no join — each side is one pass over its own
     vectors."""
+
+    # staleness inputs are embedding-keyed too: comparing a NEW model's
+    # vectors against codebooks fit on an OLD model's would report a huge
+    # (but meaningless) ratio — or worse, a plausible one. Same opt-in
+    # refusal as upsert/search (layout.check_model_id).
+    from custom_vector_database_spark.operators.layout import check_model_id
+
+    check_model_id(
+        getattr(idx, "model_id", None), model_id,
+        f"this {type(idx).__name__} layout",
+    )
 
     # an empty baseline is undecidable, not "perfectly quantizing": the
     # ratio would compare against the 1-micro floor and spuriously trip

@@ -94,15 +94,18 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tx.EN_STOPWORDS) + "]"
 
-# Shared quality-formula fragments — ONE definition used by both the
-# text_quality oracle and the corpus_curation_pipeline oracle
+# Shared quality-formula fragments — ONE definition used by the
+# text_quality oracle and the corpus_curation_pipeline v1/v2/v3 oracles
 # (curation_queries imports these), so a formula/stopword change cannot
-# desynchronize the composed pipeline from the standalone stage.
-DUCK_QUALITY_M_CTES = f"""
+# desynchronize the composed pipeline from the standalone stage. The
+# source relation is a parameter because v3 scores a DERIVED corpus (the
+# planted-leak train set), not the raw documents table.
+def duck_quality_m_ctes(src: str = "documents") -> str:
+    return f"""
     t AS (
       SELECT doc_id, lang, text, {_DUCK_TOKS.format(c="text")} AS toks,
              regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS punct
-      FROM documents
+      FROM {src}
     ), m AS (
       SELECT doc_id, lang, text, toks,
              CASE WHEN len(toks) > 0
@@ -114,6 +117,9 @@ DUCK_QUALITY_M_CTES = f"""
                   THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok_len
       FROM t
     )"""
+
+
+DUCK_QUALITY_M_CTES = duck_quality_m_ctes()
 DUCK_QUALITY_EXPR = (
     "round(least(stop_ratio_raw * 4.0, 1.0) * 0.4"
     " + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0"

@@ -496,6 +496,7 @@ def _write_sidecar_meta(
     n_perms: int | None = None,
     n_bands: int | None = None,
     band_bits: int | None = None,
+    model_id: str | None = None,
 ) -> None:
     import json
     import os
@@ -507,6 +508,8 @@ def _write_sidecar_meta(
         meta["n_bands"] = int(n_bands)
     if band_bits is not None:
         meta["band_bits"] = int(band_bits)
+    if model_id is not None:
+        meta["model_id"] = str(model_id)
     with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -578,6 +581,18 @@ def _check_mh_shape(sidecar_dir: str, n_perms: int, n_bands: int) -> None:
     pinned_p, pinned_b = meta.get("n_perms"), meta.get("n_bands")
     if pinned_p is None and pinned_b is None:
         return
+    if (pinned_p is None) != (pinned_b is None):
+        # a one-sided pin is corrupt meta (hand-restored or truncated),
+        # not a legacy pre-pin sidecar: int(None) below would raise a
+        # bare TypeError, and trusting the present half risks the same
+        # silent mis-probe the pin exists to prevent
+        raise ValueError(
+            f"corrupt sidecar meta in {sidecar_dir!r}: exactly one of "
+            f"n_perms ({pinned_p!r}) / n_bands ({pinned_b!r}) is pinned — "
+            "refusing to guess the missing half; restore the meta file or "
+            "rebuild the sidecar (delete both frames and let bootstrap "
+            "re-derive them)"
+        )
     if int(pinned_p) != int(n_perms) or int(pinned_b) != int(n_bands):
         raise ValueError(
             f"minhash sidecar {sidecar_dir!r} was built with "
@@ -601,6 +616,15 @@ def _check_sb_shape(sidecar_dir: str, n_bands: int, band_bits: int) -> None:
     pinned_b, pinned_w = meta.get("n_bands"), meta.get("band_bits")
     if pinned_b is None and pinned_w is None:
         return
+    if (pinned_b is None) != (pinned_w is None):
+        # one-sided pin = corrupt meta, not legacy — see _check_mh_shape
+        raise ValueError(
+            f"corrupt sidecar meta in {sidecar_dir!r}: exactly one of "
+            f"n_bands ({pinned_b!r}) / band_bits ({pinned_w!r}) is pinned — "
+            "refusing to guess the missing half; restore the meta file or "
+            "rebuild the sidecar (delete both frames and let bootstrap "
+            "re-derive them)"
+        )
     if int(pinned_b) != int(n_bands) or int(pinned_w) != int(band_bits):
         raise ValueError(
             f"sign-band sidecar {sidecar_dir!r} was built with "
@@ -611,6 +635,24 @@ def _check_sb_shape(sidecar_dir: str, n_bands: int, band_bits: int) -> None:
             "sidecar under the new one (delete both frames and let "
             "bootstrap re-derive them)"
         )
+
+
+def _check_sidecar_model(sidecar_dir: str, model_id: str | None) -> None:
+    """The embedding-model pin on the sign-band sidecar — the layout
+    family's check_model_id contract on the streaming artifact: a batch
+    of vectors from a DIFFERENT embedding model than the sidecar was
+    bootstrapped from bands and cosine-verifies in an incompatible
+    space, so every drop/keep verdict is silently garbage. Opt-in like
+    the shape pins: refuses only when BOTH the meta and the caller
+    declare a model; legacy metas and undeclared callers pass."""
+    from custom_vector_database_spark.operators.layout import check_model_id
+
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
+        return
+    check_model_id(
+        meta.get("model_id"), model_id, f"sign-band sidecar {sidecar_dir!r}"
+    )
 
 
 def _ensure_fp_sidecar(
@@ -1590,7 +1632,7 @@ def _compact_two_frame_sidecar(
         )
         _write_sidecar_meta(
             tmp, out_buckets, _meta.get("n_perms"), _meta.get("n_bands"),
-            _meta.get("band_bits"),
+            _meta.get("band_bits"), _meta.get("model_id"),
         )
         if rebucketing:
             continue  # both tmps land before ANY rename — see below
@@ -1868,6 +1910,7 @@ def stream_corpus_dsir_ingest(
     vec_col: str = "embedding",
     band_bits: int = 16,
     max_cos_dist: float = 0.1,
+    model_id: str | None = None,
 ) -> int:
     """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
     every document against the persisted DSIR log-ratio table
@@ -1913,7 +1956,8 @@ def stream_corpus_dsir_ingest(
     else:
         claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
         _ensure_sb_sidecar(
-            spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets
+            spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets,
+            model_id=model_id,
         )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -1965,7 +2009,7 @@ def stream_corpus_dsir_ingest(
                 spark, kept, batch_id, corpus_dir,
                 id_col=id_col, vec_col=vec_col, n_bands=n_bands,
                 band_bits=band_bits, max_cos_dist=max_cos_dist,
-                n_buckets=n_buckets,
+                n_buckets=n_buckets, model_id=model_id,
             )
 
     return _run_ingest_stream(
@@ -2122,6 +2166,7 @@ def _ensure_sb_sidecar(
     n_bands: int,
     band_bits: int,
     n_buckets: int,
+    model_id: str | None = None,
 ) -> None:
     """One-time bootstrap of BOTH sign-band sidecar frames from a single
     corpus scan — the _ensure_mh_sidecar crash story verbatim: bands tmp
@@ -2148,6 +2193,7 @@ def _ensure_sb_sidecar(
     if os.path.isdir(vecs_dir) and os.path.isdir(bands_dir):
         # fail fast BEFORE any stream starts (the _check_mh_shape story)
         _check_sb_shape(vecs_dir, n_bands, band_bits)
+        _check_sidecar_model(vecs_dir, model_id)
         return
     dim = n_bands * band_bits
     tmp_b = bands_dir + "_tmp"
@@ -2155,6 +2201,7 @@ def _ensure_sb_sidecar(
         # bands missing only: re-derive from the stored vectors
         n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
         _check_sb_shape(vecs_dir, n_bands, band_bits)
+        _check_sidecar_model(vecs_dir, model_id)
         vecs = _read_sb_vecs(spark, vecs_dir)
         rebuilt = vecs.select(
             "id",
@@ -2172,7 +2219,11 @@ def _ensure_sb_sidecar(
         if os.path.isdir(tmp_b):
             shutil.rmtree(tmp_b)
         rebuilt.write.partitionBy("bb").parquet(tmp_b)
-        _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits)
+        # the rebuilt frame inherits the VECS frame's pin, not the
+        # caller's — the stored vectors define the model space
+        vmeta = _read_sidecar_meta(vecs_dir) or {}
+        _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits,
+                            vmeta.get("model_id"))
         if os.path.isdir(bands_dir):
             shutil.rmtree(bands_dir)
         os.rename(tmp_b, bands_dir)
@@ -2180,13 +2231,34 @@ def _ensure_sb_sidecar(
     if os.path.isdir(bands_dir):  # orphan: vecs is the commit marker
         shutil.rmtree(bands_dir)
     if _corpus_has_data(corpus_dir):
+        raw = spark.read.parquet(corpus_dir)
         corpus = (
-            spark.read.parquet(corpus_dir)
+            raw
             # the full undecidability predicate, not just wrong-dim:
             # NULL-component and zero-norm rows would enter the sidecar
             # as permanently unverifiable band rows (cosine NULL)
             .filter(~_sb_undecidable(F.col(vec_col), dim))
             .dropDuplicates([id_col, vec_col])
+        )
+        # bootstrap-EXCLUDED ids still occupy the corpus id space: record
+        # them in the vecs frame as vec=NULL rows (no band rows — they can
+        # never surface as cosine candidates) so the apply path's id-reuse
+        # clash check sees them. Without this, a batch reusing an excluded
+        # row's id passes the clash probe, double-maps the id in the
+        # corpus, and a crash replay's corpus-id reconcile silently drops
+        # the doc while leaving its appended sidecar rows as ghosts —
+        # the exact hazard the check exists to prevent (ADVICE r9).
+        excluded_ids = (
+            raw.filter(_sb_undecidable(F.col(vec_col), dim))
+            .select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+            # at most one vecs row per id: an id that ALSO has a decidable
+            # vector is already represented by its real row
+            .join(
+                corpus.select(F.col(id_col).cast("long").alias("id")),
+                "id",
+                "left_anti",
+            )
         )
         # refuse the ambiguous id->vector mapping the apply path refuses
         # per batch: after exact-duplicate collapse, one id with TWO
@@ -2214,6 +2286,7 @@ def _ensure_sb_sidecar(
         enc = spark.createDataFrame(
             [], f"{id_col} long, {vec_col} array<float>, __keys array<bigint>"
         )
+        excluded_ids = spark.createDataFrame([], "id long")
     enc = enc.localCheckpoint(eager=True)  # two writers below share it
     tmp_v = vecs_dir + "_tmp"
     for t in (tmp_v, tmp_b):
@@ -2222,11 +2295,17 @@ def _ensure_sb_sidecar(
     _sb_band_rows(enc, id_col, -1, n_buckets).write.partitionBy("bb").parquet(
         tmp_b
     )
-    _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits)
-    _sb_vec_rows(enc, id_col, vec_col, -1, n_buckets).write.partitionBy(
-        "idb"
-    ).parquet(tmp_v)
-    _write_sidecar_meta(tmp_v, n_buckets, None, n_bands, band_bits)
+    _write_sidecar_meta(tmp_b, n_buckets, None, n_bands, band_bits, model_id)
+    excluded_rows = excluded_ids.select(
+        "id",
+        F.lit(None).cast("array<float>").alias("vec"),
+        F.lit(-1).cast("long").alias("batch_id"),
+        F.pmod(F.col("id"), F.lit(n_buckets)).alias("idb"),
+    )
+    _sb_vec_rows(enc, id_col, vec_col, -1, n_buckets).unionByName(
+        excluded_rows
+    ).write.partitionBy("idb").parquet(tmp_v)
+    _write_sidecar_meta(tmp_v, n_buckets, None, n_bands, band_bits, model_id)
     os.rename(tmp_b, bands_dir)
     os.rename(tmp_v, vecs_dir)  # commit point
 
@@ -2242,6 +2321,7 @@ def corpus_semdedup_apply_batch(
     band_bits: int = 16,
     max_cos_dist: float = 0.1,
     n_buckets: int = 16,
+    model_id: str | None = None,
 ) -> int:
     """Apply ONE semantic-dedup-on-ingest micro-batch against the
     sign-band sidecar. A document is dropped iff some band key collides
@@ -2273,6 +2353,7 @@ def corpus_semdedup_apply_batch(
     recovering = os.path.exists(claim)
     n_buckets = _sidecar_n_buckets(vecs_dir, n_buckets)
     _check_sb_shape(vecs_dir, n_bands, band_bits)
+    _check_sidecar_model(vecs_dir, model_id)
     dim = n_bands * band_bits
     _refuse_bad_vectors(batch, id_col, vec_col, dim)
 
@@ -2460,6 +2541,7 @@ def stream_corpus_semdedup_ingest(
     band_bits: int = 16,
     max_cos_dist: float = 0.1,
     n_buckets: int = 16,
+    model_id: str | None = None,
 ) -> int:
     """Continuous corpus ingestion with SEMANTIC dedup-on-ingest (see
     corpus_semdedup_apply_batch for the decision rule and crash story) —
@@ -2471,7 +2553,8 @@ def stream_corpus_semdedup_ingest(
 
     claims_dir = os.path.join(corpus_dir, _SB_CLAIMS)
     _ensure_sb_sidecar(
-        spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets
+        spark, corpus_dir, id_col, vec_col, n_bands, band_bits, n_buckets,
+        model_id=model_id,
     )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -2479,7 +2562,7 @@ def stream_corpus_semdedup_ingest(
             spark, batch, batch_id, corpus_dir,
             id_col=id_col, vec_col=vec_col, n_bands=n_bands,
             band_bits=band_bits, max_cos_dist=max_cos_dist,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, model_id=model_id,
         )
 
     return _run_ingest_stream(
@@ -2539,7 +2622,14 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
     per-bucket file fragmentation), and outstanding crash-recovery
     claims (the resolve-before-compacting signal). Frames are read
     whole — sidecars are corpus-METADATA-sized by design, and this is
-    a maintenance verb, not a probe path."""
+    a maintenance verb, not a probe path.
+
+    Two-frame families heal a pending rebucket commit marker FIRST
+    (the compact/ensure/probe convention): post-marker pre-heal the
+    two frames sit on DIFFERENT moduli and the stale first-frame meta
+    would price files_per_bucket against the wrong n_buckets — in
+    exactly the state an operator consults this verb to decide whether
+    to compact."""
     import glob
     import os
 
@@ -2548,13 +2638,19 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
     )
     report: dict = {}
     families = (
-        ("exact", ((_FP_SIDECAR, _read_fp_sidecar),), _FP_CLAIMS),
+        ("exact", ((_FP_SIDECAR, _read_fp_sidecar),), _FP_CLAIMS, None),
         ("minhash", ((_MH_SIGS, _read_mh_sigs), (_MH_BANDS, _read_mh_bands)),
-         _MH_CLAIMS),
+         _MH_CLAIMS, _MH_REBUCKET_MARKER),
         ("signband", ((_SB_VECS, _read_sb_vecs), (_SB_BANDS, _read_sb_bands)),
-         _SB_CLAIMS),
+         _SB_CLAIMS, _SB_REBUCKET_MARKER),
     )
-    for family, frames, claims_name in families:
+    for family, frames, claims_name, marker_name in families:
+        if marker_name is not None:
+            _heal_two_frame_rebucket(
+                corpus_dir,
+                marker_name,
+                tuple(os.path.join(corpus_dir, name) for name, _ in frames),
+            )
         first_dir = os.path.join(corpus_dir, frames[0][0])
         if not os.path.isdir(first_dir):
             continue

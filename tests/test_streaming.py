@@ -2351,8 +2351,10 @@ def test_r9_second_pass_regressions(spark, tmp_path):
     with pytest.raises(ValueError, match="reuses 'doc_id'"):
         corpus_semdedup_apply_batch(spark, reuse, 1, corpus)
 
-    # bootstrap exclusion: a dirty pre-existing corpus keeps its rows
-    # but the undecidable ones never enter the sidecar
+    # bootstrap exclusion: a dirty pre-existing corpus keeps its rows;
+    # the undecidable ones enter the VECS frame as vec=NULL id markers
+    # only (r10 ADVICE: the id-reuse clash check must see the full
+    # corpus id space) and never band — they can't be cosine candidates
     import os
 
     dirty = str(tmp_path / "dirty")
@@ -2362,11 +2364,22 @@ def test_r9_second_pass_regressions(spark, tmp_path):
     )
     docs.unionByName(bad_rows).write.parquet(dirty)
     _ensure_sb_sidecar(spark, dirty, "doc_id", "embedding", 4, 16, 16)
-    ids = {
+    rows = _read_sb_vecs(spark, os.path.join(dirty, _SB_VECS)).collect()
+    ids = {r["id"] for r in rows}
+    assert ids == {900, 901} | {r["doc_id"] for r in docs.collect()}
+    assert all(r["vec"] is None for r in rows if r["id"] in (900, 901))
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_BANDS,
+        _read_sb_bands,
+    )
+
+    band_ids = {
         r["id"]
-        for r in _read_sb_vecs(spark, os.path.join(dirty, _SB_VECS)).collect()
+        for r in _read_sb_bands(
+            spark, os.path.join(dirty, _SB_BANDS)
+        ).collect()
     }
-    assert 900 not in ids and 901 not in ids and len(ids) == 10
+    assert 900 not in band_ids and 901 not in band_ids
 
 
 def test_dsir_gated_ingest_composes_with_semdedup(spark, tmp_path):
