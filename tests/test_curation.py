@@ -581,3 +581,40 @@ def test_dsir_empty_text_doc_kept_with_zero_weight(spark):
     }
     assert w[1] == (0, 0)  # no grams -> neutral weight, still selectable
     assert w[2][0] == 3  # 2 unigrams + 1 bigram
+
+
+def test_pipeline_v3_decon_stage_semantics(spark):
+    """corpus_curation_pipeline_v3 (round 10): the decontamination stage's
+    policy comparison must be coherent — span-cut keeps every deduped doc
+    but strictly fewer tokens when leaks exist; doc-drop keeps fewer docs
+    and at most span-cut's tokens; stage yields are monotone down the
+    chain; and the salted split does real work (strict subset of the
+    quality survivors — the UNSALTED split was measured vacuous because
+    cap_per_group's draw and the split shared md5(doc_id))."""
+    from custom_vector_database_spark.queries.curation_queries import (
+        q_corpus_curation_pipeline_v3,
+    )
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in q_corpus_curation_pipeline_v3(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {
+        "0_raw", "1_capped", "2_dedup", "3_decon_spancut",
+        "3b_decon_docdrop", "4_quality", "5_train", "6_packed",
+    }
+    # span-cut keeps ALL deduped docs, cuts tokens (the planted leak)
+    assert rows["3_decon_spancut"][0] == rows["2_dedup"][0]
+    assert rows["3_decon_spancut"][1] < rows["2_dedup"][1]
+    # doc-drop: fewer docs, fewer tokens than span-cut — the yield the
+    # surgical policy exists to save
+    assert rows["3b_decon_docdrop"][0] < rows["3_decon_spancut"][0]
+    assert rows["3b_decon_docdrop"][1] < rows["3_decon_spancut"][1]
+    # monotone chain from the span-cut frontier
+    assert rows["4_quality"][0] <= rows["3_decon_spancut"][0]
+    # the SALTED split is non-vacuous: a strict subset survives
+    assert 0 < rows["5_train"][0] < rows["4_quality"][0]
+    # packing conserves the train tokens exactly
+    assert rows["6_packed"][1] == rows["5_train"][1]
