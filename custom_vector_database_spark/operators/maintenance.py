@@ -1,0 +1,248 @@
+"""Rebuild/compact autopilot: ONE verb that reads the repo's two
+maintenance signals — ``quantization_error_report`` (when is a fitted
+layout's quantizer stale, operators/pq.py) and ``sidecar_report`` (when
+is a dedup-on-ingest sidecar fragmented, streaming/stream_ops.py) — and
+turns them into a ranked action table, optionally executing it via the
+existing crash-safe verbs.
+
+This closes the ops loop the reference hands the operator as an explicit
+``rebuild`` command (main.cpp:34, vectordb.cpp:82-118): since round 9
+the signals exist on all five fitted layouts and all three sidecar
+families, but ACTING on them was N manual calls. A 100 TB operator runs
+exactly this verb on a schedule: plan mode is metadata-cheap (two scalar
+aggregates per layout, sidecar frame counts — never a corpus scan), and
+execute mode only ever drives the verbs that already own their crash
+stories (compact_fp/mh/sb_sidecar; a caller-supplied refit + the
+tmp-then-rename swap VectorTable._swap_index_in proved).
+
+Action semantics:
+
+- ``rebuild`` (a layout): its staleness report tripped ``stale`` —
+  recent rows quantize ``err_ratio``× worse than the build corpus.
+  Executable only when the entry supplies ``refit`` (a zero-arg callable
+  returning a NEW fitted index over the data the layout must serve —
+  refit hyperparameters are owner knowledge) and a save ``path``.
+- ``compact`` (a sidecar family): some frame's files_per_bucket exceeds
+  the threshold. Blocked while the family has outstanding claims —
+  compaction erases the per-batch rows crash recovery reconciles
+  against, the same refusal the compact verbs themselves make.
+- ``resolve_claims`` (a sidecar family): outstanding crash-recovery
+  claims exist; never executed by this verb (re-driving the ingest
+  stream is the resolution), always ranked FIRST — nothing else in the
+  family is safe to run over it.
+- ``none``: the signal was read and is healthy; listed so the plan is a
+  complete audit, ranked last.
+
+The plan is DATA (a list of dicts): execute mode re-reads nothing and
+runs exactly the actions its own plan listed — the property the
+execute-mode test pins.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+_SIDECAR_COMPACT_VERBS = {
+    "exact": "compact_fp_sidecar",
+    "minhash": "compact_mh_sidecar",
+    "signband": "compact_sb_sidecar",
+}
+
+
+def _severity(action: str, metric: float, threshold: float) -> tuple:
+    """Rank key: claims first (blockers), then actionable by how far
+    past threshold, then healthy rows."""
+    order = {"resolve_claims": 0, "rebuild": 1, "compact": 1, "none": 2}[
+        action
+    ]
+    over = (metric / threshold) if threshold else 0.0
+    return (order, -over)
+
+
+def maintenance_plan(
+    spark: SparkSession,
+    layouts=(),
+    corpora=(),
+    max_files_per_bucket: float = 4.0,
+) -> list[dict]:
+    """Build the ranked action table.
+
+    ``layouts``: dicts with keys ``name``, ``index`` (a fitted/loaded
+    instance of any staleness-protocol layout), ``build_df``,
+    ``recent_df`` (the quantization_error_report inputs), optional
+    ``vec_col`` (default "vec"), ``ratio_threshold`` (default 2.0),
+    ``model_id``, ``refit`` (zero-arg callable -> new fitted index),
+    ``path`` (where the rebuilt layout is swapped in; defaults to the
+    index's saved path).
+
+    ``corpora``: (name, corpus_dir) pairs (or bare dirs, named by their
+    basename); every sidecar family present under each corpus is read
+    via sidecar_report.
+
+    Returns plan rows ``{target, kind, action, metric_name, metric,
+    threshold, blocked, executable, reason}``, most urgent first."""
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        sidecar_report,
+    )
+
+    plan: list[dict] = []
+    for ent in layouts:
+        idx = ent["index"]
+        thr = float(ent.get("ratio_threshold", 2.0))
+        rep = quantization_error_report(
+            idx,
+            ent["build_df"],
+            ent["recent_df"],
+            vec_col=ent.get("vec_col", "vec"),
+            ratio_threshold=thr,
+            model_id=ent.get("model_id"),
+        ).first()
+        stale = bool(rep["stale"])
+        can_exec = ent.get("refit") is not None and (
+            ent.get("path") or getattr(idx, "_path", None)
+        )
+        plan.append({
+            "target": ent["name"],
+            "kind": f"layout:{type(idx).__name__}",
+            "action": "rebuild" if stale else "none",
+            "metric_name": "err_ratio",
+            "metric": float(rep["err_ratio"]),
+            "threshold": thr,
+            "blocked": False,
+            "executable": bool(stale and can_exec),
+            "reason": (
+                f"recent rows quantize {rep['err_ratio']}x worse than the "
+                "build corpus" if stale else "err_ratio within threshold"
+            )
+            + ("" if can_exec or not stale
+               else "; not executable: supply refit= and path="),
+        })
+    for item in corpora:
+        name, corpus_dir = (
+            item if isinstance(item, (tuple, list))
+            else (os.path.basename(str(item)), item)
+        )
+        rep = sidecar_report(spark, corpus_dir)
+        for family in sorted(rep):
+            fam = rep[family]
+            target = f"{name}:{family}"
+            n_claims = len(fam["outstanding_claims"])
+            frames = [v for v in fam["frames"].values() if v is not None]
+            heal_pending = len(frames) != len(fam["frames"])
+            fpb = max(
+                (f["files_per_bucket"] for f in frames), default=0.0
+            )
+            if n_claims:
+                plan.append({
+                    "target": target,
+                    "kind": f"sidecar:{family}",
+                    "action": "resolve_claims",
+                    "metric_name": "n_claims",
+                    "metric": float(n_claims),
+                    "threshold": 0.0,
+                    "blocked": False,
+                    "executable": False,
+                    "reason": "re-drive the ingest stream to resolve "
+                    "outstanding claims; compaction is unsafe over them",
+                })
+            if fpb > max_files_per_bucket:
+                plan.append({
+                    "target": target,
+                    "kind": f"sidecar:{family}",
+                    "action": "compact",
+                    "metric_name": "files_per_bucket",
+                    "metric": float(fpb),
+                    "threshold": float(max_files_per_bucket),
+                    "blocked": bool(n_claims or heal_pending),
+                    "executable": not (n_claims or heal_pending),
+                    "reason": (
+                        "blocked by outstanding claims" if n_claims
+                        else "blocked: heal-pending frame" if heal_pending
+                        else f"{fpb} files/bucket exceeds "
+                        f"{max_files_per_bucket}"
+                    ),
+                    "_corpus_dir": corpus_dir,
+                })
+            elif not n_claims:
+                plan.append({
+                    "target": target,
+                    "kind": f"sidecar:{family}",
+                    "action": "none",
+                    "metric_name": "files_per_bucket",
+                    "metric": float(fpb),
+                    "threshold": float(max_files_per_bucket),
+                    "blocked": False,
+                    "executable": False,
+                    "reason": "fragmentation within threshold",
+                })
+    plan.sort(
+        key=lambda a: _severity(a["action"], a["metric"], a["threshold"])
+        + (a["target"],)
+    )
+    return plan
+
+
+def _swap_layout_in(index, path: str) -> None:
+    """Install a freshly fitted layout at ``path`` crash-safely — the
+    VectorTable._swap_index_in rename dance without the kind marker
+    (these layouts self-describe via meta.json): heal a prior mid-swap
+    crash, save into a sibling tmp, rename old away, rename tmp in."""
+    tmp, old = path + "_tmp", path + "_old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # heal: crash between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    index.save(tmp)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    if hasattr(index, "_path"):
+        index._path = path
+
+
+def run_maintenance(
+    spark: SparkSession,
+    layouts=(),
+    corpora=(),
+    max_files_per_bucket: float = 4.0,
+    execute: bool = False,
+) -> tuple[list[dict], list[dict]]:
+    """Plan, and optionally execute. Returns (plan, executed) where
+    ``executed`` records one entry per action actually run — always a
+    subset of the plan's ``executable`` rows (the autopilot contract:
+    it only runs what its own plan listed, and nothing blocked)."""
+    import custom_vector_database_spark.streaming.stream_ops as so
+
+    by_name = {ent["name"]: ent for ent in layouts}
+    plan = maintenance_plan(
+        spark, layouts, corpora, max_files_per_bucket=max_files_per_bucket
+    )
+    executed: list[dict] = []
+    if not execute:
+        return plan, executed
+    for a in plan:
+        if not a["executable"] or a["blocked"]:
+            continue
+        if a["action"] == "compact":
+            family = a["kind"].split(":", 1)[1]
+            verb = getattr(so, _SIDECAR_COMPACT_VERBS[family])
+            stats = verb(spark, a["_corpus_dir"])
+            executed.append({
+                "target": a["target"], "action": "compact", "stats": stats,
+            })
+        elif a["action"] == "rebuild":
+            ent = by_name[a["target"]]
+            new_idx = ent["refit"]()
+            path = ent.get("path") or getattr(ent["index"], "_path")
+            _swap_layout_in(new_idx, path)
+            executed.append({
+                "target": a["target"], "action": "rebuild", "path": path,
+            })
+    return plan, executed

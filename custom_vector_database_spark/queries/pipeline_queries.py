@@ -2462,3 +2462,279 @@ def q_semantic_decontaminate_docs(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sidecar_report (round 10): the ingest family's describe() as a priced,
+# oracle-checked row — the r9 verdict's registration ask. One corpus
+# carries all THREE dedup-on-ingest sidecars (the existing test fixture):
+# minhash and sign-band bootstrapped over the 201-doc corpus (200 real
+# docs joined to their embeddings + ONE planted zero-norm doc, so the
+# report also covers the r10 excluded-id marker: a vecs row with
+# vec=NULL and no band rows), then a clean exact-family STREAM ingest
+# (bootstrap + one micro-batched delta, claims resolved by the runner).
+# The oracle recomputes every frame's row count from the tables — the
+# exact frame's post-ingest fingerprint set, the minhash frames' one
+# sig row / n_bands band rows per distinct fingerprint, the sign-band
+# frames' one vecs row per doc (+1 NULL marker) / n_bands band rows per
+# DECIDABLE doc — and pins the meta shape values and zero outstanding
+# claims. report_ok certifies Spark-side structure the SQL cannot see:
+# every frame present (no heal-pending halves), files_per_bucket > 0,
+# and the claims list empty (the compact_ok convention).
+# ---------------------------------------------------------------------------
+_SR_PLANT = (
+    "zero norm planted document with enough repeated filler tokens to "
+    "shingle and band cleanly in every text keyed sidecar family"
+)
+
+
+@register(
+    "sidecar_report",
+    f"""
+    WITH corpus AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.doc_id < 200),
+    all0 AS (
+      SELECT doc_id, text FROM corpus
+      UNION ALL SELECT 900, '{_SR_PLANT}'),
+    fps0 AS (SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM all0),
+    new_texts AS (
+      SELECT text || ' sidecar report suffix' AS text
+      FROM corpus WHERE doc_id >= 20 AND doc_id < 30),
+    new_fps AS (
+      SELECT DISTINCT {_FP_DUCK.format(t="text")} AS fp FROM new_texts),
+    kept AS (SELECT fp FROM new_fps WHERE fp NOT IN (SELECT fp FROM fps0)),
+    n AS (SELECT (SELECT COUNT(*) FROM fps0) AS n0,
+                 (SELECT COUNT(*) FROM kept) AS nk,
+                 (SELECT COUNT(*) FROM corpus) AS nsb)
+    SELECT * FROM (
+      SELECT 'exact' AS family, CAST(16 AS BIGINT) AS n_buckets,
+             CAST(NULL AS BIGINT) AS n_perms,
+             CAST(NULL AS BIGINT) AS n_bands,
+             CAST(NULL AS BIGINT) AS band_bits,
+             CAST(n0 + nk AS BIGINT) AS rows_primary,
+             CAST(NULL AS BIGINT) AS rows_bands,
+             CAST(0 AS BIGINT) AS n_claims, TRUE AS report_ok
+      FROM n
+      UNION ALL
+      SELECT 'minhash', 16, 16, 4, NULL, n0, n0 * 4, 0, TRUE FROM n
+      UNION ALL
+      SELECT 'signband', 16, NULL, 4, 16, nsb + 1, nsb * 4, 0, TRUE FROM n)
+    ORDER BY family
+    """,
+)
+def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_mh_sidecar,
+        _ensure_sb_sidecar,
+        sidecar_report,
+        stream_corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.filter(F.col("doc_id") < 200).join(emb, "doc_id")
+    planted = spark.createDataFrame(
+        [(900, _SR_PLANT, [0.0] * 64)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_sidecar_report_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        full = corpus.unionByName(planted)
+        full.write.parquet(corpus_dir)
+        # two-frame families over the ORIGINAL corpus (the exact-family
+        # stream below appends docs, but only to the corpus + fp frames)
+        _ensure_mh_sidecar(spark, corpus_dir, "text", 16, 4, 16)
+        _ensure_sb_sidecar(
+            spark, corpus_dir, "doc_id", "embedding", 4, 16, 16
+        )
+        # clean exact-family ingest: fp bootstrap + >= 2 micro-batches,
+        # every claim resolved by the runner
+        fresh = (
+            corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" sidecar report suffix")),
+            )
+        )
+        fresh.repartition(4).write.parquet(delta_dir)
+        stream_corpus_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=full.schema
+        )
+
+        rep = sidecar_report(spark, corpus_dir)
+        rows = []
+        for family in sorted(rep):
+            fam = rep[family]
+            meta, frames = fam["meta"], fam["frames"]
+            names = sorted(
+                frames,
+                # primary frame first: _fingerprints / _mh_sigs / _sb_vecs
+                key=lambda x: {"_mh_sigs": 0, "_sb_vecs": 0}.get(x, 1)
+                if family != "exact" else 0,
+            )
+            ok = (
+                all(frames[x] is not None for x in names)
+                and all(frames[x]["files_per_bucket"] > 0 for x in names)
+                and fam["outstanding_claims"] == []
+            )
+            rows.append((
+                family,
+                int(meta["n_buckets"]),
+                int(meta["n_perms"]) if meta.get("n_perms") is not None
+                else None,
+                int(meta["n_bands"]) if meta.get("n_bands") is not None
+                else None,
+                int(meta["band_bits"]) if meta.get("band_bits") is not None
+                else None,
+                int(frames[names[0]]["n_rows"]),
+                int(frames[names[1]]["n_rows"]) if len(names) > 1 else None,
+                len(fam["outstanding_claims"]),
+                bool(ok),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "family string, n_buckets long, n_perms long, n_bands long, "
+            "band_bits long, rows_primary long, rows_bands long, "
+            "n_claims long, report_ok boolean",
+        ).orderBy("family")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# maintenance_plan (round 10): the rebuild/compact AUTOPILOT's report
+# mode as a priced row (operators/maintenance.py) — one verb reads the
+# staleness protocol (quantization_error_report over a saved layout) and
+# the sidecar snapshots (sidecar_report) and emits the ranked action
+# table a 100 TB operator runs on a schedule. Deterministic fixture:
+# the cached saved IVF-PQ layout evaluated against a fresh slice
+# (vec_id % 3 == 0 -> 'none') and a +1.0-drifted slice (the
+# pq_staleness_report construction -> 'rebuild'); a tmp corpus whose
+# sign-band sidecar is fragmented by two resolved apply batches at 4
+# buckets -> 'compact' (executable); a tmp corpus with one planted
+# outstanding claim -> 'resolve_claims' (never executable). The oracle
+# pins the full classification table — target, action, blocked,
+# executable, over_threshold — plus plan_ok certifying the rank
+# invariant SQL cannot see (resolve_claims first, healthy rows last;
+# the metric-ratio ordering between rebuild and compact is fit- and
+# sf-dependent, so rows are compared BY TARGET and the invariant rides
+# the boolean). Execute mode is pinned by
+# tests/test_maintenance.py::test_execute_runs_exactly_the_plan.
+# ---------------------------------------------------------------------------
+@register(
+    "maintenance_plan",
+    """
+    SELECT * FROM (VALUES
+      ('claimed:exact', 'resolve_claims', FALSE, FALSE, TRUE, TRUE),
+      ('emb_drifted', 'rebuild', FALSE, FALSE, TRUE, TRUE),
+      ('emb_fresh', 'none', FALSE, FALSE, FALSE, TRUE),
+      ('frag:signband', 'compact', FALSE, TRUE, TRUE, TRUE)
+    ) AS t(target, action, blocked, executable, over_threshold, plan_ok)
+    ORDER BY target
+    """,
+)
+def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+    )
+    from custom_vector_database_spark.queries.vector_queries import (
+        saved_index,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_fp_sidecar,
+        _ensure_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    idx = saved_index(spark, sf_dir, "ivfpq")
+    emb = load_spread(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    fresh = base.filter(F.col("vec_id") % 3 == 0)
+    drifted = base.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    layouts = [
+        {"name": "emb_fresh", "index": idx, "build_df": base,
+         "recent_df": fresh},
+        {"name": "emb_drifted", "index": idx, "build_df": base,
+         "recent_df": drifted},
+    ]
+    tmp = tempfile.mkdtemp(prefix="cvdb_maintenance_")
+    try:
+        # fragmented sign-band corpus: bootstrap at 4 buckets + two
+        # resolved apply batches of guaranteed-fresh vectors (negated /
+        # shifted: max natural |cos| ~= 0.55 in this data)
+        frag = os.path.join(tmp, "frag")
+        docs = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        docs.write.parquet(frag)
+        _ensure_sb_sidecar(spark, frag, "doc_id", "embedding", 4, 16, 4)
+        for b, op in ((1, "-x"), (2, "-(x + 0.25)")):
+            batch = docs.limit(5).select(
+                (F.col("doc_id") + 10_000 * b).alias("doc_id"),
+                F.expr(
+                    f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"
+                    " AS FLOAT))"
+                ).alias("embedding"),
+            )
+            corpus_semdedup_apply_batch(spark, batch, b, frag, n_buckets=4)
+        for c in glob.glob(os.path.join(frag, "_sb_claims", "claim_*")):
+            os.remove(c)
+        # healthy exact sidecar with ONE planted outstanding claim
+        claimed = os.path.join(tmp, "claimed")
+        load(spark, sf_dir, "documents").limit(10).write.parquet(claimed)
+        _ensure_fp_sidecar(
+            spark, claimed, os.path.join(claimed, "_fingerprints"),
+            "text", 16,
+        )
+        os.makedirs(os.path.join(claimed, "_ingest_claims"), exist_ok=True)
+        with open(
+            os.path.join(claimed, "_ingest_claims", "claim_7"), "a"
+        ):
+            pass
+
+        plan = maintenance_plan(
+            spark, layouts, [("frag", frag), ("claimed", claimed)],
+            max_files_per_bucket=1.4,
+        )
+        # the rank invariant SQL cannot see: blockers first, healthy last
+        kinds = [a["action"] for a in plan]
+        ok = (
+            kinds[0] == "resolve_claims"
+            and kinds[-1] == "none"
+            and all(
+                k in ("rebuild", "compact") for k in kinds[1:-1]
+            )
+        )
+        rows = [
+            (a["target"], a["action"], a["blocked"], a["executable"],
+             a["metric"] > a["threshold"], bool(ok))
+            for a in plan
+        ]
+        return spark.createDataFrame(
+            rows,
+            "target string, action string, blocked boolean, "
+            "executable boolean, over_threshold boolean, plan_ok boolean",
+        ).orderBy("target")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

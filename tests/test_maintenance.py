@@ -1,0 +1,205 @@
+"""The rebuild/compact autopilot (operators/maintenance.py, round 10):
+plan mode turns quantization_error_report + sidecar_report into a ranked
+action table; execute mode runs EXACTLY the plan's executable rows via
+the existing crash-safe verbs — never a blocked row, never an action the
+plan didn't list. Closes the ops loop the reference hands the operator
+as an explicit rebuild command (main.cpp:34, vectordb.cpp:82-118)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, lo=0, hi=64):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+
+
+def _drift(df):
+    return df.withColumn(
+        "vec",
+        F.expr("transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"),
+    )
+
+
+def _frag_sb_corpus(spark, tmp_path, name):
+    """A corpus whose sign-band sidecar is fragmented: bootstrap at 4
+    buckets + two apply batches of guaranteed-fresh vectors, claims
+    resolved (the runner convention)."""
+    import glob
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    corpus = str(tmp_path / name)
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 4)
+    for b, op in ((1, "-x"), (2, "-(x + 0.25)")):
+        batch = docs.limit(5).select(
+            (F.col("doc_id") + 10_000 * b).alias("doc_id"),
+            F.expr(
+                f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"
+                " AS FLOAT))"
+            ).alias("embedding"),
+        )
+        corpus_semdedup_apply_batch(spark, batch, b, corpus, n_buckets=4)
+    for c in glob.glob(os.path.join(corpus, "_sb_claims", "claim_*")):
+        os.remove(c)
+    return corpus
+
+
+def test_plan_ranks_and_classifies(spark, tmp_path):
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_fp_sidecar,
+    )
+
+    base = _vecs(spark)
+    idx = IvfIndex.fit(base, n_clusters=4)
+    layouts = [
+        {"name": "fresh", "index": idx, "build_df": base,
+         "recent_df": base.limit(16)},
+        {"name": "drifted", "index": idx, "build_df": base,
+         "recent_df": _drift(base.limit(16))},
+    ]
+    frag = _frag_sb_corpus(spark, tmp_path, "frag")
+    # a second corpus: healthy exact sidecar but ONE outstanding claim
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    claimed = str(tmp_path / "claimed")
+    docs.write.parquet(claimed)
+    _ensure_fp_sidecar(
+        spark, claimed, os.path.join(claimed, "_fingerprints"), "text", 16
+    )
+    os.makedirs(os.path.join(claimed, "_ingest_claims"), exist_ok=True)
+    with open(os.path.join(claimed, "_ingest_claims", "claim_7"), "a"):
+        pass
+
+    plan = maintenance_plan(
+        spark, layouts,
+        [("frag", frag), ("claimed", claimed)],
+        max_files_per_bucket=1.4,
+    )
+    by = {(a["target"], a["action"]): a for a in plan}
+    assert by[("drifted", "rebuild")]["metric"] > 2.0
+    assert not by[("drifted", "rebuild")]["executable"]  # no refit supplied
+    assert ("fresh", "none") in by
+    assert by[("frag:signband", "compact")]["executable"]
+    assert by[("frag:signband", "compact")]["metric"] > 1.4
+    assert ("claimed:exact", "resolve_claims") in by
+    assert not by[("claimed:exact", "resolve_claims")]["executable"]
+    # ranking: claims first, healthy rows last
+    assert plan[0]["action"] == "resolve_claims"
+    assert plan[-1]["action"] == "none"
+    actionable = [a for a in plan if a["action"] in ("rebuild", "compact")]
+    # within the actionable band, farther past threshold ranks higher
+    overs = [a["metric"] / a["threshold"] for a in actionable]
+    assert overs == sorted(overs, reverse=True)
+
+
+def test_execute_runs_exactly_the_plan(spark, tmp_path):
+    """The autopilot contract: executed == the plan's executable rows —
+    the blocked compact does NOT run, the unlisted layout is NOT refit,
+    the listed rebuild + compact both land via the crash-safe verbs."""
+    import glob
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    base = _vecs(spark)
+    drifted = _drift(base)
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.fit(base, n_clusters=4)
+    idx.save(path)
+
+    calls = []
+
+    def refit_drifted():
+        calls.append("drifted")
+        # the rebuild a real operator runs: refit on the data the layout
+        # must serve NOW (the drifted distribution)
+        return IvfIndex.fit(drifted, n_clusters=4)
+
+    def refit_fresh():
+        calls.append("fresh")
+        return IvfIndex.fit(base, n_clusters=4)
+
+    layouts = [
+        {"name": "drifted", "index": idx, "build_df": base,
+         "recent_df": drifted.limit(16), "refit": refit_drifted,
+         "path": path},
+        {"name": "fresh", "index": idx, "build_df": base,
+         "recent_df": base.limit(16), "refit": refit_fresh, "path": path},
+    ]
+    frag = _frag_sb_corpus(spark, tmp_path, "frag")
+    # blocked: fragmented AND claimed — compact listed but must not run
+    blocked = _frag_sb_corpus(spark, tmp_path, "blocked")
+    os.makedirs(os.path.join(blocked, "_sb_claims"), exist_ok=True)
+    with open(os.path.join(blocked, "_sb_claims", "claim_9"), "a"):
+        pass
+    count_files = lambda d: len(  # noqa: E731
+        glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+    frag_before = count_files(os.path.join(frag, "_sb_bands"))
+    blocked_before = count_files(os.path.join(blocked, "_sb_bands"))
+
+    plan, executed = run_maintenance(
+        spark, layouts, [("frag", frag), ("blocked", blocked)],
+        max_files_per_bucket=1.4, execute=True,
+    )
+    # executed == exactly the executable plan rows
+    assert sorted((e["target"], e["action"]) for e in executed) == sorted(
+        (a["target"], a["action"]) for a in plan if a["executable"]
+    )
+    assert calls == ["drifted"]  # the fresh layout was never refit
+    by = {(a["target"], a["action"]): a for a in plan}
+    assert by[("blocked:signband", "compact")]["blocked"]
+    assert count_files(os.path.join(blocked, "_sb_bands")) == blocked_before
+    assert count_files(os.path.join(frag, "_sb_bands")) < frag_before
+    # the rebuilt layout is installed at path, loadable, and fresh again
+    new = IvfIndex.load(spark, path)
+    rep = quantization_error_report(new, drifted, drifted.limit(16)).first()
+    assert not rep["stale"]
+    assert not os.path.isdir(path + "_tmp") and not os.path.isdir(
+        path + "_old"
+    )
+
+
+def test_swap_layout_in_heals_mid_swap_crash(spark, tmp_path):
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        _swap_layout_in,
+    )
+
+    base = _vecs(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(base, n_clusters=4).save(path)
+    # simulate a crash between the two renames: old moved away, tmp gone
+    os.rename(path, path + "_old")
+    _swap_layout_in(IvfIndex.fit(base, n_clusters=4), path)
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + "_old")
+    q = [float(x) for x in base.first()["vec"]]
+    assert IvfIndex.load(spark, path).search(q, 3).count() == 3
