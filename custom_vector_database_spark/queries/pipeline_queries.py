@@ -2738,3 +2738,101 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("target")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_payload_ingest (round 10): the exact ingest family's MULTIMODAL
+# member — fp_kind='payload_md5' keys the fingerprint sidecar on a raw
+# md5 over an opaque BINARY payload column, so image/audio/video corpora
+# get byte-level exact dedup-on-ingest with NO codec (the one multimodal
+# capability the sandbox stubs never gate). Fixture payloads are the
+# documents' UTF-8 bytes (DuckDB's md5(text) IS md5 over those bytes, so
+# the oracle recomputes every payload hash exactly): delta = 10 verbatim
+# byte-copies under fresh ids (all dropped), 10 one-suffix-altered
+# payloads (kept), 1 intra-delta byte-dup (dropped). Same aggregate
+# contract as stream_corpus_ingest — corpus∪kept fingerprint set,
+# mod-reduced checksum — under the payload fingerprint expression; the
+# fp-kind pin, legacy-meta behavior, garbage-corpus steady state, and
+# compaction carry are pinned by
+# tests/test_streaming.py::test_payload_ingest_multimodal_member.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_payload_ingest",
+    f"""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents
+    ), new_p AS (
+      SELECT md5(text || ' r10 payload suffix') AS fp
+      FROM documents WHERE doc_id >= 10 AND doc_id < 20
+    ), new_fps AS (
+      SELECT DISTINCT fp FROM new_p
+    ), kept_new AS (
+      SELECT fp FROM new_fps
+      WHERE fp NOT IN (SELECT fp FROM corpus)
+    ), final AS (
+      SELECT fp FROM corpus UNION ALL SELECT fp FROM kept_new
+    )
+    SELECT COUNT(*) AS n_media,
+           COUNT(DISTINCT fp) AS n_distinct_fp,
+           (SELECT {_FP_CKSUM_DUCK} FROM (SELECT DISTINCT fp FROM final))
+             AS fp_checksum,
+           TRUE AS ingest_ok
+    FROM final
+    """,
+)
+def q_stream_payload_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_payload_ingest_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        media.write.parquet(corpus_dir)
+        copies = media.filter(F.col("media_id") < 10).withColumn(
+            "media_id", F.col("media_id") + 1_000_000_000
+        )
+        fresh = (
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+            .select(
+                (F.col("doc_id") + 2_000_000_000).alias("media_id"),
+                F.encode(
+                    F.concat(F.col("text"), F.lit(" r10 payload suffix")),
+                    "UTF-8",
+                ).cast("binary").alias("payload"),
+            )
+        )
+        intra_dup = fresh.filter(
+            F.col("media_id") == 2_000_000_010
+        ).withColumn("media_id", F.col("media_id") + 1_000_000_000)
+        delta = copies.unionByName(fresh).unionByName(intra_dup)
+        # 4 part files / maxFilesPerTrigger=2 -> >= 2 micro-batches
+        delta.repartition(4).write.parquet(delta_dir)
+        n_batches = stream_corpus_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=media.schema,
+            id_col="media_id", text_col="payload", fp_kind="payload_md5",
+        )
+        final = spark.read.parquet(corpus_dir).select(
+            F.md5(F.col("payload")).alias("fp")
+        ).localCheckpoint(eager=True)  # tmp corpus deleted on return
+        cksum = _fp_checksum_agg(final.select("fp"))
+        return (
+            final.agg(
+                F.count(F.lit(1)).alias("n_media"),
+                F.count_distinct("fp").alias("n_distinct_fp"),
+            )
+            .crossJoin(cksum)
+            .withColumn("ingest_ok", F.lit(n_batches >= 2))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

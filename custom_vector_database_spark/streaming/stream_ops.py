@@ -497,6 +497,7 @@ def _write_sidecar_meta(
     n_bands: int | None = None,
     band_bits: int | None = None,
     model_id: str | None = None,
+    fp_kind: str | None = None,
 ) -> None:
     import json
     import os
@@ -510,6 +511,8 @@ def _write_sidecar_meta(
         meta["band_bits"] = int(band_bits)
     if model_id is not None:
         meta["model_id"] = str(model_id)
+    if fp_kind is not None:
+        meta["fp_kind"] = str(fp_kind)
     with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -655,12 +658,57 @@ def _check_sidecar_model(sidecar_dir: str, model_id: str | None) -> None:
     )
 
 
+# The exact family's fingerprint KINDS: how the key column becomes the
+# sidecar's fp string. 'text' is the original normalized-text member
+# (lowercase/collapse-spaces/trim md5 — operators/text.fingerprint_md5);
+# 'payload_md5' is the round-10 MULTIMODAL member: a raw md5 over an
+# opaque BINARY payload column (image/audio/video bytes) — byte-level
+# exact dedup needs NO codec, so it works in any environment the decode
+# stubs don't (multimodal.py's env-gates). Same sidecar, same claims,
+# same crash story; only the fingerprint expression differs.
+_FP_KINDS = ("text", "payload_md5")
+
+
+def _fp_expr(col_name: str, fp_kind: str):
+    from custom_vector_database_spark.operators.text import fingerprint_md5
+
+    if fp_kind == "text":
+        return fingerprint_md5(F.col(col_name))
+    if fp_kind == "payload_md5":
+        return F.md5(F.col(col_name))
+    raise ValueError(
+        f"unknown fp_kind {fp_kind!r}; expected one of {_FP_KINDS}"
+    )
+
+
+def _check_fp_kind(sidecar_dir: str, fp_kind: str) -> None:
+    """The fingerprint-KIND pin: a text-fp sidecar probed with payload
+    hashes (or vice versa) never collides, so every duplicate silently
+    re-appends — the n_buckets/model_id silent-wrongness class on the
+    exact family. Legacy metas (no fp_kind key) pin 'text', the only
+    kind that existed before round 10."""
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
+        return
+    pinned = meta.get("fp_kind", "text")
+    if str(pinned) != str(fp_kind):
+        raise ValueError(
+            f"fingerprint sidecar {sidecar_dir!r} was built with "
+            f"fp_kind={pinned!r} but this call uses fp_kind={fp_kind!r} — "
+            "fingerprints of different kinds never collide, so every "
+            "duplicate would silently re-append; probe with the pinned "
+            "kind, or rebuild the sidecar (delete it and let bootstrap "
+            "re-derive fingerprints under the new kind)"
+        )
+
+
 def _ensure_fp_sidecar(
     spark: SparkSession,
     corpus_dir: str,
     sidecar_dir: str,
     text_col: str,
     n_buckets: int,
+    fp_kind: str = "text",
 ) -> None:
     """One-time bootstrap: derive the fingerprint sidecar from a single
     corpus scan (the ONLY steady-state-free corpus read in the ingest
@@ -676,9 +724,9 @@ def _ensure_fp_sidecar(
         # paying a fresh corpus-scan bootstrap
         os.rename(old_dir, sidecar_dir)
     if os.path.isdir(sidecar_dir):
+        # fail fast BEFORE any stream starts (the _check_mh_shape story)
+        _check_fp_kind(sidecar_dir, fp_kind)
         return
-    from custom_vector_database_spark.operators.text import fingerprint_md5
-
     # _corpus_has_data, not bare isdir: a corpus dir holding ONLY the
     # underscore metadata dirs (claims after a first-batch crash, or a
     # deleted-for-rebuild sidecar) has no Spark-visible files and a bare
@@ -688,7 +736,7 @@ def _ensure_fp_sidecar(
     if _corpus_has_data(corpus_dir):
         fps = (
             spark.read.parquet(corpus_dir)
-            .select(fingerprint_md5(F.col(text_col)).alias("fp"))
+            .select(_fp_expr(text_col, fp_kind).alias("fp"))
             .distinct()
         )
     else:
@@ -705,7 +753,7 @@ def _ensure_fp_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
-    _write_sidecar_meta(tmp, n_buckets)
+    _write_sidecar_meta(tmp, n_buckets, fp_kind=fp_kind)
     os.rename(tmp, sidecar_dir)
 
 
@@ -731,9 +779,15 @@ def corpus_ingest_apply_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    fp_kind: str = "text",
 ) -> int:
     """Apply ONE dedup-on-ingest micro-batch against the fingerprint
-    sidecar. Returns the number of documents appended.
+    sidecar. Returns the number of documents appended. ``fp_kind``
+    selects the fingerprint expression over ``text_col`` (which then
+    names the KEY column): 'text' = normalized-text md5 (the original
+    member), 'payload_md5' = raw md5 over a BINARY payload column (the
+    codec-free multimodal member); the sidecar meta pins the kind and a
+    mismatch refuses (_check_fp_kind).
 
     Steady state never reads the corpus: the anti-join probe side is the
     bucket-pruned sidecar — compact (fp, batch_id) rows partitioned by
@@ -755,8 +809,6 @@ def corpus_ingest_apply_batch(
 
     from pyspark.sql import Window
 
-    from custom_vector_database_spark.operators.text import fingerprint_md5
-
     _refuse_null_text(batch, text_col)
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
@@ -766,10 +818,11 @@ def corpus_ingest_apply_batch(
     # different modulus than the sidecar was written with would skip the
     # partitions existing fingerprints live in and re-append duplicates
     n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
+    _check_fp_kind(sidecar_dir, fp_kind)
 
     w = Window.partitionBy("__fp").orderBy(id_col)
     fresh = (
-        batch.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+        batch.withColumn("__fp", _fp_expr(text_col, fp_kind))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
@@ -787,7 +840,7 @@ def corpus_ingest_apply_batch(
         r["__fpb"]
         for r in batch.select(
             _corpus_fp_bucket(
-                fingerprint_md5(F.col(text_col)), n_buckets
+                _fp_expr(text_col, fp_kind), n_buckets
             ).alias("__fpb")
         )
         .distinct()
@@ -810,7 +863,7 @@ def corpus_ingest_apply_batch(
         if _corpus_has_data(corpus_dir):
             corpus_fps = (
                 spark.read.parquet(corpus_dir)
-                .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+                .select(_fp_expr(text_col, fp_kind).alias("__fp"))
                 .distinct()
             )
         else:
@@ -918,7 +971,10 @@ def compact_fp_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
-    _write_sidecar_meta(tmp, out_buckets)
+    # carry the kind pin verbatim — a compaction that dropped it would
+    # strip the mismatch guard from a sidecar that had it
+    _meta = _read_sidecar_meta(sidecar_dir) or {}
+    _write_sidecar_meta(tmp, out_buckets, fp_kind=_meta.get("fp_kind"))
     if os.path.isdir(old_dir):
         shutil.rmtree(old_dir)
     os.rename(sidecar_dir, old_dir)
@@ -1012,6 +1068,7 @@ def stream_corpus_ingest(
     max_files_per_trigger: int = 2,
     timeout: int = 120,
     n_buckets: int = 16,
+    fp_kind: str = "text",
 ) -> int:
     """Continuous corpus ingestion with dedup-on-ingest: stream a
     directory of document delta files into a parquet corpus, appending
@@ -1020,6 +1077,15 @@ def stream_corpus_ingest(
     keeps a training corpus exactly-deduplicated WITHOUT re-running a
     full dedup pass per drop. The streaming form of dedup_exact_docs,
     exactly as stream_vector_ingest is the streaming form of ivf_upsert.
+
+    ``fp_kind='payload_md5'`` is the round-10 MULTIMODAL member: point
+    ``text_col`` at an opaque BINARY payload column (image/audio/video
+    bytes) and the fingerprint becomes a raw md5 over the bytes —
+    byte-level exact dedup-on-ingest for media corpora, needing no
+    codec (the decode stubs' env-gates never apply). Everything else —
+    sidecar, claims, replay, compaction — is the proven exact-family
+    machinery; the sidecar meta pins the kind and a mismatched probe
+    refuses (_check_fp_kind).
 
     Per batch (corpus_ingest_apply_batch): dedup within the batch
     (deterministic min-id keeper per fingerprint), bucket-pruned
@@ -1048,12 +1114,16 @@ def stream_corpus_ingest(
 
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
-    _ensure_fp_sidecar(spark, corpus_dir, sidecar_dir, text_col, n_buckets)
+    _ensure_fp_sidecar(
+        spark, corpus_dir, sidecar_dir, text_col, n_buckets,
+        fp_kind=fp_kind,
+    )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         corpus_ingest_apply_batch(
             spark, batch, batch_id, corpus_dir,
             id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            fp_kind=fp_kind,
         )
 
     return _run_ingest_stream(
@@ -1388,7 +1458,7 @@ def corpus_neardup_apply_batch(
         if _corpus_has_data(corpus_dir):
             corpus_fps = (
                 spark.read.parquet(corpus_dir)
-                .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
+                .select(_fp_expr(text_col, fp_kind).alias("__fp"))
                 .distinct()
             )
         else:

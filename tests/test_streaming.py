@@ -2553,3 +2553,161 @@ def test_sidecar_report_snapshots_all_families(spark, tmp_path):
     assert rep["signband"]["frames"]["_sb_bands"]["files_per_bucket"] > 0
     assert rep["signband"]["outstanding_claims"] == ["claim_3"]
     assert rep["exact"]["outstanding_claims"] == []
+
+
+def test_payload_ingest_multimodal_member(spark, tmp_path):
+    """The round-10 MULTIMODAL exact-dedup member (fp_kind='payload_md5'):
+    byte-level content-hash dedup-on-ingest over an opaque BINARY payload
+    column — no codec, so no env stub. Verbatim payload bytes drop (even
+    under a different doc_id), an intra-delta byte-dup keeps one copy, a
+    single-byte difference keeps; the fp-kind pin refuses a text probe of
+    a payload sidecar (and vice versa), legacy metas pin 'text'; steady
+    state probes only the sidecar (garbage-corpus proof); compaction
+    carries the kind pin verbatim."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        compact_fp_sidecar,
+        corpus_ingest_apply_batch,
+        stream_corpus_ingest,
+    )
+
+    # media rows: payload bytes derived deterministically from doc text
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(20)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+        )
+    )
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    docs.write.parquet(corpus)
+
+    copies = docs.limit(5).withColumn(
+        "media_id", F.col("media_id") + 10_000
+    )  # same BYTES, new ids -> all dropped
+    fresh = docs.limit(3).select(
+        (F.col("media_id") + 20_000).alias("media_id"),
+        F.concat(
+            F.col("payload"), F.encode(F.lit("!"), "UTF-8").cast("binary")
+        ).alias("payload"),  # one extra byte -> kept
+    )
+    intra_dup = fresh.limit(1).withColumn(
+        "media_id", F.col("media_id") + 30_000
+    )
+    delta_df = copies.unionByName(fresh).unionByName(intra_dup)
+    delta_df.repartition(4).write.parquet(delta)
+    n_batches = stream_corpus_ingest(
+        spark, delta, corpus, doc_schema=docs.schema,
+        id_col="media_id", text_col="payload", fp_kind="payload_md5",
+    )
+    assert n_batches >= 2
+    final = spark.read.parquet(corpus)
+    assert final.count() == 23  # 20 + 3 fresh; copies + intra-dup dropped
+    assert (
+        final.select(F.md5("payload").alias("fp")).distinct().count() == 23
+    )
+    with open(
+        os.path.join(corpus, _FP_SIDECAR, "_sidecar_meta.json")
+    ) as f:
+        assert json.load(f)["fp_kind"] == "payload_md5"
+
+    # kind pin: a text probe of the payload sidecar refuses with the
+    # remedy (and a payload probe of a TEXT sidecar refuses below)
+    textish = docs.limit(1).select(
+        (F.col("media_id") + 40_000).alias("media_id"),
+        F.lit("some text").alias("payload"),
+    )
+    with pytest.raises(ValueError, match="fp_kind='payload_md5'"):
+        corpus_ingest_apply_batch(
+            spark, textish, 99, corpus, id_col="media_id",
+            text_col="payload", fp_kind="text",
+        )
+    with pytest.raises(ValueError, match="never collide"):
+        stream_corpus_ingest(
+            spark, delta, corpus, doc_schema=docs.schema,
+            id_col="media_id", text_col="payload", fp_kind="text",
+        )
+
+    # steady state never reads the corpus: garbage the part files, drop
+    # a fresh delta — the probe answers from the sidecar alone
+    part_files = glob.glob(corpus + "/part-*.parquet")
+    assert part_files
+    saved = str(tmp_path / "saved")
+    shutil.copytree(corpus, saved)
+    for p in part_files:
+        with open(p, "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    fresh2 = docs.limit(2).select(
+        (F.col("media_id") + 50_000).alias("media_id"),
+        F.concat(
+            F.col("payload"), F.encode(F.lit("??"), "UTF-8").cast("binary")
+        ).alias("payload"),
+    )
+    redup = docs.limit(4).withColumn(
+        "media_id", F.col("media_id") + 60_000
+    )
+    fresh2.unionByName(redup).repartition(2).write.mode("append").parquet(
+        delta
+    )
+    n = stream_corpus_ingest(
+        spark, delta, corpus, doc_schema=docs.schema,
+        id_col="media_id", text_col="payload", fp_kind="payload_md5",
+    )
+    assert n >= 1
+    for p in part_files:
+        shutil.copyfile(saved + "/" + p.rsplit("/", 1)[1], p)
+    assert spark.read.parquet(corpus).count() == 25  # +2 fresh only
+
+    # compaction carries the kind pin verbatim
+    stats = compact_fp_sidecar(spark, corpus)
+    assert stats["n_fps"] == 25
+    with open(
+        os.path.join(corpus, _FP_SIDECAR, "_sidecar_meta.json")
+    ) as f:
+        m = json.load(f)
+    assert m["fp_kind"] == "payload_md5" and m["n_buckets"] == 16
+    # post-compact: a verbatim byte re-drop still refuses via the pin-
+    # checked probe, and still drops
+    docs.limit(2).withColumn(
+        "media_id", F.col("media_id") + 70_000
+    ).repartition(1).write.mode("append").parquet(delta)
+    stream_corpus_ingest(
+        spark, delta, corpus, doc_schema=docs.schema,
+        id_col="media_id", text_col="payload", fp_kind="payload_md5",
+    )
+    assert spark.read.parquet(corpus).count() == 25
+
+    # legacy meta (no fp_kind) pins 'text': payload probes refuse
+    tcorpus = str(tmp_path / "tcorpus")
+    tdocs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    tdocs.write.parquet(tcorpus)
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_fp_sidecar,
+    )
+
+    _ensure_fp_sidecar(
+        spark, tcorpus, os.path.join(tcorpus, _FP_SIDECAR), "text", 16
+    )
+    meta_p = os.path.join(tcorpus, _FP_SIDECAR, "_sidecar_meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta.pop("fp_kind", None)  # simulate the pre-r10 legacy file
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    bin_batch = tdocs.limit(1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("text"),
+    )
+    with pytest.raises(ValueError, match="fp_kind='text'"):
+        corpus_ingest_apply_batch(
+            spark, bin_batch, 1, tcorpus, fp_kind="payload_md5"
+        )
