@@ -357,3 +357,32 @@ def check_model_id(
             "silently wrong; re-embed with the pinned model, or rebuild "
             "the artifact from vectors of the new model"
         )
+
+
+def install_dir_swap(path: str, write_tmp, heal=None) -> None:
+    """The ONE copy of the whole-directory artifact-install choreography
+    (r10 review finding: it existed as drifting near-copies in
+    VectorTable._swap_index_in and the maintenance autopilot): heal a
+    prior mid-swap crash, have ``write_tmp(tmp_dir)`` write a COMPLETE
+    artifact into the sibling tmp, rename the old artifact away, rename
+    the tmp in, drop the old. A crash at any point leaves either the old
+    artifact or the new one — never neither, never a mix.
+
+    ``heal`` overrides the default heal (rename ``_old`` back when the
+    target is missing) for callers with a completeness marker that can
+    also roll FORWARD (VectorTable's kind.json)."""
+    import os
+    import shutil
+
+    tmp, old = path + "_tmp", path + "_old"
+    if heal is not None:
+        heal()
+    elif not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # crash between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_tmp(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

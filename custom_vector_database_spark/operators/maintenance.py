@@ -30,6 +30,10 @@ Action semantics:
   claims exist; never executed by this verb (re-driving the ingest
   stream is the resolution), always ranked FIRST — nothing else in the
   family is safe to run over it.
+- ``heal`` (a sidecar family): a frame is missing (crashed swap left a
+  half-present family); surfaced unconditionally and ranked with the
+  blockers — the family's own ensure/ingest verb heals it, so this verb
+  never executes it.
 - ``none``: the signal was read and is healthy; listed so the plan is a
   complete audit, ranked last.
 
@@ -41,7 +45,6 @@ execute-mode test pins.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 
@@ -55,9 +58,10 @@ _SIDECAR_COMPACT_VERBS = {
 def _severity(action: str, metric: float, threshold: float) -> tuple:
     """Rank key: claims first (blockers), then actionable by how far
     past threshold, then healthy rows."""
-    order = {"resolve_claims": 0, "rebuild": 1, "compact": 1, "none": 2}[
-        action
-    ]
+    order = {
+        "heal": 0, "resolve_claims": 0, "rebuild": 1, "compact": 1,
+        "none": 2,
+    }[action]
     over = (metric / threshold) if threshold else 0.0
     return (order, -over)
 
@@ -138,6 +142,25 @@ def maintenance_plan(
             fpb = max(
                 (f["files_per_bucket"] for f in frames), default=0.0
             )
+            if heal_pending:
+                # a crashed swap left a frame missing: the family needs
+                # healing (the next ensure/ingest call heals it) before
+                # ANY other maintenance — surfaced unconditionally, not
+                # hidden behind a healthy fragmentation number (r10
+                # review finding)
+                plan.append({
+                    "target": target,
+                    "kind": f"sidecar:{family}",
+                    "action": "heal",
+                    "metric_name": "n_missing_frames",
+                    "metric": float(len(fam["frames"]) - len(frames)),
+                    "threshold": 0.0,
+                    "blocked": False,
+                    "executable": False,
+                    "reason": "a frame is missing (crashed swap): re-run "
+                    "the family's ensure/ingest verb to heal before any "
+                    "other maintenance",
+                })
             if n_claims:
                 plan.append({
                     "target": target,
@@ -169,7 +192,7 @@ def maintenance_plan(
                     ),
                     "_corpus_dir": corpus_dir,
                 })
-            elif not n_claims:
+            elif not n_claims and not heal_pending:
                 plan.append({
                     "target": target,
                     "kind": f"sidecar:{family}",
@@ -189,20 +212,16 @@ def maintenance_plan(
 
 
 def _swap_layout_in(index, path: str) -> None:
-    """Install a freshly fitted layout at ``path`` crash-safely — the
-    VectorTable._swap_index_in rename dance without the kind marker
-    (these layouts self-describe via meta.json): heal a prior mid-swap
-    crash, save into a sibling tmp, rename old away, rename tmp in."""
-    tmp, old = path + "_tmp", path + "_old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)  # heal: crash between the two renames
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    index.save(tmp)
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    """Install a freshly fitted layout at ``path`` crash-safely via the
+    shared whole-directory swap (layout.install_dir_swap — ONE copy of
+    the rename choreography, shared with VectorTable._swap_index_in);
+    no completeness marker needed: these layouts self-describe via
+    meta.json."""
+    from custom_vector_database_spark.operators.layout import (
+        install_dir_swap,
+    )
+
+    install_dir_swap(path, index.save)
     if hasattr(index, "_path"):
         index._path = path
 

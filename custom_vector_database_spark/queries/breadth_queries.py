@@ -363,15 +363,28 @@ def q_stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         q = (pdf["l_quantity"].to_numpy() * 100).round().astype("int64")
         p = (pdf["l_extendedprice"].to_numpy() * 100).round().astype("int64")
-        as_d = lambda v, k: float(Fraction(int(v), 10**k))  # noqa: E731
+
+        def exact_sum(a) -> int:
+            # numpy's int64 sum wraps silently: p*p reaches ~3.6e15 per
+            # element, so a whole-group sum passes int64's 9.2e18 around
+            # sf0.25 (r10 review finding). Chunks of 2048 keep every
+            # partial sum provably inside int64 (2048 * 3.6e15 = 7.4e18
+            # < 9.2e18); the partials are promoted to Python ints
+            # (arbitrary precision) and reduced exactly.
+            n = 2048
+            return sum(
+                int(a[i:i + n].sum()) for i in range(0, len(a), n)
+            )
+
+        as_d = lambda v, k: float(Fraction(v, 10**k))  # noqa: E731
         return pd.DataFrame(
             [{
                 "returnflag": pdf["l_returnflag"].iloc[0],
-                "sx": as_d(q.sum(), 2),
-                "sy": as_d(p.sum(), 2),
-                "sxy": as_d((q * p).sum(), 4),
-                "sxx": as_d((q * q).sum(), 4),
-                "syy": as_d((p * p).sum(), 4),
+                "sx": as_d(exact_sum(q), 2),
+                "sy": as_d(exact_sum(p), 2),
+                "sxy": as_d(exact_sum(q * p), 4),
+                "sxx": as_d(exact_sum(q * q), 4),
+                "syy": as_d(exact_sum(p * p), 4),
                 "n": len(pdf),
             }]
         )

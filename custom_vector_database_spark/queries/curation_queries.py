@@ -970,8 +970,13 @@ def _pipe_v3_oracle() -> str:
     WITH base AS (SELECT doc_id, lang, source, text FROM documents),
     hold AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
     leak AS (
-      SELECT list_reduce(list_prepend('', toks[1:20]), (x, y) -> x || ' ' || y)
-               AS l
+      -- array_to_string, NOT the span_cut row's list_prepend('') fold:
+      -- that fold yields a LEADING space, so 'text || ' ' || l' would
+      -- carry a double space the Spark side does not — harmless where
+      -- only token streams flow downstream (span_cut), but HERE quality
+      -- reads the raw text (length/punct ratios), so the engines must
+      -- build byte-identical contaminated text (r10 review finding)
+      SELECT array_to_string(toks[1:20], ' ') AS l
       FROM (SELECT {toks} AS toks FROM hold ORDER BY doc_id LIMIT 1)),
     raw AS (
       SELECT doc_id, lang, source,

@@ -1456,9 +1456,13 @@ def corpus_neardup_apply_batch(
         from custom_vector_database_spark.operators.text import fingerprint_md5
 
         if _corpus_has_data(corpus_dir):
+            # the minhash family is text-keyed only (fp_kind is the
+            # EXACT family's dispatch) — this is fingerprint_md5, not
+            # _fp_expr (r10 review finding: a stray _fp_expr here
+            # NameError'd every near-dup crash replay)
             corpus_fps = (
                 spark.read.parquet(corpus_dir)
-                .select(_fp_expr(text_col, fp_kind).alias("__fp"))
+                .select(fingerprint_md5(F.col(text_col)).alias("__fp"))
                 .distinct()
             )
         else:
@@ -2273,7 +2277,12 @@ def _ensure_sb_sidecar(
         _check_sb_shape(vecs_dir, n_bands, band_bits)
         _check_sidecar_model(vecs_dir, model_id)
         vecs = _read_sb_vecs(spark, vecs_dir)
-        rebuilt = vecs.select(
+        # vec=NULL rows are the bootstrap-excluded id MARKERS (r10): they
+        # must never band — sign_band_keys(NULL) is an array of n_bands
+        # NULLs (the outer transform runs over a non-null sequence), so
+        # an unfiltered posexplode would emit n_bands key=NULL band rows
+        # per marker into the healed frame (r10 review finding)
+        rebuilt = vecs.filter(F.col("vec").isNotNull()).select(
             "id",
             "batch_id",
             F.posexplode(
@@ -2721,10 +2730,19 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
                 marker_name,
                 tuple(os.path.join(corpus_dir, name) for name, _ in frames),
             )
-        first_dir = os.path.join(corpus_dir, frames[0][0])
-        if not os.path.isdir(first_dir):
+        # a family is reported when ANY frame is present — a family
+        # whose FIRST frame crashed away but whose second survives is
+        # exactly a heal-pending state the operator must see, not an
+        # "absent family" to omit (r10 review finding); the meta comes
+        # from the first PRESENT frame (all frames pin identical meta)
+        present = [
+            os.path.join(corpus_dir, name)
+            for name, _ in frames
+            if os.path.isdir(os.path.join(corpus_dir, name))
+        ]
+        if not present:
             continue
-        meta = _read_sidecar_meta(first_dir) or {}
+        meta = _read_sidecar_meta(present[0]) or {}
         fam: dict = {"meta": meta, "frames": {}}
         for name, reader in frames:
             d = os.path.join(corpus_dir, name)

@@ -445,23 +445,24 @@ class VectorTable:
         crash mid-save, and a crash between save and the kind marker
         would leave a layout read back as the wrong kind."""
         import json as _json
-        import shutil as _shutil
 
-        tmp = self._index_path + "_tmp"
-        old = self._index_path + "_old"
-        # heal any prior mid-swap crash FIRST — without this, the rmtree
-        # below would destroy the only surviving index copies (tmp/old)
-        # while the index dir itself is missing
-        self._recover_index_swap()
-        _shutil.rmtree(tmp, ignore_errors=True)
-        _shutil.rmtree(old, ignore_errors=True)
-        index.save(tmp)
-        with open(os.path.join(tmp, "kind.json"), "w") as f:
-            _json.dump({"kind": kind}, f)  # written LAST: tmp is complete
-        if os.path.exists(self._index_path):
-            os.rename(self._index_path, old)
-        os.rename(tmp, self._index_path)
-        _shutil.rmtree(old, ignore_errors=True)
+        from custom_vector_database_spark.operators.layout import (
+            install_dir_swap,
+        )
+
+        def write_tmp(tmp: str) -> None:
+            index.save(tmp)
+            with open(os.path.join(tmp, "kind.json"), "w") as f:
+                _json.dump({"kind": kind}, f)  # LAST: tmp is complete
+
+        # ONE copy of the rename choreography (layout.install_dir_swap);
+        # the heal override rolls a COMPLETE tmp forward via the kind
+        # marker — without healing first, the helper's rmtree would
+        # destroy the only surviving index copies (tmp/old) while the
+        # index dir itself is missing
+        install_dir_swap(
+            self._index_path, write_tmp, heal=self._recover_index_swap
+        )
         # the returned handle must point at the swapped-in layout, not the
         # renamed-away tmp path (IvfIndex.upsert/delete/compact resolve
         # via _path; LshIndex carries no path)

@@ -207,3 +207,115 @@ def test_one_sided_shape_pin_is_corrupt_meta(spark, tmp_path, family):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="corrupt sidecar meta"):
         probe()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 first-review-pass regressions (6 findings, all fixed).
+# ---------------------------------------------------------------------------
+
+
+def test_mh_crash_replay_reconciles_with_corpus(spark, tmp_path):
+    """Review finding 1: a stray _fp_expr in corpus_neardup_apply_batch's
+    recovery branch NameError'd EVERY minhash crash replay that had
+    corpus data. Pin the full replay: claim present + corpus live ->
+    recovery reconciles instead of raising, appends nothing twice."""
+    import os
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_CLAIMS,
+        _ensure_mh_sidecar,
+        corpus_neardup_apply_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 16)
+    # reversed text: per-doc-distinct garbage shingles, guaranteed fresh
+    # under BOTH the exact and the signature-agreement decision
+    fresh = docs.limit(2).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    n1 = corpus_neardup_apply_batch(spark, fresh, 7, corpus)
+    assert n1 == 2
+    # simulate the crash-after-append: the claim survives (the stream
+    # runner would have removed it), so a replay takes the recovery path
+    assert os.path.exists(os.path.join(corpus, _MH_CLAIMS, "claim_7"))
+    n2 = corpus_neardup_apply_batch(spark, fresh, 7, corpus)
+    assert n2 == 0  # reconciled: both docs already landed, nothing re-appends
+    assert spark.read.parquet(corpus).count() == 12
+
+
+def test_sb_bands_rebuild_excludes_null_vec_markers(spark, tmp_path):
+    """Review finding 2: the bands-frame heal derived band rows from the
+    vec=NULL excluded-id markers (sign_band_keys(NULL) is an ARRAY of
+    NULLs, so posexplode emits rows). After losing the bands frame, the
+    rebuilt frame must hold exactly the decidable rows' bands and the
+    excluded-id refusal must still fire."""
+    import os
+    import shutil
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_BANDS,
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        _read_sb_bands,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    zero = spark.createDataFrame(
+        [(100, [0.0] * 64)], "doc_id long, embedding array<float>"
+    )
+    corpus = str(tmp_path / "corpus")
+    docs.unionByName(zero).write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    shutil.rmtree(os.path.join(corpus, _SB_BANDS))  # crash lost the frame
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    bands = _read_sb_bands(spark, os.path.join(corpus, _SB_BANDS))
+    assert bands.count() == 40  # 10 decidable docs x 4 bands, no markers
+    assert bands.filter(F.col("key").isNull()).count() == 0
+    assert bands.filter(F.col("id") == 100).count() == 0
+    reuse = docs.limit(1).select(
+        F.lit(100).cast("long").alias("doc_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="reuses"):
+        corpus_semdedup_apply_batch(spark, reuse, 1, corpus)
+
+
+def test_heal_pending_family_surfaces_in_report_and_plan(spark, tmp_path):
+    """Review finding 5: a half-present family (crashed swap) must show
+    up — sidecar_report reports it even when the FIRST frame is the
+    missing one (meta from the surviving frame), and maintenance_plan
+    emits a 'heal' action ranked with the blockers instead of a healthy
+    'none' row."""
+    import os
+    import shutil
+
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _SB_VECS,
+        _ensure_sb_sidecar,
+        sidecar_report,
+    )
+
+    docs = _emb_corpus(spark, 10)
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 16)
+    # the FIRST frame (vecs — the meta-authoritative one) goes missing
+    shutil.rmtree(os.path.join(corpus, _SB_VECS))
+    rep = sidecar_report(spark, corpus)
+    assert "signband" in rep  # not silently omitted
+    assert rep["signband"]["frames"]["_sb_vecs"] is None  # heal-pending
+    assert rep["signband"]["meta"]["n_buckets"] == 16  # surviving frame's
+    plan = maintenance_plan(
+        spark, corpora=[("c", corpus)], max_files_per_bucket=1000.0
+    )
+    assert [a["action"] for a in plan] == ["heal"]
+    assert plan[0]["target"] == "c:signband"
+    assert not plan[0]["executable"]
