@@ -2836,3 +2836,147 @@ def q_stream_payload_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# maintenance_execute (round 10): the autopilot's EXECUTE mode as a
+# priced certification row — maintenance_plan's sibling proves the
+# classification; this row proves the contract that makes execution
+# safe: run_maintenance(execute=True) runs EXACTLY its own plan's
+# executable rows via the existing crash-safe verbs and nothing else.
+# Fixture: a stale saved IVF layout WITH a refit callable (-> rebuild
+# executes through the shared install_dir_swap), a fresh layout with a
+# refit callable (-> must NOT be refit), a fragmented sign-band corpus
+# (-> compact executes, files strictly decrease), and a fragmented
+# corpus with a planted claim (-> compact listed but BLOCKED, its files
+# untouched). Booleans certify each leg plus executed==plan-executable;
+# n_vectors is the oracle-recomputed fit-slice count.
+# ---------------------------------------------------------------------------
+@register(
+    "maintenance_execute",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS executed_matches_plan,
+           TRUE AS fresh_never_refit,
+           TRUE AS compact_landed,
+           TRUE AS blocked_untouched,
+           TRUE AS rebuild_landed
+    FROM embeddings WHERE vec_id < 64
+    """,
+)
+def q_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    n = base.count()
+    drifted = base.withColumn(
+        "vec",
+        F.expr("transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_maint_exec_")
+    try:
+        path = os.path.join(tmp, "ivf")
+        IvfIndex.fit(base, n_clusters=4).save(path)
+        idx = IvfIndex.load(spark, path)
+        calls: list = []
+
+        def refit_stale():
+            calls.append("stale")
+            return IvfIndex.fit(drifted, n_clusters=4)
+
+        def refit_fresh():
+            calls.append("fresh")
+            return IvfIndex.fit(base, n_clusters=4)
+
+        layouts = [
+            {"name": "stale", "index": idx, "build_df": base,
+             "recent_df": drifted.limit(16), "refit": refit_stale,
+             "path": path},
+            {"name": "fresh", "index": idx, "build_df": base,
+             "recent_df": base.limit(16), "refit": refit_fresh,
+             "path": path},
+        ]
+
+        def frag_corpus(name: str) -> str:
+            docs = emb.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            )
+            corpus = os.path.join(tmp, name)
+            docs.write.parquet(corpus)
+            _ensure_sb_sidecar(
+                spark, corpus, "doc_id", "embedding", 4, 16, 4
+            )
+            # ONE resolved apply batch suffices: bootstrap writes one
+            # file per occupied bucket (<= 4) and the append adds >= 1
+            # more, so files_per_bucket >= 5/4 > the 1.2 threshold below
+            batch = docs.limit(5).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.expr(
+                    "transform(embedding, x -> CAST(-CAST(x AS DOUBLE)"
+                    " AS FLOAT))"
+                ).alias("embedding"),
+            )
+            corpus_semdedup_apply_batch(spark, batch, 1, corpus, n_buckets=4)
+            for c in glob.glob(
+                os.path.join(corpus, "_sb_claims", "claim_*")
+            ):
+                os.remove(c)
+            return corpus
+
+        frag = frag_corpus("frag")
+        blocked = frag_corpus("blocked")
+        os.makedirs(os.path.join(blocked, "_sb_claims"), exist_ok=True)
+        with open(os.path.join(blocked, "_sb_claims", "claim_9"), "a"):
+            pass
+        count_files = lambda d: len(  # noqa: E731
+            glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+        frag_before = count_files(os.path.join(frag, "_sb_bands"))
+        blocked_before = count_files(os.path.join(blocked, "_sb_bands"))
+
+        plan, executed = run_maintenance(
+            spark, layouts, [("frag", frag), ("blocked", blocked)],
+            max_files_per_bucket=1.2, execute=True,
+        )
+        exec_ok = sorted(
+            (e["target"], e["action"]) for e in executed
+        ) == sorted(
+            (a["target"], a["action"]) for a in plan if a["executable"]
+        )
+        fresh_ok = calls == ["stale"]
+        compact_ok = count_files(os.path.join(frag, "_sb_bands")) < frag_before
+        blocked_ok = (
+            count_files(os.path.join(blocked, "_sb_bands")) == blocked_before
+        )
+        rebuilt = IvfIndex.load(spark, path)
+        rep = quantization_error_report(
+            rebuilt, drifted, drifted.limit(16)
+        ).first()
+        rebuild_ok = not rep["stale"] and not os.path.isdir(path + "_old")
+        return spark.createDataFrame(
+            [(n, bool(exec_ok), bool(fresh_ok), bool(compact_ok),
+              bool(blocked_ok), bool(rebuild_ok))],
+            "n_vectors long, executed_matches_plan boolean, "
+            "fresh_never_refit boolean, compact_landed boolean, "
+            "blocked_untouched boolean, rebuild_landed boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2862,3 +2862,95 @@ def q_pq_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_build", "n_fresh", "n_drifted", "fresh_ok", "drift_detected")
     )
+
+
+# ---------------------------------------------------------------------------
+# model_pin_contract (round 10): the embedding-model version pin as a
+# driver-visible certification row. Mixing two embedding models' vectors
+# shares a dim but not a space, so every distance/cosine verdict against
+# mixed vectors is silently wrong — the one check the dim guard
+# (vectordb.cpp:39-41, 65-67) cannot make. The row drives the full
+# contract on a saved IVF layout: the pin survives save/load, matching
+# and UNDECLARED callers pass on search/upsert (opt-in — nothing pre-pin
+# breaks), a DECLARED-different model refuses on search, upsert, AND the
+# staleness report, and a legacy meta (model_id stripped) loads unpinned
+# and accepts any caller. n_vectors is the oracle-recomputed fit-slice
+# count; the booleans are the contract (the guarantee-oracle pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "model_pin_contract",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS pin_survives_save_load,
+           TRUE AS match_passes,
+           TRUE AS undeclared_passes,
+           TRUE AS mismatch_refuses,
+           TRUE AS legacy_loads_unpinned
+    FROM embeddings WHERE vec_id < 64
+    """,
+)
+def q_model_pin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n = df.count()
+    q = [float(x) for x in df.first()["vec"]]
+    delta = df.limit(2).withColumn("id", F.col("id") + 1_000_000_000)
+    tmp = tempfile.mkdtemp(prefix="cvdb_model_pin_")
+    try:
+        path = os.path.join(tmp, "ivf")
+        IvfIndex.fit(df, n_clusters=4, model_id="emb-model-v1").save(path)
+        idx = IvfIndex.load(spark, path)
+        pin_ok = idx.model_id == "emb-model-v1"
+        match_ok = (
+            idx.search(q, 3, model_id="emb-model-v1").count() == 3
+            and idx.upsert(delta, model_id="emb-model-v1") == 2
+        )
+        undeclared_ok = idx.search(q, 3).count() == 3
+
+        def refuses(fn) -> bool:
+            try:
+                fn()
+                return False
+            except ValueError as e:
+                return "incompatible spaces" in str(e)
+
+        mismatch_ok = (
+            refuses(lambda: idx.search(q, 3, model_id="emb-model-v2"))
+            and refuses(lambda: idx.upsert(delta, model_id="emb-model-v2"))
+            and refuses(
+                lambda: quantization_error_report(
+                    idx, df, df.limit(4), model_id="emb-model-v2"
+                )
+            )
+        )
+        # legacy meta: strip the pin — loads unpinned, any caller passes
+        meta_p = os.path.join(path, "meta.json")
+        with open(meta_p) as f:
+            meta = _json.load(f)
+        meta.pop("model_id", None)
+        with open(meta_p, "w") as f:
+            _json.dump(meta, f)
+        legacy = IvfIndex.load(spark, path)
+        legacy_ok = (
+            legacy.model_id is None
+            and legacy.search(q, 3, model_id="emb-model-v2").count() == 3
+        )
+        return spark.createDataFrame(
+            [(n, bool(pin_ok), bool(match_ok), bool(undeclared_ok),
+              bool(mismatch_ok), bool(legacy_ok))],
+            "n_vectors long, pin_survives_save_load boolean, "
+            "match_passes boolean, undeclared_passes boolean, "
+            "mismatch_refuses boolean, legacy_loads_unpinned boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -371,6 +371,7 @@ def stream_vector_ingest(
     vec_schema: T.StructType,
     max_files_per_trigger: int = 2,
     timeout: int = 120,
+    model_id: str | None = None,
 ) -> int:
     """Continuous ANN index maintenance: stream a directory of vector
     delta files into a saved IVF layout via foreachBatch — each
@@ -421,7 +422,15 @@ def stream_vector_ingest(
         done = _applied()
         if batch_id in done:  # replayed after a crash: already appended
             return
-        index.upsert(batch)
+        # the embedding-model pin rides the stream: a declared-different
+        # model refuses on the FIRST batch, before anything lands. The
+        # kwarg is forwarded only when declared — `index` is duck-typed
+        # (anything with .upsert(batch) streams), and an undeclared
+        # caller must keep working against pin-unaware sinks
+        if model_id is None:
+            index.upsert(batch)
+        else:
+            index.upsert(batch, model_id=model_id)
         # record-AFTER-apply: a crash between the two replays the batch,
         # never skips it; the sidecar write is a same-dir atomic rename
         tmp = applied_path + ".tmp"

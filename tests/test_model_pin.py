@@ -275,3 +275,36 @@ def test_sb_sidecar_model_pin_bootstrap_probe_compact(spark, tmp_path):
             spark, batch.withColumn("doc_id", F.col("doc_id") + 5), 3,
             corpus, model_id=OTHER,
         )
+
+
+def test_stream_vector_ingest_carries_model_pin(spark, tmp_path):
+    """The pin rides the streaming upsert path: a declared-different
+    model refuses on the first micro-batch (nothing lands), a matching
+    declaration streams normally."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.streaming.stream_ops import (
+        stream_vector_ingest,
+    )
+
+    df = _vecs(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(df, n_clusters=4, model_id=PIN).save(path)
+    idx = IvfIndex.load(spark, path)
+    n0 = idx.clustered_df().count()
+    delta = df.limit(4).withColumn("id", F.col("id") + 10_000)
+
+    bad_dir = str(tmp_path / "bad_delta")
+    delta.coalesce(1).write.parquet(bad_dir)
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="incompatible spaces"):
+        stream_vector_ingest(
+            spark, bad_dir, idx, delta.schema, model_id=OTHER
+        )
+    assert idx.clustered_df().count() == n0  # nothing landed
+
+    ok_dir = str(tmp_path / "ok_delta")
+    delta.coalesce(1).write.parquet(ok_dir)
+    n = stream_vector_ingest(spark, ok_dir, idx, delta.schema, model_id=PIN)
+    assert n >= 1
+    assert idx.clustered_df().count() == n0 + 4
