@@ -148,7 +148,20 @@ def approx_similarity_join(
 ) -> DataFrame:
     """Table-vs-table similarity join (ABSENT in the reference — it only has
     1-query-vs-table search, SURVEY §2.2). LSH buckets co-partition the two
-    sides so the join never materializes the cross product."""
+    sides so the join never materializes the cross product.
+
+    The two indexes' embedding-model pins must agree: joining vectors
+    from two DECLARED-different models compares incompatible spaces, so
+    every distance in the result would be silently wrong — the same
+    refusal every single-index entry point makes (layout.check_model_id;
+    r10 second-review finding: this was the one search surface outside
+    the pin contract). Either side unpinned passes (the opt-in rule)."""
+    from custom_vector_database_spark.operators.layout import check_model_id
+
+    check_model_id(
+        index_a.model_id, index_b.model_id,
+        "the left LSH layout of this similarity join",
+    )
     joined = index_a.model.approxSimilarityJoin(
         index_a.hashed_df(), index_b.hashed_df(), threshold, distCol=dist_col
     )

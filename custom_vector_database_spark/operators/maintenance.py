@@ -239,6 +239,17 @@ def run_maintenance(
     it only runs what its own plan listed, and nothing blocked)."""
     import custom_vector_database_spark.streaming.stream_ops as so
 
+    names = [ent["name"] for ent in layouts]
+    if len(names) != len(set(names)):
+        # a dict lookup would silently route BOTH same-named rebuilds to
+        # the last entry's refit/path — the wrong layout rebuilt twice
+        # while `executed` reports success (r10 second-review finding)
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate layout name(s) {dupes}: plan targets and "
+            "execute routing are keyed by name — give every layout "
+            "entry a unique name"
+        )
     by_name = {ent["name"]: ent for ent in layouts}
     plan = maintenance_plan(
         spark, layouts, corpora, max_files_per_bucket=max_files_per_bucket

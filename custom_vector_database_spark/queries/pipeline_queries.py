@@ -2588,6 +2588,12 @@ def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 and all(frames[x]["files_per_bucket"] > 0 for x in names)
                 and fam["outstanding_claims"] == []
             )
+            # a heal-pending frame is None: report it as a NULL count
+            # with report_ok=False rather than TypeError-ing the whole
+            # certification row (r10 second-review finding)
+            n_rows = lambda x: (  # noqa: E731
+                int(frames[x]["n_rows"]) if frames[x] is not None else None
+            )
             rows.append((
                 family,
                 int(meta["n_buckets"]),
@@ -2597,8 +2603,8 @@ def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else None,
                 int(meta["band_bits"]) if meta.get("band_bits") is not None
                 else None,
-                int(frames[names[0]]["n_rows"]),
-                int(frames[names[1]]["n_rows"]) if len(names) > 1 else None,
+                n_rows(names[0]),
+                n_rows(names[1]) if len(names) > 1 else None,
                 len(fam["outstanding_claims"]),
                 bool(ok),
             ))
@@ -2610,6 +2616,53 @@ def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("family")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _fragmented_sb_corpus(
+    spark: SparkSession, emb: DataFrame, corpus_dir: str,
+    n_batches: int = 1, n_buckets: int = 4,
+) -> str:
+    """Fixture: a corpus whose sign-band sidecar is FRAGMENTED —
+    bootstrap at ``n_buckets`` + ``n_batches`` resolved apply batches of
+    guaranteed-fresh vectors (negated/shifted — max natural |cos| ≈ 0.55
+    in this data, so every batch appends). ONE copy shared by the
+    maintenance_plan row, the maintenance_execute row, and
+    tests/test_maintenance.py (r10 second-review finding: three drifting
+    near-copies of the bootstrap + apply + claim-resolve choreography).
+    Bootstrap writes one file per occupied bucket (<= n_buckets) and
+    each apply appends >= 1 more, so files_per_bucket >= (n_buckets +
+    n_batches) / n_buckets."""
+    import glob
+    import os
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _ensure_sb_sidecar,
+        corpus_semdedup_apply_batch,
+    )
+
+    docs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs.write.parquet(corpus_dir)
+    _ensure_sb_sidecar(
+        spark, corpus_dir, "doc_id", "embedding", 4, 16, n_buckets
+    )
+    ops = ("-x", "-(x + 0.25)", "-(x + 0.5)")
+    for b in range(1, n_batches + 1):
+        op = ops[(b - 1) % len(ops)]
+        batch = docs.limit(5).select(
+            (F.col("doc_id") + 10_000 * b).alias("doc_id"),
+            F.expr(
+                f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"
+                " AS FLOAT))"
+            ).alias("embedding"),
+        )
+        corpus_semdedup_apply_batch(
+            spark, batch, b, corpus_dir, n_buckets=n_buckets
+        )
+    for c in glob.glob(os.path.join(corpus_dir, "_sb_claims", "claim_*")):
+        os.remove(c)
+    return corpus_dir
 
 
 # ---------------------------------------------------------------------------
@@ -2645,7 +2698,6 @@ def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
@@ -2658,8 +2710,6 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from custom_vector_database_spark.streaming.stream_ops import (
         _ensure_fp_sidecar,
-        _ensure_sb_sidecar,
-        corpus_semdedup_apply_batch,
     )
 
     idx = saved_index(spark, sf_dir, "ivfpq")
@@ -2680,26 +2730,9 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tmp = tempfile.mkdtemp(prefix="cvdb_maintenance_")
     try:
-        # fragmented sign-band corpus: bootstrap at 4 buckets + two
-        # resolved apply batches of guaranteed-fresh vectors (negated /
-        # shifted: max natural |cos| ~= 0.55 in this data)
-        frag = os.path.join(tmp, "frag")
-        docs = emb.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("doc_id"), "embedding"
+        frag = _fragmented_sb_corpus(
+            spark, emb, os.path.join(tmp, "frag"), n_batches=2
         )
-        docs.write.parquet(frag)
-        _ensure_sb_sidecar(spark, frag, "doc_id", "embedding", 4, 16, 4)
-        for b, op in ((1, "-x"), (2, "-(x + 0.25)")):
-            batch = docs.limit(5).select(
-                (F.col("doc_id") + 10_000 * b).alias("doc_id"),
-                F.expr(
-                    f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"
-                    " AS FLOAT))"
-                ).alias("embedding"),
-            )
-            corpus_semdedup_apply_batch(spark, batch, b, frag, n_buckets=4)
-        for c in glob.glob(os.path.join(frag, "_sb_claims", "claim_*")):
-            os.remove(c)
         # healthy exact sidecar with ONE planted outstanding claim
         claimed = os.path.join(tmp, "claimed")
         load(spark, sf_dir, "documents").limit(10).write.parquet(claimed)
@@ -2877,10 +2910,6 @@ def q_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.operators.pq import (
         quantization_error_report,
     )
-    from custom_vector_database_spark.streaming.stream_ops import (
-        _ensure_sb_sidecar,
-        corpus_semdedup_apply_batch,
-    )
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
     base = emb.select(
@@ -2915,34 +2944,12 @@ def q_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
              "path": path},
         ]
 
-        def frag_corpus(name: str) -> str:
-            docs = emb.filter(F.col("vec_id") < 20).select(
-                F.col("vec_id").alias("doc_id"), "embedding"
-            )
-            corpus = os.path.join(tmp, name)
-            docs.write.parquet(corpus)
-            _ensure_sb_sidecar(
-                spark, corpus, "doc_id", "embedding", 4, 16, 4
-            )
-            # ONE resolved apply batch suffices: bootstrap writes one
-            # file per occupied bucket (<= 4) and the append adds >= 1
-            # more, so files_per_bucket >= 5/4 > the 1.2 threshold below
-            batch = docs.limit(5).select(
-                (F.col("doc_id") + 10_000).alias("doc_id"),
-                F.expr(
-                    "transform(embedding, x -> CAST(-CAST(x AS DOUBLE)"
-                    " AS FLOAT))"
-                ).alias("embedding"),
-            )
-            corpus_semdedup_apply_batch(spark, batch, 1, corpus, n_buckets=4)
-            for c in glob.glob(
-                os.path.join(corpus, "_sb_claims", "claim_*")
-            ):
-                os.remove(c)
-            return corpus
-
-        frag = frag_corpus("frag")
-        blocked = frag_corpus("blocked")
+        # ONE resolved apply batch suffices: files_per_bucket >= 5/4 >
+        # the 1.2 threshold below (_fragmented_sb_corpus docstring)
+        frag = _fragmented_sb_corpus(spark, emb, os.path.join(tmp, "frag"))
+        blocked = _fragmented_sb_corpus(
+            spark, emb, os.path.join(tmp, "blocked")
+        )
         os.makedirs(os.path.join(blocked, "_sb_claims"), exist_ok=True)
         with open(os.path.join(blocked, "_sb_claims", "claim_9"), "a"):
             pass

@@ -31,36 +31,17 @@ def _drift(df):
 
 
 def _frag_sb_corpus(spark, tmp_path, name):
-    """A corpus whose sign-band sidecar is fragmented: bootstrap at 4
-    buckets + two apply batches of guaranteed-fresh vectors, claims
-    resolved (the runner convention)."""
-    import glob
-
-    from custom_vector_database_spark.streaming.stream_ops import (
-        _ensure_sb_sidecar,
-        corpus_semdedup_apply_batch,
+    """The SHARED fragmented-sign-band-corpus fixture (ONE copy —
+    queries/pipeline_queries._fragmented_sb_corpus, also used by the
+    maintenance_plan/maintenance_execute rows)."""
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _fragmented_sb_corpus,
     )
 
-    docs = (
-        spark.read.parquet(f"{SF}/embeddings.parquet")
-        .filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return _fragmented_sb_corpus(
+        spark, emb, str(tmp_path / name), n_batches=2
     )
-    corpus = str(tmp_path / name)
-    docs.write.parquet(corpus)
-    _ensure_sb_sidecar(spark, corpus, "doc_id", "embedding", 4, 16, 4)
-    for b, op in ((1, "-x"), (2, "-(x + 0.25)")):
-        batch = docs.limit(5).select(
-            (F.col("doc_id") + 10_000 * b).alias("doc_id"),
-            F.expr(
-                f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"
-                " AS FLOAT))"
-            ).alias("embedding"),
-        )
-        corpus_semdedup_apply_batch(spark, batch, b, corpus, n_buckets=4)
-    for c in glob.glob(os.path.join(corpus, "_sb_claims", "claim_*")):
-        os.remove(c)
-    return corpus
 
 
 def test_plan_ranks_and_classifies(spark, tmp_path):
@@ -203,3 +184,20 @@ def test_swap_layout_in_heals_mid_swap_crash(spark, tmp_path):
     assert not os.path.isdir(path + "_old")
     q = [float(x) for x in base.first()["vec"]]
     assert IvfIndex.load(spark, path).search(q, 3).count() == 3
+
+
+def test_duplicate_layout_names_refuse(spark, tmp_path):
+    """r10 second-review finding: by-name execute routing would silently
+    run the LAST same-named entry's refit for BOTH rebuild rows — now a
+    loud refusal before any signal is read."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+
+    base = _vecs(spark)
+    idx = IvfIndex.fit(base, n_clusters=4)
+    ent = {"name": "same", "index": idx, "build_df": base,
+           "recent_df": base.limit(8)}
+    with pytest.raises(ValueError, match="duplicate layout name"):
+        run_maintenance(spark, [ent, dict(ent)], execute=True)

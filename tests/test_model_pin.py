@@ -295,8 +295,8 @@ def test_stream_vector_ingest_carries_model_pin(spark, tmp_path):
 
     bad_dir = str(tmp_path / "bad_delta")
     delta.coalesce(1).write.parquet(bad_dir)
-    import pyspark.errors
-
+    # foreachBatch wraps the ValueError in a StreamingQueryException —
+    # match on the message, not the (wrapped) type
     with pytest.raises(Exception, match="incompatible spaces"):
         stream_vector_ingest(
             spark, bad_dir, idx, delta.schema, model_id=OTHER
@@ -308,3 +308,25 @@ def test_stream_vector_ingest_carries_model_pin(spark, tmp_path):
     n = stream_vector_ingest(spark, ok_dir, idx, delta.schema, model_id=PIN)
     assert n >= 1
     assert idx.clustered_df().count() == n0 + 4
+
+
+def test_similarity_join_checks_both_pins(spark):
+    """r10 second-review finding: the table-vs-table join was the one
+    search surface outside the pin contract — two declared-different
+    indexes now refuse; unpinned-either-side passes."""
+    from custom_vector_database_spark.operators.ann import (
+        LshIndex,
+        approx_similarity_join,
+    )
+
+    df = _vecs(spark, 32)
+    a = LshIndex.fit(df, model_id=PIN)
+    b = LshIndex.fit(df, model_id=OTHER)
+    u = LshIndex.fit(df)  # unpinned
+    with pytest.raises(ValueError, match="incompatible spaces"):
+        approx_similarity_join(a, b, threshold=1.2)
+    assert approx_similarity_join(a, u, threshold=1.2).count() >= 0
+    assert (
+        approx_similarity_join(a, LshIndex.fit(df, model_id=PIN), 1.2)
+        .count() >= 0
+    )
