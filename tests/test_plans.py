@@ -553,3 +553,42 @@ def test_semdedup_sidecar_probes_are_partition_pruned(spark, tmp_path):
     mv = re.search(r"PartitionFilters: \[.*?idb#\d+L? IN \(([^)]*)\)", vplan)
     assert mv, vplan
     assert {int(x) for x in mv.group(1).split(",")} == {0, 7}
+
+
+def test_payload_fp_sidecar_probe_is_partition_pruned(spark, tmp_path):
+    """The payload-md5 exact member's steady-state probe carries the
+    same PartitionFilters contract as the text member (the fpb
+    bucket-pruned anti-join in corpus_ingest_apply_batch): the sidecar
+    scan lists only the batch's fingerprint buckets, never the whole
+    sidecar — the mechanism behind the payload garbage-corpus proof."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        _ensure_fp_sidecar,
+        _read_fp_sidecar,
+    )
+
+    media = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(20)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+        )
+    )
+    corpus = str(tmp_path / "corpus")
+    media.write.parquet(corpus)
+    _ensure_fp_sidecar(
+        spark, corpus, os.path.join(corpus, _FP_SIDECAR), "payload", 16,
+        fp_kind="payload_md5",
+    )
+    sidecar = _read_fp_sidecar(spark, os.path.join(corpus, _FP_SIDECAR))
+    probe = sidecar.filter(F.col("fpb").isin([2, 9, 11]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*?fpb#\d+L? IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == {2, 9, 11}
