@@ -155,15 +155,30 @@ def approx_similarity_join(
     every distance in the result would be silently wrong — the same
     refusal every single-index entry point makes (layout.check_model_id;
     r10 second-review finding: this was the one search surface outside
-    the pin contract). Either side unpinned passes (the opt-in rule)."""
+    the pin contract). Either side unpinned passes (the opt-in rule).
+
+    ONE hash family governs the join: bucket ids are only comparable
+    between frames hashed by the SAME fitted model (bucket_length is
+    data-derived and the random projections are model-specific), so
+    when the two indexes carry different model objects the right side's
+    materialized hashes are DROPPED and approxSimilarityJoin re-hashes
+    its features under the left model — two independently fitted
+    indexes would otherwise equi-join bucket ids from different
+    quantizations and silently miss nearly every true near pair (r10
+    third-review finding)."""
     from custom_vector_database_spark.operators.layout import check_model_id
 
     check_model_id(
         index_a.model_id, index_b.model_id,
         "the left LSH layout of this similarity join",
     )
+    b_df = index_b.hashed_df()
+    if index_b.model is not index_a.model:
+        # re-hash under the LEFT index's family: approxSimilarityJoin
+        # transforms any input missing the hash output column
+        b_df = b_df.drop(index_a.model.getOutputCol())
     joined = index_a.model.approxSimilarityJoin(
-        index_a.hashed_df(), index_b.hashed_df(), threshold, distCol=dist_col
+        index_a.hashed_df(), b_df, threshold, distCol=dist_col
     )
     return joined.select(
         F.col(f"datasetA.{index_a.id_col}").alias("id_a"),

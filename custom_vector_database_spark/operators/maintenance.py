@@ -95,6 +95,19 @@ def maintenance_plan(
         sidecar_report,
     )
 
+    names = [ent["name"] for ent in layouts]
+    if len(names) != len(set(names)):
+        # ambiguous in EVERY mode: plan targets collide, and execute's
+        # by-name routing would silently run the LAST entry's refit for
+        # both rebuild rows (r10 review findings — the check lives HERE
+        # so plan-only and execute surfaces agree)
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate layout name(s) {dupes}: plan targets and "
+            "execute routing are keyed by name — give every layout "
+            "entry a unique name"
+        )
+
     plan: list[dict] = []
     for ent in layouts:
         idx = ent["index"]
@@ -239,18 +252,9 @@ def run_maintenance(
     it only runs what its own plan listed, and nothing blocked)."""
     import custom_vector_database_spark.streaming.stream_ops as so
 
-    names = [ent["name"] for ent in layouts]
-    if len(names) != len(set(names)):
-        # a dict lookup would silently route BOTH same-named rebuilds to
-        # the last entry's refit/path — the wrong layout rebuilt twice
-        # while `executed` reports success (r10 second-review finding)
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(
-            f"duplicate layout name(s) {dupes}: plan targets and "
-            "execute routing are keyed by name — give every layout "
-            "entry a unique name"
-        )
     by_name = {ent["name"]: ent for ent in layouts}
+    # duplicate names refuse inside maintenance_plan below — before any
+    # by_name routing can misfire
     plan = maintenance_plan(
         spark, layouts, corpora, max_files_per_bucket=max_files_per_bucket
     )

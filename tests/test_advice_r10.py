@@ -258,7 +258,6 @@ def test_sb_bands_rebuild_excludes_null_vec_markers(spark, tmp_path):
 
     from custom_vector_database_spark.streaming.stream_ops import (
         _SB_BANDS,
-        _SB_VECS,
         _ensure_sb_sidecar,
         _read_sb_bands,
         corpus_semdedup_apply_batch,

@@ -325,8 +325,14 @@ def test_similarity_join_checks_both_pins(spark):
     u = LshIndex.fit(df)  # unpinned
     with pytest.raises(ValueError, match="incompatible spaces"):
         approx_similarity_join(a, b, threshold=1.2)
+    # "either side unpinned passes" — BOTH directions (the opt-in rule
+    # must survive an argument-order refactor)
     assert approx_similarity_join(a, u, threshold=1.2).count() >= 0
-    assert (
-        approx_similarity_join(a, LshIndex.fit(df, model_id=PIN), 1.2)
-        .count() >= 0
-    )
+    assert approx_similarity_join(u, b, threshold=1.2).count() >= 0
+    # same pin joins; two separately-FIT indexes re-hash the right side
+    # under the left's family, so the cross-index join finds the same
+    # self-pairs as the single-index join (one hash family governs)
+    a2 = LshIndex.fit(df, model_id=PIN)
+    same = approx_similarity_join(a, a, 1.2).count()
+    cross = approx_similarity_join(a, a2, 1.2).count()
+    assert cross == same
