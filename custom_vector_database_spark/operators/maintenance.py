@@ -187,7 +187,11 @@ def maintenance_plan(
                     "reason": "re-drive the ingest stream to resolve "
                     "outstanding claims; compaction is unsafe over them",
                 })
-            if fpb > max_files_per_bucket:
+            if fpb > max_files_per_bucket and not heal_pending:
+                # a heal-pending family emits NO compact row: its
+                # fragmentation is measured on the surviving frame only
+                # (half-blind) and compaction cannot run before the heal
+                # — heal first, re-plan after
                 plan.append({
                     "target": target,
                     "kind": f"sidecar:{family}",
@@ -195,11 +199,10 @@ def maintenance_plan(
                     "metric_name": "files_per_bucket",
                     "metric": float(fpb),
                     "threshold": float(max_files_per_bucket),
-                    "blocked": bool(n_claims or heal_pending),
-                    "executable": not (n_claims or heal_pending),
+                    "blocked": bool(n_claims),
+                    "executable": not n_claims,
                     "reason": (
                         "blocked by outstanding claims" if n_claims
-                        else "blocked: heal-pending frame" if heal_pending
                         else f"{fpb} files/bucket exceeds "
                         f"{max_files_per_bucket}"
                     ),

@@ -2677,6 +2677,10 @@ def _fragmented_sb_corpus(
 # sign-band sidecar is fragmented by two resolved apply batches at 4
 # buckets -> 'compact' (executable); a tmp corpus with one planted
 # outstanding claim -> 'resolve_claims' (never executable). The oracle
+# 'resolve_claims' (never executable); a corpus whose bands frame a
+# crashed swap deleted -> 'heal' (the blocker class surfaced by the r10
+# review pass, never executable here — the family's own ensure verb
+# heals). The oracle
 # pins the full classification table — target, action, blocked,
 # executable, over_threshold — plus plan_ok certifying the rank
 # invariant SQL cannot see (resolve_claims first, healthy rows last;
@@ -2692,7 +2696,8 @@ def _fragmented_sb_corpus(
       ('claimed:exact', 'resolve_claims', FALSE, FALSE, TRUE, TRUE),
       ('emb_drifted', 'rebuild', FALSE, FALSE, TRUE, TRUE),
       ('emb_fresh', 'none', FALSE, FALSE, FALSE, TRUE),
-      ('frag:signband', 'compact', FALSE, TRUE, TRUE, TRUE)
+      ('frag:signband', 'compact', FALSE, TRUE, TRUE, TRUE),
+      ('half:signband', 'heal', FALSE, FALSE, TRUE, TRUE)
     ) AS t(target, action, blocked, executable, over_threshold, plan_ok)
     ORDER BY target
     """,
@@ -2745,20 +2750,23 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(claimed, "_ingest_claims", "claim_7"), "a"
         ):
             pass
+        # half-present family (crashed swap: the bands frame is gone) —
+        # the plan must surface it as a 'heal' blocker, not a healthy
+        # 'none' row (the r10 review-pass contract, driver-visible here)
+        half = _fragmented_sb_corpus(spark, emb, os.path.join(tmp, "half"))
+        shutil.rmtree(os.path.join(half, "_sb_bands"))
 
         plan = maintenance_plan(
-            spark, layouts, [("frag", frag), ("claimed", claimed)],
+            spark, layouts,
+            [("frag", frag), ("claimed", claimed), ("half", half)],
             max_files_per_bucket=1.4,
         )
-        # the rank invariant SQL cannot see: blockers first, healthy last
-        kinds = [a["action"] for a in plan]
-        ok = (
-            kinds[0] == "resolve_claims"
-            and kinds[-1] == "none"
-            and all(
-                k in ("rebuild", "compact") for k in kinds[1:-1]
-            )
-        )
+        # the rank invariant SQL cannot see: the plan is ordered
+        # blockers (heal / resolve_claims) -> actionable -> healthy
+        rank = {"heal": 0, "resolve_claims": 0, "rebuild": 1,
+                "compact": 1, "none": 2}
+        ranks = [rank[a["action"]] for a in plan]
+        ok = ranks == sorted(ranks)
         rows = [
             (a["target"], a["action"], a["blocked"], a["executable"],
              a["metric"] > a["threshold"], bool(ok))
