@@ -376,6 +376,7 @@ class VectorTable:
         kind: str = "lsh",
         n_clusters: int = 16,
         metric: str = "l2_sq",
+        model_id: str | None = None,
     ):
         """Explicit index build. ``kind="lsh"`` (default): fit a
         BucketedRandomProjectionLSH model (euclidean — matching the
@@ -412,18 +413,23 @@ class VectorTable:
                 f"kind={kind!r} supports only the l2_sq metric; use "
                 f"kind='ivf' for metric={metric!r}"
             )
+        # the embedding-model pin rides the facade build too: a pinned
+        # layout refuses declared-different vectors at every later
+        # upsert/search/report entry point (layout.check_model_id) —
+        # optional, so the reference-parity surface is unchanged
         if kind == "ivfbq":
             from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
 
             index = IvfBqIndex.fit(
-                self.df(), id_col="id", vec_col="vec", n_clusters=n_clusters
+                self.df(), id_col="id", vec_col="vec", n_clusters=n_clusters,
+                model_id=model_id,
             )
         elif kind == "ivf":
             from custom_vector_database_spark.operators.ivf import IvfIndex
 
             index = IvfIndex.fit(
                 self.df(), id_col="id", vec_col="vec",
-                n_clusters=n_clusters, metric=metric,
+                n_clusters=n_clusters, metric=metric, model_id=model_id,
             )
         else:
             from custom_vector_database_spark.operators.ann import LshIndex
@@ -434,6 +440,7 @@ class VectorTable:
                 vec_col="vec",
                 num_hash_tables=num_hash_tables,
                 bucket_length=bucket_length,
+                model_id=model_id,
             )
         return self._swap_index_in(index, kind)
 

@@ -336,3 +336,30 @@ def test_similarity_join_checks_both_pins(spark):
     same = approx_similarity_join(a, a, 1.2).count()
     cross = approx_similarity_join(a, a2, 1.2).count()
     assert cross == same
+
+
+def test_vector_table_rebuild_carries_model_pin(spark, tmp_path):
+    """The facade's rebuild pins the built layout: the swapped-in index
+    carries model_id through save/load, so later direct upserts against
+    the facade's index path refuse a declared-different model."""
+    import json
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.vector_table import VectorTable
+
+    t = VectorTable(spark, str(tmp_path / "tbl")).init(dim=4)
+    t.add([([float(i == j) for i in range(4)], None) for j in range(4)])
+    idx = t.rebuild(kind="ivf", n_clusters=2, model_id=PIN)
+    assert idx.model_id == PIN
+    loaded = IvfIndex.load(spark, t._index_path)
+    assert loaded.model_id == PIN
+    delta = spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.0, 0.0])], "id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="incompatible spaces"):
+        loaded.upsert(delta, model_id=OTHER)
+    assert loaded.upsert(delta, model_id=PIN) == 1
+    # undeclared (the reference-parity default) keeps working
+    t2 = VectorTable(spark, str(tmp_path / "tbl2")).init(dim=4)
+    t2.add([([1.0, 0.0, 0.0, 0.0], None)])
+    assert t2.rebuild(kind="ivf", n_clusters=1).model_id is None
