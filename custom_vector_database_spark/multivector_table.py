@@ -167,6 +167,7 @@ class MultiVectorTable(VectorTable):
         kind: str = "maxsim",
         n_clusters: int = 16,
         n_doc_buckets: int = 32,
+        model_id: str | None = None,
     ):
         """Explicit index build (the reference's rebuild-then-search
         contract, vectordb.cpp:82-118, in its multi-vector form): fit the
@@ -182,6 +183,7 @@ class MultiVectorTable(VectorTable):
         index = MaxSimIndex.fit(
             self.df(), doc_col="doc", vec_col="vec",
             n_clusters=n_clusters, n_doc_buckets=n_doc_buckets,
+            model_id=model_id,  # optional pin — VectorTable.rebuild's rule
         )
         return self._swap_index_in(index, "maxsim")
 

@@ -363,3 +363,16 @@ def test_vector_table_rebuild_carries_model_pin(spark, tmp_path):
     t2 = VectorTable(spark, str(tmp_path / "tbl2")).init(dim=4)
     t2.add([([1.0, 0.0, 0.0, 0.0], None)])
     assert t2.rebuild(kind="ivf", n_clusters=1).model_id is None
+
+
+def test_multivector_table_rebuild_carries_model_pin(spark, tmp_path):
+    from custom_vector_database_spark.multivector_table import (
+        MultiVectorTable,
+    )
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+
+    t = MultiVectorTable(spark, str(tmp_path / "mv")).init(dim=4)
+    t.add([([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]], None)])
+    idx = t.rebuild(n_clusters=1, model_id=PIN)
+    assert idx.model_id == PIN
+    assert MaxSimIndex.load(spark, t._index_path).model_id == PIN
