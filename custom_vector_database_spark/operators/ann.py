@@ -173,7 +173,13 @@ def approx_similarity_join(
         "the left LSH layout of this similarity join",
     )
     b_df = index_b.hashed_df()
-    if index_b.model is not index_a.model:
+    # Same fitted family iff same object OR same MLlib uid — uids are
+    # minted once per estimator construction and preserved by save/load,
+    # so two handles loaded from the SAME saved index keep their
+    # materialized hashes (object identity alone forced a full re-hash
+    # of the right side on the exact large-scale path this join exists
+    # for; r10 ADVICE). Independently fitted models always differ in uid.
+    if index_b.model.uid != index_a.model.uid:
         # re-hash under the LEFT index's family: approxSimilarityJoin
         # transforms any input missing the hash output column
         b_df = b_df.drop(index_a.model.getOutputCol())

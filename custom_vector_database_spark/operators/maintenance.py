@@ -55,6 +55,17 @@ _SIDECAR_COMPACT_VERBS = {
 }
 
 
+def _named_corpora(corpora):
+    """Normalize ``corpora`` entries to (name, corpus_dir) pairs — ONE
+    copy of the naming rule so plan targets and execute routing can
+    never disagree on what a bare-dir entry is called."""
+    return [
+        tuple(item) if isinstance(item, (tuple, list))
+        else (os.path.basename(str(item)), item)
+        for item in corpora
+    ]
+
+
 def _severity(action: str, metric: float, threshold: float) -> tuple:
     """Rank key: claims first (blockers), then actionable by how far
     past threshold, then healthy rows."""
@@ -140,11 +151,7 @@ def maintenance_plan(
             + ("" if can_exec or not stale
                else "; not executable: supply refit= and path="),
         })
-    for item in corpora:
-        name, corpus_dir = (
-            item if isinstance(item, (tuple, list))
-            else (os.path.basename(str(item)), item)
-        )
+    for name, corpus_dir in _named_corpora(corpora):
         rep = sidecar_report(spark, corpus_dir)
         for family in sorted(rep):
             fam = rep[family]
@@ -206,7 +213,6 @@ def maintenance_plan(
                         else f"{fpb} files/bucket exceeds "
                         f"{max_files_per_bucket}"
                     ),
-                    "_corpus_dir": corpus_dir,
                 })
             elif not n_claims and not heal_pending:
                 plan.append({
@@ -256,6 +262,12 @@ def run_maintenance(
     import custom_vector_database_spark.streaming.stream_ops as so
 
     by_name = {ent["name"]: ent for ent in layouts}
+    # target -> corpus_dir stays an INTERNAL map: the returned plan is a
+    # fixed-shape data table ({target, kind, action, ...}) and must not
+    # leak private routing keys to serializers/consumers (r10 ADVICE).
+    # Targets are f"{name}:{family}" and family names have no colons,
+    # so rsplit recovers the corpus name unambiguously.
+    dir_by_name = dict(_named_corpora(corpora))
     # duplicate names refuse inside maintenance_plan below — before any
     # by_name routing can misfire
     plan = maintenance_plan(
@@ -270,7 +282,8 @@ def run_maintenance(
         if a["action"] == "compact":
             family = a["kind"].split(":", 1)[1]
             verb = getattr(so, _SIDECAR_COMPACT_VERBS[family])
-            stats = verb(spark, a["_corpus_dir"])
+            corpus_name = a["target"].rsplit(":", 1)[0]
+            stats = verb(spark, dir_by_name[corpus_name])
             executed.append({
                 "target": a["target"], "action": "compact", "stats": stats,
             })

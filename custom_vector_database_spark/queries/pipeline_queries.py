@@ -2650,7 +2650,11 @@ def _fragmented_sb_corpus(
     ops = ("-x", "-(x + 0.25)", "-(x + 0.5)")
     for b in range(1, n_batches + 1):
         op = ops[(b - 1) % len(ops)]
-        batch = docs.limit(5).select(
+        # orderBy BEFORE limit: an unordered limit(5) is plan-dependent,
+        # so which 5 vectors seed each batch could drift across engines/
+        # plans (r10 ADVICE) — the fixture's determinism must not rest on
+        # Spark happening to pick the same rows every time
+        batch = docs.orderBy("doc_id").limit(5).select(
             (F.col("doc_id") + 10_000 * b).alias("doc_id"),
             F.expr(
                 f"transform(embedding, x -> CAST(CAST({op} AS DOUBLE)"

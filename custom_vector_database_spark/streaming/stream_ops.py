@@ -398,11 +398,40 @@ def stream_vector_ingest(
     The sidecar lives with the checkpoint: reuse both to resume, delete
     both to start over.
 
+    A declared ``model_id`` against a pin-unaware sink refuses BEFORE
+    the stream starts (signature probe below) — otherwise the TypeError
+    fires inside foreachBatch and surfaces as an opaque
+    StreamingQueryException mid-stream (r10 ADVICE).
+
     Returns the number of micro-batches processed this call. Checkpoint
     lifecycle: callers own the delta_dir parent (bounded drive, fresh
     checkpoint per call; a production deployment pins both dirs)."""
     import json as _json
     import os
+
+    if model_id is not None:
+        import inspect
+
+        # refuse a declared pin against a pin-unaware sink UP FRONT: a
+        # duck-typed index whose upsert(batch) takes no model_id kwarg
+        # would otherwise TypeError inside foreachBatch and surface as
+        # an opaque StreamingQueryException mid-stream
+        try:
+            params = inspect.signature(index.upsert).parameters.values()
+            pin_aware = any(
+                p.name == "model_id"
+                or p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params
+            )
+        except (TypeError, ValueError):
+            pin_aware = True  # signature unavailable: let the call decide
+        if not pin_aware:
+            raise ValueError(
+                f"model_id={model_id!r} was declared but this sink's "
+                f"upsert ({type(index).__name__}.upsert) accepts no "
+                "model_id kwarg — it cannot enforce the embedding-model "
+                "pin; drop model_id= or use a pin-aware index"
+            )
 
     n_batches = 0
     ckpt = os.path.join(delta_dir, "_ckpt")
