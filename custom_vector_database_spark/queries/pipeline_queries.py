@@ -2999,3 +2999,143 @@ def q_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# writer_lease_contract (round 11): the single-writer lease that closes
+# the last silent-duplicate hole in the ingest family — every dedup
+# correctness proof (exact/near-dup/gated/semantic/payload) assumes ONE
+# writer per corpus, and before this round nothing ENFORCED it: two
+# concurrent ingest streams could each probe the same sidecar state,
+# miss each other's in-flight appends, and land a duplicate silently.
+# The lease (streaming/lease.py, corpus_dir/_writer_lease.json) is taken
+# by every bootstrap/ingest/apply/compact verb; this row certifies the
+# five behaviors the guarantee rests on: (1) a free corpus acquires and
+# RELEASES (a completed verb never wedges the corpus); (2) a live
+# foreign writer refuses loudly with the remedy; (3) a provably dead
+# pid on this host is reclaimed automatically with an epoch bump;
+# (4) force_lease=True takes over a live holder; (5) epoch fencing — a
+# taken-over writer's next write attempt refuses and leaves the new
+# owner's lease intact. Reference anchor: the reference is implicitly
+# single-process (one CLI, one JSON file — main.cpp:66-70); the lease is
+# that assumption made explicit on a shared filesystem.
+# ---------------------------------------------------------------------------
+@register(
+    "writer_lease_contract",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS single_writer_releases,
+           TRUE AS conflict_refuses,
+           TRUE AS dead_pid_reclaims,
+           TRUE AS force_takeover_works,
+           TRUE AS fenced_writer_refuses
+    FROM documents WHERE doc_id < 16
+    """,
+)
+def q_writer_lease_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import socket
+    import subprocess
+    import tempfile
+
+    from custom_vector_database_spark.streaming.lease import (
+        LEASE_FILE,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        compact_fp_sidecar,
+        corpus_ingest_apply_batch,
+        stream_corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 16)
+    n = docs.count()
+    tmp = tempfile.mkdtemp(prefix="cvdb_writer_lease_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        lease_path = os.path.join(corpus_dir, LEASE_FILE)
+        docs.filter(F.col("doc_id") < 8).select("doc_id", "text").write.parquet(corpus_dir)
+        fresh = docs.filter(F.col("doc_id") >= 8).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        fresh.repartition(2).write.parquet(delta_dir)
+
+        def plant(pid: int, epoch: int = 1) -> None:
+            with open(lease_path, "w") as f:
+                _json.dump({
+                    "owner": "foreign", "epoch": epoch, "pid": pid,
+                    "host": socket.gethostname(), "verb": "ingest:exact",
+                }, f)
+
+        def refuses(fn, needle: str) -> bool:
+            try:
+                fn()
+                return False
+            except ValueError as e:
+                return needle in str(e)
+
+        # (2) live foreign writer (pid 1 is always alive) refuses with
+        # the remedy BEFORE any sidecar/corpus byte moves
+        plant(pid=1)
+        conflict_ok = refuses(
+            lambda: stream_corpus_ingest(
+                spark, delta_dir, corpus_dir,
+                doc_schema=T_DOC_SCHEMA(), id_col="doc_id",
+            ),
+            "force_lease=True",
+        ) and not os.path.isdir(os.path.join(corpus_dir, "_fingerprints"))
+
+        # (4) force_lease=True takes over the live holder and runs
+        n_batches = stream_corpus_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=T_DOC_SCHEMA(),
+            id_col="doc_id", force_lease=True,
+        )
+        # (1) ...and releases on completion
+        release_ok = n_batches >= 1 and not os.path.exists(lease_path)
+        force_ok = n_batches >= 1
+
+        # (3) a provably dead pid on this host reclaims automatically
+        p = subprocess.Popen(["true"])
+        p.wait()
+        plant(pid=p.pid, epoch=3)
+        stats = compact_fp_sidecar(spark, corpus_dir)
+        dead_ok = stats["n_fps"] == 16 and not os.path.exists(lease_path)
+
+        # (5) epoch fencing: we hold the lease, a usurper replaces it
+        # (simulating a cross-host force takeover); our next write verb
+        # refuses and the usurper's lease survives untouched
+        acquire_writer_lease(corpus_dir, "ingest:exact")
+        plant(pid=1, epoch=9)
+        batch = fresh.withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
+        fenced_ok = refuses(
+            lambda: corpus_ingest_apply_batch(spark, batch, 7, corpus_dir),
+            "FENCED",
+        )
+        with open(lease_path) as f:
+            fenced_ok = fenced_ok and _json.load(f)["owner"] == "foreign"
+        try:
+            release_writer_lease(corpus_dir)
+        except ValueError:
+            pass  # fenced release refuses by contract; file stays foreign
+        return spark.createDataFrame(
+            [(n, bool(release_ok), bool(conflict_ok), bool(dead_ok),
+              bool(force_ok), bool(fenced_ok))],
+            "n_docs long, single_writer_releases boolean, "
+            "conflict_refuses boolean, dead_pid_reclaims boolean, "
+            "force_takeover_works boolean, fenced_writer_refuses boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def T_DOC_SCHEMA():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])

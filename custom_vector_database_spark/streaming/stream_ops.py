@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from custom_vector_database_spark.streaming.lease import (
+    holds_writer_lease,
+    writer_lease,
+)
+
 __all__ = [
     "streaming_events",
     "stream_tumbling_agg",
@@ -740,6 +745,7 @@ def _check_fp_kind(sidecar_dir: str, fp_kind: str) -> None:
         )
 
 
+@holds_writer_lease("bootstrap:exact")
 def _ensure_fp_sidecar(
     spark: SparkSession,
     corpus_dir: str,
@@ -809,6 +815,7 @@ def _refuse_null_text(batch: DataFrame, text_col: str) -> None:
         )
 
 
+@holds_writer_lease("apply:exact")
 def corpus_ingest_apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -928,11 +935,13 @@ def corpus_ingest_apply_batch(
     return n_new
 
 
+@holds_writer_lease("compact:exact", force_arg="force_lease")
 def compact_fp_sidecar(
     spark: SparkSession,
     corpus_dir: str,
     n_buckets: int = 16,
     new_n_buckets: int | None = None,
+    force_lease: bool = False,
 ) -> dict:
     """Compact the fingerprint sidecar: per-batch appends leave one
     small file per touched bucket per micro-batch, and a year of daily
@@ -1096,6 +1105,7 @@ def _run_ingest_stream(
     return n_batches
 
 
+@holds_writer_lease("ingest:exact", force_arg="force_lease")
 def stream_corpus_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -1107,6 +1117,7 @@ def stream_corpus_ingest(
     timeout: int = 120,
     n_buckets: int = 16,
     fp_kind: str = "text",
+    force_lease: bool = False,
 ) -> int:
     """Continuous corpus ingestion with dedup-on-ingest: stream a
     directory of document delta files into a parquet corpus, appending
@@ -1247,6 +1258,7 @@ def _mh_band_rows(enc: DataFrame, batch_id: int, n_buckets: int) -> DataFrame:
     )
 
 
+@holds_writer_lease("bootstrap:neardup")
 def _ensure_mh_sidecar(
     spark: SparkSession,
     corpus_dir: str,
@@ -1341,6 +1353,7 @@ def _ensure_mh_sidecar(
     os.rename(tmp_s, sigs_dir)  # commit point
 
 
+@holds_writer_lease("apply:neardup")
 def corpus_neardup_apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -1531,6 +1544,7 @@ def corpus_neardup_apply_batch(
     return n_new
 
 
+@holds_writer_lease("ingest:neardup", force_arg="force_lease")
 def stream_corpus_neardup_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -1544,6 +1558,7 @@ def stream_corpus_neardup_ingest(
     n_bands: int = 4,
     min_agree: int = 8,
     n_buckets: int = 16,
+    force_lease: bool = False,
 ) -> int:
     """Continuous corpus ingestion with NEAR-dup-on-ingest (see
     corpus_neardup_apply_batch for the decision rule and crash story) —
@@ -1604,11 +1619,13 @@ def _heal_two_frame_rebucket(
     os.remove(marker)
 
 
+@holds_writer_lease("compact:neardup", force_arg="force_lease")
 def compact_mh_sidecar(
     spark: SparkSession,
     corpus_dir: str,
     n_buckets: int = 16,
     new_n_buckets: int | None = None,
+    force_lease: bool = False,
 ) -> dict:
     """Compact BOTH minhash sidecar frames (compact_fp_sidecar's story on
     the near-dup probe tables): per-batch appends leave one small file
@@ -2003,6 +2020,7 @@ def load_quality_gate(spark: SparkSession, gate_dir: str):
     )
 
 
+@holds_writer_lease("ingest:gated", force_arg="force_lease")
 def stream_corpus_dsir_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -2023,6 +2041,7 @@ def stream_corpus_dsir_ingest(
     band_bits: int = 16,
     max_cos_dist: float = 0.1,
     model_id: str | None = None,
+    force_lease: bool = False,
 ) -> int:
     """Continuous QUALITY-GATED corpus ingestion: per micro-batch, score
     every document against the persisted DSIR log-ratio table
@@ -2270,6 +2289,7 @@ def _refuse_bad_vectors(
         )
 
 
+@holds_writer_lease("bootstrap:semdedup")
 def _ensure_sb_sidecar(
     spark: SparkSession,
     corpus_dir: str,
@@ -2427,6 +2447,7 @@ def _ensure_sb_sidecar(
     os.rename(tmp_v, vecs_dir)  # commit point
 
 
+@holds_writer_lease("apply:semdedup")
 def corpus_semdedup_apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -2645,6 +2666,7 @@ def corpus_semdedup_apply_batch(
     return n_new
 
 
+@holds_writer_lease("ingest:semdedup", force_arg="force_lease")
 def stream_corpus_semdedup_ingest(
     spark: SparkSession,
     delta_dir: str,
@@ -2659,6 +2681,7 @@ def stream_corpus_semdedup_ingest(
     max_cos_dist: float = 0.1,
     n_buckets: int = 16,
     model_id: str | None = None,
+    force_lease: bool = False,
 ) -> int:
     """Continuous corpus ingestion with SEMANTIC dedup-on-ingest (see
     corpus_semdedup_apply_batch for the decision rule and crash story) —
@@ -2688,11 +2711,13 @@ def stream_corpus_semdedup_ingest(
     )
 
 
+@holds_writer_lease("compact:semdedup", force_arg="force_lease")
 def compact_sb_sidecar(
     spark: SparkSession,
     corpus_dir: str,
     n_buckets: int = 16,
     new_n_buckets: int | None = None,
+    force_lease: bool = False,
 ) -> dict:
     """Compact BOTH sign-band sidecar frames — compact_mh_sidecar's
     story on the semantic probe tables: per-frame tmp-then-rename swap
@@ -2762,12 +2787,27 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
          _SB_CLAIMS, _SB_REBUCKET_MARKER),
     )
     for family, frames, claims_name, marker_name in families:
-        if marker_name is not None:
-            _heal_two_frame_rebucket(
-                corpus_dir,
-                marker_name,
-                tuple(os.path.join(corpus_dir, name) for name, _ in frames),
-            )
+        if marker_name is not None and os.path.exists(
+            os.path.join(corpus_dir, marker_name)
+        ):
+            # the heal MUTATES (it completes a crashed rebucket swap),
+            # so it runs under the writer lease — but only if the lease
+            # is free: a LIVE writer mid-rebucket owns its own swap and
+            # will finish it, and racing its renames is exactly what the
+            # lease exists to prevent. A report over a live writer
+            # simply prices the pre-heal state (transient by definition).
+            try:
+                with writer_lease(corpus_dir, "heal:report"):
+                    _heal_two_frame_rebucket(
+                        corpus_dir,
+                        marker_name,
+                        tuple(
+                            os.path.join(corpus_dir, name)
+                            for name, _ in frames
+                        ),
+                    )
+            except ValueError:
+                pass  # live writer holds the lease; it owns the heal
         # a family is reported when ANY frame is present — a family
         # whose FIRST frame crashed away but whose second survives is
         # exactly a heal-pending state the operator must see, not an

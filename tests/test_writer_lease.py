@@ -1,0 +1,314 @@
+"""Single-writer lease with epoch fencing (streaming/lease.py).
+
+Every dedup-on-ingest correctness proof assumes ONE writer per corpus;
+the lease makes that assumption enforced instead of hoped-for:
+
+- conflict refuses loudly with the remedy (per family verb),
+- a provably dead pid on this host is reclaimed automatically,
+- force_lease=True takes over and the bumped epoch FENCES the old
+  holder (verify/release/reentrant-acquire all refuse, file intact),
+- reentrant in-process so stream verbs nest their apply functions,
+- the lease is held through bootstrap/ingest/compact and released on
+  success AND on error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from custom_vector_database_spark.streaming.lease import (
+    LEASE_FILE,
+    acquire_writer_lease,
+    release_writer_lease,
+    verify_writer_lease,
+    writer_lease,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _docs(spark, lo=0, hi=6):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .select("doc_id", "text")
+    )
+
+
+def _dead_pid() -> int:
+    """A pid that existed a moment ago and is now provably dead."""
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _plant(corpus: str, pid: int, host: str | None = None,
+           epoch: int = 1) -> str:
+    os.makedirs(corpus, exist_ok=True)
+    path = os.path.join(corpus, LEASE_FILE)
+    with open(path, "w") as f:
+        json.dump({
+            "owner": "foreign-owner", "epoch": epoch, "pid": pid,
+            "host": host or socket.gethostname(), "verb": "ingest:exact",
+        }, f)
+    return path
+
+
+def test_acquire_release_roundtrip(tmp_path):
+    corpus = str(tmp_path / "c")
+    path = os.path.join(corpus, LEASE_FILE)
+    with writer_lease(corpus, "test") as lease:
+        assert os.path.exists(path)
+        assert lease["epoch"] == 1
+        assert verify_writer_lease(corpus)["owner"] == lease["owner"]
+        # reentrant: nested acquire shares the lease, inner release keeps it
+        with writer_lease(corpus, "test-inner") as inner:
+            assert inner["owner"] == lease["owner"]
+        assert os.path.exists(path)
+    assert not os.path.exists(path)  # outermost release removes it
+
+
+def test_conflict_refuses_with_remedy(tmp_path):
+    corpus = str(tmp_path / "c")
+    _plant(corpus, pid=1)  # pid 1 is always alive
+    with pytest.raises(ValueError, match="force_lease=True"):
+        acquire_writer_lease(corpus, "ingest:exact")
+    # foreign HOST is possibly-alive even with a dead pid: refuse
+    corpus2 = str(tmp_path / "c2")
+    _plant(corpus2, pid=_dead_pid(), host="some-other-host")
+    with pytest.raises(ValueError, match="another writer"):
+        acquire_writer_lease(corpus2, "ingest:exact")
+
+
+def test_dead_pid_auto_reclaims_with_epoch_bump(tmp_path):
+    corpus = str(tmp_path / "c")
+    _plant(corpus, pid=_dead_pid(), epoch=3)
+    lease = acquire_writer_lease(corpus, "ingest:exact")
+    try:
+        assert lease["epoch"] == 4  # fenced past the crashed holder
+        assert lease["pid"] == os.getpid()
+    finally:
+        release_writer_lease(corpus)
+    assert not os.path.exists(os.path.join(corpus, LEASE_FILE))
+
+
+def test_force_takeover_bumps_epoch(tmp_path):
+    corpus = str(tmp_path / "c")
+    _plant(corpus, pid=1, epoch=7)
+    lease = acquire_writer_lease(corpus, "compact:exact", force=True)
+    try:
+        assert lease["epoch"] == 8
+    finally:
+        release_writer_lease(corpus)
+
+
+def test_fenced_writer_cannot_continue(tmp_path):
+    corpus = str(tmp_path / "c")
+    path = os.path.join(corpus, LEASE_FILE)
+    acquire_writer_lease(corpus, "ingest:exact")
+    # another process force-takes-over: simulate by replacing the file
+    with open(path, "w") as f:
+        json.dump({"owner": "usurper", "epoch": 2, "pid": 1,
+                   "host": socket.gethostname(), "verb": "ingest"}, f)
+    with pytest.raises(ValueError, match="FENCED"):
+        verify_writer_lease(corpus)
+    # the fenced holder's release must leave the usurper's lease intact
+    acquire_writer_lease(corpus, "ingest:exact", force=True)  # we re-take
+    with open(path, "w") as f:
+        json.dump({"owner": "usurper2", "epoch": 9, "pid": 1,
+                   "host": socket.gethostname(), "verb": "ingest"}, f)
+    with pytest.raises(ValueError, match="taken over"):
+        release_writer_lease(corpus)
+    assert json.load(open(path))["owner"] == "usurper2"
+    os.unlink(path)
+
+
+def test_reentrant_acquire_detects_takeover(tmp_path):
+    """The per-micro-batch fencing check: a reentrant acquire under a
+    held lease re-reads the file and refuses if the lease moved."""
+    corpus = str(tmp_path / "c")
+    path = os.path.join(corpus, LEASE_FILE)
+    acquire_writer_lease(corpus, "ingest:exact")
+    with open(path, "w") as f:
+        json.dump({"owner": "usurper", "epoch": 2, "pid": 1,
+                   "host": socket.gethostname(), "verb": "ingest"}, f)
+    with pytest.raises(ValueError, match="FENCED|taken over"):
+        acquire_writer_lease(corpus, "apply:exact")
+    os.unlink(path)
+
+
+# --- verb integration: each family's bootstrap/ingest/compact ----------
+
+
+def test_exact_family_verbs_take_the_lease(spark, tmp_path):
+    from custom_vector_database_spark.streaming.stream_ops import (
+        compact_fp_sidecar,
+        corpus_ingest_apply_batch,
+        stream_corpus_ingest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    delta = str(tmp_path / "delta")
+    os.makedirs(delta)
+    _docs(spark, 0, 4).write.parquet(corpus)
+    _docs(spark, 4, 8).write.mode("append").parquet(delta)
+
+    # 1. a live foreign writer refuses the stream verb, apply, compact
+    lease_path = _plant(corpus, pid=1)
+    with pytest.raises(ValueError, match="another writer"):
+        stream_corpus_ingest(spark, delta, corpus, DOC_SCHEMA)
+    with pytest.raises(ValueError, match="another writer"):
+        corpus_ingest_apply_batch(spark, _docs(spark, 4, 6), 0, corpus)
+    with pytest.raises(ValueError, match="another writer"):
+        compact_fp_sidecar(spark, corpus)
+    os.unlink(lease_path)
+
+    # 2. free lease: the stream verb runs (bootstrap + batches nest
+    # reentrantly under ONE lease) and releases on completion
+    n = stream_corpus_ingest(spark, delta, corpus, DOC_SCHEMA)
+    assert n >= 1
+    assert not os.path.exists(lease_path)
+
+    # 3. dead-pid lease auto-reclaims; force_lease=True beats a live one
+    _plant(corpus, pid=_dead_pid())
+    stats = compact_fp_sidecar(spark, corpus)
+    assert stats["n_fps"] == 8
+    assert not os.path.exists(lease_path)
+    _plant(corpus, pid=1)
+    stats = compact_fp_sidecar(spark, corpus, force_lease=True)
+    assert stats["n_fps"] == 8
+    assert not os.path.exists(lease_path)
+
+
+@pytest.mark.parametrize("family", ["minhash", "signband"])
+def test_two_frame_family_verbs_take_the_lease(spark, tmp_path, family):
+    from custom_vector_database_spark.streaming import stream_ops as so
+
+    corpus = str(tmp_path / "corpus")
+    lease_path = os.path.join(corpus, LEASE_FILE)
+    if family == "minhash":
+        _docs(spark, 0, 4).write.parquet(corpus)
+        ensure = lambda: so._ensure_mh_sidecar(  # noqa: E731
+            spark, corpus, "text", 16, 4, 8
+        )
+        apply_one = lambda: so.corpus_neardup_apply_batch(  # noqa: E731
+            spark, _docs(spark, 4, 6), 0, corpus, n_buckets=8
+        )
+        compact = so.compact_mh_sidecar
+    else:
+        emb = (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .filter(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+        )
+        emb.write.parquet(corpus)
+        ensure = lambda: so._ensure_sb_sidecar(  # noqa: E731
+            spark, corpus, "doc_id", "embedding", 4, 16, 8
+        )
+        batch = (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 6))
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+        )
+        apply_one = lambda: so.corpus_semdedup_apply_batch(  # noqa: E731
+            spark, batch, 0, corpus, n_buckets=8
+        )
+        compact = so.compact_sb_sidecar
+
+    _plant(corpus, pid=1)
+    with pytest.raises(ValueError, match="another writer"):
+        ensure()
+    os.unlink(lease_path)
+    ensure()
+    assert not os.path.exists(lease_path)
+
+    _plant(corpus, pid=1)
+    with pytest.raises(ValueError, match="another writer"):
+        apply_one()
+    with pytest.raises(ValueError, match="another writer"):
+        compact(spark, corpus)
+    os.unlink(lease_path)
+    apply_one()
+    assert not os.path.exists(lease_path)
+    # claims from the direct apply call: clear before compacting
+    import glob as _glob
+
+    for c in _glob.glob(os.path.join(corpus, "_*claims", "claim_*")):
+        os.remove(c)
+    compact(spark, corpus, force_lease=False)
+    assert not os.path.exists(lease_path)
+
+
+def test_lease_released_on_verb_error(spark, tmp_path):
+    """A verb that raises mid-run must not wedge the corpus."""
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _FP_SIDECAR,
+        _ensure_fp_sidecar,
+        corpus_ingest_apply_batch,
+        stream_corpus_ingest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _docs(spark, 0, 4).write.parquet(corpus)
+    _ensure_fp_sidecar(
+        spark, corpus, os.path.join(corpus, _FP_SIDECAR), "text", 16
+    )
+    lease_path = os.path.join(corpus, LEASE_FILE)
+    null_docs = spark.createDataFrame(
+        [(99, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        corpus_ingest_apply_batch(spark, null_docs, 0, corpus)
+    assert not os.path.exists(lease_path)
+    # and the corpus is immediately writable again
+    n = corpus_ingest_apply_batch(spark, _docs(spark, 4, 6), 1, corpus)
+    assert n == 2
+    for c in __import__("glob").glob(
+        os.path.join(corpus, "_ingest_claims", "claim_*")
+    ):
+        os.remove(c)
+    delta = str(tmp_path / "delta")
+    os.makedirs(delta)
+    _docs(spark, 6, 8).write.mode("append").parquet(delta)
+    assert stream_corpus_ingest(spark, delta, corpus, DOC_SCHEMA) >= 1
+
+
+def test_sidecar_report_skips_heal_under_live_writer(spark, tmp_path):
+    """sidecar_report heals a pending rebucket only when the lease is
+    free — a live writer owns its own swap."""
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_REBUCKET_MARKER,
+        _ensure_mh_sidecar,
+        sidecar_report,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _docs(spark, 0, 4).write.parquet(corpus)
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 8)
+    marker = os.path.join(corpus, _MH_REBUCKET_MARKER)
+    with open(marker, "w"):
+        pass
+    # live foreign writer: report runs, does NOT heal (marker intact)
+    lease_path = _plant(corpus, pid=1)
+    rep = sidecar_report(spark, corpus)
+    assert "minhash" in rep
+    assert os.path.exists(marker)
+    os.unlink(lease_path)
+    # lease free: report heals (marker consumed; no tmps pending -> the
+    # heal is the marker removal itself)
+    rep = sidecar_report(spark, corpus)
+    assert "minhash" in rep
+    assert not os.path.exists(marker)
+    assert not os.path.exists(lease_path)
