@@ -44,6 +44,7 @@ class LshIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
+        self._path = None  # set by save/load; maintenance_plan's default
 
     # -- build (O6) --------------------------------------------------------
     @classmethod
@@ -100,6 +101,7 @@ class LshIndex:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"id_col": self.id_col, "vec_col": self.vec_col,
                        "model_id": self.model_id}, f)
+        self._path = path
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LshIndex":
@@ -111,11 +113,73 @@ class LshIndex:
             "features", array_to_vector(F.col(meta["vec_col"]).cast("array<double>"))
         )
         hashed = model.transform(feats)
-        return cls(model, hashed, meta["id_col"], meta["vec_col"],
-                   model_id=meta.get("model_id"))  # absent = legacy, unpinned
+        idx = cls(model, hashed, meta["id_col"], meta["vec_col"],
+                  model_id=meta.get("model_id"))  # absent = legacy, unpinned
+        idx._path = path
+        return idx
 
     def hashed_df(self) -> DataFrame:
         return self._hashed
+
+    # -- staleness protocol (operators/pq.quantization_error_report) -------
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Staleness-report input: the raw vector as array<double>. The
+        LSH layout joins the two-method protocol every other saved
+        layout implements (r10 verdict: it was the ONE saved layout the
+        autopilot could not price — ``bucketLength`` is data-derived
+        and drifts exactly like a coarse quantizer)."""
+        from custom_vector_database_spark.operators.pq import (
+            _refuse_report_vectors,
+        )
+
+        rvs = self.model._call_java("randUnitVectors")
+        _refuse_report_vectors(df, vec_col, len(rvs[0]))
+        return df.select(F.col(vec_col).cast("array<double>").alias("_vec"))
+
+    def _staleness_error_expr(self):
+        """Per-row LSH drift error: mean over hash tables of the SQUARED
+        BUCKET ID the row hashes to — floor(proj·w_t / bucketLength)²,
+        exactly the bucket assignment approxNearestNeighbors prunes by.
+
+        Why this is the right distortion: ``bucketLength`` is calibrated
+        at fit time to the corpus's distance scale (LshIndex.fit sizes
+        it to the mean vector norm), so in-distribution rows land in
+        bucket ids of O(1) magnitude. A shifted or rescaled recent
+        distribution pushes projections outward in bucket units —
+        recent rows then occupy buckets far from the populated build
+        range, candidate pruning returns thin-to-empty shortlists, and
+        recall silently degrades; the squared-bucket-id mean grows
+        quadratically with exactly that displacement. Pure Catalyst
+        over literal projection vectors (one zip_with+aggregate dot per
+        table), floor-exact integers after the floor — engine-exact
+        like every other layout's error expression.
+
+        Calibration note (the unit-sphere note's sibling): the build
+        baseline is the mean squared bucket id of the build corpus
+        (~O(1) by bucketLength calibration); an additive drift of +d on
+        every component moves each projection by d·Σw_i, so ratio
+        thresholds ~2 trip on shifts comparable to the vector norm.
+        INWARD drift (a shrinking distribution) lowers the ratio below
+        1 and never trips — that failure mode concentrates rows into
+        fewer buckets (a probe-cost problem, not a recall hole) and is
+        visible as bucket-occupancy skew instead."""
+        bl = float(self.model.getBucketLength())
+        rvs = self.model._call_java("randUnitVectors")
+        terms = []
+        for w in rvs:
+            lit = (
+                "array("
+                + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in w)
+                + ")"
+            )
+            dot = (
+                f"aggregate(zip_with(_vec, {lit}, (a, b) -> a * b), "
+                "0.0D, (s, x) -> s + x)"
+            )
+            terms.append(
+                f"pow(floor({dot} / CAST({bl!r} AS DOUBLE)), 2.0D)"
+            )
+        return F.expr(f"({' + '.join(terms)}) / {len(terms)}.0D")
 
     # -- search (O7 approx) ---------------------------------------------------
     def search(self, query: list[float], k: int, dist_col: str = "dist_sq",

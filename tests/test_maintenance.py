@@ -201,3 +201,83 @@ def test_duplicate_layout_names_refuse(spark, tmp_path):
            "recent_df": base.limit(8)}
     with pytest.raises(ValueError, match="duplicate layout name"):
         run_maintenance(spark, [ent, dict(ent)], execute=True)
+
+
+def test_lsh_layout_joins_staleness_protocol(spark, tmp_path):
+    """Round 11: the saved LSH layout implements the two-method
+    staleness protocol — fresh slices don't trip, a +1.0 drift does,
+    and bad report inputs refuse (the _refuse_report_vectors story)."""
+    from custom_vector_database_spark.operators.ann import LshIndex
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    vecs = _vecs(spark)
+    idx = LshIndex.fit(vecs, id_col="id", vec_col="vec")
+    fresh = quantization_error_report(idx, vecs, vecs.limit(16)).first()
+    assert not fresh["stale"] and fresh["err_ratio"] < 1.5
+    drift = quantization_error_report(
+        idx, vecs, _drift(vecs.limit(16))
+    ).first()
+    assert drift["stale"] and drift["err_ratio"] > 2.0
+    # pin-aware like every protocol layout
+    pinned = LshIndex.fit(vecs, id_col="id", vec_col="vec",
+                          model_id="emb-v1")
+    with pytest.raises(ValueError, match="incompatible spaces"):
+        quantization_error_report(
+            pinned, vecs, vecs.limit(4), model_id="emb-v2"
+        )
+    # undecidable report inputs refuse (NULL component / wrong dim)
+    bad = spark.createDataFrame(
+        [(999, [0.5] * 32)], "id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="wrong-dimension|NULL"):
+        quantization_error_report(idx, vecs, bad)
+
+
+def test_maintenance_plan_prices_lsh_layout(spark, tmp_path):
+    """Round 11: maintenance_plan accepts an LSH entry — the one saved
+    layout the autopilot couldn't price in r10 — and execute mode
+    rebuilds it through the shared crash-safe swap."""
+    from custom_vector_database_spark.operators.ann import LshIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    vecs = _vecs(spark)
+    drifted = _drift(vecs)
+    path = str(tmp_path / "lsh")
+    LshIndex.fit(vecs, id_col="id", vec_col="vec").save(path)
+    idx = LshIndex.load(spark, path)
+
+    calls = []
+
+    def refit():
+        calls.append("refit")
+        # the refit trains on the data the layout must now serve
+        return LshIndex.fit(drifted, id_col="id", vec_col="vec")
+
+    layouts = [{
+        "name": "lsh_drifted", "index": idx, "build_df": vecs,
+        "recent_df": drifted, "refit": refit, "path": path,
+    }, {
+        "name": "lsh_fresh", "index": idx, "build_df": vecs,
+        "recent_df": vecs.limit(16), "refit": refit, "path": path,
+    }]
+    plan, executed = run_maintenance(spark, layouts, execute=True)
+    actions = {a["target"]: a["action"] for a in plan}
+    assert actions["lsh_drifted"] == "rebuild"
+    assert actions["lsh_fresh"] == "none"
+    assert calls == ["refit"]  # exactly the stale layout was refit
+    assert [e["target"] for e in executed] == ["lsh_drifted"]
+    assert all(a["kind"] == "layout:LshIndex" for a in plan)
+    # the swapped-in layout serves the drifted distribution: not stale
+    rebuilt = LshIndex.load(spark, path)
+    rep = quantization_error_report(
+        rebuilt, drifted, drifted.limit(16)
+    ).first()
+    assert not rep["stale"]
+    assert not os.path.isdir(path + "_old")
