@@ -34,6 +34,13 @@ Action semantics:
   half-present family); surfaced unconditionally and ranked with the
   blockers — the family's own ensure/ingest verb heals it, so this verb
   never executes it.
+- ``gc`` (a sidecar family or a layout): crashed-session leftovers that
+  are SAFE to delete — ``_tmp`` dirs with no pending commit marker and
+  ``_old`` dirs whose live artifact is present (every swap is
+  individually crash-safe, but debris was only cleaned at the NEXT
+  touch of the same artifact; a 100 TB estate accumulates it).
+  Executable; the removal re-derives the debris set from disk under the
+  corpus's writer lease rather than trusting the plan row.
 - ``none``: the signal was read and is healthy; listed so the plan is a
   complete audit, ranked last.
 
@@ -52,6 +59,7 @@ _SIDECAR_COMPACT_VERBS = {
     "exact": "compact_fp_sidecar",
     "minhash": "compact_mh_sidecar",
     "signband": "compact_sb_sidecar",
+    "payload_cdc": "compact_cdc_sidecar",
 }
 
 
@@ -68,13 +76,28 @@ def _named_corpora(corpora):
 
 def _severity(action: str, metric: float, threshold: float) -> tuple:
     """Rank key: claims first (blockers), then actionable by how far
-    past threshold, then healthy rows."""
+    past threshold, then gc (cheap, never urgent), then healthy rows."""
     order = {
         "heal": 0, "resolve_claims": 0, "rebuild": 1, "compact": 1,
-        "none": 2,
+        "gc": 2, "none": 3,
     }[action]
     over = (metric / threshold) if threshold else 0.0
     return (order, -over)
+
+
+def _list_layout_debris(path: str) -> list:
+    """Safe-to-delete leftovers of a crashed layout install
+    (layout.install_dir_swap): the ``_tmp`` sibling (inert — rewritten
+    from scratch before any use) and the ``_old`` sibling when the main
+    artifact is present (a completed swap's pre-cleanup leftover). An
+    ``_old`` without its main artifact is the heal path's rollback
+    source, never debris. Returns full paths."""
+    out = []
+    if path and os.path.isdir(str(path) + "_tmp"):
+        out.append(str(path) + "_tmp")
+    if path and os.path.isdir(str(path) + "_old") and os.path.isdir(path):
+        out.append(str(path) + "_old")
+    return out
 
 
 def maintenance_plan(
@@ -151,7 +174,43 @@ def maintenance_plan(
             + ("" if can_exec or not stale
                else "; not executable: supply refit= and path="),
         })
+        debris = _list_layout_debris(
+            ent.get("path") or getattr(idx, "_path", None)
+        )
+        if debris:
+            plan.append({
+                "target": ent["name"],
+                "kind": f"layout:{type(idx).__name__}",
+                "action": "gc",
+                "metric_name": "n_debris",
+                "metric": float(len(debris)),
+                "threshold": 0.0,
+                "blocked": False,
+                "executable": True,
+                "reason": "crashed-install leftovers safe to remove: "
+                + ", ".join(os.path.basename(d) for d in debris),
+            })
     for name, corpus_dir in _named_corpora(corpora):
+        from custom_vector_database_spark.streaming.stream_ops import (
+            list_sidecar_debris,
+        )
+
+        # debris comes from its own lister, not the report: a family
+        # whose frames are entirely gone can still own a stray _tmp dir
+        # the report (which keys on present frames) would never surface
+        for family, names in sorted(list_sidecar_debris(corpus_dir).items()):
+            plan.append({
+                "target": f"{name}:{family}",
+                "kind": f"sidecar:{family}",
+                "action": "gc",
+                "metric_name": "n_debris",
+                "metric": float(len(names)),
+                "threshold": 0.0,
+                "blocked": False,
+                "executable": True,
+                "reason": "crashed-session leftovers safe to remove: "
+                + ", ".join(names),
+            })
         rep = sidecar_report(spark, corpus_dir)
         for family in sorted(rep):
             fam = rep[family]
@@ -279,7 +338,41 @@ def run_maintenance(
     for a in plan:
         if not a["executable"] or a["blocked"]:
             continue
-        if a["action"] == "compact":
+        if a["action"] == "gc":
+            import shutil
+
+            from custom_vector_database_spark.streaming.lease import (
+                writer_lease,
+            )
+            from custom_vector_database_spark.streaming.stream_ops import (
+                list_sidecar_debris,
+            )
+
+            removed = []
+            if a["kind"].startswith("sidecar:"):
+                family = a["kind"].split(":", 1)[1]
+                corpus_dir = dir_by_name[a["target"].rsplit(":", 1)[0]]
+                # re-list under the writer lease: the debris set is
+                # re-derived from disk at removal time (never parsed
+                # out of the plan row), and the lease excludes a writer
+                # whose in-flight swap could make a tmp dir live again
+                with writer_lease(corpus_dir, "gc"):
+                    for nm in list_sidecar_debris(corpus_dir).get(
+                        family, []
+                    ):
+                        shutil.rmtree(os.path.join(corpus_dir, nm))
+                        removed.append(nm)
+            else:
+                ent = by_name[a["target"]]
+                path = ent.get("path") or getattr(ent["index"], "_path",
+                                                  None)
+                for d in _list_layout_debris(path):
+                    shutil.rmtree(d)
+                    removed.append(os.path.basename(d))
+            executed.append({
+                "target": a["target"], "action": "gc", "removed": removed,
+            })
+        elif a["action"] == "compact":
             family = a["kind"].split(":", 1)[1]
             verb = getattr(so, _SIDECAR_COMPACT_VERBS[family])
             corpus_name = a["target"].rsplit(":", 1)[0]

@@ -244,3 +244,112 @@ def sample_video_frames(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
     return src.mapInPandas(batches, _FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) over payload BYTES — the codec-free
+# NEAR-dup fingerprint for media (round 11). ``payload_md5`` catches
+# byte-identical files only; a re-encoded container (same content
+# stream, different header/footer bytes) slips past it — the most common
+# duplicate class in scraped multimodal corpora. CDC splits the payload
+# at positions where a rolling hash of the trailing 8-byte window hits a
+# boundary condition, so chunk boundaries move WITH the content: bytes
+# inserted at the front (a retagged header) shift every downstream
+# boundary by the same amount and the downstream chunks still hash
+# identically — two containers of one payload then share almost all
+# chunk fingerprints, and a chunk-overlap threshold catches them with no
+# codec in sight.
+#
+# The boundary rule is position-LOCAL (a position qualifies from the 8
+# bytes ending there alone, no min/max-size carry-over), which keeps the
+# whole chunker one Catalyst projection — and lets a DuckDB oracle
+# recompute every boundary, chunk hash, and overlap verdict exactly
+# (both engines run the identical integer polynomial over the UPPERCASE
+# hex encoding; DuckDB's hex() is lowercase, hence the upper()).
+# Arithmetic is exact BIGINT: byte values enter as
+# ascii(hi)*131+ascii(lo) <= 9240, powers are pre-reduced mod 1048573,
+# so the 8-term dot is < 7.8e10 — far inside BIGINT.
+# ---------------------------------------------------------------------------
+CDC_WINDOW = 8          # rolling-hash window, bytes
+CDC_BASE = 101          # polynomial base (Rabin-Karp style)
+CDC_MOD = 1048573       # prime modulus for the window hash
+CDC_MASK = 16           # boundary iff hash % CDC_MASK == 0 (~16 B chunks)
+_CDC_POWERS = [pow(CDC_BASE, j, CDC_MOD) for j in range(CDC_WINDOW)]
+_PLIT = ",".join(str(p) for p in _CDC_POWERS)
+
+
+def payload_cdc_chunks(payload_sql: str, mask: int = CDC_MASK):
+    """Column: array<string> of md5 chunk fingerprints of a BINARY
+    payload under content-defined chunking. ``payload_sql`` is the SQL
+    text of the payload expression (usually a column name). Empty/NULL
+    payloads are the caller's problem (refuse them upstream — an empty
+    chunk set can neither dedup nor reconcile)."""
+    # Every shared subexpression is LET-BOUND once via single-element
+    # transform arrays (the nearest_centroid_sql convention): h (hex
+    # payload), n (byte length), vs (per-byte values — one element_at
+    # per polynomial term instead of two substring+ascii calls), bnd0
+    # (boundary candidates — computed ONCE, the naive form evaluated the
+    # rolling hash three times through the CASE arms and cost ~4x).
+    hash_i = (
+        "(aggregate(sequence(0, 7), CAST(0 AS BIGINT), (s, j) -> "
+        "s + element_at(vs, CAST(i-j+1 AS INT)) * "
+        f"element_at(array({_PLIT}), CAST(j+1 AS INT))) % {CDC_MOD})"
+    )
+    return F.expr(f"""
+      element_at(transform(array(upper(hex({payload_sql}))), h ->
+       element_at(transform(array(CAST(length({payload_sql}) AS BIGINT)), n ->
+        element_at(transform(array(
+          transform(sequence(1, greatest(n, CAST(1 AS BIGINT))), q ->
+            CAST(ascii(substring(h, CAST(2*q-1 AS INT), 1)) AS BIGINT)*131 +
+            CAST(ascii(substring(h, CAST(2*q AS INT), 1)) AS BIGINT))
+        ), vs ->
+         element_at(transform(array(
+           CASE WHEN n >= 8
+                THEN filter(sequence(CAST(7 AS BIGINT), n-1),
+                            i -> {hash_i} % {int(mask)} = 0)
+                ELSE array() END
+         ), b0 ->
+          element_at(transform(array(
+            CASE WHEN size(b0) > 0 AND element_at(b0, -1) = n-1 THEN b0
+                 ELSE concat(b0, array(n-1)) END
+          ), bs -> transform(bs, (bk, k0) ->
+            md5(substring(h,
+                CAST(2*(IF(k0 = 0, CAST(-1 AS BIGINT),
+                           element_at(bs, k0)) + 1) + 1 AS INT),
+                CAST(2*(bk - IF(k0 = 0, CAST(-1 AS BIGINT),
+                                element_at(bs, k0))) AS INT)))
+          )), 1)
+         ), 1)
+        ), 1)
+       ), 1)
+      ), 1)
+    """)
+
+
+def payload_cdc_chunks_duck(payload_sql: str, mask: int = CDC_MASK) -> str:
+    """The DuckDB twin of payload_cdc_chunks — identical boundaries,
+    identical chunk md5s (oracle use). Returns SQL for LIST(VARCHAR);
+    meant to be applied in a CTE where ``h``/``n`` aliases are awkward,
+    so it inlines everything like the Spark expression does."""
+    hash_i = (
+        "(list_sum(list_transform(range(0, 8), j -> "
+        "CAST(ascii(substr(h, 2*(i-j)+1, 1))*131 + "
+        "ascii(substr(h, 2*(i-j)+2, 1)) AS BIGINT) "
+        f"* ([{_PLIT}])[j+1])) % {CDC_MOD})"
+    )
+    bnd0 = (
+        f"list_filter(range(7, n), i -> {hash_i} % {int(mask)} = 0)"
+    )
+    return f"""(
+      WITH _p AS (SELECT upper(hex({payload_sql})) AS h,
+                         octet_length({payload_sql}) AS n),
+      _b AS (SELECT h, n, {bnd0} AS bnd0 FROM _p),
+      _c AS (SELECT h, n,
+               CASE WHEN len(bnd0) > 0 AND bnd0[-1] = n-1 THEN bnd0
+                    ELSE list_append(bnd0, n-1) END AS bnds FROM _b)
+      SELECT list_transform(range(1, len(bnds)+1), k ->
+        md5(substr(h,
+            2*(CASE WHEN k = 1 THEN 0 ELSE bnds[k-1]+1 END) + 1,
+            2*(bnds[k] - (CASE WHEN k = 1 THEN -1 ELSE bnds[k-1] END)))))
+      FROM _c
+    )"""

@@ -3139,3 +3139,166 @@ def T_DOC_SCHEMA():
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
     ])
+
+
+# ---------------------------------------------------------------------------
+# stream_payload_cdc_ingest (round 11): the ingest family's codec-free
+# NEAR-dup payload member. fp_kind='payload_md5' (round 10) catches only
+# byte-identical media; a re-containered file — the same content stream
+# behind a retagged header/footer — slips past it. This member
+# fingerprints payloads by content-defined chunking (operators/
+# multimodal.payload_cdc_chunks: rolling-hash boundary positions move
+# WITH the content, so two containers of one payload share almost all
+# chunk md5s) and drops an arrival iff a smaller-id batch sibling or a
+# corpus payload shares >= 50% of its distinct chunks. The ENTIRE
+# decision is recomputed in the oracle — boundaries, chunk md5s,
+# one-hop intra-batch verdicts, cross-corpus containment — because both
+# engines run the identical integer polynomial over the uppercase hex
+# encoding (payload_cdc_chunks_duck). Fixture: corpus = even-doc
+# payloads; delta (ONE micro-batch, so the one-hop verdicts are
+# deterministic) = re-containered evens (mostly dropped), verbatim
+# byte-copies (dropped), reversed-text payloads (content-fresh, mostly
+# kept), and a reversed+retagged intra-delta near-dup pair. Kept ids
+# are decided deterministically, so the contract is exact id-set
+# equality (SUM(id) checksum). Multi-batch replay and crash recovery
+# are pinned by tests/test_cdc_ingest.py.
+# ---------------------------------------------------------------------------
+def _cdc_duck_oracle() -> str:
+    from custom_vector_database_spark.operators.multimodal import (
+        payload_cdc_chunks_duck,
+    )
+
+    ch = payload_cdc_chunks_duck("p")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, encode(text) AS p FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id < 500
+    ), delta AS (
+      SELECT doc_id + 1000000000 AS id,
+             encode('RIFFHDR00001' || text || 'TRAILER0') AS p
+      FROM documents WHERE doc_id % 4 = 0 AND doc_id < 500
+      UNION ALL
+      SELECT doc_id + 2000000000, encode(text)
+      FROM documents WHERE doc_id % 4 = 2 AND doc_id < 500
+      UNION ALL
+      SELECT doc_id + 3000000000, encode(reverse(text))
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id < 500
+      UNION ALL
+      SELECT doc_id + 4000000000,
+             encode('RIFFHDR00001' || reverse(text) || 'TRAILER0')
+      FROM documents WHERE doc_id % 8 = 1 AND doc_id < 500
+    ), cch AS (
+      SELECT id, unnest(list_distinct({ch})) AS fp FROM corpus
+    ), dch0 AS (
+      SELECT id, list_distinct({ch}) AS chs FROM delta
+    ), dch AS (
+      SELECT id, len(chs) AS n, unnest(chs) AS fp FROM dch0
+    ), intra AS (
+      SELECT b.id FROM dch a JOIN dch b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY b.id, b.n, a.id HAVING COUNT(*) * 100 >= 50 * b.n
+    ), cross_d AS (
+      SELECT d.id FROM dch d JOIN cch c ON d.fp = c.fp
+      GROUP BY d.id, d.n, c.id HAVING COUNT(*) * 100 >= 50 * d.n
+    ), dropped AS (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM intra UNION ALL SELECT id FROM cross_d
+      )
+    ), final AS (
+      SELECT id FROM corpus
+      UNION ALL
+      SELECT id FROM delta WHERE id NOT IN (SELECT id FROM dropped)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(id) AS BIGINT) AS id_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_dropped,
+           TRUE AS ingest_ok
+    FROM final
+    """
+
+
+@register("stream_payload_cdc_ingest", _cdc_duck_oracle())
+def q_stream_payload_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _CDC_CHUNKS,
+        stream_corpus_cdc_ingest,
+    )
+
+    # doc_id < 500 caps the fixture (inert at sf0.01, binds at larger
+    # sf): the row prices the MECHANISM — chunk/dedup of ~500 media — not
+    # an sf-linear corpus re-chunk; the oracle carries the same cap
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    enc = lambda c: F.encode(c, "UTF-8").cast("binary")  # noqa: E731
+    corpus_df = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("media_id"), enc(F.col("text")).alias("payload")
+    )
+    delta_df = (
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("media_id"),
+            enc(F.concat(F.lit("RIFFHDR00001"), F.col("text"),
+                         F.lit("TRAILER0"))).alias("payload"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 2_000_000_000).alias("media_id"),
+                enc(F.col("text")).alias("payload"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                (F.col("doc_id") + 3_000_000_000).alias("media_id"),
+                enc(F.reverse(F.col("text"))).alias("payload"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + 4_000_000_000).alias("media_id"),
+                enc(F.concat(F.lit("RIFFHDR00001"), F.reverse(F.col("text")),
+                             F.lit("TRAILER0"))).alias("payload"),
+            )
+        )
+    )
+    n_delta = delta_df.count()
+    tmp = tempfile.mkdtemp(prefix="cvdb_payload_cdc_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        delta_dir = os.path.join(tmp, "delta")
+        corpus_df.write.parquet(corpus_dir)
+        # ONE file -> ONE micro-batch: the intra-batch one-hop verdicts
+        # are then deterministic (batch splits are an execution detail;
+        # multi-batch replay is pinned by the pytest family suite)
+        delta_df.repartition(1).write.parquet(delta_dir)
+        n_batches = stream_corpus_cdc_ingest(
+            spark, delta_dir, corpus_dir, doc_schema=corpus_df.schema,
+            id_col="media_id", payload_col="payload",
+            max_files_per_trigger=4,
+        )
+        final = (
+            spark.read.parquet(corpus_dir)
+            .select("media_id")
+            .localCheckpoint(eager=True)  # tmp corpus deleted on return
+        )
+        with open(
+            os.path.join(corpus_dir, _CDC_CHUNKS, "_sidecar_meta.json")
+        ) as f:
+            meta = _json.load(f)
+        pins_ok = meta.get("cdc_mask") == 16 and meta.get("cdc_window") == 8
+        agg = final.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("media_id").alias("id_checksum"),
+        )
+        n_kept_new = final.filter(
+            F.col("media_id") >= 1_000_000_000
+        ).count()
+        return agg.select(
+            "n_media",
+            "id_checksum",
+            F.lit(n_delta - n_kept_new).cast("long").alias("n_dropped"),
+            F.lit(bool(n_batches == 1 and pins_ok)).alias("ingest_ok"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -45,7 +45,11 @@ __all__ = [
     "compact_mh_sidecar",
     "compact_sb_sidecar",
     "stream_corpus_semdedup_ingest",
+    "stream_corpus_cdc_ingest",
+    "corpus_cdc_apply_batch",
+    "compact_cdc_sidecar",
     "sidecar_report",
+    "list_sidecar_debris",
 ]
 
 
@@ -541,6 +545,8 @@ def _write_sidecar_meta(
     band_bits: int | None = None,
     model_id: str | None = None,
     fp_kind: str | None = None,
+    cdc_mask: int | None = None,
+    cdc_window: int | None = None,
 ) -> None:
     import json
     import os
@@ -556,6 +562,10 @@ def _write_sidecar_meta(
         meta["model_id"] = str(model_id)
     if fp_kind is not None:
         meta["fp_kind"] = str(fp_kind)
+    if cdc_mask is not None:
+        meta["cdc_mask"] = int(cdc_mask)
+    if cdc_window is not None:
+        meta["cdc_window"] = int(cdc_window)
     with open(os.path.join(sidecar_dir, "_sidecar_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -2754,6 +2764,455 @@ def compact_sb_sidecar(
     }
 
 
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate PAYLOAD ingest (round 11): the codec-free
+# fuzzy sibling of fp_kind='payload_md5'. Byte-identical md5 misses
+# re-containered media — the same content stream behind a retagged
+# header or a different wrapper — the most common duplicate class in
+# scraped multimodal corpora. This family fingerprints payloads by
+# CONTENT-DEFINED CHUNKING (operators/multimodal.payload_cdc_chunks: a
+# rolling hash picks boundary positions from the bytes alone, so
+# boundaries move WITH the content and two containers of one payload
+# share almost all chunk md5s), keeps a chunk-fingerprint sidecar under
+# corpus_dir —
+#   _cdc_chunks: (fp, id, n_chunks, batch_id, fpb)  partitioned by fp prefix
+# — and drops an arriving payload iff some batch sibling with a smaller
+# id, or some corpus payload, shares >= overlap_pct% of its distinct
+# chunks (containment of the NEW doc; one-hop like the minhash family:
+# the drop decision never chains through other drops, so it is exactly
+# recomputable in SQL). Steady state reads only the bucket-pruned
+# sidecar; chunking is pure Catalyst (no codec, no Python), and the
+# identical integer polynomial runs in DuckDB, so a SQL oracle
+# recomputes every boundary, chunk hash, and drop verdict bit-for-bit.
+# Same claims/replay/compaction machinery as the exact family; the
+# sidecar meta pins (n_buckets, cdc_mask, cdc_window) and mismatches
+# refuse. Short payloads are the documented soft spot: a ~16-byte mean
+# chunk length needs a few chunks to vote, so sub-100-byte payloads can
+# escape containment under heavy header churn — real media (KBs+) give
+# the threshold plenty of chunks.
+# ---------------------------------------------------------------------------
+_CDC_CHUNKS = "_cdc_chunks"
+_CDC_CLAIMS = "_cdc_claims"
+
+
+def _read_cdc_sidecar(spark: SparkSession, sidecar_dir: str):
+    return spark.read.schema(
+        "fp string, id long, n_chunks long, batch_id long, fpb long"
+    ).parquet(sidecar_dir)
+
+
+def _check_cdc_shape(sidecar_dir: str, mask: int) -> None:
+    """Refuse a probe/rebuild whose chunking shape differs from the
+    sidecar's pinned one: chunks cut under a different mask (or window)
+    never collide with the stored fingerprints, so every duplicate
+    would silently re-append — the fp_kind/modulus wrongness class on
+    the CDC family. No legacy case: every CDC sidecar is written with
+    its pins (the family is newer than the meta file)."""
+    from custom_vector_database_spark.operators.multimodal import CDC_WINDOW
+
+    meta = _read_sidecar_meta(sidecar_dir)
+    if meta is None:
+        return  # bootstrap in progress (tmp dir): nothing to check yet
+    pinned_mask, pinned_w = meta.get("cdc_mask"), meta.get("cdc_window")
+    if pinned_mask is None or pinned_w is None:
+        raise ValueError(
+            f"corrupt CDC sidecar meta in {sidecar_dir!r}: the chunking "
+            "shape pins (cdc_mask, cdc_window) are missing — restore the "
+            "meta file or rebuild the sidecar (delete it and let "
+            "bootstrap re-derive it from the corpus)"
+        )
+    if int(pinned_mask) != int(mask) or int(pinned_w) != int(CDC_WINDOW):
+        raise ValueError(
+            f"CDC sidecar {sidecar_dir!r} pins chunking shape "
+            f"(mask={pinned_mask}, window={pinned_w}) but this call uses "
+            f"(mask={mask}, window={CDC_WINDOW}) — chunks cut under "
+            "different shapes never collide, so every duplicate would "
+            "silently re-append; probe with the pinned shape or rebuild "
+            "the sidecar"
+        )
+
+
+def _refuse_bad_payloads(batch: DataFrame, id_col: str,
+                         payload_col: str) -> None:
+    """Fail fast on undecidable ingest rows: a NULL or EMPTY payload has
+    no chunk set (nothing to dedup or reconcile on replay), and a
+    duplicated id makes the keep decision ambiguous AND breaks the
+    replay reconcile (which keys on id)."""
+    bad = F.col(payload_col).isNull() | (F.length(F.col(payload_col)) == 0)
+    if batch.filter(bad).limit(1).count():
+        raise ValueError(
+            f"NULL or empty {payload_col!r} in CDC ingest batch: an "
+            "empty chunk set can neither dedup nor reconcile on crash "
+            "replay — filter upstream before streaming into the corpus"
+        )
+    if (
+        batch.groupBy(id_col).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    ):
+        raise ValueError(
+            f"duplicate {id_col!r} within a CDC ingest batch: the keep "
+            "decision between two payloads under one id is undecidable, "
+            "and crash-replay reconciliation keys on the id — dedup ids "
+            "upstream"
+        )
+
+
+def _cdc_chunk_rows(batch: DataFrame, id_col: str, payload_col: str,
+                    mask: int, n_buckets: int) -> DataFrame:
+    """(id, n_chunks, fp, fpb) — one row per DISTINCT chunk fingerprint
+    per payload; n_chunks is the containment denominator."""
+    from custom_vector_database_spark.operators.multimodal import (
+        payload_cdc_chunks,
+    )
+
+    return (
+        batch.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                payload_cdc_chunks(payload_col, mask=mask)
+            ).alias("_chunks"),
+        )
+        .withColumn("n_chunks", F.size("_chunks").cast("long"))
+        .select("id", "n_chunks", F.explode("_chunks").alias("fp"))
+        .withColumn("fpb", _corpus_fp_bucket(F.col("fp"), n_buckets))
+    )
+
+
+@holds_writer_lease("bootstrap:payload_cdc")
+def _ensure_cdc_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    id_col: str,
+    payload_col: str,
+    n_buckets: int,
+    mask: int,
+) -> None:
+    """One-time bootstrap of the chunk-fingerprint sidecar from a single
+    corpus scan — _ensure_fp_sidecar's crash story (tmp-then-rename, the
+    _old rollback) on the CDC frame."""
+    import os
+    import shutil
+
+    sidecar_dir = os.path.join(corpus_dir, _CDC_CHUNKS)
+    old_dir = sidecar_dir + "_old"
+    if not os.path.isdir(sidecar_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, sidecar_dir)
+    if os.path.isdir(sidecar_dir):
+        _check_cdc_shape(sidecar_dir, mask)
+        return
+    if _corpus_has_data(corpus_dir):
+        # repartition before chunking: per-payload chunking dominates
+        # the bootstrap, and a few-file corpus would otherwise chunk on
+        # a few tasks
+        rows = _cdc_chunk_rows(
+            spark.read.parquet(corpus_dir)
+            .repartition(spark.sparkContext.defaultParallelism),
+            id_col, payload_col, mask, n_buckets,
+        ).select("fp", "id", "n_chunks",
+                 F.lit(-1).cast("long").alias("batch_id"), "fpb")
+    else:
+        rows = spark.createDataFrame(
+            [], "fp string, id long, n_chunks long, batch_id long, fpb long"
+        )
+    tmp = sidecar_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    rows.write.partitionBy("fpb").parquet(tmp)
+    from custom_vector_database_spark.operators.multimodal import CDC_WINDOW
+
+    _write_sidecar_meta(tmp, n_buckets, cdc_mask=mask, cdc_window=CDC_WINDOW)
+    os.rename(tmp, sidecar_dir)
+
+
+@holds_writer_lease("apply:payload_cdc")
+def corpus_cdc_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    overlap_pct: int = 50,
+    n_buckets: int = 16,
+    mask: int | None = None,
+) -> int:
+    """Apply ONE CDC near-dup-on-ingest micro-batch. A payload is
+    dropped iff (a) some batch sibling with a SMALLER id shares
+    >= ``overlap_pct``% of its distinct chunk fps (one-hop, never
+    chained through other drops), or (b) some corpus payload does. The
+    threshold compares integers (shared*100 >= pct*n_chunks) — exact on
+    both engines. Steady state reads ONLY the bucket-pruned sidecar.
+
+    Crash safety is the exact family's: write-ahead claim -> sidecar
+    append -> corpus append; a replayed batch probes with its own
+    batch_id rows excluded (recomputing the identical drop verdicts),
+    anti-joins its claimed (id, fp) sidecar rows so a partial chunk
+    append self-heals row-exactly, and reconciles the corpus append by
+    id against one recovery-only corpus scan."""
+    import os
+
+    from custom_vector_database_spark.operators.multimodal import CDC_MASK
+
+    if mask is None:
+        mask = CDC_MASK
+    _refuse_bad_payloads(batch, id_col, payload_col)
+    sidecar_dir = os.path.join(corpus_dir, _CDC_CHUNKS)
+    claims_dir = os.path.join(corpus_dir, _CDC_CLAIMS)
+    claim = os.path.join(claims_dir, f"claim_{batch_id}")
+    recovering = os.path.exists(claim)
+    n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
+    _check_cdc_shape(sidecar_dir, mask)
+    pct = int(overlap_pct)
+
+    # spread the chunker across the cluster BEFORE computing: a
+    # micro-batch read from one delta file arrives as ONE partition, and
+    # per-payload chunking is the batch's dominant compute — without
+    # this a 4k-payload batch chunks serially on a single task
+    par = spark.sparkContext.defaultParallelism
+    ex = _cdc_chunk_rows(
+        batch.repartition(par), id_col, payload_col, mask, n_buckets
+    )
+    # chunking runs once, not once per consumer below (the survivors
+    # plan reads it three ways)
+    ex = ex.localCheckpoint(eager=True)
+
+    # (a) intra-batch one-hop: b dropped iff EXISTS a < b with
+    # containment(b in a) >= pct% — independent of a's own fate, so the
+    # verdict is order-free and SQL-recomputable
+    a, b = ex.alias("a"), ex.alias("b")
+    drop_intra = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("b.id").alias("id"),
+                 F.col("b.n_chunks").alias("n_chunks"),
+                 F.col("a.id").alias("aid"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") * 100 >= F.lit(pct) * F.col("n_chunks"))
+        .select("id")
+    )
+
+    # (b) vs the sidecar, bucket-pruned to the batch's buckets (bounded
+    # collect <= n_buckets); recovery excludes this batch's own rows
+    buckets = [
+        r["fpb"] for r in ex.select("fpb").distinct().collect()
+    ]
+    probe = _read_cdc_sidecar(spark, sidecar_dir)
+    if recovering:
+        probe = probe.filter(F.col("batch_id") != batch_id)
+    probe = probe.filter(F.col("fpb").isin(buckets)).select(
+        F.col("fp"), F.col("id").alias("old_id")
+    )
+    drop_cross = (
+        ex.join(probe, "fp")
+        .groupBy("id", "n_chunks", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") * 100 >= F.lit(pct) * F.col("n_chunks"))
+        .select("id")
+    )
+
+    dropped = drop_intra.union(drop_cross).distinct()
+    survivors = batch.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    if recovering:
+        # claimed payloads already in the corpus must not re-append
+        if _corpus_has_data(corpus_dir):
+            corpus_ids = spark.read.parquet(corpus_dir).select(
+                F.col(id_col)
+            ).distinct()
+        else:
+            corpus_ids = spark.createDataFrame([], f"{id_col} long")
+        survivors = survivors.join(corpus_ids, id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    n_new = survivors.count()
+    if n_new:
+        os.makedirs(claims_dir, exist_ok=True)
+        with open(claim, "a"):
+            pass  # write-ahead: claim before either append
+        new_rows = _cdc_chunk_rows(
+            survivors.repartition(par), id_col, payload_col, mask, n_buckets
+        ).select("fp", "id", "n_chunks",
+                 F.lit(batch_id).cast("long").alias("batch_id"), "fpb")
+        if recovering:
+            claimed = _read_cdc_sidecar(spark, sidecar_dir).filter(
+                F.col("batch_id") == batch_id
+            ).select("id", "fp")
+            # per-ROW anti-join: a crash mid-append can land PART of a
+            # payload's chunk rows; replay re-appends exactly the
+            # missing (id, fp) rows, never a duplicate row
+            new_rows = new_rows.join(claimed, ["id", "fp"], "left_anti")
+        new_rows.write.mode("append").partitionBy("fpb").parquet(sidecar_dir)
+        survivors.write.mode("append").parquet(corpus_dir)
+    return n_new
+
+
+@holds_writer_lease("ingest:payload_cdc", force_arg="force_lease")
+def stream_corpus_cdc_ingest(
+    spark: SparkSession,
+    delta_dir: str,
+    corpus_dir: str,
+    doc_schema: T.StructType,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_files_per_trigger: int = 2,
+    timeout: int = 120,
+    n_buckets: int = 16,
+    overlap_pct: int = 50,
+    mask: int | None = None,
+    force_lease: bool = False,
+) -> int:
+    """Continuous NEAR-dup payload ingestion (see corpus_cdc_apply_batch
+    for the decision rule and crash story) — the codec-free fuzzy member
+    of the corpus-ingest family, completing the payload pair exactly as
+    stream_corpus_neardup_ingest completes the text pair. Returns
+    micro-batches applied this call; same at-least-once machinery as
+    every family member (_run_ingest_stream)."""
+    import os
+
+    from custom_vector_database_spark.operators.multimodal import CDC_MASK
+
+    if mask is None:
+        mask = CDC_MASK
+    claims_dir = os.path.join(corpus_dir, _CDC_CLAIMS)
+    _ensure_cdc_sidecar(spark, corpus_dir, id_col, payload_col,
+                        n_buckets, mask)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        corpus_cdc_apply_batch(
+            spark, batch, batch_id, corpus_dir,
+            id_col=id_col, payload_col=payload_col,
+            overlap_pct=overlap_pct, n_buckets=n_buckets, mask=mask,
+        )
+
+    return _run_ingest_stream(
+        spark, delta_dir, doc_schema, claims_dir, apply,
+        max_files_per_trigger, timeout, "corpus_cdc_ingest",
+    )
+
+
+@holds_writer_lease("compact:payload_cdc", force_arg="force_lease")
+def compact_cdc_sidecar(
+    spark: SparkSession,
+    corpus_dir: str,
+    n_buckets: int = 16,
+    new_n_buckets: int | None = None,
+    force_lease: bool = False,
+) -> dict:
+    """Compact the CDC chunk sidecar — compact_fp_sidecar's story
+    (single-frame tmp-then-rename swap, batch_id collapsed to -1,
+    refuses over outstanding claims, ``new_n_buckets`` rebuckets with
+    the meta pin updated atomically in the same swap); the chunking
+    shape pins are carried verbatim. Returns {"files_before",
+    "files_after", "n_rows", "n_buckets"}."""
+    import glob
+    import os
+    import shutil
+
+    sidecar_dir = os.path.join(corpus_dir, _CDC_CHUNKS)
+    claims_dir = os.path.join(corpus_dir, _CDC_CLAIMS)
+    old_dir = sidecar_dir + "_old"
+    if not os.path.isdir(sidecar_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, sidecar_dir)
+    n_buckets = _sidecar_n_buckets(sidecar_dir, n_buckets)
+    if new_n_buckets is not None and int(new_n_buckets) <= 0:
+        raise ValueError(
+            f"new_n_buckets must be positive, got {new_n_buckets!r}"
+        )
+    out_buckets = (
+        int(new_n_buckets) if new_n_buckets is not None else n_buckets
+    )
+    outstanding = glob.glob(os.path.join(claims_dir, "claim_*"))
+    if outstanding:
+        raise ValueError(
+            f"{len(outstanding)} unresolved ingest claim(s) "
+            f"({sorted(os.path.basename(c) for c in outstanding)[:3]}…): "
+            "re-drive stream_corpus_cdc_ingest to let recovery resolve "
+            "them before compacting (compaction erases the per-batch "
+            "claim rows recovery reconciles against)"
+        )
+    count_files = lambda d: sum(  # noqa: E731
+        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+    files_before = count_files(sidecar_dir)
+    rows = _read_cdc_sidecar(spark, sidecar_dir)
+    n_rows = rows.count()
+    tmp = sidecar_dir + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        rows.select(
+            "fp", "id", "n_chunks",
+            F.lit(-1).cast("long").alias("batch_id"),
+            _corpus_fp_bucket(F.col("fp"), out_buckets).alias("fpb"),
+        )
+        .repartition(out_buckets, "fpb")
+        .write.partitionBy("fpb")
+        .parquet(tmp)
+    )
+    _meta = _read_sidecar_meta(sidecar_dir) or {}
+    _write_sidecar_meta(
+        tmp, out_buckets,
+        cdc_mask=_meta.get("cdc_mask"), cdc_window=_meta.get("cdc_window"),
+    )
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(sidecar_dir, old_dir)
+    os.rename(tmp, sidecar_dir)
+    shutil.rmtree(old_dir)
+    return {
+        "files_before": files_before,
+        "files_after": count_files(sidecar_dir),
+        "n_rows": n_rows,
+        "n_buckets": out_buckets,
+    }
+
+
+_FAMILY_FRAMES = {
+    "exact": (_FP_SIDECAR,),
+    "minhash": (_MH_SIGS, _MH_BANDS),
+    "signband": (_SB_VECS, _SB_BANDS),
+    "payload_cdc": (_CDC_CHUNKS,),
+}
+_FAMILY_MARKERS = {
+    "minhash": _MH_REBUCKET_MARKER,
+    "signband": _SB_REBUCKET_MARKER,
+}
+
+
+def list_sidecar_debris(corpus_dir: str) -> dict:
+    """Crashed-session leftovers that are SAFE to delete, per family:
+    ``<frame>_tmp`` dirs with no pending rebucket commit marker (a
+    crashed pre-commit write — inert by the swap protocol, rewritten
+    from scratch before any use) and ``<frame>_old`` dirs whose main
+    frame is present (a completed swap's pre-cleanup leftover; the live
+    frame is authoritative). An ``_old`` WITHOUT its main frame is NOT
+    debris — it is the heal path's rollback source — and a pending
+    marker makes the tmps part of an in-flight rebucket, also not
+    debris. Every swap is individually crash-safe, but debris was only
+    cleaned at the NEXT touch of the same artifact; a 100 TB estate
+    accumulates it, so the autopilot surfaces it as a ``gc`` action
+    (r10 verdict item 5). Returns {family: [dir names]} — names
+    relative to corpus_dir; pure file-stats, no data read."""
+    import os
+
+    out: dict = {}
+    for family, frames in _FAMILY_FRAMES.items():
+        marker = _FAMILY_MARKERS.get(family)
+        pending = marker is not None and os.path.exists(
+            os.path.join(corpus_dir, marker)
+        )
+        names = []
+        for fr in frames:
+            d = os.path.join(corpus_dir, fr)
+            if os.path.isdir(d + "_tmp") and not pending:
+                names.append(fr + "_tmp")
+            if os.path.isdir(d + "_old") and os.path.isdir(d):
+                names.append(fr + "_old")
+        if names:
+            out[family] = sorted(names)
+    return out
+
+
 def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
     """Operational snapshot of every dedup-on-ingest sidecar present
     under ``corpus_dir`` — the ingest family's describe() (the ops
@@ -2785,6 +3244,8 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
          _MH_CLAIMS, _MH_REBUCKET_MARKER),
         ("signband", ((_SB_VECS, _read_sb_vecs), (_SB_BANDS, _read_sb_bands)),
          _SB_CLAIMS, _SB_REBUCKET_MARKER),
+        ("payload_cdc", ((_CDC_CHUNKS, _read_cdc_sidecar),), _CDC_CLAIMS,
+         None),
     )
     for family, frames, claims_name, marker_name in families:
         if marker_name is not None and os.path.exists(
@@ -2821,7 +3282,11 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
         if not present:
             continue
         meta = _read_sidecar_meta(present[0]) or {}
-        fam: dict = {"meta": meta, "frames": {}}
+        fam: dict = {
+            "meta": meta,
+            "frames": {},
+            "debris": list_sidecar_debris(corpus_dir).get(family, []),
+        }
         for name, reader in frames:
             d = os.path.join(corpus_dir, name)
             if not os.path.isdir(d):

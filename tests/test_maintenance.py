@@ -281,3 +281,102 @@ def test_maintenance_plan_prices_lsh_layout(spark, tmp_path):
     ).first()
     assert not rep["stale"]
     assert not os.path.isdir(path + "_old")
+
+
+def test_gc_surfaces_and_removes_exactly_planted_debris(spark, tmp_path):
+    """Round 11: the autopilot's gc action — planted _tmp/_old debris on
+    a sidecar corpus AND a saved layout shows up as executable gc plan
+    rows, execute removes exactly the listed debris, and the NON-debris
+    states (pending rebucket marker tmps, _old without a live frame,
+    live frames themselves) are left alone."""
+    import shutil
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+        run_maintenance,
+    )
+    from custom_vector_database_spark.streaming.stream_ops import (
+        _MH_REBUCKET_MARKER,
+        _MH_SIGS,
+        _ensure_fp_sidecar,
+        _ensure_mh_sidecar,
+        list_sidecar_debris,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 6).select("doc_id", "text")
+    )
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    _ensure_fp_sidecar(
+        spark, corpus, os.path.join(corpus, "_fingerprints"), "text", 8
+    )
+    _ensure_mh_sidecar(spark, corpus, "text", 16, 4, 8)
+
+    # plant: exact _old beside a LIVE frame (safe), exact stray _tmp
+    # (safe), minhash _tmp under a PENDING rebucket marker (NOT debris —
+    # mid-rebucket tmps belong to the in-flight swap)
+    shutil.copytree(
+        os.path.join(corpus, "_fingerprints"),
+        os.path.join(corpus, "_fingerprints_old"),
+    )
+    os.makedirs(os.path.join(corpus, "_fingerprints_tmp"))
+    os.makedirs(os.path.join(corpus, _MH_SIGS + "_tmp"))
+    with open(os.path.join(corpus, _MH_REBUCKET_MARKER), "w"):
+        pass
+
+    deb = list_sidecar_debris(corpus)
+    assert deb == {
+        "exact": ["_fingerprints_old", "_fingerprints_tmp"]
+    }  # the marker shields the minhash tmp
+    # clear the synthetic mid-rebucket state before running the real
+    # verbs: a PRESENT marker tells the heal path the tmps are complete
+    # frames to roll forward (the protocol writes it only after both
+    # tmps land), which a hand-planted empty tmp is not
+    os.remove(os.path.join(corpus, _MH_REBUCKET_MARKER))
+    shutil.rmtree(os.path.join(corpus, _MH_SIGS + "_tmp"))
+
+    # layout debris: a saved IVF with a stray _tmp and a safe _old
+    vecs = _vecs(spark, 0, 32)
+    lpath = str(tmp_path / "ivf")
+    IvfIndex.fit(vecs, n_clusters=4).save(lpath)
+    idx = IvfIndex.load(spark, lpath)
+    os.makedirs(lpath + "_tmp")
+    shutil.copytree(lpath, lpath + "_old")
+
+    layouts = [{
+        "name": "ivf_gc", "index": idx, "build_df": vecs,
+        "recent_df": vecs.limit(8),
+    }]
+    plan = maintenance_plan(spark, layouts, corpora=[("c", corpus)])
+    gc_rows = {a["target"]: a for a in plan if a["action"] == "gc"}
+    assert set(gc_rows) == {"c:exact", "ivf_gc"}
+    assert gc_rows["c:exact"]["executable"]
+    assert gc_rows["c:exact"]["metric"] == 2.0
+    assert "_fingerprints_old" in gc_rows["c:exact"]["reason"]
+    assert gc_rows["ivf_gc"]["metric"] == 2.0
+    # fixed row shape preserved
+    documented = {"target", "kind", "action", "metric_name", "metric",
+                  "threshold", "blocked", "executable", "reason"}
+    assert all(set(a) == documented for a in plan)
+
+    plan2, executed = run_maintenance(
+        spark, layouts, corpora=[("c", corpus)], execute=True
+    )
+    gc_exec = {e["target"]: e for e in executed if e["action"] == "gc"}
+    assert set(gc_exec) == {"c:exact", "ivf_gc"}
+    assert gc_exec["c:exact"]["removed"] == [
+        "_fingerprints_old", "_fingerprints_tmp"
+    ]
+    assert sorted(gc_exec["ivf_gc"]["removed"]) == ["ivf_old", "ivf_tmp"]
+    # exactly the debris is gone; live artifacts stay
+    assert not os.path.isdir(os.path.join(corpus, "_fingerprints_old"))
+    assert not os.path.isdir(os.path.join(corpus, "_fingerprints_tmp"))
+    assert os.path.isdir(os.path.join(corpus, "_fingerprints"))
+    assert os.path.isdir(os.path.join(corpus, _MH_SIGS))
+    assert os.path.isdir(lpath) and not os.path.isdir(lpath + "_old")
+    # idempotent: a re-plan lists no gc rows
+    plan3 = maintenance_plan(spark, layouts, corpora=[("c", corpus)])
+    assert all(a["action"] != "gc" for a in plan3)
