@@ -484,6 +484,21 @@ def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which is what makes the operator runnable on an unbounded stream. The
 # oracle is the identical batch join — streaming must add matches, never
 # change them.
+#
+# Round 11: the row also carries the INGEST-FAMILY certification — the
+# five-member dedup-on-ingest family had never had a driver-sampled row
+# in ten rounds (r10 verdict item 6; this is the sampled streaming row,
+# the connector_ok/simjoin_ok pattern). A bounded 2-micro-batch exact
+# dedup-on-ingest runs over a tmp corpus (corpus = docs 0-7; delta =
+# docs 4-11 under fresh ids — 4-7 duplicate the corpus and must drop —
+# plus one intra-delta duplicate) applies as a live micro-batch, then
+# the full delta replays under a planted claim marker (the crashed-batch
+# signal) through the recovery path and must append nothing.
+# ``ingest_fps`` is the measured final distinct-fingerprint count of the
+# corpus, which the oracle RECOMPUTES from the construction (distinct
+# normalized-text md5 of docs 0-11); ``ingest_ok`` certifies the live
+# batch kept exactly the missing fingerprints, the replay was a no-op,
+# and the writer lease + claim markers were all released.
 # ---------------------------------------------------------------------------
 @register(
     "stream_purchase_click_join",
@@ -491,7 +506,12 @@ def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.user_id AS user_id,
            p.event_id AS purchase_id,
            c.event_id AS click_id,
-           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           (SELECT CAST(COUNT(DISTINCT
+                   md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))))
+                 AS BIGINT)
+            FROM documents WHERE doc_id < 12) AS ingest_fps,
+           TRUE AS ingest_ok
     FROM events p
     JOIN events c
       ON p.user_id = c.user_id
@@ -502,17 +522,98 @@ def q_histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from custom_vector_database_spark.operators.text import fingerprint_md5
     from custom_vector_database_spark.streaming import (
         run_stream_to_memory,
         stream_purchase_click_join,
         streaming_events,
     )
+    from custom_vector_database_spark.streaming.lease import LEASE_FILE
 
     joined = stream_purchase_click_join(
         streaming_events(spark, sf_dir), user_filter=50
     )
     out = run_stream_to_memory(spark, joined, "stream_join", output_mode="append")
-    return out.orderBy("user_id", "purchase_id", "click_id")
+
+    # --- ingest-family certification (bounded: 12 docs, 2 batches) ---
+    docs = load(spark, sf_dir, "documents")
+    corpus_df = docs.filter(F.col("doc_id") < 8).select("doc_id", "text")
+    delta_df = (
+        docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 12))
+        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") == 8).select(
+                F.lit(2_000_000_008).cast("long").alias("doc_id"), "text"
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_ingest_cert_")
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        corpus_df.write.parquet(corpus_dir)
+        from custom_vector_database_spark.streaming.stream_ops import (
+            _ensure_fp_sidecar,
+            corpus_ingest_apply_batch,
+        )
+
+        _ensure_fp_sidecar(
+            spark, corpus_dir, os.path.join(corpus_dir, "_fingerprints"),
+            "text", 16,
+        )
+        # one live batch + one crash-replay batch through the family's
+        # apply protocol (the foreachBatch wrapper around it is generic
+        # availableNow plumbing the sampled stream-join above already
+        # drives; a full second stream start/stop here would triple the
+        # row's cost for no extra decision coverage)
+        claims_dir = os.path.join(corpus_dir, "_ingest_claims")
+        n_apply = corpus_ingest_apply_batch(spark, delta_df, 1, corpus_dir)
+        for c in glob.glob(os.path.join(claims_dir, "claim_1")):
+            os.remove(c)  # the caller's post-apply step (protocol)
+        # crash replay: plant a claim marker (the crashed-batch signal)
+        # and re-apply the full delta as that batch — the recovery path
+        # (probe excluding own rows + corpus reconcile) must re-append
+        # NOTHING, everything already landed
+        os.makedirs(claims_dir, exist_ok=True)
+        claim = os.path.join(claims_dir, "claim_77")
+        with open(claim, "a"):
+            pass
+        n_replay = corpus_ingest_apply_batch(spark, delta_df, 77, corpus_dir)
+        os.remove(claim)  # the caller's post-apply step (protocol)
+        # one pass computes BOTH distinct-fp counts (final corpus and
+        # its original doc_id<8 slice) — the cert is job-latency-bound,
+        # so every saved action matters on a driver-sampled row
+        r = spark.read.parquet(corpus_dir).agg(
+            F.count_distinct(
+                fingerprint_md5(F.col("text"))
+            ).alias("final_fps"),
+            F.count_distinct(
+                F.when(F.col("doc_id") < 8, fingerprint_md5(F.col("text")))
+            ).alias("corpus_fps"),
+        ).first()
+        final_fps, corpus_fps = r["final_fps"], r["corpus_fps"]
+        ingest_ok = (
+            # the live batch kept exactly the fingerprints the corpus
+            # lacked (its corpus-duplicate half dropped wholesale, its
+            # intra-batch duplicate collapsed to one)
+            n_apply == final_fps - corpus_fps
+            and n_replay == 0
+            and not os.path.exists(os.path.join(corpus_dir, LEASE_FILE))
+            and not glob.glob(
+                os.path.join(corpus_dir, "_ingest_claims", "claim_*")
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        out.orderBy("user_id", "purchase_id", "click_id")
+        .withColumn("ingest_fps", F.lit(int(final_fps)).cast("long"))
+        .withColumn("ingest_ok", F.lit(bool(ingest_ok)))
+    )
 
 
 # ---------------------------------------------------------------------------
