@@ -370,19 +370,32 @@ def install_dir_swap(path: str, write_tmp, heal=None) -> None:
 
     ``heal`` overrides the default heal (rename ``_old`` back when the
     target is missing) for callers with a completeness marker that can
-    also roll FORWARD (VectorTable's kind.json)."""
+    also roll FORWARD (VectorTable's kind.json).
+
+    The whole choreography runs under a sibling ``<path>_lock`` writer
+    lease (streaming/lease.py — the lock must live BESIDE the artifact,
+    not inside it, because the artifact dir itself is renamed): the
+    autopilot's gc action takes the same lock before deleting
+    ``_tmp``/``_old`` leftovers, so a gc in another process can never
+    rmtree the tmp this swap is about to rename in (r11 review
+    finding). A crashed swap's lock self-clears via the lease's
+    dead-pid reclaim; the empty ``_lock`` dir that remains is the
+    stable mutex point, not debris."""
     import os
     import shutil
 
+    from custom_vector_database_spark.streaming.lease import writer_lease
+
     tmp, old = path + "_tmp", path + "_old"
-    if heal is not None:
-        heal()
-    elif not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)  # crash between the two renames
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    write_tmp(tmp)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    with writer_lease(path + "_lock", "install_dir_swap"):
+        if heal is not None:
+            heal()
+        elif not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)  # crash between the two renames
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        write_tmp(tmp)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)

@@ -141,6 +141,18 @@ def maintenance_plan(
             "execute routing are keyed by name — give every layout "
             "entry a unique name"
         )
+    cnames = [n for n, _ in _named_corpora(corpora)]
+    if len(cnames) != len(set(cnames)):
+        # same ambiguity on the corpus side (r11 review finding): two
+        # bare dirs sharing a basename would collapse in execute's
+        # name->dir map and compact/gc the WRONG corpus while the
+        # executed log claims success on the other
+        cd = sorted({n for n in cnames if cnames.count(n) > 1})
+        raise ValueError(
+            f"duplicate corpus name(s) {cd}: plan targets and execute "
+            "routing are keyed by name — pass (name, dir) pairs with "
+            "unique names instead of same-basename bare dirs"
+        )
 
     plan: list[dict] = []
     for ent in layouts:
@@ -315,10 +327,17 @@ def run_maintenance(
     execute: bool = False,
 ) -> tuple[list[dict], list[dict]]:
     """Plan, and optionally execute. Returns (plan, executed) where
-    ``executed`` records one entry per action actually run — always a
+    ``executed`` records one entry per executable action — either the
+    run's result, or (when a LIVE writer held the target's lease at
+    execution time) a ``{"skipped": <reason>}`` record: one busy corpus
+    must not abort maintenance everywhere else, and silently omitting
+    the refusal would read as "done" (r11 review finding). Always a
     subset of the plan's ``executable`` rows (the autopilot contract:
     it only runs what its own plan listed, and nothing blocked)."""
     import custom_vector_database_spark.streaming.stream_ops as so
+    from custom_vector_database_spark.streaming.lease import (
+        WriterLeaseHeld,
+    )
 
     by_name = {ent["name"]: ent for ent in layouts}
     # target -> corpus_dir stays an INTERNAL map: the returned plan is a
@@ -335,57 +354,70 @@ def run_maintenance(
     executed: list[dict] = []
     if not execute:
         return plan, executed
-    for a in plan:
-        if not a["executable"] or a["blocked"]:
-            continue
-        if a["action"] == "gc":
-            import shutil
+    def _run_gc(a: dict) -> dict:
+        import shutil
 
-            from custom_vector_database_spark.streaming.lease import (
-                writer_lease,
-            )
-            from custom_vector_database_spark.streaming.stream_ops import (
-                list_sidecar_debris,
-            )
+        from custom_vector_database_spark.streaming.lease import (
+            writer_lease,
+        )
+        from custom_vector_database_spark.streaming.stream_ops import (
+            list_sidecar_debris,
+        )
 
-            removed = []
-            if a["kind"].startswith("sidecar:"):
-                family = a["kind"].split(":", 1)[1]
-                corpus_dir = dir_by_name[a["target"].rsplit(":", 1)[0]]
-                # re-list under the writer lease: the debris set is
-                # re-derived from disk at removal time (never parsed
-                # out of the plan row), and the lease excludes a writer
-                # whose in-flight swap could make a tmp dir live again
-                with writer_lease(corpus_dir, "gc"):
-                    for nm in list_sidecar_debris(corpus_dir).get(
-                        family, []
-                    ):
-                        shutil.rmtree(os.path.join(corpus_dir, nm))
-                        removed.append(nm)
-            else:
-                ent = by_name[a["target"]]
-                path = ent.get("path") or getattr(ent["index"], "_path",
-                                                  None)
+        removed = []
+        if a["kind"].startswith("sidecar:"):
+            family = a["kind"].split(":", 1)[1]
+            corpus_dir = dir_by_name[a["target"].rsplit(":", 1)[0]]
+            # re-list under the writer lease: the debris set is
+            # re-derived from disk at removal time (never parsed out of
+            # the plan row), and the lease excludes a writer whose
+            # in-flight swap could make a tmp dir live again
+            with writer_lease(corpus_dir, "gc"):
+                for nm in list_sidecar_debris(corpus_dir).get(family, []):
+                    shutil.rmtree(os.path.join(corpus_dir, nm))
+                    removed.append(nm)
+        else:
+            ent = by_name[a["target"]]
+            path = ent.get("path") or getattr(ent["index"], "_path", None)
+            # same hazard as the sidecar branch: a LIVE install_dir_swap
+            # in another process is mid-rename on these very dirs — the
+            # swap's sibling lock (layout.py) excludes it (r11 review
+            # finding: the naive rmtree raced the swap's tmp rename)
+            with writer_lease(str(path) + "_lock", "gc"):
                 for d in _list_layout_debris(path):
                     shutil.rmtree(d)
                     removed.append(os.path.basename(d))
+        return {"target": a["target"], "action": "gc", "removed": removed}
+
+    def _run_compact(a: dict) -> dict:
+        family = a["kind"].split(":", 1)[1]
+        verb = getattr(so, _SIDECAR_COMPACT_VERBS[family])
+        corpus_name = a["target"].rsplit(":", 1)[0]
+        stats = verb(spark, dir_by_name[corpus_name])
+        return {"target": a["target"], "action": "compact", "stats": stats}
+
+    def _run_rebuild(a: dict) -> dict:
+        ent = by_name[a["target"]]
+        new_idx = ent["refit"]()
+        path = ent.get("path") or getattr(ent["index"], "_path")
+        _swap_layout_in(new_idx, path)
+        return {"target": a["target"], "action": "rebuild", "path": path}
+
+    runners = {"gc": _run_gc, "compact": _run_compact,
+               "rebuild": _run_rebuild}
+    for a in plan:
+        if not a["executable"] or a["blocked"]:
+            continue
+        try:
+            executed.append(runners[a["action"]](a))
+        except WriterLeaseHeld as e:
+            # a LIVE writer owns this corpus right now: skip THIS action
+            # and keep maintaining everything else — aborting the whole
+            # run (and losing the executed record) over one busy corpus
+            # was the r11 review finding; the refusal is recorded, never
+            # silent
             executed.append({
-                "target": a["target"], "action": "gc", "removed": removed,
-            })
-        elif a["action"] == "compact":
-            family = a["kind"].split(":", 1)[1]
-            verb = getattr(so, _SIDECAR_COMPACT_VERBS[family])
-            corpus_name = a["target"].rsplit(":", 1)[0]
-            stats = verb(spark, dir_by_name[corpus_name])
-            executed.append({
-                "target": a["target"], "action": "compact", "stats": stats,
-            })
-        elif a["action"] == "rebuild":
-            ent = by_name[a["target"]]
-            new_idx = ent["refit"]()
-            path = ent.get("path") or getattr(ent["index"], "_path")
-            _swap_layout_in(new_idx, path)
-            executed.append({
-                "target": a["target"], "action": "rebuild", "path": path,
+                "target": a["target"], "action": a["action"],
+                "skipped": str(e),
             })
     return plan, executed

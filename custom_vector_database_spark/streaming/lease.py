@@ -60,8 +60,17 @@ __all__ = [
     "verify_writer_lease",
     "writer_lease",
     "holds_writer_lease",
+    "WriterLeaseHeld",
     "LEASE_FILE",
 ]
+
+
+class WriterLeaseHeld(ValueError):
+    """Another writer holds the corpus's lease (the acquire-time
+    CONFLICT, distinct from being fenced mid-write): callers that can
+    legitimately defer — sidecar_report's heal, the autopilot's
+    per-action executor — catch THIS type and skip, instead of string-
+    matching a ValueError message or swallowing unrelated errors."""
 
 LEASE_FILE = "_writer_lease.json"
 
@@ -163,17 +172,25 @@ def acquire_writer_lease(
             "host": socket.gethostname(),
             "verb": str(verb),
         }
-        try:
-            _write_lease_atomic(path, lease, replace=False)
-        except FileExistsError:
-            current = _read_lease(path) or {"epoch": 0}
-            if force or _pid_dead_on_this_host(current):
-                # epoch fencing: the bumped epoch invalidates every
-                # verify/release the old holder might still attempt
-                lease["epoch"] = int(current.get("epoch") or 0) + 1
-                _write_lease_atomic(path, lease, replace=True)
-            else:
-                raise ValueError(
+        # bounded create-read loop: another writer RELEASING between our
+        # failed os.link and the follow-up read leaves no lease file —
+        # that is a FREE corpus, so retry the create instead of refusing
+        # with a nonsensical "another writer (no lease file)"
+        for _attempt in range(5):
+            try:
+                _write_lease_atomic(path, lease, replace=False)
+                break
+            except FileExistsError:
+                current = _read_lease(path)
+                if current is None:
+                    continue  # holder vanished mid-race: re-attempt
+                if force or _pid_dead_on_this_host(current):
+                    # epoch fencing: the bumped epoch invalidates every
+                    # verify/release the old holder might still attempt
+                    lease["epoch"] = int(current.get("epoch") or 0) + 1
+                    _write_lease_atomic(path, lease, replace=True)
+                    break
+                raise WriterLeaseHeld(
                     f"another writer holds the lease on {corpus_dir!r} "
                     f"({_describe(current)}): concurrent writers on one "
                     "corpus silently double-append duplicates past the "
@@ -184,6 +201,12 @@ def acquire_writer_lease(
                     "out); a dead pid on this host is reclaimed "
                     "automatically"
                 ) from None
+        else:
+            raise WriterLeaseHeld(
+                f"could not acquire the writer lease on {corpus_dir!r}: "
+                "the lease file kept appearing and vanishing across 5 "
+                "attempts (writers churning); retry, or force_lease=True"
+            )
         _HELD[key] = [lease, 1]
         return lease
 

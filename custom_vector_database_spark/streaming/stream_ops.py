@@ -3029,8 +3029,12 @@ def corpus_cdc_apply_batch(
         os.makedirs(claims_dir, exist_ok=True)
         with open(claim, "a"):
             pass  # write-ahead: claim before either append
-        new_rows = _cdc_chunk_rows(
-            survivors.repartition(par), id_col, payload_col, mask, n_buckets
+        # derive the sidecar rows from the CHECKPOINTED ex, never by
+        # re-chunking the survivors: per-payload chunking is the batch's
+        # dominant compute and in steady state most payloads survive
+        # (r11 review finding — the naive form chunked twice per batch)
+        new_rows = ex.join(
+            survivors.select(F.col(id_col).alias("id")), "id"
         ).select("fp", "id", "n_chunks",
                  F.lit(batch_id).cast("long").alias("batch_id"), "fpb")
         if recovering:
@@ -3257,6 +3261,10 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
             # will finish it, and racing its renames is exactly what the
             # lease exists to prevent. A report over a live writer
             # simply prices the pre-heal state (transient by definition).
+            from custom_vector_database_spark.streaming.lease import (
+                WriterLeaseHeld,
+            )
+
             try:
                 with writer_lease(corpus_dir, "heal:report"):
                     _heal_two_frame_rebucket(
@@ -3267,7 +3275,7 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
                             for name, _ in frames
                         ),
                     )
-            except ValueError:
+            except WriterLeaseHeld:
                 pass  # live writer holds the lease; it owns the heal
         # a family is reported when ANY frame is present — a family
         # whose FIRST frame crashed away but whose second survives is

@@ -380,3 +380,87 @@ def test_gc_surfaces_and_removes_exactly_planted_debris(spark, tmp_path):
     # idempotent: a re-plan lists no gc rows
     plan3 = maintenance_plan(spark, layouts, corpora=[("c", corpus)])
     assert all(a["action"] != "gc" for a in plan3)
+
+
+def test_duplicate_corpus_names_refuse(spark, tmp_path):
+    """r11 review: two bare dirs sharing a basename would collapse in
+    execute's name->dir map and maintain the WRONG corpus."""
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+    )
+
+    a = tmp_path / "a" / "corpus"
+    b = tmp_path / "b" / "corpus"
+    for d in (a, b):
+        os.makedirs(d)
+    with pytest.raises(ValueError, match="duplicate corpus name"):
+        maintenance_plan(spark, corpora=[str(a), str(b)])
+    # distinct explicit names over the same basenames are fine
+    assert maintenance_plan(
+        spark, corpora=[("a", str(a)), ("b", str(b))]
+    ) == []
+
+
+def test_execute_skips_lease_held_corpus_and_continues(spark, tmp_path):
+    """r11 review: one busy corpus (live writer holds its lease) must
+    not abort maintenance everywhere — its actions are recorded as
+    skipped and every other target still executes."""
+    import json as _json
+    import socket
+
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.streaming.lease import LEASE_FILE
+
+    busy = _frag_sb_corpus(spark, tmp_path, "busy")
+    free = _frag_sb_corpus(spark, tmp_path, "free")
+    with open(os.path.join(busy, LEASE_FILE), "w") as f:
+        _json.dump({"owner": "other", "epoch": 1, "pid": 1,
+                    "host": socket.gethostname(), "verb": "ingest"}, f)
+    plan, executed = run_maintenance(
+        spark, corpora=[("busy", busy), ("free", free)],
+        max_files_per_bucket=1.0, execute=True,
+    )
+    by = {e["target"]: e for e in executed}
+    assert "skipped" in by["busy:signband"]
+    assert "another writer" in by["busy:signband"]["skipped"]
+    assert by["free:signband"]["action"] == "compact"
+    assert "stats" in by["free:signband"]
+    os.unlink(os.path.join(busy, LEASE_FILE))
+
+
+def test_layout_gc_excluded_by_live_swap_lock(spark, tmp_path):
+    """r11 review: layout gc takes the install_dir_swap sibling lock, so
+    it can never rmtree the tmp a live swap is about to rename in."""
+    import json as _json
+    import socket
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.streaming.lease import LEASE_FILE
+
+    vecs = _vecs(spark, 0, 32)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(vecs, n_clusters=4).save(path)
+    idx = IvfIndex.load(spark, path)
+    os.makedirs(path + "_tmp")  # "mid-swap" tmp
+    os.makedirs(path + "_lock", exist_ok=True)
+    with open(os.path.join(path + "_lock", LEASE_FILE), "w") as f:
+        _json.dump({"owner": "swapper", "epoch": 1, "pid": 1,
+                    "host": socket.gethostname(),
+                    "verb": "install_dir_swap"}, f)
+    layouts = [{"name": "ivf", "index": idx, "build_df": vecs,
+                "recent_df": vecs.limit(8)}]
+    plan, executed = run_maintenance(spark, layouts, execute=True)
+    by = {e["target"]: e for e in executed}
+    assert "skipped" in by["ivf"]
+    assert os.path.isdir(path + "_tmp")  # the live swap's tmp survives
+    os.unlink(os.path.join(path + "_lock", LEASE_FILE))
+    # lock free: the same gc now removes it
+    plan, executed = run_maintenance(spark, layouts, execute=True)
+    by = {e["target"]: e for e in executed}
+    assert by["ivf"]["removed"] == ["ivf_tmp"]
+    assert not os.path.isdir(path + "_tmp")

@@ -312,3 +312,58 @@ def test_sidecar_report_skips_heal_under_live_writer(spark, tmp_path):
     assert "minhash" in rep
     assert not os.path.exists(marker)
     assert not os.path.exists(lease_path)
+
+
+def test_acquire_retries_when_holder_vanishes_mid_race(tmp_path,
+                                                       monkeypatch):
+    """r11 review: os.link fails (lease present) but the holder releases
+    before our follow-up read — that is a FREE corpus; acquire must
+    retry the create, not refuse with 'another writer (no lease file)'."""
+    from custom_vector_database_spark.streaming import lease as L
+
+    corpus = str(tmp_path / "c")
+    os.makedirs(corpus)
+    path = os.path.join(corpus, LEASE_FILE)
+
+    real_write = L._write_lease_atomic
+    calls = {"n": 0}
+
+    def racing_write(p, lease, replace):
+        calls["n"] += 1
+        if calls["n"] == 1 and not replace:
+            # simulate: someone else's lease existed at link time and
+            # vanished before our read
+            raise FileExistsError(p)
+        return real_write(p, lease, replace)
+
+    monkeypatch.setattr(L, "_write_lease_atomic", racing_write)
+    lease = acquire_writer_lease(corpus, "test")
+    try:
+        assert calls["n"] == 2  # one refused link, one successful retry
+        assert lease["epoch"] == 1
+    finally:
+        release_writer_lease(corpus)
+    assert not os.path.exists(path)
+
+
+def test_conflict_raises_typed_error(tmp_path):
+    """WriterLeaseHeld (the acquire-time conflict) is a distinct type so
+    deferring callers can catch it without string-matching."""
+    from custom_vector_database_spark.streaming.lease import WriterLeaseHeld
+
+    corpus = str(tmp_path / "c")
+    _plant(corpus, pid=1)
+    with pytest.raises(WriterLeaseHeld):
+        acquire_writer_lease(corpus, "ingest:exact")
+    # fencing errors are NOT the conflict type (they must never be
+    # silently skipped by a deferring caller)
+    path = os.path.join(corpus, LEASE_FILE)
+    os.unlink(path)
+    acquire_writer_lease(corpus, "ingest:exact")
+    with open(path, "w") as f:
+        json.dump({"owner": "usurper", "epoch": 5, "pid": 1,
+                   "host": socket.gethostname(), "verb": "x"}, f)
+    with pytest.raises(ValueError) as ei:
+        verify_writer_lease(corpus)
+    assert not isinstance(ei.value, WriterLeaseHeld)
+    os.unlink(path)
