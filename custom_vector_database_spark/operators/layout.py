@@ -387,7 +387,13 @@ def install_dir_swap(path: str, write_tmp, heal=None) -> None:
     from custom_vector_database_spark.streaming.lease import writer_lease
 
     tmp, old = path + "_tmp", path + "_old"
-    with writer_lease(path + "_lock", "install_dir_swap"):
+    # stale_after_s: the swap takes seconds, so an HOUR-old lock is a
+    # crashed holder no matter what host it names — without this, a
+    # foreign-host (or renamed-host) crash would wedge every future
+    # save/rebuild of the artifact behind a force knob no caller on
+    # this path exposes (r11 second-review finding)
+    with writer_lease(path + "_lock", "install_dir_swap",
+                      stale_after_s=3600):
         if heal is not None:
             heal()
         elif not os.path.isdir(path) and os.path.isdir(old):

@@ -129,6 +129,13 @@ def maintenance_plan(
         sidecar_report,
     )
 
+    # materialize both inputs ONCE: this function iterates them several
+    # times (dup checks, plan loops) and run_maintenance re-derives its
+    # routing map from the same sequences — a generator would silently
+    # exhaust after the first pass and the autopilot would report a
+    # clean estate it never looked at (r11 review finding)
+    layouts = list(layouts)
+    corpora = list(corpora)
     names = [ent["name"] for ent in layouts]
     if len(names) != len(set(names)):
         # ambiguous in EVERY mode: plan targets collide, and execute's
@@ -210,18 +217,20 @@ def maintenance_plan(
         # debris comes from its own lister, not the report: a family
         # whose frames are entirely gone can still own a stray _tmp dir
         # the report (which keys on present frames) would never surface
-        for family, names in sorted(list_sidecar_debris(corpus_dir).items()):
+        for family, debris_names in sorted(
+            list_sidecar_debris(corpus_dir).items()
+        ):
             plan.append({
                 "target": f"{name}:{family}",
                 "kind": f"sidecar:{family}",
                 "action": "gc",
                 "metric_name": "n_debris",
-                "metric": float(len(names)),
+                "metric": float(len(debris_names)),
                 "threshold": 0.0,
                 "blocked": False,
                 "executable": True,
                 "reason": "crashed-session leftovers safe to remove: "
-                + ", ".join(names),
+                + ", ".join(debris_names),
             })
         rep = sidecar_report(spark, corpus_dir)
         for family in sorted(rep):
@@ -339,6 +348,10 @@ def run_maintenance(
         WriterLeaseHeld,
     )
 
+    # materialize once HERE too: this function reads both sequences
+    # before and after handing them to maintenance_plan
+    layouts = list(layouts)
+    corpora = list(corpora)
     by_name = {ent["name"]: ent for ent in layouts}
     # target -> corpus_dir stays an INTERNAL map: the returned plan is a
     # fixed-shape data table ({target, kind, action, ...}) and must not
@@ -382,8 +395,10 @@ def run_maintenance(
             # same hazard as the sidecar branch: a LIVE install_dir_swap
             # in another process is mid-rename on these very dirs — the
             # swap's sibling lock (layout.py) excludes it (r11 review
-            # finding: the naive rmtree raced the swap's tmp rename)
-            with writer_lease(str(path) + "_lock", "gc"):
+            # finding: the naive rmtree raced the swap's tmp rename);
+            # same hour-staleness rule as the swap itself
+            with writer_lease(str(path) + "_lock", "gc",
+                              stale_after_s=3600):
                 for d in _list_layout_debris(path):
                     shutil.rmtree(d)
                     removed.append(os.path.basename(d))

@@ -115,30 +115,80 @@ def _pid_dead_on_this_host(lease: dict) -> bool:
         return False  # exists, owned by someone else
 
 
-def _write_lease_atomic(path: str, lease: dict, replace: bool) -> None:
+def _write_lease_atomic(path: str, lease: dict) -> None:
+    """Create the lease file ATOMICALLY via hard link — fails with
+    FileExistsError iff a lease is present. This is the ONLY way a
+    lease file is ever created (takeovers first REMOVE the old lease
+    via _claim_and_remove, then re-create through here), so two racing
+    acquirers can never both 'win': exactly one link succeeds."""
     tmp = f"{path}.{lease['owner']}.tmp"
     with open(tmp, "w") as f:
         json.dump(lease, f)
         f.flush()
         os.fsync(f.fileno())
     try:
-        if replace:
-            os.replace(tmp, path)  # takeover: atomic last-writer-wins
-        else:
-            os.link(tmp, path)  # create: atomic, fails iff one exists
+        os.link(tmp, path)  # atomic, exclusive
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
 
 
+def _claim_and_remove(path: str, expect: dict | None) -> bool:
+    """Atomically take the lease file out of play (rename to a private
+    name — exactly one racer can win the rename), verify the claimed
+    content is still ``expect`` (owner+epoch), and remove it. Returns
+    True iff the expected lease was removed. If the file changed hands
+    inside the race window it is given back via link (which can never
+    clobber a third party's fresh lease, unlike a rename-back)."""
+    claim = f"{path}.claim.{uuid.uuid4().hex}"
+    try:
+        os.rename(path, claim)
+    except FileNotFoundError:
+        return False  # already gone: released or claimed by a racer
+    got = _read_lease(claim)
+    if (
+        expect is not None
+        and got is not None
+        and got.get("owner") == expect.get("owner")
+        and got.get("epoch") == expect.get("epoch")
+    ):
+        os.unlink(claim)
+        return True
+    # the lease changed hands between our read and the rename: restore
+    # it. os.link refuses if a third lease landed in the hole our
+    # rename opened — in that case the claimed (stale) lease is dropped
+    # and its holder, if somehow alive, fences at its next re-acquire.
+    try:
+        os.link(claim, path)
+    except FileExistsError:
+        pass
+    os.unlink(claim)
+    return False
+
+
+def _lease_age_s(path: str) -> float:
+    try:
+        import time
+
+        return max(0.0, time.time() - os.stat(path).st_mtime)
+    except OSError:
+        return 0.0
+
+
 def acquire_writer_lease(
-    corpus_dir: str, verb: str, force: bool = False
+    corpus_dir: str, verb: str, force: bool = False,
+    stale_after_s: float | None = None,
 ) -> dict:
     """Take (or reentrantly re-take) the corpus's single-writer lease.
 
-    Raises ValueError with the remedy when another writer holds it and
-    neither the dead-pid auto-reclaim nor ``force`` applies. Returns the
-    held lease dict."""
+    Raises WriterLeaseHeld with the remedy when another writer holds it
+    and none of the takeover rules apply: ``force``, the dead-pid
+    auto-reclaim (same host, pid provably gone), or ``stale_after_s``
+    (a lease file OLDER than this many seconds is treated as crashed
+    regardless of host — for locks guarding operations with a known
+    small duration, e.g. install_dir_swap's seconds-long directory
+    rename, where a foreign-host or renamed-host holder would otherwise
+    wedge the artifact forever). Returns the held lease dict."""
     path = _lease_path(corpus_dir)
     key = os.path.abspath(corpus_dir)
     with _LOCK:
@@ -172,24 +222,33 @@ def acquire_writer_lease(
             "host": socket.gethostname(),
             "verb": str(verb),
         }
-        # bounded create-read loop: another writer RELEASING between our
-        # failed os.link and the follow-up read leaves no lease file —
-        # that is a FREE corpus, so retry the create instead of refusing
-        # with a nonsensical "another writer (no lease file)"
+        # bounded create-claim loop. Two subtleties (r11 review):
+        # (a) a holder RELEASING between our failed link and the
+        #     follow-up read leaves no lease file — a FREE corpus, so
+        #     retry the create instead of refusing nonsensically;
+        # (b) takeover must not be read-then-overwrite (two racers both
+        #     seeing a dead lease would BOTH win — the exact concurrent-
+        #     writer hole the lease closes): the old lease is first
+        #     REMOVED via the exclusive rename-claim (one racer wins),
+        #     then re-created via the exclusive link (one racer wins).
         for _attempt in range(5):
             try:
-                _write_lease_atomic(path, lease, replace=False)
+                _write_lease_atomic(path, lease)
                 break
             except FileExistsError:
                 current = _read_lease(path)
                 if current is None:
                     continue  # holder vanished mid-race: re-attempt
-                if force or _pid_dead_on_this_host(current):
+                stale = (
+                    stale_after_s is not None
+                    and _lease_age_s(path) > float(stale_after_s)
+                )
+                if force or stale or _pid_dead_on_this_host(current):
                     # epoch fencing: the bumped epoch invalidates every
                     # verify/release the old holder might still attempt
                     lease["epoch"] = int(current.get("epoch") or 0) + 1
-                    _write_lease_atomic(path, lease, replace=True)
-                    break
+                    _claim_and_remove(path, current)
+                    continue  # re-attempt the exclusive create
                 raise WriterLeaseHeld(
                     f"another writer holds the lease on {corpus_dir!r} "
                     f"({_describe(current)}): concurrent writers on one "
@@ -260,7 +319,12 @@ def release_writer_lease(corpus_dir: str) -> None:
             and current.get("owner") == mine["owner"]
             and current.get("epoch") == mine["epoch"]
         ):
-            os.unlink(path)
+            # claim-verify-remove, not match-then-unlink: a takeover
+            # landing between our read and the removal must keep ITS
+            # lease (the claim re-checks identity after winning the
+            # exclusive rename and restores a changed-hands lease via
+            # link — r11 review finding)
+            _claim_and_remove(path, mine)
         elif current is not None:
             raise ValueError(
                 f"writer lease on {corpus_dir!r} was taken over while "
@@ -280,10 +344,13 @@ def _describe(lease: dict | None) -> str:
 
 
 @contextmanager
-def writer_lease(corpus_dir: str, verb: str, force: bool = False):
+def writer_lease(corpus_dir: str, verb: str, force: bool = False,
+                 stale_after_s: float | None = None):
     """``with writer_lease(corpus, 'ingest'):`` — acquire around a verb,
     always released (outermost release removes the file unless fenced)."""
-    lease = acquire_writer_lease(corpus_dir, verb, force=force)
+    lease = acquire_writer_lease(
+        corpus_dir, verb, force=force, stale_after_s=stale_after_s
+    )
     try:
         yield lease
     finally:

@@ -3277,6 +3277,11 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
                     )
             except WriterLeaseHeld:
                 pass  # live writer holds the lease; it owns the heal
+    # ONE debris stat-walk for the whole report, not one per family
+    # (r11 review finding) — and AFTER every heal above, so the listed
+    # debris reflects what is actually on disk post-heal
+    _debris = list_sidecar_debris(corpus_dir)
+    for family, frames, claims_name, marker_name in families:
         # a family is reported when ANY frame is present — a family
         # whose FIRST frame crashed away but whose second survives is
         # exactly a heal-pending state the operator must see, not an
@@ -3293,7 +3298,7 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
         fam: dict = {
             "meta": meta,
             "frames": {},
-            "debris": list_sidecar_debris(corpus_dir).get(family, []),
+            "debris": _debris.get(family, []),
         }
         for name, reader in frames:
             d = os.path.join(corpus_dir, name)

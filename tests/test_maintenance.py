@@ -464,3 +464,22 @@ def test_layout_gc_excluded_by_live_swap_lock(spark, tmp_path):
     by = {e["target"]: e for e in executed}
     assert by["ivf"]["removed"] == ["ivf_tmp"]
     assert not os.path.isdir(path + "_tmp")
+
+
+def test_maintenance_accepts_generator_inputs(spark, tmp_path):
+    """r11 second review: one-shot iterables must not silently exhaust
+    across the plan's multiple passes (an empty corpus plan would read
+    as a clean estate)."""
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+
+    frag = _frag_sb_corpus(spark, tmp_path, "frag")
+    plan, executed = run_maintenance(
+        spark,
+        corpora=(c for c in [("frag", frag)]),
+        max_files_per_bucket=1.0,
+        execute=True,
+    )
+    assert any(a["target"] == "frag:signband" for a in plan)
+    assert [e["target"] for e in executed] == ["frag:signband"]

@@ -328,13 +328,13 @@ def test_acquire_retries_when_holder_vanishes_mid_race(tmp_path,
     real_write = L._write_lease_atomic
     calls = {"n": 0}
 
-    def racing_write(p, lease, replace):
+    def racing_write(p, lease):
         calls["n"] += 1
-        if calls["n"] == 1 and not replace:
+        if calls["n"] == 1:
             # simulate: someone else's lease existed at link time and
             # vanished before our read
             raise FileExistsError(p)
-        return real_write(p, lease, replace)
+        return real_write(p, lease)
 
     monkeypatch.setattr(L, "_write_lease_atomic", racing_write)
     lease = acquire_writer_lease(corpus, "test")
@@ -367,3 +367,50 @@ def test_conflict_raises_typed_error(tmp_path):
         verify_writer_lease(corpus)
     assert not isinstance(ei.value, WriterLeaseHeld)
     os.unlink(path)
+
+
+def test_stale_after_reclaims_foreign_host_lease(tmp_path):
+    """r11 second review: a seconds-long operation's lock must not be
+    wedged forever by a crashed foreign-host holder — stale_after_s
+    treats an old-enough lease as crashed regardless of host."""
+    import time
+
+    corpus = str(tmp_path / "c")
+    path = _plant(corpus, pid=1, host="some-other-host", epoch=2)
+    os.utime(path, (time.time() - 7200, time.time() - 7200))
+    # without the knob: refuse (foreign host, liveness unknown)
+    with pytest.raises(ValueError, match="another writer"):
+        acquire_writer_lease(corpus, "swap")
+    lease = acquire_writer_lease(corpus, "swap", stale_after_s=3600)
+    try:
+        assert lease["epoch"] == 3  # fenced past the crashed holder
+    finally:
+        release_writer_lease(corpus)
+    # a FRESH foreign lease is NOT stale: still refuses
+    path = _plant(corpus, pid=1, host="some-other-host")
+    with pytest.raises(ValueError, match="another writer"):
+        acquire_writer_lease(corpus, "swap", stale_after_s=3600)
+    os.unlink(path)
+
+
+def test_claim_and_remove_is_identity_checked(tmp_path):
+    """r11 second review: takeover/release remove the old lease via an
+    exclusive rename-claim that re-verifies identity — a lease that
+    changed hands inside the race window is restored, never deleted."""
+    from custom_vector_database_spark.streaming.lease import (
+        _claim_and_remove,
+        _read_lease,
+    )
+
+    corpus = str(tmp_path / "c")
+    path = _plant(corpus, pid=1, epoch=4)
+    mine = _read_lease(path)
+    usurper = dict(mine, owner="usurper", epoch=5)
+    # expected identity mismatch (the file changed hands): restored
+    assert _claim_and_remove(path, usurper) is False
+    assert _read_lease(path)["owner"] == "foreign-owner"
+    # expected identity match: removed
+    assert _claim_and_remove(path, mine) is True
+    assert not os.path.exists(path)
+    # no file at all: False, no error
+    assert _claim_and_remove(path, mine) is False
