@@ -155,7 +155,20 @@ class IvfIndex(TombstoneDeleteMixin):
         self.carry_cols = list(carry_cols or [])  # filter attributes stored
         # IN the layout so filtered searches push down into the pruned scan
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
+        self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._tombstones: DataFrame | None = None  # deleted-id sidecar view
+
+    def _resolve_nprobe(self, nprobe):
+        """``nprobe="auto"`` reads the layout's pinned recall calibration
+        (operators/calibrate.calibrate_nprobe persist=True); anything else
+        passes through untouched."""
+        if nprobe == "auto":
+            from custom_vector_database_spark.operators.calibrate import (
+                auto_nprobe,
+            )
+
+            return auto_nprobe(self)
+        return nprobe
 
     def _check_model(self, supplied: str | None, what: str) -> None:
         from custom_vector_database_spark.operators.layout import (
@@ -275,19 +288,23 @@ class IvfIndex(TombstoneDeleteMixin):
                 os.path.join(path, "rows")
             )
             self._tombstones = None
+        meta = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "metric": self.metric,
+            "max_norm": self.max_norm,
+            "carry_cols": self.carry_cols,
+            "model_id": self.model_id,
+            "centroids": self.centroids,
+        }
+        if self.calibration is not None:
+            # the quantizer on THIS handle is unchanged, so a pinned
+            # recall calibration stays valid across a re-save; a fresh
+            # fit() builds a new handle (calibration None) and must
+            # re-earn the pin (operators/calibrate.py lifecycle note)
+            meta["calibration"] = self.calibration
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                    "metric": self.metric,
-                    "max_norm": self.max_norm,
-                    "carry_cols": self.carry_cols,
-                    "model_id": self.model_id,
-                    "centroids": self.centroids,
-                },
-                f,
-            )
+            json.dump(meta, f)
         self._path = path
 
     @classmethod
@@ -308,6 +325,7 @@ class IvfIndex(TombstoneDeleteMixin):
             carry_cols=meta.get("carry_cols"),
             model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
+        idx.calibration = meta.get("calibration")  # nprobe pin, if earned
         idx._load_tombstones(spark)
         return idx
 
@@ -542,6 +560,7 @@ class IvfIndex(TombstoneDeleteMixin):
         nearest-first. Dot index: the query is zero-augmented and the
         result column is ``score`` = ⟨x,q⟩, LARGEST first (MIPS)."""
         self._check_model(model_id, "this IVF layout")
+        nprobe = self._resolve_nprobe(nprobe)
         want = self._expected_input_dim()
         if len(query) != want:
             # _probe_clusters' zip() would silently truncate and the
@@ -645,6 +664,7 @@ class IvfIndex(TombstoneDeleteMixin):
         best-first within each qid, id tie-break.
         """
         self._check_model(model_id, "this IVF layout")
+        nprobe = self._resolve_nprobe(nprobe)
         for qc in (query_id, query_vec):
             if qc in self._clustered.columns:
                 raise ValueError(

@@ -305,7 +305,20 @@ class IvfPqIndex(TombstoneDeleteMixin):
         self.m = len(codebooks)
         self.k = len(codebooks[0])
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
+        self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._path: str | None = None  # set by save()/load(); upsert needs it
+
+    def _resolve_nprobe(self, nprobe):
+        """``nprobe="auto"`` reads the layout's pinned recall calibration
+        (operators/calibrate.calibrate_nprobe persist=True); anything else
+        passes through untouched."""
+        if nprobe == "auto":
+            from custom_vector_database_spark.operators.calibrate import (
+                auto_nprobe,
+            )
+
+            return auto_nprobe(self)
+        return nprobe
 
     def _check_model(self, supplied: str | None) -> None:
         from custom_vector_database_spark.operators.layout import (
@@ -442,20 +455,23 @@ class IvfPqIndex(TombstoneDeleteMixin):
         (already 16-32× compressed) index. A save is a full rewrite:
         tombstoned rows are physically dropped, so no sidecar follows."""
         os.makedirs(path, exist_ok=True)
+        meta = {
+            "id_col": self.id_col,
+            "dim": self.dim,
+            "metric": self.metric,
+            "max_norm": self.max_norm,
+            "carry_cols": self.carry_cols,
+            "model_id": self.model_id,
+            "centroids": self.centroids,
+            "codebooks": self.codebooks,
+        }
+        if self.calibration is not None:
+            # quantizer unchanged on this handle → the pinned recall
+            # calibration stays valid; a fresh fit() starts unpinned
+            # (operators/calibrate.py lifecycle note)
+            meta["calibration"] = self.calibration
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "id_col": self.id_col,
-                    "dim": self.dim,
-                    "metric": self.metric,
-                    "max_norm": self.max_norm,
-                    "carry_cols": self.carry_cols,
-                    "model_id": self.model_id,
-                    "centroids": self.centroids,
-                    "codebooks": self.codebooks,
-                },
-                f,
-            )
+            json.dump(meta, f)
         self.encoded_df().write.mode("overwrite").partitionBy(
             "cluster"
         ).parquet(os.path.join(path, "codes"))
@@ -493,6 +509,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
             carry_cols=meta.get("carry_cols"),
             model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
+        idx.calibration = meta.get("calibration")  # nprobe pin, if earned
         idx._path = path
         idx._load_tombstones(spark)
         return idx
@@ -696,6 +713,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         model_id: str | None = None,
     ) -> DataFrame:
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         want = self.dim - 1 if self.metric == "dot" else self.dim
         if len(query) != want:
             raise ValueError(f"query dim {len(query)} != index dim {want}")
@@ -829,6 +847,7 @@ class IvfPqIndex(TombstoneDeleteMixin):
         from pyspark.sql import Window
 
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         for qc in (query_id, query_vec):
             if qc in self._encoded.columns:
                 raise ValueError(

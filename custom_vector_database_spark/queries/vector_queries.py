@@ -3022,3 +3022,77 @@ def q_model_pin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Recall auto-calibration (round 11): operators/calibrate.calibrate_nprobe
+# closes the accuracy-knob loop the way quantization_error_report closes
+# the when-to-rebuild loop — sweep nprobe over a doubling schedule on a
+# BOUNDED query bag, measure recall@k against the exact broadcast k-NN
+# join, pick the SMALLEST nprobe meeting the target, pin it in the saved
+# layout's meta so searches can default to nprobe="auto". Until this verb
+# every pruned row's nprobe was hand-calibrated; a 100 TB operator runs
+# this once per (re)build instead. Cost: the doubling schedule's geometric
+# sum ≈ ONE full-probe batch search of the bag.
+# Guarantee-oracled: the exact top-10 per query IS SQL-recomputable (the
+# knn_join_topk construction) and is what this row returns; the sweep's
+# decisions ride as calib_ok, asserting (a) the schedule is exactly
+# 1,2,4,8,16 over the 16-cluster fixture layout, (b) recall is monotone
+# non-decreasing (a larger probe shortlist is a candidate SUPERSET on a
+# raw-vector layout), (c) the FULL probe reproduces the exact answer with
+# recall 1.0 — full probe IS the exact search, (d) the chosen nprobe is
+# minimal (every earlier step missed the target) and meets it, (e)
+# scan_fraction = nprobe/n_clusters. Persistence/auto-resolution/compact-
+# vs-refit lifecycle are pinned in tests/test_calibrate.py (persist=False
+# here: registered rows never mutate the shared saved-index fixture).
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_recall_calibration",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_DUCK_L2SQ.format(a="e.embedding", b="q.qvec")}, 6) AS dist_sq
+           FROM embeddings e CROSS JOIN q
+         )
+    SELECT qid, vec_id, dist_sq, TRUE AS calib_ok FROM (
+      SELECT qid, vec_id, dist_sq,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_sq ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    ORDER BY qid, dist_sq, vec_id
+    """,
+)
+def q_ivf_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.calibrate import (
+        calibrate_nprobe,
+    )
+
+    idx = saved_index(spark, sf_dir, "ivf")
+    emb = load(spark, sf_dir, "embeddings")
+    qbag = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rep = calibrate_nprobe(idx, qbag, k=10, target_recall=0.9, full_sweep=True)
+    recalls = [s["recall"] for s in rep["steps"]]
+    ok = (
+        [s["nprobe"] for s in rep["steps"]] == [1, 2, 4, 8, 16]
+        and all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+        and recalls[-1] == 1.0
+        and rep["met"]
+        and all(
+            s["recall"] < rep["target_recall"]
+            for s in rep["steps"]
+            if s["nprobe"] < rep["nprobe"]
+        )
+        and rep["recall"] >= rep["target_recall"]
+        and rep["scan_fraction"] == rep["nprobe"] / rep["n_clusters"]
+    )
+    exact = knn_ops.knn_join(
+        emb.select("vec_id", "embedding"),
+        qbag,
+        k=10,
+        data_id="vec_id",
+        data_vec="embedding",
+    ).orderBy("qid", "dist_sq", "vec_id")
+    return exact.withColumn("calib_ok", F.lit(bool(ok)))
