@@ -41,6 +41,12 @@ Action semantics:
   touch of the same artifact; a 100 TB estate accumulates it).
   Executable; the removal re-derives the debris set from disk under the
   corpus's writer lease rather than trusting the plan row.
+- ``calibrate`` (a layout): the layout supports the recall-calibration
+  pin (operators/calibrate.py) but carries none — every refit/rebuild
+  deliberately drops the pin, so this advisory is how the loop closes:
+  rebuild → the next plan says recalibrate. Never executable by this
+  verb (picking the query bag is owner knowledge); the reason carries
+  the remedy.
 - ``none``: the signal was read and is healthy; listed so the plan is a
   complete audit, ranked last.
 
@@ -79,7 +85,7 @@ def _severity(action: str, metric: float, threshold: float) -> tuple:
     past threshold, then gc (cheap, never urgent), then healthy rows."""
     order = {
         "heal": 0, "resolve_claims": 0, "rebuild": 1, "compact": 1,
-        "gc": 2, "none": 3,
+        "gc": 2, "calibrate": 2, "none": 3,
     }[action]
     over = (metric / threshold) if threshold else 0.0
     return (order, -over)
@@ -193,6 +199,26 @@ def maintenance_plan(
             + ("" if can_exec or not stale
                else "; not executable: supply refit= and path="),
         })
+        if (
+            hasattr(idx, "_resolve_nprobe")
+            and getattr(idx, "calibration", None) is None
+        ):
+            # the layout takes a recall pin but has none — freshly fitted,
+            # or a rebuild just dropped it (the pin is only valid for the
+            # quantizer it was measured on); advisory, never executed here
+            plan.append({
+                "target": ent["name"],
+                "kind": f"layout:{type(idx).__name__}",
+                "action": "calibrate",
+                "metric_name": "has_recall_pin",
+                "metric": 0.0,
+                "threshold": 1.0,
+                "blocked": False,
+                "executable": False,
+                "reason": "no pinned recall calibration — run "
+                "calibrate_nprobe(index, query_bag, persist=True) "
+                "(operators/calibrate.py); a refit/rebuild drops the pin",
+            })
         debris = _list_layout_debris(
             ent.get("path") or getattr(idx, "_path", None)
         )

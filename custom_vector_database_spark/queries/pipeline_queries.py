@@ -2687,7 +2687,12 @@ def _fragmented_sb_corpus(
 # heals). The oracle
 # pins the full classification table — target, action, blocked,
 # executable, over_threshold — plus plan_ok certifying the rank
-# invariant SQL cannot see (resolve_claims first, healthy rows last;
+# invariant SQL cannot see. Round 11: both layout entries also emit a
+# 'calibrate' advisory row (the shared fixture layout carries no recall
+# pin — operators/calibrate.py; a rebuild drops the pin, and this row is
+# how the autopilot surfaces the need to re-earn it), ranked between
+# actionable and healthy, never executable (resolve_claims first,
+# healthy rows last;
 # the metric-ratio ordering between rebuild and compact is fit- and
 # sf-dependent, so rows are compared BY TARGET and the invariant rides
 # the boolean). Execute mode is pinned by
@@ -2698,12 +2703,14 @@ def _fragmented_sb_corpus(
     """
     SELECT * FROM (VALUES
       ('claimed:exact', 'resolve_claims', FALSE, FALSE, TRUE, TRUE),
+      ('emb_drifted', 'calibrate', FALSE, FALSE, FALSE, TRUE),
       ('emb_drifted', 'rebuild', FALSE, FALSE, TRUE, TRUE),
+      ('emb_fresh', 'calibrate', FALSE, FALSE, FALSE, TRUE),
       ('emb_fresh', 'none', FALSE, FALSE, FALSE, TRUE),
       ('frag:signband', 'compact', FALSE, TRUE, TRUE, TRUE),
       ('half:signband', 'heal', FALSE, FALSE, TRUE, TRUE)
     ) AS t(target, action, blocked, executable, over_threshold, plan_ok)
-    ORDER BY target
+    ORDER BY target, action
     """,
 )
 def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2768,7 +2775,7 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rank invariant SQL cannot see: the plan is ordered
         # blockers (heal / resolve_claims) -> actionable -> healthy
         rank = {"heal": 0, "resolve_claims": 0, "rebuild": 1,
-                "compact": 1, "none": 2}
+                "compact": 1, "calibrate": 2, "none": 3}
         ranks = [rank[a["action"]] for a in plan]
         ok = ranks == sorted(ranks)
         rows = [
@@ -2780,7 +2787,7 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows,
             "target string, action string, blocked boolean, "
             "executable boolean, over_threshold boolean, plan_ok boolean",
-        ).orderBy("target")
+        ).orderBy("target", "action")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -483,3 +483,51 @@ def test_maintenance_accepts_generator_inputs(spark, tmp_path):
     )
     assert any(a["target"] == "frag:signband" for a in plan)
     assert [e["target"] for e in executed] == ["frag:signband"]
+
+
+def test_unpinned_layout_surfaces_calibrate_advisory(spark, tmp_path):
+    """A layout that supports the recall pin (operators/calibrate.py) but
+    carries none gets a 'calibrate' advisory row — never executable,
+    ranked between actionable and healthy; pinning it removes the row.
+    This is how the loop closes after a rebuild (a refit drops the pin)."""
+    from custom_vector_database_spark.operators.calibrate import (
+        calibrate_nprobe,
+    )
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    base = _vecs(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(base, n_clusters=4).save(path)
+    idx = IvfIndex.load(spark, path)
+    layouts = [
+        {"name": "l", "index": idx, "build_df": base,
+         "recent_df": base.limit(16)},
+    ]
+    plan = maintenance_plan(spark, layouts)
+    by = {(a["target"], a["action"]): a for a in plan}
+    row = by[("l", "calibrate")]
+    assert not row["executable"] and not row["blocked"]
+    assert "calibrate_nprobe" in row["reason"]
+    # advisory ranks after actionable (here: nothing actionable) and
+    # before the healthy 'none' row
+    assert [a["action"] for a in plan] == ["calibrate", "none"]
+    # execute mode never touches it
+    _, executed = run_maintenance(spark, layouts, execute=True)
+    assert executed == []
+
+    # pin the calibration -> the advisory disappears
+    qbag = base.limit(4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    calibrate_nprobe(idx, qbag, k=5, target_recall=0.5, persist=True)
+    reloaded = IvfIndex.load(spark, path)
+    plan2 = maintenance_plan(
+        spark,
+        [{"name": "l", "index": reloaded, "build_df": base,
+          "recent_df": base.limit(16)}],
+    )
+    assert [a["action"] for a in plan2] == ["none"]
