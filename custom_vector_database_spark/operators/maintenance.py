@@ -43,10 +43,16 @@ Action semantics:
   corpus's writer lease rather than trusting the plan row.
 - ``calibrate`` (a layout): the layout supports the recall-calibration
   pin (operators/calibrate.py) but carries none — every refit/rebuild
-  deliberately drops the pin, so this advisory is how the loop closes:
-  rebuild → the next plan says recalibrate. Never executable by this
-  verb (picking the query bag is owner knowledge); the reason carries
-  the remedy.
+  deliberately drops the pin, so this row is how the loop closes:
+  rebuild → recalibrate. Executable only when the entry supplies
+  ``calibrate=`` a spec dict (``{"queries": <bounded bag DataFrame>,
+  "k": …, "target_recall": …}`` — the bag is owner knowledge) and the
+  layout is saved; the plan ranks it AFTER rebuild, so one execute run
+  rebuilds the stale quantizer first and then calibrates the NEW
+  layout (reloaded from its path post-swap). A sweep that misses the
+  target refuses to pin and is recorded as skipped, never silently
+  dropped. Without a spec the row is advisory with the remedy in the
+  reason.
 - ``none``: the signal was read and is healthy; listed so the plan is a
   complete audit, ranked last.
 
@@ -205,7 +211,12 @@ def maintenance_plan(
         ):
             # the layout takes a recall pin but has none — freshly fitted,
             # or a rebuild just dropped it (the pin is only valid for the
-            # quantizer it was measured on); advisory, never executed here
+            # quantizer it was measured on). Executable when the entry
+            # supplies the query bag; ranked after rebuild so one execute
+            # run refreshes the quantizer FIRST and calibrates the result.
+            cal_exec = ent.get("calibrate") is not None and (
+                ent.get("path") or getattr(idx, "_path", None)
+            )
             plan.append({
                 "target": ent["name"],
                 "kind": f"layout:{type(idx).__name__}",
@@ -214,10 +225,16 @@ def maintenance_plan(
                 "metric": 0.0,
                 "threshold": 1.0,
                 "blocked": False,
-                "executable": False,
-                "reason": "no pinned recall calibration — run "
-                "calibrate_nprobe(index, query_bag, persist=True) "
-                "(operators/calibrate.py); a refit/rebuild drops the pin",
+                "executable": bool(cal_exec),
+                "reason": "no pinned recall calibration"
+                + (
+                    " — calibrate_nprobe(persist=True) runs on execute"
+                    if cal_exec
+                    else " — run calibrate_nprobe(index, query_bag, "
+                    "persist=True) (operators/calibrate.py), or supply "
+                    "calibrate={'queries': …} and a saved path to make "
+                    "this row executable; a refit/rebuild drops the pin"
+                ),
             })
         debris = _list_layout_debris(
             ent.get("path") or getattr(idx, "_path", None)
@@ -444,8 +461,35 @@ def run_maintenance(
         _swap_layout_in(new_idx, path)
         return {"target": a["target"], "action": "rebuild", "path": path}
 
+    def _run_calibrate(a: dict) -> dict:
+        from custom_vector_database_spark.operators.calibrate import (
+            calibrate_nprobe,
+        )
+
+        ent = by_name[a["target"]]
+        spec = dict(ent["calibrate"])
+        queries = spec.pop("queries")
+        path = ent.get("path") or getattr(ent["index"], "_path")
+        # ALWAYS reload from the saved path: when this very run just
+        # executed the rebuild row (ranked before calibrate), the entry's
+        # handle still points at the replaced quantizer — the pin must be
+        # measured on what is actually installed
+        idx = type(ent["index"]).load(spark, path)
+        try:
+            rep = calibrate_nprobe(idx, queries, persist=True, **spec)
+        except WriterLeaseHeld:
+            raise  # the loop's per-action skip handles a busy layout
+        except ValueError as e:
+            # the sweep missed the target (or the bag was unusable):
+            # calibrate_nprobe refused to pin — record the refusal with
+            # its remedy instead of aborting every other action
+            return {"target": a["target"], "action": "calibrate",
+                    "skipped": str(e)}
+        return {"target": a["target"], "action": "calibrate",
+                "nprobe": rep["nprobe"], "recall": rep["recall"]}
+
     runners = {"gc": _run_gc, "compact": _run_compact,
-               "rebuild": _run_rebuild}
+               "rebuild": _run_rebuild, "calibrate": _run_calibrate}
     for a in plan:
         if not a["executable"] or a["blocked"]:
             continue

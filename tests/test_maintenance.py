@@ -531,3 +531,81 @@ def test_unpinned_layout_surfaces_calibrate_advisory(spark, tmp_path):
           "recent_df": base.limit(16)}],
     )
     assert [a["action"] for a in plan2] == ["none"]
+
+
+def test_execute_rebuilds_then_calibrates_the_new_layout(spark, tmp_path):
+    """With a calibrate spec in the entry, ONE execute run closes the
+    whole loop: the stale quantizer is rebuilt first (rank 1), then the
+    calibrate row (rank 2) pins a recall calibration measured on the
+    NEWLY INSTALLED layout — reloaded from the path post-swap, never the
+    entry's stale handle."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    base = _vecs(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(base, n_clusters=4).save(path)
+    idx = IvfIndex.load(spark, path)
+    qbag = base.limit(4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    ent = {
+        "name": "l", "index": idx, "build_df": base,
+        "recent_df": _drift(base.limit(16)),
+        "refit": lambda: IvfIndex.fit(base, n_clusters=4),
+        "path": path,
+        "calibrate": {"queries": qbag, "k": 5, "target_recall": 0.5},
+    }
+    plan, executed = run_maintenance(spark, [ent], execute=True)
+    assert [a["action"] for a in plan] == ["rebuild", "calibrate"]
+    assert all(a["executable"] for a in plan)
+    assert [e["action"] for e in executed] == ["rebuild", "calibrate"]
+    assert executed[1]["nprobe"] is not None
+    assert executed[1]["recall"] >= 0.5
+    # the pin landed in the POST-REBUILD meta and the loop is closed:
+    # the next plan over the reloaded layout is clean
+    new_idx = IvfIndex.load(spark, path)
+    assert new_idx.calibration["nprobe"] == executed[1]["nprobe"]
+    plan2 = maintenance_plan(
+        spark,
+        [{"name": "l", "index": new_idx, "build_df": base,
+          "recent_df": base.limit(16)}],
+    )
+    assert [a["action"] for a in plan2] == ["none"]
+
+
+def test_execute_records_unmet_calibration_as_skipped(spark, tmp_path):
+    """A sweep that misses the target refuses to pin; the refusal is
+    recorded (with the remedy) instead of aborting the other actions."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+
+    base = _vecs(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(base, n_clusters=4).save(path)
+    idx = IvfIndex.load(spark, path)
+    # deterministic refusal: an EMPTY query bag — calibrate_nprobe
+    # raises its "empty query bag" ValueError, which the execute loop
+    # must surface as a recorded skip, not an aborted run (a
+    # missed-target sweep takes the identical except-ValueError path)
+    qbag = base.filter(F.col("id") < 0).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    ent = {
+        "name": "l", "index": idx, "build_df": base,
+        "recent_df": base.limit(16),
+        "path": path,
+        "calibrate": {"queries": qbag, "k": 5, "target_recall": 0.9},
+    }
+    plan, executed = run_maintenance(spark, [ent], execute=True)
+    assert [a["action"] for a in plan] == ["calibrate", "none"]
+    assert len(executed) == 1
+    assert executed[0]["action"] == "calibrate"
+    assert "empty query bag" in executed[0]["skipped"]
+    # nothing was pinned
+    assert IvfIndex.load(spark, path).calibration is None
