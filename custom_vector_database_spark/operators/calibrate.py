@@ -92,12 +92,15 @@ def calibrate_nprobe(
     over a doubling nprobe schedule; return the calibration report and
     optionally pin the chosen nprobe into the saved layout's meta.
 
-    ``idx`` is any IVF-family index handle exposing ``centroids``,
-    ``search_many(queries, k, nprobe, ...)`` and (for the default ground
-    truth) ``clustered_df()`` with raw vectors. For code-only layouts
-    (IVF-PQ stores codes, not vectors) pass ``corpus=`` the source
-    table — ground truth must come from raw vectors, never from the
-    quantized codes being judged.
+    ``idx`` is an IVF-family index handle exposing ``centroids``,
+    ``search_many(queries, k, nprobe, query_id=, query_vec=, model_id=)``
+    and (for the default ground truth) ``clustered_df()`` with raw
+    vectors — IvfIndex on any metric (the dot layout's M-augmented
+    stored vectors are sliced back to raw for the ground truth), and
+    IvfPqIndex with ``corpus=`` the source table (codes layouts store no
+    raw vectors; ground truth must never come from the quantized codes
+    being judged). IvfBqIndex is refused up front (mandatory-rerank
+    search signature; no pin round-trip yet).
 
     Returns ``{"k", "target_recall", "n_queries", "n_clusters",
     "steps": [{"nprobe", "recall"}, …], "nprobe", "recall", "met",
@@ -109,8 +112,20 @@ def calibrate_nprobe(
     if not hasattr(idx, "search_many") or not hasattr(idx, "centroids"):
         raise ValueError(
             "calibrate_nprobe needs an IVF-family index handle exposing "
-            "search_many() and centroids (IvfIndex, IvfPqIndex, "
-            "IvfBqIndex); got " + type(idx).__name__
+            "centroids and search_many(queries, k, nprobe=, query_id=, "
+            "query_vec=, model_id=) (IvfIndex, IvfPqIndex); got "
+            + type(idx).__name__
+        )
+    if type(idx).__name__ == "IvfBqIndex":
+        # IvfBqIndex.search_many requires a positional base_df (binary
+        # codes always rerank against raw vectors) and the class does not
+        # round-trip the calibration pin — refuse up front instead of
+        # failing one expensive ground-truth job later
+        raise ValueError(
+            "IvfBqIndex is not calibratable yet: its search_many requires "
+            "base_df for mandatory reranking and the layout does not "
+            "carry a calibration pin — calibrate the coarse layer via an "
+            "IvfIndex over the same corpus instead"
         )
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
@@ -135,6 +150,18 @@ def calibrate_nprobe(
                 "codes against themselves"
             )
         corpus = idx.clustered_df()
+        if metric == "dot":
+            # the dot layout stores M-AUGMENTED dim+1 vectors (the MIPS
+            # reduction); judged against the raw dim-d queries they would
+            # zip_with NULL-padded distances and the "exact" top-k would
+            # degenerate to the k lowest ids — slice the augmentation off
+            # to recover the raw vectors exactly (r11 review finding)
+            want = idx._expected_input_dim()
+            corpus = corpus.withColumn(
+                vec_col, F.expr(f"slice(`{vec_col}`, 1, {int(want)})")
+            )
+        # cosine layouts store unit-normalized vectors: cosine ranking is
+        # normalization-invariant, so the ground truth is unaffected
     if vec_col is None or vec_col not in corpus.columns:
         raise ValueError(
             f"corpus has no vector column {vec_col!r} — pass corpus_vec= "
@@ -154,7 +181,10 @@ def calibrate_nprobe(
         query_id=query_id,
         query_vec=query_vec,
         metric=metric,
-        max_query_rows=max_queries,
+        # the bag bound was already enforced with the count above —
+        # max_query_rows here would re-run the bag's upstream plan for a
+        # second count (r11 review finding)
+        max_query_rows=None,
     ).select(query_id, idx.id_col).collect()
     exact = _id_sets(exact_rows, query_id, idx.id_col)
 
@@ -232,6 +262,20 @@ def _persist_calibration(idx, report: dict) -> None:
     with writer_lease(path + "_lock", "calibrate_nprobe", stale_after_s=3600):
         with open(meta_path) as f:
             meta = json.load(f)
+        # the sweep ran UNLOCKED (it is minutes of Spark jobs): a rebuild
+        # may have swapped in a fresh quantizer since — pinning the old
+        # measurement onto the new meta would re-add exactly the stale
+        # pin a rebuild exists to drop. The quantizer params in the meta
+        # are the identity; refuse on mismatch (r11 review finding).
+        if meta.get("centroids") != idx.centroids or meta.get(
+            "codebooks"
+        ) != getattr(idx, "codebooks", None):
+            raise ValueError(
+                "the saved layout was rebuilt while this calibration ran "
+                "(its quantizer no longer matches the handle that was "
+                "measured): refusing to pin — reload the index and "
+                "recalibrate"
+            )
         meta["calibration"] = pin
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:

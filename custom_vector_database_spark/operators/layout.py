@@ -387,13 +387,19 @@ def install_dir_swap(path: str, write_tmp, heal=None) -> None:
     from custom_vector_database_spark.streaming.lease import writer_lease
 
     tmp, old = path + "_tmp", path + "_old"
-    # stale_after_s: the swap takes seconds, so an HOUR-old lock is a
-    # crashed holder no matter what host it names — without this, a
+    # stale_after_s: an hour-old lock whose holder stopped heartbeating
+    # is a crashed holder no matter what host it names — without this, a
     # foreign-host (or renamed-host) crash would wedge every future
     # save/rebuild of the artifact behind a force knob no caller on
     # this path exposes (r11 second-review finding)
+    # heartbeat_s: the guarded region INCLUDES write_tmp — a full
+    # artifact rewrite that can far outlast any fixed staleness budget
+    # at scale. The beat refreshes the lock's mtime while the write
+    # runs, so stale_after_s only ever fences a holder that truly
+    # stopped beating, never a slow live writer mid-write (r11
+    # third-review finding).
     with writer_lease(path + "_lock", "install_dir_swap",
-                      stale_after_s=3600):
+                      stale_after_s=3600, heartbeat_s=600):
         if heal is not None:
             heal()
         elif not os.path.isdir(path) and os.path.isdir(old):

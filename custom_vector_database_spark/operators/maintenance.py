@@ -379,11 +379,13 @@ def run_maintenance(
     execute: bool = False,
 ) -> tuple[list[dict], list[dict]]:
     """Plan, and optionally execute. Returns (plan, executed) where
-    ``executed`` records one entry per executable action — either the
-    run's result, or (when a LIVE writer held the target's lease at
-    execution time) a ``{"skipped": <reason>}`` record: one busy corpus
+    ``executed`` records one entry per executable action — the run's
+    result, a ``{"skipped": <reason>}`` record (a LIVE writer held the
+    target's lease, or a calibration sweep refused to pin), or a
+    ``{"failed": <error>}`` record (any other runner error — a claim
+    planted between plan and execute, a refit crash): one bad target
     must not abort maintenance everywhere else, and silently omitting
-    the refusal would read as "done" (r11 review finding). Always a
+    the refusal would read as "done" (r11 review findings). Always a
     subset of the plan's ``executable`` rows (the autopilot contract:
     it only runs what its own plan listed, and nothing blocked)."""
     import custom_vector_database_spark.streaming.stream_ops as so
@@ -504,5 +506,18 @@ def run_maintenance(
             executed.append({
                 "target": a["target"], "action": a["action"],
                 "skipped": str(e),
+            })
+        except Exception as e:  # noqa: BLE001 — per-action isolation
+            # ANY other runner failure (a claim planted between plan and
+            # execute making compact refuse, a refit() crash, a vanished
+            # layout path) is the same ops situation as a busy corpus:
+            # record it against ITS action and keep maintaining the rest
+            # of the estate — one failed target must not discard the
+            # executed record or strand every remaining action (r11
+            # third-review finding; 'skipped' vs 'failed' distinguishes
+            # a deliberate refusal from an error)
+            executed.append({
+                "target": a["target"], "action": a["action"],
+                "failed": f"{type(e).__name__}: {e}",
             })
     return plan, executed

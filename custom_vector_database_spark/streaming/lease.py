@@ -117,10 +117,10 @@ def _pid_dead_on_this_host(lease: dict) -> bool:
 
 def _write_lease_atomic(path: str, lease: dict) -> None:
     """Create the lease file ATOMICALLY via hard link — fails with
-    FileExistsError iff a lease is present. This is the ONLY way a
-    lease file is ever created (takeovers first REMOVE the old lease
-    via _claim_and_remove, then re-create through here), so two racing
-    acquirers can never both 'win': exactly one link succeeds."""
+    FileExistsError iff a lease is present. A fresh lease is only ever
+    created through here (exactly one racing link succeeds); takeovers
+    never create — they REPLACE atomically via the claim token's
+    os.rename (_takeover_replace), so the file has no absence window."""
     tmp = f"{path}.{lease['owner']}.tmp"
     with open(tmp, "w") as f:
         json.dump(lease, f)
@@ -133,37 +133,99 @@ def _write_lease_atomic(path: str, lease: dict) -> None:
             os.unlink(tmp)
 
 
-def _claim_and_remove(path: str, expect: dict | None) -> bool:
-    """Atomically take the lease file out of play (rename to a private
-    name — exactly one racer can win the rename), verify the claimed
-    content is still ``expect`` (owner+epoch), and remove it. Returns
-    True iff the expected lease was removed. If the file changed hands
-    inside the race window it is given back via link (which can never
-    clobber a third party's fresh lease, unlike a rename-back)."""
-    claim = f"{path}.claim.{uuid.uuid4().hex}"
-    try:
-        os.rename(path, claim)
-    except FileNotFoundError:
-        return False  # already gone: released or claimed by a racer
-    got = _read_lease(claim)
-    if (
-        expect is not None
-        and got is not None
-        and got.get("owner") == expect.get("owner")
-        and got.get("epoch") == expect.get("epoch")
-    ):
-        os.unlink(claim)
-        return True
-    # the lease changed hands between our read and the rename: restore
-    # it. os.link refuses if a third lease landed in the hole our
-    # rename opened — in that case the claimed (stale) lease is dropped
-    # and its holder, if somehow alive, fences at its next re-acquire.
-    try:
-        os.link(claim, path)
-    except FileExistsError:
-        pass
-    os.unlink(claim)
+# how long a takeover/release claim token may sit before it is treated
+# as a crashed claimer's leftover: tokens live for the microseconds
+# between one exclusive link and one rename/unlink, so a minute-old one
+# is debris no matter what host wrote it
+_TOKEN_STALE_S = 60.0
+_TOKEN_SUFFIX = ".takeover"
+
+
+def _claim_token(token: str, body: dict) -> bool:
+    """Win the per-lease EXCLUSIVE claim token — the single serialization
+    point every lease REMOVAL or REPLACEMENT must pass through. Exactly
+    one racer's os.link succeeds; everyone else backs off (False) and
+    re-evaluates the lease. A token left by a crashed claimer (dead pid
+    on this host, or older than _TOKEN_STALE_S) is cleared and the claim
+    retried once."""
+    for _ in range(2):
+        try:
+            _write_lease_atomic(token, body)
+            return True
+        except FileExistsError:
+            holder = _read_lease(token)
+            if _lease_age_s(token) > _TOKEN_STALE_S or (
+                holder is not None and _pid_dead_on_this_host(holder)
+            ):
+                try:
+                    os.unlink(token)
+                except FileNotFoundError:
+                    pass
+                continue
+            return False
     return False
+
+
+def _takeover_replace(path: str, expect: dict, new_lease: dict) -> bool:
+    """Install ``new_lease`` over ``expect`` ATOMICALLY: the new body is
+    written into the claim token and os.rename'd over the lease file, so
+    the lease NEVER disappears mid-takeover. (The previous remove-then-
+    recreate opened a hole: a fresh acquirer could link its own lease
+    into the gap, the remover's restore would then silently drop a LIVE
+    holder's file, and two writers held the lease at once — the r11
+    third-review finding.) Identity is re-verified under the token:
+    if the lease is no longer ``expect``, someone else already won and
+    this takeover aborts."""
+    token = path + _TOKEN_SUFFIX
+    if not _claim_token(token, new_lease):
+        return False
+    renamed = False
+    try:
+        current = _read_lease(path)
+        if (
+            current is None
+            or current.get("owner") != expect.get("owner")
+            or current.get("epoch") != expect.get("epoch")
+        ):
+            return False  # changed hands since our read: re-evaluate
+        os.rename(token, path)  # atomic replace — no absence window
+        renamed = True
+        return True
+    finally:
+        if not renamed:
+            # abort path only: after a successful rename the token NAME
+            # is free and a new claimer may already own a fresh token —
+            # unlinking unconditionally would destroy THEIR exclusivity
+            try:
+                os.unlink(token)
+            except FileNotFoundError:
+                pass
+
+
+def _remove_under_token(path: str, mine: dict) -> bool:
+    """Remove our own lease file, serialized through the claim token so
+    the verify-then-unlink can never race a takeover's rename-replace
+    (unlinking the NEW owner's file). Returns True iff our lease was
+    removed; False means a takeover won the token or already replaced
+    us — the new owner's lease is left intact either way."""
+    token = path + _TOKEN_SUFFIX
+    if not _claim_token(token, mine):
+        return False  # a takeover is mid-flight on this very lease
+    try:
+        current = _read_lease(path)
+        if (
+            current is not None
+            and current.get("owner") == mine.get("owner")
+            and current.get("epoch") == mine.get("epoch")
+        ):
+            os.unlink(path)
+            return True
+        return False
+    finally:
+        try:
+            os.unlink(token)
+        except FileNotFoundError:
+            pass
 
 
 def _lease_age_s(path: str) -> float:
@@ -226,11 +288,11 @@ def acquire_writer_lease(
         # (a) a holder RELEASING between our failed link and the
         #     follow-up read leaves no lease file — a FREE corpus, so
         #     retry the create instead of refusing nonsensically;
-        # (b) takeover must not be read-then-overwrite (two racers both
-        #     seeing a dead lease would BOTH win — the exact concurrent-
-        #     writer hole the lease closes): the old lease is first
-        #     REMOVED via the exclusive rename-claim (one racer wins),
-        #     then re-created via the exclusive link (one racer wins).
+        # (b) takeover is an ATOMIC rename-replace serialized through
+        #     the exclusive claim token (_takeover_replace): two racers
+        #     both seeing a dead lease cannot both win, and the lease
+        #     file never has an absence window a third acquirer could
+        #     slip a fresh lease into (r11 third-review finding).
         for _attempt in range(5):
             try:
                 _write_lease_atomic(path, lease)
@@ -247,8 +309,9 @@ def acquire_writer_lease(
                     # epoch fencing: the bumped epoch invalidates every
                     # verify/release the old holder might still attempt
                     lease["epoch"] = int(current.get("epoch") or 0) + 1
-                    _claim_and_remove(path, current)
-                    continue  # re-attempt the exclusive create
+                    if _takeover_replace(path, current, lease):
+                        break  # our lease is installed atomically
+                    continue  # lost the token race: re-evaluate
                 raise WriterLeaseHeld(
                     f"another writer holds the lease on {corpus_dir!r} "
                     f"({_describe(current)}): concurrent writers on one "
@@ -319,12 +382,12 @@ def release_writer_lease(corpus_dir: str) -> None:
             and current.get("owner") == mine["owner"]
             and current.get("epoch") == mine["epoch"]
         ):
-            # claim-verify-remove, not match-then-unlink: a takeover
-            # landing between our read and the removal must keep ITS
-            # lease (the claim re-checks identity after winning the
-            # exclusive rename and restores a changed-hands lease via
-            # link — r11 review finding)
-            _claim_and_remove(path, mine)
+            # removal is serialized through the claim token: a takeover
+            # landing between our read and the unlink holds (or will
+            # hold) the token, so we either remove OUR file under the
+            # token or back off and leave the new owner's lease intact —
+            # never unlink a lease that just changed hands (r11 review)
+            _remove_under_token(path, mine)
         elif current is not None:
             raise ValueError(
                 f"writer lease on {corpus_dir!r} was taken over while "
@@ -345,15 +408,50 @@ def _describe(lease: dict | None) -> str:
 
 @contextmanager
 def writer_lease(corpus_dir: str, verb: str, force: bool = False,
-                 stale_after_s: float | None = None):
+                 stale_after_s: float | None = None,
+                 heartbeat_s: float | None = None):
     """``with writer_lease(corpus, 'ingest'):`` — acquire around a verb,
-    always released (outermost release removes the file unless fenced)."""
+    always released (outermost release removes the file unless fenced).
+
+    ``heartbeat_s`` keeps a LONG-held lease visibly alive: a daemon
+    thread refreshes the lease file's mtime every ``heartbeat_s``
+    seconds while the body runs, so callers that also pass
+    ``stale_after_s`` (install_dir_swap's sibling lock, the layout gc)
+    only ever age out a holder that truly stopped beating — without it,
+    a guarded region longer than the staleness threshold (a multi-hour
+    artifact write at 100 TB) would get its lock stolen and its tmp dir
+    deleted MID-WRITE by a concurrent swap or gc (r11 third-review
+    finding). The beat stops touching the file the moment a takeover
+    changes the owner/epoch — a fenced writer must not freshen the new
+    owner's lease."""
     lease = acquire_writer_lease(
         corpus_dir, verb, force=force, stale_after_s=stale_after_s
     )
+    stop = None
+    if heartbeat_s:
+        path = _lease_path(corpus_dir)
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(float(heartbeat_s)):
+                current = _read_lease(path)
+                if (
+                    current is None
+                    or current.get("owner") != lease["owner"]
+                    or current.get("epoch") != lease["epoch"]
+                ):
+                    return  # fenced or released: stop touching
+                try:
+                    os.utime(path)
+                except OSError:
+                    return
+
+        threading.Thread(target=_beat, daemon=True).start()
     try:
         yield lease
     finally:
+        if stop is not None:
+            stop.set()
         release_writer_lease(corpus_dir)
 
 

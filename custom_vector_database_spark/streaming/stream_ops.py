@@ -734,6 +734,30 @@ def _fp_expr(col_name: str, fp_kind: str):
     )
 
 
+def _durable_claim(claims_dir: str, claim: str) -> None:
+    """Create the write-ahead claim marker DURABLY (fsync the file and
+    its directory entry) before any append lands. The claim is the WAL
+    the crash-replay protocol reconciles against: if a power loss
+    persisted the sidecar append but lost a page-cache-only claim, the
+    replay would run with recovering=False, see the batch's own rows
+    already in the sidecar, and drop the whole batch permanently — the
+    sidecar forever shadowing content that never reached the corpus
+    (r11 review finding; the lease writer fsyncs for the same reason)."""
+    import os
+
+    os.makedirs(claims_dir, exist_ok=True)
+    fd = os.open(claim, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(claims_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _check_fp_kind(sidecar_dir: str, fp_kind: str) -> None:
     """The fingerprint-KIND pin: a text-fp sidecar probed with payload
     hashes (or vice versa) never collides, so every duplicate silently
@@ -929,9 +953,8 @@ def corpus_ingest_apply_batch(
     survivors = survivors.localCheckpoint(eager=True)
     n_new = survivors.count()
     if n_new:
-        os.makedirs(claims_dir, exist_ok=True)
-        with open(claim, "a"):
-            pass  # write-ahead: claim before either append
+        # write-ahead: the DURABLE claim lands before either append
+        _durable_claim(claims_dir, claim)
         new_fps = survivors.select(
             F.col("__fp").alias("fp"),
             F.lit(batch_id).cast("long").alias("batch_id"),
@@ -1532,9 +1555,8 @@ def corpus_neardup_apply_batch(
     survivors = survivors.localCheckpoint(eager=True)  # before the appends
     n_new = survivors.count()
     if n_new:
-        os.makedirs(claims_dir, exist_ok=True)
-        with open(claim, "a"):
-            pass  # write-ahead: claim before any append
+        # write-ahead: the DURABLE claim lands before any append
+        _durable_claim(claims_dir, claim)
         new_sigs = _mh_sig_rows(survivors, batch_id, n_buckets)
         new_bands = _mh_band_rows(survivors, batch_id, n_buckets)
         if recovering:
@@ -2656,9 +2678,8 @@ def corpus_semdedup_apply_batch(
     survivors = survivors.localCheckpoint(eager=True)  # before the appends
     n_new = survivors.count()
     if n_new:
-        os.makedirs(claims_dir, exist_ok=True)
-        with open(claim, "a"):
-            pass  # write-ahead: claim before any append
+        # write-ahead: the DURABLE claim lands before any append
+        _durable_claim(claims_dir, claim)
         new_vecs = _sb_vec_rows(survivors, id_col, vec_col, batch_id, n_buckets)
         new_bands = _sb_band_rows(survivors, id_col, batch_id, n_buckets)
         if recovering:
@@ -3026,9 +3047,8 @@ def corpus_cdc_apply_batch(
     survivors = survivors.localCheckpoint(eager=True)
     n_new = survivors.count()
     if n_new:
-        os.makedirs(claims_dir, exist_ok=True)
-        with open(claim, "a"):
-            pass  # write-ahead: claim before either append
+        # write-ahead: the DURABLE claim lands before either append
+        _durable_claim(claims_dir, claim)
         # derive the sidecar rows from the CHECKPOINTED ex, never by
         # re-chunking the survivors: per-payload chunking is the batch's
         # dominant compute and in steady state most payloads survive

@@ -182,3 +182,58 @@ def test_unmet_target_refuses_persist(saved_ivf, qbag):
     assert rep["scan_fraction"] is None
     with pytest.raises(ValueError, match="refusing to pin"):
         calibrate_nprobe(Stub(), qbag, k=5, target_recall=0.9, persist=True)
+
+
+def test_dot_metric_ground_truth_slices_off_augmentation(spark, emb, qbag):
+    """r11 third review: the dot layout stores M-augmented dim+1 vectors;
+    judged raw-vs-augmented the 'exact' top-k degenerated to the k lowest
+    ids (NULL-padded zip_with distances). The ground truth now slices the
+    augmentation off, so the full probe reproduces true MIPS exactly."""
+    idx = IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        metric="dot",
+    )
+    rep = calibrate_nprobe(
+        idx, qbag, k=K, target_recall=0.9, full_sweep=True
+    )
+    recalls = [s["recall"] for s in rep["steps"]]
+    assert recalls[-1] == 1.0  # full probe IS exact MIPS
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert rep["met"]
+
+
+def test_persist_refuses_after_concurrent_rebuild(spark, emb, qbag, tmp_path):
+    """r11 third review: the sweep runs unlocked; if a rebuild swapped a
+    fresh quantizer in before persist, pinning the old measurement would
+    re-add exactly the stale pin a rebuild drops — the persist verifies
+    the meta's quantizer still matches the measured handle and refuses."""
+    from custom_vector_database_spark.operators.calibrate import (
+        _persist_calibration,
+    )
+
+    path = str(tmp_path / "ivf")
+    IvfIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8
+    ).save(path)
+    idx = IvfIndex.load(spark, path)
+    # measure BEFORE the rebuild (the realistic interleaving: the sweep
+    # is minutes of unlocked Spark jobs)
+    rep = calibrate_nprobe(idx, qbag, k=5, target_recall=0.5)
+    # a rebuild lands at the same path with a DIFFERENT quantizer
+    IvfIndex.fit(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        id_col="vec_id", vec_col="embedding", n_clusters=8,
+    ).save(path)
+    with pytest.raises(ValueError, match="rebuilt while this calibration"):
+        _persist_calibration(idx, rep)
+    assert IvfIndex.load(spark, path).calibration is None
+
+
+def test_ivfbq_is_refused_up_front(spark, emb, qbag):
+    from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
+
+    idx = IvfBqIndex.fit(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=4
+    )
+    with pytest.raises(ValueError, match="not calibratable"):
+        calibrate_nprobe(idx, qbag, k=5)

@@ -131,7 +131,7 @@ def test_real_processes_never_lose_an_update(tmp_path):
 def test_real_processes_race_the_dead_pid_reclaim(tmp_path):
     """A crashed writer's lease (provably dead pid on this host) is on
     the corpus when 4 real processes race to acquire: the auto-reclaim
-    takeover path (_claim_and_remove + exclusive re-create) must admit
+    takeover path (token-serialized atomic rename-replace) must admit
     them one at a time, not mint two concurrent winners."""
     dead = subprocess.Popen(["true"])
     dead.wait()

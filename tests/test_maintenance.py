@@ -609,3 +609,40 @@ def test_execute_records_unmet_calibration_as_skipped(spark, tmp_path):
     assert "empty query bag" in executed[0]["skipped"]
     # nothing was pinned
     assert IvfIndex.load(spark, path).calibration is None
+
+
+def test_execute_records_runner_failure_and_continues(spark, tmp_path):
+    """r11 third review: a runner error other than a held lease (a refit
+    crash, a claim planted between plan and execute) must be recorded
+    against ITS action as {'failed': ...} while every other executable
+    row still runs — one bad target cannot discard the executed record
+    or strand the rest of the estate."""
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+
+    base = _vecs(spark)
+    path_a = str(tmp_path / "a")
+    path_b = str(tmp_path / "b")
+    IvfIndex.fit(base, n_clusters=4).save(path_a)
+    IvfIndex.fit(base, n_clusters=4).save(path_b)
+
+    def boom():
+        raise RuntimeError("refit exploded")
+
+    ents = [
+        {"name": "a", "index": IvfIndex.load(spark, path_a),
+         "build_df": base, "recent_df": _drift(base.limit(16)),
+         "refit": boom, "path": path_a},
+        {"name": "b", "index": IvfIndex.load(spark, path_b),
+         "build_df": base, "recent_df": _drift(base.limit(16)),
+         "refit": lambda: IvfIndex.fit(base, n_clusters=4),
+         "path": path_b},
+    ]
+    plan, executed = run_maintenance(spark, ents, execute=True)
+    by = {e["target"]: e for e in executed if e["action"] == "rebuild"}
+    assert "RuntimeError: refit exploded" in by["a"]["failed"]
+    assert by["b"].get("failed") is None and by["b"]["path"] == path_b
+    # b's rebuild actually landed despite a's failure
+    assert IvfIndex.load(spark, path_b).centroids is not None

@@ -393,24 +393,123 @@ def test_stale_after_reclaims_foreign_host_lease(tmp_path):
     os.unlink(path)
 
 
-def test_claim_and_remove_is_identity_checked(tmp_path):
-    """r11 second review: takeover/release remove the old lease via an
-    exclusive rename-claim that re-verifies identity — a lease that
-    changed hands inside the race window is restored, never deleted."""
+def test_takeover_replace_is_identity_checked_and_atomic(tmp_path):
+    """r11 third review: takeover REPLACES the lease atomically through
+    the exclusive claim token — a lease that changed hands since the
+    caller read it aborts the takeover untouched (never deleted, never
+    transiently absent), and a claim token held by a live claimer makes
+    both takeover and removal back off."""
     from custom_vector_database_spark.streaming.lease import (
-        _claim_and_remove,
+        _TOKEN_SUFFIX,
         _read_lease,
+        _remove_under_token,
+        _takeover_replace,
+        _write_lease_atomic,
     )
 
     corpus = str(tmp_path / "c")
     path = _plant(corpus, pid=1, epoch=4)
     mine = _read_lease(path)
     usurper = dict(mine, owner="usurper", epoch=5)
-    # expected identity mismatch (the file changed hands): restored
-    assert _claim_and_remove(path, usurper) is False
+    new = dict(mine, owner="new-owner", epoch=5)
+    # expected identity mismatch (the file changed hands): abort, the
+    # current lease untouched, and the token cleaned up
+    assert _takeover_replace(path, usurper, new) is False
     assert _read_lease(path)["owner"] == "foreign-owner"
-    # expected identity match: removed
-    assert _claim_and_remove(path, mine) is True
+    assert not os.path.exists(path + _TOKEN_SUFFIX)
+    # a LIVE claimer's token blocks both verbs (one serialization point)
+    _write_lease_atomic(
+        path + _TOKEN_SUFFIX,
+        {"owner": "claimer", "epoch": 9, "pid": os.getpid(),
+         "host": socket.gethostname(), "verb": "takeover"},
+    )
+    assert _takeover_replace(path, mine, new) is False
+    assert _remove_under_token(path, mine) is False
+    assert _read_lease(path)["owner"] == "foreign-owner"
+    os.unlink(path + _TOKEN_SUFFIX)
+    # expected identity match: replaced atomically, token consumed
+    assert _takeover_replace(path, mine, new) is True
+    assert _read_lease(path)["owner"] == "new-owner"
+    assert not os.path.exists(path + _TOKEN_SUFFIX)
+    # removal under the token: identity match -> removed
+    assert _remove_under_token(path, new) is True
     assert not os.path.exists(path)
-    # no file at all: False, no error
-    assert _claim_and_remove(path, mine) is False
+    # no file at all: takeover aborts cleanly
+    assert _takeover_replace(path, new, usurper) is False
+
+
+def test_heartbeat_keeps_long_held_lock_alive(tmp_path):
+    """r11 third review: a long guarded region (install_dir_swap's
+    artifact write) must not age past stale_after_s while its holder is
+    alive — the heartbeat refreshes the lease mtime, so a second
+    acquirer with a staleness budget shorter than the region still
+    refuses; once the holder stops beating (crash), age-out works."""
+    import time
+
+    from custom_vector_database_spark.streaming.lease import (
+        acquire_writer_lease,
+        writer_lease,
+    )
+
+    corpus = str(tmp_path / "c")
+    with writer_lease(corpus, "slow-write", heartbeat_s=0.1):
+        path = os.path.join(corpus, LEASE_FILE)
+        # simulate "held a long time": push the mtime an hour back and
+        # let the beat repair it
+        os.utime(path, (time.time() - 3600, time.time() - 3600))
+        time.sleep(0.4)
+        # the beat repaired the mtime: a stale_after_s=30 acquirer's age
+        # check (lease.py acquire loop) sees a FRESH lock, not a stale one
+        from custom_vector_database_spark.streaming.lease import (
+            _lease_age_s,
+        )
+
+        assert _lease_age_s(path) < 30.0
+    # crashed holder (no beat): an hour-old foreign lock ages out
+    _plant(corpus, pid=1, host="other-host")
+    old = time.time() - 3600
+    os.utime(os.path.join(corpus, LEASE_FILE), (old, old))
+    got = acquire_writer_lease(corpus, "swap", stale_after_s=30)
+    assert got["epoch"] == 2
+    from custom_vector_database_spark.streaming.lease import (
+        release_writer_lease,
+    )
+
+    release_writer_lease(corpus)
+
+
+def test_lease_file_never_absent_across_takeovers(tmp_path):
+    """r11 third review: takeover is an atomic rename-REPLACE — across
+    hundreds of forced takeovers a concurrent observer must never see
+    the lease file missing (the old remove-then-recreate protocol opened
+    exactly that hole, letting a fresh acquirer slip a third lease in
+    while a live holder still believed it held)."""
+    import threading
+
+    from custom_vector_database_spark.streaming.lease import (
+        _read_lease,
+        _takeover_replace,
+    )
+
+    corpus = str(tmp_path / "c")
+    path = _plant(corpus, pid=os.getpid(), epoch=1)
+    stop = threading.Event()
+    holes: list[float] = []
+
+    def watch():
+        while not stop.is_set():
+            if not os.path.exists(path):
+                holes.append(1.0)
+
+    t = threading.Thread(target=watch)
+    t.start()
+    try:
+        for i in range(300):
+            current = _read_lease(path)
+            new = dict(current, owner=f"o{i}", epoch=current["epoch"] + 1)
+            assert _takeover_replace(path, current, new) is True
+    finally:
+        stop.set()
+        t.join()
+    assert holes == []
+    assert _read_lease(path)["epoch"] == 301
