@@ -53,7 +53,7 @@ __all__ = ["calibrate_nprobe", "auto_nprobe"]
 
 
 def _recall_at_k(
-    exact: dict[object, set], approx: dict[object, set], k: int
+    exact: dict[object, set], approx: dict[object, set]
 ) -> float:
     """Mean over queries of |approx ∩ exact| / |exact| (|exact| ≤ k)."""
     if not exact:
@@ -208,7 +208,9 @@ def calibrate_nprobe(
             .select(query_id, idx.id_col)
             .collect()
         )
-        recall = _recall_at_k(exact, _id_sets(approx_rows, query_id, idx.id_col), k)
+        recall = _recall_at_k(
+            exact, _id_sets(approx_rows, query_id, idx.id_col)
+        )
         steps.append({"nprobe": nprobe, "recall": recall})
         if chosen is None and recall >= target_recall:
             chosen, chosen_recall = nprobe, recall
