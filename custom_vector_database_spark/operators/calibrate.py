@@ -87,6 +87,7 @@ def calibrate_nprobe(
     full_sweep: bool = False,
     persist: bool = False,
     model_id: str | None = None,
+    search_kwargs: dict | None = None,
 ) -> dict:
     """Measure recall@k of ``idx.search_many`` against the exact answer
     over a doubling nprobe schedule; return the calibration report and
@@ -96,11 +97,14 @@ def calibrate_nprobe(
     ``search_many(queries, k, nprobe, query_id=, query_vec=, model_id=)``
     and (for the default ground truth) ``clustered_df()`` with raw
     vectors — IvfIndex on any metric (the dot layout's M-augmented
-    stored vectors are sliced back to raw for the ground truth), and
-    IvfPqIndex with ``corpus=`` the source table (codes layouts store no
-    raw vectors; ground truth must never come from the quantized codes
-    being judged). IvfBqIndex is refused up front (mandatory-rerank
-    search signature; no pin round-trip yet).
+    stored vectors are sliced back to raw for the ground truth);
+    code-only layouts (IvfPqIndex, IvfBqIndex) need ``corpus=`` the
+    source table — ground truth must never come from the quantized
+    codes being judged. ``search_kwargs`` passes extra arguments into
+    every sweep step's ``search_many``; when the index's search_many
+    REQUIRES ``base_df`` (IvfBqIndex's mandatory exact rerank) and the
+    caller didn't supply it, the ground-truth corpus is injected
+    automatically.
 
     Returns ``{"k", "target_recall", "n_queries", "n_clusters",
     "steps": [{"nprobe", "recall"}, …], "nprobe", "recall", "met",
@@ -113,19 +117,8 @@ def calibrate_nprobe(
         raise ValueError(
             "calibrate_nprobe needs an IVF-family index handle exposing "
             "centroids and search_many(queries, k, nprobe=, query_id=, "
-            "query_vec=, model_id=) (IvfIndex, IvfPqIndex); got "
-            + type(idx).__name__
-        )
-    if type(idx).__name__ == "IvfBqIndex":
-        # IvfBqIndex.search_many requires a positional base_df (binary
-        # codes always rerank against raw vectors) and the class does not
-        # round-trip the calibration pin — refuse up front instead of
-        # failing one expensive ground-truth job later
-        raise ValueError(
-            "IvfBqIndex is not calibratable yet: its search_many requires "
-            "base_df for mandatory reranking and the layout does not "
-            "carry a calibration pin — calibrate the coarse layer via an "
-            "IvfIndex over the same corpus instead"
+            "query_vec=, model_id=) (IvfIndex, IvfPqIndex, IvfBqIndex); "
+            "got " + type(idx).__name__
         )
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
@@ -188,6 +181,27 @@ def calibrate_nprobe(
     ).select(query_id, idx.id_col).collect()
     exact = _id_sets(exact_rows, query_id, idx.id_col)
 
+    search_kwargs = dict(search_kwargs or {})
+    if "base_df" not in search_kwargs:
+        import inspect
+
+        try:
+            params = inspect.signature(idx.search_many).parameters
+        except (TypeError, ValueError):
+            params = {}
+        need_base = (
+            "base_df" in params
+            and params["base_df"].default is inspect.Parameter.empty
+        )
+        if need_base:
+            # a mandatory-rerank layout (IVF-BQ): rerank against the same
+            # raw-vector table the ground truth was computed from, under
+            # the column names the layout's rejoin expects
+            search_kwargs["base_df"] = corpus.select(
+                F.col(idx.id_col),
+                F.col(vec_col).alias(getattr(idx, "vec_col", vec_col)),
+            )
+
     n_clusters = len(idx.centroids)
     schedule = []
     p = 1
@@ -204,6 +218,7 @@ def calibrate_nprobe(
             idx.search_many(
                 queries, k=k, nprobe=nprobe,
                 query_id=query_id, query_vec=query_vec, model_id=model_id,
+                **search_kwargs,
             )
             .select(query_id, idx.id_col)
             .collect()

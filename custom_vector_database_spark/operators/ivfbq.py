@@ -69,7 +69,20 @@ class IvfBqIndex(TombstoneDeleteMixin):
         self.dim = dim
         self._path = path
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
+        self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._tombstones: DataFrame | None = None
+
+    def _resolve_nprobe(self, nprobe):
+        """``nprobe="auto"`` reads the layout's pinned recall calibration
+        (operators/calibrate.calibrate_nprobe persist=True); anything else
+        passes through untouched."""
+        if nprobe == "auto":
+            from custom_vector_database_spark.operators.calibrate import (
+                auto_nprobe,
+            )
+
+            return auto_nprobe(self)
+        return nprobe
 
     def _check_model(self, supplied: str | None) -> None:
         from custom_vector_database_spark.operators.layout import (
@@ -141,17 +154,20 @@ class IvfBqIndex(TombstoneDeleteMixin):
                 os.path.join(path, "codes")
             )
             self._tombstones = None
+        meta = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "dim": self.dim,
+            "model_id": self.model_id,
+            "centroids": self.centroids,
+        }
+        if self.calibration is not None:
+            # quantizer unchanged on this handle → the pinned recall
+            # calibration stays valid; a fresh fit() starts unpinned
+            # (operators/calibrate.py lifecycle note)
+            meta["calibration"] = self.calibration
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                    "dim": self.dim,
-                    "model_id": self.model_id,
-                    "centroids": self.centroids,
-                },
-                f,
-            )
+            json.dump(meta, f)
         self._path = path
 
     @classmethod
@@ -167,6 +183,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         idx = cls(meta["centroids"], codes, meta["id_col"], meta["vec_col"],
                   int(meta["dim"]), path=path,
                   model_id=meta.get("model_id"))  # absent = legacy, unpinned
+        idx.calibration = meta.get("calibration")  # nprobe pin, if earned
         idx._load_tombstones(spark)
         return idx
 
@@ -324,6 +341,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         bytes per 64 dims per candidate row, and full vectors are read
         for shortlist survivors only."""
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         if len(query) != self.dim:
             raise ValueError(f"query dim {len(query)} != index dim {self.dim}")
         query = [float(x) for x in query]
@@ -386,6 +404,7 @@ class IvfBqIndex(TombstoneDeleteMixin):
         exact per-qid top-k. Deterministic after the probe stage, exactly
         like the single-query path."""
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         for qc in (query_id, query_vec):
             # the rejoin also meets base_df's (id, vec) columns, so those
             # names collide too - the layout-only check missed base-side

@@ -229,11 +229,44 @@ def test_persist_refuses_after_concurrent_rebuild(spark, emb, qbag, tmp_path):
     assert IvfIndex.load(spark, path).calibration is None
 
 
-def test_ivfbq_is_refused_up_front(spark, emb, qbag):
+def test_ivfbq_calibrates_with_injected_base_df(spark, emb, qbag, tmp_path):
+    """IVF-BQ's search_many REQUIRES base_df (mandatory exact rerank):
+    calibrate injects the ground-truth corpus automatically, the pin
+    round-trips through save/load, and nprobe="auto" resolves it. NOTE:
+    full probe is NOT exact for BQ — the Hamming shortlist keeps only
+    k*rerank candidates per query, and 1-bit sign codes can rank a true
+    neighbor outside that cut (measured ~0.72 at rerank=8 on this
+    fixture) — which is precisely why a measured recall contract beats
+    assuming one."""
     from custom_vector_database_spark.operators.ivfbq import IvfBqIndex
 
     idx = IvfBqIndex.fit(
         emb, id_col="vec_id", vec_col="embedding", n_clusters=4
     )
-    with pytest.raises(ValueError, match="not calibratable"):
+    # codes-only layout: ground truth needs the raw source table
+    with pytest.raises(ValueError, match="corpus="):
         calibrate_nprobe(idx, qbag, k=5)
+    rep = calibrate_nprobe(
+        idx, qbag, corpus=emb.select("vec_id", "embedding"),
+        corpus_vec="embedding", k=5, target_recall=0.5, full_sweep=True,
+        search_kwargs={"rerank": 8},
+    )
+    assert [s["nprobe"] for s in rep["steps"]] == [1, 2, 4]
+    assert all(0.0 <= s["recall"] <= 1.0 for s in rep["steps"])
+    assert rep["met"]
+    # persist + auto round-trip on the saved layout
+    path = str(tmp_path / "ivfbq")
+    idx.save(path)
+    loaded = IvfBqIndex.load(spark, path)
+    rep2 = calibrate_nprobe(
+        loaded, qbag, corpus=emb.select("vec_id", "embedding"),
+        corpus_vec="embedding", k=5, target_recall=0.5, persist=True,
+    )
+    reloaded = IvfBqIndex.load(spark, path)
+    assert reloaded.calibration["nprobe"] == rep2["nprobe"]
+    base = emb.select("vec_id", "embedding")
+    a = reloaded.search_many(qbag, k=5, base_df=base, nprobe="auto").collect()
+    b = reloaded.search_many(
+        qbag, k=5, base_df=base, nprobe=rep2["nprobe"]
+    ).collect()
+    assert a == b
