@@ -441,9 +441,12 @@ def run_maintenance(
             # in another process is mid-rename on these very dirs — the
             # swap's sibling lock (layout.py) excludes it (r11 review
             # finding: the naive rmtree raced the swap's tmp rename);
-            # same hour-staleness rule as the swap itself
+            # same hour-staleness rule AND heartbeat as the swap itself —
+            # rmtree of a huge debris tree can outlast the budget, and an
+            # un-beaten gc lock stolen mid-delete hands the swap a
+            # half-deleted tmp to install (max-review finding)
             with writer_lease(str(path) + "_lock", "gc",
-                              stale_after_s=3600):
+                              stale_after_s=3600, heartbeat_s=600):
                 for d in _list_layout_debris(path):
                     shutil.rmtree(d)
                     removed.append(os.path.basename(d))

@@ -76,7 +76,20 @@ LEASE_FILE = "_writer_lease.json"
 
 # process-wide held-lease registry: abspath(corpus_dir) -> [lease, depth]
 _HELD: dict[str, list] = {}
+# membership lock for the registries below ONLY — never held across disk
+# I/O. Acquire/verify/release serialize on a PER-CORPUS lock instead: one
+# slow stat on corpus A must not block every other stream's
+# per-micro-batch fencing read on corpora B..N (max-review finding).
 _LOCK = threading.Lock()
+_KEY_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _key_lock(key: str) -> threading.Lock:
+    with _LOCK:
+        lk = _KEY_LOCKS.get(key)
+        if lk is None:
+            lk = _KEY_LOCKS[key] = threading.Lock()
+        return lk
 
 
 def _lease_path(corpus_dir: str) -> str:
@@ -141,14 +154,43 @@ _TOKEN_STALE_S = 60.0
 _TOKEN_SUFFIX = ".takeover"
 
 
+def _same_identity(current: dict | None, mine: dict | None) -> bool:
+    """ONE copy of the lease-identity predicate (owner + epoch): six call
+    sites previously re-implemented it with slight shape variation, and a
+    future identity field missed at one site would silently weaken
+    fencing exactly there (max-review finding)."""
+    return (
+        current is not None
+        and mine is not None
+        and current.get("owner") == mine.get("owner")
+        and current.get("epoch") == mine.get("epoch")
+    )
+
+
+def _epoch(lease: dict | None) -> int:
+    """The lease's epoch as an int, 0 for anything non-numeric — a
+    hand-edited {"epoch": "five"} is valid JSON (so _read_lease does not
+    return the corrupt sentinel) and a bare int() would crash the
+    conflict path while FORMATTING its refusal message, hiding the
+    force_lease remedy and the WriterLeaseHeld type from deferring
+    callers (max-review finding)."""
+    try:
+        return int((lease or {}).get("epoch") or 0)
+    except (TypeError, ValueError):
+        return 0
+
+
 def _claim_token(token: str, body: dict) -> bool:
     """Win the per-lease EXCLUSIVE claim token — the single serialization
     point every lease REMOVAL or REPLACEMENT must pass through. Exactly
     one racer's os.link succeeds; everyone else backs off (False) and
     re-evaluates the lease. A token left by a crashed claimer (dead pid
-    on this host, or older than _TOKEN_STALE_S) is cleared and the claim
-    retried once."""
-    for _ in range(2):
+    on this host, or older than _TOKEN_STALE_S) is cleared through an
+    exclusive rename-claim — a bare unlink-by-name would let two racers
+    both "clear": the second unlink removes the first racer's FRESH
+    token and both would believe they hold the serialization point
+    (max-review finding); a rename of one source path has ONE winner."""
+    for _ in range(3):
         try:
             _write_lease_atomic(token, body)
             return True
@@ -157,10 +199,13 @@ def _claim_token(token: str, body: dict) -> bool:
             if _lease_age_s(token) > _TOKEN_STALE_S or (
                 holder is not None and _pid_dead_on_this_host(holder)
             ):
+                grave = f"{token}.cleared.{uuid.uuid4().hex}"
                 try:
-                    os.unlink(token)
+                    os.rename(token, grave)
                 except FileNotFoundError:
-                    pass
+                    pass  # another clearer won the rename: retry the link
+                else:
+                    os.unlink(grave)
                 continue
             return False
     return False
@@ -181,25 +226,37 @@ def _takeover_replace(path: str, expect: dict, new_lease: dict) -> bool:
         return False
     renamed = False
     try:
-        current = _read_lease(path)
-        if (
-            current is None
-            or current.get("owner") != expect.get("owner")
-            or current.get("epoch") != expect.get("epoch")
-        ):
+        if not _same_identity(_read_lease(path), expect):
             return False  # changed hands since our read: re-evaluate
-        os.rename(token, path)  # atomic replace — no absence window
+        # our token could have been staleness-cleared while we stalled
+        # past _TOKEN_STALE_S and re-claimed by another racer — renaming
+        # THEIR token over the lease would install a foreign body while
+        # we report success (max-review finding). Re-verify ownership
+        # immediately before the rename; the residual window is the few
+        # microseconds between this read and the rename (it requires a
+        # >60 s stall landing exactly inside it), and a writer misled by
+        # it is still caught by the per-micro-batch reentrant fencing
+        # verify before its next batch lands.
+        tok = _read_lease(token)
+        if tok is None or tok.get("owner") != new_lease.get("owner"):
+            return False  # token lost to a staleness-clear: we lost
+        try:
+            os.rename(token, path)  # atomic replace — no absence window
+        except FileNotFoundError:
+            return False  # cleared between the read and the rename
         renamed = True
         return True
     finally:
         if not renamed:
-            # abort path only: after a successful rename the token NAME
-            # is free and a new claimer may already own a fresh token —
-            # unlinking unconditionally would destroy THEIR exclusivity
-            try:
-                os.unlink(token)
-            except FileNotFoundError:
-                pass
+            # abort path only, and only OUR token: after a clear+reclaim
+            # (or a successful rename) the name may hold someone else's
+            # fresh token — unlinking it would destroy their exclusivity
+            tok = _read_lease(token)
+            if tok is not None and tok.get("owner") == new_lease.get("owner"):
+                try:
+                    os.unlink(token)
+                except FileNotFoundError:
+                    pass
 
 
 def _remove_under_token(path: str, mine: dict) -> bool:
@@ -212,20 +269,20 @@ def _remove_under_token(path: str, mine: dict) -> bool:
     if not _claim_token(token, mine):
         return False  # a takeover is mid-flight on this very lease
     try:
-        current = _read_lease(path)
-        if (
-            current is not None
-            and current.get("owner") == mine.get("owner")
-            and current.get("epoch") == mine.get("epoch")
-        ):
+        if _same_identity(_read_lease(path), mine):
             os.unlink(path)
             return True
         return False
     finally:
-        try:
-            os.unlink(token)
-        except FileNotFoundError:
-            pass
+        # only OUR token (same hazard as _takeover_replace's abort path:
+        # a staleness-clear + reclaim may have put someone else's fresh
+        # token at this name while we stalled)
+        tok = _read_lease(token)
+        if tok is not None and tok.get("owner") == mine.get("owner"):
+            try:
+                os.unlink(token)
+            except FileNotFoundError:
+                pass
 
 
 def _lease_age_s(path: str) -> float:
@@ -253,7 +310,7 @@ def acquire_writer_lease(
     wedge the artifact forever). Returns the held lease dict."""
     path = _lease_path(corpus_dir)
     key = os.path.abspath(corpus_dir)
-    with _LOCK:
+    with _key_lock(key):
         held = _HELD.get(key)
         if held is not None:
             # reentrant re-acquire: ONE file read doubles as the
@@ -261,11 +318,7 @@ def acquire_writer_lease(
             # acquire must stop us before the next byte is written
             current = _read_lease(path)
             mine = held[0]
-            if (
-                current is None
-                or current.get("owner") != mine["owner"]
-                or current.get("epoch") != mine["epoch"]
-            ):
+            if not _same_identity(current, mine):
                 _HELD.pop(key, None)
                 raise ValueError(
                     f"writer lease on {corpus_dir!r} was taken over "
@@ -308,7 +361,7 @@ def acquire_writer_lease(
                 if force or stale or _pid_dead_on_this_host(current):
                     # epoch fencing: the bumped epoch invalidates every
                     # verify/release the old holder might still attempt
-                    lease["epoch"] = int(current.get("epoch") or 0) + 1
+                    lease["epoch"] = _epoch(current) + 1
                     if _takeover_replace(path, current, lease):
                         break  # our lease is installed atomically
                     continue  # lost the token race: re-evaluate
@@ -319,7 +372,7 @@ def acquire_writer_lease(
                     "dedup sidecar, so this call refuses. If that "
                     "writer crashed or is gone, re-run with "
                     "force_lease=True to take over (epoch "
-                    f"{int(current.get('epoch') or 0) + 1} fences it "
+                    f"{_epoch(current) + 1} fences it "
                     "out); a dead pid on this host is reclaimed "
                     "automatically"
                 ) from None
@@ -337,7 +390,7 @@ def verify_writer_lease(corpus_dir: str) -> dict:
     """Assert this process still owns the lease (owner + epoch match).
     Raises ValueError if not held in-process or fenced by a takeover."""
     key = os.path.abspath(corpus_dir)
-    with _LOCK:
+    with _key_lock(key):
         held = _HELD.get(key)
         if held is None:
             raise ValueError(
@@ -346,11 +399,7 @@ def verify_writer_lease(corpus_dir: str) -> dict:
             )
         current = _read_lease(_lease_path(corpus_dir))
         mine = held[0]
-        if (
-            current is None
-            or current.get("owner") != mine["owner"]
-            or current.get("epoch") != mine["epoch"]
-        ):
+        if not _same_identity(current, mine):
             _HELD.pop(key, None)
             raise ValueError(
                 f"writer lease on {corpus_dir!r} was taken over "
@@ -367,7 +416,7 @@ def release_writer_lease(corpus_dir: str) -> None:
     owner's lease is LEFT INTACT and this raises."""
     key = os.path.abspath(corpus_dir)
     path = _lease_path(corpus_dir)
-    with _LOCK:
+    with _key_lock(key):
         held = _HELD.get(key)
         if held is None:
             return  # releasing an unheld lease is a no-op, not an error
@@ -377,17 +426,41 @@ def release_writer_lease(corpus_dir: str) -> None:
         _HELD.pop(key, None)
         current = _read_lease(path)
         mine = held[0]
-        if (
-            current is not None
-            and current.get("owner") == mine["owner"]
-            and current.get("epoch") == mine["epoch"]
-        ):
+        if _same_identity(current, mine):
             # removal is serialized through the claim token: a takeover
             # landing between our read and the unlink holds (or will
             # hold) the token, so we either remove OUR file under the
             # token or back off and leave the new owner's lease intact —
             # never unlink a lease that just changed hands (r11 review)
-            _remove_under_token(path, mine)
+            if not _remove_under_token(path, mine):
+                # the token is held. Usually a takeover mid-flight that
+                # replaces our file momentarily — but a CRASHED claimer's
+                # token would otherwise orphan a live-pid lease file that
+                # wedges the corpus until this process exits (max-review
+                # finding): retry briefly (dead-pid token clearing runs
+                # inside _claim_token), then refuse LOUDLY with the
+                # remedy instead of silently leaving the wedge.
+                import time as _time
+
+                removed = False
+                for _ in range(4):
+                    _time.sleep(0.05)
+                    current = _read_lease(path)
+                    if not _same_identity(current, mine):
+                        break  # the takeover landed: its lease stays
+                    if _remove_under_token(path, mine):
+                        removed = True
+                        break
+                if not removed and _same_identity(current, mine):
+                    raise ValueError(
+                        f"could not release the writer lease on "
+                        f"{corpus_dir!r}: the takeover claim token "
+                        f"({path + _TOKEN_SUFFIX}) stayed held through "
+                        "retries while the lease file still names this "
+                        "writer — if the token's claimer crashed, delete "
+                        "the token file; the lease itself self-clears "
+                        "via dead-pid reclaim once this process exits"
+                    )
         elif current is not None:
             raise ValueError(
                 f"writer lease on {corpus_dir!r} was taken over while "
@@ -434,12 +507,7 @@ def writer_lease(corpus_dir: str, verb: str, force: bool = False,
 
         def _beat() -> None:
             while not stop.wait(float(heartbeat_s)):
-                current = _read_lease(path)
-                if (
-                    current is None
-                    or current.get("owner") != lease["owner"]
-                    or current.get("epoch") != lease["epoch"]
-                ):
+                if not _same_identity(_read_lease(path), lease):
                     return  # fenced or released: stop touching
                 try:
                     os.utime(path)

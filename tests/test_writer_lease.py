@@ -513,3 +513,84 @@ def test_lease_file_never_absent_across_takeovers(tmp_path):
         t.join()
     assert holes == []
     assert _read_lease(path)["epoch"] == 301
+
+
+def test_stale_token_clear_has_one_winner(tmp_path):
+    """max-review finding: clearing a stale claim token must be an
+    exclusive rename-claim, not unlink-by-name — after racer A clears the
+    stale token and installs its own FRESH one, racer B must back off,
+    never remove A's fresh token."""
+    import time
+
+    from custom_vector_database_spark.streaming.lease import (
+        _TOKEN_SUFFIX,
+        _claim_token,
+        _read_lease,
+    )
+
+    corpus = str(tmp_path / "c")
+    path = _plant(corpus, pid=1)
+    token = path + _TOKEN_SUFFIX
+    # a STALE token: crashed foreign claimer, 2 minutes old
+    with open(token, "w") as f:
+        json.dump({"owner": "crashed", "epoch": 3, "pid": 1,
+                   "host": "other-host", "verb": "takeover"}, f)
+    old = time.time() - 120
+    os.utime(token, (old, old))
+    a = {"owner": "racer-a", "epoch": 4, "pid": os.getpid(),
+         "host": socket.gethostname(), "verb": "takeover"}
+    b = {"owner": "racer-b", "epoch": 4, "pid": os.getpid(),
+         "host": socket.gethostname(), "verb": "takeover"}
+    assert _claim_token(token, a) is True          # A clears + wins
+    assert _claim_token(token, b) is False         # B backs off...
+    assert _read_lease(token)["owner"] == "racer-a"  # ...A's token intact
+    os.unlink(token)
+    os.unlink(path)
+
+
+def test_release_refuses_loudly_when_token_wedged(tmp_path):
+    """max-review finding: a crashed-but-live-looking foreign claimer's
+    token must not let release silently orphan a live-pid lease — the
+    refusal is loud and carries the remedy."""
+    from custom_vector_database_spark.streaming.lease import (
+        _TOKEN_SUFFIX,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    corpus = str(tmp_path / "c")
+    acquire_writer_lease(corpus, "ingest:exact")
+    path = os.path.join(corpus, LEASE_FILE)
+    token = path + _TOKEN_SUFFIX
+    # a FRESH foreign-host token (live as far as this host can tell)
+    with open(token, "w") as f:
+        json.dump({"owner": "foreign", "epoch": 9, "pid": 1,
+                   "host": "other-host", "verb": "takeover"}, f)
+    with pytest.raises(ValueError, match="could not release"):
+        release_writer_lease(corpus)
+    assert os.path.exists(path)  # the lease file was never unlinked
+    os.unlink(token)
+    os.unlink(path)
+
+
+def test_non_numeric_epoch_still_refuses_with_remedy(tmp_path):
+    """max-review finding: a hand-edited {"epoch": "five"} lease is valid
+    JSON; the conflict path must still raise the typed WriterLeaseHeld
+    with the force_lease remedy, and a takeover fences past it."""
+    from custom_vector_database_spark.streaming.lease import (
+        WriterLeaseHeld,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    corpus = str(tmp_path / "c")
+    path = os.path.join(corpus, LEASE_FILE)
+    os.makedirs(corpus, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"owner": "x", "epoch": "five", "pid": 1,
+                   "host": socket.gethostname(), "verb": "ingest"}, f)
+    with pytest.raises(WriterLeaseHeld, match="force_lease=True"):
+        acquire_writer_lease(corpus, "ingest:exact")
+    lease = acquire_writer_lease(corpus, "ingest:exact", force=True)
+    assert lease["epoch"] == 1  # non-numeric epoch counts as 0
+    release_writer_lease(corpus)
