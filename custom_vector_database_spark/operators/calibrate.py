@@ -49,7 +49,27 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["calibrate_nprobe", "auto_nprobe"]
+__all__ = ["calibrate_nprobe", "auto_nprobe", "AutoNprobeMixin"]
+
+
+class AutoNprobeMixin:
+    """Gives a saved layout the calibration-pin surface: a
+    ``calibration`` slot round-tripped by the class's save/load, and
+    ``nprobe="auto"`` resolution in its search verbs. ONE copy — the
+    resolution previously existed verbatim in three index classes, and a
+    fourth layout author would have had to rediscover and re-paste it
+    (r11 fifth-review finding; ``maintenance_plan`` probes for
+    ``_resolve_nprobe`` to decide pin-capability)."""
+
+    calibration: dict | None = None  # nprobe pin (calibrate_nprobe)
+
+    def _resolve_nprobe(self, nprobe):
+        """``nprobe="auto"`` reads the layout's pinned recall calibration
+        (calibrate_nprobe persist=True); anything else passes through
+        untouched."""
+        if nprobe == "auto":
+            return auto_nprobe(self)
+        return nprobe
 
 
 def _recall_at_k(
@@ -160,6 +180,17 @@ def calibrate_nprobe(
             f"corpus has no vector column {vec_col!r} — pass corpus_vec= "
             "the corpus's vector column name"
         )
+    # ground truth must reflect the LIVE corpus: a user-supplied source
+    # table (or the injected base_df below, which derives from it) still
+    # contains rows the index has tombstone-deleted, and the pruned
+    # search can never return those — measured recall would be
+    # systematically deflated on any corpus with deletes, failing or
+    # inflating the pin for a perfectly healthy layout (r11 fifth-review
+    # finding). IvfIndex's default clustered_df() is already live; the
+    # anti-join is a no-op without tombstones.
+    live = getattr(idx, "_live", None)
+    if callable(live):
+        corpus = live(corpus)
 
     # ground truth: ONE exact broadcast k-NN join, collected as bounded
     # (qid, id) pairs — k × |bag| rows

@@ -126,12 +126,15 @@ def _normalize_query(query: list[float]) -> list[float]:
     return [float(x) / norm for x in query]
 
 
+from custom_vector_database_spark.operators.calibrate import (
+    AutoNprobeMixin,
+)
 from custom_vector_database_spark.operators.tombstones import (
     TombstoneDeleteMixin,
 )
 
 
-class IvfIndex(TombstoneDeleteMixin):
+class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
     """KMeans-clustered vector table + centroid shortlist search.
 
     Incremental CRUD on the saved layout: ``upsert`` (delta append),
@@ -157,18 +160,6 @@ class IvfIndex(TombstoneDeleteMixin):
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._tombstones: DataFrame | None = None  # deleted-id sidecar view
-
-    def _resolve_nprobe(self, nprobe):
-        """``nprobe="auto"`` reads the layout's pinned recall calibration
-        (operators/calibrate.calibrate_nprobe persist=True); anything else
-        passes through untouched."""
-        if nprobe == "auto":
-            from custom_vector_database_spark.operators.calibrate import (
-                auto_nprobe,
-            )
-
-            return auto_nprobe(self)
-        return nprobe
 
     def _check_model(self, supplied: str | None, what: str) -> None:
         from custom_vector_database_spark.operators.layout import (

@@ -46,12 +46,15 @@ from custom_vector_database_spark.operators.fitting import (
     kmeans_fit_np,
     nearest_centroid_expr,
 )
+from custom_vector_database_spark.operators.calibrate import (
+    AutoNprobeMixin,
+)
 from custom_vector_database_spark.operators.tombstones import TombstoneDeleteMixin
 
 __all__ = ["IvfBqIndex"]
 
 
-class IvfBqIndex(TombstoneDeleteMixin):
+class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
     """Cluster-partitioned 1-bit sign codes + exact rerank (L2).
 
     Same incremental-CRUD surface as the sibling layouts: ``upsert``
@@ -71,18 +74,6 @@ class IvfBqIndex(TombstoneDeleteMixin):
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._tombstones: DataFrame | None = None
-
-    def _resolve_nprobe(self, nprobe):
-        """``nprobe="auto"`` reads the layout's pinned recall calibration
-        (operators/calibrate.calibrate_nprobe persist=True); anything else
-        passes through untouched."""
-        if nprobe == "auto":
-            from custom_vector_database_spark.operators.calibrate import (
-                auto_nprobe,
-            )
-
-            return auto_nprobe(self)
-        return nprobe
 
     def _check_model(self, supplied: str | None) -> None:
         from custom_vector_database_spark.operators.layout import (

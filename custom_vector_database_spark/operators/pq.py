@@ -252,12 +252,15 @@ def _ivfpq_encode(
     return out.select(id_col, "cluster", codes.alias("codes"), *carry)
 
 
+from custom_vector_database_spark.operators.calibrate import (
+    AutoNprobeMixin,
+)
 from custom_vector_database_spark.operators.tombstones import (
     TombstoneDeleteMixin,
 )
 
 
-class IvfPqIndex(TombstoneDeleteMixin):
+class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
     """IVF-PQ: coarse KMeans clusters + PQ-coded RESIDUALS — the composed
     billion-scale ANN layout (FAISS's IVFPQ, from the same public Jégou
     et al. 2011 paper).
@@ -307,18 +310,6 @@ class IvfPqIndex(TombstoneDeleteMixin):
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
         self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._path: str | None = None  # set by save()/load(); upsert needs it
-
-    def _resolve_nprobe(self, nprobe):
-        """``nprobe="auto"`` reads the layout's pinned recall calibration
-        (operators/calibrate.calibrate_nprobe persist=True); anything else
-        passes through untouched."""
-        if nprobe == "auto":
-            from custom_vector_database_spark.operators.calibrate import (
-                auto_nprobe,
-            )
-
-            return auto_nprobe(self)
-        return nprobe
 
     def _check_model(self, supplied: str | None) -> None:
         from custom_vector_database_spark.operators.layout import (

@@ -81,6 +81,11 @@ _HELD: dict[str, list] = {}
 # slow stat on corpus A must not block every other stream's
 # per-micro-batch fencing read on corpora B..N (max-review finding).
 _LOCK = threading.Lock()
+# NOTE: entries are one small Lock per distinct path per process
+# lifetime and are deliberately never removed — dropping an entry while
+# another thread still waits on the OLD lock object would let a new
+# thread mint a NEW lock for the same key and both enter the per-key
+# section concurrently, re-opening exactly the races the lock closes.
 _KEY_LOCKS: dict[str, threading.Lock] = {}
 
 
@@ -203,9 +208,25 @@ def _claim_token(token: str, body: dict) -> bool:
                 try:
                     os.rename(token, grave)
                 except FileNotFoundError:
-                    pass  # another clearer won the rename: retry the link
-                else:
-                    os.unlink(grave)
+                    continue  # another clearer won the rename: retry
+                # verify the grave holds the SAME body we judged stale:
+                # a racer may have cleared + re-linked its FRESH token
+                # between our read and our rename, and the age/dead-pid
+                # judgment above was made on the stale read — removing
+                # the fresh token would hand two racers the "exclusive"
+                # point (r11 fifth-review finding). A mismatched body is
+                # restored; if a third racer linked into the microsecond
+                # hole, the displaced claimer self-aborts at its own
+                # pre-rename ownership check.
+                got = _read_lease(grave)
+                if holder is None or got is None or (
+                    got.get("owner") != holder.get("owner")
+                ):
+                    try:
+                        os.link(grave, token)
+                    except FileExistsError:
+                        pass
+                os.unlink(grave)
                 continue
             return False
     return False
@@ -447,19 +468,40 @@ def release_writer_lease(corpus_dir: str) -> None:
                     _time.sleep(0.05)
                     current = _read_lease(path)
                     if not _same_identity(current, mine):
-                        break  # the takeover landed: its lease stays
+                        # the takeover landed mid-retry: same situation
+                        # as a takeover landing before the release began
+                        # — raise the SAME loud fenced signal (silently
+                        # returning here would make the race-with-my-
+                        # final-batch warning nondeterministic, r11
+                        # fifth-review finding)
+                        raise ValueError(
+                            f"writer lease on {corpus_dir!r} was taken "
+                            f"over while held (now {_describe(current)}; "
+                            f"this writer held epoch {mine['epoch']}): "
+                            "leaving the new owner's lease intact — "
+                            "this writer was fenced"
+                        )
                     if _remove_under_token(path, mine):
                         removed = True
                         break
-                if not removed and _same_identity(current, mine):
+                if not removed:
+                    # the wedge stands and WE still own the lease: put
+                    # the registry entry back so the owner can retry the
+                    # release after clearing the token (popping first
+                    # would lock the owner out of its own lease — release
+                    # a no-op, re-acquire refusing against its own live
+                    # pid, r11 fifth-review finding)
+                    held[1] = 1
+                    _HELD[key] = held
                     raise ValueError(
                         f"could not release the writer lease on "
                         f"{corpus_dir!r}: the takeover claim token "
                         f"({path + _TOKEN_SUFFIX}) stayed held through "
                         "retries while the lease file still names this "
                         "writer — if the token's claimer crashed, delete "
-                        "the token file; the lease itself self-clears "
-                        "via dead-pid reclaim once this process exits"
+                        "the token file and release again; the lease "
+                        "itself self-clears via dead-pid reclaim once "
+                        "this process exits"
                     )
         elif current is not None:
             raise ValueError(
