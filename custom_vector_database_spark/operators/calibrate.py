@@ -343,3 +343,132 @@ def auto_nprobe(idx) -> int:
             "build (and after every rebuild; a refit drops the pin)"
         )
     return int(pin["nprobe"])
+
+
+def calibrate_nprobe_maxsim(
+    idx,
+    query_tokens: DataFrame,
+    *,
+    corpus_tokens: DataFrame | None = None,
+    k: int = 10,
+    target_recall: float = 0.9,
+    qid_col: str = "qid",
+    qtok_col: str = "qtid",
+    qvec_col: str = "qvec",
+    max_queries: int = 256,
+    full_sweep: bool = False,
+    persist: bool = False,
+    model_id: str | None = None,
+    search_kwargs: dict | None = None,
+) -> dict:
+    """calibrate_nprobe for the MaxSim (late-interaction) layout — the
+    one pruned layout whose query is a token TABLE, not a vector column:
+    ``query_tokens`` is (qid, qtid, qvec), one row per query token, and
+    recall@k is measured over per-qid DOC sets against the exact batch
+    scorer (ranking.maxsim_scores_many over the layout's LIVE raw token
+    rows — MaxSim stores full-precision token vectors, so the layout
+    itself is a valid ground-truth source; pass ``corpus_tokens=`` to
+    judge against a different token table). ``search_kwargs`` forwards
+    extra knobs (n_candidates, quantized) into every sweep step.
+
+    Same schedule, report shape, pin lifecycle, and ``nprobe="auto"``
+    resolution as calibrate_nprobe; persist reuses the same
+    quantizer-identity-verified meta rewrite under the layout's swap
+    lock."""
+    if not hasattr(idx, "search_many") or not hasattr(idx, "centroids"):
+        raise ValueError(
+            "calibrate_nprobe_maxsim needs a MaxSim index handle "
+            "exposing centroids and search_many(query_tokens, ...); got "
+            + type(idx).__name__
+        )
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    n_q = query_tokens.select(qid_col).distinct().count()
+    if n_q == 0:
+        raise ValueError("empty query bag — nothing to calibrate on")
+    if n_q > max_queries:
+        raise ValueError(
+            f"query bag has {n_q} distinct queries > max_queries="
+            f"{max_queries}; calibration broadcasts the bag into every "
+            "sweep step — sample it down"
+        )
+
+    from custom_vector_database_spark.operators.ranking import (
+        maxsim_scores_many,
+    )
+
+    corpus = corpus_tokens if corpus_tokens is not None else idx.rows_df()
+    live = getattr(idx, "_live", None)
+    if callable(live):
+        # the calibrate_nprobe rationale: ground truth must reflect the
+        # LIVE corpus — a user-supplied token table still contains docs
+        # the index tombstone-deleted
+        corpus = live(corpus)
+    exact_rows = (
+        maxsim_scores_many(
+            corpus.select(F.col(idx.doc_col), F.col(idx.vec_col)),
+            query_tokens,
+            k=k,
+            doc_col=idx.doc_col,
+            vec_col=idx.vec_col,
+            qid_col=qid_col,
+            qtok_col=qtok_col,
+            qvec_col=qvec_col,
+        )
+        .select(qid_col, idx.doc_col)
+        .collect()
+    )
+    exact = _id_sets(exact_rows, qid_col, idx.doc_col)
+
+    search_kwargs = dict(search_kwargs or {})
+    n_clusters = len(idx.centroids)
+    schedule = []
+    p = 1
+    while p < n_clusters:
+        schedule.append(p)
+        p *= 2
+    schedule.append(n_clusters)
+
+    steps: list[dict] = []
+    chosen: int | None = None
+    chosen_recall = 0.0
+    for nprobe in schedule:
+        approx_rows = (
+            idx.search_many(
+                query_tokens, k=k, nprobe=nprobe,
+                qid_col=qid_col, qtok_col=qtok_col, qvec_col=qvec_col,
+                model_id=model_id, **search_kwargs,
+            )
+            .select(qid_col, idx.doc_col)
+            .collect()
+        )
+        recall = _recall_at_k(
+            exact, _id_sets(approx_rows, qid_col, idx.doc_col)
+        )
+        steps.append({"nprobe": nprobe, "recall": recall})
+        if chosen is None and recall >= target_recall:
+            chosen, chosen_recall = nprobe, recall
+            if not full_sweep:
+                break
+
+    report = {
+        "k": k,
+        "target_recall": target_recall,
+        "n_queries": n_q,
+        "n_clusters": n_clusters,
+        "steps": steps,
+        "nprobe": chosen,
+        "recall": chosen_recall if chosen is not None else steps[-1]["recall"],
+        "met": chosen is not None,
+        "scan_fraction": (chosen / n_clusters) if chosen is not None else None,
+    }
+    if persist:
+        if chosen is None:
+            raise ValueError(
+                "calibration missed the target even at a full probe "
+                f"(recall {steps[-1]['recall']:.3f} < {target_recall}); "
+                "refusing to pin — raise n_candidates, lower the target, "
+                "or rebuild with more clusters"
+            )
+        _persist_calibration(idx, report)
+    return report

@@ -52,6 +52,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from custom_vector_database_spark.operators.calibrate import (
+    AutoNprobeMixin,
+)
 from custom_vector_database_spark.operators.bq import (
     bq_hamming,
     bq_pack,
@@ -114,7 +117,7 @@ def _recover_save_swap(path: str) -> None:
         )
 
 
-class MaxSimIndex(TombstoneDeleteMixin):
+class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
     """Token-IVF layout + two-stage (candidates -> exact rerank) MaxSim.
 
     Build once (``fit`` + ``save``), search many — single-query
@@ -154,6 +157,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         self.n_doc_buckets = int(n_doc_buckets)
         self._path = path
         self.model_id = model_id  # embedding-model pin (layout.check_model_id)
+        self.calibration: dict | None = None  # nprobe pin (operators/calibrate)
         self._docs: DataFrame | None = None  # doc-bucketed gather sidecar
         self._tombstones: DataFrame | None = None
 
@@ -271,6 +275,12 @@ class MaxSimIndex(TombstoneDeleteMixin):
             "model_id": self.model_id,
             "centroids": self.centroids,
         }
+        if self.calibration is not None:
+            # quantizer unchanged on this handle -> the pinned recall
+            # calibration stays valid; a fresh fit() starts unpinned
+            # (operators/calibrate.py lifecycle note). Both save paths
+            # (fresh meta.json and the overwrite commit marker) carry it.
+            meta["calibration"] = self.calibration
         if overwriting:
             with open(os.path.join(path, _SAVE_COMMIT), "w") as f:
                 json.dump(meta, f)  # commit point: marker IS the new meta
@@ -320,6 +330,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
             path=path,
             model_id=meta.get("model_id"),  # absent = legacy, loads unpinned
         )
+        idx.calibration = meta.get("calibration")  # nprobe pin, if earned
         idx._docs = spark.read.parquet(os.path.join(path, "docs"))
         idx._load_tombstones(spark)
         return idx
@@ -695,6 +706,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         the bag, the maxsim_scores convention). Returns (doc, score, n_q)
         best-first, ``score`` the TRUE MaxSim of each candidate."""
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,
@@ -761,6 +773,7 @@ class MaxSimIndex(TombstoneDeleteMixin):
         Returns (qid, doc, score, n_q, rk), rk = 1..k best-first per qid
         (score desc, doc asc), scores TRUE MaxSim."""
         self._check_model(model_id)
+        nprobe = self._resolve_nprobe(nprobe)
         qrows = self._collect_query_bag(
             query_tokens, [qid_col, qtok_col, qvec_col], qvec_col,
             max_query_tokens, max_broadcast_bytes, nprobe=nprobe,

@@ -270,3 +270,65 @@ def test_ivfbq_calibrates_with_injected_base_df(spark, emb, qbag, tmp_path):
         qbag, k=5, base_df=base, nprobe=rep2["nprobe"]
     ).collect()
     assert a == b
+
+
+def test_maxsim_calibration_end_to_end(spark, emb, tmp_path):
+    """calibrate_nprobe_maxsim closes the LAST hand-tuned pruned layout:
+    recall over per-qid doc sets vs the exact batch scorer, same schedule
+    and pin lifecycle, nprobe="auto" in both MaxSim search verbs. With
+    n_candidates >= n_docs the full probe IS brute force (the registered
+    row's pinned property), so the sweep ends at recall 1.0."""
+    from custom_vector_database_spark.operators.calibrate import (
+        calibrate_nprobe_maxsim,
+    )
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+
+    toks = emb.select(
+        F.expr("vec_id DIV 8").alias("doc"), "embedding"
+    )
+    path = str(tmp_path / "maxsim")
+    MaxSimIndex.fit(toks, n_clusters=8).save(path)
+    idx = MaxSimIndex.load(spark, path)
+    qt = emb.filter(F.col("vec_id") < 16).select(
+        F.expr("vec_id DIV 8").alias("qid"),
+        F.col("vec_id").alias("qtid"),
+        F.col("embedding").alias("qvec"),
+    )
+    rep = calibrate_nprobe_maxsim(
+        idx, qt, k=5, target_recall=0.9, full_sweep=True,
+        search_kwargs={"n_candidates": 1000},
+    )
+    assert [s["nprobe"] for s in rep["steps"]] == [1, 2, 4, 8]
+    assert rep["steps"][-1]["recall"] == 1.0
+    assert rep["met"] and rep["n_queries"] == 2
+
+    # persist + auto resolution in the batch verb
+    rep2 = calibrate_nprobe_maxsim(
+        idx, qt, k=5, target_recall=0.9, persist=True,
+        search_kwargs={"n_candidates": 1000},
+    )
+    reloaded = MaxSimIndex.load(spark, path)
+    assert reloaded.calibration["nprobe"] == rep2["nprobe"]
+    a = reloaded.search_many(
+        qt, k=5, nprobe="auto", n_candidates=1000
+    ).collect()
+    b = reloaded.search_many(
+        qt, k=5, nprobe=rep2["nprobe"], n_candidates=1000
+    ).collect()
+    assert a == b
+    # single-bag verb resolves the pin too
+    bag = qt.filter(F.col("qid") == 0).select(
+        F.col("qtid").alias("qid"), "qvec"
+    )
+    c = reloaded.search(bag, k=5, nprobe="auto", n_candidates=1000).collect()
+    d = reloaded.search(
+        bag, k=5, nprobe=rep2["nprobe"], n_candidates=1000
+    ).collect()
+    assert c == d
+    # tombstoned docs leave the ground truth (the live-corpus rule)
+    reloaded.delete([0])
+    rep3 = calibrate_nprobe_maxsim(
+        reloaded, qt, k=5, target_recall=1.0, full_sweep=True,
+        search_kwargs={"n_candidates": 1000},
+    )
+    assert rep3["steps"][-1]["recall"] == 1.0
