@@ -49,7 +49,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["calibrate_nprobe", "auto_nprobe", "AutoNprobeMixin"]
+__all__ = [
+    "calibrate_nprobe",
+    "calibrate_nprobe_maxsim",
+    "auto_nprobe",
+    "AutoNprobeMixin",
+]
 
 
 class AutoNprobeMixin:
@@ -297,7 +302,9 @@ def _persist_calibration(idx, report: dict) -> None:
             "persist=True requires a saved index (call save() or load() "
             "first) — an unsaved handle has no meta.json to pin into"
         )
-    from custom_vector_database_spark.streaming.lease import writer_lease
+    from custom_vector_database_spark.operators.layout import (
+        meta_write_lease,
+    )
 
     pin = {
         "nprobe": report["nprobe"],
@@ -307,7 +314,13 @@ def _persist_calibration(idx, report: dict) -> None:
         "n_queries": report["n_queries"],
     }
     meta_path = os.path.join(path, "meta.json")
-    with writer_lease(path + "_lock", "calibrate_nprobe", stale_after_s=3600):
+    # the same sibling lock every save() now takes around ITS meta
+    # install (layout.meta_write_lease) — a direct save can no longer
+    # land between this read and the os.replace below, which would have
+    # clobbered the fresh save's meta with the old body + pin (r11
+    # ADVICE finding; the quantizer-identity check below still guards
+    # the rebuild-while-sweeping case)
+    with meta_write_lease(path, "calibrate_nprobe"):
         with open(meta_path) as f:
             meta = json.load(f)
         # the sweep ran UNLOCKED (it is minutes of Spark jobs): a rebuild

@@ -294,8 +294,17 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             # fit() builds a new handle (calibration None) and must
             # re-earn the pin (operators/calibrate.py lifecycle note)
             meta["calibration"] = self.calibration
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        from custom_vector_database_spark.operators.layout import (
+            meta_write_lease,
+        )
+
+        # the meta install takes the artifact's sibling lock so a
+        # concurrent calibrate_nprobe(persist=True) read-modify-replace
+        # can never clobber this fresh meta with the old body + pin
+        # (r11 ADVICE finding)
+        with meta_write_lease(path, "save"):
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
         self._path = path
 
     @classmethod

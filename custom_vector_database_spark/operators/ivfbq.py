@@ -157,8 +157,15 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             # calibration stays valid; a fresh fit() starts unpinned
             # (operators/calibrate.py lifecycle note)
             meta["calibration"] = self.calibration
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        from custom_vector_database_spark.operators.layout import (
+            meta_write_lease,
+        )
+
+        # serialized against calibrate's read-modify-replace on the same
+        # sibling lock (r11 ADVICE finding; ivf.py save rationale)
+        with meta_write_lease(path, "save"):
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
         self._path = path
 
     @classmethod

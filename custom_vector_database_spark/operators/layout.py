@@ -359,6 +359,50 @@ def check_model_id(
         )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def meta_write_lease(path: str, verb: str, attempts: int = 20,
+                     wait_s: float = 0.05):
+    """Serialize a saved layout's ``meta.json`` install against
+    calibrate's read-modify-replace (operators/calibrate.py
+    ``_persist_calibration``). Both writers take the artifact's sibling
+    ``<path>_lock`` lease — the same lock ``install_dir_swap`` and the
+    autopilot's gc already use — so a direct ``save()`` landing between
+    calibrate's locked read and its ``os.replace`` can no longer have
+    its fresh meta clobbered by the old body + pin (r11 ADVICE finding:
+    only the swap path took the lock; MaxSim's commit-marker install
+    and the IVF-family's direct meta writes did not).
+
+    Every hold through here is sub-second (one JSON rewrite or one
+    marker rename), so a conflict is retried briefly before the typed
+    ``WriterLeaseHeld`` refusal propagates; ``stale_after_s`` matches
+    the swap lock's hour rule so a crashed holder can never wedge
+    saves forever."""
+    import time
+
+    from custom_vector_database_spark.streaming.lease import (
+        WriterLeaseHeld,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    lock_dir = str(path) + "_lock"
+    for attempt in range(int(attempts)):
+        try:
+            acquire_writer_lease(lock_dir, verb, stale_after_s=3600.0)
+            break
+        except WriterLeaseHeld:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(float(wait_s))
+    try:
+        yield
+    finally:
+        release_writer_lease(lock_dir)
+
+
 def install_dir_swap(path: str, write_tmp, heal=None) -> None:
     """The ONE copy of the whole-directory artifact-install choreography
     (r10 review finding: it existed as drifting near-copies in

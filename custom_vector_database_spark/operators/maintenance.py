@@ -205,28 +205,39 @@ def maintenance_plan(
             + ("" if can_exec or not stale
                else "; not executable: supply refit= and path="),
         })
-        if (
-            hasattr(idx, "_resolve_nprobe")
-            and getattr(idx, "calibration", None) is None
+        rebuild_planned = bool(stale and can_exec)
+        if hasattr(idx, "_resolve_nprobe") and (
+            getattr(idx, "calibration", None) is None or rebuild_planned
         ):
             # the layout takes a recall pin but has none — freshly fitted,
             # or a rebuild just dropped it (the pin is only valid for the
             # quantizer it was measured on). Executable when the entry
             # supplies the query bag; ranked after rebuild so one execute
             # run refreshes the quantizer FIRST and calibrates the result.
+            # A PINNED layout whose rebuild row is planned executable also
+            # gets the calibrate row: the rebuild is guaranteed to drop
+            # the pin, and without this row the docstring's one-run
+            # rebuild→recalibrate loop would leave the rebuilt layout
+            # unpinned until the NEXT maintenance run (r11 ADVICE
+            # finding).
             cal_exec = ent.get("calibrate") is not None and (
                 ent.get("path") or getattr(idx, "_path", None)
             )
+            pinned_now = getattr(idx, "calibration", None) is not None
             plan.append({
                 "target": ent["name"],
                 "kind": f"layout:{type(idx).__name__}",
                 "action": "calibrate",
                 "metric_name": "has_recall_pin",
-                "metric": 0.0,
+                "metric": 1.0 if pinned_now else 0.0,
                 "threshold": 1.0,
                 "blocked": False,
                 "executable": bool(cal_exec),
-                "reason": "no pinned recall calibration"
+                "reason": (
+                    "the rebuild planned this run drops the pin"
+                    if pinned_now
+                    else "no pinned recall calibration"
+                )
                 + (
                     " — calibrate_nprobe(persist=True) runs on execute"
                     if cal_exec
@@ -469,6 +480,7 @@ def run_maintenance(
     def _run_calibrate(a: dict) -> dict:
         from custom_vector_database_spark.operators.calibrate import (
             calibrate_nprobe,
+            calibrate_nprobe_maxsim,
         )
 
         ent = by_name[a["target"]]
@@ -480,8 +492,16 @@ def run_maintenance(
         # handle still points at the replaced quantizer — the pin must be
         # measured on what is actually installed
         idx = type(ent["index"]).load(spark, path)
+        # dispatch by layout shape: a MaxSim-style layout (token-table
+        # queries, per-doc recall — doc_col + rows_df, no clustered_df /
+        # query_vec signature) calibrates through its own verb; routing
+        # it into the vector-flavor calibrate_nprobe could only ever
+        # fail or mis-skip with a 'pass corpus=' message that does not
+        # apply (r11 ADVICE finding)
+        is_maxsim = hasattr(idx, "doc_col") and hasattr(idx, "rows_df")
+        cal = calibrate_nprobe_maxsim if is_maxsim else calibrate_nprobe
         try:
-            rep = calibrate_nprobe(idx, queries, persist=True, **spec)
+            rep = cal(idx, queries, persist=True, **spec)
         except WriterLeaseHeld:
             raise  # the loop's per-action skip handles a busy layout
         except ValueError as e:

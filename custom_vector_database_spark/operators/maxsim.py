@@ -281,13 +281,25 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             # (operators/calibrate.py lifecycle note). Both save paths
             # (fresh meta.json and the overwrite commit marker) carry it.
             meta["calibration"] = self.calibration
-        if overwriting:
-            with open(os.path.join(path, _SAVE_COMMIT), "w") as f:
-                json.dump(meta, f)  # commit point: marker IS the new meta
-            _complete_save_swap(path)
-        else:
-            with open(os.path.join(path, "meta.json"), "w") as f:
-                json.dump(meta, f)
+        from custom_vector_database_spark.operators.layout import (
+            meta_write_lease,
+        )
+
+        # BOTH commit branches install the new meta under the artifact's
+        # sibling lock — the same lock calibrate's read-modify-replace
+        # (_persist_calibration) and install_dir_swap take — so a
+        # concurrent calibrate can never clobber this fresh save's meta
+        # with the old body + pin (r11 ADVICE finding). The hold covers
+        # only the marker/meta install and the sub-second rename swap,
+        # never the parquet writes above.
+        with meta_write_lease(path, "save"):
+            if overwriting:
+                with open(os.path.join(path, _SAVE_COMMIT), "w") as f:
+                    json.dump(meta, f)  # commit point: marker IS the new meta
+                _complete_save_swap(path)
+            else:
+                with open(os.path.join(path, "meta.json"), "w") as f:
+                    json.dump(meta, f)
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
         if overwriting or self._tombstones is not None:
             # re-point the frames at what was written: after a swap the

@@ -745,6 +745,7 @@ def _durable_claim(claims_dir: str, claim: str) -> None:
     (r11 review finding; the lease writer fsyncs for the same reason)."""
     import os
 
+    created_dir = not os.path.isdir(claims_dir)
     os.makedirs(claims_dir, exist_ok=True)
     fd = os.open(claim, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
@@ -756,6 +757,18 @@ def _durable_claim(claims_dir: str, claim: str) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+    if created_dir:
+        # first batch of a fresh sidecar: claims_dir's own directory
+        # entry in the corpus dir is still page-cache-only — a power
+        # loss could drop the whole claims dir (and this claim) while
+        # the sidecar append survives, re-opening exactly the
+        # batch-shadowing hazard the claim fsync closes (r11 ADVICE
+        # finding). Only needed when the makedirs actually created it.
+        pfd = os.open(os.path.dirname(claims_dir) or ".", os.O_RDONLY)
+        try:
+            os.fsync(pfd)
+        finally:
+            os.close(pfd)
 
 
 def _check_fp_kind(sidecar_dir: str, fp_kind: str) -> None:
