@@ -25,9 +25,18 @@ prefix hides it from plain parquet reads, like every sidecar artifact):
   wait or pass ``force_lease=True``.
 - **Crash recovery**: a holder whose recorded pid is provably dead on
   THIS host is reclaimed automatically (the common crashed-writer case
-  costs the next writer nothing); a foreign-host or live-pid lease
-  needs an explicit ``force_lease=True`` takeover — an operator
-  decision, never a guess.
+  costs the next writer nothing). For a CRASHED REMOTE holder — whose
+  pid this host can never probe — the corpus lease expires by
+  heartbeat: every verb-held lease is refreshed (file mtime) every
+  ``CORPUS_LEASE_HEARTBEAT_S`` seconds while the verb runs, and a
+  lease whose last beat is older than ``CORPUS_LEASE_STALE_S`` is
+  treated as crashed regardless of host (the install_dir_swap lock's
+  TTL rule, promoted to the corpus lease in round 12 — before that a
+  remote crash wedged the corpus until a human passed
+  ``force_lease=True``). A LIVE remote holder can never be aged out:
+  its beat keeps the mtime fresh, so staleness only ever fences a
+  holder that truly stopped beating. Epoch fencing makes the expiry
+  takeover safe even against a paused-not-dead holder that resumes.
 - **Epoch fencing**: every takeover bumps ``epoch``, so a writer that
   was taken over but is actually still alive is FENCED — its next
   per-batch verify (and its release) sees a lease it no longer owns and
@@ -62,7 +71,21 @@ __all__ = [
     "holds_writer_lease",
     "WriterLeaseHeld",
     "LEASE_FILE",
+    "CORPUS_LEASE_STALE_S",
+    "CORPUS_LEASE_HEARTBEAT_S",
 ]
+
+# Cross-host liveness for the corpus writer lease (every verb routed
+# through holds_writer_lease): the holder beats the lease file's mtime
+# every CORPUS_LEASE_HEARTBEAT_S seconds; a contender may reclaim a
+# lease whose last beat is older than CORPUS_LEASE_STALE_S. The 6×
+# margin between them means a holder must miss SIX consecutive beats —
+# not one slow filesystem hiccup — before it can be aged out, and the
+# epoch bump on the takeover fences it even if it was merely paused.
+# These match install_dir_swap's proven TTL (layout.py): holds are
+# minutes-long verbs, reclaim within the hour.
+CORPUS_LEASE_STALE_S = 3600.0
+CORPUS_LEASE_HEARTBEAT_S = 600.0
 
 
 class WriterLeaseHeld(ValueError):
@@ -324,11 +347,15 @@ def acquire_writer_lease(
     Raises WriterLeaseHeld with the remedy when another writer holds it
     and none of the takeover rules apply: ``force``, the dead-pid
     auto-reclaim (same host, pid provably gone), or ``stale_after_s``
-    (a lease file OLDER than this many seconds is treated as crashed
-    regardless of host — for locks guarding operations with a known
-    small duration, e.g. install_dir_swap's seconds-long directory
-    rename, where a foreign-host or renamed-host holder would otherwise
-    wedge the artifact forever). Returns the held lease dict."""
+    (a lease file whose mtime — refreshed by the holder's heartbeat,
+    see writer_lease — is OLDER than this many seconds is treated as
+    crashed regardless of host). The staleness rule serves two shapes
+    of caller: locks guarding operations with a known small duration
+    (install_dir_swap's directory rename, the meta installs), and —
+    paired with a heartbeat — arbitrarily long verb holds, where a
+    foreign-host crash would otherwise wedge the corpus behind a
+    force_lease only an operator can pass. Returns the held lease
+    dict."""
     path = _lease_path(corpus_dir)
     key = os.path.abspath(corpus_dir)
     with _key_lock(key):
@@ -386,6 +413,13 @@ def acquire_writer_lease(
                     if _takeover_replace(path, current, lease):
                         break  # our lease is installed atomically
                     continue  # lost the token race: re-evaluate
+                expiry = (
+                    f", and a lease {float(stale_after_s):.0f}s past its "
+                    "last heartbeat is reclaimed automatically (this one "
+                    f"last beat {_lease_age_s(path):.0f}s ago)"
+                    if stale_after_s is not None
+                    else ""
+                )
                 raise WriterLeaseHeld(
                     f"another writer holds the lease on {corpus_dir!r} "
                     f"({_describe(current)}): concurrent writers on one "
@@ -395,7 +429,7 @@ def acquire_writer_lease(
                     "force_lease=True to take over (epoch "
                     f"{_epoch(current) + 1} fences it "
                     "out); a dead pid on this host is reclaimed "
-                    "automatically"
+                    f"automatically{expiry}"
                 ) from None
         else:
             raise WriterLeaseHeld(
@@ -521,6 +555,15 @@ def _describe(lease: dict | None) -> str:
     )
 
 
+def _held_depth(corpus_dir: str) -> int:
+    """Reentrancy depth of this process's hold on the corpus lease (0 =
+    not held)."""
+    key = os.path.abspath(corpus_dir)
+    with _key_lock(key):
+        held = _HELD.get(key)
+        return held[1] if held else 0
+
+
 @contextmanager
 def writer_lease(corpus_dir: str, verb: str, force: bool = False,
                  stale_after_s: float | None = None,
@@ -543,7 +586,10 @@ def writer_lease(corpus_dir: str, verb: str, force: bool = False,
         corpus_dir, verb, force=force, stale_after_s=stale_after_s
     )
     stop = None
-    if heartbeat_s:
+    # the beat runs once per OUTERMOST hold: a reentrant inner acquire
+    # (the per-micro-batch apply under a stream-long outer hold) rides
+    # the outer beat instead of minting a thread per batch
+    if heartbeat_s and _held_depth(corpus_dir) == 1:
         path = _lease_path(corpus_dir)
         stop = threading.Event()
 
@@ -566,7 +612,9 @@ def writer_lease(corpus_dir: str, verb: str, force: bool = False,
 
 
 def holds_writer_lease(verb: str, dir_arg: str = "corpus_dir",
-                       force_arg: str | None = None):
+                       force_arg: str | None = None,
+                       stale_after_s: float | None = CORPUS_LEASE_STALE_S,
+                       heartbeat_s: float | None = CORPUS_LEASE_HEARTBEAT_S):
     """Decorator: run the wrapped verb under the corpus's writer lease.
 
     ``dir_arg`` names the parameter carrying the corpus dir;
@@ -574,7 +622,19 @@ def holds_writer_lease(verb: str, dir_arg: str = "corpus_dir",
     authorizes a takeover (the verbs' ``force_lease=`` knob). Reentrant
     like writer_lease, so a decorated stream verb calling a decorated
     apply-batch function nests cleanly — the inner acquire costs one
-    lease-file read, which IS the per-micro-batch fencing check."""
+    lease-file read, which IS the per-micro-batch fencing check.
+
+    Cross-host liveness (round 12): every decorated hold heartbeats the
+    lease file every ``heartbeat_s`` seconds (outermost hold only — the
+    nested per-batch acquires ride the stream-long outer beat), and a
+    contender's acquire treats a lease ``stale_after_s`` past its last
+    beat as crashed regardless of host. A crashed REMOTE writer is
+    therefore reclaimable within the hour without ``force_lease=True``
+    — previously its pid was unprobeable from this host and the corpus
+    wedged until an operator forced it (r11 verdict item 2); a live
+    remote writer keeps beating and can never be aged out, and the
+    takeover's epoch bump fences a paused-not-dead holder that
+    resumes."""
     import functools
     import inspect
 
@@ -589,7 +649,9 @@ def holds_writer_lease(verb: str, dir_arg: str = "corpus_dir",
             force = (
                 bool(bound.arguments.get(force_arg)) if force_arg else False
             )
-            with writer_lease(corpus_dir, verb, force=force):
+            with writer_lease(corpus_dir, verb, force=force,
+                              stale_after_s=stale_after_s,
+                              heartbeat_s=heartbeat_s):
                 return fn(*args, **kwargs)
 
         return wrapper

@@ -209,6 +209,190 @@ sys.exit(0)
             child.kill()
 
 
+def test_stale_remote_holder_is_reclaimed_and_fenced(tmp_path):
+    """Cross-HOST lease expiry (round 12): a real child process acquires
+    under a FOREIGN host identity (its pid is unprobeable from 'this'
+    host by construction), stops heartbeating, and this process ages it
+    out via stale_after_s — no force_lease. The takeover bumps the
+    epoch, and the old holder's next verify is FENCED; its release is a
+    clean no-op that leaves the usurper's lease intact. Before round 12
+    this scenario wedged the corpus until an operator forced it."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    acquired = tmp_path / "acquired"
+    takeover_done = tmp_path / "takeover_done"
+    script = tmp_path / "remote_holder.py"
+    script.write_text(
+        f"""
+import os, socket, sys, time
+sys.path.insert(0, {REPO_ROOT!r})
+socket.gethostname = lambda: "remote-host-x"  # a foreign-host identity
+from custom_vector_database_spark.streaming.lease import (
+    acquire_writer_lease, release_writer_lease, verify_writer_lease,
+)
+corpus, acquired, takeover_done = sys.argv[1], sys.argv[2], sys.argv[3]
+acquire_writer_lease(corpus, "remote-ingest")  # no heartbeat: 'crashed'
+open(acquired, "w").write("1")
+deadline = time.time() + 30
+while not os.path.exists(takeover_done):
+    if time.time() > deadline:
+        sys.exit(3)
+    time.sleep(0.005)
+try:
+    verify_writer_lease(corpus)
+    sys.exit(5)  # NOT fenced: the expiry takeover was invisible — a bug
+except ValueError:
+    pass
+release_writer_lease(corpus)  # documented no-op after fencing
+sys.exit(0)
+"""
+    )
+    child = subprocess.Popen(
+        [sys.executable, str(script), str(corpus), str(acquired),
+         str(takeover_done)],
+        cwd=REPO_ROOT,
+    )
+    try:
+        deadline = time.time() + 30
+        while not acquired.exists():
+            assert time.time() < deadline, "child never acquired"
+            time.sleep(0.005)
+        lease_path = corpus / L.LEASE_FILE
+        on_disk = json.loads(lease_path.read_text())
+        assert on_disk["host"] == "remote-host-x"
+
+        # fresh beat -> the foreign live-ish holder REFUSES (no pid
+        # probe possible, not yet stale), with the expiry remedy named
+        with pytest.raises(L.WriterLeaseHeld) as ei:
+            L.acquire_writer_lease(str(corpus), "contender",
+                                   stale_after_s=3600.0)
+        assert "last beat" in str(ei.value)
+
+        # age the last beat past the TTL: now reclaimable WITHOUT force
+        old = time.time() - 7200
+        os.utime(lease_path, (old, old))
+        mine = L.acquire_writer_lease(str(corpus), "contender",
+                                      stale_after_s=3600.0)
+        assert mine["epoch"] == 2  # fencing bump
+
+        takeover_done.write_text("1")
+        assert child.wait(timeout=60) == 0
+        now_disk = json.loads(lease_path.read_text())
+        assert now_disk["owner"] == mine["owner"]
+        assert now_disk["epoch"] == 2
+        L.release_writer_lease(str(corpus))
+        assert not lease_path.exists()
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+
+def test_live_remote_holder_with_heartbeat_is_never_aged_out(tmp_path):
+    """The discriminating half of the TTL: a LIVE foreign-host holder
+    whose beat keeps the lease mtime fresh must refuse a contender
+    whose stale_after_s the un-beaten age would have exceeded — the
+    expiry rule can only ever reclaim a holder that truly stopped
+    beating."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    acquired = tmp_path / "acquired"
+    done = tmp_path / "done"
+    script = tmp_path / "beating_holder.py"
+    script.write_text(
+        f"""
+import os, socket, sys, time
+sys.path.insert(0, {REPO_ROOT!r})
+socket.gethostname = lambda: "remote-host-y"
+from custom_vector_database_spark.streaming.lease import writer_lease
+corpus, acquired, done = sys.argv[1], sys.argv[2], sys.argv[3]
+with writer_lease(corpus, "remote-ingest", heartbeat_s=0.2):
+    open(acquired, "w").write("1")
+    deadline = time.time() + 30
+    while not os.path.exists(done):
+        if time.time() > deadline:
+            sys.exit(3)
+        time.sleep(0.005)
+sys.exit(0)
+"""
+    )
+    child = subprocess.Popen(
+        [sys.executable, str(script), str(corpus), str(acquired),
+         str(done)],
+        cwd=REPO_ROOT,
+    )
+    try:
+        deadline = time.time() + 30
+        while not acquired.exists():
+            assert time.time() < deadline, "child never acquired"
+            time.sleep(0.005)
+        # un-beaten, a 3 s-old lease would be stale under a 2 s TTL;
+        # the 0.2 s beat keeps its age well under it the whole time
+        time.sleep(3.0)
+        with pytest.raises(L.WriterLeaseHeld):
+            L.acquire_writer_lease(str(corpus), "contender",
+                                   stale_after_s=2.0)
+        done.write_text("1")
+        assert child.wait(timeout=60) == 0
+        # holder released cleanly -> the corpus is free again
+        L.acquire_writer_lease(str(corpus), "contender", stale_after_s=2.0)
+        L.release_writer_lease(str(corpus))
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+
+def test_decorated_verbs_carry_the_corpus_ttl_by_default(tmp_path):
+    """The TTL is wired into holds_writer_lease itself — every decorated
+    bootstrap/ingest/apply/compact verb reclaims a stale foreign-host
+    lease without force_lease and refuses a fresh one with the expiry
+    remedy in the message."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lease_path = corpus / L.LEASE_FILE
+
+    @L.holds_writer_lease("test-verb")
+    def verb(corpus_dir):
+        return L.verify_writer_lease(corpus_dir)["epoch"]
+
+    def plant_foreign():
+        lease_path.write_text(json.dumps({
+            "owner": "foreign", "epoch": 4, "pid": 12345,
+            "host": "remote-host-z", "verb": "ingest:exact",
+        }))
+
+    # fresh foreign lease: refuse, and the message teaches the TTL
+    plant_foreign()
+    with pytest.raises(L.WriterLeaseHeld) as ei:
+        verb(str(corpus))
+    assert "last beat" in str(ei.value)
+
+    # stale foreign lease: the decorated verb reclaims it by itself
+    old = time.time() - 2 * L.CORPUS_LEASE_STALE_S
+    os.utime(lease_path, (old, old))
+    assert verb(str(corpus)) == 5  # fenced past the foreign epoch 4
+    assert not lease_path.exists()  # released on verb exit
+
+
+def test_heartbeat_runs_on_outermost_hold_only(tmp_path):
+    """The stream-long outer hold owns the one beat thread; nested
+    per-batch writer_lease re-acquires must not mint another (thread
+    count stays flat) while the beat still refreshes the mtime."""
+    import threading
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lease_path = corpus / L.LEASE_FILE
+    with L.writer_lease(str(corpus), "outer", heartbeat_s=0.05):
+        base_threads = threading.active_count()
+        with L.writer_lease(str(corpus), "inner", heartbeat_s=0.05):
+            assert threading.active_count() == base_threads
+            old = time.time() - 100
+            os.utime(lease_path, (old, old))
+            time.sleep(0.3)  # the OUTER beat refreshes the backdated mtime
+            assert L._lease_age_s(str(lease_path)) < 50
+    assert not lease_path.exists()
+
+
 @pytest.mark.parametrize("n_procs", [6])
 def test_real_processes_churn_through_short_sections(tmp_path, n_procs):
     """High-churn variant: zero-iteration sleeps are replaced by many
