@@ -54,6 +54,75 @@ def collect_sample_matrix(
     return x
 
 
+def auto_n_clusters(
+    n_rows: int,
+    target_rows_per_cluster: int = 512,
+    min_clusters: int = 8,
+    max_clusters: int = 4096,
+) -> int:
+    """The layout-sizing rule: coarse-cluster count derived from corpus
+    size so per-cluster occupancy stays near ``target_rows_per_cluster``
+    as the corpus grows — ``ceil(n / target)`` clamped to
+    [min_clusters, max_clusters] and never above ``n_rows``.
+
+    Why this matters at 100 TB: a FIXED n_clusters leaves the flat
+    search regime one decade past wherever it was tuned — the r11 sf100
+    probe measured ivfpq_search going 1.8 s → 7.2 s across one decade at
+    k=16 because each probed cluster's row count grows linearly with the
+    corpus, and re-fitting the same corpus at 10× the clusters made the
+    probed slice 10× smaller and the search 4.4× faster (PLANS.md sf100
+    table). ``n_clusters="auto"`` at fit/rebuild time makes that cure
+    the default: probe cost ≈ nprobe × target_rows_per_cluster rows, a
+    CONSTANT as the corpus scales, while scan fraction nprobe/k falls.
+    The same n/512 convention has sized ``semdedup_ivf_prune``'s cells
+    since round 8 (queries/text_queries.py).
+
+    The ``max_clusters`` clamp exists because the engine ships centroids
+    into codegen as a literal table (fitting.nearest_centroid_expr) and
+    fits them driver-side from a bounded sample — 4096 × dim doubles is
+    comfortably inside both budgets, and a corpus that saturates the
+    clamp (n > ~2M rows at the default target) should raise
+    ``target_rows_per_cluster`` (probe cost grows with it, still flat in
+    corpus size) or shard the layout. min_clusters=8 mirrors
+    semdedup's ``max(8, n // 512)`` floor so tiny fixtures keep a real
+    multi-cluster layout.
+
+    Monotone in ``n_rows`` by construction (the registered
+    ivf_auto_sizing row certifies this against the SQL oracle)."""
+    n_rows = int(n_rows)
+    if n_rows <= 0:
+        raise ValueError("auto_n_clusters needs a positive row count")
+    target = int(target_rows_per_cluster)
+    if target <= 0:
+        raise ValueError(
+            f"target_rows_per_cluster must be positive, got {target}"
+        )
+    k = -(-n_rows // target)  # ceil
+    k = max(int(min_clusters), min(int(max_clusters), k))
+    return max(1, min(n_rows, k))
+
+
+def resolve_n_clusters(
+    n_clusters,
+    n_rows: int,
+    target_rows_per_cluster: int = 512,
+    fit_sample: int = 100_000,
+) -> int:
+    """``n_clusters="auto"`` → the auto_n_clusters sizing rule, with the
+    clamp additionally bounded so every centroid keeps ≥ 8 training
+    points from the bounded fit sample; any other value passes through
+    as an int (the explicit-knob path is untouched). ONE copy — every
+    IVF-family fit (ivf/pq/ivfbq/maxsim) resolves through here so the
+    sizing rule can never drift between layouts."""
+    if n_clusters == "auto":
+        return auto_n_clusters(
+            n_rows,
+            target_rows_per_cluster,
+            max_clusters=min(4096, max(8, int(fit_sample) // 8)),
+        )
+    return int(n_clusters)
+
+
 def kmeans_fit_np(
     x: np.ndarray, k: int, seed: int, max_iter: int = 10
 ) -> list[list[float]]:

@@ -174,13 +174,14 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         df: DataFrame,
         id_col: str = "id",
         vec_col: str = "vec",
-        n_clusters: int = 16,
+        n_clusters: int | str = 16,
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
         metric: str = "l2_sq",
         carry_cols: list[str] | None = None,
         model_id: str | None = None,
+        target_rows_per_cluster: int = 512,
     ) -> "IvfIndex":
         """Build the index. The coarse quantizer trains on at most
         ``fit_sample`` rows (uniform sample — statistically plenty for
@@ -189,7 +190,17 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         codegen'd projection (nearest_centroid_expr), not an MLlib model
         UDF. ``metric="cosine"`` normalizes vectors INSIDE that same
         projection (normalize-at-build), so cosine costs zero extra
-        passes."""
+        passes.
+
+        ``n_clusters="auto"`` derives k from the corpus row count so
+        per-cluster occupancy tracks ``target_rows_per_cluster`` as the
+        corpus grows (fitting.auto_n_clusters — probe cost then stays
+        CONSTANT under corpus scale instead of linear, the r11 sf100
+        lesson); the count rides the stats pass this fit already runs,
+        so auto sizing costs zero extra jobs. Rebuilding through fit
+        re-derives k from the data the rebuild serves — the autopilot's
+        resize action (operators/maintenance.py) is exactly such a
+        rebuild."""
         if metric not in _METRICS:
             raise ValueError(f"unknown metric {metric!r}; expected {_METRICS}")
         carry_cols = list(carry_cols or [])
@@ -224,6 +235,13 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 f"[{stats['dmin']}, {stats['dmax']}] in the build input — "
                 "every build vector must be non-NULL with one shared dim"
             )
+        from custom_vector_database_spark.operators.fitting import (
+            resolve_n_clusters,
+        )
+
+        n_clusters = resolve_n_clusters(
+            n_clusters, n, target_rows_per_cluster, fit_sample
+        )
         max_norm = None
         if metric == "cosine":
             feats = feats.select(

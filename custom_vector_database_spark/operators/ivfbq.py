@@ -89,16 +89,21 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         df: DataFrame,
         id_col: str = "id",
         vec_col: str = "vec",
-        n_clusters: int = 16,
+        n_clusters: int | str = 16,
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
         model_id: str | None = None,
+        target_rows_per_cluster: int = 512,
     ) -> "IvfBqIndex":
         """Coarse quantizer from a bounded driver-side sample (the ONLY
         fitted artifact — the codes themselves are sign bits, nothing to
         train); the full table pays exactly one codegen projection
-        computing (cluster, packed words) together."""
+        computing (cluster, packed words) together.
+
+        ``n_clusters="auto"`` sizes the quantizer from the corpus row
+        count (fitting.auto_n_clusters over ``target_rows_per_cluster``;
+        the IvfIndex.fit rationale)."""
         feats = df.select(F.col(id_col), F.col(vec_col))
         stats = feats.agg(
             F.count(F.lit(1)).alias("n"),
@@ -116,6 +121,13 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 "every build vector must be non-NULL with one shared dim"
             )
         dim = int(stats["dmin"])
+        from custom_vector_database_spark.operators.fitting import (
+            resolve_n_clusters,
+        )
+
+        n_clusters = resolve_n_clusters(
+            n_clusters, n, target_rows_per_cluster, fit_sample
+        )
         x = collect_sample_matrix(feats, vec_col, n, fit_sample, seed)
         centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
         encoded = feats.select(

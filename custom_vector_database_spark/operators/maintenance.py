@@ -41,6 +41,20 @@ Action semantics:
   touch of the same artifact; a 100 TB estate accumulates it).
   Executable; the removal re-derives the debris set from disk under the
   corpus's writer lease rather than trusting the plan row.
+- ``resize`` (a layout): mean occupancy (live rows / n_clusters,
+  ONE scalar aggregate over the layout frame) exceeds
+  ``occupancy_trip`` × ``target_rows_per_cluster`` — the corpus has
+  outgrown its cluster count and every probe's cost now grows linearly
+  with further ingest (the r11 sf100 pathology: fixed 16 clusters took
+  ivfpq_search 1.8 s → 7.2 s across one decade; 10× the clusters made
+  it 4.4× faster). Executable when the entry supplies ``resize_refit``
+  (a callable taking the COMPUTED n_clusters —
+  fitting.auto_n_clusters over the live row count, re-derived at
+  execute time) and a save path; installed via the same crash-safe
+  swap as rebuild. A planned resize SUBSUMES a same-entry rebuild row
+  (its refit refreshes the stale quantizer too) and, like rebuild,
+  drops the recall pin — the calibrate row ranked after it re-earns
+  the pin in the same run.
 - ``calibrate`` (a layout): the layout supports the recall-calibration
   pin (operators/calibrate.py) but carries none — every refit/rebuild
   deliberately drops the pin, so this row is how the loop closes:
@@ -91,10 +105,22 @@ def _severity(action: str, metric: float, threshold: float) -> tuple:
     past threshold, then gc (cheap, never urgent), then healthy rows."""
     order = {
         "heal": 0, "resolve_claims": 0, "rebuild": 1, "compact": 1,
-        "gc": 2, "calibrate": 2, "none": 3,
+        "resize": 1, "gc": 2, "calibrate": 2, "none": 3,
     }[action]
     over = (metric / threshold) if threshold else 0.0
     return (order, -over)
+
+
+def _live_rows_df(idx):
+    """The layout's live-row frame for the occupancy signal, whatever
+    the family calls it (clustered_df on IVF, encoded_df on the code
+    layouts, rows_df on MaxSim); None when the layout has no per-row
+    frame (nothing to size)."""
+    for name in ("clustered_df", "encoded_df", "rows_df"):
+        fn = getattr(idx, name, None)
+        if callable(fn):
+            return fn()
+    return None
 
 
 def _list_layout_debris(path: str) -> list:
@@ -189,6 +215,28 @@ def maintenance_plan(
         can_exec = ent.get("refit") is not None and (
             ent.get("path") or getattr(idx, "_path", None)
         )
+        # occupancy signal (round 12): mean live rows per coarse cluster
+        # vs the sizing target — the complement of the staleness signal
+        # (calibrate tunes recall at fixed layout; resize tunes the
+        # layout at fixed recall). One scalar aggregate over the layout
+        # frame, same cost class as the staleness report's two. The r11
+        # sf100 probe measured the pathology this row exists to catch: a
+        # fixed cluster count leaves the flat search regime one decade
+        # past wherever it was tuned (probed-slice rows grow linearly
+        # with the corpus).
+        occ = None
+        target_rpc = int(ent.get("target_rows_per_cluster", 512))
+        trip = float(ent.get("occupancy_trip", 4.0))
+        live_rows = _live_rows_df(idx)
+        if hasattr(idx, "centroids") and live_rows is not None:
+            n_live = live_rows.count()
+            occ = n_live / max(1, len(idx.centroids))
+        resize_tripped = occ is not None and occ > trip * target_rpc
+        resize_exec = callable(ent.get("resize_refit")) and (
+            ent.get("path") or getattr(idx, "_path", None)
+        )
+        resize_planned = bool(resize_tripped and resize_exec)
+        rebuild_planned = bool(stale and can_exec and not resize_planned)
         plan.append({
             "target": ent["name"],
             "kind": f"layout:{type(idx).__name__}",
@@ -197,17 +245,50 @@ def maintenance_plan(
             "metric": float(rep["err_ratio"]),
             "threshold": thr,
             "blocked": False,
-            "executable": bool(stale and can_exec),
+            # a planned resize SUBSUMES the rebuild: the resize runner
+            # refits at the computed cluster count, which refreshes the
+            # stale quantizer too — running both would have the
+            # fixed-k rebuild undo the resize, in whichever order the
+            # rank put them
+            "executable": rebuild_planned,
             "reason": (
                 f"recent rows quantize {rep['err_ratio']}x worse than the "
                 "build corpus" if stale else "err_ratio within threshold"
             )
             + ("" if can_exec or not stale
-               else "; not executable: supply refit= and path="),
+               else "; not executable: supply refit= and path=")
+            + ("; superseded by the resize row (its refit at the "
+               "computed cluster count refreshes the quantizer too)"
+               if stale and resize_planned else ""),
         })
-        rebuild_planned = bool(stale and can_exec)
+        if resize_tripped:
+            plan.append({
+                "target": ent["name"],
+                "kind": f"layout:{type(idx).__name__}",
+                "action": "resize",
+                "metric_name": "rows_per_cluster",
+                "metric": float(occ),
+                "threshold": float(trip * target_rpc),
+                "blocked": False,
+                "executable": resize_planned,
+                "reason": (
+                    f"mean occupancy {occ:.0f} rows/cluster exceeds "
+                    f"{trip:g}x the {target_rpc}-row sizing target — the "
+                    "probed slice grows linearly with the corpus from "
+                    "here"
+                )
+                + (
+                    "; refit at the computed cluster count runs on "
+                    "execute" if resize_planned
+                    else "; not executable: supply resize_refit= (a "
+                    "callable taking the computed n_clusters) and a "
+                    "saved path — or rebuild with n_clusters='auto'"
+                ),
+            })
         if hasattr(idx, "_resolve_nprobe") and (
-            getattr(idx, "calibration", None) is None or rebuild_planned
+            getattr(idx, "calibration", None) is None
+            or rebuild_planned
+            or resize_planned
         ):
             # the layout takes a recall pin but has none — freshly fitted,
             # or a rebuild just dropped it (the pin is only valid for the
@@ -234,7 +315,8 @@ def maintenance_plan(
                 "blocked": False,
                 "executable": bool(cal_exec),
                 "reason": (
-                    "the rebuild planned this run drops the pin"
+                    ("the resize" if resize_planned else "the rebuild")
+                    + " planned this run drops the pin"
                     if pinned_now
                     else "no pinned recall calibration"
                 )
@@ -477,6 +559,29 @@ def run_maintenance(
         _swap_layout_in(new_idx, path)
         return {"target": a["target"], "action": "rebuild", "path": path}
 
+    def _run_resize(a: dict) -> dict:
+        from custom_vector_database_spark.operators.fitting import (
+            auto_n_clusters,
+        )
+
+        ent = by_name[a["target"]]
+        # the cluster count is recomputed from the rows the layout must
+        # serve NOW (never parsed out of the plan row — the gc
+        # discipline): one scalar aggregate, then the owner's refit at
+        # the computed k, installed through the same crash-safe swap as
+        # rebuild. The refit drops any recall pin; the calibrate row
+        # (ranked after) re-earns it in the same execute run.
+        live_rows = _live_rows_df(ent["index"])
+        n_live = live_rows.count()
+        k = auto_n_clusters(
+            n_live, int(ent.get("target_rows_per_cluster", 512))
+        )
+        new_idx = ent["resize_refit"](k)
+        path = ent.get("path") or getattr(ent["index"], "_path")
+        _swap_layout_in(new_idx, path)
+        return {"target": a["target"], "action": "resize",
+                "n_clusters": k, "path": path}
+
     def _run_calibrate(a: dict) -> dict:
         from custom_vector_database_spark.operators.calibrate import (
             calibrate_nprobe,
@@ -514,7 +619,8 @@ def run_maintenance(
                 "nprobe": rep["nprobe"], "recall": rep["recall"]}
 
     runners = {"gc": _run_gc, "compact": _run_compact,
-               "rebuild": _run_rebuild, "calibrate": _run_calibrate}
+               "rebuild": _run_rebuild, "resize": _run_resize,
+               "calibrate": _run_calibrate}
     for a in plan:
         if not a["executable"] or a["blocked"]:
             continue

@@ -175,18 +175,24 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         tokens: DataFrame,
         doc_col: str = "doc",
         vec_col: str = "embedding",
-        n_clusters: int = 16,
+        n_clusters: int | str = 16,
         n_doc_buckets: int = 32,
         seed: int = 42,
         max_iter: int = 10,
         fit_sample: int = 100_000,
         model_id: str | None = None,
+        target_rows_per_cluster: int = 512,
     ) -> "MaxSimIndex":
         """Cluster the TOKEN vectors: coarse KMeans trained driver-side
         over a bounded unit-normalized sample (operators/fitting.py
         rationale), then ONE distributed codegen projection assigns every
         token its nearest centroid and packs its sign code — the full
-        table is touched exactly once."""
+        table is touched exactly once.
+
+        ``n_clusters="auto"`` sizes the token-IVF from the TOKEN row
+        count (fitting.auto_n_clusters over ``target_rows_per_cluster``;
+        the IvfIndex.fit rationale — stage-1 probe cost then stays flat
+        as the token corpus grows)."""
         stats = tokens.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
@@ -202,6 +208,13 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 "must be non-NULL with one shared dim"
             )
         dim = int(stats["dmin"])
+        from custom_vector_database_spark.operators.fitting import (
+            resolve_n_clusters,
+        )
+
+        n_clusters = resolve_n_clusters(
+            n_clusters, int(stats["n"]), target_rows_per_cluster, fit_sample
+        )
         feats = tokens.select(F.col(doc_col), F.col(vec_col))
         unit = feats.select(
             F.col(doc_col),

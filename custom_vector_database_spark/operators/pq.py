@@ -324,7 +324,7 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         df: DataFrame,
         id_col: str = "id",
         vec_col: str = "vec",
-        n_clusters: int = 16,
+        n_clusters: int | str = 16,
         m: int = 8,
         k: int = 16,
         seed: int = 42,
@@ -333,6 +333,7 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         metric: str = "l2_sq",
         carry_cols: list[str] | None = None,
         model_id: str | None = None,
+        target_rows_per_cluster: int = 512,
     ) -> "IvfPqIndex":
         """``metric="cosine"`` is normalize-at-build (the IvfIndex
         pattern): vectors unit-normalize INSIDE the same cast projection,
@@ -345,7 +346,13 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         [x, √(M²−‖x‖²)], search with [q, 0]; ascending augmented ADC-L2
         is descending inner product, and reported ``score`` = ⟨x,q⟩ is
         recovered arithmetically. The caller's m must divide dim+1 (the
-        encoded dim); reranks re-score with TRUE inner products."""
+        encoded dim); reranks re-score with TRUE inner products.
+
+        ``n_clusters="auto"`` sizes the COARSE quantizer from the corpus
+        row count (fitting.auto_n_clusters over
+        ``target_rows_per_cluster``; the IvfIndex.fit rationale) — the
+        subspace codebooks (m, k) are dimension knobs and stay
+        explicit."""
         if metric not in ("l2_sq", "cosine", "dot"):
             raise ValueError(
                 f"unknown metric {metric!r}; expected 'l2_sq', 'cosine' or 'dot'"
@@ -382,6 +389,13 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 "every build vector must be non-NULL with one shared dim"
             )
         dim = int(stats["dmin"])
+        from custom_vector_database_spark.operators.fitting import (
+            resolve_n_clusters,
+        )
+
+        n_clusters = resolve_n_clusters(
+            n_clusters, n, target_rows_per_cluster, fit_sample
+        )
 
         max_norm = None
         if metric == "cosine":

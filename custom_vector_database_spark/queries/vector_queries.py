@@ -3096,3 +3096,94 @@ def q_ivf_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_vec="embedding",
     ).orderBy("qid", "dist_sq", "vec_id")
     return exact.withColumn("calib_ok", F.lit(bool(ok)))
+
+
+# ---------------------------------------------------------------------------
+# ivf_auto_sizing (round 12): the layout-sizing rule, certified. r11's
+# sf100 probe measured the fixed-cluster pathology (16 clusters: search
+# 1.8 s → 7.2 s across one decade — the probed slice grows linearly with
+# the corpus) and the cure (10× clusters: 4.4× faster); n_clusters="auto"
+# (fitting.auto_n_clusters, every IVF-family fit) automates the cure:
+# k = ceil(n / target_rows_per_cluster) clamped to [8, 4096] and to the
+# row count, so per-cluster occupancy — and with it per-probe cost —
+# stays CONSTANT as the corpus grows. The row returns the sizing ladder
+# (computed k over eight decades of synthetic corpus sizes) plus the k a
+# REAL auto fit chose over a bounded embeddings slice; the oracle
+# recomputes every number from the same integer formula — including
+# fitted_k from COUNT(*), so the hash compare certifies the live fit
+# sized itself exactly as the rule says — and sizing_ok asserts
+# monotonicity (a bigger corpus can never get fewer clusters). The
+# autopilot's occupancy-tripped resize action (operators/maintenance.py)
+# re-derives k through the same one copy of the rule;
+# tests/test_auto_sizing.py pins the trip and the execute path.
+# Reference anchor: rebuild is THE reference contract (main.cpp:34,
+# vectordb.cpp:82-118); auto sizing is what that contract must compute
+# at a scale where no operator hand-picks k per corpus.
+# ---------------------------------------------------------------------------
+_SIZING_LADDER = [
+    100, 1_000, 10_000, 100_000,
+    1_000_000, 10_000_000, 100_000_000, 1_000_000_000,
+]
+
+
+@register(
+    "ivf_auto_sizing",
+    f"""
+    WITH ladder(n_rows) AS (
+      VALUES {", ".join(f"({n})" for n in _SIZING_LADDER)}
+    ), sized AS (
+      SELECT n_rows,
+             GREATEST(1, LEAST(n_rows, GREATEST(8, LEAST(4096,
+                 CAST(CEIL(n_rows / 512.0) AS BIGINT))))) AS computed_k
+      FROM ladder
+    ), fit AS (
+      SELECT GREATEST(1, LEAST(COUNT(*), GREATEST(8, LEAST(4096,
+                 CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))))) AS fitted_k
+      FROM embeddings WHERE vec_id < 4096
+    ), mono AS (
+      SELECT BOOL_AND(step_ok) AS sizing_ok FROM (
+        SELECT computed_k >=
+               lag(computed_k, 1, CAST(0 AS BIGINT)) OVER (ORDER BY n_rows)
+               AS step_ok
+        FROM sized
+      )
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(computed_k AS BIGINT) AS computed_k,
+           (SELECT CAST(fitted_k AS BIGINT) FROM fit) AS fitted_k,
+           (SELECT sizing_ok FROM mono) AS sizing_ok
+    FROM sized
+    ORDER BY n_rows
+    """,
+)
+def q_ivf_auto_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.fitting import (
+        auto_n_clusters,
+    )
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    # a REAL auto-sized fit over a bounded slice (vec_id < 4096 caps the
+    # fixture like the CDC row's doc cap: the row prices the sizing
+    # MECHANISM, not an sf-linear kmeans); target 64 so the small slice
+    # still exercises a non-floor k
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 4096
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = IvfIndex.fit(
+        base, n_clusters="auto", target_rows_per_cluster=64
+    )
+    fitted_k = len(idx.centroids)
+    ladder = [(n, auto_n_clusters(n, 512)) for n in _SIZING_LADDER]
+    mono = all(
+        k_next >= k for (_, k), (_, k_next) in zip(ladder, ladder[1:])
+    )
+    return (
+        spark.createDataFrame(ladder, "n_rows long, computed_k long")
+        .select(
+            "n_rows",
+            "computed_k",
+            F.lit(int(fitted_k)).cast("long").alias("fitted_k"),
+            F.lit(bool(mono)).alias("sizing_ok"),
+        )
+        .orderBy("n_rows")
+    )
