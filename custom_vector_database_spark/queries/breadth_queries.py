@@ -555,7 +555,17 @@ def q_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cvdb_ingest_cert_")
     try:
         corpus_dir = os.path.join(tmp, "corpus")
-        corpus_df.write.parquet(corpus_dir)
+        # r12 trim (r11 verdict item 5 — the cert doubled the row): the
+        # fixture frames are 8-12 rows, so every stage that inherits the
+        # session's 32 shuffle/scan partitions pays pure task-scheduling
+        # tax. One part file, one checkpointed delta (computed once,
+        # consumed by BOTH applies instead of re-deriving the union from
+        # the documents scan per consumer), 4 fp buckets instead of 16
+        # (fewer partition dirs to write and list per append). Decision
+        # coverage is unchanged: same docs, same duplicate structure,
+        # same replay, same recomputed-count oracle.
+        corpus_df.coalesce(1).write.parquet(corpus_dir)
+        delta_df = delta_df.coalesce(1).localCheckpoint(eager=True)
         from custom_vector_database_spark.streaming.stream_ops import (
             _ensure_fp_sidecar,
             corpus_ingest_apply_batch,
@@ -563,7 +573,7 @@ def q_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _ensure_fp_sidecar(
             spark, corpus_dir, os.path.join(corpus_dir, "_fingerprints"),
-            "text", 16,
+            "text", 4,
         )
         # one live batch + one crash-replay batch through the family's
         # apply protocol (the foreachBatch wrapper around it is generic

