@@ -13,15 +13,20 @@ scheduler latency at this sample size and measurably dominated index
 build time in bench.py.
 
 Only the fit is driver-side. The full-table ENCODE/ASSIGN pass stays
-distributed — and as pure Catalyst expressions (``nearest_centroid_expr``
-below compiles to zip_with/aggregate/array_position inside whole-stage
-codegen), not MLlib model UDFs, so the one full-table pass is a single
-codegen'd projection.
+distributed — as pure Catalyst expressions (``nearest_centroid_expr``
+below compiles to zip_with/aggregate/array_position) at the small
+cluster counts every fixture uses, and as an Arrow-batched numpy matmul
+(``nearest_centroid_col`` / ``nprobe_clusters_col``) past
+ARROW_ASSIGN_FROM centroids, where the interpreted higher-order-function
+lambdas become the bottleneck (measured round 12: k=4096 assign 77 s →
+0.6 s on the same slice; identical assignments on both paths). Either
+way it is ONE distributed pass, never an MLlib model UDF.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,13 +82,15 @@ def auto_n_clusters(
     The same n/512 convention has sized ``semdedup_ivf_prune``'s cells
     since round 8 (queries/text_queries.py).
 
-    The ``max_clusters`` clamp exists because the engine ships centroids
-    into codegen as a literal table (fitting.nearest_centroid_expr) and
-    fits them driver-side from a bounded sample — 4096 × dim doubles is
-    comfortably inside both budgets, and a corpus that saturates the
-    clamp (n > ~2M rows at the default target) should raise
-    ``target_rows_per_cluster`` (probe cost grows with it, still flat in
-    corpus size) or shard the layout. min_clusters=8 mirrors
+    The ``max_clusters`` clamp bounds the two k-proportional fixed
+    costs: the driver-side Lloyd's fit over the bounded sample
+    (O(sample × k × dim) flops per iteration) and the per-query
+    centroid shortlist (O(k × dim)); the full-table assign itself is
+    k-affordable at any clamped value via the Arrow matmul path
+    (nearest_centroid_col). A corpus that saturates the clamp
+    (n > ~2M rows at the default target) should raise
+    ``target_rows_per_cluster`` (probe cost grows with it, still flat
+    in corpus size) or shard the layout. min_clusters=8 mirrors
     semdedup's ``max(8, n // 512)`` floor so tiny fixtures keep a real
     multi-cluster layout.
 
@@ -240,6 +247,103 @@ def nearest_centroid_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Column wrapper over ``nearest_centroid_sql``; ``vec_sql`` is a SQL
     fragment (a column name or expression) yielding array<double>."""
     return F.expr(nearest_centroid_sql(vec_sql, centroids))
+
+
+# Where the Arrow assign path takes over from the codegen expression.
+# Spark's higher-order functions (transform/zip_with/aggregate) evaluate
+# their lambdas INTERPRETED, so the literal-table fold costs ~7M
+# element-ops per core-second (measured round 12) — fine at the k<=160
+# every fixture uses, ruinous at the k an auto-sized big corpus computes
+# (k=4096 over 2M rows would be ~40 core-minutes). Past this threshold
+# the assignment runs as an Arrow-batched pandas_udf doing ONE numpy
+# matmul per batch (||x||^2 - 2xC^T + ||c||^2) at GFLOPS — the brief's
+# sanctioned slow-path escape hatch, ~50x faster than the interpreted
+# fold at k=1000+. Below it, nothing changes: the proven whole-stage-
+# codegen expression keeps every existing plan assertion intact.
+ARROW_ASSIGN_FROM = 192
+
+
+def _centroid_matrix(centroids: list[list[float]]):
+    cents = np.asarray(centroids, dtype=np.float64)
+    return cents, (cents * cents).sum(axis=1)
+
+
+def nearest_centroid_col(
+    vec_sql: str,
+    centroids: list[list[float]],
+    arrow_from: int = ARROW_ASSIGN_FROM,
+) -> Column:
+    """Nearest-centroid id as a Column — the codegen expression below
+    ``arrow_from`` centroids, the Arrow matmul path at or above it (see
+    ARROW_ASSIGN_FROM). Same semantics either way: 0-based id, ties to
+    the lowest id, NULL/wrong-dim vectors assign NULL (float near-ties
+    may differ between the fold's sequential sum and the vectorized
+    identity — immaterial for a quantizer and deterministic within a
+    path, and the path choice is itself a pure function of k)."""
+    if len(centroids) < arrow_from:
+        return nearest_centroid_expr(vec_sql, centroids)
+    from pyspark.sql.functions import pandas_udf
+
+    cents, c2 = _centroid_matrix(centroids)
+    dim = cents.shape[1]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        res: list = [None] * len(vals)
+        good = [
+            i for i, e in enumerate(vals)
+            if e is not None and len(e) == dim
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
+            am = d2.argmin(axis=1)  # first minimum: the fold's tie rule
+            for j, i in enumerate(good):
+                res[i] = int(am[j])
+        return pd.Series(res, dtype="Int32")
+
+    return _assign(F.expr(vec_sql))
+
+
+def nprobe_clusters_col(
+    vec_sql: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    arrow_from: int = ARROW_ASSIGN_FROM,
+) -> Column:
+    """The per-row nprobe-nearest-centroid shortlist as a Column — the
+    codegen expression below ``arrow_from`` centroids, the Arrow matmul
+    path at or above it (nearest_centroid_col rationale: at k=4096 the
+    SQL route pays ~20 s of parse + interpreted fold per BATCH). Ties
+    break to the lower cluster id in both paths (stable argsort == the
+    struct<d,c> sort)."""
+    n = len(centroids)
+    nprobe = min(int(nprobe), n)
+    if n < arrow_from:
+        return F.expr(nprobe_clusters_sql(vec_sql, centroids, nprobe))
+    from pyspark.sql.functions import pandas_udf
+
+    cents, c2 = _centroid_matrix(centroids)
+    dim = cents.shape[1]
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        res: list = [None] * len(vals)
+        good = [
+            i for i, e in enumerate(vals)
+            if e is not None and len(e) == dim
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            for j, i in enumerate(good):
+                res[i] = order[j].astype("int32").tolist()
+        return pd.Series(res)
+
+    return _probe(F.expr(vec_sql))
 
 
 def logreg_fit_np(

@@ -74,8 +74,8 @@ from custom_vector_database_spark.operators import knn as knn_ops
 from custom_vector_database_spark.operators.fitting import (
     collect_sample_matrix,
     kmeans_fit_np,
-    nearest_centroid_expr,
-    nprobe_clusters_sql,
+    nearest_centroid_col,
+    nprobe_clusters_col,
 )
 
 __all__ = ["IvfIndex"]
@@ -261,7 +261,7 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         clustered = (
             feats.withColumn(
                 "cluster",
-                nearest_centroid_expr(
+                nearest_centroid_col(
                     f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
                 ),
             )
@@ -392,7 +392,7 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             )
         encoded = feats.withColumn(
             "cluster",
-            nearest_centroid_expr(
+            nearest_centroid_col(
                 f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
             ),
         ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
@@ -758,10 +758,8 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 *qfilter_cols,
             )
             extra_q_cols = [F.col("_qn2")]
-        probes = F.expr(
-            nprobe_clusters_sql(
-                f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
-            )
+        probes = nprobe_clusters_col(
+            f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
         )
         exploded = qside.select(
             F.col(query_id),

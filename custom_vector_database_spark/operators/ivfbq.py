@@ -44,7 +44,7 @@ from custom_vector_database_spark.operators.bq import (
 from custom_vector_database_spark.operators.fitting import (
     collect_sample_matrix,
     kmeans_fit_np,
-    nearest_centroid_expr,
+    nearest_centroid_col,
 )
 from custom_vector_database_spark.operators.calibrate import (
     AutoNprobeMixin,
@@ -132,7 +132,7 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
         encoded = feats.select(
             F.col(id_col),
-            nearest_centroid_expr(
+            nearest_centroid_col(
                 f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
             ).alias("cluster"),
             bq_pack(F.col(vec_col), dim).alias("words"),
@@ -219,7 +219,7 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         self._check_input_dims(delta, self.vec_col, "delta")
         encoded = delta.select(
             F.col(self.id_col),
-            nearest_centroid_expr(
+            nearest_centroid_col(
                 f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
             ).alias("cluster"),
             bq_pack(F.col(self.vec_col), self.dim).alias("words"),
@@ -449,14 +449,12 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                     "split the query table and search_many per split"
                 )
         from custom_vector_database_spark.operators.fitting import (
-            nprobe_clusters_sql,
+            nprobe_clusters_col,
         )
 
         qv = f"`{query_vec}`"
-        probes = F.expr(
-            nprobe_clusters_sql(
-                f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
-            )
+        probes = nprobe_clusters_col(
+            f"CAST({qv} AS ARRAY<DOUBLE>)", self.centroids, nprobe
         )
         exploded = queries.select(
             F.col(query_id),

@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 from custom_vector_database_spark.operators.fitting import (
     collect_sample_matrix,
     kmeans_fit_np,
-    nprobe_clusters_sql,
+    nprobe_clusters_col,
     resolve_n_clusters,
 )
 from custom_vector_database_spark.operators.knn import l2_squared
@@ -154,11 +154,9 @@ def knn_graph(
     kc = resolve_n_clusters(n_clusters, n, target_rows_per_cluster, fit_sample)
     x = collect_sample_matrix(feats, "__v", n, fit_sample, seed)
     centroids = kmeans_fit_np(x, kc, seed, max_iter)
-    probes = F.expr(
-        nprobe_clusters_sql(
-            "CAST(`__v` AS ARRAY<DOUBLE>)", centroids,
-            min(int(probe_clusters), kc),
-        )
+    probes = nprobe_clusters_col(
+        "CAST(`__v` AS ARRAY<DOUBLE>)", centroids,
+        min(int(probe_clusters), kc),
     )
     clustered = feats.select(
         "__id", "__v", F.explode(probes).alias("cluster")

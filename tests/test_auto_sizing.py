@@ -220,3 +220,100 @@ def test_resize_subsumes_rebuild_and_recalibrates_in_one_run(
     rebuilt = IvfIndex.load(spark, path)
     assert len(rebuilt.centroids) == auto_n_clusters(500, 16)
     assert rebuilt.calibration["nprobe"] == executed[1]["nprobe"]
+
+
+# ---------------------------------------------------------------------------
+# the Arrow assign/probe fast path (fitting.nearest_centroid_col /
+# nprobe_clusters_col) — what makes the auto-sized big-k layouts
+# affordable (the codegen fold's interpreted lambdas cost ~7M element-ops
+# per core-second; measured 77 s -> 0.6 s at k=4096 on one slice)
+# ---------------------------------------------------------------------------
+def test_arrow_assign_matches_codegen_exactly(spark, emb):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.fitting import (
+        nearest_centroid_col,
+        nearest_centroid_expr,
+        nprobe_clusters_col,
+        nprobe_clusters_sql,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = [[float(x) for x in rng.randn(64)] for _ in range(32)]
+    v = "CAST(embedding AS ARRAY<DOUBLE>)"
+    a = emb.select("vec_id", nearest_centroid_expr(v, cents).alias("c"))
+    b = emb.select(
+        "vec_id", nearest_centroid_col(v, cents, arrow_from=1).alias("c2")
+    )
+    assert (
+        a.join(b, "vec_id").filter(F.col("c") != F.col("c2")).count() == 0
+    )
+    pa = emb.select(
+        "vec_id", F.expr(nprobe_clusters_sql(v, cents, 4)).alias("p")
+    )
+    pb = emb.select(
+        "vec_id", nprobe_clusters_col(v, cents, 4, arrow_from=1).alias("p2")
+    )
+    assert (
+        pa.join(pb, "vec_id")
+        .filter(F.col("p").cast("string") != F.col("p2").cast("string"))
+        .count()
+        == 0
+    )
+
+
+def test_arrow_assign_null_and_dim_mismatch_semantics(spark, emb):
+    """The Arrow path preserves the codegen route's NULL contract: a
+    NULL or wrong-dim vector assigns a NULL cluster (never a crash,
+    never a bogus id) — the upstream guards are what turn those into
+    hard errors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.fitting import (
+        nearest_centroid_col,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = [[float(x) for x in rng.randn(64)] for _ in range(4)]
+    df = emb.limit(8).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None))
+        .when(F.col("vec_id") == 1, F.expr("slice(embedding, 1, 3)"))
+        .otherwise(F.col("embedding"))
+        .cast("array<double>")
+        .alias("v"),
+    )
+    out = df.select(
+        "vec_id", nearest_centroid_col("v", cents, arrow_from=1).alias("c")
+    ).collect()
+    by = {r["vec_id"]: r["c"] for r in out}
+    assert by[0] is None and by[1] is None
+    assert all(v is not None for k, v in by.items() if k > 1)
+
+
+def test_auto_sized_big_k_fit_uses_arrow_and_searches(spark, emb):
+    """End-to-end through IvfIndex at a cluster count past
+    ARROW_ASSIGN_FROM: the fit encodes through the Arrow path, the plan
+    carries ArrowEvalPython (never row-at-a-time BatchEvalPython), and a
+    full-probe search over the layout is exact."""
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.ivf import IvfIndex
+
+    base = _vecs(emb, hi=500)
+    idx = IvfIndex.fit(base, n_clusters="auto", target_rows_per_cluster=2)
+    assert len(idx.centroids) == 250  # past ARROW_ASSIGN_FROM=192
+    plan = idx._clustered._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never per-row
+    q = base.filter(F.col("id") == 3).first()["vec"]
+    top = idx.search([float(x) for x in q], k=1, nprobe=250).first()
+    assert top["id"] == 3
+    # batch path: the probe shortlist also rides the Arrow column
+    qt = base.limit(4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    hits = idx.search_many(qt, k=1, nprobe=250)
+    assert {r["qid"] for r in hits.collect()} == {0, 1, 2, 3}
+    assert all(r["qid"] == r["id"] for r in hits.collect())
