@@ -276,7 +276,18 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         os.makedirs(path, exist_ok=True)
         # a save is a full rewrite: tombstoned rows are physically dropped
         # (clustered_df is the live view), so the new layout needs no sidecar
-        self.clustered_df().write.mode("overwrite").partitionBy(
+        # big-k saves repartition BY CLUSTER first: without it every
+        # write task emits one file per cluster it holds (up to
+        # tasks x n_clusters files - an auto-sized k=4000 layout would
+        # shatter into ~125k ~100KB files and every later probe pays
+        # the listing/open tax compact() exists to heal). One hash
+        # shuffle aligns clusters to tasks -> one file per cluster.
+        # Small-k layouts (every fixture) keep the shuffle-free path
+        # and their existing file layout.
+        rows_w = self.clustered_df()
+        if len(self.centroids) > 64:
+            rows_w = rows_w.repartition(F.col("cluster"))
+        rows_w.write.mode("overwrite").partitionBy(
             "cluster"
         ).parquet(os.path.join(path, "rows"))
         from custom_vector_database_spark.operators.layout import (

@@ -143,7 +143,18 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        self.encoded_df().write.mode("overwrite").partitionBy(
+        # big-k saves repartition BY CLUSTER first: without it every
+        # write task emits one file per cluster it holds (up to
+        # tasks x n_clusters files - an auto-sized k=4000 layout would
+        # shatter into ~125k ~100KB files and every later probe pays
+        # the listing/open tax compact() exists to heal). One hash
+        # shuffle aligns clusters to tasks -> one file per cluster.
+        # Small-k layouts (every fixture) keep the shuffle-free path
+        # and their existing file layout.
+        codes_w = self.encoded_df()
+        if len(self.centroids) > 64:
+            codes_w = codes_w.repartition(F.col("cluster"))
+        codes_w.write.mode("overwrite").partitionBy(
             "cluster"
         ).parquet(os.path.join(path, "codes"))
         from custom_vector_database_spark.operators.layout import clear_tombstones

@@ -161,7 +161,11 @@ def knn_graph(
     clustered = feats.select(
         "__id", "__v", F.explode(probes).alias("cluster")
     ).localCheckpoint(eager=True)  # ONE encode pass feeds init + scoring
-    vecs = clustered.select("__id", "__v").distinct()
+    # id-keyed dedup, not distinct(): the multi-probe explode duplicates
+    # each row probe_clusters times with an IDENTICAL vector, so keying
+    # the shuffle on __id alone spares every comparator the full array
+    # equality walk (r12 review finding)
+    vecs = clustered.select("__id", "__v").dropDuplicates(["__id"])
 
     a = clustered.select(
         F.col("cluster"), F.col("__id").alias("src"), F.col("__v").alias("__va")

@@ -522,8 +522,14 @@ def run_maintenance(
             # re-list under the writer lease: the debris set is
             # re-derived from disk at removal time (never parsed out of
             # the plan row), and the lease excludes a writer whose
-            # in-flight swap could make a tmp dir live again
-            with writer_lease(corpus_dir, "gc"):
+            # in-flight swap could make a tmp dir live again.
+            # heartbeat + staleness (r12 review finding): every corpus
+            # contender now ages out a lease 3600 s past its last beat
+            # (the cross-host TTL), so an UN-beaten gc outlasting the
+            # budget on a huge debris tree would be fenced mid-delete —
+            # the same hazard the layout branch below already guards
+            with writer_lease(corpus_dir, "gc",
+                              stale_after_s=3600, heartbeat_s=600):
                 for nm in list_sidecar_debris(corpus_dir).get(family, []):
                     shutil.rmtree(os.path.join(corpus_dir, nm))
                     removed.append(nm)

@@ -938,9 +938,13 @@ def corpus_ingest_apply_batch(
         .distinct()
         .collect()
     ]
-    probe = probe.filter(F.col("fpb").isin(buckets)).select(
-        F.col("fp").alias("__fp")
-    )
+    if len(buckets) < n_buckets:
+        probe = probe.filter(F.col("fpb").isin(buckets))
+    # else: the batch hits every bucket — the IN-list (and its per-dir
+    # listing) prunes nothing and only adds predicate + listing overhead
+    # (measured in the r12 sf100 CDC probe: a saturated 3170-value isin
+    # over 4096 partition dirs cost 2.7x the plain full probe)
+    probe = probe.select(F.col("fp").alias("__fp"))
     survivors = fresh.join(probe, "__fp", "left_anti")
     if recovering:
         # reconcile sidecar/corpus divergence: claimed fps whose
@@ -3033,7 +3037,14 @@ def corpus_cdc_apply_batch(
     probe = _read_cdc_sidecar(spark, sidecar_dir)
     if recovering:
         probe = probe.filter(F.col("batch_id") != batch_id)
-    probe = probe.filter(F.col("fpb").isin(buckets)).select(
+    if len(buckets) < n_buckets:
+        probe = probe.filter(F.col("fpb").isin(buckets))
+    # else: a chunk-heavy batch (~30 distinct fps per payload) hits
+    # every bucket, and the saturated IN-list + per-dir listing only
+    # adds overhead over the full probe it cannot avoid (measured in
+    # the r12 sf100 probe: 2.7x at 4096 buckets) — see the PLANS.md
+    # round-12 CDC scale note for the hot-chunk fan-out diagnosis
+    probe = probe.select(
         F.col("fp"), F.col("id").alias("old_id")
     )
     drop_cross = (

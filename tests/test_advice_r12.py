@@ -230,3 +230,41 @@ def test_plan_emits_calibrate_after_rebuild_for_pinned_layout(
           "recent_df": base.limit(16)}],
     )
     assert [a["action"] for a in plan2] == ["none"]
+
+
+def test_gc_sidecar_branch_heartbeats_its_lease(spark, tmp_path, monkeypatch):
+    """r12 review finding: with the cross-host TTL live, every corpus
+    contender ages out a lease 3600 s past its last beat — so the gc
+    runner's sidecar branch must hold its lease WITH the heartbeat (the
+    layout branch already did), or a >1 h debris rmtree gets fenced
+    mid-delete by the very expiry rule round 12 added."""
+    import custom_vector_database_spark.streaming.lease as L
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    from custom_vector_database_spark.queries.pipeline_queries import (
+        _fragmented_sb_corpus,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    frag = _fragmented_sb_corpus(
+        spark, emb, str(tmp_path / "frag"), n_batches=1
+    )
+    # plant safe debris so a gc row exists and executes
+    os.makedirs(os.path.join(frag, "_sb_bands_tmp"))
+
+    calls = []
+    real = L.writer_lease
+
+    def spy(corpus_dir, verb, **kw):
+        calls.append((verb, kw.get("stale_after_s"), kw.get("heartbeat_s")))
+        return real(corpus_dir, verb, **kw)
+
+    monkeypatch.setattr(L, "writer_lease", spy)
+    _, executed = run_maintenance(
+        spark, corpora=[("frag", frag)], execute=True
+    )
+    gc_calls = [c for c in calls if c[0] == "gc"]
+    assert gc_calls, f"gc never took the lease (executed={executed})"
+    for _, stale, beat in gc_calls:
+        assert stale == 3600 and beat == 600
