@@ -111,6 +111,12 @@ def main() -> None:
         "ivfpq_build",
         "ivfpq_cosine_build",
         "ivfpq_dot_build",
+        # knn_graph_build (r12) — audited: populates NO process-level
+        # cache (the graph, its exact baseline, and the recall check are
+        # all built in-row); exempted because a retry re-runs the whole
+        # multi-round build for noise reduction only, doubling the most
+        # expensive new row's bench cost
+        "knn_graph_build",
         "maxsim_build",
         "pq_build",
     }

@@ -206,12 +206,22 @@ def knn_graph(
         if random_partners > 0:
             # seeded hash-derived partners: deterministic diversity that
             # costs no shuffle of its own (rides the scoring joins)
+            # hash(id, salt), never id + salt: arithmetic on the id
+            # column would crash under ANSI for non-numeric id types,
+            # while F.hash is type-agnostic (r12 review finding). pmod,
+            # not %: hash can return Integer.MIN_VALUE, whose abs stays
+            # negative — a % would emit a partner id no row can match
+            id_type = dict(vecs.dtypes)["__id"]
             rnd = vecs.select(
                 F.col("__id").alias("src"),
                 F.explode(
                     F.array(*[
-                        (F.abs(F.hash(F.col("__id") + F.lit(1_000_003 * it + j)))
-                         % F.lit(n)).cast("long")
+                        F.pmod(
+                            F.hash(F.col("__id"),
+                                   F.lit(1_000_003 * it + j)),
+                            F.lit(n),
+                        ).cast(id_type)  # the union below needs the
+                        # id column's own type, whatever it is
                         for j in range(int(random_partners))
                     ])
                 ).alias("dst"),

@@ -197,20 +197,32 @@ def q_boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
     # --- CDC re-container drop certification (bounded: 3 payloads) ---
-    enc = lambda c: F.encode(c, "UTF-8").cast("binary")  # noqa: E731
-    d0 = docs.filter(F.col("doc_id") == 0)
-    d1 = docs.filter(F.col("doc_id") == 1)
-    fixture = (
-        d0.select(F.lit(0).alias("pid"), enc(F.col("text")).alias("payload"))
-        .unionByName(d0.select(
-            F.lit(1).alias("pid"),
-            enc(F.concat(F.lit("RIFFHDR00001"), F.col("text"),
-                         F.lit("TRAILER0"))).alias("payload"),
-        ))
-        .unionByName(d1.select(
-            F.lit(2).alias("pid"),
-            enc(F.reverse(F.col("text"))).alias("payload"),
-        ))
+    # ONE pushed-down point read collects the two source texts; the
+    # 3-row fixture is then a literal single-partition frame, so the
+    # distributed chunker+verdict below costs two tiny jobs instead of
+    # inheriting load_spread's repartition through three union branches
+    # (measured 12 s -> ~1 s on a loaded box)
+    two = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id") < 2)
+        .select("doc_id", "text").collect()
+    }
+    fixture = spark.createDataFrame(
+        [
+            (0, two[0], False),
+            (1, "RIFFHDR00001" + two[0] + "TRAILER0", False),
+            # reversed IN SPARK: the Spark-reverse == DuckDB-reverse
+            # pairing is what stream_payload_cdc_ingest's oracle already
+            # proves; a Python [::-1] could diverge on non-ASCII
+            (2, two[1], True),
+        ],
+        "pid int, t string, rev boolean",
+    ).select(
+        "pid",
+        F.encode(
+            F.when(F.col("rev"), F.reverse(F.col("t"))).otherwise(F.col("t")),
+            "UTF-8",
+        ).cast("binary").alias("payload"),
     )
     ch = fixture.select(
         "pid",

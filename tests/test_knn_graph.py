@@ -127,3 +127,18 @@ def test_knn_graph_input_guards(spark, data):
     )
     with pytest.raises(ValueError, match="NULL vector"):
         knn_graph(bad, k=3)
+
+
+def test_knn_graph_string_ids(spark, data):
+    """Non-numeric ids must work end-to-end: the random-diversification
+    partners are hash-derived (type-agnostic), never id arithmetic —
+    under ANSI an id + salt expression would crash on strings (r12
+    review finding). Partners that match no row silently drop."""
+    sdata = data.limit(64).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("id"),
+        "vec",
+    )
+    g = knn_graph(sdata, k=3, iterations=1, target_rows_per_cluster=16)
+    assert g.count() == 64 * 3
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    assert dict(g.dtypes)["src"] == "string"
