@@ -49,6 +49,9 @@ import math
 import os
 import shutil
 
+import pandas as pd  # module-level: the Arrow assign's pd.Series type
+# hints must resolve in module globals under `from __future__ import
+# annotations` (the fitting.py lesson)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -231,8 +234,8 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             F.col(doc_col),
             F.col(vec_col),
             bq_pack(F.col(vec_col), dim).alias("scode"),
-            F.expr(
-                _nearest_unit_centroid_sql(f"`{vec_col}`", centroids)
+            _nearest_unit_centroid_col(
+                f"`{vec_col}`", centroids
             ).alias("cluster"),
         ).localCheckpoint(eager=True)
         return cls(centroids, clustered, doc_col, vec_col, dim,
@@ -424,8 +427,8 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             F.col(self.doc_col),
             F.col(self.vec_col),
             bq_pack(F.col(self.vec_col), self.dim).alias("scode"),
-            F.expr(
-                _nearest_unit_centroid_sql(f"`{self.vec_col}`", self.centroids)
+            _nearest_unit_centroid_col(
+                f"`{self.vec_col}`", self.centroids
             ).alias("cluster"),
         ).localCheckpoint(eager=True)  # ONE encode feeds both writes
         self._refuse_tombstoned_delta(
@@ -934,3 +937,50 @@ def _nearest_unit_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> st
         f"END), 1)"
     )
     return nearest_centroid_sql(unit, centroids)
+
+
+def _nearest_unit_centroid_col(
+    vec_sql: str, centroids: list[list[float]], arrow_from: int | None = None
+) -> F.Column:
+    """The unit-space assignment as a Column — the codegen expression
+    below ARROW_ASSIGN_FROM centroids, an Arrow-batched numpy matmul at
+    or above it (fitting.nearest_centroid_col rationale: the
+    higher-order-function fold is interpreted, and an auto-sized token
+    IVF over a big corpus computes a k the fold cannot afford). Same
+    semantics either way: unit-normalize (zero-norm tokens pass through
+    RAW, matching the SQL CASE), 0-based nearest id, ties to the lowest
+    id, NULL/wrong-dim → NULL cluster."""
+    from custom_vector_database_spark.operators.fitting import (
+        ARROW_ASSIGN_FROM,
+        _centroid_matrix,
+    )
+
+    if arrow_from is None:
+        arrow_from = ARROW_ASSIGN_FROM
+    if len(centroids) < arrow_from:
+        return F.expr(_nearest_unit_centroid_sql(vec_sql, centroids))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents, c2 = _centroid_matrix(centroids)
+    dim = cents.shape[1]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        res: list = [None] * len(vals)
+        good = [
+            i for i, e in enumerate(vals)
+            if e is not None and len(e) == dim
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1, keepdims=True))
+            xu = np.where(nrm == 0.0, x, x / np.where(nrm == 0.0, 1.0, nrm))
+            d2 = (xu * xu).sum(axis=1, keepdims=True) - 2.0 * (xu @ cents.T) + c2
+            am = d2.argmin(axis=1)
+            for j, i in enumerate(good):
+                res[i] = int(am[j])
+        return pd.Series(res, dtype="Int32")
+
+    return _assign(F.expr(f"CAST({vec_sql} AS ARRAY<DOUBLE>)"))

@@ -317,3 +317,57 @@ def test_auto_sized_big_k_fit_uses_arrow_and_searches(spark, emb):
     hits = idx.search_many(qt, k=1, nprobe=250)
     assert {r["qid"] for r in hits.collect()} == {0, 1, 2, 3}
     assert all(r["qid"] == r["id"] for r in hits.collect())
+
+
+def test_maxsim_unit_arrow_assign_matches_codegen(spark, emb, tmp_path):
+    """MaxSim's unit-space assign joins the Arrow fast path: identical
+    cluster ids on both routes (incl. the zero-norm pass-through-raw
+    rule), and an auto-sized big-k MaxSim fit builds + searches through
+    it end-to-end."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from custom_vector_database_spark.operators.maxsim import (
+        MaxSimIndex,
+        _nearest_unit_centroid_col,
+        _nearest_unit_centroid_sql,
+    )
+
+    rng = np.random.RandomState(11)
+    cents = [[float(x) for x in rng.randn(64)] for _ in range(16)]
+    toks = emb.limit(200).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 3,
+               F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+        .otherwise(F.col("embedding")).alias("v"),
+    )
+    a = toks.select(
+        "vec_id", F.expr(_nearest_unit_centroid_sql("`v`", cents)).alias("c")
+    )
+    b = toks.select(
+        "vec_id",
+        _nearest_unit_centroid_col("`v`", cents, arrow_from=1).alias("c2"),
+    )
+    assert (
+        a.join(b, "vec_id").filter(F.col("c") != F.col("c2")).count() == 0
+    )
+
+    # end-to-end: auto sizing past ARROW_ASSIGN_FROM on the token IVF
+    tok_tbl = emb.select(F.expr("vec_id DIV 2").alias("doc"), "embedding")
+    idx = MaxSimIndex.fit(
+        tok_tbl, n_clusters="auto", target_rows_per_cluster=2
+    )
+    assert len(idx.centroids) == 250  # past the 192 threshold
+    path = str(tmp_path / "ms_big")
+    idx.save(path)
+    loaded = MaxSimIndex.load(spark, path)
+    qt = emb.filter(F.col("vec_id") < 2).select(
+        F.lit(0).alias("qid"), F.col("vec_id").alias("qtid"),
+        F.col("embedding").alias("qvec"),
+    )
+    # full probe + n_candidates >= n_docs = exact: doc 0 owns both
+    # query tokens, so it must rank first
+    top = loaded.search_many(
+        qt, k=1, nprobe=250, n_candidates=1000
+    ).first()
+    assert top["doc"] == 0
