@@ -130,14 +130,96 @@ def resolve_n_clusters(
     return int(n_clusters)
 
 
+# Where the driver fit switches from exact full-batch Lloyd's to the
+# deterministic minibatch variant. Full Lloyd's over the bounded sample
+# costs O(max_iter × n × k × dim) flops plus an (n, k) float64 distance
+# block PER ITERATION (3.1 GB at n=100k, k=3907) plus an O(k × n)
+# Python update loop — measured 230.6 s at the sf100 auto-sized k=3907
+# (PLANS.md round-12 table), paid per rebuild and re-triggered by the
+# autopilot's resize action. Past this threshold the fit runs ONE
+# shuffled streaming epoch in fixed-size batches (Sculley, "Web-Scale
+# K-Means Clustering", WWW 2010 — public method): ~max_iter× fewer
+# flops, ~12× less peak memory, fully vectorized updates. A coarse IVF
+# quantizer needs balanced cells, not converged ones — the recall
+# calibration (operators/calibrate.py) re-earns the nprobe pin against
+# whatever centroids the fit produced, so search quality is closed-loop
+# regardless of fit variant. Below the threshold nothing changes: every
+# fixture-scale fit keeps the exact, long-pinned path.
+KMEANS_MINIBATCH_FROM = 512
+
+
+def _kmeans_minibatch_np(
+    x: np.ndarray, k: int, seed: int, batch: int = 8192
+) -> list[list[float]]:
+    """Deterministic minibatch Lloyd's: seeded random-point init, ONE
+    rng-shuffled pass over the sample in fixed-size batches, each batch
+    updating its assigned centers' RUNNING MEANS (count-weighted — the
+    Sculley per-center 1/n learning rate, batched). Pure function of
+    (x, k, seed, batch): fixed step count, no data-dependent stopping.
+    Centers no batch ever picked keep their seeded init point (a real
+    data row), so every returned centroid is finite and in-distribution."""
+    n, d = x.shape
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(n, size=min(k, n), replace=False)].astype(
+        np.float64
+    ).copy()
+    if len(cent) < k:  # fewer sample rows than centroids: duplicate rows
+        cent = np.vstack([cent, x[rng.choice(n, size=k - len(cent))]])
+    counts = np.zeros(k, dtype=np.float64)
+    sums = np.zeros((k, d), dtype=np.float64)
+    perm = rng.permutation(n)
+    for s in range(0, n, batch):
+        bx = x[perm[s : s + batch]]
+        d2 = (
+            (bx * bx).sum(axis=1, keepdims=True)
+            - 2.0 * bx @ cent.T
+            + (cent * cent).sum(axis=1)
+        )
+        a = d2.argmin(axis=1)
+        counts += np.bincount(a, minlength=k)
+        # per-dim bincount beats ufunc.at by orders of magnitude and a
+        # k-length Python loop by more — d small (≤ a few hundred), so
+        # this is d dense O(batch) passes
+        sums += np.stack(
+            [np.bincount(a, weights=bx[:, t], minlength=k) for t in range(d)],
+            axis=1,
+        )
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    return [[float(v) for v in c] for c in cent]
+
+
+def assign_nearest_np(x: np.ndarray, cents: np.ndarray,
+                      chunk: int = 16384) -> np.ndarray:
+    """Nearest-centroid ids for every row of ``x`` against ``cents``,
+    CHUNKED so the (n, k) float64 distance block never materializes
+    whole — 3.1 GB at the auto-k maximum (k≈4000) over the 100k fit
+    sample, vs ~0.5 GB peak chunked. Same first-minimum tie rule as the
+    distributed assign paths."""
+    c2 = (cents * cents).sum(axis=1)
+    out = np.empty(len(x), dtype=np.int64)
+    for s in range(0, len(x), chunk):
+        xs = x[s : s + chunk]
+        d2 = (xs * xs).sum(axis=1, keepdims=True) - 2.0 * xs @ cents.T + c2
+        out[s : s + chunk] = d2.argmin(axis=1)
+    return out
+
+
 def kmeans_fit_np(
-    x: np.ndarray, k: int, seed: int, max_iter: int = 10
+    x: np.ndarray, k: int, seed: int, max_iter: int = 10,
+    minibatch_from: int = KMEANS_MINIBATCH_FROM,
 ) -> list[list[float]]:
     """Vectorized Lloyd's over the bounded sample; deterministic for a
     seed (random-point init, empty clusters re-seeded from the data).
-    Returns centroids as plain float lists (engine-independent — they are
-    embedded into Catalyst expressions and saved as JSON)."""
+    Past ``minibatch_from`` centroids the fit switches to the
+    deterministic one-epoch minibatch variant (_kmeans_minibatch_np —
+    the auto-k fit-cost rationale above); below it, the exact
+    full-batch path is unchanged. Returns centroids as plain float
+    lists (engine-independent — they are embedded into Catalyst
+    expressions and saved as JSON)."""
     n = len(x)
+    if k >= minibatch_from and n > 2 * k:
+        return _kmeans_minibatch_np(x, k, seed)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(n, size=min(k, n), replace=False)].copy()
     if len(cent) < k:  # fewer sample rows than centroids: duplicate rows
@@ -299,8 +381,15 @@ def nearest_centroid_col(
             x = np.asarray([vals[i] for i in good], dtype=np.float64)
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
             am = d2.argmin(axis=1)  # first minimum: the fold's tie rule
+            # NULL vector ELEMENTS pass the len/None screen above but
+            # become NaN under asarray, making every distance NaN and
+            # argmin silently 0 — the SQL fold yields NULL for the same
+            # row. Mask non-finite-distance rows back to None so both
+            # paths agree (ADVICE r12).
+            ok = np.isfinite(d2).all(axis=1)
             for j, i in enumerate(good):
-                res[i] = int(am[j])
+                if ok[j]:
+                    res[i] = int(am[j])
         return pd.Series(res, dtype="Int32")
 
     return _assign(F.expr(vec_sql))
@@ -339,8 +428,12 @@ def nprobe_clusters_col(
             x = np.asarray([vals[i] for i in good], dtype=np.float64)
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
             order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            # NULL-element rows → NaN distances; keep them NULL like the
+            # SQL path does (see nearest_centroid_col).
+            ok = np.isfinite(d2).all(axis=1)
             for j, i in enumerate(good):
-                res[i] = order[j].astype("int32").tolist()
+                if ok[j]:
+                    res[i] = order[j].astype("int32").tolist()
         return pd.Series(res)
 
     return _probe(F.expr(vec_sql))

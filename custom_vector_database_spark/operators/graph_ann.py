@@ -1,0 +1,641 @@
+"""Graph-ANN search — the reference's actual query path, distributed.
+
+The reference answers every k-NN query by WALKING its proximity graph:
+greedy descent through the upper layers to a good entry point, then a
+bounded best-first beam over layer 0 (/root/reference/lib/hnsw/
+hnsw.h:104-132 searchKnn, :203-248 searchLayer). Round 12 built the
+graph (operators/knn_graph.py); this module makes it ANSWER QUERIES —
+the capability class the reference actually ships — and gives it the
+saved-layout contract every other index family has (persist/load,
+model-id pin, staleness protocol, recall calibration with a pinned
+knob).
+
+Spark-first decomposition of searchKnn:
+
+- **Entry (the upper-layer descent's role)**: HNSW's log-layer greedy
+  walk exists to find a good starting node cheaply. The distributed
+  analogue is the engine's existing coarse quantizer: at fit time a
+  sample-bounded KMeans (operators/fitting.py) assigns every node a
+  cluster and records ONE entry node per cluster (the node nearest the
+  centroid). At search time each query's ``entry_probes`` nearest
+  centroids (one codegen/Arrow projection — fitting.nprobe_clusters_col)
+  seed the beam with those clusters' entry nodes. Cost: O(k_c × dim)
+  per query, the IVF shortlist price.
+- **Beam (searchLayer's role)**: bounded synchronous rounds of
+  best-first expansion, ALL queries at once. Each round takes every
+  query's ``beam_width`` best not-yet-expanded visited nodes (one
+  window), joins them to the saved edge list (equi-join on the node
+  id), anti-joins away nodes the query already visited, scores the new
+  (query, node) pairs (equi-join to the vector table + broadcast join
+  to the bounded query side), and folds them into the visited set.
+  ``rounds`` is a hard bound, never a convergence spin — the
+  per-query visited set is ≤ entries + rounds × beam_width × degree
+  rows by construction.
+
+Physical shape at 100 TB: every join is an equi-join (cluster id, node
+id, query id); vectors ride exactly one join per round (the scoring
+join against the node table — partition-prunable by id bucketing);
+edge triples and (qid, node, dist) triples carry everything else; each
+round ends in a localCheckpoint so lineage stays flat. The query side
+is broadcast-bounded (max_query_rows, the knn_join discipline).
+
+Accuracy contract (SURVEY §4.3): recall vs the exact k-NN join, never
+hash-equality — ``calibrate_beam`` measures recall@k over a doubling
+beam_width schedule and pins the smallest one meeting the caller's
+target into the saved meta (the calibrate_nprobe pattern), and the
+registered ``knn_graph_search`` row returns the exact top-k plus a
+measured-recall boolean (the ann_lsh_search convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_vector_database_spark.operators.fitting import (
+    collect_sample_matrix,
+    kmeans_fit_np,
+    nearest_centroid_col,
+    nprobe_clusters_col,
+    resolve_n_clusters,
+)
+from custom_vector_database_spark.operators.knn import l2_squared
+
+__all__ = ["KnnGraphIndex", "calibrate_beam"]
+
+
+class KnnGraphIndex:
+    """A saved k-NN graph + its vectors + the entry quantizer — the
+    persisted, queryable form of operators/knn_graph.knn_graph (which
+    returns edges only). Layout on disk:
+
+        <path>/meta.json   centroids, entry table, config, optional pins
+        <path>/edges       (src, dst, dist) parquet
+        <path>/nodes       (id, vec) parquet — metric-transformed
+                           (cosine stores unit vectors, the ivf.py
+                           normalize-at-build convention)
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        nodes: DataFrame,
+        centroids: list[list[float]],
+        entries: list[list],  # [cluster, entry_id] pairs
+        id_col: str,
+        dim: int,
+        metric: str = "l2_sq",
+        degree: int = 10,
+        model_id: str | None = None,
+    ):
+        if metric not in ("l2_sq", "cosine"):
+            raise ValueError(
+                f"unknown metric {metric!r}; expected 'l2_sq' or 'cosine'"
+            )
+        self.edges = edges
+        self.nodes = nodes
+        self.centroids = centroids
+        self.entries = entries
+        self.id_col = id_col
+        self.dim = dim
+        self.metric = metric
+        self.degree = degree
+        self.model_id = model_id
+        self.calibration: dict | None = None  # beam pin (calibrate_beam)
+        self._path: str | None = None
+
+    # -- fit ------------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        degree: int = 10,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        metric: str = "l2_sq",
+        iterations: int = 2,
+        n_clusters: int | str = "auto",
+        target_rows_per_cluster: int = 256,
+        probe_clusters: int = 3,
+        random_partners: int = 3,
+        seed: int = 42,
+        max_iter: int = 10,
+        fit_sample: int = 100_000,
+        model_id: str | None = None,
+    ) -> "KnnGraphIndex":
+        """Build the degree-NN graph (operators/knn_graph.knn_graph —
+        multi-probe IVF init + bounded NN-Descent, linear in n), fit the
+        ENTRY quantizer on the same bounded-sample discipline, and pick
+        one entry node per cluster: the node nearest that centroid
+        (HNSW's enter-point role, hnsw.h:104-110 — a central node, so
+        the first beam round starts inside the right neighborhood).
+        Everything distributed except the sample-bounded driver fits."""
+        from custom_vector_database_spark.operators.knn_graph import (
+            knn_graph,
+        )
+
+        dist_col = "cos_dist" if metric == "cosine" else "dist_sq"
+        edges = knn_graph(
+            df,
+            k=degree,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric=metric,
+            iterations=iterations,
+            n_clusters=n_clusters,
+            target_rows_per_cluster=target_rows_per_cluster,
+            probe_clusters=probe_clusters,
+            random_partners=random_partners,
+            seed=seed,
+            max_iter=max_iter,
+            fit_sample=fit_sample,
+        ).localCheckpoint(eager=True)
+
+        nodes = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        if metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            nodes = nodes.select(
+                id_col, _unit_normalize_expr("`vec`").alias("vec")
+            )
+        nodes = nodes.localCheckpoint(eager=True)
+        n = nodes.count()
+        dim = len(nodes.first()["vec"])
+
+        kc = resolve_n_clusters(
+            n_clusters, n, target_rows_per_cluster, fit_sample
+        )
+        x = collect_sample_matrix(nodes, "vec", n, fit_sample, seed)
+        centroids = kmeans_fit_np(x, kc, seed, max_iter)
+
+        # entry per cluster = the member nearest its centroid: one
+        # assign projection + a broadcast join of the tiny (cluster,
+        # centroid) table + one window — never a literal-table fold
+        spark = df.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "cluster int, _cent array<double>",
+        )
+        assigned = nodes.withColumn(
+            "cluster",
+            nearest_centroid_col("CAST(`vec` AS ARRAY<DOUBLE>)", centroids),
+        ).join(F.broadcast(cent_df), "cluster")
+        w = Window.partitionBy("cluster").orderBy(
+            l2_squared(F.col("vec"), F.col("_cent")).asc(),
+            F.col(id_col).asc(),
+        )
+        entries = [
+            [int(r["cluster"]), r[id_col]]
+            for r in assigned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cluster", id_col)
+            .collect()  # bounded: ≤ n_clusters rows
+        ]
+        idx = cls(
+            edges, nodes, centroids, entries, id_col, dim,
+            metric=metric, degree=degree, model_id=model_id,
+        )
+        idx._dist_col = dist_col
+        return idx
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "id_col": self.id_col,
+            "dim": self.dim,
+            "metric": self.metric,
+            "degree": self.degree,
+            "model_id": self.model_id,
+            "centroids": self.centroids,
+            "entries": self.entries,
+        }
+        if self.calibration is not None:
+            meta["calibration"] = self.calibration
+        from custom_vector_database_spark.operators.layout import (
+            meta_write_lease,
+        )
+
+        with meta_write_lease(path, "save"):
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+        self.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+        spark = self.edges.sparkSession
+        self.edges = spark.read.parquet(os.path.join(path, "edges"))
+        self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
+        self._path = path
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KnnGraphIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(
+            spark.read.parquet(os.path.join(path, "edges")),
+            spark.read.parquet(os.path.join(path, "nodes")),
+            meta["centroids"],
+            meta["entries"],
+            meta["id_col"],
+            meta["dim"],
+            metric=meta.get("metric", "l2_sq"),
+            degree=meta.get("degree", 10),
+            model_id=meta.get("model_id"),
+        )
+        idx.calibration = meta.get("calibration")
+        idx._path = path
+        return idx
+
+    # -- staleness (quantization_error_report protocol) --------------------
+    def _staleness_feats(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Entry-quantizer distortion (the IvfIndex convention): as data
+        drifts from the centroids' training sample, the seeding gets
+        worse and beam recall degrades with it — the rebuild signal."""
+        from custom_vector_database_spark.operators.pq import (
+            _refuse_report_vectors,
+        )
+
+        _refuse_report_vectors(df, vec_col, self.dim)
+        src = F.col(vec_col)
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            src = _unit_normalize_expr(f"`{vec_col}`")
+        return df.select(src.cast("array<double>").alias("_vec"))
+
+    def _staleness_error_expr(self) -> F.Column:
+        from custom_vector_database_spark.operators.pq import (
+            _min_sq_dist_sql,
+        )
+
+        return F.expr(_min_sq_dist_sql("_vec", self.centroids))
+
+    # -- search -------------------------------------------------------------
+    def _resolve_beam(self, beam_width):
+        """``beam_width="auto"`` reads the pinned recall calibration
+        (calibrate_beam persist=True); anything else passes through."""
+        if beam_width == "auto":
+            if not self.calibration or "beam_width" not in self.calibration:
+                raise ValueError(
+                    'beam_width="auto" needs a pinned calibration — run '
+                    "calibrate_beam(..., persist=True) on the saved "
+                    "layout first"
+                )
+            return int(self.calibration["beam_width"])
+        return int(beam_width)
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int,
+        beam_width: int | str = "auto",
+        rounds: int = 3,
+        entry_probes: int = 2,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        dist_col: str | None = None,
+        max_query_rows: int | None = 100_000,
+        model_id: str | None = None,
+    ) -> DataFrame:
+        """Beam-search the saved graph for every query row at once —
+        the distributed searchKnn (hnsw.h:104-132). Returns (query_id,
+        id_col, dist_col) best-first per query, id tie-break, ≤ k rows
+        per query. ``rounds`` bounds the expansion; ``beam_width`` is
+        the recall knob calibrate_beam pins."""
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, model_id, "this k-NN-graph layout")
+        beam_width = self._resolve_beam(beam_width)
+        if beam_width <= 0 or rounds < 0 or k <= 0:
+            raise ValueError(
+                f"k={k}, beam_width={beam_width}, rounds={rounds} must be "
+                "positive (rounds may be 0: entry scoring only)"
+            )
+        for qc in (query_id, query_vec):
+            if qc in (self.id_col, "vec", "src", "dst"):
+                raise ValueError(
+                    f"query column {qc!r} collides with a layout column — "
+                    "alias it on the query side first"
+                )
+        dist_col = dist_col or (
+            "cos_dist" if self.metric == "cosine" else "dist_sq"
+        )
+        # ONE bounded pass guards dims and the broadcast row count
+        stats = queries.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col(query_vec).isNull()
+                    | (F.size(F.col(query_vec)) != self.dim)
+                ).cast("long")
+            ).alias("n_bad"),
+        ).first()
+        if stats["n_bad"]:
+            raise ValueError(
+                f"{stats['n_bad']} query vector(s) are NULL or do not "
+                f"have dim {self.dim}"
+            )
+        if max_query_rows is not None and int(stats["n"]) > max_query_rows:
+            raise ValueError(
+                f"queries has {stats['n']} rows > "
+                f"max_query_rows={max_query_rows}; the beam broadcasts "
+                "the query side — split it and search_many per split"
+            )
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            queries = queries.withColumn(
+                query_vec, _unit_normalize_expr(f"`{query_vec}`")
+            )
+        qside = queries.select(query_id, query_vec).localCheckpoint(
+            eager=True
+        )
+        spark = qside.sparkSession
+        pair_dist = F.round(
+            l2_squared(F.col("vec"), F.col(query_vec))
+            / (2.0 if self.metric == "cosine" else 1.0),
+            6,
+        )
+
+        def score(cand: DataFrame) -> DataFrame:
+            """(qid, node) → + dist: equi-join to the node table, then
+            broadcast-join the bounded query side."""
+            return (
+                cand.join(
+                    self.nodes.withColumnRenamed(self.id_col, "_node"),
+                    "_node",
+                )
+                .join(F.broadcast(qside), query_id)
+                .select(
+                    F.col(query_id),
+                    F.col("_node"),
+                    pair_dist.alias(dist_col),
+                )
+            )
+
+        # seed: entry nodes of each query's entry_probes nearest clusters
+        entry_df = spark.createDataFrame(
+            [(int(c), e) for c, e in self.entries],
+            f"cluster int, _node {dict(self.nodes.dtypes)[self.id_col]}",
+        )
+        probes = nprobe_clusters_col(
+            f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)",
+            self.centroids,
+            min(int(entry_probes), len(self.centroids)),
+        )
+        seeds = (
+            qside.select(query_id, F.explode(probes).alias("cluster"))
+            .join(F.broadcast(entry_df), "cluster")
+            .select(query_id, "_node")
+            .distinct()
+        )
+        visited = score(seeds).withColumn(
+            "_expanded", F.lit(False)
+        ).localCheckpoint(eager=True)
+
+        w = Window.partitionBy(query_id).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col("_node").asc()
+        )
+        for _ in range(int(rounds)):
+            frontier = (
+                visited.filter(~F.col("_expanded"))
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= beam_width)
+                .select(query_id, "_node")
+            )
+            nbrs = (
+                frontier.join(
+                    self.edges.select(
+                        F.col("src").alias("_node"), F.col("dst")
+                    ),
+                    "_node",
+                )
+                .select(query_id, F.col("dst").alias("_node"))
+                .distinct()
+            )
+            fresh = nbrs.join(
+                visited.select(query_id, "_node"),
+                [query_id, "_node"],
+                "left_anti",
+            )
+            scored = score(fresh).withColumn("_expanded", F.lit(False))
+            marked = visited.join(
+                frontier.withColumn("_f", F.lit(True)),
+                [query_id, "_node"],
+                "left_outer",
+            ).select(
+                query_id,
+                "_node",
+                dist_col,
+                (
+                    F.col("_expanded")
+                    | F.coalesce(F.col("_f"), F.lit(False))
+                ).alias("_expanded"),
+            )
+            visited = marked.unionByName(scored).localCheckpoint(eager=True)
+
+        return (
+            visited.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(
+                F.col(query_id),
+                F.col("_node").alias(self.id_col),
+                F.col(dist_col),
+            )
+        )
+
+    def search(
+        self,
+        query: list[float],
+        k: int,
+        beam_width: int | str = "auto",
+        rounds: int = 3,
+        entry_probes: int = 2,
+        dist_col: str | None = None,
+        model_id: str | None = None,
+    ) -> DataFrame:
+        """Single-query convenience: a 1-row query table through
+        search_many (the same distributed plan — never a driver loop)."""
+        if len(query) != self.dim:
+            raise ValueError(
+                f"query dim {len(query)} != index dim {self.dim}"
+            )
+        spark = self.nodes.sparkSession
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in query])],
+            "qid int, qvec array<double>",
+        )
+        return self.search_many(
+            qdf, k, beam_width=beam_width, rounds=rounds,
+            entry_probes=entry_probes, dist_col=dist_col,
+            model_id=model_id,
+        ).drop("qid")
+
+    def describe(self) -> dict:
+        n_nodes = self.nodes.count()
+        return {
+            "kind": "knn_graph",
+            "metric": self.metric,
+            "n_nodes": int(n_nodes),
+            "degree": self.degree,
+            "dim": self.dim,
+            "n_clusters": len(self.centroids),
+            "n_entries": len(self.entries),
+            "calibrated": self.calibration is not None,
+            "saved": self._path is not None,
+        }
+
+
+def calibrate_beam(
+    idx: KnnGraphIndex,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    target_recall: float = 0.9,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    max_queries: int = 256,
+    rounds: int = 3,
+    entry_probes: int = 2,
+    full_sweep: bool = False,
+    persist: bool = False,
+    model_id: str | None = None,
+) -> dict:
+    """calibrate_nprobe's pattern for the graph layout: exact ground
+    truth once (broadcast k-NN join over the node table), then a
+    doubling ``beam_width`` sweep (k, 2k, 4k, … ≤ n_nodes) measuring
+    mean recall@k of the beam search; pick the smallest width meeting
+    ``target_recall`` and optionally pin it into the saved meta (atomic
+    read-modify-replace under the layout's sibling lock). Returns
+    {"k", "target_recall", "n_queries", "steps": [{"beam_width",
+    "recall"}, …], "beam_width", "recall", "met", "rounds",
+    "entry_probes"}."""
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.calibrate import (
+        _id_sets,
+        _recall_at_k,
+    )
+    from custom_vector_database_spark.operators.layout import (
+        check_model_id,
+    )
+
+    check_model_id(idx.model_id, model_id, "this k-NN-graph layout")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}"
+        )
+    n_q = queries.count()
+    if n_q == 0:
+        raise ValueError("empty query bag — nothing to calibrate on")
+    if n_q > max_queries:
+        raise ValueError(
+            f"query bag has {n_q} rows > max_queries={max_queries}; "
+            "calibration broadcasts the bag into every sweep step — "
+            "sample it down"
+        )
+    if idx.metric == "cosine":
+        from custom_vector_database_spark.operators.ivf import (
+            _unit_normalize_expr,
+        )
+
+        queries = queries.withColumn(
+            query_vec, _unit_normalize_expr(f"`{query_vec}`")
+        )
+    queries = queries.localCheckpoint(eager=True)
+    # ground truth: the node table stores the metric-transformed vectors
+    # (cosine already unit), so plain L2 ranking is the right order for
+    # both metrics
+    exact = _id_sets(
+        knn_ops.knn_join(
+            idx.nodes, queries, k,
+            data_id=idx.id_col, data_vec="vec",
+            query_id=query_id, query_vec=query_vec,
+        )
+        .select(query_id, idx.id_col)
+        .collect(),  # bounded: k × |bag|
+        query_id, idx.id_col,
+    )
+    n_nodes = idx.nodes.count()
+    widths: list[int] = []
+    bw = max(1, int(k))
+    while bw < n_nodes:
+        widths.append(bw)
+        bw *= 2
+    widths.append(min(int(n_nodes), bw))
+
+    steps = []
+    chosen = None
+    chosen_recall = None
+    for bw in widths:
+        got = _id_sets(
+            idx.search_many(
+                queries, k, beam_width=bw, rounds=rounds,
+                entry_probes=entry_probes, query_id=query_id,
+                query_vec=query_vec, model_id=model_id,
+            )
+            .select(query_id, idx.id_col)
+            .collect(),
+            query_id, idx.id_col,
+        )
+        rec = _recall_at_k(exact, got)
+        steps.append({"beam_width": bw, "recall": round(rec, 6)})
+        if rec >= target_recall and chosen is None:
+            chosen, chosen_recall = bw, rec
+            if not full_sweep:
+                break
+    report = {
+        "k": int(k),
+        "target_recall": float(target_recall),
+        "n_queries": int(n_q),
+        "rounds": int(rounds),
+        "entry_probes": int(entry_probes),
+        "steps": steps,
+        "beam_width": chosen,
+        "recall": round(chosen_recall, 6) if chosen_recall is not None else None,
+        "met": chosen is not None,
+    }
+    if persist:
+        if chosen is None:
+            raise ValueError(
+                "even the full-width beam missed the recall target — "
+                "refusing to pin a knob that cannot deliver the "
+                "contract; raise rounds/entry_probes or rebuild"
+            )
+        if idx._path is None:
+            raise ValueError(
+                "persist=True needs a saved layout (save() or load() "
+                "first)"
+            )
+        from custom_vector_database_spark.operators.layout import (
+            meta_write_lease,
+        )
+
+        meta_path = os.path.join(idx._path, "meta.json")
+        pin = {
+            "beam_width": int(chosen),
+            "rounds": int(rounds),
+            "entry_probes": int(entry_probes),
+            "k": int(k),
+            "target_recall": float(target_recall),
+            "recall": round(float(chosen_recall), 6),
+        }
+        with meta_write_lease(idx._path, "calibrate"):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta["calibration"] = pin
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
+        idx.calibration = pin
+    return report

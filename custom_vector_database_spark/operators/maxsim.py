@@ -979,8 +979,14 @@ def _nearest_unit_centroid_col(
             xu = np.where(nrm == 0.0, x, x / np.where(nrm == 0.0, 1.0, nrm))
             d2 = (xu * xu).sum(axis=1, keepdims=True) - 2.0 * (xu @ cents.T) + c2
             am = d2.argmin(axis=1)
+            # NULL token ELEMENTS become NaN under asarray → all-NaN
+            # distances → argmin 0; the SQL path yields NULL. Mask
+            # non-finite rows back to None so both paths agree
+            # (fitting.nearest_centroid_col, ADVICE r12).
+            ok = np.isfinite(d2).all(axis=1)
             for j, i in enumerate(good):
-                res[i] = int(am[j])
+                if ok[j]:
+                    res[i] = int(am[j])
         return pd.Series(res, dtype="Int32")
 
     return _assign(F.expr(f"CAST({vec_sql} AS ARRAY<DOUBLE>)"))

@@ -35,17 +35,21 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_vector_database_spark.operators import knn as knn_ops
 from custom_vector_database_spark.operators.fitting import (
+    ARROW_ASSIGN_FROM,
+    _centroid_matrix,
     array_literal_sql,
     centroids_literal_sql,
     collect_sample_matrix,
     kmeans_fit_np,
     nearest_centroid_expr,
     nearest_centroid_sql,
+    nprobe_clusters_col,
     nprobe_clusters_sql,
 )
 
@@ -106,6 +110,18 @@ class PqIndex:
             kmeans_fit_np(x[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter)
             for j in range(m)
         ]
+        if k >= ARROW_ASSIGN_FROM:
+            # big subspace codebooks (k=256 is the standard PQ byte-code
+            # config): the interpreted fold costs dim×k element-ops/row —
+            # encode through the fused Arrow path instead (flat PQ ≡
+            # IVF-PQ with one zero centroid, residual = the raw vector)
+            enc = _fused_encode_col([[0.0] * dim], codebooks, dim)
+            encoded = feats.select(
+                F.col(id_col), enc(F.col("_vec")).alias("_enc")
+            ).select(
+                F.col(id_col), F.col("_enc.codes").alias("codes")
+            ).localCheckpoint(eager=True)
+            return cls(codebooks, encoded, id_col, dim, model_id=model_id)
         codes = F.expr(
             "array("
             + ",".join(
@@ -216,6 +232,146 @@ class PqIndex:
         )
 
 
+def _fused_encode_col(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+):
+    """The Arrow-batched IVF-PQ encode: ONE pandas_udf emitting
+    struct<cluster:int, codes:array<int>> per row — one (batch × k)
+    matmul for the coarse assign, then m small (batch × k_sub) matmuls
+    over the residual sub-slices for the codes. All batch-local numpy;
+    nothing driver-side. Same semantics as the codegen route:
+    first-minimum tie rule everywhere, NULL/wrong-dim/non-finite rows →
+    NULL cluster + NULL codes (the fit/upsert guards refuse those rows
+    up front anyway — fitting.nearest_centroid_col convention)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents, c2 = _centroid_matrix(centroids)
+    m = len(codebooks)
+    dsub = dim // m
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    books2 = [(b * b).sum(axis=1) for b in books]
+
+    @pandas_udf("struct<cluster:int, codes:array<int>>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        vals = v.tolist()
+        n = len(vals)
+        cluster: list = [None] * n
+        codes: list = [None] * n
+        good = [
+            i for i, e in enumerate(vals)
+            if e is not None and len(e) == dim
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
+            am = d2.argmin(axis=1)
+            ok = np.isfinite(d2).all(axis=1)
+            res = x - cents[am]
+            sub = np.empty((len(good), m), dtype=np.int64)
+            for j in range(m):
+                r = res[:, j * dsub : (j + 1) * dsub]
+                dj = (
+                    (r * r).sum(axis=1, keepdims=True)
+                    - 2.0 * (r @ books[j].T)
+                    + books2[j]
+                )
+                sub[:, j] = dj.argmin(axis=1)
+            for t, i in enumerate(good):
+                if ok[t]:
+                    cluster[i] = int(am[t])
+                    codes[i] = [int(c) for c in sub[t]]
+        return pd.DataFrame(
+            {"cluster": pd.Series(cluster, dtype="Int32"), "codes": codes}
+        )
+
+    return _enc
+
+
+def _residual_vs_centroid_col(centroids: list[list[float]]):
+    """Arrow-batched residual (vec − centroid[cluster]) — replaces the
+    element_at(<k×dim literal table>, cluster+1) lookup whose SQL text
+    alone is megabytes at auto-sized k (parse cost, not eval cost —
+    PLANS.md round-3 note). Pure numpy fancy-indexing per batch; NULL
+    vec/cluster or wrong dim → NULL residual (the SQL zip_with's
+    contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+    k = cents.shape[0]
+
+    @pandas_udf("array<double>")
+    def _res(v: pd.Series, c: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        cls = c.tolist()
+        out: list = [None] * len(vals)
+        good = [
+            i for i, (e, ci) in enumerate(zip(vals, cls))
+            if e is not None and len(e) == dim
+            and ci is not None and 0 <= int(ci) < k
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            idx = np.asarray([int(cls[i]) for i in good], dtype=np.int64)
+            r = x - cents[idx]
+            for t, i in enumerate(good):
+                out[i] = r[t].tolist()
+        return pd.Series(out)
+
+    return _res
+
+
+def _query_luts_col(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+):
+    """Arrow-batched per-(query, probed-cluster) ADC LUTs: residual vs
+    THAT cluster's centroid, then per-subspace squared distances to
+    every codebook center — array<array<double>> of m k-length LUTs,
+    exactly what search_many's SQL fold emits, as m small numpy
+    broadcasts per batch. Used past ARROW_ASSIGN_FROM where the coarse
+    literal table (k×dim doubles of SQL text) and the interpreted
+    per-row fold both stop being affordable. The rows here are the
+    EXPLODED QUERY side (n_q × nprobe, broadcast-bounded), never the
+    corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    kc = cents.shape[0]
+    m = len(codebooks)
+    dsub = dim // m
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("array<array<double>>")
+    def _luts(v: pd.Series, c: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        cls = c.tolist()
+        out: list = [None] * len(vals)
+        good = [
+            i for i, (e, ci) in enumerate(zip(vals, cls))
+            if e is not None and len(e) == dim
+            and ci is not None and 0 <= int(ci) < kc
+        ]
+        if good:
+            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            idx = np.asarray([int(cls[i]) for i in good], dtype=np.int64)
+            res = x - cents[idx]
+            # (m, batch, k_sub): ||book_c - res_sub||² per subspace
+            per_sub = []
+            for j in range(m):
+                r = res[:, j * dsub : (j + 1) * dsub]  # (batch, dsub)
+                d = r[:, None, :] - books[j][None, :, :]  # (batch, k, dsub)
+                per_sub.append((d * d).sum(axis=2))
+            for t, i in enumerate(good):
+                out[i] = [per_sub[j][t].tolist() for j in range(m)]
+        return pd.Series(out)
+
+    return _luts
+
+
 def _ivfpq_encode(
     feats: DataFrame,
     centroids: list[list[float]],
@@ -223,14 +379,32 @@ def _ivfpq_encode(
     id_col: str,
     dim: int,
     carry_cols: list[str] | None = None,
+    arrow_from: int = ARROW_ASSIGN_FROM,
 ) -> DataFrame:
-    """Cluster assign + residual + m subspace codes as ONE codegen'd
-    projection over literal centroid tables — the encode pass shared by
-    fit (full table) and upsert (delta only). Expects a ``_vec``
-    array<double> column next to ``id_col``; ``carry_cols`` pass through
-    into the code layout (filter attributes for filtered search)."""
+    """Cluster assign + residual + m subspace codes as ONE projection —
+    the encode pass shared by fit (full table) and upsert (delta only).
+    Below ``arrow_from`` centroids/subspace-centers it is the proven
+    whole-stage-codegen expression over literal centroid tables; at or
+    above, a single Arrow-batched pandas_udf (_fused_encode_col) does
+    the same math as numpy matmuls — the interpreted HOF fold costs ~7M
+    element-ops/core-s, which at an auto-sized k≈4000 would be ~40
+    core-minutes per 2M-row encode (measured r12; fitting.py rationale).
+    Expects a ``_vec`` array<double> column next to ``id_col``;
+    ``carry_cols`` pass through into the code layout (filter attributes
+    for filtered search)."""
     m = len(codebooks)
     dsub = dim // m
+    carry = [F.col(c) for c in (carry_cols or [])]
+    if max(len(centroids), len(codebooks[0])) >= arrow_from:
+        enc = _fused_encode_col(centroids, codebooks, dim)
+        return feats.select(
+            F.col(id_col), enc(F.col("_vec")).alias("_enc"), *carry
+        ).select(
+            F.col(id_col),
+            F.col("_enc.cluster").alias("cluster"),
+            F.col("_enc.codes").alias("codes"),
+            *carry,
+        )
     out = feats.withColumn(
         "cluster", nearest_centroid_expr("_vec", centroids)
     ).withColumn(
@@ -248,7 +422,6 @@ def _ivfpq_encode(
         )
         + ")"
     )
-    carry = [F.col(c) for c in (carry_cols or [])]
     return out.select(id_col, "cluster", codes.alias("codes"), *carry)
 
 
@@ -425,12 +598,13 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         x = collect_sample_matrix(feats, "_vec", n, fit_sample, seed)
         centroids = kmeans_fit_np(x, n_clusters, seed, max_iter)
         cents = np.asarray(centroids, dtype=np.float64)
-        d2 = (
-            (x * x).sum(axis=1, keepdims=True)
-            - 2.0 * x @ cents.T
-            + (cents * cents).sum(axis=1)
+        # chunked assign: the full (sample × k) float64 distance block
+        # is 3.1 GB at the auto-k maximum (fitting.assign_nearest_np)
+        from custom_vector_database_spark.operators.fitting import (
+            assign_nearest_np,
         )
-        res_x = x - cents[d2.argmin(axis=1)]
+
+        res_x = x - cents[assign_nearest_np(x, cents)]
         codebooks = [
             kmeans_fit_np(
                 res_x[:, j * dsub : (j + 1) * dsub], k, seed + 1 + j, max_iter
@@ -604,6 +778,19 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         feats = df.select(
             self._metric_src_expr(vec_col).cast("array<double>").alias("_vec")
         )
+        if len(self.centroids) >= ARROW_ASSIGN_FROM:
+            # auto-sized big-k layouts: assign + residual through the
+            # Arrow path (the fold/literal-parse rationale at
+            # _ivfpq_encode; the report must price a rebuild, not cost
+            # one)
+            from custom_vector_database_spark.operators.fitting import (
+                nearest_centroid_col,
+            )
+
+            res = _residual_vs_centroid_col(self.centroids)
+            return feats.withColumn(
+                "cluster", nearest_centroid_col("_vec", self.centroids)
+            ).withColumn("_res", res(F.col("_vec"), F.col("cluster")))
         return feats.withColumn(
             "cluster", nearest_centroid_expr("_vec", self.centroids)
         ).withColumn(
@@ -945,38 +1132,67 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             )
         dsub = self.dim // self.m
         qv_d = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
-        probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))
-        res_sql = (
-            f"zip_with({qv_d}, element_at("
-            f"{centroids_literal_sql(self.centroids)}, cluster + 1), "
-            f"(a, b) -> a - b)"
-        )
-        luts = ",".join(
-            f"transform({centroids_literal_sql(self.codebooks[j])}, c -> "
-            f"aggregate(zip_with(c, slice(_res, {j * dsub + 1}, {dsub}), "
-            f"(a, b) -> (a - b) * (a - b)), 0.0D, (s, d) -> s + d))"
-            for j in range(self.m)
-        )
         extra_q = [F.col("_qn2")] if self.metric == "dot" else []
         extra_q += qfilter_cols
-        exploded = (
-            queries.select(
-                F.col(query_id),
-                F.col(query_vec),
-                *extra_q,
-                F.explode(probes).alias("cluster"),
+        if max(len(self.centroids), self.k) >= ARROW_ASSIGN_FROM:
+            # auto-sized big-k layouts: the probe shortlist rides the
+            # Arrow matmul (fitting.nprobe_clusters_col) and the
+            # per-(query, cluster) LUTs come from one Arrow UDF — the
+            # coarse-centroid SQL literal alone is megabytes of text at
+            # k≈4000 and the per-row fold is interpreted (~7M
+            # element-ops/core-s). Query side only; the probed CODE
+            # partitions still pay exactly m codegen element_at + adds
+            # per (row, query), unchanged.
+            probes = nprobe_clusters_col(qv_d, self.centroids, nprobe)
+            luts_col = _query_luts_col(self.centroids, self.codebooks, self.dim)
+            exploded = (
+                queries.select(
+                    F.col(query_id),
+                    F.col(query_vec),
+                    *extra_q,
+                    F.explode(probes).alias("cluster"),
+                )
+                .select(
+                    F.col(query_id),
+                    F.col(query_vec),
+                    *extra_q,
+                    F.col("cluster"),
+                    luts_col(F.expr(qv_d), F.col("cluster")).alias("_luts"),
+                )
+                .localCheckpoint(eager=True)  # computed once: feeds the
+                # probed-cluster listing AND the join below
             )
-            .withColumn("_res", F.expr(res_sql))
-            .select(
-                F.col(query_id),
-                F.col(query_vec),
-                *extra_q,
-                F.col("cluster"),
-                F.expr(f"array({luts})").alias("_luts"),
+        else:
+            probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))
+            res_sql = (
+                f"zip_with({qv_d}, element_at("
+                f"{centroids_literal_sql(self.centroids)}, cluster + 1), "
+                f"(a, b) -> a - b)"
             )
-            .localCheckpoint(eager=True)  # computed once: feeds the probed-
-            # cluster listing AND the join below
-        )
+            luts = ",".join(
+                f"transform({centroids_literal_sql(self.codebooks[j])}, c -> "
+                f"aggregate(zip_with(c, slice(_res, {j * dsub + 1}, {dsub}), "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, (s, d) -> s + d))"
+                for j in range(self.m)
+            )
+            exploded = (
+                queries.select(
+                    F.col(query_id),
+                    F.col(query_vec),
+                    *extra_q,
+                    F.explode(probes).alias("cluster"),
+                )
+                .withColumn("_res", F.expr(res_sql))
+                .select(
+                    F.col(query_id),
+                    F.col(query_vec),
+                    *extra_q,
+                    F.col("cluster"),
+                    F.expr(f"array({luts})").alias("_luts"),
+                )
+                .localCheckpoint(eager=True)  # computed once: feeds the
+                # probed-cluster listing AND the join below
+            )
         probed = sorted(
             r["cluster"] for r in exploded.select("cluster").distinct().collect()
         )

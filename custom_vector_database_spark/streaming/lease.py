@@ -343,6 +343,24 @@ def acquire_writer_lease(
     stale_after_s: float | None = None,
 ) -> dict:
     """Take (or reentrantly re-take) the corpus's single-writer lease.
+    Returns the held lease dict (see _acquire_with_depth for the variant
+    writer_lease uses to learn the post-acquire depth atomically)."""
+    return _acquire_with_depth(
+        corpus_dir, verb, force=force, stale_after_s=stale_after_s
+    )[0]
+
+
+def _acquire_with_depth(
+    corpus_dir: str, verb: str, force: bool = False,
+    stale_after_s: float | None = None,
+) -> tuple[dict, int]:
+    """Take (or reentrantly re-take) the corpus's single-writer lease,
+    returning ``(lease, post_acquire_depth)`` — the depth is computed
+    UNDER the per-key lock, so "am I the outermost hold?" is decided
+    atomically with the acquire itself. (Re-querying _held_depth after
+    acquire raced a concurrent first-acquire: both threads could see
+    depth 2 and NO heartbeat thread would ever start, leaving a live
+    multi-hour hold TTL-reclaimable — ADVICE r12.)
 
     Raises WriterLeaseHeld with the remedy when another writer holds it
     and none of the takeover rules apply: ``force``, the dead-pid
@@ -375,7 +393,7 @@ def acquire_writer_lease(
                     "the corpus handle; re-acquire to resume"
                 )
             held[1] += 1
-            return mine
+            return mine, held[1]
 
         os.makedirs(key, exist_ok=True)
         lease = {
@@ -438,7 +456,7 @@ def acquire_writer_lease(
                 "attempts (writers churning); retry, or force_lease=True"
             )
         _HELD[key] = [lease, 1]
-        return lease
+        return lease, 1
 
 
 def verify_writer_lease(corpus_dir: str) -> dict:
@@ -582,25 +600,53 @@ def writer_lease(corpus_dir: str, verb: str, force: bool = False,
     finding). The beat stops touching the file the moment a takeover
     changes the owner/epoch — a fenced writer must not freshen the new
     owner's lease."""
-    lease = acquire_writer_lease(
+    lease, depth = _acquire_with_depth(
         corpus_dir, verb, force=force, stale_after_s=stale_after_s
     )
     stop = None
     # the beat runs once per OUTERMOST hold: a reentrant inner acquire
     # (the per-micro-batch apply under a stream-long outer hold) rides
-    # the outer beat instead of minting a thread per batch
-    if heartbeat_s and _held_depth(corpus_dir) == 1:
+    # the outer beat instead of minting a thread per batch. Outermost-
+    # ness is the depth RETURNED by the acquire (computed under the
+    # per-key lock) — re-querying _held_depth here raced a concurrent
+    # first-acquire into a never-beaten hold (ADVICE r12).
+    if heartbeat_s and depth == 1:
         path = _lease_path(corpus_dir)
         stop = threading.Event()
 
         def _beat() -> None:
+            # Resilient by design (ADVICE r12): a beat that dies on ONE
+            # transient hiccup leaves a live multi-hour holder silently
+            # un-beaten and TTL-reclaimable — the two-concurrent-writers
+            # class the lease exists to prevent. So: a failed utime is
+            # retried next tick, a transient read failure (_read_lease's
+            # corrupt sentinel, owner=None) is retried next tick, and
+            # the beat stops only on a CONFIRMED identity change — a
+            # re-read still showing a real different owner/epoch
+            # (takeover) or a confirmed-missing file (released/cleared;
+            # creation is link-atomic, so absence is a definite answer,
+            # not a partial write).
+            #
+            # Known one-beat TOCTOU window, accepted and documented: a
+            # takeover landing between the identity check and os.utime
+            # means the fenced old holder freshens the NEW owner's file
+            # mtime ONCE. Harmless — the new owner is alive and beating
+            # (the freshened mtime is never staler than its own next
+            # beat), and this beat stops at its next tick's check.
             while not stop.wait(float(heartbeat_s)):
-                if not _same_identity(_read_lease(path), lease):
-                    return  # fenced or released: stop touching
+                current = _read_lease(path)
+                if not _same_identity(current, lease):
+                    if current is not None and current.get("owner") is None:
+                        continue  # corrupt-read sentinel: transient, retry
+                    current = _read_lease(path)  # confirm before fencing
+                    if not _same_identity(current, lease):
+                        if current is not None and current.get("owner") is None:
+                            continue  # still unreadable: retry next tick
+                        return  # confirmed takeover/removal: stop touching
                 try:
                     os.utime(path)
                 except OSError:
-                    return
+                    continue  # transient (e.g. NFS hiccup): retry next tick
 
         threading.Thread(target=_beat, daemon=True).start()
     try:

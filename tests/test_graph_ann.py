@@ -1,0 +1,243 @@
+"""Graph-ANN search (round 13): the saved k-NN-graph layout and its
+distributed beam search (operators/graph_ann.py — the reference's
+searchKnn path, hnsw.h:104-132). Pins: recall vs exact, the saved-layout
+round trip, the calibrate_beam pin + beam_width="auto" resolution,
+beam-width monotonicity, cosine metric, the staleness protocol, and the
+input guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def base(emb):
+    return emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def saved(spark, base, tmp_path_factory):
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    path = str(tmp_path_factory.mktemp("gann") / "g")
+    KnnGraphIndex.fit(
+        base, degree=10, iterations=2, target_rows_per_cluster=64,
+        model_id="emb-v1",
+    ).save(path)
+    return path
+
+
+def _recall(exact_rows, approx_rows):
+    ex: dict = {}
+    ap: dict = {}
+    for r in exact_rows:
+        ex.setdefault(r[0], set()).add(r[1])
+    for r in approx_rows:
+        ap.setdefault(r[0], set()).add(r[1])
+    return sum(
+        len(ap.get(q, set()) & s) / len(s) for q, s in ex.items()
+    ) / len(ex)
+
+
+def test_save_load_roundtrip_and_recall(spark, base, saved):
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    d = idx.describe()
+    assert d["kind"] == "knn_graph" and d["saved"] and d["n_nodes"] == 400
+    assert d["n_entries"] == d["n_clusters"] == len(idx.centroids)
+
+    qt = base.filter(F.col("id") < 25).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    exact = [
+        (r["qid"], r["id"])
+        for r in knn_ops.knn_join(base, qt, k=10).collect()
+    ]
+    approx = [
+        (r["qid"], r["id"])
+        for r in idx.search_many(
+            qt, k=10, beam_width=40, rounds=3, model_id="emb-v1"
+        ).collect()
+    ]
+    assert _recall(exact, approx) >= 0.9
+    # ≤ k rows per query, best-first per query
+    per_q: dict = {}
+    for q, i in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert max(per_q.values()) <= 10 and len(per_q) == 25
+
+
+def test_search_many_deterministic(spark, base, saved):
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.filter(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    a = sorted(
+        map(tuple, idx.search_many(qt, 5, beam_width=16, rounds=2,
+                                   model_id="emb-v1").collect())
+    )
+    b = sorted(
+        map(tuple, idx.search_many(qt, 5, beam_width=16, rounds=2,
+                                   model_id="emb-v1").collect())
+    )
+    assert a == b
+
+
+def test_calibrate_pin_and_auto(spark, base, saved):
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+        calibrate_beam,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="auto"):
+        idx.search_many(qt, 5, beam_width="auto", model_id="emb-v1")
+    rep = calibrate_beam(
+        idx, qt, k=5, target_recall=0.9, persist=True, model_id="emb-v1",
+        full_sweep=True,
+    )
+    assert rep["met"] and rep["beam_width"] is not None
+    # monotone recall over the doubling sweep (tolerate float noise)
+    recs = [s["recall"] for s in rep["steps"]]
+    assert all(a <= b + 0.05 for a, b in zip(recs, recs[1:]))
+    assert recs[-1] >= rep["target_recall"]
+    # the pin round-trips through the saved meta and "auto" resolves
+    idx2 = KnnGraphIndex.load(spark, saved)
+    assert idx2.calibration["beam_width"] == rep["beam_width"]
+    hits = idx2.search_many(
+        qt, 5, beam_width="auto", model_id="emb-v1"
+    ).collect()
+    assert len(hits) == 50
+
+
+def test_guards(spark, base, saved):
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+        calibrate_beam,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.limit(3).select(
+        F.col("id").alias("qid"), F.expr("slice(vec, 1, 3)").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        idx.search_many(qt, 5, beam_width=8, model_id="emb-v1")
+    with pytest.raises(ValueError, match="model"):
+        idx.search_many(
+            base.limit(1).select(
+                F.col("id").alias("qid"), F.col("vec").alias("qvec")
+            ),
+            5, beam_width=8, model_id="emb-v2",
+        )
+    good = base.limit(3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        idx.search_many(good, 5, beam_width=8, max_query_rows=2,
+                        model_id="emb-v1")
+    with pytest.raises(ValueError, match="empty"):
+        calibrate_beam(idx, good.filter(F.lit(False)), model_id="emb-v1")
+    with pytest.raises(ValueError, match="saved"):
+        from custom_vector_database_spark.operators.graph_ann import (
+            KnnGraphIndex as K,
+        )
+
+        fresh = K.load(spark, saved)
+        fresh._path = None
+        calibrate_beam(fresh, good, k=3, target_recall=0.1, persist=True,
+                       model_id="emb-v1")
+
+
+def test_cosine_metric(spark, base):
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    small = base.filter(F.col("id") < 200)
+    idx = KnnGraphIndex.fit(
+        small, degree=8, iterations=1, metric="cosine",
+        target_rows_per_cluster=64,
+    )
+    qt = small.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    exact = [
+        (r["qid"], r["id"])
+        for r in knn_ops.knn_join(
+            small, qt, k=5, metric="cosine", dist_col="cos_dist"
+        ).collect()
+    ]
+    got = idx.search_many(qt, k=5, beam_width=32, rounds=3)
+    assert got.columns == ["qid", "id", "cos_dist"]
+    approx = [(r["qid"], r["id"]) for r in got.collect()]
+    assert _recall(exact, approx) >= 0.85
+    # the query's own row always ranks first at cos_dist ~0
+    firsts = {
+        r["qid"]: r["id"]
+        for r in got.filter(F.col("cos_dist") < 1e-6).collect()
+    }
+    assert all(q == i for q, i in firsts.items())
+
+
+def test_staleness_protocol(spark, base, saved):
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+    from custom_vector_database_spark.operators.pq import (
+        quantization_error_report,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    drift = base.limit(32).select(
+        "id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    rep = quantization_error_report(
+        idx, base, drift, vec_col="vec", model_id="emb-v1"
+    ).first()
+    assert rep["n_recent"] == 32 and rep["err_ratio"] > 1.0
+
+
+def test_rounds_zero_scores_entries_only(spark, base, saved):
+    """rounds=0 degenerates to scoring the entry seeds — still valid
+    output (≤ k per query), the bounded floor of the contract."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.limit(4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = idx.search_many(qt, 3, beam_width=8, rounds=0,
+                          entry_probes=2, model_id="emb-v1").collect()
+    per_q: dict = {}
+    for r in got:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert per_q and max(per_q.values()) <= 3

@@ -1,0 +1,262 @@
+"""IVF-PQ on the Arrow assign/encode path (round 13 — the completion of
+r12's auto-sizing work): past ARROW_ASSIGN_FROM coarse centroids (or
+subspace centers) the fused encode (cluster + residual codes), the
+batch-probe shortlist, the per-(query, cluster) LUTs, and the staleness
+residuals all run as Arrow-batched numpy instead of the interpreted
+higher-order-function fold (measured ~7M element-ops/core-s — ~40
+core-minutes per 2M-row encode at the k≈4000 an auto-sized big corpus
+computes). Cross-path consistency is pinned here the same way
+tests/test_auto_sizing.py pins fitting's assign: zero mismatches vs the
+codegen route on the same inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _vecs(emb, hi=500):
+    return emb.filter(F.col("vec_id") < hi).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def test_fused_encode_matches_codegen_exactly(spark, emb):
+    """_ivfpq_encode's Arrow route = the SQL route, bit-for-bit on the
+    integer outputs (cluster id + every subspace code) over real
+    vectors."""
+    from custom_vector_database_spark.operators.pq import _ivfpq_encode
+
+    rng = np.random.RandomState(3)
+    cents = [[float(x) for x in rng.randn(64)] for _ in range(24)]
+    books = [
+        [[float(x) for x in rng.randn(8)] for _ in range(6)] for _ in range(8)
+    ]
+    feats = _vecs(emb, 300).select(
+        "id", F.col("vec").cast("array<double>").alias("_vec")
+    )
+    a = _ivfpq_encode(feats, cents, books, "id", 64, arrow_from=10**9)
+    b = _ivfpq_encode(feats, cents, books, "id", 64, arrow_from=1)
+    j = a.alias("a").join(b.alias("b"), "id")
+    assert j.filter(F.col("a.cluster") != F.col("b.cluster")).count() == 0
+    assert (
+        j.filter(
+            F.col("a.codes").cast("string") != F.col("b.codes").cast("string")
+        ).count()
+        == 0
+    )
+
+
+def test_query_luts_match_sql_fold(spark, emb):
+    """_query_luts_col = search_many's SQL LUT fold (same residual, same
+    per-subspace squared distances) to float tolerance."""
+    from custom_vector_database_spark.operators.fitting import (
+        centroids_literal_sql,
+    )
+    from custom_vector_database_spark.operators.pq import _query_luts_col
+
+    rng = np.random.RandomState(5)
+    dim, m, dsub = 64, 4, 16
+    cents = [[float(x) for x in rng.randn(dim)] for _ in range(6)]
+    books = [
+        [[float(x) for x in rng.randn(dsub)] for _ in range(5)]
+        for _ in range(m)
+    ]
+    q = _vecs(emb, 40).select(
+        "id",
+        F.col("vec").cast("array<double>").alias("qv"),
+        (F.col("id") % 6).cast("int").alias("cluster"),
+    )
+    res_sql = (
+        f"zip_with(qv, element_at({centroids_literal_sql(cents)}, "
+        f"cluster + 1), (a, b) -> a - b)"
+    )
+    luts_sql = ",".join(
+        f"transform({centroids_literal_sql(books[j])}, c -> "
+        f"aggregate(zip_with(c, slice(_res, {j * dsub + 1}, {dsub}), "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (s, d) -> s + d))"
+        for j in range(m)
+    )
+    sql_side = (
+        q.withColumn("_res", F.expr(res_sql))
+        .select("id", F.expr(f"array({luts_sql})").alias("luts"))
+        .collect()
+    )
+    arrow_side = q.select(
+        "id",
+        _query_luts_col(cents, books, dim)(
+            F.col("qv"), F.col("cluster")
+        ).alias("luts"),
+    ).collect()
+    a = {r["id"]: r["luts"] for r in sql_side}
+    b = {r["id"]: r["luts"] for r in arrow_side}
+    assert a.keys() == b.keys()
+    for i in a:
+        fa = np.asarray(a[i], dtype=np.float64)
+        fb = np.asarray(b[i], dtype=np.float64)
+        assert fa.shape == fb.shape
+        assert np.allclose(fa, fb, rtol=1e-9, atol=1e-9), i
+
+
+def test_auto_sized_ivfpq_builds_and_searches_through_arrow(
+    spark, emb, tmp_path
+):
+    """End-to-end at a cluster count past ARROW_ASSIGN_FROM: fit encodes
+    through the fused Arrow UDF (plan has ArrowEvalPython, never
+    row-at-a-time BatchEvalPython), save/load round-trips, single and
+    batch search answer exactly under a full probe, upsert encodes the
+    delta on the same path, and the staleness report runs."""
+    from custom_vector_database_spark.operators.pq import (
+        IvfPqIndex,
+        quantization_error_report,
+    )
+
+    base = _vecs(emb, 480)
+    idx = IvfPqIndex.fit(
+        base, n_clusters="auto", target_rows_per_cluster=2, m=8, k=8
+    )
+    assert len(idx.centroids) == 240  # past ARROW_ASSIGN_FROM=192
+    plan = idx._encoded._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    path = str(tmp_path / "ivfpq_big")
+    idx.save(path)
+    idx = IvfPqIndex.load(spark, path)
+    q = base.filter(F.col("id") == 7).first()["vec"]
+    q = [float(x) for x in q]
+    # full probe + rerank=1×k against the base: the true row must rank
+    # first (its residual quantizes to itself at distance ~0)
+    top = idx.search(q, k=1, nprobe=240).first()
+    assert top["id"] == 7
+
+    qt = base.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    hits = idx.search_many(qt, k=1, nprobe=240).collect()
+    assert {r["qid"] for r in hits} == {0, 1, 2, 3}
+    assert all(r["qid"] == r["id"] for r in hits)
+
+    delta = emb.filter(
+        (F.col("vec_id") >= 480) & (F.col("vec_id") < 500)
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    assert idx.upsert(delta) == 20
+    got = idx.search(
+        [float(x) for x in delta.filter(F.col("id") == 490).first()["vec"]],
+        k=1,
+        nprobe=240,
+    ).first()
+    assert got["id"] == 490
+
+    # the report runs end-to-end through the Arrow assign/residual path;
+    # at 2 rows/cluster the build rows sit almost on their centroids, so
+    # a high ratio for unseen rows is CORRECT here — assert the shape,
+    # not freshness
+    rep = quantization_error_report(
+        idx, base, delta, vec_col="vec"
+    ).first()
+    assert rep["n_recent"] == 20 and rep["err_ratio"] > 0.0
+
+
+def test_minibatch_kmeans_deterministic_and_sane():
+    """kmeans_fit_np dispatches to the one-epoch minibatch variant past
+    KMEANS_MINIBATCH_FROM: deterministic for a seed, every centroid
+    finite, and mean quantization error within 2× of the exact
+    full-batch fit on the same sample (a coarse IVF quantizer needs
+    balanced cells, not convergence — calibration re-earns nprobe)."""
+    from custom_vector_database_spark.operators.fitting import (
+        KMEANS_MINIBATCH_FROM,
+        _kmeans_minibatch_np,
+        assign_nearest_np,
+        kmeans_fit_np,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(20_000, 16)
+    k = KMEANS_MINIBATCH_FROM
+    a = kmeans_fit_np(x, k, seed=1)
+    b = kmeans_fit_np(x, k, seed=1)
+    assert a == b  # pure function of (x, k, seed)
+    assert a == _kmeans_minibatch_np(x, k, 1)  # the dispatch fired
+    assert np.isfinite(np.asarray(a)).all()
+
+    exact = kmeans_fit_np(x, k, seed=1, minibatch_from=10**9)
+    assert a != exact  # genuinely the other path
+
+    def mean_err(cents):
+        c = np.asarray(cents)
+        am = assign_nearest_np(x, c)
+        return float(((x - c[am]) ** 2).sum(axis=1).mean())
+
+    assert mean_err(a) < 2.0 * mean_err(exact)
+
+
+def test_assign_nearest_np_matches_unchunked():
+    from custom_vector_database_spark.operators.fitting import (
+        assign_nearest_np,
+    )
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(5_000, 8)
+    c = rng.randn(300, 8)
+    got = assign_nearest_np(x, c, chunk=999)
+    d2 = (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * x @ c.T
+        + (c * c).sum(axis=1)
+    )
+    assert (got == d2.argmin(axis=1)).all()
+
+
+def test_flat_pq_big_codebook_encodes_through_arrow(spark, emb):
+    """PqIndex at the standard k=256 byte-code config (past the
+    threshold): fit encodes via the fused Arrow path and a full-rank
+    search still finds the query row first."""
+    from custom_vector_database_spark.operators.pq import PqIndex
+
+    from custom_vector_database_spark.operators.pq import _fused_encode_col
+
+    base = _vecs(emb, 400)
+    idx = PqIndex.fit(base, m=4, k=256, fit_sample=400)
+    q = [float(x) for x in base.filter(F.col("id") == 5).first()["vec"]]
+    assert idx.search(q, k=1).first()["id"] == 5
+    # the encoded frame is checkpointed (plan = Scan ExistingRDD), so
+    # assert the Arrow dispatch on a fresh encode projection instead
+    feats = base.select("id", F.col("vec").cast("array<double>").alias("_vec"))
+    enc = feats.select(
+        _fused_encode_col([[0.0] * 64], idx.codebooks, 64)(F.col("_vec"))
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    # and that the fused flat-PQ codes equal the SQL fold's on a slice
+    from custom_vector_database_spark.operators.fitting import (
+        nearest_centroid_sql,
+    )
+
+    dsub = 16
+    sql_codes = F.expr(
+        "array("
+        + ",".join(
+            nearest_centroid_sql(
+                f"slice(_vec, {j * dsub + 1}, {dsub})", idx.codebooks[j]
+            )
+            for j in range(4)
+        )
+        + ")"
+    )
+    a = feats.select("id", sql_codes.alias("c"))
+    b = idx.encoded_df().withColumnRenamed("codes", "c2")
+    assert (
+        a.join(b, "id")
+        .filter(F.col("c").cast("string") != F.col("c2").cast("string"))
+        .count()
+        == 0
+    )
