@@ -350,6 +350,26 @@ def _centroid_matrix(centroids: list[list[float]]):
     return cents, (cents * cents).sum(axis=1)
 
 
+def stack_valid(v: "pd.Series", dim: int):
+    """(vals, good_indices, x) from a pandas Series of per-row vectors
+    as Arrow delivers them (object array of numpy float64 arrays).
+    SHARED by every Arrow assign/encode UDF. The one rule: never call
+    ``.tolist()`` on the Series — that boxes every float into a Python
+    object (measured: the sf100 2M-row assign spent 250 s of its wall
+    in exactly that, vs ~25 s stacking the ndarray elements directly).
+    ``np.stack`` of the valid rows is a C-side copy; ``np.asarray`` per
+    element is a no-op view when Arrow already handed us float64."""
+    vals = v.to_numpy()
+    good = [
+        i for i, e in enumerate(vals)
+        if e is not None and len(e) == dim
+    ]
+    if not good:
+        return vals, good, None
+    x = np.stack([np.asarray(vals[i], dtype=np.float64) for i in good])
+    return vals, good, x
+
+
 def nearest_centroid_col(
     vec_sql: str,
     centroids: list[list[float]],
@@ -371,21 +391,16 @@ def nearest_centroid_col(
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        vals = v.tolist()
+        vals, good, x = stack_valid(v, dim)
         res: list = [None] * len(vals)
-        good = [
-            i for i, e in enumerate(vals)
-            if e is not None and len(e) == dim
-        ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
             am = d2.argmin(axis=1)  # first minimum: the fold's tie rule
-            # NULL vector ELEMENTS pass the len/None screen above but
-            # become NaN under asarray, making every distance NaN and
-            # argmin silently 0 — the SQL fold yields NULL for the same
-            # row. Mask non-finite-distance rows back to None so both
-            # paths agree (ADVICE r12).
+            # NULL vector ELEMENTS pass the len/None screen but become
+            # NaN under the stack, making every distance NaN and argmin
+            # silently 0 — the SQL fold yields NULL for the same row.
+            # Mask non-finite-distance rows back to None so both paths
+            # agree (ADVICE r12).
             ok = np.isfinite(d2).all(axis=1)
             for j, i in enumerate(good):
                 if ok[j]:
@@ -418,14 +433,9 @@ def nprobe_clusters_col(
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
-        vals = v.tolist()
+        vals, good, x = stack_valid(v, dim)
         res: list = [None] * len(vals)
-        good = [
-            i for i, e in enumerate(vals)
-            if e is not None and len(e) == dim
-        ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
             order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             # NULL-element rows → NaN distances; keep them NULL like the

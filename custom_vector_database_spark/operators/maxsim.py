@@ -965,16 +965,13 @@ def _nearest_unit_centroid_col(
     cents, c2 = _centroid_matrix(centroids)
     dim = cents.shape[1]
 
+    from custom_vector_database_spark.operators.fitting import stack_valid
+
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        vals = v.tolist()
+        vals, good, x = stack_valid(v, dim)
         res: list = [None] * len(vals)
-        good = [
-            i for i, e in enumerate(vals)
-            if e is not None and len(e) == dim
-        ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
             nrm = np.sqrt((x * x).sum(axis=1, keepdims=True))
             xu = np.where(nrm == 0.0, x, x / np.where(nrm == 0.0, 1.0, nrm))
             d2 = (xu * xu).sum(axis=1, keepdims=True) - 2.0 * (xu @ cents.T) + c2

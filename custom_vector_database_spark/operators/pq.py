@@ -253,18 +253,15 @@ def _fused_encode_col(
     books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     books2 = [(b * b).sum(axis=1) for b in books]
 
+    from custom_vector_database_spark.operators.fitting import stack_valid
+
     @pandas_udf("struct<cluster:int, codes:array<int>>")
     def _enc(v: pd.Series) -> pd.DataFrame:
-        vals = v.tolist()
+        vals, good, x = stack_valid(v, dim)
         n = len(vals)
         cluster: list = [None] * n
         codes: list = [None] * n
-        good = [
-            i for i, e in enumerate(vals)
-            if e is not None and len(e) == dim
-        ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T) + c2
             am = d2.argmin(axis=1)
             ok = np.isfinite(d2).all(axis=1)
@@ -304,8 +301,8 @@ def _residual_vs_centroid_col(centroids: list[list[float]]):
 
     @pandas_udf("array<double>")
     def _res(v: pd.Series, c: pd.Series) -> pd.Series:
-        vals = v.tolist()
-        cls = c.tolist()
+        vals = v.to_numpy()
+        cls = c.to_numpy()
         out: list = [None] * len(vals)
         good = [
             i for i, (e, ci) in enumerate(zip(vals, cls))
@@ -313,11 +310,11 @@ def _residual_vs_centroid_col(centroids: list[list[float]]):
             and ci is not None and 0 <= int(ci) < k
         ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            x = np.stack([np.asarray(vals[i], dtype=np.float64) for i in good])
             idx = np.asarray([int(cls[i]) for i in good], dtype=np.int64)
             r = x - cents[idx]
             for t, i in enumerate(good):
-                out[i] = r[t].tolist()
+                out[i] = r[t]
         return pd.Series(out)
 
     return _res
@@ -347,8 +344,8 @@ def _query_luts_col(
 
     @pandas_udf("array<array<double>>")
     def _luts(v: pd.Series, c: pd.Series) -> pd.Series:
-        vals = v.tolist()
-        cls = c.tolist()
+        vals = v.to_numpy()
+        cls = c.to_numpy()
         out: list = [None] * len(vals)
         good = [
             i for i, (e, ci) in enumerate(zip(vals, cls))
@@ -356,7 +353,7 @@ def _query_luts_col(
             and ci is not None and 0 <= int(ci) < kc
         ]
         if good:
-            x = np.asarray([vals[i] for i in good], dtype=np.float64)
+            x = np.stack([np.asarray(vals[i], dtype=np.float64) for i in good])
             idx = np.asarray([int(cls[i]) for i in good], dtype=np.int64)
             res = x - cents[idx]
             # (m, batch, k_sub): ||book_c - res_sub||² per subspace

@@ -2831,12 +2831,58 @@ def compact_sb_sidecar(
 # ---------------------------------------------------------------------------
 _CDC_CHUNKS = "_cdc_chunks"
 _CDC_CLAIMS = "_cdc_claims"
+# The document-frequency sketch lives INSIDE the chunk sidecar dir as an
+# underscore-prefixed subdir: parquet readers ignore "_"-named entries,
+# so the main `spark.read.parquet(sidecar_dir)` never sees it, and it
+# rides the sidecar's tmp-then-rename swap atomically (bootstrap,
+# compact and rebucket replace chunks + sketch in ONE rename).
+_CDC_DF_SUBDIR = "_df"
+# An fp kept by the compact-time fold iff at least this many payloads
+# contain it. The sketch exists for PREFIX RANKING only (rarest-first —
+# PPJoin, Xiao et al., WWW 2008, public method): a missing or stale df
+# can only degrade join pruning, never a drop verdict, so hot-only
+# retention keeps the probe-time read O(hot fps + deltas since
+# compact), flat in corpus size.
+CDC_HOT_DF_MIN = 16
 
 
 def _read_cdc_sidecar(spark: SparkSession, sidecar_dir: str):
     return spark.read.schema(
         "fp string, id long, n_chunks long, batch_id long, fpb long"
     ).parquet(sidecar_dir)
+
+
+def _read_cdc_df(spark: SparkSession, sidecar_dir: str):
+    """The df sketch: (fp, n, batch_id) delta rows — compact-time folds
+    carry batch_id=-1 and only HOT fps (df ≥ CDC_HOT_DF_MIN); per-batch
+    appends carry their batch_id and every fp the batch committed.
+    Missing dir (a sidecar written before round 13) reads as empty —
+    every chunk then ranks as rare, which is the pre-r13 join shape,
+    correct and merely unpruned until the next compact writes the
+    sketch."""
+    import os
+
+    d = os.path.join(sidecar_dir, _CDC_DF_SUBDIR)
+    schema = "fp string, n long, batch_id long"
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(d)
+
+
+def _write_cdc_df_fold(rows, out_dir: str) -> None:
+    """Fold chunk rows → the hot-only df sketch at ``out_dir/_df`` (one
+    groupBy over rows the caller is already rewriting — bootstrap and
+    compact pay nothing extra but this aggregate)."""
+    import os
+
+    (
+        rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= CDC_HOT_DF_MIN)
+        .select("fp", "n", F.lit(-1).cast("long").alias("batch_id"))
+        .coalesce(1)
+        .write.parquet(os.path.join(out_dir, _CDC_DF_SUBDIR))
+    )
 
 
 def _check_cdc_shape(sidecar_dir: str, mask: int) -> None:
@@ -2955,7 +3001,10 @@ def _ensure_cdc_sidecar(
     tmp = sidecar_dir + "_tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    rows = rows.localCheckpoint(eager=True)  # chunking runs once: feeds
+    # the sidecar write AND the df-sketch fold below
     rows.write.partitionBy("fpb").parquet(tmp)
+    _write_cdc_df_fold(rows, tmp)  # hot-chunk df sketch, same swap
     from custom_vector_database_spark.operators.multimodal import CDC_WINDOW
 
     _write_sidecar_meta(tmp, n_buckets, cdc_mask=mask, cdc_window=CDC_WINDOW)
@@ -3047,13 +3096,73 @@ def corpus_cdc_apply_batch(
     probe = probe.select(
         F.col("fp"), F.col("id").alias("old_id")
     )
-    drop_cross = (
-        ex.join(probe, "fp")
-        .groupBy("id", "n_chunks", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") * 100 >= F.lit(pct) * F.col("n_chunks"))
-        .select("id")
+
+    # PPJoin-style PREFIX FILTERING (Xiao et al., WWW 2008 — public
+    # method; r12 verdict item 2). The naive ex⋈probe on fp fans out
+    # on HOT chunks: the r12 sf100 probe measured 86M join rows for a
+    # 200-payload batch (hottest fp in 1.07M corpus payloads) — 125.96 s
+    # per apply where sf10 took 8.13 s. Pigeonhole fix: a payload b
+    # needs shared ≥ required = ceil(pct·|b|/100); any qualifying old
+    # payload must therefore share at least one of ANY
+    # (|b| − required + 1) chosen chunks of b. Choosing the RAREST
+    # chunks (by the sidecar-maintained df sketch) makes the candidate
+    # join touch only low-fan-out fps; the full containment count is
+    # then verified EXACTLY over just the candidate pairs — verdicts
+    # are bit-identical to the naive join (the SQL oracle recomputes
+    # them unchanged), only the candidate generation shrinks. A chunk
+    # absent from the sketch ranks df=0 (rare) — new and cold chunks
+    # are the best prefix members; sketch staleness can only cost
+    # pruning, never a verdict.
+    from pyspark.sql import Window
+
+    dfagg = (
+        _read_cdc_df(spark, sidecar_dir)
+        .groupBy("fp")
+        .agg(F.sum("n").alias("_df"))
     )
+    required = F.expr(f"CAST((n_chunks * {pct} + 99) DIV 100 AS LONG)")
+    w_rare = Window.partitionBy("id").orderBy(
+        F.col("_df").asc(), F.col("fp").asc()
+    )
+    prefix = (
+        ex.join(dfagg, "fp", "left")
+        .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+        .withColumn("_rk", F.row_number().over(w_rare))
+        .filter(F.col("_rk") <= F.col("n_chunks") - required + 1)
+        .select("fp", "id")
+    )
+    cand = (
+        prefix.join(probe, "fp")
+        .select("id", "old_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # the plan below reads it twice
+    )
+    # verification, fan-out-free by construction: pair-chunk rows
+    # (cand × the NEW payload's chunks — bounded by |cand| × ~30) meet
+    # the candidate olds' OWN chunk rows (probe semi-joined to candidate
+    # ids — a broadcast hash semi over the sidecar scan, no shuffle of
+    # it) on BOTH (fp, old_id), so each output row is one genuinely
+    # shared chunk of one candidate pair — never a hot-fp cross product.
+    # A batch with NO candidates (every payload content-fresh — the
+    # steady-state common case) skips the verification's second sidecar
+    # scan entirely: one bounded count against the checkpointed cand.
+    if cand.limit(1).count() == 0:
+        drop_cross = ex.select("id").limit(0)
+    else:
+        probe_cand = probe.join(
+            F.broadcast(cand.select("old_id").distinct()),
+            "old_id", "left_semi",
+        )
+        drop_cross = (
+            cand.join(ex.select("id", "n_chunks", "fp"), "id")
+            .join(probe_cand, ["fp", "old_id"], "left_semi")
+            .groupBy("id", "n_chunks", "old_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(
+                F.col("shared") * 100 >= F.lit(pct) * F.col("n_chunks")
+            )
+            .select("id")
+        )
 
     dropped = drop_intra.union(drop_cross).distinct()
     survivors = batch.join(
@@ -3089,7 +3198,23 @@ def corpus_cdc_apply_batch(
             # payload's chunk rows; replay re-appends exactly the
             # missing (id, fp) rows, never a duplicate row
             new_rows = new_rows.join(claimed, ["id", "fp"], "left_anti")
+        new_rows = new_rows.localCheckpoint(eager=True)  # feeds the
+        # sidecar append AND the df-delta append below, computed once
         new_rows.write.mode("append").partitionBy("fpb").parquet(sidecar_dir)
+        # df-sketch delta: append-time counts, folded (and pruned to
+        # hot fps) at compact. RANKING data only — a replay that
+        # re-appends a delta can at worst over-rank a chunk as hot,
+        # which costs pruning, never a verdict; the per-batch anti-join
+        # above already bounds new_rows to exactly the missing chunk
+        # rows, so the delta matches what actually landed.
+        (
+            new_rows.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("fp", "n", F.lit(batch_id).cast("long").alias("batch_id"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(sidecar_dir, _CDC_DF_SUBDIR))
+        )
         survivors.write.mode("append").parquet(corpus_dir)
     return n_new
 
@@ -3197,6 +3322,10 @@ def compact_cdc_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
+    # fold the df sketch from the rows just rewritten (exact counts,
+    # hot-only retention) — per-batch deltas collapse into one frame,
+    # and the swap below replaces chunks + sketch atomically
+    _write_cdc_df_fold(rows, tmp)
     _meta = _read_sidecar_meta(sidecar_dir) or {}
     _write_sidecar_meta(
         tmp, out_buckets,
