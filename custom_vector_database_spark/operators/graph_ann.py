@@ -481,6 +481,115 @@ class KnnGraphIndex:
             model_id=model_id,
         ).drop("qid")
 
+    def upsert(
+        self,
+        delta: DataFrame,
+        vec_col: str = "vec",
+        beam_width: int | str = 24,
+        rounds: int = 3,
+        entry_probes: int = 2,
+        model_id: str | None = None,
+    ) -> int:
+        """Append a delta of NEW nodes to the SAVED graph layout — the
+        HNSW insert (hnsw.h:60-103: search for the new point's
+        neighbors, link it in), distributed: every delta node
+        beam-searches its ``degree`` nearest existing nodes in ONE
+        batch (search_many over the delta as the query table), and
+        those become its out-edges. APPEND-ONLY asymmetry, documented:
+        existing nodes' neighbor lists are not rewritten (HNSW also
+        adds reverse links; a distributed rewrite of bounded rows per
+        batch would dirty the whole layout's files), so new nodes are
+        REACHABLE as beam candidates only via other new nodes' edges
+        and the entry table — in-edge recall toward a heavily-upserted
+        region degrades until the explicit rebuild, exactly the drift
+        the staleness report prices (entry-quantizer distortion grows
+        with the same drift). Duplicate ids against the saved node
+        table refuse (the tombstone-family ghost-row rationale).
+        Returns rows appended."""
+        if self._path is None:
+            raise ValueError(
+                "upsert requires a saved index (call save() or load() "
+                "first)"
+            )
+        from custom_vector_database_spark.operators.layout import (
+            check_model_id,
+        )
+
+        check_model_id(self.model_id, model_id, "this k-NN-graph layout")
+        spark = self.nodes.sparkSession
+        new_nodes = delta.select(
+            F.col(self.id_col), F.col(vec_col).alias("vec")
+        )
+        if self.metric == "cosine":
+            from custom_vector_database_spark.operators.ivf import (
+                _unit_normalize_expr,
+            )
+
+            new_nodes = new_nodes.select(
+                self.id_col, _unit_normalize_expr("`vec`").alias("vec")
+            )
+        new_nodes = new_nodes.localCheckpoint(eager=True)
+        n = new_nodes.count()
+        dup = new_nodes.join(
+            self.nodes.select(self.id_col), self.id_col, "left_semi"
+        )
+        if dup.limit(1).count():
+            raise ValueError(
+                f"delta reuses id(s) already in the saved graph (e.g. "
+                f"{dup.first()[self.id_col]!r}): an id collision would "
+                "leave two vectors under one node — rebuild instead"
+            )
+        queries = new_nodes.select(
+            F.col(self.id_col).alias("_uq"), F.col("vec").alias("_uv")
+        )
+        dist_col = self.edges.columns[2]
+        edges_old = self.search_many(
+            queries, k=self.degree, beam_width=beam_width, rounds=rounds,
+            entry_probes=entry_probes, query_id="_uq", query_vec="_uv",
+            model_id=model_id,
+        ).select(
+            F.col("_uq").alias("src"),
+            F.col(self.id_col).alias("dst"),
+            F.col(dist_col),
+        )
+        # intra-delta edges: a batch insert would otherwise miss
+        # neighbors that arrived in the SAME delta (HNSW inserts
+        # sequentially, so later inserts see earlier ones) — one exact
+        # batch-bounded k-NN join within the delta restores that,
+        # then the best ``degree`` per source win across both pools
+        from custom_vector_database_spark.operators import knn as knn_ops
+
+        intra = knn_ops.knn_join(
+            new_nodes, queries, k=self.degree,
+            data_id=self.id_col, data_vec="vec",
+            query_id="_uq", query_vec="_uv",
+            metric="cosine" if self.metric == "cosine" else "l2_sq",
+            dist_col=dist_col,
+            predicate=F.col(self.id_col) != F.col("_uq"),
+        ).select(
+            F.col("_uq").alias("src"),
+            F.col(self.id_col).alias("dst"),
+            F.col(dist_col),
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col("dst").asc()
+        )
+        edges_new = (
+            edges_old.unionByName(intra)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= self.degree)
+            .drop("_rk")
+        )
+        edges_new.write.mode("append").parquet(
+            os.path.join(self._path, "edges")
+        )
+        new_nodes.write.mode("append").parquet(
+            os.path.join(self._path, "nodes")
+        )
+        self.edges = spark.read.parquet(os.path.join(self._path, "edges"))
+        self.nodes = spark.read.parquet(os.path.join(self._path, "nodes"))
+        return int(n)
+
     def describe(self) -> dict:
         n_nodes = self.nodes.count()
         return {

@@ -224,6 +224,50 @@ def test_staleness_protocol(spark, base, saved):
     assert rep["n_recent"] == 32 and rep["err_ratio"] > 1.0
 
 
+def test_upsert_appends_and_is_searchable(spark, emb, base, tmp_path):
+    """HNSW-insert analogue: upserted nodes get degree out-edges (best
+    of old-graph beam results ∪ intra-delta exact), land in the saved
+    layout, and are returned by a later search; duplicate ids refuse."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    path = str(tmp_path / "g_up")
+    KnnGraphIndex.fit(
+        base, degree=8, iterations=1, target_rows_per_cluster=64
+    ).save(path)
+    idx = KnnGraphIndex.load(spark, path)
+    delta = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 430)
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    assert idx.upsert(delta, beam_width=16, rounds=2) == 30
+    assert idx.nodes.count() == 430
+    deg = (
+        idx.edges.filter(F.col("src") >= 400)
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    assert len(deg) == 30 and all(r["count"] <= 8 for r in deg)
+    # an upserted node is findable as a QUERY over the refreshed layout
+    q = [float(x) for x in delta.filter(F.col("id") == 410).first()["vec"]]
+    # its own out-edges make its neighborhood searchable; the query
+    # itself seeds from entries, so give the beam some width
+    got = idx.search(q, k=5, beam_width=64, rounds=4)
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 5
+    # duplicate ids refuse
+    with pytest.raises(ValueError, match="reuses id"):
+        idx.upsert(delta)
+    # intra-delta edges exist: some upserted node links to another
+    assert (
+        idx.edges.filter(
+            (F.col("src") >= 400) & (F.col("dst") >= 400)
+        ).count()
+        > 0
+    )
+
+
 def test_rounds_zero_scores_entries_only(spark, base, saved):
     """rounds=0 degenerates to scoring the entry seeds — still valid
     output (≤ k per query), the bounded floor of the contract."""
