@@ -530,6 +530,15 @@ class KnnGraphIndex:
             )
         new_nodes = new_nodes.localCheckpoint(eager=True)
         n = new_nodes.count()
+        if (
+            new_nodes.groupBy(self.id_col).count()
+            .filter(F.col("count") > 1).limit(1).count()
+        ):
+            raise ValueError(
+                f"duplicate {self.id_col!r} within the upsert delta: two "
+                "vectors under one node id is undecidable — dedup ids "
+                "upstream"
+            )
         dup = new_nodes.join(
             self.nodes.select(self.id_col), self.id_col, "left_semi"
         )

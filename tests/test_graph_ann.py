@@ -268,6 +268,24 @@ def test_upsert_appends_and_is_searchable(spark, emb, base, tmp_path):
     )
 
 
+def test_beam_plan_has_no_cartesian_or_perrow_python(spark, base, saved):
+    """The beam's final plan (and, via the checkpoints, every round's):
+    equi-joins only — no CartesianProduct/BroadcastNestedLoop over the
+    node or edge tables, and never row-at-a-time Python."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.limit(4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    out = idx.search_many(qt, 5, beam_width=8, rounds=1, model_id="emb-v1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_rounds_zero_scores_entries_only(spark, base, saved):
     """rounds=0 degenerates to scoring the entry seeds — still valid
     output (≤ k per query), the bounded floor of the contract."""
