@@ -277,9 +277,15 @@ class KnnGraphIndex:
         return F.expr(_min_sq_dist_sql("_vec", self.centroids))
 
     # -- search -------------------------------------------------------------
-    def _resolve_beam(self, beam_width):
-        """``beam_width="auto"`` reads the pinned recall calibration
-        (calibrate_beam persist=True); anything else passes through."""
+    def _resolve_beam(self, beam_width, rounds, entry_probes):
+        """Resolve the THREE search knobs together. ``beam_width="auto"``
+        reads the pinned recall calibration (calibrate_beam
+        persist=True) — and because the pinned recall was MEASURED at
+        the calibration's rounds/entry_probes, those are restored too
+        for any knob the caller left at None (an explicit value always
+        wins; restoring only beam_width would silently deliver a lower
+        recall than the pin promises — r13 review finding). Without
+        "auto", None knobs take the documented defaults (3, 2)."""
         if beam_width == "auto":
             if not self.calibration or "beam_width" not in self.calibration:
                 raise ValueError(
@@ -287,16 +293,27 @@ class KnnGraphIndex:
                     "calibrate_beam(..., persist=True) on the saved "
                     "layout first"
                 )
-            return int(self.calibration["beam_width"])
-        return int(beam_width)
+            pin = self.calibration
+            return (
+                int(pin["beam_width"]),
+                int(pin.get("rounds", 3)) if rounds is None else int(rounds),
+                int(pin.get("entry_probes", 2))
+                if entry_probes is None
+                else int(entry_probes),
+            )
+        return (
+            int(beam_width),
+            3 if rounds is None else int(rounds),
+            2 if entry_probes is None else int(entry_probes),
+        )
 
     def search_many(
         self,
         queries: DataFrame,
         k: int,
         beam_width: int | str = "auto",
-        rounds: int = 3,
-        entry_probes: int = 2,
+        rounds: int | None = None,
+        entry_probes: int | None = None,
         query_id: str = "qid",
         query_vec: str = "qvec",
         dist_col: str | None = None,
@@ -307,41 +324,70 @@ class KnnGraphIndex:
         the distributed searchKnn (hnsw.h:104-132). Returns (query_id,
         id_col, dist_col) best-first per query, id tie-break, ≤ k rows
         per query. ``rounds`` bounds the expansion; ``beam_width`` is
-        the recall knob calibrate_beam pins."""
+        the recall knob calibrate_beam pins (with ``beam_width="auto"``
+        the pinned rounds/entry_probes are restored too unless passed
+        explicitly; plain-int beam leaves None knobs at 3/2)."""
         from custom_vector_database_spark.operators.layout import (
             check_model_id,
         )
 
         check_model_id(self.model_id, model_id, "this k-NN-graph layout")
-        beam_width = self._resolve_beam(beam_width)
+        beam_width, rounds, entry_probes = self._resolve_beam(
+            beam_width, rounds, entry_probes
+        )
         if beam_width <= 0 or rounds < 0 or k <= 0:
             raise ValueError(
                 f"k={k}, beam_width={beam_width}, rounds={rounds} must be "
                 "positive (rounds may be 0: entry scoring only)"
             )
-        for qc in (query_id, query_vec):
-            if qc in (self.id_col, "vec", "src", "dst"):
-                raise ValueError(
-                    f"query column {qc!r} collides with a layout column — "
-                    "alias it on the query side first"
-                )
         dist_col = dist_col or (
             "cos_dist" if self.metric == "cosine" else "dist_sq"
         )
-        # ONE bounded pass guards dims and the broadcast row count
+        reserved = {
+            self.id_col, "vec", "src", "dst", "cluster",
+            "_node", "_expanded", "_rk", "_f", dist_col,
+        }
+        for qc in (query_id, query_vec):
+            if qc in reserved:
+                raise ValueError(
+                    f"query column {qc!r} collides with a layout or "
+                    "beam-internal column — alias it on the query side "
+                    "first"
+                )
+        # ONE bounded pass guards dims, element finiteness, qid
+        # uniqueness, and the broadcast row count. Non-finite/NULL
+        # ELEMENTS must refuse here: nprobe_clusters_col masks such
+        # rows to a NULL shortlist, explode drops them, and the query
+        # would silently vanish from the output (r13 review finding).
+        qv = F.col(query_vec)
+        bad = (
+            qv.isNull()
+            | (F.size(qv) != self.dim)
+            | F.exists(
+                qv,
+                lambda x: x.isNull()
+                | F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == float("inf")),
+            )
+        )
         stats = queries.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.col(query_vec).isNull()
-                    | (F.size(F.col(query_vec)) != self.dim)
-                ).cast("long")
-            ).alias("n_bad"),
+            F.count_distinct(F.col(query_id)).alias("n_q"),
+            F.sum(bad.cast("long")).alias("n_bad"),
         ).first()
         if stats["n_bad"]:
             raise ValueError(
-                f"{stats['n_bad']} query vector(s) are NULL or do not "
-                f"have dim {self.dim}"
+                f"{stats['n_bad']} query vector(s) are NULL, have a "
+                f"dim other than {self.dim}, or contain NULL/non-finite "
+                "elements — such a query cannot rank and would silently "
+                "return no rows; filter or impute upstream"
+            )
+        if int(stats["n_q"]) != int(stats["n"]):
+            raise ValueError(
+                f"duplicate {query_id!r} values in the query table "
+                f"({stats['n']} rows, {stats['n_q']} distinct ids): the "
+                "per-query top-k would count the same node once per "
+                "duplicate — dedup the query ids upstream"
             )
         if max_query_rows is not None and int(stats["n"]) > max_query_rows:
             raise ValueError(
@@ -383,15 +429,25 @@ class KnnGraphIndex:
                 )
             )
 
-        # seed: entry nodes of each query's entry_probes nearest clusters
+        # seed: entry nodes of each query's entry_probes nearest
+        # ENTRY-BEARING clusters. The ranking runs over the entry
+        # clusters' centroids only (positional ids into self.entries),
+        # never the full centroid table: a memberless cluster (possible
+        # at big auto-sized k, or from minibatch centers no point ever
+        # picked) has no entry node, and ranking it would inner-join
+        # away the seed — a query whose nearest clusters were all
+        # memberless silently returned zero rows (r13 review finding).
+        # Every query now gets ≥ 1 seed by construction (fit guarantees
+        # ≥ 1 non-empty cluster).
+        entry_cents = [self.centroids[int(c)] for c, _ in self.entries]
         entry_df = spark.createDataFrame(
-            [(int(c), e) for c, e in self.entries],
+            [(i, e) for i, (_c, e) in enumerate(self.entries)],
             f"cluster int, _node {dict(self.nodes.dtypes)[self.id_col]}",
         )
         probes = nprobe_clusters_col(
             f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)",
-            self.centroids,
-            min(int(entry_probes), len(self.centroids)),
+            entry_cents,
+            min(int(entry_probes), len(entry_cents)),
         )
         seeds = (
             qside.select(query_id, F.explode(probes).alias("cluster"))
@@ -459,8 +515,8 @@ class KnnGraphIndex:
         query: list[float],
         k: int,
         beam_width: int | str = "auto",
-        rounds: int = 3,
-        entry_probes: int = 2,
+        rounds: int | None = None,
+        entry_probes: int | None = None,
         dist_col: str | None = None,
         model_id: str | None = None,
     ) -> DataFrame:
@@ -588,6 +644,20 @@ class KnnGraphIndex:
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= self.degree)
             .drop("_rk")
+        )
+        # Crash-replay exactness without a claims protocol (r13 review
+        # finding): edges append FIRST, nodes LAST. A crash between the
+        # two leaves orphan edges (srcs absent from the node table) —
+        # harmless to searches (score()'s inner node join drops them,
+        # and nothing reaches them: no edge points TO a delta node yet
+        # and the entry table predates the delta) — and the RETRY
+        # recomputes the identical edges (the beam never visits the
+        # orphans, so the graph it sees is unchanged) and anti-joins
+        # away the rows that already landed, re-appending exactly the
+        # missing ones. A retry after BOTH appends landed hits the
+        # duplicate-id refusal above — the upsert already completed.
+        edges_new = edges_new.join(
+            self.edges.select("src", "dst"), ["src", "dst"], "left_anti"
         )
         edges_new.write.mode("append").parquet(
             os.path.join(self._path, "edges")

@@ -3322,10 +3322,15 @@ def compact_cdc_sidecar(
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
-    # fold the df sketch from the rows just rewritten (exact counts,
+    # fold the df sketch FROM THE FRESHLY-WRITTEN TMP (exact counts,
     # hot-only retention) — per-batch deltas collapse into one frame,
-    # and the swap below replaces chunks + sketch atomically
-    _write_cdc_df_fold(rows, tmp)
+    # and the swap below replaces chunks + sketch atomically. Reading
+    # tmp back (page-cache warm, compacted file count) instead of
+    # re-evaluating the lazy `rows` avoids a third full scan of the
+    # OLD fragmented sidecar, the family's largest frame (r13 review
+    # finding); the "_df" subdir write is invisible to this read
+    # (underscore-hidden).
+    _write_cdc_df_fold(_read_cdc_sidecar(spark, tmp), tmp)
     _meta = _read_sidecar_meta(sidecar_dir) or {}
     _write_sidecar_meta(
         tmp, out_buckets,

@@ -286,6 +286,124 @@ def test_beam_plan_has_no_cartesian_or_perrow_python(spark, base, saved):
     assert "BatchEvalPython" not in plan
 
 
+def test_auto_restores_all_pinned_knobs(spark, base, saved):
+    """beam_width="auto" restores the calibration's rounds and
+    entry_probes too (the pinned recall was measured AT those knobs);
+    explicit values still win (r13 review finding)."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+        calibrate_beam,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    qt = base.filter(F.col("id") < 6).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    calibrate_beam(
+        idx, qt, k=3, target_recall=0.5, rounds=4, entry_probes=3,
+        persist=True, model_id="emb-v1",
+    )
+    idx2 = KnnGraphIndex.load(spark, saved)
+    bw, rd, ep = idx2._resolve_beam("auto", None, None)
+    assert (rd, ep) == (4, 3) and bw == idx2.calibration["beam_width"]
+    bw2, rd2, ep2 = idx2._resolve_beam("auto", 7, None)
+    assert (rd2, ep2) == (7, 3)  # explicit rounds wins, probes pinned
+    assert idx2._resolve_beam(16, None, None) == (16, 3, 2)
+
+
+def test_bad_query_vectors_refused(spark, base, saved):
+    """NULL-element / non-finite query vectors and duplicate qids
+    refuse loudly instead of silently vanishing from the output (r13
+    review findings)."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    idx = KnnGraphIndex.load(spark, saved)
+    nanq = base.limit(2).select(
+        F.col("id").alias("qid"),
+        F.expr(
+            "transform(vec, (x, i) -> CASE WHEN i = 0 THEN "
+            "CAST('NaN' AS FLOAT) ELSE x END)"
+        ).alias("qvec"),
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        idx.search_many(nanq, 3, beam_width=8, model_id="emb-v1")
+    dupq = base.limit(2).select(
+        F.lit(1).alias("qid"), F.col("vec").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.search_many(dupq, 3, beam_width=8, model_id="emb-v1")
+
+
+def test_memberless_clusters_still_seed_every_query(spark, base):
+    """Entry seeding ranks only ENTRY-BEARING clusters: a query whose
+    nearest raw centroids are memberless must still get seeds and
+    return rows (r13 review finding — previously the inner join ate
+    the seed and the query silently vanished)."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+    from custom_vector_database_spark.operators import knn as knn_ops
+
+    small = base.filter(F.col("id") < 60)
+    idx = KnnGraphIndex.fit(
+        small, degree=6, iterations=1, target_rows_per_cluster=16
+    )
+    # graft two FAR memberless centroids that would out-rank every real
+    # one for a shifted query; no entries exist for them
+    far = [[1000.0] * idx.dim, [1001.0] * idx.dim]
+    idx.centroids = far + idx.centroids
+    idx.entries = [[c + 2, e] for c, e in idx.entries]
+    q = small.limit(3).select(
+        F.col("id").alias("qid"),
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 900.0 AS FLOAT))"
+        ).alias("qvec"),
+    )
+    got = idx.search_many(q, 2, beam_width=8, rounds=1, entry_probes=2)
+    assert {r["qid"] for r in got.collect()} == {0, 1, 2}
+
+
+def test_upsert_replay_heals_row_exactly(spark, base, tmp_path):
+    """A crashed upsert (edges landed, nodes did not) replays to the
+    exact final state: no duplicate (src, dst) edge rows, nodes
+    appended once (r13 review finding)."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    def fresh(path):
+        KnnGraphIndex.fit(
+            base.filter(F.col("id") < 300), degree=6, iterations=1,
+            target_rows_per_cluster=64,
+        ).save(path)
+        return KnnGraphIndex.load(spark, path)
+
+    delta = base.filter((F.col("id") >= 300) & (F.col("id") < 320))
+    # learn the edges a clean upsert writes
+    p1 = str(tmp_path / "clean")
+    idx1 = fresh(p1)
+    idx1.upsert(delta, beam_width=16, rounds=2)
+    clean_edges = sorted(
+        map(tuple, idx1.edges.filter(F.col("src") >= 300).collect())
+    )
+    # simulate the crash on a second fresh layout: append those edges,
+    # skip the node append, then run the real upsert (the replay)
+    p2 = str(tmp_path / "crashed")
+    idx2 = fresh(p2)
+    spark.createDataFrame(
+        clean_edges, idx2.edges.schema
+    ).write.mode("append").parquet(f"{p2}/edges")
+    idx2.edges = spark.read.parquet(f"{p2}/edges")
+    assert idx2.upsert(delta, beam_width=16, rounds=2) == 20
+    got_edges = sorted(
+        map(tuple, idx2.edges.filter(F.col("src") >= 300).collect())
+    )
+    assert got_edges == clean_edges  # healed row-exactly, no duplicates
+    assert idx2.nodes.count() == 320
+
+
 def test_rounds_zero_scores_entries_only(spark, base, saved):
     """rounds=0 degenerates to scoring the entry seeds — still valid
     output (≤ k per query), the bounded floor of the contract."""
