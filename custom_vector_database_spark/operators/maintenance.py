@@ -285,7 +285,9 @@ def maintenance_plan(
                     "saved path — or rebuild with n_clusters='auto'"
                 ),
             })
-        if hasattr(idx, "_resolve_nprobe") and (
+        if (
+            hasattr(idx, "_resolve_nprobe") or hasattr(idx, "_resolve_beam")
+        ) and (
             getattr(idx, "calibration", None) is None
             or rebuild_planned
             or resize_planned
@@ -610,17 +612,31 @@ def run_maintenance(
         # fail or mis-skip with a 'pass corpus=' message that does not
         # apply (r11 ADVICE finding)
         is_maxsim = hasattr(idx, "doc_col") and hasattr(idx, "rows_df")
-        cal = calibrate_nprobe_maxsim if is_maxsim else calibrate_nprobe
+        is_graph = hasattr(idx, "_resolve_beam")
+        if is_graph:
+            # the k-NN-graph layout pins beam_width, not nprobe — its
+            # own calibrate verb (the r11 MaxSim mis-dispatch lesson,
+            # applied to the third calibration flavor up front)
+            from custom_vector_database_spark.operators.graph_ann import (
+                calibrate_beam,
+            )
+
+            cal = calibrate_beam
+        else:
+            cal = calibrate_nprobe_maxsim if is_maxsim else calibrate_nprobe
         try:
             rep = cal(idx, queries, persist=True, **spec)
         except WriterLeaseHeld:
             raise  # the loop's per-action skip handles a busy layout
         except ValueError as e:
             # the sweep missed the target (or the bag was unusable):
-            # calibrate_nprobe refused to pin — record the refusal with
+            # the calibrator refused to pin — record the refusal with
             # its remedy instead of aborting every other action
             return {"target": a["target"], "action": "calibrate",
                     "skipped": str(e)}
+        if is_graph:
+            return {"target": a["target"], "action": "calibrate",
+                    "beam_width": rep["beam_width"], "recall": rep["recall"]}
         return {"target": a["target"], "action": "calibrate",
                 "nprobe": rep["nprobe"], "recall": rep["recall"]}
 

@@ -404,6 +404,63 @@ def test_upsert_replay_heals_row_exactly(spark, base, tmp_path):
     assert idx2.nodes.count() == 320
 
 
+def test_autopilot_rebuild_and_beam_calibrate(spark, base, tmp_path):
+    """The graph layout joins the maintenance autopilot: a drifted
+    recent slice plans the rebuild; the calibrate row dispatches to
+    calibrate_beam (never the vector/MaxSim flavors), and one execute
+    run refreshes the layout AND pins beam_width — resolvable via
+    beam_width="auto" on the reloaded handle."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+    from custom_vector_database_spark.operators.maintenance import (
+        run_maintenance,
+    )
+
+    small = base.filter(F.col("id") < 200)
+    path = str(tmp_path / "g_auto")
+    KnnGraphIndex.fit(
+        small, degree=6, iterations=1, target_rows_per_cluster=64
+    ).save(path)
+    idx = KnnGraphIndex.load(spark, path)
+    drift = small.limit(32).select(
+        "id",
+        F.expr(
+            "transform(vec, x -> CAST(CAST(x AS DOUBLE) + 5.0 AS FLOAT))"
+        ).alias("vec"),
+    )
+    qt = small.filter(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    ent = {
+        "name": "g",
+        "index": idx,
+        "build_df": small,
+        "recent_df": drift,
+        "path": path,
+        "refit": lambda: KnnGraphIndex.fit(
+            small, degree=6, iterations=1, target_rows_per_cluster=64
+        ),
+        # NOTE: unlike IVF's full probe, a full-width beam is NOT brute
+        # force — reachability is bounded by rounds and the digraph's
+        # in-edges — so the test certifies DISPATCH + pin round-trip at
+        # a modest deterministic target with generous walk knobs, not a
+        # high-recall contract (that lives in the dedicated recall
+        # tests)
+        "calibrate": {"queries": qt, "k": 3, "target_recall": 0.5,
+                      "rounds": 5, "entry_probes": 6},
+    }
+    plan, executed = run_maintenance(spark, layouts=[ent], execute=True)
+    actions = {(r["target"], r["action"]) for r in executed}
+    assert ("g", "rebuild") in actions and ("g", "calibrate") in actions
+    cal = next(r for r in executed if r["action"] == "calibrate")
+    assert "beam_width" in cal and cal["recall"] >= 0.5
+    re = KnnGraphIndex.load(spark, path)
+    assert re.calibration["beam_width"] == cal["beam_width"]
+    hits = re.search_many(qt, 3, beam_width="auto").collect()
+    assert len({r["qid"] for r in hits}) == 8
+
+
 def test_rounds_zero_scores_entries_only(spark, base, saved):
     """rounds=0 degenerates to scoring the entry seeds — still valid
     output (≤ k per query), the bounded floor of the contract."""

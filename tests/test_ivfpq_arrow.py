@@ -166,6 +166,48 @@ def test_auto_sized_ivfpq_builds_and_searches_through_arrow(
     assert rep["n_recent"] == 20 and rep["err_ratio"] > 0.0
 
 
+def test_big_k_search_many_cosine_and_dot(spark, emb):
+    """The Arrow probe/LUT branch carries the metric plumbing (_qn2 on
+    dot, normalize-at-build on cosine) exactly like the SQL branch: a
+    full-probe batch search self-ranks on cosine and matches the exact
+    inner-product top-1 on dot."""
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.pq import IvfPqIndex
+
+    base = _vecs(emb, 480)
+    qt = base.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+
+    cos = IvfPqIndex.fit(
+        base, n_clusters="auto", target_rows_per_cluster=2, m=8, k=8,
+        metric="cosine",
+    )
+    assert len(cos.centroids) == 240  # Arrow branch
+    hits = cos.search_many(
+        qt, k=1, nprobe=240, base_df=base, rerank=10
+    ).collect()
+    assert all(r["qid"] == r["id"] for r in hits)  # cos(self) = 1
+
+    dot = IvfPqIndex.fit(
+        base, n_clusters="auto", target_rows_per_cluster=2, m=13, k=8,
+        metric="dot",
+    )
+    exact = {
+        r["qid"]: r["id"]
+        for r in knn_ops.knn_join(
+            base, qt, k=1, metric="dot", dist_col="score"
+        ).collect()
+    }
+    got = {
+        r["qid"]: r["id"]
+        for r in dot.search_many(
+            qt, k=1, nprobe=240, base_df=base, rerank=10
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_minibatch_kmeans_deterministic_and_sane():
     """kmeans_fit_np dispatches to the one-epoch minibatch variant past
     KMEANS_MINIBATCH_FROM: deterministic for a seed, every centroid
