@@ -90,6 +90,7 @@ class KnnGraphIndex:
         metric: str = "l2_sq",
         degree: int = 10,
         model_id: str | None = None,
+        carry_cols: list[str] | None = None,
     ):
         if metric not in ("l2_sq", "cosine"):
             raise ValueError(
@@ -104,6 +105,9 @@ class KnnGraphIndex:
         self.metric = metric
         self.degree = degree
         self.model_id = model_id
+        self.carry_cols = list(carry_cols or [])  # filter attributes
+        # stored IN the node table so filtered searches read them off
+        # the scoring join (the IvfIndex carry_cols convention)
         self.calibration: dict | None = None  # beam pin (calibrate_beam)
         self._path: str | None = None
 
@@ -125,6 +129,7 @@ class KnnGraphIndex:
         max_iter: int = 10,
         fit_sample: int = 100_000,
         model_id: str | None = None,
+        carry_cols: list[str] | None = None,
     ) -> "KnnGraphIndex":
         """Build the degree-NN graph (operators/knn_graph.knn_graph —
         multi-probe IVF init + bounded NN-Descent, linear in n), fit the
@@ -137,6 +142,11 @@ class KnnGraphIndex:
             knn_graph,
         )
 
+        carry_cols = list(carry_cols or [])
+        bad = {id_col, vec_col, "vec", "cluster", "src", "dst",
+               "_node"} & set(carry_cols)
+        if bad:
+            raise ValueError(f"carry_cols collide with index columns: {bad}")
         dist_col = "cos_dist" if metric == "cosine" else "dist_sq"
         edges = knn_graph(
             df,
@@ -154,14 +164,15 @@ class KnnGraphIndex:
             fit_sample=fit_sample,
         ).localCheckpoint(eager=True)
 
-        nodes = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        carry = [F.col(c) for c in carry_cols]
+        nodes = df.select(F.col(id_col), F.col(vec_col).alias("vec"), *carry)
         if metric == "cosine":
             from custom_vector_database_spark.operators.ivf import (
                 _unit_normalize_expr,
             )
 
             nodes = nodes.select(
-                id_col, _unit_normalize_expr("`vec`").alias("vec")
+                id_col, _unit_normalize_expr("`vec`").alias("vec"), *carry
             )
         nodes = nodes.localCheckpoint(eager=True)
         n = nodes.count()
@@ -199,6 +210,7 @@ class KnnGraphIndex:
         idx = cls(
             edges, nodes, centroids, entries, id_col, dim,
             metric=metric, degree=degree, model_id=model_id,
+            carry_cols=carry_cols,
         )
         idx._dist_col = dist_col
         return idx
@@ -212,6 +224,7 @@ class KnnGraphIndex:
             "metric": self.metric,
             "degree": self.degree,
             "model_id": self.model_id,
+            "carry_cols": self.carry_cols,
             "centroids": self.centroids,
             "entries": self.entries,
         }
@@ -245,6 +258,7 @@ class KnnGraphIndex:
             metric=meta.get("metric", "l2_sq"),
             degree=meta.get("degree", 10),
             model_id=meta.get("model_id"),
+            carry_cols=meta.get("carry_cols"),
         )
         idx.calibration = meta.get("calibration")
         idx._path = path
@@ -318,6 +332,7 @@ class KnnGraphIndex:
         query_vec: str = "qvec",
         dist_col: str | None = None,
         max_query_rows: int | None = 100_000,
+        filter_map: dict[str, str] | None = None,
         model_id: str | None = None,
     ) -> DataFrame:
         """Beam-search the saved graph for every query row at once —
@@ -326,7 +341,15 @@ class KnnGraphIndex:
         per query. ``rounds`` bounds the expansion; ``beam_width`` is
         the recall knob calibrate_beam pins (with ``beam_width="auto"``
         the pinned rounds/entry_probes are restored too unless passed
-        explicitly; plain-int beam leaves None knobs at 3/2)."""
+        explicitly; plain-int beam leaves None knobs at 3/2).
+
+        ``filter_map`` maps a node attribute column (stored via
+        fit(carry_cols=...)) to a query-side column: the beam WALKS the
+        graph unrestricted (restricting the walk itself would sever
+        connectivity through non-matching nodes — the standard
+        filtered-graph-ANN discipline) and the per-query top-k is taken
+        over MATCHING nodes only, so each query gets up to k
+        attribute-matching neighbors."""
         from custom_vector_database_spark.operators.layout import (
             check_model_id,
         )
@@ -347,8 +370,21 @@ class KnnGraphIndex:
             self.id_col, "vec", "src", "dst", "cluster",
             "_node", "_expanded", "_rk", "_f", dist_col,
         }
+        filter_map = dict(filter_map or {})
+        for dcol, qcol in filter_map.items():
+            if dcol not in self.carry_cols:
+                raise ValueError(
+                    f"filter column {dcol!r} is not in the saved node "
+                    f"table — build the index with fit(carry_cols="
+                    f"[{dcol!r}])"
+                )
+            if qcol in reserved or qcol == dcol:
+                raise ValueError(
+                    f"query filter column {qcol!r} collides with a "
+                    "layout column — alias it on the query side first"
+                )
         for qc in (query_id, query_vec):
-            if qc in reserved:
+            if qc in reserved or qc in filter_map:
                 raise ValueError(
                     f"query column {qc!r} collides with a layout or "
                     "beam-internal column — alias it on the query side "
@@ -403,9 +439,10 @@ class KnnGraphIndex:
             queries = queries.withColumn(
                 query_vec, _unit_normalize_expr(f"`{query_vec}`")
             )
-        qside = queries.select(query_id, query_vec).localCheckpoint(
-            eager=True
-        )
+        qfilter_cols = [F.col(c) for c in filter_map.values()]
+        qside = queries.select(
+            query_id, query_vec, *qfilter_cols
+        ).localCheckpoint(eager=True)
         spark = qside.sparkSession
         pair_dist = F.round(
             l2_squared(F.col("vec"), F.col(query_vec))
@@ -413,19 +450,23 @@ class KnnGraphIndex:
             6,
         )
 
+        fcols = sorted(filter_map)  # node attrs carried through visited
+
         def score(cand: DataFrame) -> DataFrame:
-            """(qid, node) → + dist: equi-join to the node table, then
-            broadcast-join the bounded query side."""
+            """(qid, node) → + dist (+ filter attrs): equi-join to the
+            node table, then broadcast-join the bounded query side."""
             return (
                 cand.join(
                     self.nodes.withColumnRenamed(self.id_col, "_node"),
                     "_node",
                 )
-                .join(F.broadcast(qside), query_id)
+                .join(F.broadcast(qside.select(query_id, query_vec)),
+                      query_id)
                 .select(
                     F.col(query_id),
                     F.col("_node"),
                     pair_dist.alias(dist_col),
+                    *[F.col(c) for c in fcols],
                 )
             )
 
@@ -493,6 +534,7 @@ class KnnGraphIndex:
                 query_id,
                 "_node",
                 dist_col,
+                *fcols,
                 (
                     F.col("_expanded")
                     | F.coalesce(F.col("_f"), F.lit(False))
@@ -500,8 +542,22 @@ class KnnGraphIndex:
             )
             visited = marked.unionByName(scored).localCheckpoint(eager=True)
 
+        out = visited
+        if filter_map:
+            # emit-time filtering: join the per-query filter values back
+            # (broadcast, bounded) and keep matching nodes only — the
+            # walk above was unrestricted, so connectivity through
+            # non-matching nodes is preserved
+            out = out.join(
+                F.broadcast(
+                    qside.select(query_id, *qfilter_cols)
+                ),
+                query_id,
+            )
+            for dcol, qcol in filter_map.items():
+                out = out.filter(F.col(dcol) == F.col(qcol))
         return (
-            visited.withColumn("_rk", F.row_number().over(w))
+            out.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .select(
                 F.col(query_id),
@@ -573,8 +629,11 @@ class KnnGraphIndex:
 
         check_model_id(self.model_id, model_id, "this k-NN-graph layout")
         spark = self.nodes.sparkSession
+        carry = [F.col(c) for c in self.carry_cols]  # the saved node
+        # schema includes the filter attributes; a delta missing one
+        # fails loudly at this select, never as a half-schema append
         new_nodes = delta.select(
-            F.col(self.id_col), F.col(vec_col).alias("vec")
+            F.col(self.id_col), F.col(vec_col).alias("vec"), *carry
         )
         if self.metric == "cosine":
             from custom_vector_database_spark.operators.ivf import (
@@ -582,7 +641,8 @@ class KnnGraphIndex:
             )
 
             new_nodes = new_nodes.select(
-                self.id_col, _unit_normalize_expr("`vec`").alias("vec")
+                self.id_col, _unit_normalize_expr("`vec`").alias("vec"),
+                *carry,
             )
         new_nodes = new_nodes.localCheckpoint(eager=True)
         n = new_nodes.count()

@@ -404,6 +404,59 @@ def test_upsert_replay_heals_row_exactly(spark, base, tmp_path):
     assert idx2.nodes.count() == 320
 
 
+def test_filtered_search_walks_unrestricted_emits_matching(
+    spark, emb, tmp_path
+):
+    """filter_map: the walk crosses non-matching nodes (connectivity
+    preserved) but every emitted row matches the query's attribute —
+    pinned against the exact per-label k-NN."""
+    from custom_vector_database_spark.operators import knn as knn_ops
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    data = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        (F.col("vec_id") % 3).cast("int").alias("lbl"),
+    )
+    path = str(tmp_path / "g_filt")
+    KnnGraphIndex.fit(
+        data, degree=8, iterations=1, target_rows_per_cluster=64,
+        carry_cols=["lbl"],
+    ).save(path)
+    idx = KnnGraphIndex.load(spark, path)
+    assert idx.carry_cols == ["lbl"]
+    qt = data.filter(F.col("id") < 9).select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("lbl").alias("qlbl"),
+    )
+    got = idx.search_many(
+        qt, k=3, beam_width=48, rounds=4, entry_probes=4,
+        filter_map={"lbl": "qlbl"},
+    ).collect()
+    # every hit matches its query's label (label ≡ id mod 3 here)
+    assert got and all(r["id"] % 3 == r["qid"] % 3 for r in got)
+    # recall vs the exact per-label answer at a generous beam
+    exact = knn_ops.knn_join(
+        data, qt, k=3, predicate=F.col("lbl") == F.col("qlbl")
+    ).collect()
+    ex: dict = {}
+    ap: dict = {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["id"])
+    for r in got:
+        ap.setdefault(r["qid"], set()).add(r["id"])
+    rec = sum(
+        len(ap.get(q, set()) & s) / len(s) for q, s in ex.items()
+    ) / len(ex)
+    assert rec >= 0.7
+    # guard: filtering on a column the layout does not carry refuses
+    with pytest.raises(ValueError, match="carry_cols"):
+        idx.search_many(qt, 3, beam_width=8, filter_map={"nope": "qlbl"})
+
+
 def test_autopilot_rebuild_and_beam_calibrate(spark, base, tmp_path):
     """The graph layout joins the maintenance autopilot: a drifted
     recent slice plans the rebuild; the calibrate row dispatches to
