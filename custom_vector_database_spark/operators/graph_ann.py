@@ -63,11 +63,14 @@ from custom_vector_database_spark.operators.fitting import (
     resolve_n_clusters,
 )
 from custom_vector_database_spark.operators.knn import l2_squared
+from custom_vector_database_spark.operators.tombstones import (
+    TombstoneDeleteMixin,
+)
 
 __all__ = ["KnnGraphIndex", "calibrate_beam"]
 
 
-class KnnGraphIndex:
+class KnnGraphIndex(TombstoneDeleteMixin):
     """A saved k-NN graph + its vectors + the entry quantizer — the
     persisted, queryable form of operators/knn_graph.knn_graph (which
     returns edges only). Layout on disk:
@@ -110,6 +113,40 @@ class KnnGraphIndex:
         # the scoring join (the IvfIndex carry_cols convention)
         self.calibration: dict | None = None  # beam pin (calibrate_beam)
         self._path: str | None = None
+
+    def _raw_layout(self) -> DataFrame:
+        """Tombstone protocol (TombstoneDeleteMixin): deletes key on
+        NODE ids; the node table is the full stored frame."""
+        return self.nodes
+
+    @staticmethod
+    def _entries_for(nodes: DataFrame, centroids, id_col: str):
+        """One entry node per non-empty cluster: the member nearest
+        that centroid (assign projection + broadcast centroid join +
+        one window; bounded ≤ n_clusters collect). Shared by fit and
+        compact (compact must re-pick entries from the LIVE nodes — a
+        physically dropped entry node would otherwise leave dead
+        seeds)."""
+        spark = nodes.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "cluster int, _cent array<double>",
+        )
+        assigned = nodes.withColumn(
+            "cluster",
+            nearest_centroid_col("CAST(`vec` AS ARRAY<DOUBLE>)", centroids),
+        ).join(F.broadcast(cent_df), "cluster")
+        w = Window.partitionBy("cluster").orderBy(
+            l2_squared(F.col("vec"), F.col("_cent")).asc(),
+            F.col(id_col).asc(),
+        )
+        return [
+            [int(r["cluster"]), r[id_col]]
+            for r in assigned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cluster", id_col)
+            .collect()
+        ]
 
     # -- fit ------------------------------------------------------------
     @classmethod
@@ -184,29 +221,9 @@ class KnnGraphIndex:
         x = collect_sample_matrix(nodes, "vec", n, fit_sample, seed)
         centroids = kmeans_fit_np(x, kc, seed, max_iter)
 
-        # entry per cluster = the member nearest its centroid: one
-        # assign projection + a broadcast join of the tiny (cluster,
-        # centroid) table + one window — never a literal-table fold
-        spark = df.sparkSession
-        cent_df = spark.createDataFrame(
-            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-            "cluster int, _cent array<double>",
-        )
-        assigned = nodes.withColumn(
-            "cluster",
-            nearest_centroid_col("CAST(`vec` AS ARRAY<DOUBLE>)", centroids),
-        ).join(F.broadcast(cent_df), "cluster")
-        w = Window.partitionBy("cluster").orderBy(
-            l2_squared(F.col("vec"), F.col("_cent")).asc(),
-            F.col(id_col).asc(),
-        )
-        entries = [
-            [int(r["cluster"]), r[id_col]]
-            for r in assigned.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("cluster", id_col)
-            .collect()  # bounded: ≤ n_clusters rows
-        ]
+        # entry per cluster = the member nearest its centroid (shared
+        # helper — never a literal-table fold)
+        entries = cls._entries_for(nodes, centroids, id_col)
         idx = cls(
             edges, nodes, centroids, entries, id_col, dim,
             metric=metric, degree=degree, model_id=model_id,
@@ -237,11 +254,34 @@ class KnnGraphIndex:
         with meta_write_lease(path, "save"):
             with open(os.path.join(path, "meta.json"), "w") as f:
                 json.dump(meta, f)
-        self.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
-        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
-        spark = self.edges.sparkSession
-        self.edges = spark.read.parquet(os.path.join(path, "edges"))
-        self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
+        # a save PHYSICALLY DROPS tombstoned nodes and every edge
+        # touching them (either endpoint) — a full rewrite needs no
+        # sidecar to follow it (the IvfPqIndex.save contract)
+        edges_w, nodes_w = self.edges, self.nodes
+        if self._tombstones is not None:
+            t = self._tombstones
+            nodes_w = nodes_w.join(t, self.id_col, "left_anti")
+            edges_w = edges_w.join(
+                t.withColumnRenamed(self.id_col, "src"), "src", "left_anti"
+            ).join(
+                t.withColumnRenamed(self.id_col, "dst"), "dst", "left_anti"
+            )
+        edges_w.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        nodes_w.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+        from custom_vector_database_spark.operators.layout import (
+            clear_tombstones,
+        )
+
+        clear_tombstones(path)  # any stale sidecar at the target is obsolete
+        if self._tombstones is not None:
+            # re-point the handle at what was just written BEFORE
+            # dropping the tombstone view; a clean save keeps the
+            # path-independent in-memory frames so the written dir
+            # stays movable (install_dir_swap renames it)
+            spark = self.edges.sparkSession
+            self.edges = spark.read.parquet(os.path.join(path, "edges"))
+            self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
+            self._tombstones = None
         self._path = path
 
     @classmethod
@@ -262,6 +302,7 @@ class KnnGraphIndex:
         )
         idx.calibration = meta.get("calibration")
         idx._path = path
+        idx._load_tombstones(spark)
         return idx
 
     # -- staleness (quantization_error_report protocol) --------------------
@@ -543,6 +584,16 @@ class KnnGraphIndex:
             visited = marked.unionByName(scored).localCheckpoint(eager=True)
 
         out = visited
+        if self._tombstones is not None:
+            # deleted nodes stay usable for ROUTING (their vectors are
+            # physically present until save/compact drops them — the
+            # filtered-search walk-unrestricted discipline) but must
+            # never be EMITTED; one bounded broadcast anti-join
+            out = out.join(
+                self._tombstones.withColumnRenamed(self.id_col, "_node"),
+                "_node",
+                "left_anti",
+            )
         if filter_map:
             # emit-time filtering: join the per-query filter values back
             # (broadcast, bounded) and keep matching nodes only — the
@@ -655,8 +706,10 @@ class KnnGraphIndex:
                 "vectors under one node id is undecidable — dedup ids "
                 "upstream"
             )
+        self._refuse_tombstoned_delta(new_nodes.select(self.id_col))
         dup = new_nodes.join(
-            self.nodes.select(self.id_col), self.id_col, "left_semi"
+            self._live(self.nodes.select(self.id_col)),
+            self.id_col, "left_semi",
         )
         if dup.limit(1).count():
             raise ValueError(
@@ -729,16 +782,54 @@ class KnnGraphIndex:
         self.nodes = spark.read.parquet(os.path.join(self._path, "nodes"))
         return int(n)
 
+    def compact(self) -> dict:
+        """Physically drop tombstoned nodes (and every edge touching
+        them) from the SAVED layout via the shared crash-safe
+        whole-directory swap, re-picking entry nodes from the LIVE node
+        set first (a dropped entry would otherwise leave dead seeds).
+        Nodes that pointed at deleted neighbors keep < degree out-edges
+        until the next rebuild — documented, and exactly what the
+        staleness/occupancy signals price. Returns
+        {n_tombstones_dropped, n_nodes, n_edges}."""
+        if self._path is None:
+            raise ValueError(
+                "compact requires a saved index (call save() or load() "
+                "first)"
+            )
+        from custom_vector_database_spark.operators.layout import (
+            install_dir_swap,
+        )
+
+        path = self._path
+        spark = self.nodes.sparkSession
+        n_t = self._tombstone_count()
+        if n_t:
+            self.entries = self._entries_for(
+                self._live(self.nodes), self.centroids, self.id_col
+            )
+        install_dir_swap(path, self.save)  # save() drops + clears
+        self._path = path
+        self.edges = spark.read.parquet(os.path.join(path, "edges"))
+        self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
+        self._tombstones = None
+        return {
+            "n_tombstones_dropped": int(n_t),
+            "n_nodes": int(self.nodes.count()),
+            "n_edges": int(self.edges.count()),
+        }
+
     def describe(self) -> dict:
         n_nodes = self.nodes.count()
         return {
             "kind": "knn_graph",
             "metric": self.metric,
             "n_nodes": int(n_nodes),
+            "n_live_nodes": int(self._live(self.nodes).count()),
             "degree": self.degree,
             "dim": self.dim,
             "n_clusters": len(self.centroids),
             "n_entries": len(self.entries),
+            "n_tombstones": self._tombstone_count(),
             "calibrated": self.calibration is not None,
             "saved": self._path is not None,
         }
@@ -800,12 +891,14 @@ def calibrate_beam(
             query_vec, _unit_normalize_expr(f"`{query_vec}`")
         )
     queries = queries.localCheckpoint(eager=True)
-    # ground truth: the node table stores the metric-transformed vectors
-    # (cosine already unit), so plain L2 ranking is the right order for
-    # both metrics
+    # ground truth: the LIVE node table (tombstoned rows can never be
+    # returned by the beam, so judging against them would deflate the
+    # measured recall — the calibrate_nprobe _live lesson); it stores
+    # the metric-transformed vectors (cosine already unit), so plain L2
+    # ranking is the right order for both metrics
     exact = _id_sets(
         knn_ops.knn_join(
-            idx.nodes, queries, k,
+            idx._live(idx.nodes), queries, k,
             data_id=idx.id_col, data_vec="vec",
             query_id=query_id, query_vec=query_vec,
         )
@@ -813,7 +906,7 @@ def calibrate_beam(
         .collect(),  # bounded: k × |bag|
         query_id, idx.id_col,
     )
-    n_nodes = idx.nodes.count()
+    n_nodes = idx._live(idx.nodes).count()
     widths: list[int] = []
     bw = max(1, int(k))
     while bw < n_nodes:

@@ -514,6 +514,61 @@ def test_autopilot_rebuild_and_beam_calibrate(spark, base, tmp_path):
     assert len({r["qid"] for r in hits}) == 8
 
 
+def test_delete_tombstone_compact_lifecycle(spark, base, tmp_path):
+    """The graph joins the tombstone contract: delete() hides nodes
+    from search immediately (while still ROUTING through them),
+    upsert refuses tombstoned ids, compact physically drops nodes +
+    touching edges and re-picks entries, and the freed id upserts
+    cleanly afterwards."""
+    from custom_vector_database_spark.operators.graph_ann import (
+        KnnGraphIndex,
+    )
+
+    small = base.filter(F.col("id") < 200)
+    path = str(tmp_path / "g_del")
+    KnnGraphIndex.fit(
+        small, degree=6, iterations=1, target_rows_per_cluster=64
+    ).save(path)
+    idx = KnnGraphIndex.load(spark, path)
+
+    # pick the victim FROM an observed result: a kNN digraph node can
+    # genuinely have zero in-edges (unreachable except as an entry), so
+    # "member id X is returned" is not a graph invariant — but "the
+    # observed top-1, once deleted, yields the observed top-2" is
+    q = [float(x) for x in small.filter(F.col("id") == 7).first()["vec"]]
+    top0 = idx.search(q, 2, beam_width=32, rounds=3).collect()
+    victim, runner_up = top0[0]["id"], top0[1]["id"]
+    other = 199 if runner_up != 199 else 198
+    assert idx.delete([victim, other]) == 2
+    assert idx.delete([victim]) == 0  # already tombstoned counts zero
+    d = idx.describe()
+    assert d["n_tombstones"] == 2 and d["n_live_nodes"] == 198
+    top = idx.search(q, 1, beam_width=32, rounds=3).first()
+    assert top["id"] == runner_up  # victim hidden, same walk otherwise
+    # a reload sees the sidecar
+    idx = KnnGraphIndex.load(spark, path)
+    assert idx._tombstone_count() == 2
+    # upsert of a tombstoned id refuses with the compact remedy
+    deltav = small.filter(F.col("id") == victim)
+    with pytest.raises(ValueError, match="compact"):
+        idx.upsert(deltav)
+    stats = idx.compact()
+    assert stats["n_tombstones_dropped"] == 2
+    assert stats["n_nodes"] == 198
+    assert idx.edges.filter(
+        (F.col("src").isin(victim, other))
+        | (F.col("dst").isin(victim, other))
+    ).count() == 0
+    # entries re-picked from live nodes only
+    assert all(e not in (victim, other) for _c, e in idx.entries)
+    # the freed id is insertable again (its OUT-edges land; in-edge
+    # reachability returns at the next rebuild — the documented
+    # append-only upsert asymmetry)
+    assert idx.upsert(deltav, beam_width=16, rounds=2) == 1
+    assert idx.nodes.count() == 199
+    assert idx.edges.filter(F.col("src") == victim).count() > 0
+
+
 def test_rounds_zero_scores_entries_only(spark, base, saved):
     """rounds=0 degenerates to scoring the entry seeds — still valid
     output (≤ k per query), the bounded floor of the contract."""
