@@ -180,8 +180,15 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         )
 
         carry_cols = list(carry_cols or [])
-        bad = {id_col, vec_col, "vec", "cluster", "src", "dst",
-               "_node"} & set(carry_cols)
+        bad = {
+            id_col, vec_col, "vec", "cluster", "src", "dst", "_node",
+            # beam/entry/upsert internals + both dist names + the
+            # default query column names (r13 second-review finding):
+            # a colliding carry column passes fit but explodes later
+            # as AMBIGUOUS_REFERENCE or a silently clobbered attribute
+            "_cent", "_expanded", "_rk", "_f", "_uq", "_uv",
+            "dist_sq", "cos_dist", "qid", "qvec",
+        } & set(carry_cols)
         if bad:
             raise ValueError(f"carry_cols collide with index columns: {bad}")
         dist_col = "cos_dist" if metric == "cosine" else "dist_sq"
@@ -235,6 +242,16 @@ class KnnGraphIndex(TombstoneDeleteMixin):
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        if self._tombstones is not None and self._tombstone_count():
+            # the write below physically drops tombstoned nodes — a
+            # dropped ENTRY node would leave dead seeds in the meta
+            # (score()'s inner node join silently eats them), so the
+            # entries are re-picked from the live set first (r13
+            # second-review finding; compact() inherits this via its
+            # save call)
+            self.entries = self._entries_for(
+                self._live(self.nodes), self.centroids, self.id_col
+            )
         meta = {
             "id_col": self.id_col,
             "dim": self.dim,
@@ -410,8 +427,15 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         reserved = {
             self.id_col, "vec", "src", "dst", "cluster",
             "_node", "_expanded", "_rk", "_f", dist_col,
+            *self.carry_cols,
         }
         filter_map = dict(filter_map or {})
+        if len(set(filter_map.values())) != len(filter_map):
+            raise ValueError(
+                "filter_map maps two node columns to the same query "
+                "column — the duplicated column would be selected twice "
+                "into the broadcast side"
+            )
         for dcol, qcol in filter_map.items():
             if dcol not in self.carry_cols:
                 raise ValueError(
@@ -419,10 +443,13 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                     f"table — build the index with fit(carry_cols="
                     f"[{dcol!r}])"
                 )
-            if qcol in reserved or qcol == dcol:
+            if qcol in reserved or qcol == dcol or qcol in (
+                query_id, query_vec,
+            ):
                 raise ValueError(
                     f"query filter column {qcol!r} collides with a "
-                    "layout column — alias it on the query side first"
+                    "layout or query column — alias it on the query "
+                    "side first"
                 )
         for qc in (query_id, query_vec):
             if qc in reserved or qc in filter_map:
@@ -803,11 +830,8 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         path = self._path
         spark = self.nodes.sparkSession
         n_t = self._tombstone_count()
-        if n_t:
-            self.entries = self._entries_for(
-                self._live(self.nodes), self.centroids, self.id_col
-            )
-        install_dir_swap(path, self.save)  # save() drops + clears
+        install_dir_swap(path, self.save)  # save() drops tombstoned
+        # rows, re-picks live entries, and clears the sidecar
         self._path = path
         self.edges = spark.read.parquet(os.path.join(path, "edges"))
         self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
@@ -820,16 +844,20 @@ class KnnGraphIndex(TombstoneDeleteMixin):
 
     def describe(self) -> dict:
         n_nodes = self.nodes.count()
+        n_tomb = self._tombstone_count()
+        n_live = (
+            n_nodes if not n_tomb else self._live(self.nodes).count()
+        )
         return {
             "kind": "knn_graph",
             "metric": self.metric,
             "n_nodes": int(n_nodes),
-            "n_live_nodes": int(self._live(self.nodes).count()),
+            "n_live_nodes": int(n_live),
             "degree": self.degree,
             "dim": self.dim,
             "n_clusters": len(self.centroids),
             "n_entries": len(self.entries),
-            "n_tombstones": self._tombstone_count(),
+            "n_tombstones": int(n_tomb),
             "calibrated": self.calibration is not None,
             "saved": self._path is not None,
         }

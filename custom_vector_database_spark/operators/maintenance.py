@@ -323,10 +323,10 @@ def maintenance_plan(
                     else "no pinned recall calibration"
                 )
                 + (
-                    " — calibrate_nprobe(persist=True) runs on execute"
+                    f" — {_cal_verb(idx)}(persist=True) runs on execute"
                     if cal_exec
-                    else " — run calibrate_nprobe(index, query_bag, "
-                    "persist=True) (operators/calibrate.py), or supply "
+                    else f" — run {_cal_verb(idx)}(index, query_bag, "
+                    "persist=True), or supply "
                     "calibrate={'queries': …} and a saved path to make "
                     "this row executable; a refit/rebuild drops the pin"
                 ),
@@ -449,6 +449,18 @@ def maintenance_plan(
         + (a["target"],)
     )
     return plan
+
+
+def _cal_verb(idx) -> str:
+    """The calibration verb THIS layout actually takes — the remedy the
+    plan's reason text names must match what the execute path would
+    dispatch (r13 second-review finding: telling a graph-layout user to
+    run calibrate_nprobe sends them to a verb that rejects the handle)."""
+    if hasattr(idx, "_resolve_beam"):
+        return "graph_ann.calibrate_beam"
+    if hasattr(idx, "doc_col") and hasattr(idx, "rows_df"):
+        return "calibrate_nprobe_maxsim"
+    return "calibrate_nprobe"
 
 
 def _swap_layout_in(index, path: str) -> None:

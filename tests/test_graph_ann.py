@@ -536,7 +536,11 @@ def test_delete_tombstone_compact_lifecycle(spark, base, tmp_path):
     # "member id X is returned" is not a graph invariant — but "the
     # observed top-1, once deleted, yields the observed top-2" is
     q = [float(x) for x in small.filter(F.col("id") == 7).first()["vec"]]
-    top0 = idx.search(q, 2, beam_width=32, rounds=3).collect()
+    # search output has no orderBy contract — sort client-side
+    top0 = sorted(
+        idx.search(q, 2, beam_width=32, rounds=3).collect(),
+        key=lambda r: (r["dist_sq"], r["id"]),
+    )
     victim, runner_up = top0[0]["id"], top0[1]["id"]
     other = 199 if runner_up != 199 else 198
     assert idx.delete([victim, other]) == 2
