@@ -449,6 +449,42 @@ def nprobe_clusters_col(
     return _probe(F.expr(vec_sql))
 
 
+def rowwise_l2_sq_col(a_col: Column, b_col: Column) -> Column:
+    """Squared L2 distance between two VECTOR COLUMNS of one row, as an
+    Arrow-batched numpy kernel — the pair-scoring twin of the assign
+    path. The Catalyst zip_with/aggregate fold evaluates its lambdas
+    interpreted (~7M element-ops/core-s ≈ 100k 64-d pairs/core-s); a
+    graph build scores hundreds of millions of candidate pairs, where
+    the fold becomes the dominant cost (the ARROW_ASSIGN_FROM story,
+    per-pair instead of per-centroid). Semantics match the fold: NULL
+    either side or mismatched dims → NULL; NULL elements → NULL (the
+    fold's NULL-propagating sum). NaN elements land NULL here where
+    the fold yields NaN — the same documented convention as the Arrow
+    assign paths; upstream guards refuse such vectors anyway."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _d(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = a.to_numpy()
+        vb = b.to_numpy()
+        out = pd.array([None] * len(va), dtype="Float64")
+        good = [
+            i for i, (x, y) in enumerate(zip(va, vb))
+            if x is not None and y is not None and len(x) == len(y)
+        ]
+        if good:
+            X = np.stack([np.asarray(va[i], dtype=np.float64) for i in good])
+            Y = np.stack([np.asarray(vb[i], dtype=np.float64) for i in good])
+            d = ((X - Y) ** 2).sum(axis=1)
+            for t, i in enumerate(good):
+                # NaN here means a NULL element upstream (Arrow None →
+                # NaN under stack) — the fold yields NULL for those
+                out[i] = float(d[t]) if d[t] == d[t] else None
+        return pd.Series(out, dtype="Float64")
+
+    return _d(a_col, b_col)
+
+
 def logreg_fit_np(
     X: np.ndarray,
     y: np.ndarray,

@@ -62,6 +62,9 @@ from custom_vector_database_spark.operators.fitting import (
     nprobe_clusters_col,
     resolve_n_clusters,
 )
+from custom_vector_database_spark.operators.fitting import (
+    rowwise_l2_sq_col,
+)
 from custom_vector_database_spark.operators.knn import l2_squared
 from custom_vector_database_spark.operators.tombstones import (
     TombstoneDeleteMixin,
@@ -512,8 +515,11 @@ class KnnGraphIndex(TombstoneDeleteMixin):
             query_id, query_vec, *qfilter_cols
         ).localCheckpoint(eager=True)
         spark = qside.sparkSession
+        # candidate scoring rides the Arrow row-wise kernel — per round
+        # the beam scores ≤ queries × beam × degree fresh pairs, the
+        # search's dominant compute at scale (knn_graph pair_dist note)
         pair_dist = F.round(
-            l2_squared(F.col("vec"), F.col(query_vec))
+            rowwise_l2_sq_col(F.col("vec"), F.col(query_vec))
             / (2.0 if self.metric == "cosine" else 1.0),
             6,
         )

