@@ -472,11 +472,18 @@ def rowwise_l2_sq_col(a_col: Column, b_col: Column) -> Column:
             i for i, (x, y) in enumerate(zip(va, vb))
             if x is not None and y is not None and len(x) == len(y)
         ]
-        if good:
-            X = np.stack([np.asarray(va[i], dtype=np.float64) for i in good])
-            Y = np.stack([np.asarray(vb[i], dtype=np.float64) for i in good])
+        # stack PER LENGTH GROUP: len(x)==len(y) holds per row, but rows
+        # of different dims in one batch would make a single np.stack
+        # raise and fail the whole task where the fold it replaces
+        # yielded per-row values (ADVICE r13 — shared-primitive guard)
+        by_len: dict = {}
+        for i in good:
+            by_len.setdefault(len(va[i]), []).append(i)
+        for idxs in by_len.values():
+            X = np.stack([np.asarray(va[i], dtype=np.float64) for i in idxs])
+            Y = np.stack([np.asarray(vb[i], dtype=np.float64) for i in idxs])
             d = ((X - Y) ** 2).sum(axis=1)
-            for t, i in enumerate(good):
+            for t, i in enumerate(idxs):
                 # NaN here means a NULL element upstream (Arrow None →
                 # NaN under stack) — the fold yields NULL for those
                 out[i] = float(d[t]) if d[t] == d[t] else None

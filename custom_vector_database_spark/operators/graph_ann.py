@@ -419,10 +419,12 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         beam_width, rounds, entry_probes = self._resolve_beam(
             beam_width, rounds, entry_probes
         )
-        if beam_width <= 0 or rounds < 0 or k <= 0:
+        if beam_width <= 0 or rounds < 0 or k <= 0 or entry_probes <= 0:
             raise ValueError(
-                f"k={k}, beam_width={beam_width}, rounds={rounds} must be "
-                "positive (rounds may be 0: entry scoring only)"
+                f"k={k}, beam_width={beam_width}, rounds={rounds}, "
+                f"entry_probes={entry_probes} must be positive (rounds may "
+                "be 0: entry scoring only) — entry_probes=0 would emit an "
+                "empty shortlist and silently drop every query"
             )
         dist_col = dist_col or (
             "cos_dist" if self.metric == "cosine" else "dist_sq"
@@ -701,7 +703,9 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         the staleness report prices (entry-quantizer distortion grows
         with the same drift). Duplicate ids against the saved node
         table refuse (the tombstone-family ghost-row rationale).
-        Returns rows appended."""
+        Deltas are bounded at 100k rows per call (the delta is the
+        broadcast query side of search_many) — split larger deltas and
+        call upsert per batch. Returns rows appended."""
         if self._path is None:
             raise ValueError(
                 "upsert requires a saved index (call save() or load() "
@@ -730,6 +734,19 @@ class KnnGraphIndex(TombstoneDeleteMixin):
             )
         new_nodes = new_nodes.localCheckpoint(eager=True)
         n = new_nodes.count()
+        # the delta rides search_many as its query table, which bounds
+        # the broadcast side at 100k rows — surface the UPSERT remedy
+        # (split the delta; each batch is an independent append with the
+        # same crash-replay healing) instead of the search-oriented one
+        # (ADVICE r13)
+        if n > 100_000:
+            raise ValueError(
+                f"upsert delta has {n} rows > the 100k per-batch bound "
+                "(the delta is search_many's broadcast query side): "
+                "split the delta and call upsert() per batch — batches "
+                "are independent appends and later batches link to "
+                "earlier ones"
+            )
         if (
             new_nodes.groupBy(self.id_col).count()
             .filter(F.col("count") > 1).limit(1).count()

@@ -307,7 +307,10 @@ def _residual_vs_centroid_col(centroids: list[list[float]]):
         good = [
             i for i, (e, ci) in enumerate(zip(vals, cls))
             if e is not None and len(e) == dim
-            and ci is not None and 0 <= int(ci) < k
+            # pd.isna, not `is not None`: a NULL cluster arrives as NaN
+            # through the nullable-int -> float64 pandas conversion, and
+            # int(NaN) would fail the whole Arrow batch (ADVICE r13)
+            and not pd.isna(ci) and 0 <= int(ci) < k
         ]
         if good:
             x = np.stack([np.asarray(vals[i], dtype=np.float64) for i in good])
@@ -350,7 +353,8 @@ def _query_luts_col(
         good = [
             i for i, (e, ci) in enumerate(zip(vals, cls))
             if e is not None and len(e) == dim
-            and ci is not None and 0 <= int(ci) < kc
+            # NaN-safe for the same reason as _residual_vs_centroid_col
+            and not pd.isna(ci) and 0 <= int(ci) < kc
         ]
         if good:
             x = np.stack([np.asarray(vals[i], dtype=np.float64) for i in good])
