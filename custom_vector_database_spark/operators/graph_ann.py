@@ -83,6 +83,12 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         <path>/nodes       (id, vec) parquet — metric-transformed
                            (cosine stores unit vectors, the ivf.py
                            normalize-at-build convention)
+        <path>/backlinks   (src, dst, dist) parquet — OPTIONAL upsert
+                           sidecar: reverse links INTO the delta (the
+                           HNSW bidirectional-insert analogue,
+                           hnsw.h:91-97), appended per upsert and
+                           folded into edges (with degree pruning) at
+                           the next save/compact
     """
 
     def __init__(
@@ -116,6 +122,24 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         # the scoring join (the IvfIndex carry_cols convention)
         self.calibration: dict | None = None  # beam pin (calibrate_beam)
         self._path: str | None = None
+        # reverse links INTO upserted nodes (same schema as edges),
+        # None until an upsert appends some or load() finds the sidecar
+        self.backlinks: DataFrame | None = None
+
+    def _walk_edges(self) -> DataFrame:
+        """(_node, dst) adjacency the beam expands over: the main edge
+        table UNION the upsert backlink sidecar — without the
+        backlinks, a heavily-upserted region is reachable only via
+        entry seeding and other delta nodes (in-edge recall drift, the
+        r13 verdict's missing #1)."""
+        e = self.edges.select(F.col("src").alias("_node"), F.col("dst"))
+        if self.backlinks is not None:
+            e = e.unionByName(
+                self.backlinks.select(
+                    F.col("src").alias("_node"), F.col("dst")
+                )
+            )
+        return e
 
     def _raw_layout(self) -> DataFrame:
         """Tombstone protocol (TombstoneDeleteMixin): deletes key on
@@ -278,6 +302,27 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         # touching them (either endpoint) — a full rewrite needs no
         # sidecar to follow it (the IvfPqIndex.save contract)
         edges_w, nodes_w = self.edges, self.nodes
+        if self.backlinks is not None:
+            # fold the upsert backlink sidecar into the main edge table
+            # with degree pruning — the HNSW M_max prune (hnsw.h:94-97)
+            # applied at rewrite time: per src keep the `degree` closest
+            # (dist asc, dst tie-break), so a backlink genuinely closer
+            # than a stale NN-Descent edge displaces it
+            dcol = self.edges.columns[2]
+            wf = Window.partitionBy("src").orderBy(
+                F.col(dcol).asc_nulls_last(), F.col("dst").asc()
+            )
+            edges_w = (
+                edges_w.unionByName(self.backlinks)
+                .dropDuplicates(["src", "dst"])
+                .withColumn("_rk", F.row_number().over(wf))
+                .filter(F.col("_rk") <= self.degree)
+                .drop("_rk")
+            )
+            # materialize the fold BEFORE the overwrite below: a
+            # same-path save would otherwise overwrite the parquet dirs
+            # the lazy fold still reads from
+            edges_w = edges_w.localCheckpoint(eager=True)
         if self._tombstones is not None:
             t = self._tombstones
             nodes_w = nodes_w.join(t, self.id_col, "left_anti")
@@ -293,15 +338,22 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         )
 
         clear_tombstones(path)  # any stale sidecar at the target is obsolete
-        if self._tombstones is not None:
+        bl_dir = os.path.join(path, "backlinks")
+        if os.path.isdir(bl_dir):
+            # the fold above subsumed any backlink sidecar at the target
+            import shutil
+
+            shutil.rmtree(bl_dir)
+        if self._tombstones is not None or self.backlinks is not None:
             # re-point the handle at what was just written BEFORE
-            # dropping the tombstone view; a clean save keeps the
-            # path-independent in-memory frames so the written dir
+            # dropping the tombstone/backlink views; a clean save keeps
+            # the path-independent in-memory frames so the written dir
             # stays movable (install_dir_swap renames it)
             spark = self.edges.sparkSession
             self.edges = spark.read.parquet(os.path.join(path, "edges"))
             self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
             self._tombstones = None
+            self.backlinks = None
         self._path = path
 
     @classmethod
@@ -322,6 +374,11 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         )
         idx.calibration = meta.get("calibration")
         idx._path = path
+        bl = os.path.join(path, "backlinks")
+        if os.path.isdir(bl):
+            # schema pinned from edges: an all-replayed upsert can leave
+            # the dir with no part files, which an inferred read refuses
+            idx.backlinks = spark.read.schema(idx.edges.schema).parquet(bl)
         idx._load_tombstones(spark)
         return idx
 
@@ -588,9 +645,7 @@ class KnnGraphIndex(TombstoneDeleteMixin):
             )
             nbrs = (
                 frontier.join(
-                    self.edges.select(
-                        F.col("src").alias("_node"), F.col("dst")
-                    ),
+                    self._walk_edges(),
                     "_node",
                 )
                 .select(query_id, F.col("dst").alias("_node"))
@@ -693,15 +748,17 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         neighbors, link it in), distributed: every delta node
         beam-searches its ``degree`` nearest existing nodes in ONE
         batch (search_many over the delta as the query table), and
-        those become its out-edges. APPEND-ONLY asymmetry, documented:
-        existing nodes' neighbor lists are not rewritten (HNSW also
-        adds reverse links; a distributed rewrite of bounded rows per
-        batch would dirty the whole layout's files), so new nodes are
-        REACHABLE as beam candidates only via other new nodes' edges
-        and the entry table — in-edge recall toward a heavily-upserted
-        region degrades until the explicit rebuild, exactly the drift
-        the staleness report prices (entry-quantizer distortion grows
-        with the same drift). Duplicate ids against the saved node
+        those become its out-edges. The REVERSE links (HNSW links the
+        new point INTO existing nodes' lists, hnsw.h:91-97) land in a
+        backlink SIDECAR instead of rewriting pre-existing edge files:
+        per-batch degree-pruned (the M_max prune), unioned by the beam
+        at frontier expansion (_walk_edges), folded into the main edge
+        table with global degree pruning at the next save/compact — so
+        upserted regions stay reachable through their existing
+        neighbors, not only via entry seeding and other delta nodes.
+        Residual drift (entry-quantizer distortion, per-src backlink
+        accumulation across many batches) is what the staleness report
+        prices. Duplicate ids against the saved node
         table refuse (the tombstone-family ghost-row rationale).
         Deltas are bounded at 100k rows per call (the delta is the
         broadcast query side of search_many) — split larger deltas and
@@ -819,17 +876,63 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         # away the rows that already landed, re-appending exactly the
         # missing ones. A retry after BOTH appends landed hits the
         # duplicate-id refusal above — the upsert already completed.
-        edges_new = edges_new.join(
+        # the FULL recomputed set feeds the backlink derivation below —
+        # a crash mid-edges-append must not under-append backlinks for
+        # rows that landed pre-crash (replay derives backlinks from the
+        # full set and anti-joins what's stored, per table)
+        edges_full = edges_new.localCheckpoint(eager=True)
+        edges_missing = edges_full.join(
             self.edges.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-        edges_new.write.mode("append").parquet(
+        # reverse links INTO the delta (hnsw.h:91-97: the new point is
+        # linked into existing nodes' neighbor lists, pruned at M_max):
+        # kept in a SIDECAR the beam unions at expansion (_walk_edges),
+        # folded into the main edge table with degree pruning at the
+        # next save/compact — pre-existing edge files are never
+        # rewritten here. Per batch, each src keeps its `degree`
+        # closest reverse links (the M_max prune); accumulation across
+        # MANY upserts is unbounded per src until the fold — documented,
+        # and exactly what the staleness signals price.
+        wb = Window.partitionBy("src").orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col("dst").asc()
+        )
+        back = (
+            edges_full.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col(dist_col),
+            )
+            .withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= self.degree)
+            .drop("_rk")
+            .join(self.edges.select("src", "dst"), ["src", "dst"],
+                  "left_anti")
+        )
+        if self.backlinks is not None:
+            back = back.join(
+                self.backlinks.select("src", "dst"), ["src", "dst"],
+                "left_anti",
+            )
+        # append order: edges -> backlinks -> nodes. A crash between
+        # any two leaves rows that are invisible to searches (backlink
+        # dsts absent from the node table drop at the scoring join) and
+        # the replay recomputes identical sets and re-appends exactly
+        # the missing rows of each table.
+        edges_missing.write.mode("append").parquet(
             os.path.join(self._path, "edges")
+        )
+        back.write.mode("append").parquet(
+            os.path.join(self._path, "backlinks")
         )
         new_nodes.write.mode("append").parquet(
             os.path.join(self._path, "nodes")
         )
+        schema = self.edges.schema
         self.edges = spark.read.parquet(os.path.join(self._path, "edges"))
         self.nodes = spark.read.parquet(os.path.join(self._path, "nodes"))
+        self.backlinks = spark.read.schema(schema).parquet(
+            os.path.join(self._path, "backlinks")
+        )
         return int(n)
 
     def compact(self) -> dict:
@@ -859,6 +962,7 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         self.edges = spark.read.parquet(os.path.join(path, "edges"))
         self.nodes = spark.read.parquet(os.path.join(path, "nodes"))
         self._tombstones = None
+        self.backlinks = None  # save() folded the sidecar into edges
         return {
             "n_tombstones_dropped": int(n_t),
             "n_nodes": int(self.nodes.count()),
@@ -881,6 +985,9 @@ class KnnGraphIndex(TombstoneDeleteMixin):
             "n_clusters": len(self.centroids),
             "n_entries": len(self.entries),
             "n_tombstones": int(n_tomb),
+            "n_backlinks": (
+                0 if self.backlinks is None else int(self.backlinks.count())
+            ),
             "calibrated": self.calibration is not None,
             "saved": self._path is not None,
         }
