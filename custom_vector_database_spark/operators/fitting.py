@@ -305,18 +305,23 @@ def nprobe_clusters_sql(
     (one query TABLE against a cluster-partitioned layout) a single
     codegen'd projection instead of a per-query driver loop.
 
-    Same one-element-transform binding trick as nearest_centroid_sql: the
-    centroid literal table appears once. The sort key is a
-    struct<d:double, c:int>, so equal distances tie-break to the lower
-    cluster id — deterministic."""
+    The distance array appears ONCE as zip_with's first ARGUMENT (so the
+    centroid literal table isn't duplicated), zipped against the cluster
+    ids — deliberately NOT the one-element-transform let-binding whose
+    inner ``i -> element_at(ds, i+1)`` lambda captures the outer
+    variable: a captured outer lambda variable leaks a phantom exprId
+    into canonicalized.references on Spark 4.1.2 and silently breaks
+    pandas-UDF extraction for any UDF collapsed onto the expression
+    (ivf._unit_normalize_expr docstring; tests/test_udf_extraction.py).
+    The sort key is a struct<d:double, c:int>, so equal distances
+    tie-break to the lower cluster id — deterministic."""
     d = squared_distances_sql(vec_sql, centroids)
     n = len(centroids)
     nprobe = min(nprobe, n)
     return (
-        f"element_at(transform(array({d}), ds -> "
-        f"transform(slice(array_sort(transform(sequence(0, {n - 1}), i -> "
-        f"struct(element_at(ds, i + 1) AS d, i AS c))), 1, {nprobe}), "
-        f"s -> s.c)), 1)"
+        f"transform(slice(array_sort(zip_with({d}, sequence(0, {n - 1}), "
+        f"(dd, cc) -> struct(dd AS d, cc AS c))), 1, {nprobe}), "
+        f"s -> s.c)"
     )
 
 

@@ -106,16 +106,29 @@ def _unit_normalize_expr(vec_sql: str) -> F.Column:
     """array<float> unit normalization as one codegen expression; 0-norm
     vectors pass through unchanged (see module docstring).
 
-    The squared norm is bound ONCE via the one-element-transform
-    let-binding (the nearest_centroid_sql trick) — Spark does not hoist
-    loop-invariant subexpressions out of higher-order-function lambdas,
-    so inlining the norm fold in the per-element lambda would re-evaluate
-    it for every element: O(d²) per row instead of O(d)."""
+    The squared norm is bound ONCE by riding it in as zip_with's second
+    ARGUMENT (array_repeat evaluates the fold a single time) — Spark
+    does not hoist loop-invariant subexpressions out of higher-order-
+    function lambdas, so inlining the norm fold in the per-element
+    lambda would re-evaluate it for every element: O(d²) per row
+    instead of O(d).
+
+    Deliberately NOT the one-element-transform let-binding
+    (``transform(array(norm2), n2 -> ... transform(vec, x -> x/n2))``):
+    an inner lambda that captures an OUTER lambda variable leaks a
+    phantom canonical exprId into ``Expression.canonicalized.references``
+    on Spark 4.1.2, and ExtractPythonUDFs filters candidate UDFs with a
+    references-subset check over those canonicalized forms — any pandas
+    UDF whose argument collapses onto such an expression is then
+    silently never extracted and dies at runtime with INTERNAL_ERROR
+    "Cannot evaluate expression" inside an InterpretedUnsafeProjection
+    (root-caused round 14; regression: tests/test_udf_extraction.py).
+    The zip_with form keeps every lambda variable at its own level."""
     return F.expr(
-        f"element_at(transform(array({_norm2_sql(vec_sql)}), n2 -> "
-        f"CASE WHEN n2 = 0.0D THEN {vec_sql} "
-        f"ELSE transform({vec_sql}, x -> "
-        f"CAST(CAST(x AS DOUBLE) / sqrt(n2) AS FLOAT)) END), 1)"
+        f"zip_with({vec_sql}, "
+        f"array_repeat({_norm2_sql(vec_sql)}, size({vec_sql})), "
+        f"(x, n2) -> CASE WHEN n2 = 0.0D THEN x "
+        f"ELSE CAST(CAST(x AS DOUBLE) / sqrt(n2) AS FLOAT) END)"
     )
 
 

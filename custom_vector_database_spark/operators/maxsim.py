@@ -930,11 +930,17 @@ def _nearest_unit_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> st
     )
     from custom_vector_database_spark.operators.ivf import _norm2_sql
 
+    # capture-free let-binding: the norm rides in as zip_with's second
+    # ARGUMENT (evaluated once) instead of an outer lambda variable an
+    # inner lambda would capture — the captured form leaks a phantom
+    # exprId into canonicalized.references on Spark 4.1.2 and breaks
+    # pandas-UDF extraction for any UDF collapsed onto this expression
+    # (ivf._unit_normalize_expr docstring; tests/test_udf_extraction.py)
     unit = (
-        f"element_at(transform(array({_norm2_sql(vec_sql)}), n2 -> "
-        f"CASE WHEN n2 = 0.0D THEN CAST({vec_sql} AS ARRAY<DOUBLE>) "
-        f"ELSE transform({vec_sql}, x -> CAST(x AS DOUBLE) / sqrt(n2)) "
-        f"END), 1)"
+        f"zip_with({vec_sql}, "
+        f"array_repeat({_norm2_sql(vec_sql)}, size({vec_sql})), "
+        f"(x, n2) -> CASE WHEN n2 = 0.0D THEN CAST(x AS DOUBLE) "
+        f"ELSE CAST(x AS DOUBLE) / sqrt(n2) END)"
     )
     return nearest_centroid_sql(unit, centroids)
 

@@ -2844,6 +2844,15 @@ _CDC_DF_SUBDIR = "_df"
 # retention keeps the probe-time read O(hot fps + deltas since
 # compact), flat in corpus size.
 CDC_HOT_DF_MIN = 16
+# Per-apply probe shape (round 14): the batch side (chunk fps, prefix
+# rows, candidate old ids) is BROADCAST into every sidecar read, so the
+# corpus-sized frames are never shuffled and each probe phase is one
+# restricted column-pruned scan. The broadcasts are bounded by the
+# batch's chunk count; past this many chunk rows the applies fall back
+# to plain joins (Spark's planner picks the strategy) rather than risk
+# an oversized broadcast — micro-batches sit orders of magnitude below
+# the cap (200 payloads × ~30 chunks ≈ 6k rows vs 1M).
+CDC_BROADCAST_MAX_CHUNKS = 1_000_000
 
 
 def _read_cdc_sidecar(spark: SparkSession, sidecar_dir: str):
@@ -3028,7 +3037,11 @@ def corpus_cdc_apply_batch(
     >= ``overlap_pct``% of its distinct chunk fps (one-hop, never
     chained through other drops), or (b) some corpus payload does. The
     threshold compares integers (shared*100 >= pct*n_chunks) — exact on
-    both engines. Steady state reads ONLY the bucket-pruned sidecar.
+    both engines. Steady state reads ONLY the bucket-pruned sidecar,
+    and every sidecar pass streams through broadcast joins keyed by the
+    batch side (prefix fps / batch fps / candidate olds) — the corpus
+    frames are scanned, never shuffled, and a candidate-free batch (the
+    common case) stops after the single prefix-restricted scan.
 
     Crash safety is the exact family's: write-ahead claim -> sidecar
     append -> corpus append; a replayed batch probes with its own
@@ -3083,6 +3096,15 @@ def corpus_cdc_apply_batch(
     buckets = [
         r["fpb"] for r in ex.select("fpb").distinct().collect()
     ]
+    # batch-side frames are broadcast into every sidecar read below so
+    # the corpus-sized scans never shuffle; bounded by the batch's own
+    # chunk count (ex is checkpointed — this count reads cached blocks)
+    small_batch = ex.count() <= CDC_BROADCAST_MAX_CHUNKS
+
+    def _bcast(df):
+        return F.broadcast(df) if small_batch else df
+
+    exfps = ex.select("fp").distinct()
     probe = _read_cdc_sidecar(spark, sidecar_dir)
     if recovering:
         probe = probe.filter(F.col("batch_id") != batch_id)
@@ -3115,8 +3137,13 @@ def corpus_cdc_apply_batch(
     # pruning, never a verdict.
     from pyspark.sql import Window
 
+    # the sketch read is restricted to the batch's own fps BEFORE the
+    # fold (broadcast left-semi — the hot file + deltas stream through
+    # unshuffled), so dfagg is ≤ one row per batch chunk fp regardless
+    # of sketch size and the ranking join below can broadcast it
     dfagg = (
         _read_cdc_df(spark, sidecar_dir)
+        .join(_bcast(exfps), "fp", "left_semi")
         .groupBy("fp")
         .agg(F.sum("n").alias("_df"))
     )
@@ -3125,14 +3152,19 @@ def corpus_cdc_apply_batch(
         F.col("_df").asc(), F.col("fp").asc()
     )
     prefix = (
-        ex.join(dfagg, "fp", "left")
+        ex.join(_bcast(dfagg), "fp", "left")
         .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
         .withColumn("_rk", F.row_number().over(w_rare))
         .filter(F.col("_rk") <= F.col("n_chunks") - required + 1)
         .select("fp", "id")
     )
+    # candidate scan: ONE pass over the bucket-pruned sidecar with the
+    # (small, rarest-chunk) prefix BROADCAST into the join — the
+    # corpus-sized side streams through a broadcast hash join, never a
+    # shuffle, and only prefix-fp rows (low fan-out by construction)
+    # survive the probe
     cand = (
-        prefix.join(probe, "fp")
+        probe.join(_bcast(prefix), "fp")
         .select("id", "old_id")
         .distinct()
         .localCheckpoint(eager=True)  # the plan below reads it twice
@@ -3149,7 +3181,14 @@ def corpus_cdc_apply_batch(
     if cand.limit(1).count() == 0:
         drop_cross = ex.select("id").limit(0)
     else:
+        # verification scan: restricted on BOTH axes before anything
+        # joins — fp ∈ the batch's chunk fps (only those rows can score
+        # a shared chunk) and old_id ∈ the candidate olds; both sides
+        # broadcast, so this second sidecar pass also never shuffles
+        # and its output is bounded by |cand| × chunks-per-payload
         probe_cand = probe.join(
+            _bcast(exfps), "fp", "left_semi"
+        ).join(
             F.broadcast(cand.select("old_id").distinct()),
             "old_id", "left_semi",
         )
