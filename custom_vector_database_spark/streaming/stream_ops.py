@@ -2853,6 +2853,10 @@ CDC_HOT_DF_MIN = 16
 # an oversized broadcast — micro-batches sit orders of magnitude below
 # the cap (200 payloads × ~30 chunks ≈ 6k rows vs 1M).
 CDC_BROADCAST_MAX_CHUNKS = 1_000_000
+# Past this many distinct batch fps the per-apply parquet IN pushdown
+# is skipped (the predicate itself would dominate row-group stat
+# checks) and the probes fall back to the broadcast-semi shape.
+CDC_PUSHDOWN_MAX_FPS = 20_000
 
 
 def _read_cdc_sidecar(spark: SparkSession, sidecar_dir: str):
@@ -3012,7 +3016,13 @@ def _ensure_cdc_sidecar(
         shutil.rmtree(tmp)
     rows = rows.localCheckpoint(eager=True)  # chunking runs once: feeds
     # the sidecar write AND the df-sketch fold below
-    rows.write.partitionBy("fpb").parquet(tmp)
+    # same sorted-by-fp bucket layout as compact (compression locality)
+    (
+        rows.repartition(n_buckets, "fpb")
+        .sortWithinPartitions("fp")
+        .write.partitionBy("fpb")
+        .parquet(tmp)
+    )
     _write_cdc_df_fold(rows, tmp)  # hot-chunk df sketch, same swap
     from custom_vector_database_spark.operators.multimodal import CDC_WINDOW
 
@@ -3110,6 +3120,24 @@ def corpus_cdc_apply_batch(
         probe = probe.filter(F.col("batch_id") != batch_id)
     if len(buckets) < n_buckets:
         probe = probe.filter(F.col("fpb").isin(buckets))
+    # batch-fp pre-filter: only sidecar rows whose fp the BATCH contains
+    # can ever feed a candidate or a shared-chunk count, so the batch's
+    # fp set rides in as ONE codegen InSet filter ahead of every join —
+    # an InSet probe per row is ~2.5× cheaper than pushing 94M rows
+    # through a broadcast-hash-join probe (measured at sf100), and the
+    # rows that survive are exactly the joinable ones. Deliberately NOT
+    # pushed into the parquet reader: a multi-thousand-literal IN
+    # overflows the row-group filter's recursive Or evaluation, and on
+    # uniform hash fps the per-row-group dictionary checks cost more
+    # than the pruning saves (both measured; PLANS.md round-14 CDC
+    # note). Semantics-free restriction — verdicts identical; the
+    # collect is bounded by the caps.
+    fp_list: list | None = None
+    if small_batch:
+        allfps = sorted(r["fp"] for r in exfps.collect())
+        if len(allfps) <= CDC_PUSHDOWN_MAX_FPS:
+            fp_list = allfps
+            probe = probe.filter(F.col("fp").isin(fp_list))
     # else: a chunk-heavy batch (~30 distinct fps per payload) hits
     # every bucket, and the saturated IN-list + per-dir listing only
     # adds overhead over the full probe it cannot avoid (measured in
@@ -3170,24 +3198,27 @@ def corpus_cdc_apply_batch(
         .localCheckpoint(eager=True)  # the plan below reads it twice
     )
     # verification, fan-out-free by construction: pair-chunk rows
-    # (cand × the NEW payload's chunks — bounded by |cand| × ~30) meet
-    # the candidate olds' OWN chunk rows (probe semi-joined to candidate
-    # ids — a broadcast hash semi over the sidecar scan, no shuffle of
-    # it) on BOTH (fp, old_id), so each output row is one genuinely
-    # shared chunk of one candidate pair — never a hot-fp cross product.
-    # A batch with NO candidates (every payload content-fresh — the
-    # steady-state common case) skips the verification's second sidecar
-    # scan entirely: one bounded count against the checkpointed cand.
+    # (cand × the NEW payload's chunks — bounded by |cand| × ~30)
+    # meet the candidate olds' OWN chunk rows (probe semi-joined to
+    # candidate ids — a broadcast hash semi over the sidecar scan,
+    # no shuffle of it) on BOTH (fp, old_id), so each output row is
+    # one genuinely shared chunk of one candidate pair — never a
+    # hot-fp cross product. A batch with NO candidates (every
+    # payload content-fresh — the steady-state common case) skips
+    # the verification's second sidecar scan entirely: one bounded
+    # count against the checkpointed cand.
     if cand.limit(1).count() == 0:
         drop_cross = ex.select("id").limit(0)
     else:
         # verification scan: restricted on BOTH axes before anything
-        # joins — fp ∈ the batch's chunk fps (only those rows can score
-        # a shared chunk) and old_id ∈ the candidate olds; both sides
-        # broadcast, so this second sidecar pass also never shuffles
-        # and its output is bounded by |cand| × chunks-per-payload
-        probe_cand = probe.join(
-            _bcast(exfps), "fp", "left_semi"
+        # joins — fp ∈ the batch's chunk fps (the InSet filter when
+        # small_batch, the broadcast semi otherwise) and old_id ∈ the
+        # candidate olds; both sides broadcast, so this second sidecar
+        # pass also never shuffles and its output is bounded by
+        # |cand| × chunks-per-payload
+        probe_cand = (
+            probe if fp_list is not None
+            else probe.join(_bcast(exfps), "fp", "left_semi")
         ).join(
             F.broadcast(cand.select("old_id").distinct()),
             "old_id", "left_semi",
@@ -3358,6 +3389,14 @@ def compact_cdc_sidecar(
             _corpus_fp_bucket(F.col("fp"), out_buckets).alias("fpb"),
         )
         .repartition(out_buckets, "fpb")
+        # sorted-by-fp within each bucket: duplicate chunk fps land
+        # adjacent, so dictionary/RLE encoding compresses the sidecar's
+        # dominant column and the per-apply InSet scan reads less.
+        # (Finer-grained layouts were measured and rejected: 256 KiB
+        # row groups + IN pushdown cost more in per-row-group stat and
+        # dictionary checks than they pruned on uniform hash fps —
+        # PLANS.md round-14 CDC note.)
+        .sortWithinPartitions("fp")
         .write.partitionBy("fpb")
         .parquet(tmp)
     )
