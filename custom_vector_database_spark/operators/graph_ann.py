@@ -246,8 +246,13 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                 id_col, _unit_normalize_expr("`vec`").alias("vec"), *carry
             )
         nodes = nodes.localCheckpoint(eager=True)
-        n = nodes.count()
-        dim = len(nodes.first()["vec"])
+        # ONE action answers the row count and the dim probe (previously
+        # a count job plus a first job over the same checkpoint)
+        nstats = nodes.agg(
+            F.count(F.lit(1)).alias("n"), F.first("vec").alias("v0")
+        ).first()
+        n = int(nstats["n"])
+        dim = len(nstats["v0"])
 
         kc = resolve_n_clusters(
             n_clusters, n, target_rows_per_cluster, fit_sample
@@ -570,9 +575,14 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                 query_vec, _unit_normalize_expr(f"`{query_vec}`")
             )
         qfilter_cols = [F.col(c) for c in filter_map.values()]
+        # lazy checkpoints throughout the beam: lineage (and the Catalyst
+        # plan) is cut exactly as before, but materialization happens in
+        # the CALLER's first action over the result — one job runs the
+        # whole bounded chain instead of one job per round, and the
+        # persisted partitions are reused across rounds just the same
         qside = queries.select(
             query_id, query_vec, *qfilter_cols
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         spark = qside.sparkSession
         # candidate scoring rides the Arrow row-wise kernel — per round
         # the beam scores ≤ queries × beam × degree fresh pairs, the
@@ -631,7 +641,7 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         )
         visited = score(seeds).withColumn(
             "_expanded", F.lit(False)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         w = Window.partitionBy(query_id).orderBy(
             F.col(dist_col).asc_nulls_last(), F.col("_node").asc()
@@ -671,7 +681,7 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                     | F.coalesce(F.col("_f"), F.lit(False))
                 ).alias("_expanded"),
             )
-            visited = marked.unionByName(scored).localCheckpoint(eager=True)
+            visited = marked.unionByName(scored).localCheckpoint(eager=False)
 
         out = visited
         if self._tombstones is not None:
@@ -789,8 +799,20 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                 self.id_col, _unit_normalize_expr("`vec`").alias("vec"),
                 *carry,
             )
-        new_nodes = new_nodes.localCheckpoint(eager=True)
-        n = new_nodes.count()
+        # lazy checkpoint: lineage is cut now, materialization rides the
+        # guard agg below — one job instead of a dedicated checkpoint job
+        # (the guards and the search both reuse the cached partitions)
+        new_nodes = new_nodes.localCheckpoint(eager=False)
+        # ONE action answers row count AND intra-delta duplication (the
+        # per-id group counts fold to n = sum, max-dup = max) instead of
+        # a count job plus a groupBy-limit job
+        gstats = (
+            new_nodes.groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum("_c").alias("n"), F.max("_c").alias("mx"))
+            .first()
+        )
+        n = int(gstats["n"])
         # the delta rides search_many as its query table, which bounds
         # the broadcast side at 100k rows — surface the UPSERT remedy
         # (split the delta; each batch is an independent append with the
@@ -804,21 +826,44 @@ class KnnGraphIndex(TombstoneDeleteMixin):
                 "are independent appends and later batches link to "
                 "earlier ones"
             )
-        if (
-            new_nodes.groupBy(self.id_col).count()
-            .filter(F.col("count") > 1).limit(1).count()
-        ):
+        if int(gstats["mx"]) > 1:
             raise ValueError(
                 f"duplicate {self.id_col!r} within the upsert delta: two "
                 "vectors under one node id is undecidable — dedup ids "
                 "upstream"
             )
-        self._refuse_tombstoned_delta(new_nodes.select(self.id_col))
-        dup = new_nodes.join(
+        # ONE action answers BOTH id-collision guards (tombstoned ids and
+        # live saved ids): union the two bounded semi-joins and count per
+        # kind; the error-message example id is looked up only on the
+        # failure path
+        new_ids = new_nodes.select(self.id_col)
+        checks = new_ids.join(
             self._live(self.nodes.select(self.id_col)),
             self.id_col, "left_semi",
-        )
-        if dup.limit(1).count():
+        ).select(F.lit("live").alias("_w"))
+        if self._tombstones is not None:
+            checks = checks.unionByName(
+                self._tombstones.join(new_ids, self.id_col, "left_semi")
+                .select(F.lit("tomb").alias("_w"))
+            )
+        hit = {
+            r["_w"]: int(r["_c"])
+            for r in checks.groupBy("_w").agg(
+                F.count(F.lit(1)).alias("_c")
+            ).collect()
+        }
+        if hit.get("tomb"):
+            raise ValueError(
+                f"{hit['tomb']} delta id(s) are tombstoned on this index; "
+                "run compact() first to physically clear deletions, then "
+                "upsert (ids are otherwise append-only, matching the "
+                "reference's monotonic id contract)"
+            )
+        if hit.get("live"):
+            dup = new_nodes.join(
+                self._live(self.nodes.select(self.id_col)),
+                self.id_col, "left_semi",
+            )
             raise ValueError(
                 f"delta reuses id(s) already in the saved graph (e.g. "
                 f"{dup.first()[self.id_col]!r}): an id collision would "
@@ -880,7 +925,9 @@ class KnnGraphIndex(TombstoneDeleteMixin):
         # a crash mid-edges-append must not under-append backlinks for
         # rows that landed pre-crash (replay derives backlinks from the
         # full set and anti-joins what's stored, per table)
-        edges_full = edges_new.localCheckpoint(eager=True)
+        # lazy: the first append below materializes it; the backlink
+        # derivation and later appends reuse the persisted partitions
+        edges_full = edges_new.localCheckpoint(eager=False)
         edges_missing = edges_full.join(
             self.edges.select("src", "dst"), ["src", "dst"], "left_anti"
         )

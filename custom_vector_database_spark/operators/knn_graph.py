@@ -160,7 +160,9 @@ def knn_graph(
     )
     clustered = feats.select(
         "__id", "__v", F.explode(probes).alias("cluster")
-    ).localCheckpoint(eager=True)  # ONE encode pass feeds init + scoring
+    ).localCheckpoint(eager=False)  # ONE encode pass feeds init + scoring
+    # (lazy: lineage/plan cut now, the partitions persist at the caller's
+    # first materialization and every consumer below reuses them)
     # id-keyed dedup, not distinct(): the multi-probe explode duplicates
     # each row probe_clusters times with an IDENTICAL vector, so keying
     # the shuffle on __id alone spares every comparator the full array
@@ -190,7 +192,7 @@ def knn_graph(
         .distinct(),  # a pair sharing several probed clusters scores once
         k,
         out_dist,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # --- NN-Descent refinement: bounded neighbor-of-neighbor rounds ---
     for it in range(int(iterations)):
@@ -246,6 +248,8 @@ def knn_graph(
         )
         edges = _top_k_per_src(
             known.unionByName(scored), k, out_dist
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: the caller's first action
+        # materializes the whole bounded chain in ONE job; each round's
+        # persisted partitions still cut lineage and are reused
 
     return edges.select("src", "dst", out_dist)
