@@ -87,7 +87,9 @@ class LshIndex:
         # semantics: rebuild materializes, vectordb.cpp:82-118). Eagerly
         # materializing here means search/similarity-join never recompute
         # the hashing pass — approxSimilarityJoin reads it twice.
-        hashed = model.transform(feats).localCheckpoint(eager=True)
+        hashed = model.transform(feats).localCheckpoint(eager=False)
+        # lazy: the first search/save materializes it; recomputation is
+        # still impossible afterwards (lineage cut at the checkpoint)
         return cls(model, hashed, id_col, vec_col, model_id=model_id)
 
     # -- persistence: the index is a real artifact, unlike the reference's

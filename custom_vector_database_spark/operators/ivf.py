@@ -279,6 +279,9 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 ),
             )
             .localCheckpoint(eager=True)  # the materialized index
+            # (eager measured FASTER than lazy here: materializing the
+            # encode into cached blocks makes save()'s dynamic-partition
+            # write a cheap cache scan — A/B'd at sf0.1, +2.2 s lazy)
         )
         return cls(centroids, clustered, id_col, vec_col, metric,
                    max_norm=max_norm, carry_cols=carry_cols,
@@ -419,7 +422,8 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             nearest_centroid_col(
                 f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
             ),
-        ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
+        ).localCheckpoint(eager=False)  # one encode pass feeds count AND
+        # write (lazy: the full-scan count right below materializes it)
         n = encoded.count()
         self._refuse_tombstoned_delta(encoded.select(self.id_col))
         rows_path = os.path.join(self._path, "rows")
@@ -791,8 +795,9 @@ class IvfIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             *extra_q_cols,
             *qfilter_cols,
             F.explode(probes).alias("cluster"),
-        ).localCheckpoint(eager=True)  # computed once: feeds the probed-
-        # cluster listing AND the join below
+        ).localCheckpoint(eager=False)  # computed once: feeds the probed-
+        # cluster listing AND the join below (lazy: the listing's
+        # collect materializes it)
         probed = sorted(
             r["cluster"] for r in exploded.select("cluster").distinct().collect()
         )

@@ -136,7 +136,8 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
             ).alias("cluster"),
             bq_pack(F.col(vec_col), dim).alias("words"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)  # eager measured faster than
+        # lazy here (the A/B note in IvfIndex.fit)
         return cls(centroids, encoded, id_col, vec_col, dim,
                    model_id=model_id)
 
@@ -234,7 +235,7 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                 f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)", self.centroids
             ).alias("cluster"),
             bq_pack(F.col(self.vec_col), self.dim).alias("words"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: the count materializes it
         n = encoded.count()
         self._refuse_tombstoned_delta(encoded.select(self.id_col))
         codes_path = os.path.join(self._path, "codes")
@@ -471,7 +472,8 @@ class IvfBqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             F.col(query_id),
             bq_pack(F.col(query_vec), self.dim).alias("__qwords"),
             F.explode(probes).alias("cluster"),
-        ).localCheckpoint(eager=True)  # feeds the probed listing AND the join
+        ).localCheckpoint(eager=False)  # feeds the probed listing AND the
+        # join (lazy: the listing's collect materializes it)
         probed = sorted(
             r["cluster"] for r in exploded.select("cluster").distinct().collect()
         )

@@ -430,7 +430,8 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             _nearest_unit_centroid_col(
                 f"`{self.vec_col}`", self.centroids
             ).alias("cluster"),
-        ).localCheckpoint(eager=True)  # ONE encode feeds both writes
+        ).localCheckpoint(eager=False)  # ONE encode feeds both writes
+        # (lazy: the first write materializes, the second reads cache)
         self._refuse_tombstoned_delta(
             encoded.select(self.doc_col).distinct()
         )
@@ -823,8 +824,9 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         cand = self._candidate_docs(
             qrows, nprobe, n_candidates, quantized,
             qid_col=qid_col, qtok_col=qtok_col, qvec_key=qvec_col,
-        ).localCheckpoint(eager=True)  # one stage-1 run feeds the gather
-        # id list AND the pair restriction below
+        ).localCheckpoint(eager=False)  # one stage-1 run feeds the
+        # gather id list AND the pair restriction below (lazy: the
+        # gather's bounded collect materializes it)
         gathered = self._gather(cand, max_gather_docs)
         return self._exact_pair_scores(
             gathered, cand, qtok_df, k, qid_col, qtok_col, qvec_col

@@ -120,7 +120,8 @@ class PqIndex:
                 F.col(id_col), enc(F.col("_vec")).alias("_enc")
             ).select(
                 F.col(id_col), F.col("_enc.codes").alias("codes")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)  # eager measured faster than
+            # lazy here (the A/B note in IvfIndex.fit)
             return cls(codebooks, encoded, id_col, dim, model_id=model_id)
         codes = F.expr(
             "array("
@@ -131,7 +132,7 @@ class PqIndex:
             + ")"
         )
         encoded = feats.select(id_col, codes.alias("codes")).localCheckpoint(
-            eager=True
+            eager=True  # eager measured faster (IvfIndex.fit A/B note)
         )
         return cls(codebooks, encoded, id_col, dim, model_id=model_id)
 
@@ -616,7 +617,8 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         # full-table pass: _ivfpq_encode — one codegen'd projection
         encoded = _ivfpq_encode(
             feats, centroids, codebooks, id_col, dim, carry_cols=carry_cols
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)  # eager measured faster than lazy
+        # here (the A/B note in IvfIndex.fit)
         return cls(
             centroids, codebooks, encoded, id_col, dim, metric=metric,
             max_norm=max_norm, carry_cols=carry_cols, model_id=model_id,
@@ -737,7 +739,8 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         encoded = _ivfpq_encode(
             feats, self.centroids, self.codebooks, self.id_col, self.dim,
             carry_cols=self.carry_cols,
-        ).localCheckpoint(eager=True)  # one encode pass feeds count AND write
+        ).localCheckpoint(eager=False)  # one encode pass feeds count
+        # AND write (lazy: the full-scan count materializes it)
         n = encoded.count()
         self._refuse_tombstoned_delta(encoded.select(self.id_col))
         codes_path = os.path.join(self._path, "codes")
@@ -1160,8 +1163,9 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                     F.col("cluster"),
                     luts_col(F.expr(qv_d), F.col("cluster")).alias("_luts"),
                 )
-                .localCheckpoint(eager=True)  # computed once: feeds the
-                # probed-cluster listing AND the join below
+                .localCheckpoint(eager=False)  # computed once: feeds
+                # the probed-cluster listing AND the join below (lazy:
+                # the listing's collect materializes it)
             )
         else:
             probes = F.expr(nprobe_clusters_sql(qv_d, self.centroids, nprobe))
@@ -1191,8 +1195,9 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
                     F.col("cluster"),
                     F.expr(f"array({luts})").alias("_luts"),
                 )
-                .localCheckpoint(eager=True)  # computed once: feeds the
-                # probed-cluster listing AND the join below
+                .localCheckpoint(eager=False)  # computed once: feeds
+                # the probed-cluster listing AND the join below (lazy:
+                # the listing's collect materializes it)
             )
         probed = sorted(
             r["cluster"] for r in exploded.select("cluster").distinct().collect()

@@ -901,7 +901,6 @@ def corpus_ingest_apply_batch(
 
     from pyspark.sql import Window
 
-    _refuse_null_text(batch, text_col)
     sidecar_dir = os.path.join(corpus_dir, _FP_SIDECAR)
     claims_dir = os.path.join(corpus_dir, _FP_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
@@ -924,20 +923,27 @@ def corpus_ingest_apply_batch(
     probe = sidecar
     if recovering:
         probe = probe.filter(F.col("batch_id") != batch_id)
-    # bucket-pruned probe: a bounded collect (<= n_buckets values)
-    # restricts the sidecar scan to the partitions this batch can hit.
-    # One cheap md5+mod projection over the raw batch — NOT the fresh
-    # plan, whose per-fp window shuffle would otherwise run twice
-    buckets = [
-        r["__fpb"]
-        for r in batch.select(
-            _corpus_fp_bucket(
-                _fp_expr(text_col, fp_kind), n_buckets
-            ).alias("__fpb")
+    # bucket-pruned probe: ONE bounded agg over the raw batch answers
+    # both the NULL-text guard (_refuse_null_text's contract) and the
+    # <= n_buckets bucket set that restricts the sidecar scan to the
+    # partitions this batch can hit. One cheap md5+mod projection — NOT
+    # the fresh plan, whose per-fp window shuffle would otherwise run
+    # twice; previously the guard and the bucket collect were two
+    # separate jobs over the same batch.
+    pre = batch.agg(
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null"),
+        F.collect_set(
+            _corpus_fp_bucket(_fp_expr(text_col, fp_kind), n_buckets)
+        ).alias("bkts"),
+    ).first()
+    if pre["n_null"]:
+        raise ValueError(
+            f"NULL {text_col!r} in ingest batch: a NULL fingerprint can "
+            "neither dedup nor reconcile on crash replay (NULL never "
+            "equi-joins) — filter or impute upstream before streaming "
+            "into the corpus"
         )
-        .distinct()
-        .collect()
-    ]
+    buckets = list(pre["bkts"])
     if len(buckets) < n_buckets:
         probe = probe.filter(F.col("fpb").isin(buckets))
     # else: the batch hits every bucket — the IN-list (and its per-dir
@@ -966,8 +972,10 @@ def corpus_ingest_apply_batch(
             corpus_fps = spark.createDataFrame([], "__fp string")
         survivors = survivors.join(corpus_fps, "__fp", "left_anti")
     # materialize BEFORE the appends: the lazy plan reads the very
-    # sidecar (and, recovering, corpus) the appends below grow
-    survivors = survivors.localCheckpoint(eager=True)
+    # sidecar (and, recovering, corpus) the appends below grow. The
+    # count() right below scans every partition, so a lazy checkpoint
+    # is fully persisted there — one job instead of two.
+    survivors = survivors.localCheckpoint(eager=False)
     n_new = survivors.count()
     if n_new:
         # write-ahead: the DURABLE claim lands before either append
@@ -1390,7 +1398,8 @@ def _ensure_mh_sidecar(
             "__fp string, __sig array<bigint>, "
             "__bands array<struct<band:int,bh:bigint>>",
         )
-    enc = enc.localCheckpoint(eager=True)  # two writers below share it
+    enc = enc.localCheckpoint(eager=False)  # two writers below share
+    # it (lazy: the first write materializes, the second reads cache)
     tmp_s = sigs_dir + "_tmp"
     for t in (tmp_s, tmp_b):
         if os.path.isdir(t):
@@ -1438,7 +1447,6 @@ def corpus_neardup_apply_batch(
 
     from custom_vector_database_spark.operators.dedup import sig_agreement
 
-    _refuse_null_text(batch, text_col)
     sigs_dir = os.path.join(corpus_dir, _MH_SIGS)
     bands_dir = os.path.join(corpus_dir, _MH_BANDS)
     _heal_two_frame_rebucket(
@@ -1456,9 +1464,10 @@ def corpus_neardup_apply_batch(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
-        .localCheckpoint(eager=True)  # fp+sig+bands computed once; the
+        .localCheckpoint(eager=False)  # fp+sig+bands computed once; the
         # exact probe, candidate join, verify join, intra-batch pass, and
-        # both sidecar appends all reuse it
+        # both sidecar appends all reuse it (lazy: the guard agg right
+        # below materializes it — one job instead of two)
     )
     sig_side = _read_mh_sigs(spark, sigs_dir)
     band_side = _read_mh_bands(spark, bands_dir)
@@ -1466,15 +1475,25 @@ def corpus_neardup_apply_batch(
         sig_side = sig_side.filter(F.col("batch_id") != batch_id)
         band_side = band_side.filter(F.col("batch_id") != batch_id)
 
-    # (a) exact: bucket-pruned fingerprint anti-join (<= n_buckets values)
-    fpbs = [
-        r["fpb"]
-        for r in enc.select(
-            _corpus_fp_bucket(F.col("__fp"), n_buckets).alias("fpb")
+    # (a) exact: bucket-pruned fingerprint anti-join (<= n_buckets
+    # values). ONE bounded agg answers the NULL-text guard
+    # (_refuse_null_text's contract — enc keeps the raw columns, so the
+    # check reads the same data) AND the fingerprint-bucket set;
+    # previously the guard and the bucket collect were two jobs.
+    pre = enc.agg(
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null"),
+        F.collect_set(
+            _corpus_fp_bucket(F.col("__fp"), n_buckets)
+        ).alias("fpbs"),
+    ).first()
+    if pre["n_null"]:
+        raise ValueError(
+            f"NULL {text_col!r} in ingest batch: a NULL fingerprint can "
+            "neither dedup nor reconcile on crash replay (NULL never "
+            "equi-joins) — filter or impute upstream before streaming "
+            "into the corpus"
         )
-        .distinct()
-        .collect()
-    ]
+    fpbs = list(pre["fpbs"])
     exact_fps = sig_side.filter(F.col("fpb").isin(fpbs)).select(
         F.col("fp").alias("__fp")
     )
@@ -1506,7 +1525,8 @@ def corpus_neardup_apply_batch(
         )
         .select("__fp", "__sig", "__cfp")
         .distinct()
-        .localCheckpoint(eager=True)  # bounded: batch docs x their collisions
+        .localCheckpoint(eager=False)  # bounded: batch docs x their
+        # collisions (lazy: the bucket collect below materializes it)
     )
     cfpbs = [
         r["fpb"]
@@ -1569,7 +1589,9 @@ def corpus_neardup_apply_batch(
         else:
             corpus_fps = spark.createDataFrame([], "__fp string")
         survivors = survivors.join(corpus_fps, "__fp", "left_anti")
-    survivors = survivors.localCheckpoint(eager=True)  # before the appends
+    # before the appends (lazy: the full-scan count right below
+    # persists every partition — one job instead of two)
+    survivors = survivors.localCheckpoint(eager=False)
     n_new = survivors.count()
     if n_new:
         # write-ahead: the DURABLE claim lands before any append
@@ -2004,9 +2026,10 @@ def _collect_tf_matrix(
             "__doc", F.row_number().over(Window.orderBy("__rk", text_col))
         )
         .select("__doc", F.col(text_col))
-        .localCheckpoint(eager=True)  # the tf collect AND the row count
-        # below share one materialization — without it each pays the
-        # full corpus top-k scan again
+        .localCheckpoint(eager=False)  # the tf collect AND the row
+        # count below share one materialization (the first full-scan
+        # consumer persists it) — without it each pays the full corpus
+        # top-k scan again
     )
     tf = (
         _dsir_gram_stream(ranked, ["__doc"], text_col, num_buckets)
@@ -2169,10 +2192,11 @@ def stream_corpus_dsir_ingest(
             ),
             id_col,
             "left_semi",
-        ).localCheckpoint(eager=True)
-        # ^ materialize: apply_batch evaluates its batch three times
-        # (null guard, bucket collect, survivors checkpoint) — without
-        # the barrier each evaluation re-runs the full gate scoring
+        ).localCheckpoint(eager=False)
+        # ^ checkpoint: apply_batch evaluates its batch several times
+        # (guard agg, survivors checkpoint) — without the barrier each
+        # evaluation re-runs the full gate scoring; lazy, the first
+        # evaluation materializes it
         if dedup == "exact":
             corpus_ingest_apply_batch(
                 spark, kept, batch_id, corpus_dir,
@@ -2473,7 +2497,8 @@ def _ensure_sb_sidecar(
             [], f"{id_col} long, {vec_col} array<float>, __keys array<bigint>"
         )
         excluded_ids = spark.createDataFrame([], "id long")
-    enc = enc.localCheckpoint(eager=True)  # two writers below share it
+    enc = enc.localCheckpoint(eager=False)  # two writers below share
+    # it (lazy: the first write materializes, the second reads cache)
     tmp_v = vecs_dir + "_tmp"
     for t in (tmp_v, tmp_b):
         if os.path.isdir(t):
@@ -2542,12 +2567,12 @@ def corpus_semdedup_apply_batch(
     _check_sb_shape(vecs_dir, n_bands, band_bits)
     _check_sidecar_model(vecs_dir, model_id)
     dim = n_bands * band_bits
-    _refuse_bad_vectors(batch, id_col, vec_col, dim)
 
     enc = batch.withColumn(
         "__keys", sign_band_keys(vec_col, n_bands, band_bits)
-    ).localCheckpoint(eager=True)  # keys computed once; the candidate
-    # join, verify join, intra-batch pass, and all three appends reuse it
+    ).localCheckpoint(eager=False)  # keys computed once; the candidate
+    # join, verify join, intra-batch pass, and all three appends reuse
+    # it (lazy: the bucket agg right below materializes it)
     vec_side = _read_sb_vecs(spark, vecs_dir)
     band_side = _read_sb_bands(spark, bands_dir)
     if recovering:
@@ -2562,14 +2587,44 @@ def corpus_semdedup_apply_batch(
     # Bucket-pruned and bounded like every other probe; the recovering
     # filter above already excluded this batch's OWN claimed rows, so
     # replay sees exactly the pre-batch id set and decides identically.
-    idbs = [
-        r["idb"]
-        for r in enc.select(
-            F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("idb")
+    # ONE bounded agg answers the batch-quality guards
+    # (_refuse_bad_vectors's contract: undecidable vectors, duplicate
+    # ids) AND both bucket sets (id buckets for the clash/verify prunes,
+    # band-key buckets for the candidate prune) — previously three
+    # separate jobs over the same batch.
+    pre = enc.agg(
+        F.sum(_sb_undecidable(F.col(vec_col), dim).cast("long")).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.collect_set(
+            F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets))
+        ).alias("idbs"),
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.transform(
+                        F.col("__keys"),
+                        lambda kk: F.pmod(kk, F.lit(n_buckets)),
+                    )
+                )
+            )
+        ).alias("bbs"),
+    ).first()
+    if pre["bad"]:
+        raise ValueError(
+            f"{pre['bad']} document(s) with NULL, wrong-dimension, "
+            f"NULL-component, or zero-norm {vec_col!r} (need exactly "
+            f"{dim} = n_bands x band_bits non-NULL components, not all "
+            "zero): an undecidable vector bypasses every semantic dedup "
+            "probe — filter or impute upstream"
         )
-        .distinct()
-        .collect()
-    ]
+    if pre["nd"] != pre["n"]:
+        raise ValueError(
+            f"{pre['n'] - pre['nd']} duplicate {id_col!r} value(s) in the "
+            "ingest batch: ids key the sidecar's vector frame and the "
+            "crash-replay reconcile — deduplicate ids upstream"
+        )
+    idbs = list(pre["idbs"])
     clash = (
         vec_side.filter(F.col("idb").isin(idbs))
         .select("id")
@@ -2597,14 +2652,7 @@ def corpus_semdedup_apply_batch(
         F.col(vec_col).alias("__vec"),
         F.posexplode("__keys").alias("band", "key"),
     )
-    bbs = [
-        r["bb"]
-        for r in bb.select(
-            F.pmod(F.col("key"), F.lit(n_buckets)).alias("bb")
-        )
-        .distinct()
-        .collect()
-    ]
+    bbs = list(pre["bbs"])  # from the single bucket agg above
     cand = (
         bb.join(
             band_side.filter(F.col("bb").isin(bbs)).select(
@@ -2614,7 +2662,8 @@ def corpus_semdedup_apply_batch(
         )
         .select("__id", "__cid")
         .distinct()
-        .localCheckpoint(eager=True)  # bounded: batch docs x collisions
+        .localCheckpoint(eager=False)  # bounded: batch docs x collisions
+        # (lazy: the bucket collect below materializes it)
     )
     # verify: exact cosine against ONLY the candidates' stored vectors,
     # gathered from the id-bucket-pruned vecs frame
@@ -2692,7 +2741,9 @@ def corpus_semdedup_apply_batch(
         else:
             corpus_ids = spark.createDataFrame([], f"{id_col} long")
         survivors = survivors.join(corpus_ids, id_col, "left_anti")
-    survivors = survivors.localCheckpoint(eager=True)  # before the appends
+    # before the appends (lazy: the full-scan count right below
+    # persists every partition — one job instead of two)
+    survivors = survivors.localCheckpoint(eager=False)
     n_new = survivors.count()
     if n_new:
         # write-ahead: the DURABLE claim lands before any append
@@ -3014,8 +3065,9 @@ def _ensure_cdc_sidecar(
     tmp = sidecar_dir + "_tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    rows = rows.localCheckpoint(eager=True)  # chunking runs once: feeds
-    # the sidecar write AND the df-sketch fold below
+    rows = rows.localCheckpoint(eager=False)  # chunking runs once:
+    # feeds the sidecar write AND the df-sketch fold below (lazy: the
+    # write materializes it)
     # same sorted-by-fp bucket layout as compact (compression locality)
     (
         rows.repartition(n_buckets, "fpb")
@@ -3065,7 +3117,8 @@ def corpus_cdc_apply_batch(
 
     if mask is None:
         mask = CDC_MASK
-    _refuse_bad_payloads(batch, id_col, payload_col)
+    # the payload guards (_refuse_bad_payloads's contract) fold into the
+    # single chunk-stats agg below — no separate guard jobs
     sidecar_dir = os.path.join(corpus_dir, _CDC_CHUNKS)
     claims_dir = os.path.join(corpus_dir, _CDC_CLAIMS)
     claim = os.path.join(claims_dir, f"claim_{batch_id}")
@@ -3079,12 +3132,39 @@ def corpus_cdc_apply_batch(
     # per-payload chunking is the batch's dominant compute — without
     # this a 4k-payload batch chunks serially on a single task
     par = spark.sparkContext.defaultParallelism
+    # ONE agg over the raw batch answers both payload guards
+    # (_refuse_bad_payloads's contract: NULL/empty payloads, duplicate
+    # ids) — previously two separate limit-count jobs
+    g = batch.agg(
+        F.sum(
+            (
+                F.col(payload_col).isNull()
+                | (F.length(F.col(payload_col)) == 0)
+            ).cast("long")
+        ).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if g["bad"]:
+        raise ValueError(
+            f"NULL or empty {payload_col!r} in CDC ingest batch: an "
+            "empty chunk set can neither dedup nor reconcile on crash "
+            "replay — filter upstream before streaming into the corpus"
+        )
+    if g["nd"] != g["n"]:
+        raise ValueError(
+            f"duplicate {id_col!r} within a CDC ingest batch: the keep "
+            "decision between two payloads under one id is undecidable, "
+            "and crash-replay reconciliation keys on the id — dedup ids "
+            "upstream"
+        )
     ex = _cdc_chunk_rows(
         batch.repartition(par), id_col, payload_col, mask, n_buckets
     )
     # chunking runs once, not once per consumer below (the survivors
-    # plan reads it three ways)
-    ex = ex.localCheckpoint(eager=True)
+    # plan reads it three ways); lazy — the chunk-stats agg right below
+    # materializes it
+    ex = ex.localCheckpoint(eager=False)
 
     # (a) intra-batch one-hop: b dropped iff EXISTS a < b with
     # containment(b in a) >= pct% — independent of a's own fate, so the
@@ -3101,15 +3181,21 @@ def corpus_cdc_apply_batch(
         .select("id")
     )
 
-    # (b) vs the sidecar, bucket-pruned to the batch's buckets (bounded
-    # collect <= n_buckets); recovery excludes this batch's own rows
-    buckets = [
-        r["fpb"] for r in ex.select("fpb").distinct().collect()
-    ]
+    # (b) vs the sidecar, bucket-pruned to the batch's buckets. ONE
+    # bounded agg answers the bucket set (<= n_buckets values), the
+    # chunk-row count (the broadcast-size gate), and the distinct-fp
+    # count (the InSet-pushdown gate) — previously a distinct+collect
+    # job plus a count job; recovery excludes this batch's own rows
+    exstats = ex.agg(
+        F.collect_set("fpb").alias("fpbs"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("fp").alias("n_fps"),
+    ).first()
+    buckets = list(exstats["fpbs"])
     # batch-side frames are broadcast into every sidecar read below so
     # the corpus-sized scans never shuffle; bounded by the batch's own
-    # chunk count (ex is checkpointed — this count reads cached blocks)
-    small_batch = ex.count() <= CDC_BROADCAST_MAX_CHUNKS
+    # chunk count
+    small_batch = int(exstats["n_rows"]) <= CDC_BROADCAST_MAX_CHUNKS
 
     def _bcast(df):
         return F.broadcast(df) if small_batch else df
@@ -3133,11 +3219,11 @@ def corpus_cdc_apply_batch(
     # note). Semantics-free restriction — verdicts identical; the
     # collect is bounded by the caps.
     fp_list: list | None = None
-    if small_batch:
-        allfps = sorted(r["fp"] for r in exfps.collect())
-        if len(allfps) <= CDC_PUSHDOWN_MAX_FPS:
-            fp_list = allfps
-            probe = probe.filter(F.col("fp").isin(fp_list))
+    if small_batch and int(exstats["n_fps"]) <= CDC_PUSHDOWN_MAX_FPS:
+        # the collect is bounded by the cap, and skipped entirely when
+        # the gate (known from the stats agg) says it would be discarded
+        fp_list = sorted(r["fp"] for r in exfps.collect())
+        probe = probe.filter(F.col("fp").isin(fp_list))
     # else: a chunk-heavy batch (~30 distinct fps per payload) hits
     # every bucket, and the saturated IN-list + per-dir listing only
     # adds overhead over the full probe it cannot avoid (measured in
@@ -3247,7 +3333,9 @@ def corpus_cdc_apply_batch(
         else:
             corpus_ids = spark.createDataFrame([], f"{id_col} long")
         survivors = survivors.join(corpus_ids, id_col, "left_anti")
-    survivors = survivors.localCheckpoint(eager=True)
+    # lazy: the full-scan count right below persists every partition —
+    # one job instead of two, still before the appends
+    survivors = survivors.localCheckpoint(eager=False)
     n_new = survivors.count()
     if n_new:
         # write-ahead: the DURABLE claim lands before either append
@@ -3268,8 +3356,9 @@ def corpus_cdc_apply_batch(
             # payload's chunk rows; replay re-appends exactly the
             # missing (id, fp) rows, never a duplicate row
             new_rows = new_rows.join(claimed, ["id", "fp"], "left_anti")
-        new_rows = new_rows.localCheckpoint(eager=True)  # feeds the
+        new_rows = new_rows.localCheckpoint(eager=False)  # feeds the
         # sidecar append AND the df-delta append below, computed once
+        # (lazy: the first append materializes it)
         new_rows.write.mode("append").partitionBy("fpb").parquet(sidecar_dir)
         # df-sketch delta: append-time counts, folded (and pruned to
         # hot fps) at compact. RANKING data only — a replay that
