@@ -84,12 +84,13 @@ class LshIndex:
         )
         model = lsh.fit(feats)
         # The fitted-and-hashed table IS the rebuilt index (reference
-        # semantics: rebuild materializes, vectordb.cpp:82-118). Eagerly
-        # materializing here means search/similarity-join never recompute
-        # the hashing pass — approxSimilarityJoin reads it twice.
-        hashed = model.transform(feats).localCheckpoint(eager=False)
-        # lazy: the first search/save materializes it; recomputation is
-        # still impossible afterwards (lineage cut at the checkpoint)
+        # semantics: rebuild materializes, vectordb.cpp:82-118). fit() is
+        # an API boundary the DataFrame escapes through, so the snapshot
+        # must be taken HERE (ADVICE r14: a lazy checkpoint would defer
+        # the snapshot to the first search — source mutations between
+        # build() and first use would silently leak into the index, and
+        # build-time data errors would surface at query time).
+        hashed = model.transform(feats).localCheckpoint(eager=True)
         return cls(model, hashed, id_col, vec_col, model_id=model_id)
 
     # -- persistence: the index is a real artifact, unlike the reference's

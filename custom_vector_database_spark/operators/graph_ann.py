@@ -812,7 +812,12 @@ class KnnGraphIndex(TombstoneDeleteMixin):
             .agg(F.sum("_c").alias("n"), F.max("_c").alias("mx"))
             .first()
         )
-        n = int(gstats["n"])
+        # an empty delta folds to NULL aggregates (zero groups) — restore
+        # the pre-merge no-op contract (ADVICE r14): streaming sinks can
+        # legitimately hand this path an empty micro-batch
+        n = int(gstats["n"] or 0)
+        if n == 0:
+            return 0
         # the delta rides search_many as its query table, which bounds
         # the broadcast side at 100k rows — surface the UPSERT remedy
         # (split the delta; each batch is an independent append with the

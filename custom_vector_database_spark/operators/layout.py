@@ -300,7 +300,12 @@ def compact_partitioned(
     df = spark.read.parquet(rows_path)
     if transform is not None:
         df = transform(df)
-    n_rows = df.count()
+    # n_rows rides the rewrite as an observation — the separate count()
+    # was a second full pass over the layout purely for the stats dict
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if files_per_partition == 1:
         packed = df.repartition(n_partitions, F.col(partition_col))
     else:
@@ -318,6 +323,7 @@ def compact_partitioned(
             n_partitions * files_per_partition, F.col(partition_col), salt
         )
     packed.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    n_rows = obs.get["n"]  # the write completed; the observation is final
     os.rename(rows_path, old)
     os.rename(tmp, rows_path)
     shutil.rmtree(old, ignore_errors=True)
@@ -326,6 +332,35 @@ def compact_partitioned(
         "files_after": _count_files(),
         "n_rows": int(n_rows),
     }
+
+
+def in_literals(col_name: str, values) -> Column:
+    """``col IN (v1, v2, ...)`` built as ONE parsed SQL expression.
+
+    ``Column.isin`` constructs one literal Column per value through
+    py4j — measured ~5–7 s of pure driver time at ~6k string values
+    (round 15), charged per call. The SQL parser ingests the same list
+    in ~10 ms and yields the IDENTICAL plan (In → InSet past the
+    conversion threshold), so per-row execution keeps the hash-set
+    probe the big-list call sites were chosen for. Strings are quoted
+    with '' escaping; ints/floats pass through str(). An empty list
+    matches isin([]): no row qualifies."""
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+
+    def _lit(v) -> str:
+        if hasattr(v, "item"):  # numpy scalar → python scalar
+            v = v.item()
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return str(v)
+        raise TypeError(f"unsupported IN-literal type: {type(v)!r}")
+
+    return F.expr(f"`{col_name}` IN ({','.join(_lit(v) for v in vals)})")
 
 
 def check_model_id(

@@ -694,6 +694,10 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         buckets become a static partition filter and the doc ids a
         pushed-down IN filter, so gather I/O is ∝ candidate buckets, not
         corpus size."""
+        from custom_vector_database_spark.operators.layout import (
+            in_literals,
+        )
+
         pairs = (
             cand_docs.select(self.doc_col)
             .distinct()
@@ -712,7 +716,7 @@ class MaxSimIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         return (
             self.docs_df()
             .filter(F.col("dbkt").isin(bkts))
-            .filter(F.col(self.doc_col).isin(ids))
+            .filter(in_literals(self.doc_col, ids))
             .select(self.doc_col, self.vec_col)
         )
 

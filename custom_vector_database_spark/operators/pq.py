@@ -208,6 +208,7 @@ class PqIndex:
         rows are ever read."""
         from custom_vector_database_spark.operators.layout import (
             check_model_id,
+            in_literals,
         )
 
         check_model_id(self.model_id, model_id, "this PQ codebook")
@@ -226,7 +227,7 @@ class PqIndex:
         if base_df is None:
             raise ValueError("rerank requires the full-precision base_df")
         cand_ids = [r[self.id_col] for r in adc.select(self.id_col).collect()]
-        candidates = base_df.filter(F.col(self.id_col).isin(cand_ids))
+        candidates = base_df.filter(in_literals(self.id_col, cand_ids))
         return knn_ops.knn(
             candidates, query, k,
             id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
@@ -926,6 +927,10 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         dist_col: str | None = None,
         model_id: str | None = None,
     ) -> DataFrame:
+        from custom_vector_database_spark.operators.layout import (
+            in_literals,
+        )
+
         self._check_model(model_id)
         nprobe = self._resolve_nprobe(nprobe)
         want = self.dim - 1 if self.metric == "dot" else self.dim
@@ -1005,7 +1010,7 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
             # TRUE inner products over the RAW base vectors (drop the
             # augmented zero; knn's dot metric ranks by −⟨x,q⟩ ascending)
             hits = knn_ops.knn(
-                base_df.filter(F.col(self.id_col).isin(ids)), query[:-1], k,
+                base_df.filter(in_literals(self.id_col, ids)), query[:-1], k,
                 id_col=self.id_col, vec_col=vec_col, dist_col="_nd",
                 metric="dot", round_to=None,
             )
@@ -1015,7 +1020,7 @@ class IvfPqIndex(TombstoneDeleteMixin, AutoNprobeMixin):
         # cosine/L2 reranks re-score with the TRUE metric over the RAW
         # base vectors (the normalized query keeps cosine exact)
         return knn_ops.knn(
-            base_df.filter(F.col(self.id_col).isin(ids)), query, k,
+            base_df.filter(in_literals(self.id_col, ids)), query, k,
             id_col=self.id_col, vec_col=vec_col, dist_col=dist_col,
             metric=self.metric,
         )

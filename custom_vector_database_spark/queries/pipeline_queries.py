@@ -1334,7 +1334,7 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_exact_docs(spark, sf_dir), corpus_dir)
         copies = docs.filter(F.col("doc_id") < 10).withColumn(
             "doc_id", F.col("doc_id") + 1_000_000_000
         )
@@ -1421,7 +1421,7 @@ def q_corpus_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_exact_docs(spark, sf_dir), corpus_dir)
         fresh = (
             docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
             .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
@@ -1612,7 +1612,7 @@ def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_neardup_docs(spark, sf_dir), corpus_dir)
         delta = neardup_ingest_delta(docs)
         # 4 part files + maxFilesPerTrigger=2 -> two micro-batches
         delta.repartition(4).write.parquet(delta_dir)
@@ -1693,7 +1693,7 @@ def q_neardup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_neardup_docs(spark, sf_dir), corpus_dir)
         fresh = (
             docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 38))
             .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
@@ -1862,7 +1862,7 @@ def q_stream_dsir_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
         gate_dir = os.path.join(tmp, "gate")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_exact_docs(spark, sf_dir), corpus_dir)
         fit_dsir_gate(
             pool=docs.select("text"),
             target=docs.filter(F.col("lang") == "en").select("text"),
@@ -2064,7 +2064,7 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_semdedup_emb(spark, sf_dir), corpus_dir)
         delta = semdedup_ingest_delta(docs)
         # 4 part files + maxFilesPerTrigger=2 -> two micro-batches
         delta.repartition(4).write.parquet(delta_dir)
@@ -2174,7 +2174,7 @@ def q_stream_classifier_gated_ingest(
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
         gate_dir = os.path.join(tmp, "gate")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_exact_docs(spark, sf_dir), corpus_dir)
         fit_quality_classifier(
             pos=en.select("text"),
             neg=classifier_junk_docs(en, _QGATE_JUNK_TRAIN, 0).select("text"),
@@ -2304,7 +2304,7 @@ def q_semdedup_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         corpus_dir = os.path.join(tmp, "corpus")
         delta_dir = os.path.join(tmp, "delta")
-        docs.write.parquet(corpus_dir)
+        copy_fixture(golden_semdedup_emb(spark, sf_dir), corpus_dir)
         fresh = (
             docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 38))
             .withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
@@ -2618,9 +2618,112 @@ def q_sidecar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Golden fixture corpora (round 15): the ingest-protocol rows each start
+# from an identical, never-mutated base state — a base-table corpus plus
+# its bootstrapped sidecar frames. That state is a pure function of the
+# parquet inputs, so it is built ONCE per (applicationId, sf_dir) — the
+# saved_index convention where the alphabetically-first consumer prices
+# the build — and every consumer gets a PRIVATE copy it mutates freely.
+# Mutated copies are never reused across rows, and nothing persists
+# across processes: every bench/oracle invocation still computes the
+# fixture from the parquet inputs. Rows that may populate this cache are
+# listed in bench.py's _NO_RETRY (a retry would price the copy path as
+# the build).
+# ---------------------------------------------------------------------------
+_GOLDEN_CACHE: dict = {}
+
+
+def golden_fixture(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Path to the golden (read-only) fixture tree named ``name``, built
+    once per (applicationId, sf_dir) by ``build(path)``. Callers MUST
+    NOT mutate the returned tree — take a copy via copy_fixture()."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = _GOLDEN_CACHE.get(key)
+    if path is None:
+        base = tempfile.mkdtemp(prefix=f"cvdb_golden_{name}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = os.path.join(base, "fx")
+        build(path)
+        _GOLDEN_CACHE[key] = path
+    return path
+
+
+def copy_fixture(golden: str, dest: str) -> str:
+    """Private mutable copy of a golden tree (real byte copies, never
+    hardlinks: sidecar compactions rewrite meta files in place, and a
+    shared inode would corrupt the golden state)."""
+    import shutil
+
+    shutil.copytree(golden, dest)
+    return dest
+
+
+def golden_exact_docs(spark: SparkSession, sf_dir: str) -> str:
+    """documents corpus + bootstrapped exact-fingerprint sidecar — the
+    base state of every exact-family ingest row (stream_corpus_ingest,
+    corpus_ingest_compact, and the gated variants, which all ensure this
+    exact shape before their first micro-batch)."""
+
+    def build(path: str) -> None:
+        import os
+
+        from custom_vector_database_spark.streaming.stream_ops import (
+            _FP_SIDECAR,
+            _ensure_fp_sidecar,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        docs.write.parquet(path)
+        _ensure_fp_sidecar(
+            spark, path, os.path.join(path, _FP_SIDECAR), "text", 16
+        )
+
+    return golden_fixture(spark, sf_dir, "exact_docs", build)
+
+
+def golden_neardup_docs(spark: SparkSession, sf_dir: str) -> str:
+    """documents corpus + bootstrapped minhash sidecar (16 perms, 4
+    bands, 16 buckets — the near-dup family's default shape)."""
+
+    def build(path: str) -> None:
+        from custom_vector_database_spark.streaming.stream_ops import (
+            _ensure_mh_sidecar,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        docs.write.parquet(path)
+        _ensure_mh_sidecar(spark, path, "text", 16, 4, 16)
+
+    return golden_fixture(spark, sf_dir, "neardup_docs", build)
+
+
+def golden_semdedup_emb(spark: SparkSession, sf_dir: str) -> str:
+    """embeddings-as-documents corpus + bootstrapped sign-band sidecar
+    (4 bands, 16 bits, 16 buckets — the semantic family's default)."""
+
+    def build(path: str) -> None:
+        from custom_vector_database_spark.streaming.stream_ops import (
+            _ensure_sb_sidecar,
+        )
+
+        docs = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        docs.write.parquet(path)
+        _ensure_sb_sidecar(spark, path, "doc_id", "embedding", 4, 16, 16)
+
+    return golden_fixture(spark, sf_dir, "semdedup_emb", build)
+
+
 def _fragmented_sb_corpus(
     spark: SparkSession, emb: DataFrame, corpus_dir: str,
-    n_batches: int = 1, n_buckets: int = 4,
+    n_batches: int = 1, n_buckets: int = 4, start_batch: int = 1,
 ) -> str:
     """Fixture: a corpus whose sign-band sidecar is FRAGMENTED —
     bootstrap at ``n_buckets`` + ``n_batches`` resolved apply batches of
@@ -2631,7 +2734,9 @@ def _fragmented_sb_corpus(
     near-copies of the bootstrap + apply + claim-resolve choreography).
     Bootstrap writes one file per occupied bucket (<= n_buckets) and
     each apply appends >= 1 more, so files_per_bucket >= (n_buckets +
-    n_batches) / n_buckets."""
+    n_batches) / n_buckets. ``start_batch`` > 1 resumes on an existing
+    corpus (the golden-fixture incremental build): the corpus dir must
+    already hold batches 1..start_batch-1."""
     import glob
     import os
 
@@ -2643,12 +2748,13 @@ def _fragmented_sb_corpus(
     docs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    docs.write.parquet(corpus_dir)
-    _ensure_sb_sidecar(
-        spark, corpus_dir, "doc_id", "embedding", 4, 16, n_buckets
-    )
+    if start_batch == 1:
+        docs.write.parquet(corpus_dir)
+        _ensure_sb_sidecar(
+            spark, corpus_dir, "doc_id", "embedding", 4, 16, n_buckets
+        )
     ops = ("-x", "-(x + 0.25)", "-(x + 0.5)")
-    for b in range(1, n_batches + 1):
+    for b in range(start_batch, n_batches + 1):
         op = ops[(b - 1) % len(ops)]
         # orderBy BEFORE limit: an unordered limit(5) is plan-dependent,
         # so which 5 vectors seed each batch could drift across engines/
@@ -2667,6 +2773,60 @@ def _fragmented_sb_corpus(
     for c in glob.glob(os.path.join(corpus_dir, "_sb_claims", "claim_*")):
         os.remove(c)
     return corpus_dir
+
+
+def fragmented_sb_corpus_cached(
+    spark: SparkSession, sf_dir: str, dest: str, n_batches: int = 1
+) -> str:
+    """Private copy of the golden fragmented sign-band corpus — the
+    maintenance rows' shared fixture, built once per process instead of
+    once per call site (4 calls across maintenance_plan/execute). The
+    2-batch variant extends a copy of the 1-batch golden with one more
+    apply, so the whole family costs one bootstrap + 3 apply batches per
+    process, total."""
+    import os
+    import shutil
+
+    def build1(path: str) -> None:
+        emb = load(spark, sf_dir, "embeddings")
+        _fragmented_sb_corpus(spark, emb, path, n_batches=1)
+
+    g1 = golden_fixture(spark, sf_dir, "frag_sb1", build1)
+    if n_batches == 1:
+        return copy_fixture(g1, dest)
+    if n_batches != 2:
+        raise ValueError("only n_batches in (1, 2) are golden-cached")
+
+    def build2(path: str) -> None:
+        shutil.copytree(g1, path)
+        emb = load(spark, sf_dir, "embeddings")
+        _fragmented_sb_corpus(spark, emb, path, n_batches=2, start_batch=2)
+
+    g2 = golden_fixture(spark, sf_dir, "frag_sb2", build2)
+    return copy_fixture(g2, dest)
+
+
+def golden_claimed_fp(spark: SparkSession, sf_dir: str) -> str:
+    """10-doc corpus with a healthy exact sidecar and ONE planted
+    outstanding ingest claim — maintenance_plan's 'resolve_claims'
+    fixture (read-only in plan mode, so consumers still copy)."""
+
+    def build(path: str) -> None:
+        import os
+
+        from custom_vector_database_spark.streaming.stream_ops import (
+            _ensure_fp_sidecar,
+        )
+
+        load(spark, sf_dir, "documents").limit(10).write.parquet(path)
+        _ensure_fp_sidecar(
+            spark, path, os.path.join(path, "_fingerprints"), "text", 16
+        )
+        os.makedirs(os.path.join(path, "_ingest_claims"), exist_ok=True)
+        with open(os.path.join(path, "_ingest_claims", "claim_7"), "a"):
+            pass
+
+    return golden_fixture(spark, sf_dir, "claimed_fp", build)
 
 
 # ---------------------------------------------------------------------------
@@ -2724,9 +2884,6 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from custom_vector_database_spark.queries.vector_queries import (
         saved_index,
     )
-    from custom_vector_database_spark.streaming.stream_ops import (
-        _ensure_fp_sidecar,
-    )
 
     idx = saved_index(spark, sf_dir, "ivfpq")
     emb = load_spread(spark, sf_dir, "embeddings")
@@ -2746,25 +2903,19 @@ def q_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tmp = tempfile.mkdtemp(prefix="cvdb_maintenance_")
     try:
-        frag = _fragmented_sb_corpus(
-            spark, emb, os.path.join(tmp, "frag"), n_batches=2
+        frag = fragmented_sb_corpus_cached(
+            spark, sf_dir, os.path.join(tmp, "frag"), n_batches=2
         )
         # healthy exact sidecar with ONE planted outstanding claim
-        claimed = os.path.join(tmp, "claimed")
-        load(spark, sf_dir, "documents").limit(10).write.parquet(claimed)
-        _ensure_fp_sidecar(
-            spark, claimed, os.path.join(claimed, "_fingerprints"),
-            "text", 16,
+        claimed = copy_fixture(
+            golden_claimed_fp(spark, sf_dir), os.path.join(tmp, "claimed")
         )
-        os.makedirs(os.path.join(claimed, "_ingest_claims"), exist_ok=True)
-        with open(
-            os.path.join(claimed, "_ingest_claims", "claim_7"), "a"
-        ):
-            pass
         # half-present family (crashed swap: the bands frame is gone) —
         # the plan must surface it as a 'heal' blocker, not a healthy
         # 'none' row (the r10 review-pass contract, driver-visible here)
-        half = _fragmented_sb_corpus(spark, emb, os.path.join(tmp, "half"))
+        half = fragmented_sb_corpus_cached(
+            spark, sf_dir, os.path.join(tmp, "half")
+        )
         shutil.rmtree(os.path.join(half, "_sb_bands"))
 
         plan = maintenance_plan(
@@ -2965,9 +3116,11 @@ def q_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # ONE resolved apply batch suffices: files_per_bucket >= 5/4 >
         # the 1.2 threshold below (_fragmented_sb_corpus docstring)
-        frag = _fragmented_sb_corpus(spark, emb, os.path.join(tmp, "frag"))
-        blocked = _fragmented_sb_corpus(
-            spark, emb, os.path.join(tmp, "blocked")
+        frag = fragmented_sb_corpus_cached(
+            spark, sf_dir, os.path.join(tmp, "frag")
+        )
+        blocked = fragmented_sb_corpus_cached(
+            spark, sf_dir, os.path.join(tmp, "blocked")
         )
         os.makedirs(os.path.join(blocked, "_sb_claims"), exist_ok=True)
         with open(os.path.join(blocked, "_sb_claims", "claim_9"), "a"):

@@ -652,13 +652,17 @@ def saved_index(spark: SparkSession, sf_dir: str, kind: str):
     elif kind == "lsh":
         from custom_vector_database_spark.operators.ann import LshIndex
 
-        LshIndex.fit(
+        built = LshIndex.fit(
             emb, id_col="vec_id", vec_col="embedding", num_hash_tables=4
-        ).save(path)
+        )
+        built.save(path)
         idx = LshIndex.load(spark, path)
-        # materialize the rehashed table once — every search/join over the
-        # loaded index reuses it instead of re-running the hash projection
-        idx._hashed = idx._hashed.localCheckpoint(eager=True)
+        # the loaded handle's hashed table is, row for row, the frame
+        # fit() just materialized (save() wrote exactly those rows and
+        # load() re-applies the same model to them) — hand it the
+        # checkpointed frame instead of re-running the hash projection
+        # plus a second eager checkpoint over identical data
+        idx._hashed = built._hashed
     else:
         raise ValueError(f"unknown index kind: {kind}")
     _INDEX_CACHE[key] = idx
@@ -802,6 +806,23 @@ def q_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute force and the sweep deterministically meets the target); the
 # boolean asserts the sweep met, the pin round-tripped through the
 # saved meta, and nprobe="auto" resolves to exactly the pinned value.
+# cert results memoized per (applicationId, sf_dir): the chain is a pure
+# function of the parquet inputs, and TWO rows consume it — the
+# graph_crud_cert row (alphabetically first, so it prices the chain in
+# the bench: the saved_index convention) and ivfpq_build (whose output
+# keeps carrying the same booleans, computed from the same chain).
+_GRAPH_CERT_CACHE: dict = {}
+
+
+def _graph_search_cert_cached(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _GRAPH_CERT_CACHE.get(key)
+    if got is None:
+        got = _graph_search_cert(spark, sf_dir)
+        _GRAPH_CERT_CACHE[key] = got
+    return got
+
+
 def _graph_search_cert(
     spark: SparkSession, sf_dir: str,
     n_nodes: int = 120, degree: int = 6, k: int = 5, n_q: int = 6,
@@ -947,6 +968,43 @@ def _graph_search_cert(
     return search_ok, crud_ok
 
 
+# graph_crud_cert (round 15): the graph-ANN search + CRUD certification
+# chain as its own PRICED row — the r14 verdict's attribution ask
+# (ivfpq_build had absorbed four certs and was the bench's most
+# expensive row, with no way to tell the PQ layout's cost from the
+# graph cert's). The chain itself is unchanged (_graph_search_cert:
+# save → delete → upsert → compact → reload → beam search over the
+# bounded 120-node fixture); this row runs it and aggregates the
+# fixture slice the oracle can recompute, plus the two cert booleans.
+# ivfpq_build still emits the same booleans from the same chain —
+# memoized per process, so in sorted bench order THIS row prices it
+# (the saved_index build-row convention; listed in bench._NO_RETRY).
+@register(
+    "graph_crud_cert",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           TRUE AS graph_ok, TRUE AS graph_crud_ok
+    FROM embeddings WHERE vec_id < 120
+    """,
+)
+def q_graph_crud_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graph_ok, graph_crud_ok = _graph_search_cert_cached(spark, sf_dir)
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("vec_id").cast("long").alias("sum_ids"),
+        )
+        .select(
+            "*",
+            F.lit(bool(graph_ok)).alias("graph_ok"),
+            F.lit(bool(graph_crud_ok)).alias("graph_crud_ok"),
+        )
+    )
+
+
 @register(
     "ivfpq_build",
     """
@@ -1016,7 +1074,10 @@ def q_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round 14: the same fixture also drives the graph CRUD chain
     # (graph_crud_ok — delete/upsert/compact/reload/search), closing
     # the r13 verdict's driver-visibility gap for those verbs.
-    graph_ok, graph_crud_ok = _graph_search_cert(spark, sf_dir)
+    # Round 15: the chain is memoized per process and priced by the
+    # graph_crud_cert row (the r14 verdict's attribution ask) — this
+    # row's output is unchanged, computed from the same chain.
+    graph_ok, graph_crud_ok = _graph_search_cert_cached(spark, sf_dir)
     return agg.select(
         "*",
         F.lit(bool(cal_ok)).alias("maxsim_cal_ok"),
@@ -2864,7 +2925,19 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = emb.select(
         F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}").alias("doc"), "embedding"
     )
-    off = emb.agg(F.max("vec_id")).collect()[0][0] // _MAXSIM_DOC_TOKS + 1
+    # ONE agg answers the id-offset scan AND the bounded query-bag
+    # gather (both were full-scan jobs; the bag is <= _MAXSIM_Q_TOKS
+    # rows, so the collect_list buffer is bounded)
+    head = emb.agg(
+        F.max("vec_id").alias("mx"),
+        F.collect_list(
+            F.when(
+                F.col("vec_id") < _MAXSIM_Q_TOKS,
+                F.struct("vec_id", "embedding"),
+            )
+        ).alias("qbag"),
+    ).first()
+    off = head["mx"] // _MAXSIM_DOC_TOKS + 1
     delta = emb.filter(F.col("vec_id") < 16).select(
         (F.expr(f"vec_id DIV {_MAXSIM_DOC_TOKS}") + F.lit(off)).alias("doc"),
         F.expr(
@@ -2872,9 +2945,10 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     deleted = [1, 2]
-    qrows = emb.filter(F.col("vec_id") < _MAXSIM_Q_TOKS).collect()
     qtoks = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
+        sorted(
+            (int(r["vec_id"]), list(r["embedding"])) for r in head["qbag"]
+        ),
         "qid long, qvec array<float>",
     )
     base_idx = saved_index(spark, sf_dir, "maxsim")
@@ -2899,11 +2973,15 @@ def q_maxsim_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tying ahead of the upserted near-clone (the sf1 clone is 10
         # key-shifted copies) must not push it out of the certification
         # window (the stream_maxsim_ingest convention)
-        post_del = (
-            idx.search(qtoks, k=16, nprobe=1, n_candidates=128)
-            .localCheckpoint(eager=True)
-        )
-        del_rows = [(r["doc"], r["score"]) for r in post_del.collect()]
+        # collected once, before the compact swaps any file — no
+        # checkpoint needed (the r14-advice API-boundary rule applies to
+        # frames that ESCAPE; this one is consumed on the next line)
+        del_rows = [
+            (r["doc"], r["score"])
+            for r in idx.search(
+                qtoks, k=16, nprobe=1, n_candidates=128
+            ).collect()
+        ]
         idx.compact()
         post_cmp = [
             (r["doc"], r["score"])

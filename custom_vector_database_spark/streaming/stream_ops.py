@@ -2591,25 +2591,40 @@ def corpus_semdedup_apply_batch(
     # (_refuse_bad_vectors's contract: undecidable vectors, duplicate
     # ids) AND both bucket sets (id buckets for the clash/verify prunes,
     # band-key buckets for the candidate prune) — previously three
-    # separate jobs over the same batch.
-    pre = enc.agg(
+    # separate jobs over the same batch. The band-bucket set folds each
+    # row's keys into ONE long bitmask before aggregating (bit_or), so
+    # the agg buffer is 8 bytes — never batch_rows x n_bands values
+    # (ADVICE r14); past 62 buckets the set falls back to a separate
+    # distributed distinct (bounded by n_buckets, never by batch size).
+    aggs = [
         F.sum(_sb_undecidable(F.col(vec_col), dim).cast("long")).alias("bad"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.collect_set(
             F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets))
         ).alias("idbs"),
-        F.array_distinct(
-            F.flatten(
-                F.collect_list(
+    ]
+    small_mask = n_buckets <= 62
+    if small_mask:
+        aggs.append(
+            F.bit_or(
+                F.aggregate(
                     F.transform(
                         F.col("__keys"),
                         lambda kk: F.pmod(kk, F.lit(n_buckets)),
-                    )
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc.bitwiseOR(
+                        # F.shiftleft only takes a literal bit count;
+                        # call the SQL function directly for a Column one
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), b.cast("int")
+                        )
+                    ),
                 )
-            )
-        ).alias("bbs"),
-    ).first()
+            ).alias("bbmask")
+        )
+    pre = enc.agg(*aggs).first()
     if pre["bad"]:
         raise ValueError(
             f"{pre['bad']} document(s) with NULL, wrong-dimension, "
@@ -2652,7 +2667,16 @@ def corpus_semdedup_apply_batch(
         F.col(vec_col).alias("__vec"),
         F.posexplode("__keys").alias("band", "key"),
     )
-    bbs = list(pre["bbs"])  # from the single bucket agg above
+    if small_mask:
+        mask_v = int(pre["bbmask"] or 0)
+        bbs = [i for i in range(n_buckets) if (mask_v >> i) & 1]
+    else:
+        bbs = [
+            r["bb"]
+            for r in bb.select(
+                F.pmod(F.col("key"), F.lit(n_buckets)).alias("bb")
+            ).distinct().collect()
+        ]
     cand = (
         bb.join(
             band_side.filter(F.col("bb").isin(bbs)).select(
@@ -3144,12 +3168,23 @@ def corpus_cdc_apply_batch(
         ).alias("bad"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
+        # count_distinct ignores NULLs, so a NULL id would otherwise
+        # surface as a misleading 'duplicate id' error (ADVICE r14) —
+        # count them in the same agg and refuse with the real cause
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nullid"),
     ).first()
     if g["bad"]:
         raise ValueError(
             f"NULL or empty {payload_col!r} in CDC ingest batch: an "
             "empty chunk set can neither dedup nor reconcile on crash "
             "replay — filter upstream before streaming into the corpus"
+        )
+    if g["nullid"]:
+        raise ValueError(
+            f"{g['nullid']} NULL {id_col!r} value(s) in CDC ingest "
+            "batch: the sidecar and crash-replay reconciliation key on "
+            "the id, so a NULL id can neither dedup nor replay — assign "
+            "ids upstream"
         )
     if g["nd"] != g["n"]:
         raise ValueError(
@@ -3220,10 +3255,18 @@ def corpus_cdc_apply_batch(
     # collect is bounded by the caps.
     fp_list: list | None = None
     if small_batch and int(exstats["n_fps"]) <= CDC_PUSHDOWN_MAX_FPS:
+        from custom_vector_database_spark.operators.layout import (
+            in_literals,
+        )
+
         # the collect is bounded by the cap, and skipped entirely when
-        # the gate (known from the stats agg) says it would be discarded
+        # the gate (known from the stats agg) says it would be discarded.
+        # in_literals, not Column.isin: the same InSet plan, but built in
+        # ONE parse instead of one py4j literal per fp (~5-7 s of pure
+        # driver time at ~6k fps — measured r15, the bulk of this row's
+        # sf0.1 cost and the r14 verdict's suspected regression)
         fp_list = sorted(r["fp"] for r in exfps.collect())
-        probe = probe.filter(F.col("fp").isin(fp_list))
+        probe = probe.filter(in_literals("fp", fp_list))
     # else: a chunk-heavy batch (~30 distinct fps per payload) hits
     # every bucket, and the saturated IN-list + per-dir listing only
     # adds overhead over the full probe it cannot avoid (measured in
