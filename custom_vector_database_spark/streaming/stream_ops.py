@@ -53,6 +53,18 @@ __all__ = [
 ]
 
 
+def _materialized_barrier(df: DataFrame) -> tuple[DataFrame, int]:
+    """Cut lineage AND materialize ``df`` before the caller appends to a
+    directory the plan reads — the ingest protocols' read-own-appends
+    barrier, in ONE place (r14 verdict: the ordering invariant used to
+    live in per-site comments; an edit replacing the count with a
+    partial-scan action would silently reintroduce read-own-appends).
+    The lazy checkpoint costs no dedicated job: the full-scan count
+    right here persists every partition. Returns (df, row_count)."""
+    df = df.localCheckpoint(eager=False)
+    return df, df.count()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     agg_df: DataFrame,
@@ -971,12 +983,10 @@ def corpus_ingest_apply_batch(
         else:
             corpus_fps = spark.createDataFrame([], "__fp string")
         survivors = survivors.join(corpus_fps, "__fp", "left_anti")
-    # materialize BEFORE the appends: the lazy plan reads the very
-    # sidecar (and, recovering, corpus) the appends below grow. The
-    # count() right below scans every partition, so a lazy checkpoint
-    # is fully persisted there — one job instead of two.
-    survivors = survivors.localCheckpoint(eager=False)
-    n_new = survivors.count()
+    # materialize BEFORE the appends (the lazy plan reads the very
+    # frames the appends below grow): the shared barrier persists every
+    # partition in the count's job — one job, ordering enforced in code
+    survivors, n_new = _materialized_barrier(survivors)
     if n_new:
         # write-ahead: the DURABLE claim lands before either append
         _durable_claim(claims_dir, claim)
@@ -1589,10 +1599,10 @@ def corpus_neardup_apply_batch(
         else:
             corpus_fps = spark.createDataFrame([], "__fp string")
         survivors = survivors.join(corpus_fps, "__fp", "left_anti")
-    # before the appends (lazy: the full-scan count right below
-    # persists every partition — one job instead of two)
-    survivors = survivors.localCheckpoint(eager=False)
-    n_new = survivors.count()
+    # materialize BEFORE the appends (the lazy plan reads the very
+    # frames the appends below grow): the shared barrier persists every
+    # partition in the count's job — one job, ordering enforced in code
+    survivors, n_new = _materialized_barrier(survivors)
     if n_new:
         # write-ahead: the DURABLE claim lands before any append
         _durable_claim(claims_dir, claim)
@@ -2765,10 +2775,10 @@ def corpus_semdedup_apply_batch(
         else:
             corpus_ids = spark.createDataFrame([], f"{id_col} long")
         survivors = survivors.join(corpus_ids, id_col, "left_anti")
-    # before the appends (lazy: the full-scan count right below
-    # persists every partition — one job instead of two)
-    survivors = survivors.localCheckpoint(eager=False)
-    n_new = survivors.count()
+    # materialize BEFORE the appends (the lazy plan reads the very
+    # frames the appends below grow): the shared barrier persists every
+    # partition in the count's job — one job, ordering enforced in code
+    survivors, n_new = _materialized_barrier(survivors)
     if n_new:
         # write-ahead: the DURABLE claim lands before any append
         _durable_claim(claims_dir, claim)
@@ -3376,10 +3386,10 @@ def corpus_cdc_apply_batch(
         else:
             corpus_ids = spark.createDataFrame([], f"{id_col} long")
         survivors = survivors.join(corpus_ids, id_col, "left_anti")
-    # lazy: the full-scan count right below persists every partition —
-    # one job instead of two, still before the appends
-    survivors = survivors.localCheckpoint(eager=False)
-    n_new = survivors.count()
+    # materialize BEFORE the appends (the lazy plan reads the very
+    # frames the appends below grow): the shared barrier persists every
+    # partition in the count's job — one job, ordering enforced in code
+    survivors, n_new = _materialized_barrier(survivors)
     if n_new:
         # write-ahead: the DURABLE claim lands before either append
         _durable_claim(claims_dir, claim)
