@@ -80,6 +80,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 _SIDECAR_COMPACT_VERBS = {
     "exact": "compact_fp_sidecar",
@@ -203,14 +204,24 @@ def maintenance_plan(
     for ent in layouts:
         idx = ent["index"]
         thr = float(ent.get("ratio_threshold", 2.0))
-        rep = quantization_error_report(
+        rep_df = quantization_error_report(
             idx,
             ent["build_df"],
             ent["recent_df"],
             vec_col=ent.get("vec_col", "vec"),
             ratio_threshold=thr,
             model_id=ent.get("model_id"),
-        ).first()
+        )
+        # the occupancy count rides the SAME job as the staleness
+        # report (one crossJoined scalar agg) instead of a second pass
+        # over the layout frame
+        live_rows = _live_rows_df(idx)
+        has_occ = hasattr(idx, "centroids") and live_rows is not None
+        if has_occ:
+            rep_df = rep_df.crossJoin(
+                live_rows.agg(F.count(F.lit(1)).alias("_n_live"))
+            )
+        rep = rep_df.first()
         stale = bool(rep["stale"])
         can_exec = ent.get("refit") is not None and (
             ent.get("path") or getattr(idx, "_path", None)
@@ -227,10 +238,8 @@ def maintenance_plan(
         occ = None
         target_rpc = int(ent.get("target_rows_per_cluster", 512))
         trip = float(ent.get("occupancy_trip", 4.0))
-        live_rows = _live_rows_df(idx)
-        if hasattr(idx, "centroids") and live_rows is not None:
-            n_live = live_rows.count()
-            occ = n_live / max(1, len(idx.centroids))
+        if has_occ:
+            occ = int(rep["_n_live"]) / max(1, len(idx.centroids))
         resize_tripped = occ is not None and occ > trip * target_rpc
         resize_exec = callable(ent.get("resize_refit")) and (
             ent.get("path") or getattr(idx, "_path", None)

@@ -3636,9 +3636,25 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
     import glob
     import os
 
-    count_files = lambda d: sum(  # noqa: E731
-        1 for dp, _dn, fs in os.walk(d) for f in fs if f.endswith(".parquet")
-    )
+    def _frame_stats(d: str) -> tuple[int, int]:
+        """(n_files, n_rows) from ONE walk: row counts come from the
+        parquet FOOTERS (exact metadata, identical to a count job) —
+        the walk already visits every file for the file count, so the
+        per-frame Spark count jobs this verb used to run priced pure
+        scheduler overhead (sidecars are corpus-metadata-sized)."""
+        import pyarrow.parquet as _pq
+
+        n_files = 0
+        n_rows = 0
+        for dp, _dn, fs in os.walk(d):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_rows += _pq.ParquetFile(
+                        os.path.join(dp, f)
+                    ).metadata.num_rows
+        return n_files, n_rows
+
     report: dict = {}
     families = (
         ("exact", ((_FP_SIDECAR, _read_fp_sidecar),), _FP_CLAIMS, None),
@@ -3698,15 +3714,15 @@ def sidecar_report(spark: SparkSession, corpus_dir: str) -> dict:
             "frames": {},
             "debris": _debris.get(family, []),
         }
-        for name, reader in frames:
+        for name, _reader in frames:
             d = os.path.join(corpus_dir, name)
             if not os.path.isdir(d):
                 fam["frames"][name] = None  # half-present: heal pending
                 continue
-            n_files = count_files(d)
+            n_files, n_rows = _frame_stats(d)
             n_buckets = int(meta.get("n_buckets", 0)) or 1
             fam["frames"][name] = {
-                "n_rows": reader(spark, d).count(),
+                "n_rows": n_rows,
                 "n_files": n_files,
                 "files_per_bucket": round(n_files / n_buckets, 2),
             }
